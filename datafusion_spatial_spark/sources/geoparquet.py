@@ -1,0 +1,104 @@
+"""GeoParquet source/sink.
+
+The reference registers Parquet tables with ``skip_metadata=false`` so the
+``geo`` footer key survives onto the Arrow schema (reference
+examples/main.rs:17-18,43-48). Spark's Parquet reader *drops* file-level
+key/value metadata, so we harvest it with pyarrow (footer read only — no data
+IO) and re-attach it per geometry column as ``StructField.metadata["geo"]``.
+
+Scale note: reading the footer of ONE file is enough — GeoParquet datasets
+carry identical ``geo`` metadata on every file, so this stays O(1) even for a
+100 TB multi-file dataset; the data itself is read by Spark's distributed
+vectorized Parquet scan with the usual pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_spatial_spark.meta import (
+    GeometryMeta,
+    parse_geo_footer,
+    with_geo_meta,
+)
+
+
+def _first_parquet_file(path: str) -> str | None:
+    if os.path.isfile(path):
+        return path
+    hits = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    return hits[0] if hits else None
+
+
+def read_geo_footer(path: str) -> dict[str, GeometryMeta]:
+    """Harvest {column: GeometryMeta} from a parquet file/directory footer."""
+    import pyarrow.parquet as pq
+
+    f = _first_parquet_file(path)
+    if f is None:
+        return {}
+    md = pq.read_schema(f).metadata or {}
+    raw = md.get(b"geo")
+    if raw is None:
+        return {}
+    return parse_geo_footer(raw)
+
+
+def read_geoparquet(
+    spark: SparkSession, path: str, view: str | None = None
+) -> DataFrame:
+    """Read parquet and attach GeoParquet ``geo`` metadata to its geometry
+    columns (the PySpark analog of the reference's metadata-preserving scan,
+    examples/main.rs:17-18 + rules.rs:39-49)."""
+    df = spark.read.parquet(path)
+    for col, meta in read_geo_footer(path).items():
+        if col in df.columns:
+            df = with_geo_meta(df, col, meta)
+    if view:
+        df.createOrReplaceTempView(view)
+    return df
+
+
+def write_geoparquet(
+    df: DataFrame,
+    path: str,
+    geo_columns: dict[str, GeometryMeta] | None = None,
+    mode: str = "overwrite",
+    primary_column: str | None = None,
+) -> None:
+    """Write parquet, then stamp the ``geo`` footer onto every produced file.
+
+    ``geo_columns`` defaults to whatever GeometryMeta is attached to the
+    DataFrame's StructField metadata. The footer rewrite is a per-file
+    metadata-only rewrite via pyarrow; for very large outputs prefer sidecar
+    metadata or a catalog, but GeoParquet interop requires the footer key.
+    """
+    import pyarrow.parquet as pq
+
+    if geo_columns is None:
+        geo_columns = {}
+        for fld in df.schema.fields:
+            if fld.metadata and "geo" in fld.metadata:
+                geo_columns[fld.name] = GeometryMeta.from_dict(fld.metadata["geo"])
+    df.write.mode(mode).parquet(path)
+    if not geo_columns:
+        return
+    primary = primary_column or next(iter(geo_columns))
+    geo_json = json.dumps(
+        {
+            "version": "1.1.0",
+            "primary_column": primary,
+            "columns": {c: m.to_dict() for c, m in geo_columns.items()},
+        }
+    )
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        tbl = pq.read_table(f)
+        md = dict(tbl.schema.metadata or {})
+        md[b"geo"] = geo_json.encode()
+        pq.write_table(tbl.replace_schema_metadata(md), f)

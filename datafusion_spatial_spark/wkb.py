@@ -1,0 +1,485 @@
+"""Clean-room WKB / WKT codec (pure Python, no GEOS dependency).
+
+The reference decodes WKB header bytes to classify geometry
+(src/udfs/geometry_type.rs:119-146), converts WKB → WKT through the geo
+crate (src/udfs/as_text.rs:84-107) and computes WKB bounding boxes via
+``geo::BoundingRect`` (src/udfs/envelope.rs:98-127). This module provides the
+same capabilities for the engine's Python side. It is used ONLY inside
+Arrow-batched pandas UDFs on the WKB path; native-encoded geometry never
+touches Python (pure Catalyst expressions instead).
+
+Geometry value model (matches the native nesting of the data model):
+  Point                     -> (x, y[, z]) tuple
+  LineString / MultiPoint   -> [coord, ...]
+  Polygon / MultiLineString -> [[coord, ...], ...]
+  MultiPolygon              -> [[[coord, ...], ...], ...]
+  GeometryCollection        -> [Geom, ...]
+Empty geometries have empty coord lists; POINT EMPTY is (nan, nan) per the
+GeoParquet convention (reference data/generate_test_data.py:78-82).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+_TYPE_NAMES = {
+    1: "Point",
+    2: "LineString",
+    3: "Polygon",
+    4: "MultiPoint",
+    5: "MultiLineString",
+    6: "MultiPolygon",
+    7: "GeometryCollection",
+}
+_TYPE_CODES = {v: k for k, v in _TYPE_NAMES.items()}
+
+# EWKB dimension/SRID flag bits
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
+@dataclass
+class Geom:
+    type_name: str  # one of _TYPE_NAMES values
+    coords: object  # nested per the module docstring
+    has_z: bool = False
+    srid: int | None = None
+
+    @property
+    def is_empty(self) -> bool:
+        if self.type_name == "Point":
+            return self.coords is None or any(
+                isinstance(c, float) and math.isnan(c) for c in self.coords
+            )
+        return not self.coords
+
+
+class WKBError(ValueError):
+    pass
+
+
+def header_type_name(buf: bytes) -> str:
+    """Classify a WKB buffer from its header only — the cheap path used by
+    ``ST_GeometryType`` (cf. reference geometry_type.rs:119-146). Returns
+    e.g. "Point" or "Point Z"."""
+    if buf is None or len(buf) < 5:
+        raise WKBError("buffer too short for WKB header")
+    endian = "<" if buf[0] == 1 else ">"
+    (raw,) = struct.unpack_from(endian + "I", buf, 1)
+    code, has_z, _has_m, _ = _decode_type_code(raw)
+    name = _TYPE_NAMES.get(code)
+    if name is None:
+        raise WKBError(f"unknown WKB geometry type code {raw}")
+    return name + (" Z" if has_z else "")
+
+
+def _decode_type_code(raw: int) -> tuple[int, bool, bool, bool]:
+    """Handle both ISO (1001 = PointZ) and EWKB (0x80000001) type codes."""
+    has_srid = bool(raw & _EWKB_SRID)
+    has_z = bool(raw & _EWKB_Z)
+    has_m = bool(raw & _EWKB_M)
+    code = raw & 0x0FFFFFFF
+    if code >= 3000:  # ISO ZM
+        code -= 3000
+        has_z = has_m = True
+    elif code >= 2000:  # ISO M
+        code -= 2000
+        has_m = True
+    elif code >= 1000:  # ISO Z
+        code -= 1000
+        has_z = True
+    return code, has_z, has_m, has_srid
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def geometry(self) -> Geom:
+        endian = "<" if self.buf[self.pos] == 1 else ">"
+        (raw,) = struct.unpack_from(endian + "I", self.buf, self.pos + 1)
+        self.pos += 5
+        code, has_z, has_m, has_srid = _decode_type_code(raw)
+        srid = None
+        if has_srid:
+            (srid,) = struct.unpack_from(endian + "I", self.buf, self.pos)
+            self.pos += 4
+        name = _TYPE_NAMES.get(code)
+        if name is None:
+            raise WKBError(f"unknown WKB geometry type code {raw}")
+        ndim = 2 + (1 if has_z else 0) + (1 if has_m else 0)
+
+        def coord():
+            vals = struct.unpack_from(endian + "d" * ndim, self.buf, self.pos)
+            self.pos += 8 * ndim
+            # drop M if present; keep (x, y[, z])
+            return vals[: 3 if has_z else 2]
+
+        def ring():
+            (n,) = struct.unpack_from(endian + "I", self.buf, self.pos)
+            self.pos += 4
+            return [coord() for _ in range(n)]
+
+        def count():
+            (n,) = struct.unpack_from(endian + "I", self.buf, self.pos)
+            self.pos += 4
+            return n
+
+        if name == "Point":
+            c = coord()
+            return Geom("Point", c, has_z, srid)
+        if name == "LineString":
+            return Geom("LineString", ring(), has_z, srid)
+        if name == "Polygon":
+            return Geom("Polygon", [ring() for _ in range(count())], has_z, srid)
+        if name == "MultiPoint":
+            n = count()
+            pts = []
+            for _ in range(n):
+                g = self.geometry()
+                pts.append(g.coords)
+            return Geom("MultiPoint", pts, has_z, srid)
+        if name == "MultiLineString":
+            n = count()
+            return Geom(
+                "MultiLineString", [self.geometry().coords for _ in range(n)],
+                has_z, srid,
+            )
+        if name == "MultiPolygon":
+            n = count()
+            return Geom(
+                "MultiPolygon", [self.geometry().coords for _ in range(n)],
+                has_z, srid,
+            )
+        # GeometryCollection
+        n = count()
+        return Geom(
+            "GeometryCollection", [self.geometry() for _ in range(n)], has_z, srid
+        )
+
+
+def loads(buf: bytes) -> Geom:
+    """Parse WKB bytes into a Geom."""
+    if buf is None:
+        raise WKBError("null buffer")
+    return _Reader(bytes(buf)).geometry()
+
+
+def dumps(geom: Geom) -> bytes:
+    """Serialize a Geom to little-endian ISO WKB."""
+    out = bytearray()
+    _write_geom(out, geom)
+    return bytes(out)
+
+
+def _write_geom(out: bytearray, geom: Geom) -> None:
+    code = _TYPE_CODES[geom.type_name]
+    if geom.has_z:
+        code += 1000
+    out += b"\x01"
+    out += struct.pack("<I", code)
+    ndim = 3 if geom.has_z else 2
+    pack = struct.Struct("<" + "d" * ndim).pack
+
+    def wcoord(c):
+        out.extend(pack(*c[:ndim]))
+
+    def wring(r):
+        out.extend(struct.pack("<I", len(r)))
+        for c in r:
+            wcoord(c)
+
+    t = geom.type_name
+    if t == "Point":
+        c = geom.coords
+        if c is None or len(c) == 0:
+            wcoord((math.nan,) * ndim)
+        else:
+            wcoord(c)
+    elif t == "LineString":
+        wring(geom.coords)
+    elif t == "Polygon":
+        out.extend(struct.pack("<I", len(geom.coords)))
+        for r in geom.coords:
+            wring(r)
+    elif t == "MultiPoint":
+        out.extend(struct.pack("<I", len(geom.coords)))
+        for c in geom.coords:
+            _write_geom(out, Geom("Point", c, geom.has_z))
+    elif t == "MultiLineString":
+        out.extend(struct.pack("<I", len(geom.coords)))
+        for line in geom.coords:
+            _write_geom(out, Geom("LineString", line, geom.has_z))
+    elif t == "MultiPolygon":
+        out.extend(struct.pack("<I", len(geom.coords)))
+        for poly in geom.coords:
+            _write_geom(out, Geom("Polygon", poly, geom.has_z))
+    elif t == "GeometryCollection":
+        out.extend(struct.pack("<I", len(geom.coords)))
+        for g in geom.coords:
+            _write_geom(out, g)
+    else:  # pragma: no cover
+        raise WKBError(f"cannot serialize {t}")
+
+
+# ---------------------------------------------------------------------------
+# WKT
+
+
+def _fmt(v: float) -> str:
+    """DuckDB/PostGIS-style number formatting: integral floats print without
+    a decimal part ("30", not the reference's Rust-debug "30.0" — SURVEY §7
+    chooses oracle formatting)."""
+    if v != v:  # NaN
+        return "nan"
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def _coord_wkt(c) -> str:
+    return " ".join(_fmt(v) for v in c)
+
+
+def to_wkt(geom: Geom) -> str:
+    t = geom.type_name.upper()
+    z = " Z" if geom.has_z else ""
+    if geom.is_empty:
+        return f"{t}{z} EMPTY"
+    c = geom.coords
+    if geom.type_name == "Point":
+        return f"POINT{z} ({_coord_wkt(c)})"
+    if geom.type_name == "LineString":
+        return f"LINESTRING{z} ({', '.join(_coord_wkt(p) for p in c)})"
+    if geom.type_name == "Polygon":
+        rings = ", ".join(
+            "(" + ", ".join(_coord_wkt(p) for p in r) + ")" for r in c
+        )
+        return f"POLYGON{z} ({rings})"
+    if geom.type_name == "MultiPoint":
+        return f"MULTIPOINT{z} ({', '.join('(' + _coord_wkt(p) + ')' for p in c)})"
+    if geom.type_name == "MultiLineString":
+        lines = ", ".join(
+            "(" + ", ".join(_coord_wkt(p) for p in line) + ")" for line in c
+        )
+        return f"MULTILINESTRING{z} ({lines})"
+    if geom.type_name == "MultiPolygon":
+        polys = ", ".join(
+            "("
+            + ", ".join(
+                "(" + ", ".join(_coord_wkt(p) for p in r) + ")" for r in poly
+            )
+            + ")"
+            for poly in c
+        )
+        return f"MULTIPOLYGON{z} ({polys})"
+    # GeometryCollection
+    return f"GEOMETRYCOLLECTION{z} ({', '.join(to_wkt(g) for g in c)})"
+
+
+# ---------------------------------------------------------------------------
+# WKT parsing (for the CSV fixtures and st_geomfromtext)
+
+
+def from_wkt(text: str) -> Geom:
+    p = _WktParser(text)
+    g = p.geometry()
+    p.skip_ws()
+    if p.pos != len(p.s):
+        raise WKBError(f"trailing WKT input at {p.pos}: {text!r}")
+    return g
+
+
+class _WktParser:
+    def __init__(self, s: str):
+        self.s = s.strip()
+        self.pos = 0
+
+    def skip_ws(self):
+        while self.pos < len(self.s) and self.s[self.pos].isspace():
+            self.pos += 1
+
+    def expect(self, ch: str):
+        self.skip_ws()
+        if self.pos >= len(self.s) or self.s[self.pos] != ch:
+            raise WKBError(f"expected {ch!r} at {self.pos} in {self.s!r}")
+        self.pos += 1
+
+    def peek(self) -> str:
+        self.skip_ws()
+        return self.s[self.pos] if self.pos < len(self.s) else ""
+
+    def word(self) -> str:
+        self.skip_ws()
+        start = self.pos
+        while self.pos < len(self.s) and (
+            self.s[self.pos].isalpha() or self.s[self.pos] == "_"
+        ):
+            self.pos += 1
+        return self.s[start : self.pos].upper()
+
+    def number(self) -> float:
+        self.skip_ws()
+        start = self.pos
+        while self.pos < len(self.s) and self.s[self.pos] not in " ,()\t\n":
+            self.pos += 1
+        return float(self.s[start : self.pos])
+
+    def coord(self, ndim: int):
+        vals = [self.number()]
+        while True:
+            self.skip_ws()
+            if self.pos < len(self.s) and self.s[self.pos] not in ",)":
+                vals.append(self.number())
+            else:
+                break
+        return tuple(vals)
+
+    def coord_seq(self, ndim: int):
+        self.expect("(")
+        out = [self.coord(ndim)]
+        while self.peek() == ",":
+            self.pos += 1
+            out.append(self.coord(ndim))
+        self.expect(")")
+        return out
+
+    def paren_list(self, inner):
+        self.expect("(")
+        out = [inner()]
+        while self.peek() == ",":
+            self.pos += 1
+            out.append(inner())
+        self.expect(")")
+        return out
+
+    def geometry(self) -> Geom:
+        name_raw = self.word()
+        has_z = False
+        for suffix in ("ZM", "Z", "M"):
+            if name_raw.endswith(suffix) and name_raw not in (
+                "MULTIPOINT",
+                "MULTILINESTRING",
+                "MULTIPOLYGON",
+            ):
+                # dimension token attached (POINTZ) — rare; normalize
+                base = name_raw[: -len(suffix)]
+                if base in (t.upper() for t in _TYPE_CODES):
+                    name_raw = base
+                    has_z = "Z" in suffix
+                break
+        canonical = {t.upper(): t for t in _TYPE_CODES}
+        if name_raw not in canonical:
+            raise WKBError(f"unknown WKT type {name_raw!r}")
+        name = canonical[name_raw]
+        # optional separate dimension token: POINT Z (...)
+        save = self.pos
+        tok = self.word()
+        if tok in ("Z", "M", "ZM"):
+            has_z = "Z" in tok
+        elif tok == "EMPTY":
+            return Geom(
+                name, (math.nan, math.nan) if name == "Point" else [], has_z
+            )
+        else:
+            self.pos = save
+        self.skip_ws()
+        if self.s[self.pos :].upper().startswith("EMPTY"):
+            self.pos += 5
+            return Geom(
+                name, (math.nan, math.nan) if name == "Point" else [], has_z
+            )
+        ndim = 3 if has_z else 2
+        if name == "Point":
+            self.expect("(")
+            c = self.coord(ndim)
+            self.expect(")")
+            return Geom(name, c, has_z)
+        if name in ("LineString",):
+            return Geom(name, self.coord_seq(ndim), has_z)
+        if name in ("Polygon", "MultiLineString"):
+            return Geom(name, self.paren_list(lambda: self.coord_seq(ndim)), has_z)
+        if name == "MultiPoint":
+            # members may be parenthesized "((1 2), (3 4))" or bare "(1 2, 3 4)"
+            def member():
+                if self.peek() == "(":
+                    self.expect("(")
+                    c = self.coord(ndim)
+                    self.expect(")")
+                    return c
+                return self.coord(ndim)
+
+            return Geom(name, self.paren_list(member), has_z)
+        if name == "MultiPolygon":
+            return Geom(
+                name,
+                self.paren_list(
+                    lambda: self.paren_list(lambda: self.coord_seq(ndim))
+                ),
+                has_z,
+            )
+        # GeometryCollection
+        return Geom(name, self.paren_list(self.geometry), has_z)
+
+
+# ---------------------------------------------------------------------------
+# geometry math used by the WKB pandas-UDF paths
+
+
+def bbox(geom: Geom) -> tuple[float, float, float, float] | None:
+    """(xmin, ymin, xmax, ymax) over all coords, NaN-excluded (the
+    reference's NaN-aware fold, src/compute.rs:19-73). None when empty."""
+    xmin = ymin = math.inf
+    xmax = ymax = -math.inf
+
+    def fold(coords):
+        nonlocal xmin, ymin, xmax, ymax
+        if coords is None:
+            return
+        if isinstance(coords, tuple):
+            x, y = coords[0], coords[1]
+            if x == x and y == y:
+                xmin = min(xmin, x)
+                ymin = min(ymin, y)
+                xmax = max(xmax, x)
+                ymax = max(ymax, y)
+            return
+        for c in coords:
+            fold(c)
+
+    if geom.type_name == "GeometryCollection":
+        for g in geom.coords:
+            b = bbox(g)
+            if b:
+                xmin = min(xmin, b[0])
+                ymin = min(ymin, b[1])
+                xmax = max(xmax, b[2])
+                ymax = max(ymax, b[3])
+    else:
+        fold(geom.coords)
+    if xmin > xmax:
+        return None
+    return (xmin, ymin, xmax, ymax)
+
+
+def envelope_ring(geom: Geom) -> list[tuple[float, float]]:
+    """5-point closed envelope ring, CCW starting at (xmin,ymin) — the
+    reference's ring convention (src/udfs/envelope.rs:338-350). Empty input
+    → empty ring."""
+    b = bbox(geom)
+    if b is None:
+        return []
+    xmin, ymin, xmax, ymax = b
+    return [
+        (xmin, ymin),
+        (xmax, ymin),
+        (xmax, ymax),
+        (xmin, ymax),
+        (xmin, ymin),
+    ]
