@@ -1,0 +1,7 @@
+from datafusion_spatial_spark.operators import (  # noqa: F401
+    dedup,
+    hashing,
+    multimodal,
+    simsearch,
+    text,
+)

@@ -1,0 +1,305 @@
+"""Deduplication operators for large-scale text/training-data pipelines.
+
+All operators are DataFrame-in / DataFrame-out and compose with SQL. Scale
+design (the point, per the build brief):
+
+* **Exact dedup** is a hash-groupBy — one shuffle on the content hash, with
+  map-side partial aggregation. At 100 TB, hash first (8-byte key) so the
+  shuffle moves hashes + ids, never the documents themselves.
+* **MinHash + LSH near-dedup** is the classic shingle → signature → band →
+  bucket-join pipeline. The candidate join is an *equi-join on (band,
+  band_hash)* — shuffle-partitionable, skew handled by AQE — never an O(n²)
+  cross join. Exact Jaccard verification runs only on candidate pairs.
+* **N-gram Jaccard (exact)** uses an inverted-index self-join on shingle
+  hash. Quadratic only within a posting list; hot shingles (stopword-only
+  n-grams) are the skew risk — cap posting lists with ``max_postings``.
+* **SimHash** packs a document into a 30-bit signature whose hamming
+  neighbors are near-dups; banding the bits gives an equi-joinable blocking
+  key, the same shuffle shape as MinHash-LSH.
+
+Hash choice: ``hash_fn="poly"`` is bit-reproducible in the DuckDB oracle
+(see operators/hashing.py); ``"xxhash64"`` is the fast JVM-native path for
+production. Both are pure Catalyst — no Python UDFs anywhere in dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark.operators.hashing import (
+    P,
+    minhash_affine_params,
+    poly_hash_list,
+    poly_hash_str,
+)
+
+
+def _hash_str(col: Column, hash_fn: str) -> Column:
+    if hash_fn == "poly":
+        return poly_hash_str(col)
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal (nondeterministic survivor, cheapest plan)."""
+    return df.dropDuplicates(subset)
+
+
+def dedup_exact_canonical(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Exact dedup keeping the *minimum id* per content group — deterministic
+    survivor selection (needed for oracle comparison; also what you want for
+    reproducible pipelines). One shuffle on md5(content)."""
+    return (
+        df.withColumn("__h", F.md5(F.col(content_col)))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined) from whitespace tokenization.
+    Pure Catalyst: split + sequence + slice + array_join. Documents shorter
+    than k words yield a single shingle of the whole text."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    n = F.size(words)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.transform(
+        starts, lambda i: F.array_join(F.slice(words, i, k), " ")
+    )
+
+
+def word_shingles_sql(expr: str, k: int = 3) -> str:
+    """Spark SQL text twin of :func:`word_shingles`."""
+    w = f"split(trim({expr}), '\\\\s+')"
+    return (
+        f"transform(sequence(1, greatest(size({w}) - {k - 1}, 1)), "
+        f"i -> array_join(slice({w}, i, {k}), ' '))"
+    )
+
+
+def word_shingles_duckdb(expr: str, k: int = 3) -> str:
+    """DuckDB SQL text computing the identical shingle list."""
+    w = f"regexp_split_to_array(trim({expr}), '\\s+')"
+    return (
+        f"list_transform(range(1, greatest(len({w}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({w}, i, i + {k - 1}), ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+    seed: int = 42,
+) -> DataFrame:
+    """id + ``sig: array<bigint>`` MinHash signature per document.
+
+    Entirely JVM-side: shingle (higher-order fns) → per-shingle base hash →
+    ``num_hashes`` affine transforms, ``array_min`` each. No shuffle — this
+    is a map-only stage, which is what lets it stream over 100 TB.
+    """
+    params = minhash_affine_params(num_hashes, seed)
+    sh = word_shingles(text_col, shingle_k)
+    base = F.transform(sh, lambda s: F.pmod(_hash_str(s, hash_fn), F.lit(P)))
+
+    def affine(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(P)
+
+    sig = F.array(
+        *[F.array_min(F.transform(base, affine(a, b))) for a, b in params]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` slices of
+    ``rows_per_band``, hash each slice, equi-join documents sharing any
+    (band, band_hash) bucket. Returns distinct candidate (id_a, id_b) pairs
+    with id_a < id_b.
+
+    Scale shape: explode to bands×N rows (map-only), then ONE shuffle on the
+    bucket key for the self-join. AQE's skew-join splitting handles hot
+    buckets; for adversarial data cap bucket size upstream.
+    """
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = (
+        sig_df.select(F.col(id_col), F.col("sig"), band_idx)
+        .withColumn(
+            "band_hash",
+            poly_hash_list(
+                F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band)
+            ),
+        )
+        .select(id_col, "band", "band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard
+    verify on candidates only. Returns (id_a, id_b, jaccard)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k, hash_fn)
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
+    shing = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_k)).alias("sh")
+    )
+    return (
+        cand.join(shing.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(shing.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted index
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via an inverted index on shingle hashes:
+    explode distinct shingles → self-join on shingle → count common →
+    ``|A∩B| / (|A| + |B| - |A∩B|)``. ``max_postings`` drops shingles whose
+    posting list exceeds the cap (stopword-shingle skew guard at scale)."""
+    shing = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(text_col, shingle_k),
+                    lambda s: _hash_str(s, hash_fn),
+                )
+            )
+        ).alias("sh"),
+    )
+    sizes = shing.groupBy(id_col).agg(F.count("*").alias("n"))
+    if max_postings is not None:
+        hot = (
+            shing.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_postings)
+            .select("sh")
+        )
+        shing = shing.join(hot, "sh", "left_anti")
+    a = shing.withColumnRenamed(id_col, "id_a")
+    b = shing.withColumnRenamed(id_col, "id_b")
+    common = (
+        a.join(b, (a.sh == b.sh) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+SIMHASH_BITS = 30  # poly hashes are < 2^30; use all their bits
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, hash_fn: str = "poly"
+) -> DataFrame:
+    """30-bit SimHash per document, fully in Catalyst: per-word hash → ±1
+    vote per bit (aggregate with a 30-counter array) → sign bits → integer.
+    """
+    c = F.col(text_col)
+    words = F.split(F.trim(c), r"\s+")
+    hashes = F.transform(words, lambda w: F.pmod(_hash_str(w, hash_fn), F.lit(P)))
+    zeros = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
+    bitsof = lambda h: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda i: F.when(
+            F.floor(h / F.pow(F.lit(2.0), i.cast("double")).cast("long")) % 2 == 1,
+            F.lit(1),
+        ).otherwise(F.lit(-1)).cast("long"),
+    )
+    votes = F.aggregate(
+        hashes, zeros, lambda acc, h: F.zip_with(acc, bitsof(h), lambda x, y: x + y)
+    )
+    value = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), value.alias("simhash"))

@@ -1,0 +1,104 @@
+"""Multimodal (image/audio/video) column handling.
+
+Model: media is an opaque ``binary`` column plus typed metadata
+(mime/width/height/duration), exactly like geometry is binary-plus-metadata
+(SURVEY §1.2) — no custom types. Decode / feature-extract run as
+Arrow-batched ``mapInPandas`` stages so each partition streams batches
+through Python once; at 100 TB this is the same map-only shape as any other
+scan→transform stage, and the binary payload never shuffles unless the user
+joins on it (don't — join on content hash).
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
+decode kernels are stubbed: ``decode=`` defaults to a clearly-marked
+deterministic fake that derives features from the bytes, keeping schema,
+batching, and partitioning real and testable. Swap in a real decoder by
+passing ``decode=my_fn`` — the Spark-side plumbing is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+
+def _fake_decode_features(payload: bytes, n: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decode→embed kernel: derives ``n``
+    floats in [0,1) from a sha256 of the payload. NOT a real decoder."""
+    h = hashlib.sha256(payload).digest()
+    return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(n)]
+
+
+def real_decode_unavailable(payload: bytes):  # pragma: no cover
+    raise NotImplementedError(
+        "image/audio codecs are not installed in this environment; "
+        "pass decode=<callable> backed by PIL/librosa/ffmpeg"
+    )
+
+
+def with_media_features(
+    df: DataFrame,
+    binary_col: str,
+    out_col: str = "features",
+    n_features: int = 8,
+    decode: Callable[[bytes], list[float]] | None = None,
+    batch_size_hint: int | None = None,
+) -> DataFrame:
+    """Append ``out_col: array<double>`` extracted from a binary media
+    column via ``mapInPandas`` (per-partition Arrow batch iterator)."""
+    decode = decode or (lambda b: _fake_decode_features(b, n_features))
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[binary_col].map(
+                lambda b: None if b is None else decode(bytes(b))
+            )
+            yield pdf
+
+    return df.mapInPandas(extract, schema=out_schema)
+
+
+def media_content_dedup(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Exact media dedup on content hash — hash JVM-side (sha2 built-in) so
+    only (hash, id) shuffles, never payloads."""
+    return (
+        df.withColumn("__h", F.sha2(F.col(binary_col), 256))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("copies"))
+        .drop("__h")
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    every_ms: int = 1000,
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Explode a video row into per-frame-sample rows (timestamps only —
+    decode happens downstream in with_media_features). Pure Catalyst
+    sequence+explode; the payload column is carried by reference."""
+    return df.select(
+        F.col(id_col),
+        F.col(binary_col),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("sample_ms"),
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is pure Catalyst (split/regexp/length/higher-order
+functions): map-only stages that stream over any corpus size with zero
+shuffle and zero Python. Each operator is also expressible in ANSI SQL for
+the DuckDB oracle (see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark.operators.hashing import poly_hash_str
+
+# Tiny deterministic stopword lists per language (heuristic language ID).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "en", "que", "pour"],
+}
+
+PUNCT_CLASS = r"[^.!?,;:]"  # punct ratio = chars surviving this removal / len
+BPE_ISH_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # word / number / symbol
+
+
+def words(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count via a BPE-flavored regex (letters runs,
+    digit runs, single symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN), F.lit(0)))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        n_punct / F.length(c)
+    )
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """Count of stopword tokens (lowercased exact match)."""
+    w = F.transform(words(col), F.lower)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    return stopword_hits(col, lang) / token_count(col)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of stopword hits over the known
+    languages, deterministic tie-break by language-code order, 'und' when no
+    hits at all."""
+    hits = {lang: stopword_hits(col, lang) for lang in sorted(STOPWORDS)}
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # iterate in reverse-sorted order so earlier languages win ties via >=
+    for lang in sorted(STOPWORDS, reverse=True):
+        h = hits[lang]
+        cond = (h > 0) & (h >= best_hits)
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.greatest(h, best_hits)
+    return best_lang
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards mid-length documents
+    and word diversity, penalizes punctuation soup.
+
+    score = 0.4·min(tokens/100, 1) + 0.4·(distinct words/tokens)
+          + 0.2·(1 − min(4·punct_ratio, 1))
+    """
+    n = token_count(col)
+    distinct_ratio = F.size(F.array_distinct(F.transform(words(col), F.lower))) / n
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(F.lit(4.0) * punct_ratio(col), F.lit(1.0))
+    return (
+        F.lit(0.4) * len_term + F.lit(0.4) * distinct_ratio + F.lit(0.2) * punct_term
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: polynomial rolling hash of the
+    lowercased, whitespace-normalized text (mod 1e9+7). Identical content →
+    identical fingerprint across engines (oracle-reproducible)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.array_join(F.split(F.trim(F.lower(c)), r"\s+"), " ")
+    return poly_hash_str(normalized)
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per document with the full stat set."""
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_computed"),
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio_en"),
+        lang_id(text_col).alias("lang_guess"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -23,6 +23,9 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Deterministic timestamps vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
+    # Parquet INT64 TIMESTAMP(NANOS) (e.g. the events table) is otherwise
+    # unreadable by Spark; read as long and convert in sources.tables.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Quiet, non-interactive local runs.
     "spark.ui.enabled": "false",
 }

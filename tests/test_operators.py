@@ -1,0 +1,170 @@
+"""Tests for the extension operators (dedup / simsearch / text / multimodal)
+on the driver's testdata (TESTDATA.md)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark.operators import dedup, simsearch, text, multimodal
+from datafusion_spatial_spark.operators.hashing import P, poly_hash_str
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_poly_hash_matches_python(spark):
+    df = spark.createDataFrame([("hello world",), ("a",), ("",)], ["s"])
+    got = {r.s: r.h for r in df.select("s", poly_hash_str("s").alias("h")).collect()}
+
+    def py(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % P
+        return acc
+
+    for s, h in got.items():
+        assert h == py(s), s
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], ["t"])
+    rows = df.select(dedup.word_shingles("t", 3).alias("sh")).collect()
+    assert rows[0].sh == ["a b c", "b c d"]
+    assert rows[1].sh == ["x y"]  # shorter than k -> whole text
+
+
+def test_dedup_exact_canonical(spark):
+    df = spark.createDataFrame(
+        [(1, "dup"), (2, "dup"), (3, "uniq")], ["id", "t"]
+    )
+    out = dedup.dedup_exact_canonical(df, "t", "id")
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 1
+        (3, "completely different content about spark query engines"),
+        (4, "completely different content about spark query engines"),  # exact dup of 3
+        (5, "unrelated short text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        df, "text", "doc_id", num_hashes=16, bands=8, shingle_k=2,
+        jaccard_threshold=0.5,
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (3, 4) in got
+    assert (1, 2) in got
+    assert all(p not in got for p in [(1, 3), (1, 5), (3, 5)])
+
+
+def test_ngram_jaccard_exact(spark):
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),  # shares 2 of 3-shingles? k=2: {ab,bc,cd,de} vs {ab,bc,cd,df}
+        (3, "z z z z z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(df, "text", "doc_id", shingle_k=2, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert (1, 2) in got
+    assert abs(got[(1, 2)] - 3 / 5) < 1e-9  # |{ab,bc,cd}| / |{ab,bc,cd,de,df}|
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark catalyst optimizer rewrites logical plans"),
+            (2, "spark catalyst optimizer rewrites physical plans"),
+            (3, "bananas oranges apples grapes melons"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.simhash for r in dedup.simhash(df, "text", "doc_id").collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+    assert all(0 <= v < 2**30 for v in out.values())
+
+
+def test_cosine_topk_self_first(spark, emb):
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    top = simsearch.cosine_topk(emb, "embedding", "vec_id", list(qrow.embedding), k=5).collect()
+    assert top[0].vec_id == 0
+    assert abs(top[0].score - 1.0) < 1e-9
+    scores = [r.score for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_topk_recall(spark, emb):
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = list(qrow.embedding)
+    exact = [r.vec_id for r in simsearch.cosine_topk(emb, "embedding", "vec_id", q, k=5).collect()]
+    planes = simsearch.random_hyperplanes(len(q), 6, seed=7)
+    approx = [
+        r.vec_id
+        for r in simsearch.lsh_topk(
+            emb, "embedding", "vec_id", q, planes, k=5, multiprobe_hamming=2
+        ).collect()
+    ]
+    # the query itself must be found; recall >= 2/5 on this tiny corpus
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_text_stats(spark, docs):
+    out = text.text_stats(docs, "text", "doc_id")
+    row = out.filter(F.col("doc_id") == 0).collect()[0]
+    src = docs.filter(F.col("doc_id") == 0).collect()[0]
+    assert row.n_chars_computed == len(src.text)
+    assert row.n_tokens == len(src.text.split())
+    assert 0.0 <= row.quality <= 1.0
+    assert 0 <= row.fingerprint < P
+    # fingerprint is deterministic
+    row2 = text.text_stats(docs, "text", "doc_id").filter(F.col("doc_id") == 0).collect()[0]
+    assert row.fingerprint == row2.fingerprint
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "el gato no es un perro y la casa es grande"),
+            (3, "qwerty zxcvb asdfg"),
+        ],
+        ["id", "t"],
+    )
+    got = {r.id: r.lang for r in df.select("id", text.lang_id("t").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "und"
+
+
+def test_multimodal_features_and_dedup(spark):
+    rows = [(1, b"payload-a"), (2, b"payload-a"), (3, b"payload-b"), (4, None)]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    feat = multimodal.with_media_features(df, "media", n_features=4)
+    out = {r.id: r.features for r in feat.collect()}
+    assert out[1] == out[2] != out[3]
+    assert out[4] is None
+    assert len(out[1]) == 4 and all(0 <= v < 1 for v in out[1])
+
+    dd = multimodal.media_content_dedup(df.filter(F.col("media").isNotNull()), "media", "id")
+    got = {r.id: r.copies for r in dd.collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, b"v", 3500)], "id long, media binary, duration_ms int")
+    out = multimodal.frame_sample_plan(df, "media", "id", every_ms=1000).collect()
+    assert [r.sample_ms for r in out] == [0, 1000, 2000, 3000]
