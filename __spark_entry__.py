@@ -459,11 +459,11 @@ def _q_minhash_lsh_oracle() -> str:
 WITH sh AS (
   SELECT doc_id, {sh} AS shingles FROM documents
 ), hs AS (
-  SELECT doc_id, shingles,
-         list_transform(shingles, s -> {ph} % {P}) AS hs
+  SELECT doc_id,
+         list_distinct(list_transform(shingles, s -> {ph} % {P})) AS hs
   FROM sh
 ), sig AS (
-  SELECT doc_id, list_distinct(shingles) AS shd, [{sig_items}] AS sig FROM hs
+  SELECT doc_id, hs, [{sig_items}] AS sig FROM hs
 ), banded AS (
   SELECT doc_id, band, {band_hash} AS band_hash
   FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS band)
@@ -474,13 +474,13 @@ WITH sh AS (
                AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,
-       round(len(list_intersect(sa.shd, sb.shd))
-             / len(list_distinct(list_cat(sa.shd, sb.shd))), 6) AS jaccard
+       round(len(list_intersect(sa.hs, sb.hs))
+             / len(list_distinct(list_cat(sa.hs, sb.hs))), 6) AS jaccard
 FROM cand
 JOIN sig sa ON sa.doc_id = id_a
 JOIN sig sb ON sb.doc_id = id_b
-WHERE len(list_intersect(sa.shd, sb.shd))
-      / len(list_distinct(list_cat(sa.shd, sb.shd))) >= {JACCARD_T}
+WHERE len(list_intersect(sa.hs, sb.hs))
+      / len(list_distinct(list_cat(sa.hs, sb.hs))) >= {JACCARD_T}
 ORDER BY id_a, id_b
 """
 

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Each query is timed end-to-end (plan build +
+execution + collect) with one warmup run, reporting the median of
+$SPARK_GRAFT_BENCH_RUNS (default 3) timed runs.
+
+Query classes follow BASELINE.md: relational (Q1 agg, Q5 multi-join, window
+top-k, sessionization), spatial (demo pair scaled onto synthetic points:
+envelope-by-group + extent), extension (MinHash-LSH dedup with the fast
+xxhash64 path, cosine top-k, text stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def bench_queries():
+    """name -> (spark, sf_dir) -> DataFrame. Mirrors __spark_entry__ but
+    swaps oracle-reproducible hashes for the fast JVM-native path."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+    from datafusion_spatial_spark.operators.dedup import minhash_lsh_dedup_pairs
+    from datafusion_spatial_spark.operators.text import text_stats
+    from datafusion_spatial_spark.sources.tables import load_table
+
+    q = entry_mod.queries()
+
+    def minhash_fast(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return minhash_lsh_dedup_pairs(
+            docs, "text", "doc_id", num_hashes=16, bands=4, shingle_k=3,
+            jaccard_threshold=0.2, hash_fn="xxhash64",
+        )
+
+    def text_stats_fast(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return text_stats(docs, "text", "doc_id")
+
+    return {
+        "q01_pricing_summary": q["q01_pricing_summary"],
+        "q05_region_revenue": q["q05_region_revenue"],
+        "q_window_top3_orders": q["q_window_top3_orders"],
+        "q_events_sessionize": q["q_events_sessionize"],
+        "q_st_envelope_by_nation": q["q_st_envelope_by_nation"],
+        "q_st_extent_customers": q["q_st_extent_customers"],
+        "q_minhash_lsh_dedup": minhash_fast,
+        "q_cosine_topk": q["q_cosine_topk"],
+        "q_text_stats": text_stats_fast,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from datafusion_spatial_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries().items():
+        fn(spark, sf_dir).collect()  # warmup: JIT, file listing, broadcast
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Binary spatial predicates, measures, and constructive ops.
+
+The reference's README declares these (README.md:19-39) but implements none;
+here they are backed by the clean-room kernels in
+:mod:`datafusion_spatial_spark.geom_ops`, executed as Arrow-batched pandas
+UDFs (the WKB slow path — there is no pure-Catalyst form for exact
+topological predicates).
+
+Scale note: a predicate UDF in a *join condition* forces a nested-loop plan.
+For spatial joins use :mod:`datafusion_spatial_spark.operators.spatial_join`
+(grid-bucketed equi-join + exact refine) and keep these UDFs for the refine
+stage or for projections/filters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_spatial_spark import geom_ops, wkb
+from datafusion_spatial_spark.meta import NESTING_DEPTH, GeometryMeta
+
+
+def _prep(col: Column | str, meta: GeometryMeta) -> Column:
+    """Column fed to the UDF: WKB binary as-is; native nested geometry is
+    serialized to JSON JVM-side (``to_json`` is codegen'd). The JSON hop
+    sidesteps PySpark's Arrow→pandas converter, which cannot materialize
+    *ragged* nested arrays (e.g. polygon rings of different lengths) as
+    ndarrays, and keeps the UDF input schema flat."""
+    col = F.col(col) if isinstance(col, str) else col
+    if meta.is_wkb:
+        return col
+    if meta.native_type == "Point":
+        # to_json needs struct/array root; wrap and unwrap
+        return F.to_json(F.struct(col.alias("g")))
+    return F.to_json(col)
+
+
+def _converter(meta: GeometryMeta) -> Callable[[object], wkb.Geom | None]:
+    """UDF-side value (WKB bytes or JSON text) -> Geom."""
+    if meta.is_wkb:
+        def conv_wkb(v):
+            if v is None:
+                return None
+            return wkb.loads(bytes(v))
+
+        return conv_wkb
+
+    import json
+
+    tname = meta.native_type
+    depth = NESTING_DEPTH[tname]
+    is_point = tname == "Point"
+
+    def nest(v, d):
+        if d == 0:
+            return (v["x"], v["y"]) if "z" not in v else (v["x"], v["y"], v["z"])
+        return [nest(x, d - 1) for x in v]
+
+    def conv_native(v):
+        if v is None:
+            return None
+        obj = json.loads(v)
+        if is_point:
+            obj = obj.get("g")
+            if obj is None or "x" not in obj:
+                return None
+        return wkb.Geom(tname, nest(obj, depth))
+
+    return conv_native
+
+
+def _binary_predicate(fn: Callable[[wkb.Geom, wkb.Geom], bool]):
+    def build(a: Column | str, b: Column | str, meta_a: GeometryMeta, meta_b: GeometryMeta) -> Column:
+        ca = _converter(meta_a)
+        cb = _converter(meta_b)
+
+        @F.pandas_udf(T.BooleanType())
+        def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+            out = []
+            for va, vb in zip(sa, sb):
+                ga, gb = ca(va), cb(vb)
+                out.append(None if ga is None or gb is None else fn(ga, gb))
+            return pd.Series(out, dtype="object")
+
+        return udf(_prep(a, meta_a), _prep(b, meta_b))
+
+    return build
+
+
+st_intersects = _binary_predicate(geom_ops.intersects)
+st_disjoint = _binary_predicate(geom_ops.disjoint)
+st_contains = _binary_predicate(geom_ops.contains)
+st_within = _binary_predicate(geom_ops.within)
+st_equals = _binary_predicate(geom_ops.equals)
+
+
+def st_distance(
+    a: Column | str, b: Column | str, meta_a: GeometryMeta, meta_b: GeometryMeta
+) -> Column:
+    ca, cb = _converter(meta_a), _converter(meta_b)
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for va, vb in zip(sa, sb):
+            ga, gb = ca(va), cb(vb)
+            out.append(None if ga is None or gb is None else geom_ops.distance(ga, gb))
+        return pd.Series(out, dtype="float64")
+
+    return udf(_prep(a, meta_a), _prep(b, meta_b))
+
+
+def st_dwithin(
+    a: Column | str,
+    b: Column | str,
+    d: float,
+    meta_a: GeometryMeta,
+    meta_b: GeometryMeta,
+) -> Column:
+    return st_distance(a, b, meta_a, meta_b) <= F.lit(float(d))
+
+
+def _unary_measure(fn, dtype=T.DoubleType()):
+    def build(col: Column | str, meta: GeometryMeta) -> Column:
+        conv = _converter(meta)
+
+        @F.pandas_udf(dtype)
+        def udf(s: pd.Series) -> pd.Series:
+            out = []
+            for v in s:
+                g = conv(v)
+                out.append(None if g is None else fn(g))
+            return pd.Series(out, dtype="object")
+
+        return udf(_prep(col, meta))
+
+    return build
+
+
+st_area = _unary_measure(geom_ops.area)
+st_length = _unary_measure(geom_ops.length)
+st_issimple = _unary_measure(geom_ops.is_simple, T.BooleanType())
+
+
+def _unary_constructive(fn):
+    """geometry -> geometry op, emitted as WKB (pair with GeometryMeta('WKB'))."""
+
+    def build(col: Column | str, meta: GeometryMeta, **kw) -> Column:
+        conv = _converter(meta)
+
+        @F.pandas_udf(T.BinaryType())
+        def udf(s: pd.Series) -> pd.Series:
+            out = []
+            for v in s:
+                g = conv(v)
+                out.append(None if g is None else wkb.dumps(fn(g, **kw)))
+            return pd.Series(out, dtype="object")
+
+        return udf(_prep(col, meta))
+
+    return build
+
+
+st_convexhull = _unary_constructive(lambda g: geom_ops.convex_hull(g))
+st_boundary = _unary_constructive(lambda g: geom_ops.boundary(g))
+
+
+def st_buffer(col: Column | str, radius: float, meta: GeometryMeta, segments: int = 16) -> Column:
+    return _unary_constructive(
+        lambda g: geom_ops.buffer(g, radius, segments)
+    )(col, meta)
+
+
+def st_centroid(col: Column | str, meta: GeometryMeta) -> Column:
+    """Centroid as a native Point struct (NaN,NaN = empty)."""
+    conv = _converter(meta)
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ]))
+    def udf(s: pd.Series) -> pd.DataFrame:
+        xs, ys = [], []
+        for v in s:
+            g = conv(v)
+            c = None if g is None else geom_ops.centroid(g)
+            xs.append(None if c is None else c[0])
+            ys.append(None if c is None else c[1])
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    return udf(_prep(col, meta))

@@ -1,0 +1,561 @@
+"""Clean-room 2-D computational geometry over :class:`wkb.Geom` values.
+
+Backs the README-checklist routines the reference declares but never
+implemented (reference README.md:19-39: Equals/Disjoint/Intersects/Within/
+Contains, Distance, Buffer/ConvexHull/Centroid...). No GEOS in this
+environment, so the kernels are implemented directly: ray-casting
+point-in-polygon, orientation/segment-intersection tests, point-segment
+distance, monotone-chain convex hull, shoelace area/centroid.
+
+These run inside Arrow-batched pandas UDFs (see functions/predicates.py).
+Semantics target the common OGC cases for Point/LineString/Polygon and their
+Multi* variants; polygon holes are honored for containment and distance.
+"""
+
+from __future__ import annotations
+
+import math
+
+from datafusion_spatial_spark.wkb import Geom
+
+EPS = 1e-12
+
+
+# ---------------------------------------------------------------------------
+# primitives
+
+
+def _orient(ax, ay, bx, by, cx, cy) -> float:
+    """Cross product (b-a)×(c-a): >0 left turn, <0 right, 0 collinear."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _on_segment(px, py, ax, ay, bx, by) -> bool:
+    if abs(_orient(ax, ay, bx, by, px, py)) > EPS:
+        return False
+    return (
+        min(ax, bx) - EPS <= px <= max(ax, bx) + EPS
+        and min(ay, by) - EPS <= py <= max(ay, by) + EPS
+    )
+
+
+def seg_intersects(a1, a2, b1, b2) -> bool:
+    """Closed-segment intersection test."""
+    d1 = _orient(*b1, *b2, *a1)
+    d2 = _orient(*b1, *b2, *a2)
+    d3 = _orient(*a1, *a2, *b1)
+    d4 = _orient(*a1, *a2, *b2)
+    if ((d1 > EPS and d2 < -EPS) or (d1 < -EPS and d2 > EPS)) and (
+        (d3 > EPS and d4 < -EPS) or (d3 < -EPS and d4 > EPS)
+    ):
+        return True
+    return (
+        _on_segment(*a1, *b1, *b2)
+        or _on_segment(*a2, *b1, *b2)
+        or _on_segment(*b1, *a1, *a2)
+        or _on_segment(*b2, *a1, *a2)
+    )
+
+
+def point_seg_dist2(px, py, ax, ay, bx, by) -> float:
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 <= EPS:
+        ex, ey = px - ax, py - ay
+        return ex * ex + ey * ey
+    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / L2))
+    cx, cy = ax + t * dx, ay + t * dy
+    ex, ey = px - cx, py - cy
+    return ex * ex + ey * ey
+
+
+def seg_seg_dist2(a1, a2, b1, b2) -> float:
+    if seg_intersects(a1, a2, b1, b2):
+        return 0.0
+    return min(
+        point_seg_dist2(*a1, *b1, *b2),
+        point_seg_dist2(*a2, *b1, *b2),
+        point_seg_dist2(*b1, *a1, *a2),
+        point_seg_dist2(*b2, *a1, *a2),
+    )
+
+
+def ring_contains_point(ring, px, py) -> int:
+    """2 = interior, 1 = on boundary, 0 = outside (ray casting)."""
+    n = len(ring)
+    inside = False
+    for i in range(n - 1):
+        ax, ay = ring[i][0], ring[i][1]
+        bx, by = ring[i + 1][0], ring[i + 1][1]
+        if _on_segment(px, py, ax, ay, bx, by):
+            return 1
+        if (ay > py) != (by > py):
+            xint = ax + (py - ay) * (bx - ax) / (by - ay)
+            if px < xint:
+                inside = not inside
+    return 2 if inside else 0
+
+
+def polygon_contains_point(rings, px, py) -> int:
+    """2 interior / 1 boundary / 0 outside, honoring holes (ring 0 is the
+    shell, rest are holes — GeoParquet/WKB convention)."""
+    if not rings:
+        return 0
+    r = ring_contains_point(rings[0], px, py)
+    if r != 2:
+        return r
+    for hole in rings[1:]:
+        h = ring_contains_point(hole, px, py)
+        if h == 2:
+            return 0
+        if h == 1:
+            return 1
+    return 2
+
+
+# ---------------------------------------------------------------------------
+# decomposition helpers
+
+
+def _segments(geom: Geom):
+    """Yield all line segments of a geometry's boundary/path."""
+    t, c = geom.type_name, geom.coords
+    if t == "LineString":
+        for i in range(len(c) - 1):
+            yield c[i], c[i + 1]
+    elif t == "MultiLineString":
+        for line in c:
+            for i in range(len(line) - 1):
+                yield line[i], line[i + 1]
+    elif t == "Polygon":
+        for ring in c:
+            for i in range(len(ring) - 1):
+                yield ring[i], ring[i + 1]
+    elif t == "MultiPolygon":
+        for poly in c:
+            for ring in poly:
+                for i in range(len(ring) - 1):
+                    yield ring[i], ring[i + 1]
+    elif t == "GeometryCollection":
+        for g in c:
+            yield from _segments(g)
+
+
+def _points(geom: Geom):
+    t, c = geom.type_name, geom.coords
+    if t == "Point":
+        if not geom.is_empty:
+            yield c
+    elif t == "MultiPoint":
+        yield from c
+    elif t == "GeometryCollection":
+        for g in c:
+            yield from _points(g)
+
+
+def _polygons(geom: Geom):
+    t, c = geom.type_name, geom.coords
+    if t == "Polygon":
+        if c:
+            yield c
+    elif t == "MultiPolygon":
+        yield from (p for p in c if p)
+    elif t == "GeometryCollection":
+        for g in c:
+            yield from _polygons(g)
+
+
+def _all_coords(geom: Geom):
+    t, c = geom.type_name, geom.coords
+    if t == "Point":
+        if not geom.is_empty:
+            yield c
+    elif t in ("LineString", "MultiPoint"):
+        yield from c
+    elif t in ("Polygon", "MultiLineString"):
+        for part in c:
+            yield from part
+    elif t == "MultiPolygon":
+        for poly in c:
+            for ring in poly:
+                yield from ring
+    elif t == "GeometryCollection":
+        for g in c:
+            yield from _all_coords(g)
+
+
+def _bbox(geom: Geom):
+    xs, ys = [], []
+    for p in _all_coords(geom):
+        if p[0] == p[0] and p[1] == p[1]:
+            xs.append(p[0])
+            ys.append(p[1])
+    if not xs:
+        return None
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def _bbox_disjoint(a: Geom, b: Geom) -> bool:
+    ba, bb = _bbox(a), _bbox(b)
+    if ba is None or bb is None:
+        return True
+    return ba[2] < bb[0] - EPS or bb[2] < ba[0] - EPS or ba[3] < bb[1] - EPS or bb[3] < ba[1] - EPS
+
+
+# ---------------------------------------------------------------------------
+# predicates
+
+
+def intersects(a: Geom, b: Geom) -> bool:
+    """True iff the geometries share at least one point."""
+    if a.is_empty or b.is_empty:
+        return False
+    if _bbox_disjoint(a, b):
+        return False
+    # point vs anything
+    for p in _points(a):
+        if _point_intersects(p, b):
+            return True
+    for p in _points(b):
+        if _point_intersects(p, a):
+            return True
+    # segment vs segment
+    segs_b = list(_segments(b))
+    for sa in _segments(a):
+        for sb in segs_b:
+            if seg_intersects(sa[0], sa[1], sb[0], sb[1]):
+                return True
+    # containment without edge crossing (one inside the other's polygon)
+    for rings in _polygons(a):
+        for q in _first_coords(b):
+            if polygon_contains_point(rings, q[0], q[1]):
+                return True
+    for rings in _polygons(b):
+        for q in _first_coords(a):
+            if polygon_contains_point(rings, q[0], q[1]):
+                return True
+    return False
+
+
+def _first_coords(geom: Geom):
+    it = _all_coords(geom)
+    for p in it:
+        yield p
+        return
+
+
+def _point_intersects(p, geom: Geom) -> bool:
+    px, py = p[0], p[1]
+    for q in _points(geom):
+        if abs(q[0] - px) <= EPS and abs(q[1] - py) <= EPS:
+            return True
+    for s in _segments(geom):
+        if _on_segment(px, py, s[0][0], s[0][1], s[1][0], s[1][1]):
+            return True
+    for rings in _polygons(geom):
+        if polygon_contains_point(rings, px, py):
+            return True
+    return False
+
+
+def disjoint(a: Geom, b: Geom) -> bool:
+    return not intersects(a, b)
+
+
+def contains(a: Geom, b: Geom) -> bool:
+    """a contains b: every point of b is in a, and b's interior meets a's
+    interior. Implemented for polygonal a (the common case), point/multipoint
+    a over points, and line a over points/sub-lines."""
+    if a.is_empty or b.is_empty:
+        return False
+    apolys = list(_polygons(a))
+    if apolys:
+        # every vertex of b inside (boundary ok), and b's edges don't cross
+        # out of a; require at least one strictly interior probe point
+        verts = list(_all_coords(b))
+        if not verts:
+            return False
+        interior_seen = False
+        for px, py in verts:
+            r = max(polygon_contains_point(rings, px, py) for rings in apolys)
+            if r == 0:
+                return False
+            if r == 2:
+                interior_seen = True
+        # edge crossing check: b segments may not cross a's boundary properly
+        for sb in _segments(b):
+            mid = ((sb[0][0] + sb[1][0]) / 2, (sb[0][1] + sb[1][1]) / 2)
+            r = max(polygon_contains_point(rings, mid[0], mid[1]) for rings in apolys)
+            if r == 0:
+                return False
+            if r == 2:
+                interior_seen = True
+        if not interior_seen:
+            # all probes sat on a's boundary; for polygonal b (e.g. b == a)
+            # probe its centroid before concluding boundary-only (OGC: a
+            # geometry lying wholly in the boundary is NOT contained)
+            if list(_polygons(b)):
+                cen = centroid(b)
+                interior_seen = cen is not None and any(
+                    polygon_contains_point(rings, cen[0], cen[1]) == 2
+                    for rings in apolys
+                )
+            if not interior_seen:
+                return False
+        return True
+    if a.type_name in ("Point", "MultiPoint"):
+        apts = {(p[0], p[1]) for p in _points(a)}
+        bpts = list(_points(b))
+        if b.type_name in ("Point", "MultiPoint") and bpts:
+            return all((p[0], p[1]) in apts for p in bpts)
+        return False
+    if a.type_name in ("LineString", "MultiLineString"):
+        # points on the line; for line-b require all vertices+midpoints on a
+        probes = list(_all_coords(b))
+        if not probes:
+            return False
+        for sb in _segments(b):
+            probes.append(((sb[0][0] + sb[1][0]) / 2, (sb[0][1] + sb[1][1]) / 2))
+        segs_a = list(_segments(a))
+        for px, py in probes:
+            if not any(
+                _on_segment(px, py, s[0][0], s[0][1], s[1][0], s[1][1])
+                for s in segs_a
+            ):
+                return False
+        return True
+    return False
+
+
+def within(a: Geom, b: Geom) -> bool:
+    return contains(b, a)
+
+
+def equals(a: Geom, b: Geom) -> bool:
+    """Geometric equality via mutual containment for polygons/lines, exact
+    coord-set equality for points."""
+    if a.is_empty and b.is_empty:
+        return True
+    if a.is_empty or b.is_empty:
+        return False
+    if a.type_name in ("Point", "MultiPoint") or b.type_name in ("Point", "MultiPoint"):
+        sa = {(p[0], p[1]) for p in _points(a)}
+        sb = {(p[0], p[1]) for p in _points(b)}
+        return bool(sa) and sa == sb
+    if list(_polygons(a)) or list(_polygons(b)):
+        return contains(a, b) and contains(b, a)
+    # lines: mutual coverage
+    return contains(a, b) and contains(b, a)
+
+
+def distance(a: Geom, b: Geom) -> float | None:
+    """Minimum euclidean distance; 0 if intersecting; None if either empty."""
+    if a.is_empty or b.is_empty:
+        return None
+    if intersects(a, b):
+        return 0.0
+    best = math.inf
+    pts_a, pts_b = list(_points(a)), list(_points(b))
+    segs_a, segs_b = list(_segments(a)), list(_segments(b))
+    for p in pts_a:
+        for q in pts_b:
+            d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+            best = min(best, d2)
+        for s in segs_b:
+            best = min(best, point_seg_dist2(p[0], p[1], s[0][0], s[0][1], s[1][0], s[1][1]))
+    for q in pts_b:
+        for s in segs_a:
+            best = min(best, point_seg_dist2(q[0], q[1], s[0][0], s[0][1], s[1][0], s[1][1]))
+    for sa in segs_a:
+        for sb in segs_b:
+            best = min(best, seg_seg_dist2(sa[0], sa[1], sb[0], sb[1]))
+    return math.sqrt(best) if best < math.inf else None
+
+
+def dwithin(a: Geom, b: Geom, d: float) -> bool:
+    dist = distance(a, b)
+    return dist is not None and dist <= d
+
+
+# ---------------------------------------------------------------------------
+# measures
+
+
+def _ring_area2(ring) -> float:
+    """Twice the signed shoelace area."""
+    s = 0.0
+    for i in range(len(ring) - 1):
+        s += ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+    return s
+
+
+def area(geom: Geom) -> float:
+    """Unsigned area; holes subtracted."""
+    total = 0.0
+    for rings in _polygons(geom):
+        if not rings:
+            continue
+        total += abs(_ring_area2(rings[0])) / 2.0
+        for hole in rings[1:]:
+            total -= abs(_ring_area2(hole)) / 2.0
+    return total
+
+
+def length(geom: Geom) -> float:
+    """Sum of segment lengths (perimeter for polygons)."""
+    return sum(
+        math.hypot(b[0] - a[0], b[1] - a[1]) for a, b in _segments(geom)
+    )
+
+
+def centroid(geom: Geom) -> tuple[float, float] | None:
+    """Area centroid for polygonal input, length centroid for lines, mean
+    for points. None for empty."""
+    polys = list(_polygons(geom))
+    if polys:
+        # ring centroid = sum((p_i+p_{i+1})*cross_i) / (3*signed_area2);
+        # weight shells positive and holes negative by |area|
+        ax = ay = asum = 0.0
+        for rings in polys:
+            for k, ring in enumerate(rings):
+                a2 = _ring_area2(ring)
+                if abs(a2) <= EPS:
+                    continue
+                w = abs(a2) * (1.0 if k == 0 else -1.0)
+                cx = cy = 0.0
+                for i in range(len(ring) - 1):
+                    cross = ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+                    cx += (ring[i][0] + ring[i + 1][0]) * cross
+                    cy += (ring[i][1] + ring[i + 1][1]) * cross
+                # cx/(3*a2) is the ring centroid x
+                ax += (cx / (3.0 * a2)) * w
+                ay += (cy / (3.0 * a2)) * w
+                asum += w
+        if abs(asum) > EPS:
+            return (ax / asum, ay / asum)
+    segs = list(_segments(geom))
+    if segs:
+        sx = sy = sl = 0.0
+        for a, b in segs:
+            L = math.hypot(b[0] - a[0], b[1] - a[1])
+            sx += (a[0] + b[0]) / 2 * L
+            sy += (a[1] + b[1]) / 2 * L
+            sl += L
+        if sl > EPS:
+            return (sx / sl, sy / sl)
+    pts = list(_points(geom))
+    if pts:
+        return (
+            sum(p[0] for p in pts) / len(pts),
+            sum(p[1] for p in pts) / len(pts),
+        )
+    return None
+
+
+# ---------------------------------------------------------------------------
+# constructive
+
+
+def convex_hull(geom: Geom) -> Geom:
+    """Andrew's monotone chain. Returns Polygon (or Point/LineString for
+    degenerate input)."""
+    pts = sorted({(p[0], p[1]) for p in _all_coords(geom) if p[0] == p[0]})
+    if not pts:
+        return Geom("Polygon", [])
+    if len(pts) == 1:
+        return Geom("Point", pts[0])
+    if len(pts) == 2:
+        return Geom("LineString", list(pts))
+
+    def chain(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and _orient(*out[-2], *out[-1], *p) <= EPS:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = chain(pts)
+    upper = chain(reversed(pts))
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        return Geom("LineString", pts)
+    ring = hull + [hull[0]]
+    return Geom("Polygon", [ring])
+
+
+def buffer_point(p, radius: float, segments: int = 16) -> Geom:
+    """Circle approximation around a point (the classic n-gon buffer)."""
+    ring = []
+    for i in range(segments * 4):
+        ang = 2 * math.pi * i / (segments * 4)
+        ring.append((p[0] + radius * math.cos(ang), p[1] + radius * math.sin(ang)))
+    ring.append(ring[0])
+    return Geom("Polygon", [ring])
+
+
+def buffer(geom: Geom, radius: float, segments: int = 16) -> Geom:
+    """Buffer: exact n-gon for points; convex-hull-of-buffered-vertices
+    approximation for other types (documented approximation — full offset
+    curves need a polygon-clipping kernel)."""
+    if geom.type_name == "Point" and not geom.is_empty:
+        return buffer_point(geom.coords, radius, segments)
+    pts = []
+    for p in _all_coords(geom):
+        pts.extend(buffer_point(p, radius, max(4, segments // 2)).coords[0])
+    if not pts:
+        return Geom("Polygon", [])
+    return convex_hull(Geom("MultiPoint", pts))
+
+
+def is_simple(geom: Geom) -> bool:
+    """Lines: no self-intersection besides shared endpoints; points: no
+    duplicates; polygons: assumed simple (validity is st_isvalid's job)."""
+    t = geom.type_name
+    if t in ("Point",):
+        return True
+    if t == "MultiPoint":
+        pts = [(p[0], p[1]) for p in _points(geom)]
+        return len(pts) == len(set(pts))
+    if t in ("LineString", "MultiLineString"):
+        segs = list(_segments(geom))
+        for i in range(len(segs)):
+            for j in range(i + 1, len(segs)):
+                a1, a2 = segs[i]
+                b1, b2 = segs[j]
+                if seg_intersects(a1, a2, b1, b2):
+                    shared_endpoint = (
+                        a1 == b1 or a1 == b2 or a2 == b1 or a2 == b2
+                    )
+                    adjacent = j == i + 1 or (i == 0 and j == len(segs) - 1)
+                    if not (shared_endpoint and adjacent):
+                        return False
+        return True
+    return True
+
+
+def boundary(geom: Geom) -> Geom:
+    """OGC boundary: points→empty GC, lines→endpoints, polygons→rings."""
+    t, c = geom.type_name, geom.coords
+    if t in ("Point", "MultiPoint"):
+        return Geom("GeometryCollection", [])
+    if t == "LineString":
+        if not c or (c[0][0] == c[-1][0] and c[0][1] == c[-1][1]):
+            return Geom("MultiPoint", [])
+        return Geom("MultiPoint", [c[0], c[-1]])
+    if t == "MultiLineString":
+        pts = []
+        for line in c:
+            if line and not (line[0][0] == line[-1][0] and line[0][1] == line[-1][1]):
+                pts.extend([line[0], line[-1]])
+        return Geom("MultiPoint", pts)
+    if t == "Polygon":
+        if len(c) == 1:
+            return Geom("LineString", c[0])
+        return Geom("MultiLineString", list(c))
+    if t == "MultiPolygon":
+        rings = [ring for poly in c for ring in poly]
+        if len(rings) == 1:
+            return Geom("LineString", rings[0])
+        return Geom("MultiLineString", rings)
+    return Geom("GeometryCollection", [])

@@ -119,18 +119,26 @@ def minhash_signature(
     Entirely JVM-side: shingle (higher-order fns) → per-shingle base hash →
     ``num_hashes`` affine transforms, ``array_min`` each. No shuffle — this
     is a map-only stage, which is what lets it stream over 100 TB.
+
+    The base hashes are materialized ONCE per row (``hs`` projection) so the
+    16 affine mins don't re-shingle/re-hash the text 16× — Catalyst does not
+    CSE across lambda bodies. ``hs`` is de-duplicated (min is set-insensitive)
+    and kept in the output for downstream exact-Jaccard verification.
     """
     params = minhash_affine_params(num_hashes, seed)
     sh = word_shingles(text_col, shingle_k)
-    base = F.transform(sh, lambda s: F.pmod(_hash_str(s, hash_fn), F.lit(P)))
+    hs = F.array_distinct(
+        F.transform(sh, lambda s: F.pmod(_hash_str(s, hash_fn), F.lit(P)))
+    )
+    base = df.select(F.col(id_col), hs.alias("hs"))
 
     def affine(a: int, b: int):
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(P)
 
     sig = F.array(
-        *[F.array_min(F.transform(base, affine(a, b))) for a, b in params]
+        *[F.array_min(F.transform(F.col("hs"), affine(a, b))) for a, b in params]
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
+    return base.select(F.col(id_col), F.col("hs"), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -186,20 +194,24 @@ def minhash_lsh_dedup_pairs(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard
-    verify on candidates only. Returns (id_a, id_b, jaccard)."""
+    verify on candidates only. Returns (id_a, id_b, jaccard).
+
+    Jaccard is verified over the distinct shingle *hash* sets (bigint
+    array_intersect — far cheaper than string-set intersection and identical
+    modulo hash collisions; the oracle computes the same thing)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k, hash_fn)
-    cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
-    shing = df.select(
-        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_k)).alias("sh")
-    )
+    sig = minhash_signature(
+        df, text_col, id_col, num_hashes, shingle_k, hash_fn
+    ).cache()
+    cand = lsh_candidate_pairs(sig.select(id_col, "sig"), id_col, bands, rows_per_band)
+    shing = sig.select(id_col, "hs")
     return (
-        cand.join(shing.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(shing.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        cand.join(shing.withColumnRenamed(id_col, "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
+        .join(shing.withColumnRenamed(id_col, "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.size(F.array_intersect("hs_a", "hs_b"))
+            / F.size(F.array_union("hs_a", "hs_b")),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")

@@ -29,13 +29,14 @@ def _c(col: Column | str) -> Column:
 
 def poly_hash_str(col: Column | str) -> Column:
     """Polynomial hash of a string's code points, mod P (pure Catalyst —
-    whole-stage-codegen'd higher-order functions, no Python)."""
+    whole-stage-codegen'd higher-order functions, no Python).
+
+    Implementation note: ``split(c, '')`` yields the char array in O(n);
+    the earlier per-index ``substring(c, i, 1)`` form was O(n²) per string
+    and dominated text_stats at bench scale."""
     c = _c(col)
     return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.length(c)),
-            lambda i: F.ascii(c.substr(i, F.lit(1))).cast("long"),
-        ),
+        F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(CHAR_MULT) + x) % F.lit(P),
     )

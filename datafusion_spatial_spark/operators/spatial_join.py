@@ -1,0 +1,122 @@
+"""Grid-bucketed spatial join.
+
+A predicate UDF in a join condition degenerates to a nested-loop cross join
+— unusable beyond toy sizes. The scalable plan (SURVEY §7) is:
+
+1. per-row bbox (pure Catalyst for native encodings — no Python);
+2. expand each bbox to the grid cells it covers (``sequence`` + ``explode``,
+   map-only);
+3. **equi-join on cell id** — hash-shuffle partitionable, AQE-skew-safe;
+4. de-dupe candidate pairs (a pair can share several cells);
+5. exact refine with the geom_ops predicate UDF on candidates only.
+
+At 100 TB this is the textbook shape: the only shuffle keys on cell id, the
+Python predicate touches candidate pairs instead of the n×m cross product,
+and hot cells (skewed data) split via AQE. Cell size trades shuffle fan-out
+(small cells → more rows) against refine cost (big cells → more candidates);
+pick ~the median geometry bbox diagonal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark.functions.predicates import (
+    st_contains,
+    st_distance,
+    st_intersects,
+    st_within,
+)
+from datafusion_spatial_spark.functions.scalar import st_bbox
+from datafusion_spatial_spark.meta import GeometryMeta
+
+_PREDICATES = {
+    "intersects": st_intersects,
+    "contains": st_contains,
+    "within": st_within,
+}
+
+
+def _cells(b: Column, cell_size: float, pad: float = 0.0) -> Column:
+    """array<bigint> of flattened cell ids covered by bbox ``b`` (struct
+    xmin..ymax), optionally padded (for distance joins)."""
+    cs = F.lit(float(cell_size))
+    x0 = F.floor((b["xmin"] - pad) / cs).cast("long")
+    x1 = F.floor((b["xmax"] + pad) / cs).cast("long")
+    y0 = F.floor((b["ymin"] - pad) / cs).cast("long")
+    y1 = F.floor((b["ymax"] + pad) / cs).cast("long")
+    # interleave into one id: cell = x * 2^32 + y (grid coords fit in int32
+    # for any realistic extent/cell-size combination)
+    return F.flatten(
+        F.transform(
+            F.sequence(x0, x1),
+            lambda x: F.transform(F.sequence(y0, y1), lambda y: x * F.lit(1 << 32) + y),
+        )
+    )
+
+
+def spatial_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_geom: str,
+    right_geom: str,
+    left_meta: GeometryMeta,
+    right_meta: GeometryMeta,
+    left_id: str,
+    right_id: str,
+    cell_size: float,
+    predicate: str = "intersects",
+    distance: float | None = None,
+) -> DataFrame:
+    """Returns (left_id, right_id) pairs satisfying the predicate.
+
+    ``predicate='dwithin'`` uses ``distance`` and pads the left grid cells.
+    """
+    pad = float(distance or 0.0)
+    lb = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_geom).alias("__lgeom"),
+        st_bbox(left_geom, left_meta).alias("__lbox"),
+    ).filter(F.col("__lbox").isNotNull())
+    rb = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_geom).alias("__rgeom"),
+        st_bbox(right_geom, right_meta).alias("__rbox"),
+    ).filter(F.col("__rbox").isNotNull())
+
+    lc = lb.withColumn("__cell", F.explode(_cells(F.col("__lbox"), cell_size, pad)))
+    rc = rb.withColumn("__cell", F.explode(_cells(F.col("__rbox"), cell_size)))
+
+    cand = (
+        lc.join(rc, "__cell")
+        # bbox prefilter kills most false candidates JVM-side
+        .filter(
+            (F.col("__lbox.xmin") - pad <= F.col("__rbox.xmax"))
+            & (F.col("__rbox.xmin") <= F.col("__lbox.xmax") + pad)
+            & (F.col("__lbox.ymin") - pad <= F.col("__rbox.ymax"))
+            & (F.col("__rbox.ymin") <= F.col("__lbox.ymax") + pad)
+        )
+        .select("__lid", "__rid", "__lgeom", "__rgeom")
+        .dropDuplicates(["__lid", "__rid"])
+    )
+
+    if predicate == "dwithin":
+        if distance is None:
+            raise ValueError("dwithin requires distance=")
+        keep = (
+            st_distance("__lgeom", "__rgeom", left_meta, right_meta)
+            <= F.lit(float(distance))
+        )
+    else:
+        try:
+            pred = _PREDICATES[predicate]
+        except KeyError:
+            raise ValueError(
+                f"unknown predicate {predicate!r}; one of {sorted(_PREDICATES)} or 'dwithin'"
+            ) from None
+        keep = pred("__lgeom", "__rgeom", left_meta, right_meta)
+
+    return cand.filter(keep).select(
+        F.col("__lid").alias(left_id), F.col("__rid").alias(right_id)
+    )

@@ -1,0 +1,229 @@
+"""SQL-string support for ``ST_*`` functions — the analyzer-rule analog.
+
+The reference registers its UDFs with DataFusion and relies on
+``SpatialAnalyzerRule`` to inject each call's (geometry_type, encoding)
+literals during analysis (reference src/rules.rs:20-129, examples/main.rs:
+21-27, 50-55). PySpark cannot add Catalyst analyzer rules from Python, so the
+same resolution happens *before* ``spark.sql``: :class:`SpatialSQL` rewrites
+the query text against a per-view geometry-metadata registry (the analog of
+the rule's ``HashMap<String, GeoParquetMetadata>``, rules.rs:24).
+
+Strategy: every ``ST_Func(...)`` call is built as a *DataFrame-API Column*
+(bottom-up for nested calls, propagating output metadata — the
+generalization of the rule's nested-envelope case, rules.rs:157-164), those
+columns are attached to an **augmented temp view** (`<view>__st_resolved`)
+as hidden ``__st_<i>`` columns, and the query text is rewritten to reference
+them. This reuses the exact expression builders of the DataFrame path — SQL
+and DataFrame semantics cannot drift — and needs no Column→SQL
+serialization (which Spark 4 does not support round-trippably).
+
+The aggregate ``ST_Extent`` resolves to a hidden per-row bbox column plus a
+static min/max aggregate rewrite, mirroring how the engine always plans it
+(partial/final via Catalyst; aggregates.py).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from datafusion_spatial_spark.functions import scalar as _sc
+from datafusion_spatial_spark.meta import GeometryMeta
+
+# name (upper) -> (builder(col, meta) -> Column, output_meta | None)
+_FUNCTIONS = {
+    "ST_GEOMETRYTYPE": (_sc.st_geometrytype, None),
+    "ST_ASTEXT": (_sc.st_astext, None),
+    "ST_ENVELOPE": (_sc.st_envelope, _sc.ENVELOPE_META),
+    "ST_BBOX": (_sc.st_bbox, None),
+    "ST_ISEMPTY": (_sc.st_isempty, None),
+    "ST_DIMENSION": (_sc.st_dimension, None),
+    "ST_SRID": (_sc.st_srid, None),
+    "ST_NPOINTS": (_sc.st_npoints, None),
+    "ST_ASBINARY": (_sc.st_asbinary, GeometryMeta(encoding="WKB")),
+    "ST_X": (_sc.st_x, None),
+    "ST_Y": (_sc.st_y, None),
+}
+
+_AGG_EXTENT = "ST_EXTENT"
+
+_CALL_RE = re.compile(r"\bST_([A-Za-z_]+)\s*\(", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bFROM\s+([A-Za-z_][\w]*)", re.IGNORECASE)
+_IDENT_RE = re.compile(r"^[A-Za-z_][\w.]*$")
+
+
+def _extent_agg_sql(bbox_col: str) -> str:
+    """Static aggregate rewrite over a materialized per-row bbox column —
+    same partial/final min/max plan aggregates.st_extent produces."""
+    inner = (
+        f"struct(min({bbox_col}.xmin) AS xmin, min({bbox_col}.ymin) AS ymin, "
+        f"max({bbox_col}.xmax) AS xmax, max({bbox_col}.ymax) AS ymax)"
+    )
+    return (
+        f"(CASE WHEN max({bbox_col}.xmax) IS NULL THEN NULL ELSE {inner} END)"
+    )
+
+
+@dataclass
+class SpatialSQL:
+    """Session-level SQL front end with ST_ resolution.
+
+    >>> ssql = SpatialSQL(spark)
+    >>> ssql.register_geoparquet("t", "/path/to/geo.parquet")
+    >>> ssql.sql("SELECT ST_AsText(ST_Envelope(geometry)) FROM t").show()
+    """
+
+    spark: SparkSession
+    registry: dict[str, dict[str, GeometryMeta]] = field(default_factory=dict)
+    _frames: dict[str, DataFrame] = field(default_factory=dict)
+
+    def register_view(self, view: str, df: DataFrame) -> None:
+        """Register a DataFrame as a temp view, harvesting GeometryMeta from
+        its StructField metadata (attached by with_geo_meta/read_geoparquet)."""
+        df.createOrReplaceTempView(view)
+        metas = {}
+        for fld in df.schema.fields:
+            if fld.metadata and "geo" in fld.metadata:
+                metas[fld.name] = GeometryMeta.from_dict(fld.metadata["geo"])
+        self.registry[view.lower()] = metas
+        self._frames[view.lower()] = df
+
+    def register_geoparquet(self, view: str, path: str) -> DataFrame:
+        from datafusion_spatial_spark.sources.geoparquet import read_geoparquet
+
+        df = read_geoparquet(self.spark, path)
+        self.register_view(view, df)
+        return df
+
+    # -- resolution ---------------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(self.resolve(query))
+
+    def resolve(self, query: str) -> str:
+        """Rewrite every ST_ call in ``query`` into references to hidden
+        resolved columns on an augmented view."""
+        calls = self._find_calls(query)
+        if not calls:
+            return query
+        views = {m.lower() for m in _FROM_RE.findall(query)}
+        reg_views = [v for v in views if v in self.registry]
+        if len(reg_views) != 1:
+            raise ValueError(
+                "SQL ST_ resolution currently supports exactly one registered "
+                f"geometry view per query; found {sorted(views)} "
+                "(use the DataFrame API for multi-view spatial queries)"
+            )
+        view = reg_views[0]
+        col_meta = self.registry[view]
+        df = self._frames[view]
+
+        new_cols: list[Column] = []
+        replacements: list[tuple[int, int, str]] = []
+        for start, end, text in calls:
+            name = "ST_" + _CALL_RE.match(text).group(1).upper()
+            if name == _AGG_EXTENT:
+                inner = text[_CALL_RE.match(text).end() : -1].strip()
+                col, meta = self._arg_column(inner, col_meta)
+                idx = len(new_cols)
+                new_cols.append(_sc.st_bbox(col, meta).alias(f"__st_{idx}"))
+                replacements.append((start, end, _extent_agg_sql(f"__st_{idx}")))
+            else:
+                col, _ = self._build_call(text, col_meta)
+                idx = len(new_cols)
+                new_cols.append(col.alias(f"__st_{idx}"))
+                replacements.append((start, end, f"__st_{idx}"))
+
+        resolved_view = f"{view}__st_resolved"
+        df.select("*", *new_cols).createOrReplaceTempView(resolved_view)
+
+        out = []
+        pos = 0
+        for start, end, repl in replacements:
+            out.append(query[pos:start])
+            out.append(repl)
+            pos = end
+        out.append(query[pos:])
+        rewritten = "".join(out)
+        return re.sub(
+            rf"(\bFROM\s+){view}\b", rf"\g<1>{resolved_view}", rewritten,
+            flags=re.IGNORECASE,
+        )
+
+    def _find_calls(self, query: str) -> list[tuple[int, int, str]]:
+        """Top-level ST_ call spans (nested calls stay inside their parent)."""
+        calls = []
+        pos = 0
+        while True:
+            m = _CALL_RE.search(query, pos)
+            if m is None:
+                return calls
+            end = _match_paren(query, m.end() - 1)
+            calls.append((m.start(), end, query[m.start() : end]))
+            pos = end
+
+    def _arg_column(
+        self, arg_text: str, col_meta: dict[str, GeometryMeta]
+    ) -> tuple[Column, GeometryMeta]:
+        """Resolve an ST_ argument: a column reference or a nested ST_ call."""
+        inner = _CALL_RE.match(arg_text)
+        if inner is not None and _match_paren(arg_text, inner.end() - 1) == len(
+            arg_text
+        ):
+            col, meta = self._build_call(arg_text, col_meta)
+            if meta is None:
+                raise ValueError(
+                    f"cannot infer geometry metadata for nested call {arg_text!r}"
+                )
+            return col, meta
+        if not _IDENT_RE.match(arg_text):
+            raise ValueError(
+                f"ST_ argument must be a column or nested ST_ call, got {arg_text!r}"
+            )
+        colname = arg_text.split(".")[-1]
+        if colname not in col_meta:
+            raise ValueError(
+                f"no geometry metadata registered for column {colname!r}; "
+                "register the view via SpatialSQL.register_geoparquet/register_view"
+            )
+        from pyspark.sql import functions as F
+
+        return F.col(colname), col_meta[colname]
+
+    def _build_call(
+        self, call_text: str, col_meta: dict[str, GeometryMeta]
+    ) -> tuple[Column, GeometryMeta | None]:
+        m = _CALL_RE.match(call_text)
+        name = "ST_" + m.group(1).upper()
+        if name == _AGG_EXTENT:
+            raise ValueError("ST_Extent cannot be nested inside another ST_ call")
+        if name not in _FUNCTIONS:
+            raise ValueError(f"unsupported SQL spatial function {name}")
+        builder, out_meta = _FUNCTIONS[name]
+        arg_text = call_text[m.end() : -1].strip()
+        col, meta = self._arg_column(arg_text, col_meta)
+        return builder(col, meta), out_meta
+
+
+def _match_paren(s: str, open_idx: int) -> int:
+    """Index one past the ')' matching s[open_idx] == '('."""
+    depth = 0
+    i = open_idx
+    in_str = False
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError(f"unbalanced parentheses in {s!r}")

@@ -1,0 +1,131 @@
+"""Unit tests for the clean-room geometry kernels (pure Python, no Spark)."""
+
+import math
+
+import pytest
+
+from datafusion_spatial_spark import geom_ops as G
+from datafusion_spatial_spark.wkb import from_wkt
+
+
+def g(wkt):
+    return from_wkt(wkt)
+
+
+SQUARE = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+HOLED = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+
+
+class TestPredicates:
+    def test_point_in_polygon(self):
+        assert G.intersects(g("POINT (5 5)"), SQUARE)
+        assert not G.intersects(g("POINT (15 5)"), SQUARE)
+        assert G.intersects(g("POINT (0 5)"), SQUARE)  # boundary
+        # hole
+        assert not G.intersects(g("POINT (5 5)"), HOLED)
+        assert G.intersects(g("POINT (2 2)"), HOLED)
+
+    def test_line_polygon(self):
+        assert G.intersects(g("LINESTRING (-5 5, 15 5)"), SQUARE)
+        assert not G.intersects(g("LINESTRING (-5 -5, -1 15)"), SQUARE)
+        assert G.intersects(g("LINESTRING (2 2, 3 3)"), SQUARE)  # fully inside
+
+    def test_polygon_polygon(self):
+        other = g("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+        faraway = g("POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))")
+        inner = g("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+        assert G.intersects(SQUARE, other)
+        assert not G.intersects(SQUARE, faraway)
+        assert G.intersects(SQUARE, inner)  # containment, no edge crossing
+
+    def test_contains_within(self):
+        inner = g("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+        assert G.contains(SQUARE, inner)
+        assert G.within(inner, SQUARE)
+        assert not G.contains(inner, SQUARE)
+        assert G.contains(SQUARE, g("POINT (5 5)"))
+        assert not G.contains(SQUARE, g("POINT (15 5)"))
+        # boundary point is not contained (no interior intersection)
+        assert not G.contains(SQUARE, g("POINT (0 5)"))
+        # geometry crossing the hole is not contained
+        assert not G.contains(HOLED, g("POINT (5 5)"))
+        assert G.contains(g("LINESTRING (0 0, 10 10)"), g("POINT (5 5)"))
+        assert G.contains(g("LINESTRING (0 0, 10 10)"), g("LINESTRING (2 2, 4 4)"))
+
+    def test_equals(self):
+        assert G.equals(SQUARE, g("POLYGON ((10 0, 10 10, 0 10, 0 0, 10 0))"))
+        assert not G.equals(SQUARE, HOLED)
+        assert G.equals(g("MULTIPOINT ((1 2), (3 4))"), g("MULTIPOINT ((3 4), (1 2))"))
+
+    def test_disjoint(self):
+        assert G.disjoint(g("POINT (100 100)"), SQUARE)
+        assert not G.disjoint(g("POINT (5 5)"), SQUARE)
+
+
+class TestDistance:
+    def test_point_point(self):
+        assert G.distance(g("POINT (0 0)"), g("POINT (3 4)")) == 5.0
+
+    def test_point_polygon(self):
+        assert G.distance(g("POINT (15 5)"), SQUARE) == 5.0
+        assert G.distance(g("POINT (5 5)"), SQUARE) == 0.0
+
+    def test_line_line(self):
+        d = G.distance(g("LINESTRING (0 0, 10 0)"), g("LINESTRING (0 3, 10 3)"))
+        assert d == 3.0
+
+    def test_empty(self):
+        assert G.distance(g("POINT EMPTY"), SQUARE) is None
+
+    def test_dwithin(self):
+        assert G.dwithin(g("POINT (15 5)"), SQUARE, 5.0)
+        assert not G.dwithin(g("POINT (15 5)"), SQUARE, 4.9)
+
+
+class TestMeasures:
+    def test_area(self):
+        assert G.area(SQUARE) == 100.0
+        assert G.area(HOLED) == 96.0
+        assert G.area(g("LINESTRING (0 0, 1 1)")) == 0.0
+
+    def test_length(self):
+        assert G.length(g("LINESTRING (0 0, 3 4)")) == 5.0
+        assert G.length(SQUARE) == 40.0  # perimeter
+
+    def test_centroid(self):
+        assert G.centroid(SQUARE) == (5.0, 5.0)
+        cx, cy = G.centroid(g("LINESTRING (0 0, 10 0)"))
+        assert (cx, cy) == (5.0, 0.0)
+        assert G.centroid(g("MULTIPOINT ((0 0), (2 2))")) == (1.0, 1.0)
+        assert G.centroid(g("POINT EMPTY")) is None
+        # holed square stays symmetric
+        assert G.centroid(HOLED) == (5.0, 5.0)
+
+
+class TestConstructive:
+    def test_convex_hull(self):
+        h = G.convex_hull(g("MULTIPOINT ((0 0), (10 0), (10 10), (0 10), (5 5))"))
+        assert h.type_name == "Polygon"
+        assert G.area(h) == 100.0
+        assert G.convex_hull(g("MULTIPOINT ((1 1))")).type_name == "Point"
+        assert G.convex_hull(g("MULTIPOINT ((0 0), (1 1))")).type_name == "LineString"
+
+    def test_buffer(self):
+        b = G.buffer(g("POINT (0 0)"), 1.0)
+        assert b.type_name == "Polygon"
+        assert abs(G.area(b) - math.pi) < 0.01
+        assert G.contains(b, g("POINT (0.5 0.5)"))
+        assert not G.contains(b, g("POINT (1.5 0)"))
+
+    def test_boundary(self):
+        b = G.boundary(g("LINESTRING (0 0, 5 5)"))
+        assert b.type_name == "MultiPoint" and len(b.coords) == 2
+        assert G.boundary(SQUARE).type_name == "LineString"
+        assert G.boundary(HOLED).type_name == "MultiLineString"
+        assert G.boundary(g("POINT (1 1)")).type_name == "GeometryCollection"
+
+    def test_is_simple(self):
+        assert G.is_simple(g("LINESTRING (0 0, 1 1, 2 0)"))
+        assert not G.is_simple(g("LINESTRING (0 0, 2 2, 2 0, 0 2)"))  # self-cross
+        assert G.is_simple(g("MULTIPOINT ((1 1), (2 2))"))
+        assert not G.is_simple(g("MULTIPOINT ((1 1), (1 1))"))
