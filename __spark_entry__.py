@@ -351,6 +351,123 @@ WHERE c_acctbal >= 0 AND c_acctbal <= 5000
 GROUP BY c_nationkey ORDER BY nationkey
 """
 
+# triangle for the exact point-in-polygon predicate query (CCW)
+_TRI = [(0.0, 0.0), (9000.0, 1000.0), (1000.0, 9000.0)]
+
+
+def _q_st_contains_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact geometry predicate (geom_ops ray casting) against a literal
+    triangle; the oracle reproduces it with half-plane sign tests."""
+    from datafusion_spatial_spark.functions.predicates import st_contains
+    from datafusion_spatial_spark.functions.scalar import st_geomfromtext, st_point
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    cust = load_table(spark, sf_dir, "customer")
+    ring = ", ".join(f"{x:g} {y:g}" for x, y in (_TRI + _TRI[:1]))
+    tri = F.lit(f"POLYGON (({ring}))")
+    point_meta = GeometryMeta(encoding="point", geometry_types=("Point",))
+    wkb_meta = GeometryMeta(encoding="WKB")
+    pts = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        st_point(F.col("c_acctbal"), F.col("c_custkey").cast("double")).alias("geom"),
+        st_geomfromtext(tri).alias("tri"),
+    )
+    return (
+        pts.filter(st_contains("tri", "geom", wkb_meta, point_meta))
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_inside"))
+        .orderBy("segment")
+    )
+
+
+def _q_st_contains_triangle_oracle() -> str:
+    # half-plane test: point strictly inside iff all three edge cross
+    # products share the triangle's orientation (CCW -> all > 0); boundary
+    # (== 0) is NOT contained, matching OGC contains semantics in geom_ops
+    (ax, ay), (bx, by), (cx, cy) = _TRI
+    px, py = "c_acctbal", "cast(c_custkey AS DOUBLE)"
+    e1 = f"(({bx} - {ax}) * ({py} - {ay}) - ({by} - {ay}) * ({px} - {ax}))"
+    e2 = f"(({cx} - {bx}) * ({py} - {by}) - ({cy} - {by}) * ({px} - {bx}))"
+    e3 = f"(({ax} - {cx}) * ({py} - {cy}) - ({ay} - {cy}) * ({px} - {cx}))"
+    return f"""
+SELECT c_mktsegment AS segment, count(*) AS n_inside
+FROM customer
+WHERE {e1} > 0 AND {e2} > 0 AND {e3} > 0
+GROUP BY c_mktsegment ORDER BY segment
+"""
+
+
+def _q_st_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10 nearest customer points to a literal query point through the
+    st_distance UDF; the oracle uses the euclidean formula."""
+    from datafusion_spatial_spark.functions.predicates import st_distance
+    from datafusion_spatial_spark.functions.scalar import st_geomfromtext, st_point
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    cust = load_table(spark, sf_dir, "customer")
+    point_meta = GeometryMeta(encoding="point", geometry_types=("Point",))
+    wkb_meta = GeometryMeta(encoding="WKB")
+    pts = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        st_point(F.col("c_acctbal"), F.col("c_custkey").cast("double")).alias("geom"),
+        st_geomfromtext(F.lit("POINT (5000 75)")).alias("q"),
+    )
+    return (
+        pts.select(
+            "custkey",
+            F.round(st_distance("geom", "q", point_meta, wkb_meta), 6).alias("dist"),
+        )
+        .orderBy("dist", "custkey")
+        .limit(10)
+    )
+
+
+_Q_ST_DISTANCE_ORACLE = """
+SELECT c_custkey AS custkey,
+       round(sqrt((c_acctbal - 5000) * (c_acctbal - 5000)
+                  + (cast(c_custkey AS DOUBLE) - 75) * (cast(c_custkey AS DOUBLE) - 75)), 6) AS dist
+FROM customer
+ORDER BY dist, custkey
+LIMIT 10
+"""
+
+
+def _q_spatial_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed distance join (operators/spatial_join.py): customer
+    points within 100 units of any supplier point; oracle is the naive
+    cross-join + distance filter."""
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from datafusion_spatial_spark.meta import GeometryMeta
+    from datafusion_spatial_spark.operators.spatial_join import spatial_join
+
+    point_meta = GeometryMeta(encoding="point", geometry_types=("Point",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        st_point(F.col("c_acctbal"), F.col("c_custkey").cast("double")).alias("geom"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"),
+        st_point(F.col("s_acctbal"), F.col("s_suppkey").cast("double")).alias("geom"),
+    )
+    pairs = spatial_join(
+        cust, sup, "geom", "geom", point_meta, point_meta,
+        "c_custkey", "s_suppkey", cell_size=200.0, predicate="dwithin",
+        distance=100.0,
+    )
+    return pairs.select(
+        F.col("c_custkey").alias("custkey"), F.col("s_suppkey").alias("suppkey")
+    ).orderBy("custkey", "suppkey")
+
+
+_Q_DWITHIN_ORACLE = """
+SELECT c_custkey AS custkey, s_suppkey AS suppkey
+FROM customer, supplier
+WHERE sqrt((c_acctbal - s_acctbal) * (c_acctbal - s_acctbal)
+           + (cast(c_custkey AS DOUBLE) - cast(s_suppkey AS DOUBLE))
+             * (cast(c_custkey AS DOUBLE) - cast(s_suppkey AS DOUBLE))) <= 100.0
+ORDER BY custkey, suppkey
+"""
+
 
 # ---------------------------------------------------------------------------
 # extension: dedup / text / similarity
@@ -751,6 +868,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _Q_GRID_JOIN_SPARK, ("customer", "supplier")
         ),
         "q_st_bbox_contains": _sql_query(_Q_BBOX_CONTAINS_SPARK, ("customer",)),
+        "q_st_contains_triangle": _q_st_contains_triangle,
+        "q_st_distance_topk": _q_st_distance_topk,
+        "q_spatial_dwithin_join": _q_spatial_dwithin_join,
     }
     ext = {
         "q_dedup_exact": _q_dedup_exact,
@@ -795,6 +915,9 @@ def oracle_sql() -> dict[str, str]:
         "q_st_envelope_by_nation": _Q_ST_ENVELOPE_ORACLE,
         "q_spatial_grid_join": _Q_GRID_JOIN_SPARK,
         "q_st_bbox_contains": _Q_BBOX_CONTAINS_SPARK,
+        "q_st_contains_triangle": _q_st_contains_triangle_oracle(),
+        "q_st_distance_topk": _Q_ST_DISTANCE_ORACLE,
+        "q_spatial_dwithin_join": _Q_DWITHIN_ORACLE,
         "q_dedup_exact": _Q_DEDUP_EXACT_ORACLE,
         "q_ngram_jaccard_pairs": _q_ngram_jaccard_oracle(),
         "q_minhash_lsh_pairs": _q_minhash_lsh_oracle(),

@@ -1,0 +1,101 @@
+"""Geometry constructors and coordinate transforms (pure Catalyst).
+
+All of these operate on native-encoded geometry (nested arrays of coord
+structs) with higher-order functions — zero Python, zero shuffle — and
+compose with the rest of the st_* surface. WKB input: convert once with
+st_geomfromwkb-style decode (functions/scalar.py) or keep data native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark.meta import NESTING_DEPTH, GeometryMeta
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def st_makeline(points: Column | str) -> Column:
+    """array<point struct> -> native LineString (identity re-tag; pair with
+    GeometryMeta('linestring'))."""
+    return _c(points)
+
+
+def st_makepolygon(ring: Column | str, holes: Column | str | None = None) -> Column:
+    """Closed ring (array<point>) [+ array of hole rings] -> native Polygon."""
+    ring = _c(ring)
+    if holes is None:
+        return F.array(ring)
+    return F.concat(F.array(ring), _c(holes))
+
+
+def st_collect_points(point_col: Column | str) -> Column:
+    """Aggregate: points -> native MultiPoint (nulls dropped). Use inside
+    groupBy().agg(); the list is assembled by Catalyst's collect_list with
+    partial aggregation."""
+    return F.collect_list(_c(point_col))
+
+
+def _map_coords(col: Column, meta: GeometryMeta, fn) -> Column:
+    """Apply fn(point_struct) -> point_struct over every coordinate at the
+    encoding's nesting depth."""
+    depth = NESTING_DEPTH[meta.native_type]
+    if depth == 0:
+        return fn(col)
+    if depth == 1:
+        return F.transform(col, fn)
+    if depth == 2:
+        return F.transform(col, lambda r: F.transform(r, fn))
+    return F.transform(
+        col, lambda p: F.transform(p, lambda r: F.transform(r, fn))
+    )
+
+
+def st_translate(col: Column | str, dx: float, dy: float, meta: GeometryMeta) -> Column:
+    col = _c(col)
+
+    def move(p):
+        return F.struct(
+            (p["x"] + F.lit(float(dx))).alias("x"),
+            (p["y"] + F.lit(float(dy))).alias("y"),
+        )
+
+    return _map_coords(col, meta, move)
+
+
+def st_scale(col: Column | str, sx: float, sy: float, meta: GeometryMeta) -> Column:
+    col = _c(col)
+
+    def scale(p):
+        return F.struct(
+            (p["x"] * F.lit(float(sx))).alias("x"),
+            (p["y"] * F.lit(float(sy))).alias("y"),
+        )
+
+    return _map_coords(col, meta, scale)
+
+
+def st_flipcoordinates(col: Column | str, meta: GeometryMeta) -> Column:
+    col = _c(col)
+
+    def flip(p):
+        return F.struct(p["y"].alias("x"), p["x"].alias("y"))
+
+    return _map_coords(col, meta, flip)
+
+
+def st_snaptogrid(col: Column | str, size: float, meta: GeometryMeta) -> Column:
+    """Snap every coordinate to a grid of ``size`` (round-half-up)."""
+    col = _c(col)
+    s = F.lit(float(size))
+
+    def snap(p):
+        return F.struct(
+            (F.round(p["x"] / s, 0) * s).alias("x"),
+            (F.round(p["y"] / s, 0) * s).alias("y"),
+        )
+
+    return _map_coords(col, meta, snap)

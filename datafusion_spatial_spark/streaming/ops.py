@@ -1,0 +1,164 @@
+"""Structured Streaming operators.
+
+The reference is batch-only (reference src/lib.rs:1-6 — no streaming
+anywhere), so this module is pure extension surface: the streaming shapes a
+large-scale ingest/training pipeline needs, built on watermarks + built-in
+windowing + ``applyInPandasWithState`` for custom state.
+
+All operators take/return streaming DataFrames and are sink-agnostic;
+``run_to_memory`` drives any of them to completion against a finite file
+source for tests/smoke (the driver pattern: parquet in → memory sink).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns epoch (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (ns→µs ts fixup applied,
+    matching sources/tables.py)."""
+    # the file source requires a directory; glob-filter to the events table
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling/sliding event-type counts with late-data handling. At scale
+    this is the canonical streaming shuffle: state keyed by (window, type),
+    watermark bounds state size."""
+    w = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Built-in session windows per user (gap-based), the streaming analog
+    of the batch sessionize query in __spark_entry__."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame, key_cols: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (``dropDuplicatesWithinWatermark``): bounded state, the streaming form
+    of exact dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+_STATE_SCHEMA = "user_id LONG, n LONG, total DOUBLE"
+_OUT_SCHEMA = (
+    "user_id LONG, n_events LONG, total_value DOUBLE, batch_events LONG"
+)
+
+
+def _running_totals_fn(
+    key, pdfs: Iterator[pd.DataFrame], state
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: running per-user event count/value sum
+    across micro-batches (custom stateful operator demo)."""
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get[1], state.get[2]
+    else:
+        n, total = 0, 0.0
+    batch_n = 0
+    for pdf in pdfs:
+        batch_n += len(pdf)
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((user_id, n, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "batch_events": [batch_n],
+        }
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals maintained in explicit state (the extension point for
+    operators Spark's built-ins can't express)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a (finite file-source) stream to completion into a memory sink;
+    returns the bound table name. Caller: ``spark.table(name)``."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name

@@ -1,0 +1,86 @@
+"""Structured Streaming operator tests (finite parquet source → memory sink,
+cross-checked against the equivalent batch computation)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark.sources.tables import load_table
+from datafusion_spatial_spark.streaming import ops
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def test_windowed_counts_matches_batch(spark, sf_dir, events_batch):
+    stream = ops.stream_events(spark, sf_dir)
+    name = ops.run_to_memory(
+        ops.windowed_counts(stream, window="1 hour"), "win_counts"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r.ws, r.event_type): (r.n, r.tv)
+        for r in events_batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "tv")
+        .collect()
+    }
+    # append-mode emits only windows closed by the watermark; every emitted
+    # window must match batch exactly, and most windows must have closed
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= len(want) - 24  # at most the trailing day unfinalized
+
+
+def test_session_windows(spark, sf_dir, events_batch):
+    stream = ops.stream_events(spark, sf_dir)
+    name = ops.run_to_memory(
+        ops.session_windows(stream, gap="30 minutes"), "sessions"
+    )
+    rows = spark.table(name).collect()
+    assert rows, "no sessions emitted"
+    # session totals must partition total event count for emitted users
+    per_user_stream = {}
+    for r in rows:
+        per_user_stream[r.user_id] = per_user_stream.get(r.user_id, 0) + r.n_events
+    batch_counts = {
+        r.user_id: r.n for r in events_batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    for uid, n in per_user_stream.items():
+        assert n <= batch_counts[uid]
+
+
+def test_stream_dedup(spark, sf_dir):
+    stream = ops.stream_events(spark, sf_dir)
+    name = ops.run_to_memory(
+        ops.stream_dedup(stream, ["user_id", "event_type"]), "deduped"
+    )
+    out = spark.table(name)
+    assert out.count() == out.select("user_id", "event_type").distinct().count()
+
+
+def test_running_user_totals(spark, sf_dir, events_batch):
+    stream = ops.stream_events(spark, sf_dir)
+    name = ops.run_to_memory(
+        ops.running_user_totals(stream), "running", output_mode="update"
+    )
+    rows = spark.table(name).collect()
+    assert rows
+    # final state per user equals the batch aggregate
+    final = {}
+    for r in rows:  # last update per user wins
+        final[r.user_id] = (r.n_events, r.total_value)
+    want = {
+        r.user_id: (r.n, r.tv)
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert final == want
