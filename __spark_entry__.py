@@ -215,6 +215,142 @@ SELECT user_id,
 FROM flagged GROUP BY user_id ORDER BY user_id
 """
 
+Q10_RETURNED_SQL = """
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, custkey
+LIMIT 20
+"""
+
+Q13_DISTRIBUTION_SQL = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c.c_custkey, cast(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+) t
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+Q14_PROMO_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-07-01'
+"""
+
+Q18_LARGE_ORDERS_SQL = """
+SELECT o.o_orderkey AS orderkey, round(o.o_totalprice, 2) AS totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_totalprice
+HAVING sum(l.l_quantity) > 120
+ORDER BY total_qty DESC, orderkey
+LIMIT 20
+"""
+
+
+def _q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue by market segment × order status (Spark .pivot API;
+    oracle is the equivalent conditional aggregation)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(orders, orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .orderBy("segment")
+    )
+
+
+_Q_PIVOT_ORACLE = """
+SELECT c_mktsegment AS segment,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment ORDER BY segment
+"""
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event annotated with
+    the user's most recent prior click. Oracle: DuckDB native ASOF JOIN."""
+    from datafusion_spatial_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["click_event_id", "click_value"], suffix="",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "click_event_id",
+        F.round("click_value", 2).alias("click_value"),
+    ).orderBy("event_id")
+
+
+_Q_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       c.event_id AS click_event_id,
+       round(c.value, 2) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+def _q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal content dedup: documents' leading bytes as a binary media
+    payload, deduped by JVM-side sha2 (operators/multimodal.py). Oracle:
+    sha256 over the same prefix."""
+    from datafusion_spatial_spark.operators.multimodal import media_content_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", F.encode(F.substring("text", 1, 40), "UTF-8").alias("media")
+    )
+    dd = media_content_dedup(media, "media", "doc_id")
+    return (
+        dd.groupBy("copies")
+        .agg(F.count("*").alias("n_payloads"))
+        .orderBy("copies")
+    )
+
+
+_Q_MEDIA_DEDUP_ORACLE = """
+SELECT copies, count(*) AS n_payloads
+FROM (
+  SELECT sha256(substr(text, 1, 40)) AS h, count(*) AS copies
+  FROM documents GROUP BY 1
+) t
+GROUP BY copies ORDER BY copies
+"""
+
+
 # ---------------------------------------------------------------------------
 # dialect helpers
 
@@ -859,6 +995,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("events",),
         ),
         "q_events_sessionize": _sql_query(Q_SESSIONIZE_CORE, ("events",)),
+        "q10_returned_revenue": _sql_query(
+            Q10_RETURNED_SQL, ("customer", "orders", "lineitem")
+        ),
+        "q13_order_distribution": _sql_query(
+            Q13_DISTRIBUTION_SQL, ("customer", "orders")
+        ),
+        "q14_promo_revenue": _sql_query(Q14_PROMO_SQL, ("lineitem", "part")),
+        "q18_large_orders": _sql_query(
+            Q18_LARGE_ORDERS_SQL, ("orders", "lineitem")
+        ),
+        "q_pivot_status": _q_pivot_status,
+        "q_asof_join": _q_asof_join,
+        "q_media_dedup": _q_media_dedup,
     }
     spatial = {
         "q_st_extent_customers": _q_st_extent_customers,
@@ -910,6 +1059,13 @@ def oracle_sql() -> dict[str, str]:
             k="json_extract_string(props, '$.k')"
         ),
         "q_events_sessionize": Q_SESSIONIZE_CORE,
+        "q10_returned_revenue": Q10_RETURNED_SQL,
+        "q13_order_distribution": Q13_DISTRIBUTION_SQL,
+        "q14_promo_revenue": Q14_PROMO_SQL,
+        "q18_large_orders": Q18_LARGE_ORDERS_SQL,
+        "q_pivot_status": _Q_PIVOT_ORACLE,
+        "q_asof_join": _Q_ASOF_ORACLE,
+        "q_media_dedup": _Q_MEDIA_DEDUP_ORACLE,
         "q_st_extent_customers": _Q_ST_EXTENT_ORACLE,
         "q_st_astext_suppliers": _Q_ST_ASTEXT_ORACLE,
         "q_st_envelope_by_nation": _Q_ST_ENVELOPE_ORACLE,

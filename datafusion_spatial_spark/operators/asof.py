@@ -1,0 +1,95 @@
+"""As-of (nearest-prior-event) join — a relational operator Spark lacks.
+
+``asof_join(left, right, ...)`` attaches to each left row the single right
+row with the greatest ``right_ts <= left_ts`` for the same key (the
+semantics of DuckDB/QuestDB/kdb ASOF JOIN, or ``pd.merge_asof``).
+
+Spark-first implementation — the union/window trick, fully shuffle-planned
+by Catalyst with NO Python:
+
+1. tag both inputs and union them on (key, ts);
+2. one window per key ordered by (ts, side-tag): ``last(right-payload,
+   ignoreNulls)`` over rows-unbounded-preceding carries the most recent
+   right row forward;
+3. keep left rows, now annotated with the carried right payload.
+
+One shuffle (the window's partitionBy key), versus the naive
+range-join-then-rank which shuffles twice and explodes candidates. Skewed
+keys: AQE or pre-salting upstream. An alternative ``mapInPandas``
+merge-asof per key-partition is deliberately avoided — window+last() stays
+in Tungsten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    direction: str = "backward",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left rows + columns ``<payload><suffix>`` from the as-of right row.
+
+    direction='backward': right_ts <= left_ts (most recent prior);
+    direction='forward':  right_ts >= left_ts (nearest following).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    lcols = left.columns
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("__payload"),
+    )
+    l = l.select(
+        *lcols,
+        "__ts",
+        "__side",
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    )
+    u = l.unionByName(
+        r.select(
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in lcols
+                if c != on
+            ],
+            F.col(on),
+            "__ts",
+            "__side",
+            "__payload",
+        )
+    )
+    if direction == "backward":
+        # right rows (side 0) sort before left rows at equal ts -> inclusive
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    carried = u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[
+            F.col("__match")[c].alias(f"{c}{suffix}")
+            for c in right_payload
+        ],
+    )
+    return out

@@ -44,7 +44,8 @@ def _norm(v):
 def _rows(cols, data):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in data
+        (tuple(_norm(r[i]) for i in order) for r in data),
+        key=lambda row: tuple((v is None, str(v)) for v in row),
     )
 
 
