@@ -177,20 +177,65 @@ def st_buffer(col: Column | str, radius: float, meta: GeometryMeta, segments: in
 
 
 def st_centroid(col: Column | str, meta: GeometryMeta) -> Column:
-    """Centroid as a native Point struct (NaN,NaN = empty)."""
+    """Centroid as a native Point struct; NULL or EMPTY geometry → NULL
+    (the pandas→Arrow bridge coerces NaN to null, so EMPTY cannot round-trip
+    the NaN empty-point convention through this UDF)."""
     conv = _converter(meta)
 
-    @F.pandas_udf(T.StructType([
+    _pt_type = T.StructType([
         T.StructField("x", T.DoubleType()),
         T.StructField("y", T.DoubleType()),
-    ]))
+    ])
+
+    @F.pandas_udf(_pt_type)
     def udf(s: pd.Series) -> pd.DataFrame:
+        nan = float("nan")
         xs, ys = [], []
         for v in s:
             g = conv(v)
-            c = None if g is None else geom_ops.centroid(g)
-            xs.append(None if c is None else c[0])
-            ys.append(None if c is None else c[1])
+            if g is None:
+                xs.append(None)
+                ys.append(None)
+                continue
+            c = geom_ops.centroid(g)
+            xs.append(nan if c is None else c[0])
+            ys.append(nan if c is None else c[1])
         return pd.DataFrame({"x": xs, "y": ys})
 
-    return udf(_prep(col, meta))
+    out = udf(_prep(col, meta))
+    # pandas struct UDFs cannot emit NULL structs — normalize all-null rows
+    return F.when(out["x"].isNull(), F.lit(None).cast(_pt_type)).otherwise(out)
+
+
+def _binary_constructive(fn):
+    """(geometry, geometry) -> geometry op, emitted as WKB."""
+
+    def build(
+        a: Column | str, b: Column | str, meta_a: GeometryMeta, meta_b: GeometryMeta
+    ) -> Column:
+        ca, cb = _converter(meta_a), _converter(meta_b)
+
+        @F.pandas_udf(T.BinaryType())
+        def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+            out = []
+            for va, vb in zip(sa, sb):
+                ga, gb = ca(va), cb(vb)
+                out.append(
+                    None if ga is None or gb is None else wkb.dumps(fn(ga, gb))
+                )
+            return pd.Series(out, dtype="object")
+
+        return udf(_prep(a, meta_a), _prep(b, meta_b))
+
+    return build
+
+
+st_intersection = _binary_constructive(geom_ops.intersection)
+st_difference = _binary_constructive(geom_ops.difference)
+st_union = _binary_constructive(geom_ops.union)
+st_symdifference = _binary_constructive(geom_ops.sym_difference)
+
+
+st_touches = _binary_predicate(geom_ops.touches)
+st_crosses = _binary_predicate(geom_ops.crosses)
+st_overlaps = _binary_predicate(geom_ops.overlaps)

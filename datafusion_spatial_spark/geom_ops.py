@@ -294,11 +294,16 @@ def contains(a: Geom, b: Geom) -> bool:
             # all probes sat on a's boundary; for polygonal b (e.g. b == a)
             # probe its centroid before concluding boundary-only (OGC: a
             # geometry lying wholly in the boundary is NOT contained)
-            if list(_polygons(b)):
-                cen = centroid(b)
-                interior_seen = cen is not None and any(
-                    polygon_contains_point(rings, cen[0], cen[1]) == 2
-                    for rings in apolys
+            bpolys = list(_polygons(b))
+            if bpolys:
+                probes = [representative_point(rings) for rings in bpolys]
+                interior_seen = any(
+                    p is not None
+                    and any(
+                        polygon_contains_point(rings, p[0], p[1]) == 2
+                        for rings in apolys
+                    )
+                    for p in probes
                 )
             if not interior_seen:
                 return False
@@ -559,3 +564,495 @@ def boundary(geom: Geom) -> Geom:
             return Geom("LineString", rings[0])
         return Geom("MultiLineString", rings)
     return Geom("GeometryCollection", [])
+
+
+# ---------------------------------------------------------------------------
+# set-theoretic ops (reference README.md:34-37 — declared, never implemented)
+#
+# Exact for the high-traffic cases: point-sets vs anything, lines clipped by
+# polygons, polygon∩polygon when either operand is convex (Sutherland-
+# Hodgman), containment/disjoint fast paths. The general concave-concave
+# polygon overlay needs a full Greiner-Hormann kernel — out of scope;
+# raises NotImplementedError with a clear message instead of being wrong.
+
+
+def _is_convex_polygon(geom: Geom) -> bool:
+    polys = list(_polygons(geom))
+    if len(polys) != 1 or len(polys[0]) != 1:
+        return False
+    ring = polys[0][0]
+    sign = 0
+    n = len(ring) - 1
+    for i in range(n):
+        o = _orient(*ring[i], *ring[(i + 1) % n], *ring[(i + 2) % n])
+        if abs(o) <= EPS:
+            continue
+        s = 1 if o > 0 else -1
+        if sign == 0:
+            sign = s
+        elif s != sign:
+            return False
+    return True
+
+
+def _seg_param_intersections(a1, a2, geom: Geom) -> list[float]:
+    """Sorted t-params in [0,1] where segment a1→a2 crosses geom's edges."""
+    ts = []
+    dx, dy = a2[0] - a1[0], a2[1] - a1[1]
+    for b1, b2 in _segments(geom):
+        ex, ey = b2[0] - b1[0], b2[1] - b1[1]
+        den = dx * ey - dy * ex
+        if abs(den) > EPS:
+            t = ((b1[0] - a1[0]) * ey - (b1[1] - a1[1]) * ex) / den
+            u = ((b1[0] - a1[0]) * dy - (b1[1] - a1[1]) * dx) / den
+            if -EPS <= t <= 1 + EPS and -EPS <= u <= 1 + EPS:
+                ts.append(min(1.0, max(0.0, t)))
+        else:
+            # collinear: project endpoints onto the segment
+            if abs(_orient(*a1, *a2, *b1)) <= EPS:
+                L2 = dx * dx + dy * dy
+                if L2 > EPS:
+                    for q in (b1, b2):
+                        t = ((q[0] - a1[0]) * dx + (q[1] - a1[1]) * dy) / L2
+                        if -EPS <= t <= 1 + EPS:
+                            ts.append(min(1.0, max(0.0, t)))
+    return sorted(set([0.0, 1.0] + ts))
+
+
+def _clip_line_by_polygon(coords, poly_geom: Geom, keep_inside: bool):
+    """Split a linestring's segments at polygon boundaries, keep the parts
+    inside (or outside) the polygon. Returns list of coord-lists."""
+    parts = []
+    cur = []
+    for i in range(len(coords) - 1):
+        a1, a2 = coords[i], coords[i + 1]
+        ts = _seg_param_intersections(a1, a2, poly_geom)
+        for t0, t1 in zip(ts, ts[1:]):
+            if t1 - t0 <= EPS:
+                continue
+            mx = (a1[0] + (a2[0] - a1[0]) * (t0 + t1) / 2,
+                  a1[1] + (a2[1] - a1[1]) * (t0 + t1) / 2)
+            inside = _point_intersects(mx, poly_geom)
+            if inside == keep_inside:
+                p0 = (a1[0] + (a2[0] - a1[0]) * t0, a1[1] + (a2[1] - a1[1]) * t0)
+                p1 = (a1[0] + (a2[0] - a1[0]) * t1, a1[1] + (a2[1] - a1[1]) * t1)
+                if cur and abs(cur[-1][0] - p0[0]) <= EPS and abs(cur[-1][1] - p0[1]) <= EPS:
+                    cur.append(p1)
+                else:
+                    if len(cur) >= 2:
+                        parts.append(cur)
+                    cur = [p0, p1]
+            else:
+                if len(cur) >= 2:
+                    parts.append(cur)
+                cur = []
+    if len(cur) >= 2:
+        parts.append(cur)
+    return parts
+
+
+def _sh_clip(subject_ring, clip_ring) -> list:
+    """Sutherland–Hodgman: clip a ring by a CONVEX ring (CCW)."""
+    def inside(p, a, b):
+        return _orient(a[0], a[1], b[0], b[1], p[0], p[1]) >= -EPS
+
+    def line_isect(p1, p2, a, b):
+        dx1, dy1 = p2[0] - p1[0], p2[1] - p1[1]
+        dx2, dy2 = b[0] - a[0], b[1] - a[1]
+        den = dx1 * dy2 - dy1 * dx2
+        if abs(den) <= EPS:
+            return p2
+        t = ((a[0] - p1[0]) * dy2 - (a[1] - p1[1]) * dx2) / den
+        return (p1[0] + t * dx1, p1[1] + t * dy1)
+
+    out = subject_ring[:-1]
+    n = len(clip_ring) - 1
+    for i in range(n):
+        a, b = clip_ring[i], clip_ring[i + 1]
+        if not out:
+            return []
+        inp = out
+        out = []
+        for j, cur in enumerate(inp):
+            prev = inp[j - 1]
+            if inside(cur, a, b):
+                if not inside(prev, a, b):
+                    out.append(line_isect(prev, cur, a, b))
+                out.append(cur)
+            elif inside(prev, a, b):
+                out.append(line_isect(prev, cur, a, b))
+    if len(out) < 3:
+        return []
+    return out + [out[0]]
+
+
+def _ensure_ccw(ring):
+    return ring if _ring_area2(ring) >= 0 else ring[::-1]
+
+
+def _points_geom(pts) -> Geom:
+    pts = sorted(set((p[0], p[1]) for p in pts))
+    if not pts:
+        return Geom("GeometryCollection", [])
+    if len(pts) == 1:
+        return Geom("Point", pts[0])
+    return Geom("MultiPoint", list(pts))
+
+
+def _lines_geom(parts) -> Geom:
+    if not parts:
+        return Geom("GeometryCollection", [])
+    if len(parts) == 1:
+        return Geom("LineString", parts[0])
+    return Geom("MultiLineString", parts)
+
+
+def intersection(a: Geom, b: Geom) -> Geom:
+    """a ∩ b. Empty result → empty GeometryCollection."""
+    if a.is_empty or b.is_empty or _bbox_disjoint(a, b):
+        return Geom("GeometryCollection", [])
+    if a.type_name == b.type_name and a.coords == b.coords:
+        return a  # identical operands (covers concave/holed self-intersection)
+    # point-set operand
+    if a.type_name in ("Point", "MultiPoint"):
+        return _points_geom([p for p in _points(a) if _point_intersects(p, b)])
+    if b.type_name in ("Point", "MultiPoint"):
+        return intersection(b, a)
+    a_lines = a.type_name in ("LineString", "MultiLineString")
+    b_lines = b.type_name in ("LineString", "MultiLineString")
+    a_polys = bool(list(_polygons(a)))
+    b_polys = bool(list(_polygons(b)))
+    if a_lines and b_polys:
+        lines = [a.coords] if a.type_name == "LineString" else a.coords
+        parts = []
+        for line in lines:
+            parts.extend(_clip_line_by_polygon(line, b, keep_inside=True))
+        return _lines_geom(parts)
+    if b_lines and a_polys:
+        return intersection(b, a)
+    if a_lines and b_lines:
+        pts = []
+        segs_b = list(_segments(b))
+        for sa in _segments(a):
+            for sb in segs_b:
+                p = _seg_seg_point(sa, sb)
+                if p is not None:
+                    pts.append(p)
+        return _points_geom(pts)
+    if a_polys and b_polys:
+        if contains(a, b):
+            return b
+        if contains(b, a):
+            return a
+        clip, subject = (b, a) if _is_convex_polygon(b) else (a, b)
+        if not _is_convex_polygon(clip):
+            raise NotImplementedError(
+                "polygon∩polygon requires one convex operand (general "
+                "concave-concave overlay not implemented)"
+            )
+        clip_ring = _ensure_ccw(list(_polygons(clip))[0][0])
+        out_polys = []
+        for rings in _polygons(subject):
+            shell = _sh_clip(_ensure_ccw(rings[0]), clip_ring)
+            if not shell:
+                continue
+            holes = []
+            for h in rings[1:]:
+                hc = _sh_clip(_ensure_ccw(h), clip_ring)
+                if hc:
+                    holes.append(hc)
+            out_polys.append([shell] + holes)
+        if not out_polys:
+            return Geom("GeometryCollection", [])
+        if len(out_polys) == 1:
+            return Geom("Polygon", out_polys[0])
+        return Geom("MultiPolygon", out_polys)
+    raise NotImplementedError(
+        f"intersection({a.type_name}, {b.type_name}) not supported"
+    )
+
+
+def _seg_seg_point(sa, sb):
+    """Proper crossing point of two segments, or None."""
+    a1, a2 = sa
+    b1, b2 = sb
+    dx1, dy1 = a2[0] - a1[0], a2[1] - a1[1]
+    dx2, dy2 = b2[0] - b1[0], b2[1] - b1[1]
+    den = dx1 * dy2 - dy1 * dx2
+    if abs(den) <= EPS:
+        return None
+    t = ((b1[0] - a1[0]) * dy2 - (b1[1] - a1[1]) * dx2) / den
+    u = ((b1[0] - a1[0]) * dy1 - (b1[1] - a1[1]) * dx1) / den
+    if -EPS <= t <= 1 + EPS and -EPS <= u <= 1 + EPS:
+        return (a1[0] + t * dx1, a1[1] + t * dy1)
+    return None
+
+
+def difference(a: Geom, b: Geom) -> Geom:
+    """a − b for point-set / line a; polygon a only for disjoint or
+    b-contains-a fast paths."""
+    if a.is_empty:
+        return Geom("GeometryCollection", [])
+    if b.is_empty or _bbox_disjoint(a, b):
+        return a
+    if a.type_name in ("Point", "MultiPoint"):
+        return _points_geom(
+            [p for p in _points(a) if not _point_intersects(p, b)]
+        )
+    if a.type_name in ("LineString", "MultiLineString") and list(_polygons(b)):
+        lines = [a.coords] if a.type_name == "LineString" else a.coords
+        parts = []
+        for line in lines:
+            parts.extend(_clip_line_by_polygon(line, b, keep_inside=False))
+        return _lines_geom(parts)
+    if contains(b, a):
+        return Geom("GeometryCollection", [])
+    if not intersects(a, b):
+        return a
+    raise NotImplementedError(
+        f"difference({a.type_name}, {b.type_name}) with partial overlap "
+        "not implemented (needs general polygon overlay)"
+    )
+
+
+def union(a: Geom, b: Geom) -> Geom:
+    """a ∪ b: containment/disjoint fast paths, point-set merge; overlapping
+    polygon dissolve is not implemented."""
+    if a.is_empty:
+        return b
+    if b.is_empty:
+        return a
+    if a.type_name in ("Point", "MultiPoint") and b.type_name in ("Point", "MultiPoint"):
+        return _points_geom(list(_points(a)) + list(_points(b)))
+    if contains(a, b):
+        return a
+    if contains(b, a):
+        return b
+    if not intersects(a, b):
+        pa, pb = list(_polygons(a)), list(_polygons(b))
+        if pa and pb:
+            return Geom("MultiPolygon", pa + pb)
+        la = a.type_name in ("LineString", "MultiLineString")
+        lb = b.type_name in ("LineString", "MultiLineString")
+        if la and lb:
+            sa = [a.coords] if a.type_name == "LineString" else list(a.coords)
+            sb = [b.coords] if b.type_name == "LineString" else list(b.coords)
+            return Geom("MultiLineString", sa + sb)
+        return Geom("GeometryCollection", [a, b])
+    raise NotImplementedError(
+        f"union({a.type_name}, {b.type_name}) with partial overlap not "
+        "implemented (needs general polygon overlay)"
+    )
+
+
+def sym_difference(a: Geom, b: Geom) -> Geom:
+    """(a − b) ∪ (b − a), within the same support envelope."""
+    da = difference(a, b)
+    db = difference(b, a)
+    if da.is_empty:
+        return db
+    if db.is_empty:
+        return da
+    return union(da, db)
+
+
+# ---------------------------------------------------------------------------
+# relate-family predicates (reference README.md:23-26)
+
+
+def _proper_cross_exists(a: Geom, b: Geom) -> bool:
+    """Any pair of segments crossing at interior points (not mere touching
+    at shared endpoints/collinear overlap)."""
+    segs_b = list(_segments(b))
+    for sa in _segments(a):
+        for sb in segs_b:
+            a1, a2 = sa
+            b1, b2 = sb
+            d1 = _orient(*b1, *b2, *a1)
+            d2 = _orient(*b1, *b2, *a2)
+            d3 = _orient(*a1, *a2, *b1)
+            d4 = _orient(*a1, *a2, *b2)
+            if ((d1 > EPS and d2 < -EPS) or (d1 < -EPS and d2 > EPS)) and (
+                (d3 > EPS and d4 < -EPS) or (d3 < -EPS and d4 > EPS)
+            ):
+                return True
+    return False
+
+
+def _interiors_intersect(a: Geom, b: Geom) -> bool:
+    """Do the interiors share a point? (heuristic-exact for the supported
+    type combinations)."""
+    apolys, bpolys = list(_polygons(a)), list(_polygons(b))
+    if apolys and bpolys:
+        if _proper_cross_exists(a, b):
+            return True
+        # vertex of one strictly inside the other
+        for rings in apolys:
+            for q in _all_coords(b):
+                if polygon_contains_point(rings, q[0], q[1]) == 2:
+                    return True
+        for rings in bpolys:
+            for q in _all_coords(a):
+                if polygon_contains_point(rings, q[0], q[1]) == 2:
+                    return True
+        # edge midpoints strictly inside (containment without vertex inside)
+        for sb in _segments(b):
+            mx = ((sb[0][0] + sb[1][0]) / 2, (sb[0][1] + sb[1][1]) / 2)
+            for rings in apolys:
+                if polygon_contains_point(rings, mx[0], mx[1]) == 2:
+                    return True
+        # identical/boundary-coincident polygons: all probes above sit on the
+        # boundary — fall back to guaranteed-interior representative points
+        # (centroids can land inside holes)
+        for polys_x, polys_y in ((bpolys, apolys), (apolys, bpolys)):
+            for rings in polys_x:
+                rp = representative_point(rings)
+                if rp is not None and any(
+                    polygon_contains_point(r, rp[0], rp[1]) == 2 for r in polys_y
+                ):
+                    return True
+        return False
+    if apolys or bpolys:
+        poly, other = (a, b) if apolys else (b, a)
+        # line/point interior inside polygon interior
+        for q in _points(other):
+            if any(
+                polygon_contains_point(rings, q[0], q[1]) == 2
+                for rings in _polygons(poly)
+            ):
+                return True
+        for s in _segments(other):
+            mx = ((s[0][0] + s[1][0]) / 2, (s[0][1] + s[1][1]) / 2)
+            if any(
+                polygon_contains_point(rings, mx[0], mx[1]) == 2
+                for rings in _polygons(poly)
+            ):
+                return True
+        return False
+    # line/line: proper crossing or collinear overlap of interiors
+    if _proper_cross_exists(a, b):
+        return True
+    for sa in _segments(a):
+        for sb in _segments(b):
+            if seg_intersects(*sa, *sb):
+                # collinear overlap with positive length?
+                mx = None
+                if abs(_orient(*sa[0], *sa[1], *sb[0])) <= EPS and abs(
+                    _orient(*sa[0], *sa[1], *sb[1])
+                ) <= EPS:
+                    xs = sorted(
+                        [sa[0], sa[1], sb[0], sb[1]], key=lambda p: (p[0], p[1])
+                    )
+                    if (
+                        abs(xs[1][0] - xs[2][0]) > EPS
+                        or abs(xs[1][1] - xs[2][1]) > EPS
+                    ):
+                        mid = ((xs[1][0] + xs[2][0]) / 2, (xs[1][1] + xs[2][1]) / 2)
+                        if _on_segment(*mid, *sa[0], *sa[1]) and _on_segment(
+                            *mid, *sb[0], *sb[1]
+                        ):
+                            return True
+    # point operands: shared point is boundary-free for points (interior)
+    for p in _points(a):
+        if _point_intersects(p, b):
+            return True
+    for p in _points(b):
+        if _point_intersects(p, a):
+            return True
+    return False
+
+
+def touches(a: Geom, b: Geom) -> bool:
+    """Boundaries meet, interiors don't (OGC Touches; undefined for
+    point/point — returns False)."""
+    if a.type_name in ("Point", "MultiPoint") and b.type_name in (
+        "Point",
+        "MultiPoint",
+    ):
+        return False
+    if not intersects(a, b):
+        return False
+    return not _interiors_intersect(a, b)
+
+
+def crosses(a: Geom, b: Geom) -> bool:
+    """Interiors intersect and the intersection has lower dimension than
+    the higher-dimensional operand (line×line point crossings, line×polygon
+    pass-through, points×higher-dim)."""
+    if a.is_empty or b.is_empty or not intersects(a, b):
+        return False
+    dim = {"Point": 0, "MultiPoint": 0, "LineString": 1, "MultiLineString": 1,
+           "Polygon": 2, "MultiPolygon": 2, "GeometryCollection": 2}
+    da, db = dim[a.type_name], dim[b.type_name]
+    if da == 0 and db > 0:
+        pts = list(_points(a))
+        ins = [p for p in pts if _point_intersects(p, b)]
+        return 0 < len(ins) < len(pts) or (len(ins) > 0 and len(pts) > len(ins))
+    if db == 0 and da > 0:
+        return crosses(b, a)
+    if da == 1 and db == 1:
+        return _proper_cross_exists(a, b)
+    if da == 1 and db == 2:
+        has_in = _interiors_intersect(b, a)
+        has_out = any(
+            not _point_intersects(p, b) for p in _all_coords(a)
+        ) or any(
+            not _point_intersects(
+                ((s[0][0] + s[1][0]) / 2, (s[0][1] + s[1][1]) / 2), b
+            )
+            for s in _segments(a)
+        )
+        return has_in and has_out
+    if da == 2 and db == 1:
+        return crosses(b, a)
+    return False  # polygon×polygon cannot cross (would be overlaps)
+
+
+def overlaps(a: Geom, b: Geom) -> bool:
+    """Same dimension, interiors intersect, neither contains the other."""
+    dim = {"Point": 0, "MultiPoint": 0, "LineString": 1, "MultiLineString": 1,
+           "Polygon": 2, "MultiPolygon": 2}
+    da, db = dim.get(a.type_name), dim.get(b.type_name)
+    if da is None or db is None or da != db:
+        return False
+    if a.is_empty or b.is_empty:
+        return False
+    if contains(a, b) or contains(b, a) or equals(a, b):
+        return False
+    if da == 0:
+        sa = {(p[0], p[1]) for p in _points(a)}
+        sb = {(p[0], p[1]) for p in _points(b)}
+        return bool(sa & sb) and bool(sa - sb) and bool(sb - sa)
+    return _interiors_intersect(a, b)
+
+
+def representative_point(rings) -> tuple[float, float] | None:
+    """A point guaranteed strictly inside a polygon (shell + holes): scanline
+    through the shell's bbox midline, midpoints between sorted edge
+    crossings, verified by point-in-polygon. Unlike the centroid, never
+    lands in a hole."""
+    if not rings or len(rings[0]) < 4:
+        return None
+    shell = rings[0]
+    ys = [p[1] for p in shell]
+    ymin, ymax = min(ys), max(ys)
+    if ymax - ymin <= EPS:
+        return None
+    # avoid scanlines through vertices, which create degenerate crossings
+    for frac in (0.5, 0.37, 0.61, 0.23, 0.79, 0.44, 0.56):
+        y = ymin + (ymax - ymin) * frac
+        if any(abs(p[1] - y) <= EPS for ring in rings for p in ring):
+            continue
+        xs = []
+        for ring in rings:
+            for i in range(len(ring) - 1):
+                (ax, ay), (bx, by) = ring[i][:2], ring[i + 1][:2]
+                if (ay > y) != (by > y):
+                    xs.append(ax + (y - ay) * (bx - ax) / (by - ay))
+        xs.sort()
+        for x0, x1 in zip(xs[::2], xs[1::2]):
+            if x1 - x0 > EPS:
+                mid = ((x0 + x1) / 2, y)
+                if polygon_contains_point(rings, mid[0], mid[1]) == 2:
+                    return mid
+    return None

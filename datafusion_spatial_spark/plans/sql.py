@@ -29,10 +29,13 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from datafusion_spatial_spark.functions import predicates as _pr
 from datafusion_spatial_spark.functions import scalar as _sc
 from datafusion_spatial_spark.meta import GeometryMeta
 
-# name (upper) -> (builder(col, meta) -> Column, output_meta | None)
+_WKB = GeometryMeta(encoding="WKB")
+
+# 1-geometry-arg functions: name -> (builder(col, meta) -> Column, out_meta)
 _FUNCTIONS = {
     "ST_GEOMETRYTYPE": (_sc.st_geometrytype, None),
     "ST_ASTEXT": (_sc.st_astext, None),
@@ -42,12 +45,44 @@ _FUNCTIONS = {
     "ST_DIMENSION": (_sc.st_dimension, None),
     "ST_SRID": (_sc.st_srid, None),
     "ST_NPOINTS": (_sc.st_npoints, None),
-    "ST_ASBINARY": (_sc.st_asbinary, GeometryMeta(encoding="WKB")),
+    "ST_ASBINARY": (_sc.st_asbinary, _WKB),
     "ST_X": (_sc.st_x, None),
     "ST_Y": (_sc.st_y, None),
+    "ST_AREA": (_pr.st_area, None),
+    "ST_LENGTH": (_pr.st_length, None),
+    "ST_ISSIMPLE": (_pr.st_issimple, None),
+    "ST_CENTROID": (
+        _pr.st_centroid,
+        GeometryMeta(encoding="point", geometry_types=("Point",)),
+    ),
+    "ST_CONVEXHULL": (_pr.st_convexhull, _WKB),
+    "ST_BOUNDARY": (_pr.st_boundary, _WKB),
+}
+
+# 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)
+_FUNCTIONS_2 = {
+    "ST_INTERSECTS": (_pr.st_intersects, None),
+    "ST_DISJOINT": (_pr.st_disjoint, None),
+    "ST_CONTAINS": (_pr.st_contains, None),
+    "ST_WITHIN": (_pr.st_within, None),
+    "ST_EQUALS": (_pr.st_equals, None),
+    "ST_DISTANCE": (_pr.st_distance, None),
+    "ST_TOUCHES": (_pr.st_touches, None),
+    "ST_CROSSES": (_pr.st_crosses, None),
+    "ST_OVERLAPS": (_pr.st_overlaps, None),
+    "ST_INTERSECTION": (_pr.st_intersection, _WKB),
+    "ST_DIFFERENCE": (_pr.st_difference, _WKB),
+    "ST_UNION": (_pr.st_union, _WKB),
+    "ST_SYMDIFFERENCE": (_pr.st_symdifference, _WKB),
+}
+
+# geometry + numeric-literal arg
+_FUNCTIONS_GEOM_NUM = {
+    "ST_BUFFER": (lambda col, r, meta: _pr.st_buffer(col, r, meta), _WKB),
 }
 
 _AGG_EXTENT = "ST_EXTENT"
+_NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
 
 _CALL_RE = re.compile(r"\bST_([A-Za-z_]+)\s*\(", re.IGNORECASE)
 _FROM_RE = re.compile(r"\bFROM\s+([A-Za-z_][\w]*)", re.IGNORECASE)
@@ -199,12 +234,49 @@ class SpatialSQL:
         name = "ST_" + m.group(1).upper()
         if name == _AGG_EXTENT:
             raise ValueError("ST_Extent cannot be nested inside another ST_ call")
-        if name not in _FUNCTIONS:
-            raise ValueError(f"unsupported SQL spatial function {name}")
-        builder, out_meta = _FUNCTIONS[name]
-        arg_text = call_text[m.end() : -1].strip()
-        col, meta = self._arg_column(arg_text, col_meta)
-        return builder(col, meta), out_meta
+        args = _split_args(call_text[m.end() : -1])
+        if name in _FUNCTIONS:
+            if len(args) != 1:
+                raise ValueError(f"{name} takes 1 argument, got {len(args)}")
+            builder, out_meta = _FUNCTIONS[name]
+            col, meta = self._arg_column(args[0], col_meta)
+            return builder(col, meta), out_meta
+        if name in _FUNCTIONS_2:
+            if len(args) != 2:
+                raise ValueError(f"{name} takes 2 arguments, got {len(args)}")
+            builder, out_meta = _FUNCTIONS_2[name]
+            ca, ma = self._arg_column(args[0], col_meta)
+            cb, mb = self._arg_column(args[1], col_meta)
+            return builder(ca, cb, ma, mb), out_meta
+        if name in _FUNCTIONS_GEOM_NUM:
+            if len(args) != 2 or not _NUM_RE.match(args[1]):
+                raise ValueError(f"{name} takes (geometry, numeric-literal)")
+            builder, out_meta = _FUNCTIONS_GEOM_NUM[name]
+            col, meta = self._arg_column(args[0], col_meta)
+            return builder(col, float(args[1]), meta), out_meta
+        raise ValueError(f"unsupported SQL spatial function {name}")
+
+
+def _split_args(s: str) -> list[str]:
+    """Split a call's argument text on top-level commas."""
+    args, depth, start, in_str = [], 0, 0, False
+    for i, ch in enumerate(s):
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(s[start:i].strip())
+            start = i + 1
+    tail = s[start:].strip()
+    if tail:
+        args.append(tail)
+    return args
 
 
 def _match_paren(s: str, open_idx: int) -> int:

@@ -1,0 +1,123 @@
+"""Tests for set-theoretic geometry ops (intersection/difference/union/
+sym_difference) — pure kernels + Spark UDF wrappers."""
+
+import math
+
+import pytest
+
+from datafusion_spatial_spark import geom_ops as G
+from datafusion_spatial_spark import wkb
+from datafusion_spatial_spark.wkb import from_wkt as g
+
+
+SQUARE = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+
+
+class TestIntersection:
+    def test_points(self):
+        got = G.intersection(g("MULTIPOINT ((5 5), (15 15), (2 2))"), SQUARE)
+        assert wkb.to_wkt(got) == "MULTIPOINT ((2 2), (5 5))"
+        assert G.intersection(g("POINT (15 15)"), SQUARE).is_empty
+
+    def test_line_clip(self):
+        got = G.intersection(g("LINESTRING (-5 5, 15 5)"), SQUARE)
+        assert got.type_name == "LineString"
+        assert got.coords[0] == (0.0, 5.0) and got.coords[-1] == (10.0, 5.0)
+        # line entirely inside
+        inner = G.intersection(g("LINESTRING (1 1, 2 2)"), SQUARE)
+        assert inner.coords == [(1.0, 1.0), (2.0, 2.0)]
+        # line crossing a holed polygon splits into two parts
+        holed = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+        parts = G.intersection(g("LINESTRING (-5 5, 15 5)"), holed)
+        assert parts.type_name == "MultiLineString"
+        assert len(parts.coords) == 2
+
+    def test_line_line_points(self):
+        got = G.intersection(g("LINESTRING (0 0, 10 10)"), g("LINESTRING (0 10, 10 0)"))
+        assert wkb.to_wkt(got) == "POINT (5 5)"
+
+    def test_polygon_convex_clip(self):
+        other = g("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+        got = G.intersection(SQUARE, other)
+        assert got.type_name == "Polygon"
+        assert abs(G.area(got) - 25.0) < 1e-9
+        b = wkb.bbox(got)
+        assert b == (5.0, 5.0, 10.0, 10.0)
+
+    def test_polygon_containment_fast_path(self):
+        inner = g("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+        assert G.intersection(SQUARE, inner) is inner or G.area(
+            G.intersection(SQUARE, inner)
+        ) == G.area(inner)
+
+    def test_concave_concave_raises(self):
+        concave = g("POLYGON ((0 0, 10 0, 10 10, 5 5, 0 10, 0 0))")
+        other = g("POLYGON ((-1 -1, 11 -1, 11 4, 5 2, -1 4, -1 -1))")
+        with pytest.raises(NotImplementedError):
+            G.intersection(concave, other)
+
+
+class TestDifferenceUnion:
+    def test_point_difference(self):
+        got = G.difference(g("MULTIPOINT ((5 5), (15 15))"), SQUARE)
+        assert wkb.to_wkt(got) == "POINT (15 15)"
+
+    def test_line_difference(self):
+        got = G.difference(g("LINESTRING (-5 5, 15 5)"), SQUARE)
+        assert got.type_name == "MultiLineString"
+        assert len(got.coords) == 2
+
+    def test_union_disjoint_polys(self):
+        far = g("POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))")
+        got = G.union(SQUARE, far)
+        assert got.type_name == "MultiPolygon"
+        assert abs(G.area(got) - 200.0) < 1e-9
+
+    def test_union_containment(self):
+        inner = g("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+        assert G.area(G.union(SQUARE, inner)) == 100.0
+
+    def test_union_points(self):
+        got = G.union(g("MULTIPOINT ((1 1))"), g("MULTIPOINT ((2 2), (1 1))"))
+        assert wkb.to_wkt(got) == "MULTIPOINT ((1 1), (2 2))"
+
+    def test_sym_difference_points(self):
+        got = G.sym_difference(
+            g("MULTIPOINT ((1 1), (2 2))"), g("MULTIPOINT ((2 2), (3 3))")
+        )
+        assert wkb.to_wkt(got) == "MULTIPOINT ((1 1), (3 3))"
+
+    def test_overlapping_polygons_raise(self):
+        other = g("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+        with pytest.raises(NotImplementedError):
+            G.union(SQUARE, other)
+
+
+def test_spark_udf_wrappers(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_spatial_spark.functions.predicates import (
+        st_area,
+        st_intersection,
+    )
+    from datafusion_spatial_spark.functions.scalar import st_geomfromtext
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    WKB_META = GeometryMeta(encoding="WKB")
+    df = spark.createDataFrame(
+        [
+            (1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+             "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),
+            (2, "LINESTRING (-5 5, 15 5)", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+        ],
+        "id long, wa string, wb string",
+    ).select("id", st_geomfromtext("wa").alias("a"), st_geomfromtext("wb").alias("b"))
+    inter = df.select(
+        "id", st_intersection("a", "b", WKB_META, WKB_META).alias("g")
+    )
+    out = {
+        r.id: r.area
+        for r in inter.select("id", st_area("g", WKB_META).alias("area")).collect()
+    }
+    assert abs(out[1] - 25.0) < 1e-9
+    assert out[2] == 0.0  # line has zero area

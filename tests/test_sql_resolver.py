@@ -63,6 +63,28 @@ def test_mixed_with_plain_sql(ssql):
     assert rows[0].n == 3
 
 
+def test_two_arg_predicates(ssql):
+    rows = ssql.sql(
+        "SELECT col, ST_Intersects(geometry, geometry) AS self_i, "
+        "ST_Distance(geometry, geometry) AS self_d, "
+        "ST_Area(geometry) AS area "
+        "FROM polygon_native ORDER BY col"
+    ).collect()
+    assert rows[0].self_i is True and rows[0].self_d == 0.0
+    assert rows[0].area == 550.0  # shoelace of the fixture polygon
+    assert rows[3].self_i is None  # null row
+
+
+def test_buffer_and_nested_measure(ssql):
+    rows = ssql.sql(
+        "SELECT ST_Area(ST_Buffer(geometry, 2)) AS a FROM point_native "
+        "WHERE col = 0"
+    ).collect()
+    import math
+
+    assert abs(rows[0].a - math.pi * 4) < 0.05
+
+
 def test_unknown_function_raises(ssql):
     with pytest.raises(ValueError, match="unsupported"):
         ssql.resolve("SELECT ST_Bogus(geometry) FROM point_native")

@@ -1,0 +1,103 @@
+"""Tests for relate-family predicates, storage layout ops, lakehouse gating."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark import geom_ops as G
+from datafusion_spatial_spark.wkb import from_wkt as g
+
+
+SQ = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+
+
+class TestRelateFamily:
+    def test_touches(self):
+        assert G.touches(SQ, g("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"))
+        assert G.touches(g("POINT (0 0)"), SQ)
+        assert G.touches(g("LINESTRING (10 0, 20 0)"), SQ)
+        assert not G.touches(SQ, g("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"))
+        assert not G.touches(g("POINT (5 5)"), SQ)
+        assert not G.touches(g("POINT (1 1)"), g("POINT (1 1)"))  # point/point undefined
+
+    def test_crosses(self):
+        assert G.crosses(g("LINESTRING (-5 5, 15 5)"), SQ)
+        assert not G.crosses(g("LINESTRING (1 1, 2 2)"), SQ)  # within, not cross
+        assert G.crosses(g("LINESTRING (0 0, 10 10)"), g("LINESTRING (0 10, 10 0)"))
+        assert not G.crosses(
+            g("LINESTRING (0 0, 10 10)"), g("LINESTRING (0 0, 10 10)")
+        )
+        assert not G.crosses(SQ, SQ)
+
+    def test_overlaps(self):
+        assert G.overlaps(SQ, g("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"))
+        assert not G.overlaps(SQ, g("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"))
+        assert not G.overlaps(SQ, g("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"))
+        assert G.overlaps(
+            g("MULTIPOINT ((1 1), (2 2))"), g("MULTIPOINT ((2 2), (3 3))")
+        )
+        assert not G.overlaps(SQ, g("LINESTRING (0 0, 5 5)"))  # mixed dims
+
+
+def test_sql_resolver_relate(spark):
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    ssql = SpatialSQL(spark)
+    ssql.register_geoparquet(
+        "polyt", "/root/reference/data/data-polygon-encoding_native.parquet"
+    )
+    rows = ssql.sql(
+        "SELECT col, ST_Touches(geometry, geometry) AS t, "
+        "ST_Overlaps(geometry, geometry) AS o, "
+        "ST_Area(ST_Intersection(geometry, geometry)) AS a "
+        "FROM polyt ORDER BY col"
+    ).collect()
+    assert rows[0].t is False  # self-touch is false (interiors meet)
+    assert rows[0].o is False  # equal, not overlapping
+    assert rows[0].a == 550.0  # self-intersection area == area
+
+
+def test_bucketed_write_and_shuffle_free_join(spark, sf_dir, tmp_path):
+    from datafusion_spatial_spark.operators import storage
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    storage.write_bucketed(
+        orders, "orders_b", ["o_custkey"], num_buckets=8,
+        path=str(tmp_path / "orders_b"),
+    )
+    storage.write_bucketed(
+        cust, "cust_b", ["o_custkey"], num_buckets=8,
+        path=str(tmp_path / "cust_b"),
+    )
+    assert storage.bucketed_join_is_shuffle_free(
+        spark, "orders_b", "cust_b", "o_custkey"
+    )
+    # sanity: same sort-merge join on the raw (unbucketed) frames shuffles
+    raw = orders.hint("merge").join(cust, "o_custkey")
+    raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in raw_plan
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from datafusion_spatial_spark.operators import storage
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    out = str(tmp_path / "orders_part")
+    storage.write_partitioned(orders, out, ["status"])
+    df = spark.read.parquet(out).filter(F.col("status") == "O")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(status" in plan or "status#" in plan
+    assert df.count() == orders.filter(F.col("o_orderstatus") == "O").count()
+
+
+def test_lakehouse_gating(spark):
+    from datafusion_spatial_spark.sources import lakehouse
+
+    with pytest.raises(NotImplementedError, match="delta"):
+        lakehouse.read_table(spark, "delta", "/tmp/nope")

@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the WKB/WKT codec and geometry
+kernels — exceeding the reference's test surface (SURVEY §5: the reference
+only has 6 exact-string WKT unit tests)."""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datafusion_spatial_spark import geom_ops as G
+from datafusion_spatial_spark import wkb
+
+coord = st.tuples(
+    st.floats(-1e6, 1e6, allow_nan=False).map(lambda v: round(v, 6)),
+    st.floats(-1e6, 1e6, allow_nan=False).map(lambda v: round(v, 6)),
+)
+
+
+def ring(min_size=4):
+    return st.lists(coord, min_size=min_size - 1, max_size=8).map(
+        lambda pts: pts + [pts[0]]
+    )
+
+
+geoms = st.one_of(
+    coord.map(lambda c: wkb.Geom("Point", c)),
+    st.lists(coord, min_size=2, max_size=10).map(
+        lambda c: wkb.Geom("LineString", c)
+    ),
+    st.lists(coord, min_size=1, max_size=6).map(
+        lambda c: wkb.Geom("MultiPoint", c)
+    ),
+    st.lists(ring(), min_size=1, max_size=3).map(
+        lambda rs: wkb.Geom("Polygon", rs)
+    ),
+    st.lists(st.lists(coord, min_size=2, max_size=6), min_size=1, max_size=3).map(
+        lambda ls: wkb.Geom("MultiLineString", ls)
+    ),
+    st.lists(st.lists(ring(), min_size=1, max_size=2), min_size=1, max_size=2).map(
+        lambda ps: wkb.Geom("MultiPolygon", ps)
+    ),
+)
+
+
+@given(geoms)
+@settings(max_examples=200, deadline=None)
+def test_wkb_roundtrip(g):
+    g2 = wkb.loads(wkb.dumps(g))
+    assert g2.type_name == g.type_name
+    assert wkb.to_wkt(g2) == wkb.to_wkt(g)
+
+
+@given(geoms)
+@settings(max_examples=200, deadline=None)
+def test_wkt_roundtrip(g):
+    text = wkb.to_wkt(g)
+    g2 = wkb.from_wkt(text)
+    assert wkb.to_wkt(g2) == text
+
+
+@given(geoms)
+@settings(max_examples=100, deadline=None)
+def test_bbox_contains_all_coords(g):
+    b = wkb.bbox(g)
+    assert b is not None
+    xmin, ymin, xmax, ymax = b
+    for p in G._all_coords(g):
+        assert xmin <= p[0] <= xmax
+        assert ymin <= p[1] <= ymax
+
+
+@given(geoms)
+@settings(max_examples=100, deadline=None)
+def test_convex_hull_contains_input(g):
+    hull = G.convex_hull(g)
+    if hull.type_name != "Polygon":
+        return
+    hb = wkb.bbox(hull)
+    gb = wkb.bbox(g)
+    # hull bbox == input bbox (hull spans the extremes)
+    assert all(abs(a - b) < 1e-6 for a, b in zip(hb, gb))
+    for p in G._all_coords(g):
+        assert G.polygon_contains_point(hull.coords, p[0], p[1]) > 0
+
+
+@given(st.lists(coord, min_size=2, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_distance_symmetry(pts):
+    half = len(pts) // 2 or 1
+    a = wkb.Geom("MultiPoint", pts[:half])
+    b = wkb.Geom("MultiPoint", pts[half:] or pts[:1])
+    d1, d2 = G.distance(a, b), G.distance(b, a)
+    assert d1 is not None and abs(d1 - d2) < 1e-9
+    assert d1 >= 0
+
+
+@given(geoms)
+@settings(max_examples=100, deadline=None)
+def test_envelope_ring_closed_and_ccw(g):
+    r = wkb.envelope_ring(g)
+    assert len(r) == 5 and r[0] == r[-1]
+    area2 = sum(
+        r[i][0] * r[i + 1][1] - r[i + 1][0] * r[i][1] for i in range(4)
+    )
+    assert area2 >= 0  # CCW or degenerate
