@@ -69,17 +69,20 @@ def fmt_coord_num(c: Column) -> Column:
     )
 
 
-def _coord_txt(c: Column) -> Column:
-    return F.concat(fmt_coord_num(c["x"]), F.lit(" "), fmt_coord_num(c["y"]))
+def _coord_txt(c: Column, has_z: bool = False) -> Column:
+    parts = [fmt_coord_num(c["x"]), F.lit(" "), fmt_coord_num(c["y"])]
+    if has_z:
+        parts += [F.lit(" "), fmt_coord_num(c["z"])]
+    return F.concat(*parts)
 
 
-def _seq_txt(arr: Column) -> Column:
+def _seq_txt(arr: Column, has_z: bool = False) -> Column:
     """array<coord> -> "x y, x y, ..." """
-    return F.array_join(F.transform(arr, _coord_txt), ", ")
+    return F.array_join(F.transform(arr, lambda c: _coord_txt(c, has_z)), ", ")
 
 
-def _ring_txt(arr: Column) -> Column:
-    return F.concat(F.lit("("), _seq_txt(arr), F.lit(")"))
+def _ring_txt(arr: Column, has_z: bool = False) -> Column:
+    return F.concat(F.lit("("), _seq_txt(arr, has_z), F.lit(")"))
 
 
 # ---------------------------------------------------------------------------
@@ -122,7 +125,12 @@ def st_geometrytype(col: Column | str, meta: GeometryMeta) -> Column:
     col = _c(col)
     if meta.is_wkb:
         return _wkb_geometrytype_udf(col)
-    name = "ST_" + meta.native_type.replace(" ", "")
+    # metadata-supplied name, Z suffix included — "ST_" + type.replace(' ','')
+    # exactly as the reference formats it (geometry_type.rs:94-110)
+    tname = meta.geometry_type
+    if tname in ("Unknown", "Mixed"):
+        tname = meta.native_type
+    name = "ST_" + tname.replace(" ", "")
     return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(F.lit(name))
 
 
@@ -149,20 +157,22 @@ def st_astext(col: Column | str, meta: GeometryMeta) -> Column:
     if meta.is_wkb:
         return _wkb_astext_udf(col)
     t = meta.native_type
-    upper = t.upper()
+    z = meta.has_z
+    ztok = " Z" if z else ""
+    upper = t.upper() + ztok
     empty = F.lit(f"{upper} EMPTY")
     if t == "Point":
-        body = F.concat(F.lit("POINT ("), _coord_txt(col), F.lit(")"))
+        body = F.concat(F.lit(f"POINT{ztok} ("), _coord_txt(col, z), F.lit(")"))
     elif t in ("LineString",):
-        body = F.concat(F.lit(f"{upper} ("), _seq_txt(col), F.lit(")"))
+        body = F.concat(F.lit(f"{upper} ("), _seq_txt(col, z), F.lit(")"))
     elif t == "MultiPoint":
         # parenthesized members: MULTIPOINT ((30 10), (10 40))
         body = F.concat(
-            F.lit("MULTIPOINT ("),
+            F.lit(f"MULTIPOINT{ztok} ("),
             F.array_join(
                 F.transform(
                     col,
-                    lambda p: F.concat(F.lit("("), _coord_txt(p), F.lit(")")),
+                    lambda p: F.concat(F.lit("("), _coord_txt(p, z), F.lit(")")),
                 ),
                 ", ",
             ),
@@ -171,15 +181,17 @@ def st_astext(col: Column | str, meta: GeometryMeta) -> Column:
     elif t in ("Polygon", "MultiLineString"):
         body = F.concat(
             F.lit(f"{upper} ("),
-            F.array_join(F.transform(col, _ring_txt), ", "),
+            F.array_join(F.transform(col, lambda r: _ring_txt(r, z)), ", "),
             F.lit(")"),
         )
     elif t == "MultiPolygon":
         poly_txt = lambda poly: F.concat(  # noqa: E731
-            F.lit("("), F.array_join(F.transform(poly, _ring_txt), ", "), F.lit(")")
+            F.lit("("),
+            F.array_join(F.transform(poly, lambda r: _ring_txt(r, z)), ", "),
+            F.lit(")"),
         )
         body = F.concat(
-            F.lit("MULTIPOLYGON ("),
+            F.lit(f"MULTIPOLYGON{ztok} ("),
             F.array_join(F.transform(col, poly_txt), ", "),
             F.lit(")"),
         )

@@ -89,6 +89,12 @@ class GeometryMeta:
         """For native encodings, the shape name implied by the encoding."""
         return NATIVE_ENCODINGS.get(self.encoding.lower(), self.geometry_type)
 
+    @property
+    def has_z(self) -> bool:
+        """True when the declared geometry types are Z variants ("Point Z"
+        etc. — the reference's 14-type taxonomy, src/helpers.rs:117-132)."""
+        return any(t.rstrip().endswith("Z") for t in self.geometry_types)
+
     def to_dict(self) -> dict:
         d: dict = {
             "encoding": self.encoding,
@@ -157,9 +163,10 @@ def sniff_meta(dt: T.DataType) -> GeometryMeta:
         by_depth = {0: "point", 1: "linestring", 2: "polygon", 3: "multipolygon"}
         if depth in by_depth:
             enc = by_depth[depth]
-            return GeometryMeta(
-                encoding=enc, geometry_types=(NATIVE_ENCODINGS[enc],)
-            )
+            name = NATIVE_ENCODINGS[enc]
+            if any(f.name == "z" for f in cur.fields):
+                name += " Z"
+            return GeometryMeta(encoding=enc, geometry_types=(name,))
     raise ValueError(f"cannot infer geometry metadata from Spark type {dt}")
 
 
