@@ -351,6 +351,59 @@ GROUP BY copies ORDER BY copies
 """
 
 
+Q_QUANTILES_CORE = """
+SELECT o_orderstatus AS status,
+       round({p50}, 4) AS p50,
+       round({p90}, 4) AS p90,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY status
+"""
+
+Q_STRING_FUNCS_SQL = """
+SELECT c_custkey AS custkey,
+       upper(c_name) AS upname,
+       substr(c_name, 1, 9) AS prefix,
+       length(c_name) AS name_len,
+       replace(c_mktsegment, 'A', '_') AS seg_repl,
+       concat_ws('|', c_mktsegment, {tostr}) AS joined
+FROM customer
+ORDER BY custkey
+"""
+
+Q_DATE_ARITH_CORE = """
+SELECT year(o_orderdate) AS yr,
+       round(avg({days_since}), 4) AS avg_days_since_95,
+       count(*) AS n
+FROM orders
+GROUP BY year(o_orderdate)
+ORDER BY yr
+"""
+
+Q_LAG_CORE = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       {gap} AS gap_days
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_date
+  FROM orders
+) t
+ORDER BY custkey, orderkey
+"""
+
+Q_REGR_CORE = """
+SELECT event_type,
+       round(regr_slope(value, {epoch}) * 86400, 6) AS slope_per_day,
+       round(regr_intercept(value, {epoch}), 4) AS intercept,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # dialect helpers
 
@@ -1008,6 +1061,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_status": _q_pivot_status,
         "q_asof_join": _q_asof_join,
         "q_media_dedup": _q_media_dedup,
+        "q_quantiles": _sql_query(
+            Q_QUANTILES_CORE.format(
+                p50="percentile(o_totalprice, 0.5)",
+                p90="percentile(o_totalprice, 0.9)",
+            ),
+            ("orders",),
+        ),
+        "q_string_funcs": _sql_query(
+            Q_STRING_FUNCS_SQL.format(tostr="cast(c_nationkey AS STRING)"),
+            ("customer",),
+        ),
+        "q_date_arith": _sql_query(
+            Q_DATE_ARITH_CORE.format(
+                days_since="datediff(o_orderdate, TIMESTAMP '1995-01-01')"
+            ),
+            ("orders",),
+        ),
+        "q_window_lag": _sql_query(
+            Q_LAG_CORE.format(
+                gap="CASE WHEN prev_date IS NULL THEN NULL "
+                "ELSE cast(datediff(o_orderdate, prev_date) AS BIGINT) END"
+            ),
+            ("orders",),
+        ),
+        "q_regression": _sql_query(
+            Q_REGR_CORE.format(epoch="(unix_timestamp(ts) - 1704067200)"),
+            ("events",),
+        ),
     }
     spatial = {
         "q_st_extent_customers": _q_st_extent_customers,
@@ -1066,6 +1147,23 @@ def oracle_sql() -> dict[str, str]:
         "q_pivot_status": _Q_PIVOT_ORACLE,
         "q_asof_join": _Q_ASOF_ORACLE,
         "q_media_dedup": _Q_MEDIA_DEDUP_ORACLE,
+        "q_quantiles": Q_QUANTILES_CORE.format(
+            p50="quantile_cont(o_totalprice, 0.5)",
+            p90="quantile_cont(o_totalprice, 0.9)",
+        ),
+        "q_string_funcs": Q_STRING_FUNCS_SQL.format(
+            tostr="cast(c_nationkey AS VARCHAR)"
+        ),
+        "q_date_arith": Q_DATE_ARITH_CORE.format(
+            days_since="date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)"
+        ),
+        "q_window_lag": Q_LAG_CORE.format(
+            gap="CASE WHEN prev_date IS NULL THEN NULL "
+            "ELSE cast(date_diff('day', prev_date, o_orderdate) AS BIGINT) END"
+        ),
+        "q_regression": Q_REGR_CORE.format(
+            epoch="(date_part('epoch', ts) - 1704067200)"
+        ),
         "q_st_extent_customers": _Q_ST_EXTENT_ORACLE,
         "q_st_astext_suppliers": _Q_ST_ASTEXT_ORACLE,
         "q_st_envelope_by_nation": _Q_ST_ENVELOPE_ORACLE,

@@ -30,6 +30,7 @@ def bench_queries():
     import __spark_entry__ as entry_mod
     from pyspark.sql import functions as F
     from datafusion_spatial_spark.operators.dedup import minhash_lsh_dedup_pairs
+    from datafusion_spatial_spark.operators.multimodal import with_media_features
     from datafusion_spatial_spark.operators.text import text_stats
     from datafusion_spatial_spark.sources.tables import load_table
 
@@ -46,6 +47,16 @@ def bench_queries():
         docs = load_table(spark, sf_dir, "documents")
         return text_stats(docs, "text", "doc_id")
 
+    def media_features(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        media = docs.select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("media")
+        )
+        feat = with_media_features(media, "media", n_features=8)
+        return feat.select(
+            "doc_id", F.aggregate("features", F.lit(0.0), lambda a, x: a + x).alias("s")
+        )
+
     return {
         "q01_pricing_summary": q["q01_pricing_summary"],
         "q05_region_revenue": q["q05_region_revenue"],
@@ -56,6 +67,9 @@ def bench_queries():
         "q_minhash_lsh_dedup": minhash_fast,
         "q_cosine_topk": q["q_cosine_topk"],
         "q_text_stats": text_stats_fast,
+        "q_spatial_dwithin_join": q["q_spatial_dwithin_join"],
+        "q_asof_join": q["q_asof_join"],
+        "q_media_features": media_features,
     }
 
 

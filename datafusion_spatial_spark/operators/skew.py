@@ -1,0 +1,61 @@
+"""Skew-mitigation operators: salting for hot keys.
+
+AQE's skew-join splitting handles most cases at runtime; these helpers cover
+the two shapes AQE can't fix: (a) a single hot *aggregation* key whose
+map-side combine still funnels one partition, and (b) a broadcast-infeasible
+join against a dimension where a handful of keys dominate. Both are the
+standard two-phase salt/unsalt rewrites, pure Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count_sum(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase groupBy for count/sum aggregates under key skew: phase 1
+    groups on (keys, salt) — spreading a hot key over ``salt_buckets``
+    reducers — phase 2 merges the partials. Result ≡ plain groupBy."""
+    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("__salt")
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.count("*").alias("__cnt"),
+            *[F.sum(c).alias(f"__sum_{c}") for c in sum_cols],
+        )
+    )
+    return (
+        phase1.groupBy(*keys)
+        .agg(
+            F.sum("__cnt").alias("count"),
+            *[F.sum(f"__sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        )
+    )
+
+
+def salted_join_skewed_left(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join where ``left`` has hot keys and ``right`` is too large to
+    broadcast: salt the left key, explode the right side ``salt_buckets``×
+    (one replica per salt), join on (key, salt). The hot key's rows spread
+    over ``salt_buckets`` tasks instead of one."""
+    l = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    r = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    out = l.join(r, [on, "__salt"])
+    return out.drop("__salt")

@@ -102,3 +102,7 @@ def write_geoparquet(
         md = dict(tbl.schema.metadata or {})
         md[b"geo"] = geo_json.encode()
         pq.write_table(tbl.replace_schema_metadata(md), f)
+        # drop Spark's .crc sidecar — the rewrite invalidates its checksum
+        crc = os.path.join(path, f".{os.path.basename(f)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
