@@ -239,3 +239,29 @@ st_symdifference = _binary_constructive(geom_ops.sym_difference)
 st_touches = _binary_predicate(geom_ops.touches)
 st_crosses = _binary_predicate(geom_ops.crosses)
 st_overlaps = _binary_predicate(geom_ops.overlaps)
+
+
+def st_relate(
+    a: Column | str,
+    b: Column | str,
+    pattern: str,
+    meta_a: GeometryMeta,
+    meta_b: GeometryMeta,
+) -> Column:
+    """DE-9IM boolean pattern match (T/F/* cells; explicit-dimension
+    patterns raise — see geom_ops.relate_pattern)."""
+    ca, cb = _converter(meta_a), _converter(meta_b)
+
+    @F.pandas_udf(T.BooleanType())
+    def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for va, vb in zip(sa, sb):
+            ga, gb = ca(va), cb(vb)
+            out.append(
+                None
+                if ga is None or gb is None
+                else geom_ops.relate_pattern(ga, gb, pattern)
+            )
+        return pd.Series(out, dtype="object")
+
+    return udf(_prep(a, meta_a), _prep(b, meta_b))

@@ -1056,3 +1056,147 @@ def representative_point(rings) -> tuple[float, float] | None:
                 if polygon_contains_point(rings, mid[0], mid[1]) == 2:
                     return mid
     return None
+
+
+# ---------------------------------------------------------------------------
+# DE-9IM pattern matching (reference README.md:26 ST_Relate)
+#
+# The boolean form: each DE-9IM cell is computed as intersects/not between
+# the interior/boundary/exterior decompositions. Patterns may use
+# 'T' (intersects), 'F' (does not), '*' (don't care). Explicit dimension
+# symbols (0/1/2) are not supported — computing intersection *dimensions*
+# needs the full overlay kernel; a pattern containing them raises.
+
+
+def _boundary_geom(geom: Geom) -> Geom:
+    return boundary(geom)
+
+
+def _geom_dim(geom: Geom) -> int:
+    return {"Point": 0, "MultiPoint": 0, "LineString": 1, "MultiLineString": 1,
+            "Polygon": 2, "MultiPolygon": 2, "GeometryCollection": 2}[geom.type_name]
+
+
+def _boundary_intersects_interior(bd: Geom, other: Geom) -> bool:
+    """Does geometry ``bd`` (a boundary: points or lines) meet the INTERIOR
+    of ``other``?"""
+    if bd.is_empty or not bd.coords and bd.type_name != "Point":
+        return False
+    opolys = list(_polygons(other))
+    if opolys:
+        for p in _points(bd):
+            if any(polygon_contains_point(r, p[0], p[1]) == 2 for r in opolys):
+                return True
+        lines = []
+        if bd.type_name == "LineString":
+            lines = [bd.coords]
+        elif bd.type_name == "MultiLineString":
+            lines = list(bd.coords)
+        for line in lines:
+            if _clip_line_by_polygon(line, other, keep_inside=True):
+                # clipped pieces may lie ON the boundary; check a midpoint
+                for piece in _clip_line_by_polygon(line, other, keep_inside=True):
+                    mid = piece[len(piece) // 2]
+                    m2 = ((piece[0][0] + piece[1][0]) / 2, (piece[0][1] + piece[1][1]) / 2)
+                    for probe in (mid, m2):
+                        if any(
+                            polygon_contains_point(r, probe[0], probe[1]) == 2
+                            for r in opolys
+                        ):
+                            return True
+        return False
+    if other.type_name in ("LineString", "MultiLineString"):
+        obd = {(p[0], p[1]) for p in _points(_boundary_geom(other))}
+        for p in _points(bd):
+            if (p[0], p[1]) in obd:
+                continue
+            if any(_on_segment(p[0], p[1], *s[0], *s[1]) for s in _segments(other)):
+                return True
+        # boundary lines (from polygons) crossing the line's interior
+        for sa in _segments(bd):
+            for sb in _segments(other):
+                if seg_intersects(*sa, *sb):
+                    return True
+        return False
+    # other is points: its interior is the points themselves
+    opts = {(p[0], p[1]) for p in _points(other)}
+    for p in _points(bd):
+        if (p[0], p[1]) in opts:
+            return True
+    for s in _segments(bd):
+        for q in opts:
+            if _on_segment(q[0], q[1], *s[0], *s[1]):
+                return True
+    return False
+
+
+def _boundaries_intersect(a: Geom, b: Geom) -> bool:
+    ba, bb = _boundary_geom(a), _boundary_geom(b)
+    if (ba.type_name == "GeometryCollection" and not ba.coords) or (
+        bb.type_name == "GeometryCollection" and not bb.coords
+    ):
+        return False
+    if not ba.coords or not bb.coords:
+        return False
+    return intersects(ba, bb)
+
+
+def _exterior_reachable(a: Geom, b: Geom) -> bool:
+    """Does ``a`` have a point in the EXTERIOR of ``b``? (≈ not within)"""
+    if a.is_empty:
+        return False
+    bpolys = list(_polygons(b))
+    if bpolys:
+        for p in _all_coords(a):
+            if all(polygon_contains_point(r, p[0], p[1]) == 0 for r in bpolys):
+                return True
+        for s in _segments(a):
+            m = ((s[0][0] + s[1][0]) / 2, (s[0][1] + s[1][1]) / 2)
+            if all(polygon_contains_point(r, m[0], m[1]) == 0 for r in bpolys):
+                return True
+        return False
+    # b is lines/points: anything not exactly on b is exterior
+    return not contains(b, a)
+
+
+def relate_pattern(a: Geom, b: Geom, pattern: str) -> bool:
+    """DE-9IM boolean pattern match ('T'/'F'/'*' cells, row-major
+    II IB IE / BI BB BE / EI EB EE)."""
+    pattern = pattern.replace(" ", "")
+    if len(pattern) != 9:
+        raise ValueError("DE-9IM pattern must have 9 cells")
+    if any(ch in "012" for ch in pattern):
+        raise NotImplementedError(
+            "explicit-dimension DE-9IM patterns (0/1/2) require the full "
+            "overlay kernel; use T/F/* patterns"
+        )
+    ba, bb = _boundary_geom(a), _boundary_geom(b)
+
+    def cell(idx: int) -> bool:
+        if idx == 0:  # II
+            return _interiors_intersect(a, b)
+        if idx == 1:  # IB
+            return _boundary_intersects_interior(bb, a)
+        if idx == 2:  # IE
+            return _exterior_reachable(a, b)
+        if idx == 3:  # BI
+            return _boundary_intersects_interior(ba, b)
+        if idx == 4:  # BB
+            return _boundaries_intersect(a, b)
+        if idx == 5:  # BE
+            return bool(ba.coords) and _exterior_reachable(ba, b)
+        if idx == 6:  # EI
+            return _exterior_reachable(b, a)
+        if idx == 7:  # EB
+            return bool(bb.coords) and _exterior_reachable(bb, a)
+        return True  # EE — exteriors always meet for bounded geometries
+
+    for i, ch in enumerate(pattern):
+        if ch == "*":
+            continue
+        v = cell(i)
+        if ch == "T" and not v:
+            return False
+        if ch == "F" and v:
+            return False
+    return True

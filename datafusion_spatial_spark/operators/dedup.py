@@ -315,3 +315,91 @@ def simhash(
         lambda acc, x: acc + x,
     )
     return df.select(F.col(id_col), value.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters → canonical survivors
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a similarity-pair edge list via min-label
+    propagation: every node repeatedly adopts the smallest label among
+    itself and its neighbors until fixpoint. Returns (id, component).
+
+    Scale shape: each iteration is one self-join + groupBy-min on the edge
+    list (shuffle on node id); converges in O(diameter) iterations — near-dup
+    graphs are shallow (dup clusters are cliques from LSH buckets), so this
+    terminates in 2-3 rounds in practice. Caching the label frame between
+    iterations keeps lineage bounded.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """End-to-end near-dup removal: MinHash-LSH pairs → connected components
+    → keep the minimum-id document of every duplicate cluster. Returns the
+    deduplicated DataFrame (all original columns)."""
+    pairs = minhash_lsh_dedup_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_k,
+        jaccard_threshold, hash_fn,
+    )
+    comp = connected_components(pairs)
+    losers = (
+        comp.filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -168,3 +168,31 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, b"v", 3500)], "id long, media binary, duration_ms int")
     out = multimodal.frame_sample_plan(df, "media", "id", every_ms=1000).collect()
     assert [r.sample_ms for r in out] == [0, 1000, 2000, 3000]
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[8] == comp[9] == comp[10] == 8
+
+
+def test_dedup_corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),   # dup of 1
+        (3, "the quick brown fox jumps over the lazy dog today !"), # near-dup chain
+        (4, "completely different content about spark query engines"),
+        (5, "another unrelated piece of text entirely here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.dedup_corpus(
+        df, "text", "doc_id", num_hashes=16, bands=8, shingle_k=2,
+        jaccard_threshold=0.6,
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 4, 5]

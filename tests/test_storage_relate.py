@@ -101,3 +101,47 @@ def test_lakehouse_gating(spark):
 
     with pytest.raises(NotImplementedError, match="delta"):
         lakehouse.read_table(spark, "delta", "/tmp/nope")
+
+
+class TestDE9IM:
+    def test_relate_patterns(self):
+        inner = g("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+        adj = g("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))")
+        far = g("POLYGON ((50 50, 60 50, 60 60, 50 60, 50 50))")
+        # within: T*F**F***
+        assert G.relate_pattern(inner, SQ, "T*F**F***")
+        assert not G.relate_pattern(SQ, inner, "T*F**F***")
+        # contains: T*****FF*
+        assert G.relate_pattern(SQ, inner, "T*****FF*")
+        # touches (area/area): F***T****
+        assert G.relate_pattern(SQ, adj, "F***T****")
+        # disjoint: FF*FF****
+        assert G.relate_pattern(SQ, far, "FF*FF****")
+        assert not G.relate_pattern(SQ, inner, "FF*FF****")
+        # equals: T*F**FFF*
+        assert G.relate_pattern(SQ, g("POLYGON ((10 0, 10 10, 0 10, 0 0, 10 0))"), "T*F**FFF*")
+
+    def test_relate_line_polygon(self):
+        crossing = g("LINESTRING (-5 5, 15 5)")
+        # crosses (line/area): T*T******
+        assert G.relate_pattern(crossing, SQ, "T*T******")
+        inside = g("LINESTRING (1 1, 2 2)")
+        assert G.relate_pattern(inside, SQ, "T*F**F***")  # within
+
+    def test_relate_dimension_pattern_raises(self):
+        with pytest.raises(NotImplementedError):
+            G.relate_pattern(SQ, SQ, "2FFF1FFF2")
+
+    def test_relate_spark_udf(self, spark):
+        from datafusion_spatial_spark.functions.predicates import st_relate
+        from datafusion_spatial_spark.functions.scalar import st_geomfromtext
+        from datafusion_spatial_spark.meta import GeometryMeta
+
+        W = GeometryMeta(encoding="WKB")
+        df = spark.createDataFrame(
+            [(1, "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))",
+              "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")],
+            "id long, wa string, wb string",
+        ).select("id", st_geomfromtext("wa").alias("a"), st_geomfromtext("wb").alias("b"))
+        row = df.select(st_relate("a", "b", "T*F**F***", W, W).alias("within")).collect()[0]
+        assert row.within is True
