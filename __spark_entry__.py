@@ -395,7 +395,7 @@ ORDER BY custkey, orderkey
 
 Q_REGR_CORE = """
 SELECT event_type,
-       round(regr_slope(value, {epoch}) * 86400, 6) AS slope_per_day,
+       round(regr_slope(value, {epoch}) * 86400, 4) AS slope_per_day,
        round(regr_intercept(value, {epoch}), 4) AS intercept,
        count(*) AS n
 FROM events
@@ -1102,7 +1102,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_st_distance_topk": _q_st_distance_topk,
         "q_spatial_dwithin_join": _q_spatial_dwithin_join,
     }
+    # rows-only entries (no SQL-expressible oracle: iterative algorithms /
+    # ML-state / streaming — the driver records a weaker rows-only check)
+    def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from datafusion_spatial_spark.operators.dedup import dedup_corpus
+
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup_corpus(docs, "text", "doc_id", jaccard_threshold=JACCARD_T)
+
+    def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from datafusion_spatial_spark.operators.simsearch import ivf_index, ivf_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+        ]
+        assigned, centroids = ivf_index(emb, "embedding", "vec_id", n_lists=8)
+        out = ivf_topk(assigned, centroids, "embedding", "vec_id", qvec, k=10, nprobe=3)
+        return out.select("vec_id", F.round("score", 6).alias("score"))
+
+    def _q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from datafusion_spatial_spark.streaming import ops as stream_ops
+
+        s = stream_ops.stream_events(spark, sf_dir)
+        name = stream_ops.run_to_memory(
+            stream_ops.windowed_counts(s, window="1 hour"), "q_stream_hourly_out"
+        )
+        out = spark.table(name)
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type", "n", "total_value",
+        ).orderBy("hour", "event_type")
+
     ext = {
+        "q_dedup_corpus": _q_dedup_corpus,
+        "q_ivf_ann_topk": _q_ivf_ann_topk,
+        "q_stream_hourly": _q_stream_hourly,
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard_pairs": _q_ngram_jaccard,
         "q_minhash_lsh_pairs": _q_minhash_lsh,

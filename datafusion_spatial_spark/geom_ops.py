@@ -746,10 +746,9 @@ def intersection(a: Geom, b: Geom) -> Geom:
             return a
         clip, subject = (b, a) if _is_convex_polygon(b) else (a, b)
         if not _is_convex_polygon(clip):
-            raise NotImplementedError(
-                "polygon∩polygon requires one convex operand (general "
-                "concave-concave overlay not implemented)"
-            )
+            # concave×concave: Greiner–Hormann general overlay (single
+            # hole-free rings; degeneracies raise)
+            return _gh_binary(a, b, "intersection")
         clip_ring = _ensure_ccw(list(_polygons(clip))[0][0])
         out_polys = []
         for rings in _polygons(subject):
@@ -809,9 +808,11 @@ def difference(a: Geom, b: Geom) -> Geom:
         return Geom("GeometryCollection", [])
     if not intersects(a, b):
         return a
+    if list(_polygons(a)) and list(_polygons(b)):
+        return _gh_binary(a, b, "difference")
     raise NotImplementedError(
         f"difference({a.type_name}, {b.type_name}) with partial overlap "
-        "not implemented (needs general polygon overlay)"
+        "not implemented"
     )
 
 
@@ -839,20 +840,27 @@ def union(a: Geom, b: Geom) -> Geom:
             sb = [b.coords] if b.type_name == "LineString" else list(b.coords)
             return Geom("MultiLineString", sa + sb)
         return Geom("GeometryCollection", [a, b])
+    if list(_polygons(a)) and list(_polygons(b)):
+        return _gh_binary(a, b, "union")
     raise NotImplementedError(
         f"union({a.type_name}, {b.type_name}) with partial overlap not "
-        "implemented (needs general polygon overlay)"
+        "implemented"
     )
 
 
 def sym_difference(a: Geom, b: Geom) -> Geom:
-    """(a − b) ∪ (b − a), within the same support envelope."""
+    """(a − b) ∪ (b − a). The two differences have disjoint interiors by
+    construction, so polygonal results combine directly as a MultiPolygon —
+    no second overlay needed."""
     da = difference(a, b)
     db = difference(b, a)
     if da.is_empty:
         return db
     if db.is_empty:
         return da
+    pa, pb = list(_polygons(da)), list(_polygons(db))
+    if pa and pb:
+        return Geom("MultiPolygon", pa + pb)
     return union(da, db)
 
 
@@ -1200,3 +1208,30 @@ def relate_pattern(a: Geom, b: Geom, pattern: str) -> bool:
         if ch == "F" and v:
             return False
     return True
+
+
+def _gh_binary(a: Geom, b: Geom, op: str) -> Geom:
+    """Greiner–Hormann overlay bridge for single hole-free polygon rings.
+    Falls back to NotImplementedError on holes/multi-rings/degeneracies."""
+    from datafusion_spatial_spark.overlay import OverlayDegeneracyError, overlay
+
+    pa, pb = list(_polygons(a)), list(_polygons(b))
+    if len(pa) != 1 or len(pb) != 1 or len(pa[0]) != 1 or len(pb[0]) != 1:
+        raise NotImplementedError(
+            f"{op} of multi-ring/holed concave polygons not implemented"
+        )
+    try:
+        polys = overlay(
+            [(p[0], p[1]) for p in pa[0][0]],
+            [(p[0], p[1]) for p in pb[0][0]],
+            op,
+        )
+    except OverlayDegeneracyError as e:
+        raise NotImplementedError(
+            f"{op} degenerate configuration unsupported: {e}"
+        ) from None
+    if not polys:
+        return Geom("GeometryCollection", [])
+    if len(polys) == 1:
+        return Geom("Polygon", polys[0])
+    return Geom("MultiPolygon", polys)

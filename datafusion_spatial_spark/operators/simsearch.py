@@ -149,3 +149,68 @@ def lsh_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search
+
+
+def ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Build an IVF index: k-means centroids (Spark ML, distributed) and the
+    corpus tagged with its nearest-centroid list id.
+
+    Returns (assigned_df, centroids) where ``assigned_df`` = df columns +
+    ``list_id`` and ``centroids`` = [[float,...], ...]. At scale, write
+    ``assigned_df`` partitioned by ``list_id`` so a probe reads only
+    nprobe/n_lists of the data (partition pruning).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn("__features", array_to_vector(_vec(vec_col)))
+    model = KMeans(
+        k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__features",
+        predictionCol="list_id",
+    ).fit(feat)
+    assigned = model.transform(feat).drop("__features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k: rank centroids by cosine to the query driver-side (tiny),
+    scan only the ``nprobe`` nearest lists, exact cosine rerank. The
+    ``list_id`` filter is the IVF pruning step — with list-partitioned
+    storage it becomes partition pruning instead of a filter."""
+    import math as _m
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = _m.sqrt(sum(x * x for x in a)) or 1.0
+        nb = _m.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    ranked = sorted(range(len(centroids)), key=lambda i: -cos(query, centroids[i]))
+    probes = ranked[: max(1, nprobe)]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    cand = assigned.filter(F.col("list_id").isin(probes))
+    return (
+        cand.select(F.col(id_col), cosine(_vec(vec_col), q).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

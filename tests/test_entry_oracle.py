@@ -55,7 +55,12 @@ QUERIES = sorted(entry_mod.queries().keys())
 @pytest.mark.parametrize("name", QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
-    oracle = entry_mod.oracle_sql()[name]
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        # rows-only contract (non-SQL-expressible op): smoke-run ≥1 row
+        rows = q(spark, SF_DIR).collect()
+        assert len(rows) >= 1
+        return
     sdf = q(spark, SF_DIR)
     srows_raw = sdf.collect()
     scols = sdf.columns

@@ -196,3 +196,19 @@ def test_dedup_corpus(spark):
     )
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == [1, 4, 5]
+
+
+def test_ivf_ann_recall(spark, emb):
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = list(qrow.embedding)
+    exact = [r.vec_id for r in simsearch.cosine_topk(emb, "embedding", "vec_id", q, k=5).collect()]
+    assigned, centroids = simsearch.ivf_index(emb, "embedding", "vec_id", n_lists=8)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    approx = [
+        r.vec_id
+        for r in simsearch.ivf_topk(
+            assigned, centroids, "embedding", "vec_id", q, k=5, nprobe=3
+        ).collect()
+    ]
+    assert approx[0] == 0  # query vector found
+    assert len(set(exact) & set(approx)) >= 2  # decent recall at nprobe=3/8

@@ -50,11 +50,16 @@ class TestIntersection:
             G.intersection(SQUARE, inner)
         ) == G.area(inner)
 
-    def test_concave_concave_raises(self):
+    def test_concave_concave_overlay(self):
         concave = g("POLYGON ((0 0, 10 0, 10 10, 5 5, 0 10, 0 0))")
         other = g("POLYGON ((-1 -1, 11 -1, 11 4, 5 2, -1 4, -1 -1))")
-        with pytest.raises(NotImplementedError):
-            G.intersection(concave, other)
+        inter = G.intersection(concave, other)
+        uni = G.union(concave, other)
+        # Greiner-Hormann path: area identity A + B = A∩B + A∪B
+        assert abs(
+            (G.area(concave) + G.area(other)) - (G.area(inter) + G.area(uni))
+        ) < 1e-9
+        assert 0 < G.area(inter) < min(G.area(concave), G.area(other))
 
 
 class TestDifferenceUnion:
@@ -87,10 +92,20 @@ class TestDifferenceUnion:
         )
         assert wkb.to_wkt(got) == "MULTIPOINT ((1 1), (3 3))"
 
-    def test_overlapping_polygons_raise(self):
+    def test_overlapping_polygons_overlay(self):
         other = g("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+        assert abs(G.area(G.union(SQUARE, other)) - 175.0) < 1e-9
+        assert abs(G.area(G.difference(SQUARE, other)) - 75.0) < 1e-9
+        sym = G.sym_difference(SQUARE, other)
+        assert abs(G.area(sym) - 150.0) < 1e-9
+
+    def test_degenerate_overlay_raises(self):
+        # shared-edge (vertex-on-edge) contact is degenerate for GH;
+        # adjacency is handled by touches/union-disjoint paths instead
+        notched = g("POLYGON ((0 0, 10 0, 10 4, 8 5, 10 6, 10 10, 0 10, 0 0))")
+        sharer = g("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))")
         with pytest.raises(NotImplementedError):
-            G.union(SQUARE, other)
+            G.union(notched, sharer)
 
 
 def test_spark_udf_wrappers(spark):
