@@ -351,6 +351,16 @@ GROUP BY copies ORDER BY copies
 """
 
 
+Q_CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       round(sum(l_quantity), 2) AS qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY rf, ls
+"""
+
 Q_QUANTILES_CORE = """
 SELECT o_orderstatus AS status,
        round({p50}, 4) AS p50,
@@ -1029,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_customers": _sql_query(Q_TOP_CUSTOMERS_SQL, ("customer", "orders")),
         "q_customers_no_orders": _sql_query(Q_NO_ORDERS_SQL, ("customer", "orders")),
         "q_rollup_status": _sql_query(Q_ROLLUP_SQL, ("customer", "orders")),
+        "q_cube_lineitem": _sql_query(Q_CUBE_SQL, ("lineitem",)),
         "q_monthly_revenue": _sql_query(
             Q_MONTHLY_CORE.format(month="date_format(o_orderdate, 'yyyy-MM')"),
             ("orders",),
@@ -1162,6 +1173,7 @@ def oracle_sql() -> dict[str, str]:
         "q_top_customers": Q_TOP_CUSTOMERS_SQL,
         "q_customers_no_orders": Q_NO_ORDERS_SQL,
         "q_rollup_status": Q_ROLLUP_SQL,
+        "q_cube_lineitem": Q_CUBE_SQL,
         "q_monthly_revenue": Q_MONTHLY_CORE.format(
             month="strftime(o_orderdate, '%Y-%m')"
         ),

@@ -212,3 +212,41 @@ def test_ivf_ann_recall(spark, emb):
     ]
     assert approx[0] == 0  # query vector found
     assert len(set(exact) & set(approx)) >= 2  # decent recall at nprobe=3/8
+
+
+def test_grouped_map_linear_fit(spark, sf_dir):
+    from datafusion_spatial_spark.operators.groupedmap import fit_linear_per_group
+    from datafusion_spatial_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "x", F.unix_timestamp("ts").cast("double")
+    )
+    fitted = {
+        r.event_type: (r.slope, r.n)
+        for r in fit_linear_per_group(ev, "event_type", "x", "value").collect()
+    }
+    # cross-check against Spark's built-in regr_slope
+    builtin = {
+        r.event_type: (r.s, r.n)
+        for r in ev.groupBy("event_type")
+        .agg(F.regr_slope("value", "x").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(fitted) == set(builtin)
+    for k in fitted:
+        assert fitted[k][1] == builtin[k][1]
+        assert abs(fitted[k][0] - builtin[k][0]) < 1e-12
+
+
+def test_grouped_map_normalize(spark, sf_dir):
+    from datafusion_spatial_spark.operators.groupedmap import normalize_per_group
+    from datafusion_spatial_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = normalize_per_group(ev, "event_type", "value")
+    stats = out.groupBy("event_type").agg(
+        F.round(F.avg("zscore"), 9).alias("m"),
+        F.round(F.stddev_pop("zscore"), 6).alias("s"),
+    ).collect()
+    for r in stats:
+        assert abs(r.m) < 1e-6 and abs(r.s - 1.0) < 1e-3
