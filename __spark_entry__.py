@@ -18,6 +18,11 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -668,6 +673,34 @@ ORDER BY custkey, suppkey
 """
 
 
+def _q_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the full Python WKB codec in the driver gate: build WKT
+    text from numeric columns, parse to WKB (st_geomfromtext), serialize
+    back (st_astext). The oracle builds the same WKT string directly — any
+    codec asymmetry breaks the match."""
+    from datafusion_spatial_spark.functions import st_astext, st_geomfromtext
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    sup = load_table(spark, sf_dir, "supplier")
+    wkb_meta = GeometryMeta(encoding="WKB", geometry_types=("Point",))
+    wkt_in = F.expr(
+        "concat('POINT (', "
+        f"{_FMT_SPARK.format(x='s_acctbal')}, ' ', "
+        f"{_FMT_SPARK.format(x='cast(s_suppkey AS DOUBLE)')}, ')')"
+    )
+    return sup.select(
+        F.col("s_suppkey").alias("suppkey"),
+        st_astext(st_geomfromtext(wkt_in), wkb_meta).alias("wkt"),
+    ).orderBy("suppkey")
+
+
+_Q_WKB_ROUNDTRIP_ORACLE = f"""
+SELECT s_suppkey AS suppkey,
+       {_wkt_point(_FMT_DUCK, 's_acctbal', 'cast(s_suppkey AS DOUBLE)')} AS wkt
+FROM supplier ORDER BY suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # extension: dedup / text / similarity
 
@@ -1112,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_st_contains_triangle": _q_st_contains_triangle,
         "q_st_distance_topk": _q_st_distance_topk,
         "q_spatial_dwithin_join": _q_spatial_dwithin_join,
+        "q_wkb_roundtrip": _q_wkb_roundtrip,
     }
     # rows-only entries (no SQL-expressible oracle: iterative algorithms /
     # ML-state / streaming — the driver records a weaker rows-only check)
@@ -1220,6 +1254,7 @@ def oracle_sql() -> dict[str, str]:
         "q_st_contains_triangle": _q_st_contains_triangle_oracle(),
         "q_st_distance_topk": _Q_ST_DISTANCE_ORACLE,
         "q_spatial_dwithin_join": _Q_DWITHIN_ORACLE,
+        "q_wkb_roundtrip": _Q_WKB_ROUNDTRIP_ORACLE,
         "q_dedup_exact": _Q_DEDUP_EXACT_ORACLE,
         "q_ngram_jaccard_pairs": _q_ngram_jaccard_oracle(),
         "q_minhash_lsh_pairs": _q_minhash_lsh_oracle(),

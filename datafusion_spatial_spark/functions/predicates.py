@@ -265,3 +265,35 @@ def st_relate(
         return pd.Series(out, dtype="object")
 
     return udf(_prep(a, meta_a), _prep(b, meta_b))
+
+
+def st_simplify(col: Column | str, tolerance: float, meta: GeometryMeta) -> Column:
+    """Douglas–Peucker simplification → WKB out."""
+    return _unary_constructive(
+        lambda g: geom_ops.simplify(g, tolerance)
+    )(col, meta)
+
+
+def st_lineinterpolatepoint(
+    col: Column | str, fraction: float, meta: GeometryMeta
+) -> Column:
+    """Point at ``fraction`` of a LineString's length, as a native Point
+    struct (NULL for non-lines)."""
+    conv = _converter(meta)
+    _pt = T.StructType([
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(_pt)
+    def udf(s: pd.Series) -> pd.DataFrame:
+        xs, ys = [], []
+        for v in s:
+            g = conv(v)
+            p = None if g is None else geom_ops.line_interpolate_point(g, fraction)
+            xs.append(None if p is None else p[0])
+            ys.append(None if p is None else p[1])
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    out = udf(_prep(col, meta))
+    return F.when(out["x"].isNull(), F.lit(None).cast(_pt)).otherwise(out)

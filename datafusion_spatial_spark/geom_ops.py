@@ -1235,3 +1235,77 @@ def _gh_binary(a: Geom, b: Geom, op: str) -> Geom:
     if len(polys) == 1:
         return Geom("Polygon", polys[0])
     return Geom("MultiPolygon", polys)
+
+
+# ---------------------------------------------------------------------------
+# simplification & linear referencing
+
+
+def _dp_simplify(coords, tol2: float):
+    """Douglas–Peucker on an open coord list (returns subset incl. ends)."""
+    if len(coords) <= 2:
+        return list(coords)
+    keep = [False] * len(coords)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(coords) - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        a, b = coords[lo], coords[hi]
+        worst, worst_d2 = -1, tol2
+        for i in range(lo + 1, hi):
+            d2 = point_seg_dist2(coords[i][0], coords[i][1], a[0], a[1], b[0], b[1])
+            if d2 > worst_d2:
+                worst, worst_d2 = i, d2
+        if worst >= 0:
+            keep[worst] = True
+            stack.append((lo, worst))
+            stack.append((worst, hi))
+    return [c for c, k in zip(coords, keep) if k]
+
+
+def simplify(geom: Geom, tolerance: float) -> Geom:
+    """Douglas–Peucker simplification. Rings keep ≥4 points (closed
+    triangles); degenerate collapses return the original ring."""
+    tol2 = float(tolerance) ** 2
+
+    def ring_simp(ring):
+        out = _dp_simplify(ring[:-1] + [ring[-1]], tol2)
+        if out[0] != out[-1]:
+            out = out + [out[0]]
+        return ring if len(out) < 4 else out
+
+    t, c = geom.type_name, geom.coords
+    if t == "Point" or geom.is_empty:
+        return geom
+    if t == "LineString":
+        return Geom(t, _dp_simplify(c, tol2))
+    if t == "MultiLineString":
+        return Geom(t, [_dp_simplify(line, tol2) for line in c])
+    if t == "Polygon":
+        return Geom(t, [ring_simp(r) for r in c])
+    if t == "MultiPolygon":
+        return Geom(t, [[ring_simp(r) for r in poly] for poly in c])
+    if t == "GeometryCollection":
+        return Geom(t, [simplify(g, tolerance) for g in c])
+    return geom
+
+
+def line_interpolate_point(geom: Geom, fraction: float):
+    """Point at ``fraction`` ∈ [0,1] of a LineString's length."""
+    if geom.type_name != "LineString" or len(geom.coords) < 2:
+        return None
+    f = min(1.0, max(0.0, float(fraction)))
+    total = length(geom)
+    if total <= EPS:
+        return tuple(geom.coords[0][:2])
+    target = f * total
+    run = 0.0
+    for a, b in _segments(geom):
+        seg = math.hypot(b[0] - a[0], b[1] - a[1])
+        if run + seg >= target - EPS:
+            t = 0.0 if seg <= EPS else (target - run) / seg
+            return (a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1]))
+        run += seg
+    return tuple(geom.coords[-1][:2])

@@ -138,3 +138,22 @@ def test_spatial_join_points_in_polygons(spark):
         if 50 < x < 90 and 50 < y < 90:
             want.add((pid, 2))
     assert got == want
+
+
+def test_simplify_and_interpolate(spark):
+    from datafusion_spatial_spark import wkb as W
+    from datafusion_spatial_spark.functions.predicates import (
+        st_lineinterpolatepoint,
+        st_simplify,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0, 10 0, 10 10)")],
+        "id long, w string",
+    ).select("id", st_geomfromtext("w").alias("g"))
+    row = df.select(
+        st_simplify("g", 0.1, WKB_META).alias("s"),
+        st_lineinterpolatepoint("g", 0.5, WKB_META).alias("p"),
+    ).collect()[0]
+    assert W.to_wkt(W.loads(bytes(row.s))) == "LINESTRING (0 0, 10 0, 10 10)"
+    assert row.p is not None and abs(row.p.x - 10.0) < 0.02
