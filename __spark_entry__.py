@@ -356,6 +356,18 @@ GROUP BY copies ORDER BY copies
 """
 
 
+Q_WINDOW_SUITE_SQL = """
+SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       first_value(o_totalprice) OVER w AS cheapest,
+       lead(o_totalprice, 1) OVER w AS next_price,
+       cast(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+ORDER BY custkey, orderkey
+"""
+
 Q_CUBE_SQL = """
 SELECT coalesce(l_returnflag, 'ALL') AS rf,
        coalesce(l_linestatus, 'ALL') AS ls,
@@ -1073,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_customers_no_orders": _sql_query(Q_NO_ORDERS_SQL, ("customer", "orders")),
         "q_rollup_status": _sql_query(Q_ROLLUP_SQL, ("customer", "orders")),
         "q_cube_lineitem": _sql_query(Q_CUBE_SQL, ("lineitem",)),
+        "q_window_suite": _sql_query(Q_WINDOW_SUITE_SQL, ("orders",)),
         "q_monthly_revenue": _sql_query(
             Q_MONTHLY_CORE.format(month="date_format(o_orderdate, 'yyyy-MM')"),
             ("orders",),
@@ -1208,6 +1221,7 @@ def oracle_sql() -> dict[str, str]:
         "q_customers_no_orders": Q_NO_ORDERS_SQL,
         "q_rollup_status": Q_ROLLUP_SQL,
         "q_cube_lineitem": Q_CUBE_SQL,
+        "q_window_suite": Q_WINDOW_SUITE_SQL,
         "q_monthly_revenue": Q_MONTHLY_CORE.format(
             month="strftime(o_orderdate, '%Y-%m')"
         ),

@@ -186,3 +186,24 @@ def test_point_empty_nan_handling(spark):
     # rows: POINT(30 10), POINT EMPTY, null, POINT(40 40)
     assert [r.e for r in rows] == [False, True, None, False]
     assert [r.np for r in rows] == [1, 0, None, 1]
+
+
+def test_meta_survives_transformations(spark):
+    """SURVEY §7 risk: StructField.metadata must survive common DataFrame
+    transformations so resolve_meta keeps working downstream."""
+    df = read_geoparquet(spark, f"{REFDATA}/data-point-encoding_native.parquet")
+    m0 = resolve_meta(df, "geometry")
+    # select / filter / limit keep field metadata
+    sel = df.select("col", "geometry").filter(F.col("col") >= 0).limit(10)
+    assert resolve_meta(sel, "geometry").encoding == m0.encoding
+    # withColumn on a different column keeps it
+    wc = df.withColumn("extra", F.lit(1))
+    assert resolve_meta(wc, "geometry").geometry_types == m0.geometry_types
+    # union of two metadata-carrying frames: sniff fallback still resolves
+    un = df.union(df)
+    mu = resolve_meta(un, "geometry")
+    assert mu.native_type == "Point"
+    # alias rename drops nothing
+    ali = df.select(F.col("geometry").alias("geom2"), "col")
+    m2 = resolve_meta(ali, "geom2")
+    assert m2.native_type == "Point"  # via metadata or structural sniff
