@@ -297,3 +297,50 @@ def st_lineinterpolatepoint(
 
     out = udf(_prep(col, meta))
     return F.when(out["x"].isNull(), F.lit(None).cast(_pt)).otherwise(out)
+
+
+def st_geohash(col: Column | str, precision: int, meta: GeometryMeta) -> Column:
+    """Geohash of a point geometry's (x=lon, y=lat) at ``precision`` chars."""
+    from datafusion_spatial_spark import geohash as _gh
+
+    conv = _converter(meta)
+
+    @F.pandas_udf(T.StringType())
+    def udf(s: pd.Series) -> pd.Series:
+        out = []
+        for v in s:
+            g = conv(v)
+            if g is None or g.type_name != "Point" or g.is_empty:
+                out.append(None)
+            else:
+                out.append(_gh.encode(g.coords[0], g.coords[1], precision))
+        return pd.Series(out, dtype="object")
+
+    return udf(_prep(col, meta))
+
+
+def st_pointfromgeohash(col: Column | str) -> Column:
+    """Geohash string -> native Point struct (cell center)."""
+    from datafusion_spatial_spark import geohash as _gh
+
+    _pt = T.StructType([
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(_pt)
+    def udf(s: pd.Series) -> pd.DataFrame:
+        xs, ys = [], []
+        for v in s:
+            if v is None:
+                xs.append(None)
+                ys.append(None)
+            else:
+                lon, lat = _gh.decode(v)
+                xs.append(lon)
+                ys.append(lat)
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    col = F.col(col) if isinstance(col, str) else col
+    out = udf(col)
+    return F.when(out["x"].isNull(), F.lit(None).cast(_pt)).otherwise(out)

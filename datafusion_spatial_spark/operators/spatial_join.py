@@ -120,3 +120,84 @@ def spatial_join(
     return cand.filter(keep).select(
         F.col("__lid").alias(left_id), F.col("__rid").alias(right_id)
     )
+
+
+def spatial_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    left_geom: str,
+    right_geom: str,
+    left_meta: GeometryMeta,
+    right_meta: GeometryMeta,
+    left_id: str,
+    right_id: str,
+    predicate: str = "intersects",
+) -> DataFrame:
+    """Broadcast variant for a SMALL right side (dimension polygons, admin
+    boundaries): broadcast-nested-loop with a JVM-side bbox prefilter, then
+    the exact predicate on survivors. No shuffle at all — the right plan
+    when |right| ≪ |left| and right fits in the broadcast threshold."""
+    from pyspark.sql.functions import broadcast
+
+    try:
+        pred = _PREDICATES[predicate]
+    except KeyError:
+        raise ValueError(
+            f"unknown predicate {predicate!r}; one of {sorted(_PREDICATES)}"
+        ) from None
+    lb = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_geom).alias("__lgeom"),
+        st_bbox(left_geom, left_meta).alias("__lbox"),
+    ).filter(F.col("__lbox").isNotNull())
+    rb = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_geom).alias("__rgeom"),
+        st_bbox(right_geom, right_meta).alias("__rbox"),
+    ).filter(F.col("__rbox").isNotNull())
+    cand = lb.join(
+        broadcast(rb),
+        (F.col("__lbox.xmin") <= F.col("__rbox.xmax"))
+        & (F.col("__rbox.xmin") <= F.col("__lbox.xmax"))
+        & (F.col("__lbox.ymin") <= F.col("__rbox.ymax"))
+        & (F.col("__rbox.ymin") <= F.col("__lbox.ymax")),
+    )
+    return cand.filter(
+        pred("__lgeom", "__rgeom", left_meta, right_meta)
+    ).select(F.col("__lid").alias(left_id), F.col("__rid").alias(right_id))
+
+
+def estimate_cell_size(
+    df: DataFrame,
+    geom_col: str,
+    meta: GeometryMeta,
+    sample_fraction: float = 0.01,
+    min_rows: int = 200,
+) -> float:
+    """Pick a grid cell size ≈ the median bbox diagonal of a sample — the
+    balance point between shuffle fan-out (small cells) and candidate
+    explosion (big cells). Point data (zero-extent bboxes) falls back to
+    1/100 of the sampled extent's diagonal."""
+    b = st_bbox(geom_col, meta)
+    sampled = (
+        df.sample(fraction=min(1.0, sample_fraction), seed=42)
+        .select(b.alias("b"))
+        .filter(F.col("b").isNotNull())
+        .limit(100_000)
+    )
+    stats = sampled.agg(
+        F.expr("percentile(sqrt(power(b.xmax - b.xmin, 2) + power(b.ymax - b.ymin, 2)), 0.5)").alias("med_diag"),
+        F.min("b.xmin").alias("x0"),
+        F.max("b.xmax").alias("x1"),
+        F.min("b.ymin").alias("y0"),
+        F.max("b.ymax").alias("y1"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    if stats.n == 0:
+        raise ValueError("no non-null geometries sampled; pass cell_size explicitly")
+    if stats.med_diag and stats.med_diag > 0:
+        return float(stats.med_diag)
+    import math
+
+    extent_diag = math.hypot(stats.x1 - stats.x0, stats.y1 - stats.y0)
+    return max(extent_diag / 100.0, 1e-9)

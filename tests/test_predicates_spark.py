@@ -157,3 +157,79 @@ def test_simplify_and_interpolate(spark):
     ).collect()[0]
     assert W.to_wkt(W.loads(bytes(row.s))) == "LINESTRING (0 0, 10 0, 10 10)"
     assert row.p is not None and abs(row.p.x - 10.0) < 0.02
+
+
+def test_geohash_roundtrip(spark):
+    from datafusion_spatial_spark import geohash as GH
+    from datafusion_spatial_spark.functions.predicates import (
+        st_geohash,
+        st_pointfromgeohash,
+    )
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    # well-known reference value from the public geohash spec examples
+    assert GH.encode(10.40744, 57.64911, 11) == "u4pruydqqvj"
+    lon, lat = GH.decode("u4pruydqqvj")
+    assert abs(lon - 10.40744) < 1e-4 and abs(lat - 57.64911) < 1e-4
+
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    df = spark.createDataFrame(
+        [(1, 10.40744, 57.64911), (2, -0.1278, 51.5074), (3, None, None)],
+        "id long, lon double, lat double",
+    ).select(
+        "id",
+        F.when(
+            F.col("lon").isNotNull(),
+            F.struct(F.col("lon").alias("x"), F.col("lat").alias("y")),
+        ).alias("geom"),
+    )
+    out = df.select(
+        "id", st_geohash("geom", 9, pm).alias("gh")
+    ).withColumn("back", st_pointfromgeohash("gh"))
+    rows = {r.id: (r.gh, r.back) for r in out.collect()}
+    assert rows[1][0] == "u4pruydqq"
+    assert abs(rows[1][1].x - 10.40744) < 1e-3
+    assert rows[3] == (None, None)
+    # prefix property: nearby points share prefixes
+    gh2 = rows[2][0]
+    assert gh2.startswith("gcpv")  # central London cell
+
+
+def test_spatial_join_broadcast_and_cell_estimate(spark):
+    import random
+
+    from datafusion_spatial_spark.operators.spatial_join import (
+        estimate_cell_size,
+        spatial_join,
+        spatial_join_broadcast,
+    )
+
+    rng = random.Random(3)
+    pts = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(200)]
+    pts_df = spark.createDataFrame(pts, "pid long, x double, y double").select(
+        "pid", F.struct(F.col("x").alias("x"), F.col("y").alias("y")).alias("geom")
+    )
+    polys = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0))"),
+         (2, "POLYGON ((60 60, 95 60, 95 95, 60 95, 60 60))")],
+        "gid long, w string",
+    ).select("gid", st_geomfromtext("w").alias("geom"))
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+
+    bcast = spatial_join_broadcast(
+        pts_df, polys, "geom", "geom", pm, WKB_META, "pid", "gid",
+        predicate="within",
+    )
+    grid = spatial_join(
+        pts_df, polys, "geom", "geom", pm, WKB_META, "pid", "gid",
+        cell_size=25.0, predicate="within",
+    )
+    assert {(r.pid, r.gid) for r in bcast.collect()} == {
+        (r.pid, r.gid) for r in grid.collect()
+    }
+    # broadcast plan has no shuffle exchange
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+    cs = estimate_cell_size(polys, "geom", WKB_META, sample_fraction=1.0)
+    assert 40.0 < cs < 80.0  # ~median bbox diagonal of the two squares
