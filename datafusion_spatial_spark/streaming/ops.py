@@ -162,3 +162,38 @@ def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return name
+
+
+def windowed_extent(
+    points: DataFrame,
+    geom_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming spatial aggregate: per-window bounding box of a native
+    point stream — st_extent's min/max composition works unchanged under
+    watermarked streaming aggregation (state = 4 doubles per window, the
+    same partial/final shape as batch)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_spatial_spark.functions.scalar import st_bbox
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    meta = GeometryMeta(encoding="point", geometry_types=("Point",))
+    b = st_bbox(geom_col, meta)
+    return (
+        points.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"))
+        .agg(
+            F.min(b["xmin"]).alias("xmin"),
+            F.min(b["ymin"]).alias("ymin"),
+            F.max(b["xmax"]).alias("xmax"),
+            F.max(b["ymax"]).alias("ymax"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "xmin", "ymin", "xmax", "ymax", "n",
+        )
+    )

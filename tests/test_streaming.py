@@ -84,3 +84,48 @@ def test_running_user_totals(spark, sf_dir, events_batch):
         .collect()
     }
     assert final == want
+
+
+def test_windowed_extent_stream(spark, sf_dir, events_batch):
+    """Streaming spatial aggregate: windowed bbox over synthetic points
+    derived from the event stream, cross-checked against batch."""
+    from pyspark.sql import functions as F
+
+    from datafusion_spatial_spark.streaming.ops import (
+        run_to_memory,
+        stream_events,
+        windowed_extent,
+    )
+
+    def to_points(df):
+        return df.select(
+            "ts",
+            F.struct(
+                F.col("value").alias("x"),
+                F.col("user_id").cast("double").alias("y"),
+            ).alias("geom"),
+        )
+
+    stream = to_points(stream_events(spark, sf_dir))
+    name = run_to_memory(windowed_extent(stream, "geom", window="6 hours"), "wext")
+    got = {
+        r.window_start: (r.xmin, r.ymin, r.xmax, r.ymax, r.n)
+        for r in spark.table(name).collect()
+    }
+    assert got, "no windows emitted"
+    batch = to_points(events_batch)
+    want = {
+        r.ws: (r.xmin, r.ymin, r.xmax, r.ymax, r.n)
+        for r in batch.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.min("geom.x").alias("xmin"),
+            F.min("geom.y").alias("ymin"),
+            F.max("geom.x").alias("xmax"),
+            F.max("geom.y").alias("ymax"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("w.start").alias("ws"), "xmin", "ymin", "xmax", "ymax", "n")
+        .collect()
+    }
+    for k, v in got.items():
+        assert want[k] == v
