@@ -28,7 +28,18 @@ TABLES = (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs: the caller's session (e.g. the driver's) may
+    not have gone through session.get_spark. Both are runtime-settable SQL
+    confs; without nanosAsLong the events table is unreadable, and a
+    non-UTC timezone would skew timestamp-string outputs vs the oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: ns epoch values exceed double's 2^53 exactness

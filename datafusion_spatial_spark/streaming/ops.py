@@ -34,6 +34,9 @@ EVENTS_SCHEMA = T.StructType(
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (ns→µs ts fixup applied,
     matching sources/tables.py)."""
+    from datafusion_spatial_spark.sources.tables import _ensure_session_confs
+
+    _ensure_session_confs(spark)
     # the file source requires a directory; glob-filter to the events table
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
