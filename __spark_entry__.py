@@ -356,6 +356,21 @@ GROUP BY copies ORDER BY copies
 """
 
 
+Q15_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.total_rev
+FROM supplier s JOIN rev r ON r.suppkey = s.s_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY suppkey
+"""
+
 Q_WINDOW_SUITE_SQL = """
 SELECT o_orderkey AS orderkey, o_custkey AS custkey,
        ntile(4)       OVER w AS quartile,
@@ -1086,6 +1101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_status": _sql_query(Q_ROLLUP_SQL, ("customer", "orders")),
         "q_cube_lineitem": _sql_query(Q_CUBE_SQL, ("lineitem",)),
         "q_window_suite": _sql_query(Q_WINDOW_SUITE_SQL, ("orders",)),
+        "q15_top_supplier": _sql_query(
+            Q15_TOP_SUPPLIER_SQL, ("lineitem", "supplier")
+        ),
         "q_monthly_revenue": _sql_query(
             Q_MONTHLY_CORE.format(month="date_format(o_orderdate, 'yyyy-MM')"),
             ("orders",),
@@ -1222,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup_status": Q_ROLLUP_SQL,
         "q_cube_lineitem": Q_CUBE_SQL,
         "q_window_suite": Q_WINDOW_SUITE_SQL,
+        "q15_top_supplier": Q15_TOP_SUPPLIER_SQL,
         "q_monthly_revenue": Q_MONTHLY_CORE.format(
             month="strftime(o_orderdate, '%Y-%m')"
         ),

@@ -146,6 +146,7 @@ def lsh_candidate_pairs(
     id_col: str,
     bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` slices of
     ``rows_per_band``, hash each slice, equi-join documents sharing any
@@ -167,6 +168,16 @@ def lsh_candidate_pairs(
         )
         .select(id_col, "band", "band_hash")
     )
+    if max_bucket is not None:
+        # skew guard: a degenerate bucket of n docs yields n^2/2 candidates;
+        # drop buckets past the cap (boilerplate/empty-doc signatures)
+        hot = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(hot, ["band", "band_hash"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -57,9 +57,12 @@ def cosine_topk(
     """Exact top-k by cosine similarity to ``query``. Deterministic
     tie-break on id. Plan: scan → map (cosine) → TakeOrderedAndProject."""
     q = F.array(*[F.lit(float(x)) for x in query])
+    # precompute |q| driver-side: it is constant per query, and folding it
+    # into a literal removes one array fold per row
+    qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
     v = _vec(vec_col)
     scored = df.select(
-        F.col(id_col), cosine(v, q).alias("score")
+        F.col(id_col), (dot(v, q) / (norm(v) * F.lit(qn))).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
