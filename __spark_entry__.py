@@ -32,7 +32,6 @@ from datafusion_spatial_spark.operators.hashing import (
     P,
     minhash_affine_params,
     poly_hash_str_duckdb,
-    poly_hash_str_sql,
 )
 from datafusion_spatial_spark.operators.text import STOPWORDS
 from datafusion_spatial_spark.sources.tables import load_table, register_views

@@ -175,7 +175,7 @@ def ivf_index(
     nprobe/n_lists of the data (partition pruning).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = df.withColumn("__features", array_to_vector(_vec(vec_col)))
     model = KMeans(
