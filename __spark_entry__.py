@@ -951,6 +951,35 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/corpus.py):
+    split sizes by language; the oracle replicates the polynomial hash."""
+    from datafusion_spatial_spark.operators.corpus import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
+def _q_hash_split_oracle() -> str:
+    ph = poly_hash_str_duckdb("concat(cast(doc_id AS VARCHAR), ':split')")
+    return f"""
+WITH h AS (
+  SELECT lang, {ph} / {float(P)} AS u FROM documents
+)
+SELECT lang,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n
+FROM h GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_spatial_spark.operators.simsearch import cosine, _vec
 
@@ -1214,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_corpus": _q_dedup_corpus,
         "q_ivf_ann_topk": _q_ivf_ann_topk,
         "q_stream_hourly": _q_stream_hourly,
+        "q_hash_split": _q_hash_split,
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard_pairs": _q_ngram_jaccard,
         "q_minhash_lsh_pairs": _q_minhash_lsh,
@@ -1287,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
         "q_st_distance_topk": _Q_ST_DISTANCE_ORACLE,
         "q_spatial_dwithin_join": _Q_DWITHIN_ORACLE,
         "q_wkb_roundtrip": _Q_WKB_ROUNDTRIP_ORACLE,
+        "q_hash_split": _q_hash_split_oracle(),
         "q_dedup_exact": _Q_DEDUP_EXACT_ORACLE,
         "q_ngram_jaccard_pairs": _q_ngram_jaccard_oracle(),
         "q_minhash_lsh_pairs": _q_minhash_lsh_oracle(),

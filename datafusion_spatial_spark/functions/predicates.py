@@ -344,3 +344,27 @@ def st_pointfromgeohash(col: Column | str) -> Column:
     col = F.col(col) if isinstance(col, str) else col
     out = udf(col)
     return F.when(out["x"].isNull(), F.lit(None).cast(_pt)).otherwise(out)
+
+
+def st_closestpoint(
+    a: Column | str, b: Column | str, meta_a: GeometryMeta, meta_b: GeometryMeta
+) -> Column:
+    """The point on ``a`` closest to ``b`` as a native Point struct."""
+    ca, cb = _converter(meta_a), _converter(meta_b)
+    _pt = T.StructType([
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(_pt)
+    def udf(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
+        xs, ys = [], []
+        for va, vb in zip(sa, sb):
+            ga, gb = ca(va), cb(vb)
+            p = None if ga is None or gb is None else geom_ops.closest_point(ga, gb)
+            xs.append(None if p is None else p[0])
+            ys.append(None if p is None else p[1])
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    out = udf(_prep(a, meta_a), _prep(b, meta_b))
+    return F.when(out["x"].isNull(), F.lit(None).cast(_pt)).otherwise(out)

@@ -1309,3 +1309,71 @@ def line_interpolate_point(geom: Geom, fraction: float):
             return (a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1]))
         run += seg
     return tuple(geom.coords[-1][:2])
+
+
+def closest_point(a: Geom, b: Geom) -> tuple[float, float] | None:
+    """The point ON ``a`` closest to ``b`` (PostGIS ST_ClosestPoint
+    semantics). None if either is empty."""
+    if a.is_empty or b.is_empty:
+        return None
+    if intersects(a, b):
+        # any shared point; probe b's features against a
+        for p in _points(b):
+            if _point_intersects(p, a):
+                return (p[0], p[1])
+        for rings in _polygons(a):
+            for q in _all_coords(b):
+                if polygon_contains_point(rings, q[0], q[1]):
+                    return (q[0], q[1])
+        for sa in _segments(a):
+            for sb in _segments(b):
+                p = _seg_seg_point(sa, sb)
+                if p is not None:
+                    return p
+        # b inside a (polygonal a): b's first coord
+        for q in _all_coords(b):
+            if _point_intersects(q, a):
+                return (q[0], q[1])
+        for q in _all_coords(a):
+            if _point_intersects(q, b):
+                return (q[0], q[1])
+        return next(iter(_all_coords(a)), None)
+    best = None
+    best_d2 = float("inf")
+
+    def consider(px, py, d2):
+        nonlocal best, best_d2
+        if d2 < best_d2:
+            best_d2 = d2
+            best = (px, py)
+
+    bpts = list(_points(b))
+    bsegs = list(_segments(b))
+    for p in _points(a):
+        for q in bpts:
+            consider(p[0], p[1], (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2)
+        for s in bsegs:
+            consider(p[0], p[1], point_seg_dist2(p[0], p[1], *s[0], *s[1]))
+    for sa in _segments(a):
+        for q in bpts:
+            px, py = _project_on_segment(q, sa)
+            consider(px, py, (px - q[0]) ** 2 + (py - q[1]) ** 2)
+        for sb in bsegs:
+            # nearest pair between two segments: project endpoints both ways
+            for q in (sb[0], sb[1]):
+                px, py = _project_on_segment(q, sa)
+                consider(px, py, (px - q[0]) ** 2 + (py - q[1]) ** 2)
+            for q in (sa[0], sa[1]):
+                bx, by = _project_on_segment(q, sb)
+                consider(q[0], q[1], (q[0] - bx) ** 2 + (q[1] - by) ** 2)
+    return best
+
+
+def _project_on_segment(p, seg):
+    (ax, ay), (bx, by) = seg
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 <= EPS:
+        return (ax, ay)
+    t = max(0.0, min(1.0, ((p[0] - ax) * dx + (p[1] - ay) * dy) / L2))
+    return (ax + t * dx, ay + t * dy)

@@ -250,3 +250,49 @@ def test_grouped_map_normalize(spark, sf_dir):
     ).collect()
     for r in stats:
         assert abs(r.m) < 1e-6 and abs(r.s - 1.0) < 1e-3
+
+
+def test_hash_split_deterministic(spark, docs):
+    from datafusion_spatial_spark.operators.corpus import hash_split
+
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert counts["train"] > counts.get("val", 0)
+    # deterministic: second run identical assignment
+    out2 = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in out2.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_filter_corpus_and_stratified(spark, docs):
+    from datafusion_spatial_spark.operators.corpus import (
+        filter_corpus,
+        stratified_sample,
+    )
+
+    kept = filter_corpus(docs, "text", min_quality=0.3, min_tokens=10)
+    assert 0 < kept.count() <= docs.count()
+    samp = stratified_sample(docs, "lang", {"en": 0.5, "de": 1.0, "es": 0.1, "fr": 1.0, "zh": 0.0})
+    by_lang = {r.lang: r.n for r in samp.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "zh" not in by_lang
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("de", 0) == full["de"]  # fraction 1.0 keeps all
+
+
+def test_st_closestpoint(spark):
+    from datafusion_spatial_spark.functions.predicates import st_closestpoint
+    from datafusion_spatial_spark.functions.scalar import st_geomfromtext
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    W = GeometryMeta(encoding="WKB")
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "POINT (15 5)"),
+         (2, "LINESTRING (0 0, 10 0)", "POINT (3 7)")],
+        "id long, wa string, wb string",
+    ).select("id", st_geomfromtext("wa").alias("a"), st_geomfromtext("wb").alias("b"))
+    rows = {r.id: r.p for r in df.select("id", st_closestpoint("a", "b", W, W).alias("p")).collect()}
+    assert (rows[1].x, rows[1].y) == (10.0, 5.0)
+    assert (rows[2].x, rows[2].y) == (3.0, 0.0)
