@@ -422,15 +422,14 @@ def _wkb_npoints_udf(s: pd.Series) -> pd.Series:
             return 0
         if isinstance(coords, tuple):
             return 0 if any(v != v for v in coords) else 1
+        if isinstance(coords, _wkb.Geom):  # collection member (arbitrary depth)
+            return count(coords.coords)
         return sum(count(c) for c in coords)
 
     def one(b):
         if b is None:
             return None
-        g = _wkb.loads(bytes(b))
-        if g.type_name == "GeometryCollection":
-            return sum(count(sub.coords) for sub in g.coords)
-        return count(g.coords)
+        return count(_wkb.loads(bytes(b)).coords)
 
     return s.map(one, na_action="ignore")
 

@@ -225,23 +225,47 @@ def intersects(a: Geom, b: Geom) -> bool:
         for sb in segs_b:
             if seg_intersects(sa[0], sa[1], sb[0], sb[1]):
                 return True
-    # containment without edge crossing (one inside the other's polygon)
+    # containment without edge crossing (one inside the other's polygon).
+    # Probe one representative coordinate PER COMPONENT — a multi-part
+    # geometry can have a non-first part fully inside the polygon.
     for rings in _polygons(a):
-        for q in _first_coords(b):
+        for q in _component_coords(b):
             if polygon_contains_point(rings, q[0], q[1]):
                 return True
     for rings in _polygons(b):
-        for q in _first_coords(a):
+        for q in _component_coords(a):
             if polygon_contains_point(rings, q[0], q[1]):
                 return True
     return False
 
 
-def _first_coords(geom: Geom):
-    it = _all_coords(geom)
-    for p in it:
-        yield p
-        return
+def _component_coords(geom: Geom):
+    """Yield one representative coordinate per connected component: each
+    point, the first vertex of each LineString part, the first shell vertex
+    of each polygon; recurses into collections."""
+    t, c = geom.type_name, geom.coords
+    if t == "Point":
+        if not geom.is_empty:
+            yield c
+    elif t == "MultiPoint":
+        yield from c
+    elif t == "LineString":
+        if c:
+            yield c[0]
+    elif t == "MultiLineString":
+        for line in c:
+            if line:
+                yield line[0]
+    elif t == "Polygon":
+        if c and c[0]:
+            yield c[0][0]
+    elif t == "MultiPolygon":
+        for poly in c:
+            if poly and poly[0]:
+                yield poly[0][0]
+    elif t == "GeometryCollection":
+        for g in c:
+            yield from _component_coords(g)
 
 
 def _point_intersects(p, geom: Geom) -> bool:

@@ -188,16 +188,29 @@ class SpatialSQL:
         )
 
     def _find_calls(self, query: str) -> list[tuple[int, int, str]]:
-        """Top-level ST_ call spans (nested calls stay inside their parent)."""
+        """Top-level ST_ call spans (nested calls stay inside their parent).
+        Quote-aware: an ST_...(...) occurrence inside a single-quoted SQL
+        string literal is data, not a call, and is left untouched."""
         calls = []
-        pos = 0
-        while True:
-            m = _CALL_RE.search(query, pos)
-            if m is None:
-                return calls
-            end = _match_paren(query, m.end() - 1)
-            calls.append((m.start(), end, query[m.start() : end]))
-            pos = end
+        i, n, in_str = 0, len(query), False
+        while i < n:
+            ch = query[i]
+            if in_str:
+                in_str = ch != "'"
+                i += 1
+                continue
+            if ch == "'":
+                in_str = True
+                i += 1
+                continue
+            m = _CALL_RE.match(query, i)
+            if m is not None:
+                end = _match_paren(query, m.end() - 1)
+                calls.append((m.start(), end, query[m.start() : end]))
+                i = end
+            else:
+                i += 1
+        return calls
 
     def _arg_column(
         self, arg_text: str, col_meta: dict[str, GeometryMeta]

@@ -21,6 +21,7 @@ GeoParquet convention (reference data/generate_test_data.py:78-82).
 from __future__ import annotations
 
 import math
+import re
 import struct
 from dataclasses import dataclass
 
@@ -235,12 +236,16 @@ def _write_geom(out: bytearray, geom: Geom) -> None:
 def _fmt(v: float) -> str:
     """DuckDB/PostGIS-style number formatting: integral floats print without
     a decimal part ("30", not the reference's Rust-debug "30.0" — SURVEY §7
-    chooses oracle formatting)."""
+    chooses oracle formatting). One shared rule with the native-encoding
+    Catalyst path (scalar.fmt_coord_num): fixed 8-decimal format with
+    trailing zeros (and bare trailing dot) trimmed — never scientific
+    notation, so WKB and native ST_AsText agree byte-for-byte."""
     if v != v:  # NaN
         return "nan"
-    if v == int(v) and abs(v) < 1e15:
-        return str(int(v))
-    return repr(v)
+    return _TRAILING_ZEROS.sub("", f"{v:.8f}")
+
+
+_TRAILING_ZEROS = re.compile(r"\.?0+$")
 
 
 def _coord_wkt(c) -> str:

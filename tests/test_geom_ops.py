@@ -38,6 +38,40 @@ class TestPredicates:
         assert not G.intersects(SQUARE, faraway)
         assert G.intersects(SQUARE, inner)  # containment, no edge crossing
 
+    def test_multipart_component_containment(self):
+        # Regression: a non-first component fully inside a polygon must be
+        # detected by the containment fallback (no edge crossing exists).
+        mls = g("MULTILINESTRING ((100 100, 110 110), (2 2, 3 3))")
+        assert G.intersects(SQUARE, mls)
+        assert G.intersects(mls, SQUARE)
+        assert not G.disjoint(SQUARE, mls)
+        assert G.distance(SQUARE, mls) == 0.0
+        assert G.dwithin(SQUARE, mls, 0.5)
+        # multipolygon with second polygon inside
+        mp = g(
+            "MULTIPOLYGON (((100 100, 101 100, 101 101, 100 101, 100 100)),"
+            " ((2 2, 3 2, 3 3, 2 3, 2 2)))"
+        )
+        assert G.intersects(SQUARE, mp)
+        assert G.intersects(mp, SQUARE)
+        # second point of a multipoint inside
+        mpt = g("MULTIPOINT ((100 100), (5 5))")
+        assert G.intersects(mpt, SQUARE)
+        # collection whose nested second member is inside
+        gc = g(
+            "GEOMETRYCOLLECTION (LINESTRING (100 100, 110 110),"
+            " LINESTRING (2 2, 3 3))"
+        )
+        assert G.intersects(SQUARE, gc)
+        # reverse direction: polygon's non-first part containing the probe side
+        mp2 = g(
+            "MULTIPOLYGON (((100 100, 110 100, 110 110, 100 110, 100 100)),"
+            " ((0 0, 10 0, 10 10, 0 10, 0 0)))"
+        )
+        inner_line = g("LINESTRING (2 2, 3 3)")
+        assert G.intersects(mp2, inner_line)
+        assert G.intersects(inner_line, mp2)
+
     def test_contains_within(self):
         inner = g("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
         assert G.contains(SQUARE, inner)

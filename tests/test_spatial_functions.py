@@ -207,3 +207,18 @@ def test_meta_survives_transformations(spark):
     ali = df.select(F.col("geometry").alias("geom2"), "col")
     m2 = resolve_meta(ali, "geom2")
     assert m2.native_type == "Point"  # via metadata or structural sniff
+
+
+def test_npoints_nested_geometrycollection(spark):
+    """Regression: npoints must recurse through a GeometryCollection nested
+    inside a GeometryCollection (WKB path)."""
+    from datafusion_spatial_spark import wkb as W
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    g = W.from_wkt(
+        "GEOMETRYCOLLECTION (POINT (1 2), GEOMETRYCOLLECTION ("
+        "LINESTRING (0 0, 1 1), GEOMETRYCOLLECTION (POINT (5 5))))"
+    )
+    df = spark.createDataFrame([(W.dumps(g),)], "geometry binary")
+    meta = GeometryMeta(encoding="WKB")
+    assert df.select(st_npoints("geometry", meta).alias("np")).collect()[0].np == 4

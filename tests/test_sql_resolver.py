@@ -93,3 +93,13 @@ def test_unknown_function_raises(ssql):
 def test_unregistered_column_raises(ssql):
     with pytest.raises(ValueError, match="no geometry metadata"):
         ssql.resolve("SELECT ST_AsText(mystery) FROM point_native")
+
+
+def test_st_inside_string_literal_untouched(ssql):
+    # quote-awareness: an ST_...(...) inside a SQL string literal is data
+    rows = ssql.sql(
+        "SELECT 'ST_AsText(geometry)' AS lit, ST_GeometryType(geometry) AS t "
+        "FROM point_native WHERE geometry IS NOT NULL"
+    ).collect()
+    assert all(r.lit == "ST_AsText(geometry)" for r in rows)
+    assert all(r.t == "ST_Point" for r in rows)
