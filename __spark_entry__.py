@@ -699,6 +699,76 @@ ORDER BY custkey, suppkey
 """
 
 
+# degenerate / holed / concave / multi-part polygon pairs with
+# hand-computed set-operation areas — exercises the regularized overlay
+# kernel (overlay.py) end-to-end; reference README.md:34-39 lists these
+# routines as unimplemented roadmap items, so the oracle is closed-form.
+_OVERLAY_CASES = [
+    # (pair_id, wkt_a, wkt_b, inter, union, diff, sym)
+    (1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+        "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))", 25.0, 175.0, 75.0, 150.0),
+    (2, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+        "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))", 0.0, 200.0, 100.0, 200.0),
+    (3, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", 100.0, 100.0, 0.0, 0.0),
+    (4, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))",
+        "POLYGON ((-2 3, 12 3, 12 7, -2 7, -2 3))", 36.0, 116.0, 60.0, 80.0),
+    (5, "POLYGON ((0 0, 10 0, 10 3, 3 3, 3 7, 10 7, 10 10, 0 10, 0 0))",
+        "POLYGON ((8 2, 12 2, 12 8, 8 8, 8 2))", 4.0, 92.0, 68.0, 88.0),
+    (6, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+        "POLYGON ((10 5, 14 3, 14 7, 10 5))", 0.0, 108.0, 100.0, 108.0),
+    (7, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+        "MULTIPOLYGON (((2 2, 4 2, 4 4, 2 4, 2 2)), ((12 2, 14 2, 14 4, 12 4, 12 2)))",
+        4.0, 104.0, 96.0, 100.0),
+]
+
+
+def _q_st_intersection_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersection/Union/Difference/SymDifference areas over polygon
+    pairs covering shared edges, vertex-on-edge contact, holes, concave
+    rings and multipolygons (the round-2 hardened overlay kernel)."""
+    from datafusion_spatial_spark.functions.predicates import (
+        st_area,
+        st_difference,
+        st_intersection,
+        st_symdifference,
+        st_union,
+    )
+    from datafusion_spatial_spark.functions.scalar import st_geomfromtext
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    w = GeometryMeta(encoding="WKB")
+    df = spark.createDataFrame(
+        [(c[0], c[1], c[2]) for c in _OVERLAY_CASES],
+        "pair_id int, wkt_a string, wkt_b string",
+    ).select(
+        "pair_id",
+        st_geomfromtext("wkt_a").alias("a"),
+        st_geomfromtext("wkt_b").alias("b"),
+    )
+    return df.select(
+        "pair_id",
+        F.round(st_area(st_intersection("a", "b", w, w), w), 6).alias("inter_area"),
+        F.round(st_area(st_union("a", "b", w, w), w), 6).alias("union_area"),
+        F.round(st_area(st_difference("a", "b", w, w), w), 6).alias("diff_area"),
+        F.round(st_area(st_symdifference("a", "b", w, w), w), 6).alias("sym_area"),
+    ).orderBy("pair_id")
+
+
+def _q_st_intersection_area_oracle() -> str:
+    rows = ",\n".join(
+        f"  ({c[0]}, {c[3]}, {c[4]}, {c[5]}, {c[6]})" for c in _OVERLAY_CASES
+    )
+    return (
+        "SELECT pair_id, CAST(inter_area AS DOUBLE) AS inter_area, "
+        "CAST(union_area AS DOUBLE) AS union_area, "
+        "CAST(diff_area AS DOUBLE) AS diff_area, "
+        "CAST(sym_area AS DOUBLE) AS sym_area FROM (VALUES\n" + rows +
+        "\n) AS t(pair_id, inter_area, union_area, diff_area, sym_area) "
+        "ORDER BY pair_id"
+    )
+
+
 def _q_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exercises the full Python WKB codec in the driver gate: build WKT
     text from numeric columns, parse to WKB (st_geomfromtext), serialize
@@ -1205,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_st_distance_topk": _q_st_distance_topk,
         "q_spatial_dwithin_join": _q_spatial_dwithin_join,
         "q_wkb_roundtrip": _q_wkb_roundtrip,
+        "q_st_intersection_area": _q_st_intersection_area,
     }
     # rows-only entries (no SQL-expressible oracle: iterative algorithms /
     # ML-state / streaming — the driver records a weaker rows-only check)
@@ -1317,6 +1388,7 @@ def oracle_sql() -> dict[str, str]:
         "q_st_distance_topk": _Q_ST_DISTANCE_ORACLE,
         "q_spatial_dwithin_join": _Q_DWITHIN_ORACLE,
         "q_wkb_roundtrip": _Q_WKB_ROUNDTRIP_ORACLE,
+        "q_st_intersection_area": _q_st_intersection_area_oracle(),
         "q_hash_split": _q_hash_split_oracle(),
         "q_dedup_exact": _Q_DEDUP_EXACT_ORACLE,
         "q_ngram_jaccard_pairs": _q_ngram_jaccard_oracle(),

@@ -241,6 +241,31 @@ st_crosses = _binary_predicate(geom_ops.crosses)
 st_overlaps = _binary_predicate(geom_ops.overlaps)
 
 
+def st_relate_matrix(
+    a: Column | str,
+    b: Column | str,
+    meta_a: GeometryMeta,
+    meta_b: GeometryMeta,
+) -> Column:
+    """Dimension-true DE-9IM matrix string (e.g. '212101212') — the
+    PostGIS 2-argument ST_Relate form (geom_ops.relate_matrix)."""
+    ca, cb = _converter(meta_a), _converter(meta_b)
+
+    @F.pandas_udf(T.StringType())
+    def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for va, vb in zip(sa, sb):
+            ga, gb = ca(va), cb(vb)
+            out.append(
+                None
+                if ga is None or gb is None
+                else geom_ops.relate_matrix(ga, gb)
+            )
+        return pd.Series(out, dtype="object")
+
+    return udf(_prep(a, meta_a), _prep(b, meta_b))
+
+
 def st_relate(
     a: Column | str,
     b: Column | str,
@@ -248,8 +273,8 @@ def st_relate(
     meta_a: GeometryMeta,
     meta_b: GeometryMeta,
 ) -> Column:
-    """DE-9IM boolean pattern match (T/F/* cells; explicit-dimension
-    patterns raise — see geom_ops.relate_pattern)."""
+    """DE-9IM pattern match: T/F/* cells and explicit dimensions 0/1/2
+    (dimension cells use geom_ops.relate_matrix)."""
     ca, cb = _converter(meta_a), _converter(meta_b)
 
     @F.pandas_udf(T.BooleanType())

@@ -873,9 +873,20 @@ def union(a: Geom, b: Geom) -> Geom:
 
 
 def sym_difference(a: Geom, b: Geom) -> Geom:
-    """(a − b) ∪ (b − a). The two differences have disjoint interiors by
-    construction, so polygonal results combine directly as a MultiPolygon —
-    no second overlay needed."""
+    """(a − b) ∪ (b − a). Polygon×polygon goes through the overlay kernel
+    directly (single regularized pass, XOR predicate); other type combos
+    compose from the two differences."""
+    if (
+        list(_polygons(a))
+        and list(_polygons(b))
+        and not a.is_empty
+        and not b.is_empty
+    ):
+        if a.type_name == b.type_name and a.coords == b.coords:
+            return Geom("GeometryCollection", [])
+        if _bbox_disjoint(a, b):
+            return Geom("MultiPolygon", list(_polygons(a)) + list(_polygons(b)))
+        return _gh_binary(a, b, "symdifference")
     da = difference(a, b)
     db = difference(b, a)
     if da.is_empty:
@@ -1191,17 +1202,319 @@ def _exterior_reachable(a: Geom, b: Geom) -> bool:
     return not contains(b, a)
 
 
+# -- dimension-true DE-9IM ---------------------------------------------------
+# Each cell carries the DIMENSION of the corresponding intersection
+# (F / 0 / 1 / 2), computed with the same edge-fragmentation machinery as
+# the overlay kernel: split each geometry's segments at intersections with
+# the other's, then classify fragment midpoints / endpoints / crossing
+# points against interior/boundary/exterior decompositions.
+
+
+def _ring_segs(polys):
+    segs = []
+    for rings in polys:
+        for ring in rings:
+            for i in range(len(ring) - 1):
+                if ring[i] != ring[i + 1]:
+                    segs.append((ring[i], ring[i + 1]))
+    return segs
+
+
+def _line_parts(g: Geom):
+    if g.type_name == "LineString":
+        return [g.coords] if g.coords else []
+    if g.type_name == "MultiLineString":
+        return [line for line in g.coords if line]
+    return []
+
+
+def _line_segs(g: Geom):
+    segs = []
+    for line in _line_parts(g):
+        for i in range(len(line) - 1):
+            if line[i] != line[i + 1]:
+                segs.append((line[i], line[i + 1]))
+    return segs
+
+
+def _line_boundary_pts(g: Geom):
+    """OGC mod-2 boundary of a (multi)line: endpoints occurring an odd
+    number of times; closed rings have empty boundary."""
+    from collections import Counter
+
+    cnt = Counter()
+    for line in _line_parts(g):
+        if len(line) < 2:
+            continue
+        p0 = (line[0][0], line[0][1])
+        p1 = (line[-1][0], line[-1][1])
+        if p0 == p1:
+            continue
+        cnt[p0] += 1
+        cnt[p1] += 1
+    return {p for p, c in cnt.items() if c % 2 == 1}
+
+
+def _split_fragments(segs, other_segs):
+    """Split segments at every intersection with ``other_segs``; yield
+    (f0, f1, midpoint) fragments."""
+    from datafusion_spatial_spark.overlay import _isect_params
+
+    out = []
+    for p, q in segs:
+        ts = {0.0, 1.0}
+        for r, s in other_segs:
+            ts.update(_isect_params(p, q, r, s))
+        tt = sorted(ts)
+        for t0, t1 in zip(tt, tt[1:]):
+            if t1 - t0 <= 1e-12:
+                continue
+            f0 = (p[0] + t0 * (q[0] - p[0]), p[1] + t0 * (q[1] - p[1]))
+            f1 = (p[0] + t1 * (q[0] - p[0]), p[1] + t1 * (q[1] - p[1]))
+            tm = (t0 + t1) / 2
+            mid = (p[0] + tm * (q[0] - p[0]), p[1] + tm * (q[1] - p[1]))
+            out.append((f0, f1, mid))
+    return out
+
+
+def _on_any_seg(pt, segs) -> bool:
+    return any(_on_segment(pt[0], pt[1], s[0][0], s[0][1], s[1][0], s[1][1]) for s in segs)
+
+
+def _seg_sets_meet(segs_a, segs_b):
+    """(has 1-D collinear overlap, set of 0-D meeting points)."""
+    overlap = False
+    pts = set()
+    for sa in segs_a:
+        for sb in segs_b:
+            a1, a2 = sa
+            b1, b2 = sb
+            o1 = _orient(*a1, *a2, *b1)
+            o2 = _orient(*a1, *a2, *b2)
+            if abs(o1) <= EPS and abs(o2) <= EPS:
+                # collinear: overlapping with positive length?
+                dx, dy = a2[0] - a1[0], a2[1] - a1[1]
+                L2 = dx * dx + dy * dy
+                if L2 > EPS:
+                    t1 = ((b1[0] - a1[0]) * dx + (b1[1] - a1[1]) * dy) / L2
+                    t2 = ((b2[0] - a1[0]) * dx + (b2[1] - a1[1]) * dy) / L2
+                    lo, hi = min(t1, t2), max(t1, t2)
+                    if min(hi, 1.0) - max(lo, 0.0) > 1e-9:
+                        overlap = True
+                    elif abs(min(hi, 1.0) - max(lo, 0.0)) <= 1e-9 and hi >= -1e-9 and lo <= 1 + 1e-9:
+                        # endpoint touch on the shared line
+                        t = min(hi, 1.0)
+                        if -1e-9 <= t <= 1 + 1e-9:
+                            pts.add((a1[0] + t * dx, a1[1] + t * dy))
+                continue
+            p = _seg_seg_point(sa, sb)
+            if p is not None:
+                pts.add((p[0], p[1]))
+            else:
+                for e in (b1, b2):
+                    if _on_segment(e[0], e[1], *a1, *a2):
+                        pts.add((e[0], e[1]))
+                for e in (a1, a2):
+                    if _on_segment(e[0], e[1], *b1, *b2):
+                        pts.add((e[0], e[1]))
+    return overlap, pts
+
+
+def _dim_of_interior(g: Geom) -> str:
+    d = _geom_dim(g)
+    return {0: "0", 1: "1", 2: "2"}[d]
+
+
+def relate_matrix(a: Geom, b: Geom) -> str:
+    """Dimension-true DE-9IM matrix (row-major II IB IE / BI BB BE /
+    EI EB EE; cells F/0/1/2). GeometryCollections unsupported."""
+    if a.type_name == "GeometryCollection" or b.type_name == "GeometryCollection":
+        raise NotImplementedError("relate_matrix over GeometryCollection")
+
+    def bnd_dim(g: Geom) -> str:
+        if g.is_empty:
+            return "F"
+        d = _geom_dim(g)
+        if d == 2:
+            return "1"
+        if d == 1:
+            return "0" if _line_boundary_pts(g) else "F"
+        return "F"
+
+    if a.is_empty or b.is_empty:
+        cells = ["F"] * 9
+        if not b.is_empty:  # a empty: E(a) ⊇ everything
+            cells[6] = _dim_of_interior(b)
+            cells[7] = bnd_dim(b)
+        if not a.is_empty:
+            cells[2] = _dim_of_interior(a)
+            cells[5] = bnd_dim(a)
+        cells[8] = "2"
+        return "".join(cells)
+
+    da, db = _geom_dim(a), _geom_dim(b)
+    if da < db:
+        m = relate_matrix(b, a)
+        # transpose
+        return "".join(m[3 * c + r] for r in range(3) for c in range(3))
+
+    cells = ["F"] * 9
+    cells[8] = "2"  # EE: exteriors of bounded geometries always meet
+
+    if da == 2 and db == 2:
+        pa, pb = list(_polygons(a)), list(_polygons(b))
+        ra, rb = _ring_segs(pa), _ring_segs(pb)
+        if _interiors_intersect(a, b):
+            cells[0] = "2"
+        for _f0, _f1, m in _split_fragments(rb, ra):
+            if max(polygon_contains_point(r, m[0], m[1]) for r in pa) == 2:
+                cells[1] = "1"
+                break
+        cells[2] = "2" if _exterior_reachable(a, b) else "F"
+        for _f0, _f1, m in _split_fragments(ra, rb):
+            if max(polygon_contains_point(r, m[0], m[1]) for r in pb) == 2:
+                cells[3] = "1"
+                break
+        overlap, pts = _seg_sets_meet(ra, rb)
+        frag_on = any(
+            max(polygon_contains_point(r, m[0], m[1]) for r in pb) == 1
+            for _f0, _f1, m in _split_fragments(ra, rb)
+        )
+        cells[4] = "1" if (overlap or frag_on) else ("0" if pts else "F")
+        for _f0, _f1, m in _split_fragments(ra, rb):
+            if max(polygon_contains_point(r, m[0], m[1]) for r in pb) == 0:
+                cells[5] = "1"
+                break
+        cells[6] = "2" if _exterior_reachable(b, a) else "F"
+        for _f0, _f1, m in _split_fragments(rb, ra):
+            if max(polygon_contains_point(r, m[0], m[1]) for r in pa) == 0:
+                cells[7] = "1"
+                break
+        return "".join(cells)
+
+    if da == 2 and db == 1:
+        pa = list(_polygons(a))
+        ra = _ring_segs(pa)
+        lb = _line_segs(b)
+        bpts = _line_boundary_pts(b)
+        for _f0, _f1, m in _split_fragments(lb, ra):
+            if max(polygon_contains_point(r, m[0], m[1]) for r in pa) == 2:
+                cells[0] = "1"
+                break
+        for p in bpts:
+            if max(polygon_contains_point(r, p[0], p[1]) for r in pa) == 2:
+                cells[1] = "0"
+                break
+        cells[2] = "2"
+        overlap, pts = _seg_sets_meet(ra, lb)
+        if overlap or any(
+            _on_any_seg(m, lb)
+            for _f0, _f1, m in _split_fragments(ra, lb)
+        ):
+            cells[3] = "1"
+        elif any(p not in bpts for p in pts):
+            cells[3] = "0"
+        if any(_on_any_seg(p, ra) for p in bpts):
+            cells[4] = "0"
+        if any(
+            not _on_any_seg(m, lb)
+            for _f0, _f1, m in _split_fragments(ra, lb)
+        ):
+            cells[5] = "1"
+        for _f0, _f1, m in _split_fragments(lb, ra):
+            if max(polygon_contains_point(r, m[0], m[1]) for r in pa) == 0:
+                cells[6] = "1"
+                break
+        for p in bpts:
+            if max(polygon_contains_point(r, p[0], p[1]) for r in pa) == 0:
+                cells[7] = "0"
+                break
+        return "".join(cells)
+
+    if da == 2 and db == 0:
+        pa = list(_polygons(a))
+        ra = _ring_segs(pa)
+        pts_b = [(p[0], p[1]) for p in _points(b)]
+        locs = [max(polygon_contains_point(r, p[0], p[1]) for r in pa) for p in pts_b]
+        cells[0] = "0" if any(loc == 2 for loc in locs) else "F"
+        cells[2] = "2"
+        cells[3] = "0" if any(loc == 1 for loc in locs) else "F"
+        cells[5] = "1"  # rings minus a finite point set still have length
+        cells[6] = "0" if any(loc == 0 for loc in locs) else "F"
+        return "".join(cells)
+
+    if da == 1 and db == 1:
+        la, lb = _line_segs(a), _line_segs(b)
+        apts, bpts = _line_boundary_pts(a), _line_boundary_pts(b)
+
+        def in_interior(p, segs, bnd):
+            return _on_any_seg(p, segs) and (p[0], p[1]) not in bnd
+
+        overlap, pts = _seg_sets_meet(la, lb)
+        if overlap:
+            cells[0] = "1"
+        elif any(in_interior(p, la, apts) and in_interior(p, lb, bpts) for p in pts):
+            cells[0] = "0"
+        cells[1] = "0" if any(in_interior(p, la, apts) for p in bpts) else "F"
+        cells[2] = (
+            "1"
+            if any(not _on_any_seg(m, lb) for _f0, _f1, m in _split_fragments(la, lb))
+            else "F"
+        )
+        cells[3] = "0" if any(in_interior(p, lb, bpts) for p in apts) else "F"
+        cells[4] = "0" if any(p in bpts for p in apts) else "F"
+        cells[5] = "0" if any(not _on_any_seg(p, lb) for p in apts) else "F"
+        cells[6] = (
+            "1"
+            if any(not _on_any_seg(m, la) for _f0, _f1, m in _split_fragments(lb, la))
+            else "F"
+        )
+        cells[7] = "0" if any(not _on_any_seg(p, la) for p in bpts) else "F"
+        return "".join(cells)
+
+    if da == 1 and db == 0:
+        la = _line_segs(a)
+        apts = _line_boundary_pts(a)
+        pts_b = [(p[0], p[1]) for p in _points(b)]
+        cells[0] = (
+            "0"
+            if any(_on_any_seg(p, la) and p not in apts for p in pts_b)
+            else "F"
+        )
+        cells[2] = "1"
+        cells[3] = "0" if any(p in apts for p in pts_b) else "F"
+        cells[5] = "0" if (apts - set(pts_b)) else "F"
+        cells[6] = "0" if any(not _on_any_seg(p, la) for p in pts_b) else "F"
+        return "".join(cells)
+
+    # point × point
+    sa = {(p[0], p[1]) for p in _points(a)}
+    sb = {(p[0], p[1]) for p in _points(b)}
+    cells[0] = "0" if sa & sb else "F"
+    cells[2] = "0" if sa - sb else "F"
+    cells[6] = "0" if sb - sa else "F"
+    return "".join(cells)
+
+
 def relate_pattern(a: Geom, b: Geom, pattern: str) -> bool:
-    """DE-9IM boolean pattern match ('T'/'F'/'*' cells, row-major
-    II IB IE / BI BB BE / EI EB EE)."""
+    """DE-9IM pattern match: 'T'/'F'/'*' cells and explicit dimensions
+    '0'/'1'/'2' (row-major II IB IE / BI BB BE / EI EB EE). Dimension
+    cells are evaluated against the dimension-true matrix."""
     pattern = pattern.replace(" ", "")
     if len(pattern) != 9:
         raise ValueError("DE-9IM pattern must have 9 cells")
     if any(ch in "012" for ch in pattern):
-        raise NotImplementedError(
-            "explicit-dimension DE-9IM patterns (0/1/2) require the full "
-            "overlay kernel; use T/F/* patterns"
-        )
+        m = relate_matrix(a, b)
+        for ch, got in zip(pattern, m):
+            if ch == "*":
+                continue
+            if ch == "T" and got == "F":
+                return False
+            if ch == "F" and got != "F":
+                return False
+            if ch in "012" and got != ch:
+                return False
+        return True
     ba, bb = _boundary_geom(a), _boundary_geom(b)
 
     def cell(idx: int) -> bool:
@@ -1235,25 +1548,13 @@ def relate_pattern(a: Geom, b: Geom, pattern: str) -> bool:
 
 
 def _gh_binary(a: Geom, b: Geom, op: str) -> Geom:
-    """Greiner–Hormann overlay bridge for single hole-free polygon rings.
-    Falls back to NotImplementedError on holes/multi-rings/degeneracies."""
-    from datafusion_spatial_spark.overlay import OverlayDegeneracyError, overlay
+    """Regularized overlay bridge: full (multi)polygon ring sets, holes,
+    and degenerate contact supported (overlay.overlay_multi)."""
+    from datafusion_spatial_spark.overlay import overlay_multi
 
-    pa, pb = list(_polygons(a)), list(_polygons(b))
-    if len(pa) != 1 or len(pb) != 1 or len(pa[0]) != 1 or len(pb[0]) != 1:
-        raise NotImplementedError(
-            f"{op} of multi-ring/holed concave polygons not implemented"
-        )
-    try:
-        polys = overlay(
-            [(p[0], p[1]) for p in pa[0][0]],
-            [(p[0], p[1]) for p in pb[0][0]],
-            op,
-        )
-    except OverlayDegeneracyError as e:
-        raise NotImplementedError(
-            f"{op} degenerate configuration unsupported: {e}"
-        ) from None
+    pa = [[[(p[0], p[1]) for p in ring] for ring in rings] for rings in _polygons(a)]
+    pb = [[[(p[0], p[1]) for p in ring] for ring in rings] for rings in _polygons(b)]
+    polys = overlay_multi(pa, pb, op)
     if not polys:
         return Geom("GeometryCollection", [])
     if len(polys) == 1:

@@ -1,244 +1,262 @@
-"""General polygon overlay (Greiner–Hormann) for simple, hole-free rings.
+"""General regularized polygon overlay (boolean set operations).
 
-Lifts the convex-only limitation of the Sutherland–Hodgman path in
-geom_ops: intersection / union / difference of two possibly-CONCAVE simple
-polygons. Degenerate configurations (vertex-on-edge contact, collinear
-overlapping edges) are detected and raise ``OverlayDegeneracyError`` — the
-caller keeps its NotImplementedError contract instead of returning a wrong
-polygon. Holes remain out of scope (the containment fast paths in geom_ops
-cover the common holed cases).
+Replaces the round-1 Greiner–Hormann kernel, which only handled single
+hole-free rings in general position. This kernel supports **holed and
+multi-ring operands and degenerate contact** (shared/collinear edges,
+vertex-on-edge touching, vertex-on-vertex pinches) uniformly via edge
+fragmentation + side classification — the classical "overlay by planar
+subdivision" construction used by every production engine (GEOS, JTS,
+boost::geometry), re-derived clean-room:
 
-Clean-room implementation of the published algorithm (Greiner & Hormann,
-"Efficient clipping of arbitrary polygons", ACM TOG 17(2), 1998).
+1. Collect all directed edges of both operands' rings.
+2. Split every edge at every intersection with every other edge —
+   proper crossings, T-junctions (vertex-on-edge), and collinear
+   overlaps (project endpoints) — producing *fragments* that meet other
+   fragments only at shared endpoints.
+3. Deduplicate coincident fragments (shared-edge contact yields one copy
+   from each operand).
+4. Classify each fragment by sampling a point on each side of its
+   midpoint (offset by a safe delta smaller than the clearance to any
+   other fragment): evaluate ``inside(A)`` / ``inside(B)`` even-odd on
+   the *original* rings, apply the boolean predicate of the operation to
+   both sides, and keep the fragment iff exactly one side is in the
+   result — oriented so the kept region lies on its LEFT.
+5. Stitch directed fragments into rings; at pinch nodes (>1 outgoing
+   candidate) take the sharpest counter-clockwise turn, which keeps
+   faces simple (two squares touching at a corner become two shells,
+   not one self-touching figure-eight).
+6. Assemble rings into polygons: positive signed area → shell,
+   negative → hole of the smallest enclosing shell.
+
+Because classification samples both sides of every fragment against the
+original point sets, input ring orientation does not matter, and the
+result is *regularized* (zero-area slivers and dangling edges vanish).
+
+The reference implements no overlay at all (its README.md:34-39 lists
+ST_Intersection/Union/Difference as unchecked roadmap items) — this is
+parity-plus surface, driven through geom_ops.intersection/union/
+difference/sym_difference inside pandas UDF batches.
+
+Ops: 'intersection' | 'union' | 'difference' (a − b) | 'symdifference'.
 """
 
 from __future__ import annotations
 
-EPS = 1e-12
-ALPHA_EPS = 1e-9
+import math
+
+# Node quantization: coordinates snapped to _Q_SNAP when comparing graph
+# nodes. Well above f64 noise from intersection arithmetic (~1e-12 at
+# coordinate magnitudes ≤1e4) and far below any fixture feature size.
+_Q_SCALE = 1e7
+_Q_SNAP = 1 / _Q_SCALE
+_PARAM_EPS = 1e-12  # split-parameter tolerance along an edge
+_AREA_EPS = 1e-12  # rings below this absolute area are dropped
 
 
 class OverlayDegeneracyError(Exception):
-    pass
+    """Raised only when ring stitching cannot close a chain — numerically
+    broken input (self-intersecting 'polygons'), not ordinary degeneracy."""
 
 
-class _V:
-    __slots__ = (
-        "x", "y", "nxt", "prv", "neighbour", "intersect", "entry", "alpha",
-        "visited",
-    )
-
-    def __init__(self, x: float, y: float, alpha: float = 0.0, intersect: bool = False):
-        self.x = x
-        self.y = y
-        self.nxt = None
-        self.prv = None
-        self.neighbour = None
-        self.intersect = intersect
-        self.entry = True
-        self.alpha = alpha
-        self.visited = False
+def _q(p):
+    return (round(p[0] * _Q_SCALE), round(p[1] * _Q_SCALE))
 
 
-def _build_list(ring):
-    """Circular doubly-linked list from ring coords (closing point dropped)."""
-    pts = ring[:-1] if ring[0] == ring[-1] else list(ring)
-    first = None
-    prev = None
-    for x, y in pts:
-        v = _V(float(x), float(y))
-        if first is None:
-            first = v
-            v.nxt = v
-            v.prv = v
-        else:
-            v.prv = prev
-            v.nxt = first
-            prev.nxt = v
-            first.prv = v
-        prev = v
-    return first
+def _edges_of(polys):
+    edges = []
+    for rings in polys:
+        for ring in rings:
+            n = len(ring)
+            if n < 2:
+                continue
+            closed = ring if _q(ring[0]) == _q(ring[-1]) else list(ring) + [ring[0]]
+            for i in range(len(closed) - 1):
+                p, q2 = closed[i], closed[i + 1]
+                if _q(p) != _q(q2):
+                    edges.append(((float(p[0]), float(p[1])),
+                                  (float(q2[0]), float(q2[1]))))
+    return edges
 
 
-def _iter_ring(first):
-    v = first
-    while True:
-        yield v
-        v = v.nxt
-        if v is first:
-            return
+def _isect_params(p, q, r, s):
+    """Interior split parameters t in (0,1) along p→q where segment r–s
+    meets it: proper crossings, endpoint touches, collinear projections."""
+    dx1, dy1 = q[0] - p[0], q[1] - p[1]
+    dx2, dy2 = s[0] - r[0], s[1] - r[1]
+    den = dx1 * dy2 - dy1 * dx2
+    l1 = math.hypot(dx1, dy1)
+    l2 = math.hypot(dx2, dy2)
+    out = []
+    if abs(den) <= 1e-12 * max(1.0, l1 * l2):
+        # parallel — collinear iff r lies (nearly) on line p→q
+        if l1 > 0 and abs((r[0] - p[0]) * dy1 - (r[1] - p[1]) * dx1) <= 1e-9 * max(1.0, l1):
+            inv = 1.0 / (dx1 * dx1 + dy1 * dy1)
+            for w in (r, s):
+                t = ((w[0] - p[0]) * dx1 + (w[1] - p[1]) * dy1) * inv
+                if _PARAM_EPS < t < 1 - _PARAM_EPS:
+                    out.append(t)
+        return out
+    t = ((r[0] - p[0]) * dy2 - (r[1] - p[1]) * dx2) / den
+    u = ((r[0] - p[0]) * dy1 - (r[1] - p[1]) * dx1) / den
+    if -_PARAM_EPS <= u <= 1 + _PARAM_EPS and _PARAM_EPS < t < 1 - _PARAM_EPS:
+        out.append(t)
+    return out
 
 
-def _orient(ax, ay, bx, by, cx, cy):
-    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+def _fragment(edges):
+    """Split every edge at its intersections with every other edge."""
+    frags = []
+    for k, (p, q) in enumerate(edges):
+        ts = {0.0, 1.0}
+        for j, (r, s) in enumerate(edges):
+            if j != k:
+                ts.update(_isect_params(p, q, r, s))
+        ordered = sorted(ts)
+        for t0, t1 in zip(ordered, ordered[1:]):
+            if t1 - t0 <= _PARAM_EPS:
+                continue
+            f0 = (p[0] + t0 * (q[0] - p[0]), p[1] + t0 * (q[1] - p[1]))
+            f1 = (p[0] + t1 * (q[0] - p[0]), p[1] + t1 * (q[1] - p[1]))
+            if _q(f0) != _q(f1):
+                frags.append((f0, f1))
+    # dedupe coincident fragments (shared edges contribute one per operand)
+    seen = set()
+    uniq = []
+    for f0, f1 in frags:
+        key = (_q(f0), _q(f1)) if _q(f0) <= _q(f1) else (_q(f1), _q(f0))
+        if key not in seen:
+            seen.add(key)
+            uniq.append((f0, f1))
+    return uniq
 
 
-def _point_in_ring(pt, ring_pts) -> bool:
-    """Strict ray-casting inside test on a coord list (no boundary logic —
-    degeneracies are rejected before this is consulted)."""
+def _point_seg_dist2(px, py, ax, ay, bx, by):
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 <= 0:
+        return (px - ax) ** 2 + (py - ay) ** 2
+    t = ((px - ax) * dx + (py - ay) * dy) / L2
+    t = 0.0 if t < 0 else (1.0 if t > 1 else t)
+    cx, cy = ax + t * dx, ay + t * dy
+    return (px - cx) ** 2 + (py - cy) ** 2
+
+
+def _inside(pt, polys) -> bool:
+    """Even-odd point-in-polygon over ALL rings (shells + holes) of all
+    polygons — holes flip parity back out, disjoint shells compose."""
     x, y = pt
     inside = False
-    n = len(ring_pts)
-    for i in range(n):
-        ax, ay = ring_pts[i]
-        bx, by = ring_pts[(i + 1) % n]
-        if (ay > y) != (by > y):
-            xi = ax + (y - ay) * (bx - ax) / (by - ay)
-            if x < xi:
-                inside = not inside
+    for rings in polys:
+        for ring in rings:
+            n = len(ring)
+            for i in range(n - 1):
+                ax, ay = ring[i][0], ring[i][1]
+                bx, by = ring[i + 1][0], ring[i + 1][1]
+                if (ay > y) != (by > y):
+                    xi = ax + (y - ay) * (bx - ax) / (by - ay)
+                    if x < xi:
+                        inside = not inside
+            if n >= 2 and (ring[0][0] != ring[-1][0] or ring[0][1] != ring[-1][1]):
+                ax, ay = ring[-1][0], ring[-1][1]
+                bx, by = ring[0][0], ring[0][1]
+                if (ay > y) != (by > y):
+                    xi = ax + (y - ay) * (bx - ax) / (by - ay)
+                    if x < xi:
+                        inside = not inside
     return inside
 
 
-def _seg_isect(p1, p2, q1, q2):
-    """Proper intersection params (t, u) in (0,1)×(0,1), None otherwise;
-    raises on degenerate (collinear / endpoint-touching) contact."""
-    dx1, dy1 = p2[0] - p1[0], p2[1] - p1[1]
-    dx2, dy2 = q2[0] - q1[0], q2[1] - q1[1]
-    den = dx1 * dy2 - dy1 * dx2
-    if abs(den) <= EPS:
-        # parallel; collinear overlap is degenerate
-        if abs(_orient(*p1, *p2, *q1)) <= EPS and (
-            min(p1[0], p2[0]) - EPS <= max(q1[0], q2[0])
-            and min(q1[0], q2[0]) - EPS <= max(p1[0], p2[0])
-            and min(p1[1], p2[1]) - EPS <= max(q1[1], q2[1])
-            and min(q1[1], q2[1]) - EPS <= max(p1[1], p2[1])
-        ):
-            raise OverlayDegeneracyError("collinear edge overlap")
-        return None
-    t = ((q1[0] - p1[0]) * dy2 - (q1[1] - p1[1]) * dx2) / den
-    u = ((q1[0] - p1[0]) * dy1 - (q1[1] - p1[1]) * dx1) / den
-    if -ALPHA_EPS < t < ALPHA_EPS or 1 - ALPHA_EPS < t < 1 + ALPHA_EPS:
-        if -ALPHA_EPS <= u <= 1 + ALPHA_EPS:
-            raise OverlayDegeneracyError("vertex-on-edge contact")
-        return None
-    if -ALPHA_EPS < u < ALPHA_EPS or 1 - ALPHA_EPS < u < 1 + ALPHA_EPS:
-        if -ALPHA_EPS <= t <= 1 + ALPHA_EPS:
-            raise OverlayDegeneracyError("vertex-on-edge contact")
-        return None
-    if 0 < t < 1 and 0 < u < 1:
-        return t, u
-    return None
+_PREDS = {
+    "intersection": lambda a, b: a and b,
+    "union": lambda a, b: a or b,
+    "difference": lambda a, b: a and not b,
+    "symdifference": lambda a, b: a != b,
+}
 
 
-def _insert_between(v, start, end):
-    """Insert intersection vertex v between start and end ordered by alpha."""
-    cur = start
-    nxt = start.nxt
-    while nxt is not end and nxt.intersect and nxt.alpha < v.alpha:
-        cur = nxt
-        nxt = nxt.nxt
-    # walk forward over existing intersections with smaller alpha
-    cur = start
-    while cur.nxt is not end and cur.nxt.intersect and cur.nxt.alpha <= v.alpha:
-        cur = cur.nxt
-    after = cur.nxt
-    v.prv = cur
-    v.nxt = after
-    cur.nxt = v
-    after.prv = v
-
-
-def _ring_pts(first):
-    return [(v.x, v.y) for v in _iter_ring(first)]
-
-
-def overlay(ring_a, ring_b, op: str):
-    """Overlay two simple rings. op: 'intersection' | 'union' | 'difference'
-    (a minus b). Returns a list of result rings (closed coord lists).
-    Raises OverlayDegeneracyError on non-general-position input; callers
-    should have handled containment/disjoint fast paths first."""
-    if op not in ("intersection", "union", "difference"):
-        raise ValueError(op)
-    A = _build_list(ring_a)
-    B = _build_list(ring_b)
-    a_orig = [v for v in _iter_ring(A)]
-    b_orig = [v for v in _iter_ring(B)]
-    a_pts = [(v.x, v.y) for v in a_orig]
-    b_pts = [(v.x, v.y) for v in b_orig]
-
-    # phase 1: find + insert intersections
-    found = False
-    for i, va in enumerate(a_orig):
-        va2 = a_orig[(i + 1) % len(a_orig)]
-        p1, p2 = (va.x, va.y), (va2.x, va2.y)
-        for j, vb in enumerate(b_orig):
-            vb2 = b_orig[(j + 1) % len(b_orig)]
-            q1, q2 = (vb.x, vb.y), (vb2.x, vb2.y)
-            r = _seg_isect(p1, p2, q1, q2)
-            if r is None:
-                continue
-            t, u = r
-            found = True
-            ix = p1[0] + t * (p2[0] - p1[0])
-            iy = p1[1] + t * (p2[1] - p1[1])
-            ia = _V(ix, iy, alpha=t, intersect=True)
-            ib = _V(ix, iy, alpha=u, intersect=True)
-            ia.neighbour = ib
-            ib.neighbour = ia
-            # insert within the original segment (alpha-ordered among any
-            # previously inserted intersections)
-            _insert_between(ia, va, va2)
-            _insert_between(ib, vb, vb2)
-    if not found:
-        raise OverlayDegeneracyError(
-            "no proper intersections (use containment/disjoint fast paths)"
-        )
-
-    # phase 2: entry/exit marking
-    def mark(first, other_pts, invert):
-        status_inside = _point_in_ring((first.x, first.y), other_pts)
-        # entry=True means: crossing this intersection we ENTER the other
-        entry = not status_inside
-        if invert:
-            entry = not entry
-        for v in _iter_ring(first):
-            if v.intersect:
-                v.entry = entry
-                entry = not entry
-
-    if op == "intersection":
-        mark(A, b_pts, invert=False)
-        mark(B, a_pts, invert=False)
-    elif op == "union":
-        mark(A, b_pts, invert=True)
-        mark(B, a_pts, invert=True)
-    else:  # difference: A forward-out, B inverted
-        mark(A, b_pts, invert=True)
-        mark(B, a_pts, invert=False)
-
-    # phase 3: trace
-    results = []
-    unvisited = [v for v in _iter_ring(A) if v.intersect]
-    for start in unvisited:
-        if start.visited:
+def _select(frags, pa, pb, pred):
+    """Classify each fragment by sampling both sides of its midpoint;
+    keep boundary fragments directed with the kept region on the left."""
+    directed = []
+    for i, (f0, f1) in enumerate(frags):
+        mx, my = (f0[0] + f1[0]) / 2, (f0[1] + f1[1]) / 2
+        dx, dy = f1[0] - f0[0], f1[1] - f0[1]
+        L = math.hypot(dx, dy)
+        if L <= 0:
             continue
-        ring = []
+        # clearance: nearest other fragment to the midpoint bounds how far
+        # we may sample without crossing another boundary
+        clear2 = math.inf
+        for j, (g0, g1) in enumerate(frags):
+            if j == i:
+                continue
+            d2 = _point_seg_dist2(mx, my, g0[0], g0[1], g1[0], g1[1])
+            if d2 < clear2:
+                clear2 = d2
+        delta = 0.45 * math.sqrt(clear2) if clear2 < math.inf else 0.25 * L
+        delta = min(delta, 0.25 * L)
+        if delta <= 0:
+            continue
+        nx, ny = -dy / L, dx / L  # left normal
+        pl = (mx + delta * nx, my + delta * ny)
+        pr = (mx - delta * nx, my - delta * ny)
+        keep_l = pred(_inside(pl, pa), _inside(pl, pb))
+        keep_r = pred(_inside(pr, pa), _inside(pr, pb))
+        if keep_l == keep_r:
+            continue  # interior edge or fully-outside edge — dissolved
+        directed.append((f0, f1) if keep_l else (f1, f0))
+    return directed
+
+
+def _stitch(directed):
+    """Walk directed fragments into closed rings. At pinch nodes take the
+    sharpest CCW turn so touching faces separate into simple rings."""
+    out_map = {}
+    for idx, (a, _b) in enumerate(directed):
+        out_map.setdefault(_q(a), []).append(idx)
+    used = [False] * len(directed)
+    rings = []
+    for start in range(len(directed)):
+        if used[start]:
+            continue
+        used[start] = True
+        a0, b0 = directed[start]
+        ring = [a0, b0]
+        start_node = _q(a0)
         cur = start
-        while True:
-            cur.visited = True
-            if cur.neighbour is not None:
-                cur.neighbour.visited = True
-            if cur.entry:
-                while True:
-                    cur = cur.nxt
-                    ring.append((cur.x, cur.y))
-                    if cur.intersect:
-                        break
+        guard = 0
+        while _q(ring[-1]) != start_node:
+            guard += 1
+            if guard > len(directed) + 1:
+                raise OverlayDegeneracyError("stitching did not close a ring")
+            node = _q(directed[cur][1])
+            cands = [j for j in out_map.get(node, ()) if not used[j]]
+            if not cands:
+                raise OverlayDegeneracyError("open chain while stitching")
+            if len(cands) == 1:
+                nxt = cands[0]
             else:
-                while True:
-                    cur = cur.prv
-                    ring.append((cur.x, cur.y))
-                    if cur.intersect:
-                        break
-            cur = cur.neighbour
-            if cur is start or cur.neighbour is start or (cur.x, cur.y) == (start.x, start.y):
-                break
-            if len(ring) > 4 * (len(a_pts) + len(b_pts)):
-                raise OverlayDegeneracyError("tracing did not converge")
-        if len(ring) >= 3:
-            ring = ring + [ring[0]]
-            results.append(ring)
-    return _assemble(results)
+                ax, ay = directed[cur][0]
+                bx, by = directed[cur][1]
+                din = math.atan2(by - ay, bx - ax)
+
+                def turn(j):
+                    (jx, jy), (kx, ky) = directed[j]
+                    ang = math.atan2(ky - jy, kx - jx) - din
+                    while ang <= -math.pi:
+                        ang += 2 * math.pi
+                    while ang > math.pi:
+                        ang -= 2 * math.pi
+                    return ang
+
+                nxt = max(cands, key=turn)
+            used[nxt] = True
+            ring.append(directed[nxt][1])
+            cur = nxt
+        if len(ring) >= 4:
+            ring[-1] = ring[0]  # snap exact closure (floats may differ ~1e-12)
+            rings.append(ring)
+    return rings
 
 
 def _ring_area2(ring):
@@ -248,29 +266,76 @@ def _ring_area2(ring):
     return s
 
 
+def _rep_point(ring):
+    """A point strictly inside a simple ring: midpoint of the first
+    crossing pair on a scanline through the ring's vertical midspan,
+    nudged off vertices."""
+    ys = sorted({p[1] for p in ring[:-1]})
+    if len(ys) < 2:
+        return None
+    for frac in (0.5, 0.37, 0.61, 0.23, 0.79):
+        y = ys[0] + (ys[-1] - ys[0]) * frac
+        if any(abs(y - vy) < _Q_SNAP for vy in ys):
+            continue
+        xs = []
+        for i in range(len(ring) - 1):
+            ax, ay = ring[i]
+            bx, by = ring[i + 1]
+            if (ay > y) != (by > y):
+                xs.append(ax + (y - ay) * (bx - ax) / (by - ay))
+        xs.sort()
+        if len(xs) >= 2:
+            return ((xs[0] + xs[1]) / 2, y)
+    return None
+
+
 def _assemble(rings):
-    """Group traced rings into polygons: a ring strictly inside another
-    result ring is that ring's hole (e.g. a union enclosing a pocket).
-    Returns [[shell, hole, ...], ...]."""
-    if len(rings) <= 1:
-        return [[r] for r in rings]
-    order = sorted(range(len(rings)), key=lambda i: -abs(_ring_area2(rings[i])))
-    polys = []  # (shell_idx, [holes])
-    assigned = {}
-    for i in order:
-        probe = rings[i][0]
-        # average a couple of vertices for a robust interior-ish probe
-        px = sum(p[0] for p in rings[i][:-1]) / (len(rings[i]) - 1)
-        py = sum(p[1] for p in rings[i][:-1]) / (len(rings[i]) - 1)
-        parent = None
-        for j, (shell_idx, _holes) in enumerate(polys):
-            if _point_in_ring((px, py), rings[shell_idx][:-1]) or _point_in_ring(
-                (probe[0], probe[1]), rings[shell_idx][:-1]
-            ):
-                parent = j
-                break
-        if parent is None:
-            polys.append((i, []))
-        else:
-            polys[parent][1].append(i)
-    return [[rings[s]] + [rings[h] for h in holes] for s, holes in polys]
+    """Signed-area split into shells/holes; each hole attaches to the
+    smallest shell containing its representative point."""
+    shells = []
+    holes = []
+    for r in rings:
+        a2 = _ring_area2(r)
+        if abs(a2) / 2 <= _AREA_EPS:
+            continue
+        (shells if a2 > 0 else holes).append(r)
+    polys = [[s] for s in shells]
+    shell_areas = [abs(_ring_area2(s)) for s in shells]
+    for h in holes:
+        p = _rep_point(h)
+        if p is None:
+            continue
+        best, best_area = None, math.inf
+        for i, s in enumerate(shells):
+            if shell_areas[i] > best_area:
+                continue
+            if _inside(p, [[s]]):
+                best, best_area = i, shell_areas[i]
+        if best is not None:
+            polys[best].append(h)
+    return polys
+
+
+def overlay_multi(polys_a, polys_b, op: str):
+    """Regularized boolean overlay of two (multi)polygons.
+
+    ``polys_a`` / ``polys_b``: list of polygons, each a list of closed
+    coordinate rings (ring 0 = shell, rest = holes; orientation free).
+    Returns the result in the same form (shells CCW, holes CW as traced).
+    """
+    pred = _PREDS.get(op)
+    if pred is None:
+        raise ValueError(f"unknown overlay op {op!r}")
+    edges = _edges_of(polys_a) + _edges_of(polys_b)
+    if not edges:
+        return []
+    frags = _fragment(edges)
+    directed = _select(frags, polys_a, polys_b, pred)
+    if not directed:
+        return []
+    return _assemble(_stitch(directed))
+
+
+def overlay(ring_a, ring_b, op: str):
+    """Single-ring convenience wrapper kept for round-1 callers/tests."""
+    return overlay_multi([[list(ring_a)]], [[list(ring_b)]], op)

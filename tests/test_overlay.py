@@ -1,12 +1,11 @@
-"""Greiner–Hormann overlay: unit cases + randomized area-identity property
-(A + B = A∩B + A∪B for every successful overlay)."""
+"""Regularized overlay kernel: unit cases, degenerate contact, holed and
+multi-ring operands, + randomized area-identity property
+(A + B = A∩B + A∪B for every overlay)."""
 
 import random
 
-import pytest
-
 from datafusion_spatial_spark import geom_ops as G
-from datafusion_spatial_spark.overlay import OverlayDegeneracyError, overlay
+from datafusion_spatial_spark.overlay import overlay, overlay_multi
 from datafusion_spatial_spark.wkb import Geom
 
 
@@ -45,25 +44,93 @@ def test_multi_piece_intersection():
     assert abs((ring_area(arrow) + ring_area(band)) - (total + uni)) < 1e-9
 
 
-def test_degeneracy_raises():
+def test_degenerate_cases_resolve():
+    # adjacency: intersection is the shared 1-D edge -> regularized empty;
+    # union dissolves the shared boundary
     adjacent = [(10.0, 0.0), (20.0, 0.0), (20.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
-    with pytest.raises(OverlayDegeneracyError):
-        overlay(SQ, adjacent, "intersection")
-    with pytest.raises(OverlayDegeneracyError):
-        overlay(SQ, SQ, "union")  # identical: collinear overlap
+    assert overlay(SQ, adjacent, "intersection") == []
+    assert sum(poly_area(p) for p in overlay(SQ, adjacent, "union")) == 200.0
+    # identical operands
+    assert sum(poly_area(p) for p in overlay(SQ, SQ, "union")) == 100.0
+    assert sum(poly_area(p) for p in overlay(SQ, SQ, "intersection")) == 100.0
+    assert overlay(SQ, SQ, "difference") == []
+    assert overlay(SQ, SQ, "symdifference") == []
+    # disjoint
     disjoint = [(50.0, 50.0), (60.0, 50.0), (60.0, 60.0), (50.0, 60.0), (50.0, 50.0)]
-    with pytest.raises(OverlayDegeneracyError):
-        overlay(SQ, disjoint, "intersection")  # no crossings: caller fast-path
+    assert overlay(SQ, disjoint, "intersection") == []
+    assert sum(poly_area(p) for p in overlay(SQ, disjoint, "union")) == 200.0
+
+
+def test_corner_touching_union_separates_shells():
+    # squares touching at one corner: union = two simple shells, not a
+    # self-touching figure-eight (pinch-node CCW-turn rule)
+    other = [(10.0, 10.0), (20.0, 10.0), (20.0, 20.0), (10.0, 20.0), (10.0, 10.0)]
+    polys = overlay(SQ, other, "union")
+    assert len(polys) == 2
+    assert sum(poly_area(p) for p in polys) == 200.0
+
+
+def test_union_with_enclosed_hole():
+    # C-shape closed by a second polygon -> union has a real hole
+    c_shape = [(0.0, 0.0), (10.0, 0.0), (10.0, 3.0), (3.0, 3.0), (3.0, 7.0),
+               (10.0, 7.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    lid = [(8.0, 2.0), (12.0, 2.0), (12.0, 8.0), (8.0, 8.0), (8.0, 2.0)]
+    polys = overlay(c_shape, lid, "union")
+    # one shell with one hole (the 3..7 x 3..7-ish pocket enclosed)
+    assert len(polys) == 1
+    assert len(polys[0]) == 2
+    c_area = ring_area(c_shape)
+    lid_area = ring_area(lid)
+    inter = sum(poly_area(p) for p in overlay(c_shape, lid, "intersection"))
+    assert abs(sum(poly_area(p) for p in polys) - (c_area + lid_area - inter)) < 1e-9
+
+
+def test_holed_multi_ring_operands():
+    outer = [(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0), (0.0, 0.0)]
+    hole = [(5.0, 5.0), (15.0, 5.0), (15.0, 15.0), (5.0, 15.0), (5.0, 5.0)]
+    donut = [[outer, hole]]  # area 400-100=300
+    plug = [[[(8.0, 8.0), (12.0, 8.0), (12.0, 12.0), (8.0, 12.0), (8.0, 8.0)]]]
+    inter = overlay_multi(donut, plug, "intersection")
+    assert inter == []  # plug sits fully inside the hole
+    uni = overlay_multi(donut, plug, "union")
+    total = sum(poly_area(p) for p in uni)
+    assert abs(total - 316.0) < 1e-9  # donut 300 + island 16
+    # difference removes nothing
+    diff = overlay_multi(donut, plug, "difference")
+    assert abs(sum(poly_area(p) for p in diff) - 300.0) < 1e-9
+    # band crossing the donut
+    band = [[[(-2.0, 9.0), (22.0, 9.0), (22.0, 11.0), (-2.0, 11.0), (-2.0, 9.0)]]]
+    binter = overlay_multi(donut, band, "intersection")
+    # band inside outer: 40; minus hole crossing 10*2=20 -> 20
+    assert abs(sum(poly_area(p) for p in binter) - 20.0) < 1e-9
 
 
 def _random_convex(rng, cx, cy, r, n):
-    angles = sorted(rng.uniform(0, 6.283) for _ in range(n))
-    ring = [
-        (cx + r * (1 + 0.2 * rng.random()) * __import__("math").cos(a),
-         cy + r * (1 + 0.2 * rng.random()) * __import__("math").sin(a))
-        for a in angles
-    ]
-    return ring + [ring[0]]
+    """Convex hull of random points — guaranteed simple+convex (the old
+    sorted-angle jittered-radius generator could emit self-intersecting
+    rings, which are invalid polygon input)."""
+    math = __import__("math")
+    pts = sorted(
+        (cx + r * (1 + 0.2 * rng.random()) * math.cos(a),
+         cy + r * (1 + 0.2 * rng.random()) * math.sin(a))
+        for a in [rng.uniform(0, 6.283) for _ in range(max(n, 3) + 2)]
+    )
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out[:-1]
+
+    hull = half(pts) + half(pts[::-1])
+    if len(hull) < 3:
+        return _random_convex(rng, cx, cy, r, n + 2)
+    return hull + [hull[0]]
 
 
 def test_area_identity_randomized():
@@ -72,11 +139,8 @@ def test_area_identity_randomized():
     for _ in range(60):
         a = _random_convex(rng, 0, 0, 5, rng.randint(3, 7))
         b = _random_convex(rng, rng.uniform(-3, 3), rng.uniform(-3, 3), 4, rng.randint(3, 7))
-        try:
-            inter = overlay(a, b, "intersection")
-            uni = overlay(a, b, "union")
-        except OverlayDegeneracyError:
-            continue
+        inter = overlay(a, b, "intersection")
+        uni = overlay(a, b, "union")
         hits += 1
         lhs = ring_area(a) + ring_area(b)
         rhs = sum(poly_area(p) for p in inter) + sum(poly_area(p) for p in uni)
@@ -95,3 +159,58 @@ def test_geom_ops_integration():
     # sym_difference through the GH path
     sym = G.sym_difference(concave, band)
     assert abs(G.area(sym) - (lhs - 2 * G.area(inter))) < 1e-9
+
+
+def _random_star(rng, cx, cy, rmax, n=10):
+    """Star-shaped (hence simple) concave polygon: sorted angles around a
+    center, arbitrary radii."""
+    math = __import__("math")
+    angles = sorted({rng.uniform(0, 2 * math.pi) for _ in range(n)})
+    if len(angles) < 4:
+        return _random_star(rng, cx, cy, rmax, n + 3)
+    ring = []
+    for a in angles:
+        r = rng.uniform(0.3, 1.0) * rmax  # ONE radius per vertex
+        ring.append((cx + r * math.cos(a), cy + r * math.sin(a)))
+    return ring + [ring[0]]
+
+
+def test_area_identity_concave_star():
+    rng = random.Random(11)
+    for _ in range(40):
+        a = _random_star(rng, 0, 0, 5)
+        b = _random_star(rng, rng.uniform(-2, 2), rng.uniform(-2, 2), 4)
+        inter = sum(poly_area(p) for p in overlay(a, b, "intersection"))
+        uni = sum(poly_area(p) for p in overlay(a, b, "union"))
+        diff = sum(poly_area(p) for p in overlay(a, b, "difference"))
+        sym = sum(poly_area(p) for p in overlay(a, b, "symdifference"))
+        la, lb = ring_area(a), ring_area(b)
+        assert abs((la + lb) - (inter + uni)) < 1e-7, (a, b)
+        assert abs(diff - (la - inter)) < 1e-7, (a, b)
+        assert abs(sym - (uni - inter)) < 1e-7, (a, b)
+
+
+def test_integer_grid_rects_exact():
+    """Axis-aligned integer rectangles: shared edges / corners / identical
+    boxes constantly; expected areas are closed-form."""
+    rng = random.Random(13)
+    for _ in range(120):
+        x0, y0 = rng.randint(0, 6), rng.randint(0, 6)
+        x1, y1 = x0 + rng.randint(1, 6), y0 + rng.randint(1, 6)
+        u0, v0 = rng.randint(0, 6), rng.randint(0, 6)
+        u1, v1 = u0 + rng.randint(1, 6), v0 + rng.randint(1, 6)
+        A = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+        B = [(u0, v0), (u1, v0), (u1, v1), (u0, v1), (u0, v0)]
+        A = [(float(x), float(y)) for x, y in A]
+        B = [(float(x), float(y)) for x, y in B]
+        iw = max(0, min(x1, u1) - max(x0, u0))
+        ih = max(0, min(y1, v1) - max(y0, v0))
+        exp_inter = float(iw * ih)
+        area_a = float((x1 - x0) * (y1 - y0))
+        area_b = float((u1 - u0) * (v1 - v0))
+        inter = sum(poly_area(p) for p in overlay(A, B, "intersection"))
+        uni = sum(poly_area(p) for p in overlay(A, B, "union"))
+        diff = sum(poly_area(p) for p in overlay(A, B, "difference"))
+        assert abs(inter - exp_inter) < 1e-9, (A, B)
+        assert abs(uni - (area_a + area_b - exp_inter)) < 1e-9, (A, B)
+        assert abs(diff - (area_a - exp_inter)) < 1e-9, (A, B)

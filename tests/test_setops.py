@@ -99,13 +99,61 @@ class TestDifferenceUnion:
         sym = G.sym_difference(SQUARE, other)
         assert abs(G.area(sym) - 150.0) < 1e-9
 
-    def test_degenerate_overlay_raises(self):
-        # shared-edge (vertex-on-edge) contact is degenerate for GH;
-        # adjacency is handled by touches/union-disjoint paths instead
+    def test_degenerate_shared_edge_union(self):
+        # shared-edge contact (with a notch on the shared side) — the
+        # hardened kernel dissolves the shared boundary correctly
         notched = g("POLYGON ((0 0, 10 0, 10 4, 8 5, 10 6, 10 10, 0 10, 0 0))")
         sharer = g("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))")
-        with pytest.raises(NotImplementedError):
-            G.union(notched, sharer)
+        got = G.union(notched, sharer)
+        assert abs(G.area(got) - 198.0) < 1e-9
+        # the notch survives as boundary: intersection keeps only the
+        # shared 1-D edge -> regularized empty
+        inter = G.intersection(notched, sharer)
+        assert G.area(inter) < 1e-9
+
+    def test_holed_operands(self):
+        holed = g(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+            " (4 4, 6 4, 6 6, 4 6, 4 4))"
+        )
+        band = g("POLYGON ((-2 3, 12 3, 12 7, -2 7, -2 3))")
+        inter = G.intersection(holed, band)
+        # band strip through the square (40) minus the hole part of the
+        # band (2x2 hole fully inside the strip = 4)
+        assert abs(G.area(inter) - 36.0) < 1e-9
+        uni = G.union(holed, band)
+        # square(100) - hole(4) + band(14*4=56) - overlap(36) = 116;
+        # the hole's 3..6-y part is filled by the band: hole remainder 2
+        assert abs(
+            (G.area(holed) + G.area(band)) - (G.area(inter) + G.area(uni))
+        ) < 1e-9
+        diff = G.difference(holed, band)
+        assert abs(G.area(diff) - (96.0 - 36.0)) < 1e-9
+        sym = G.sym_difference(holed, band)
+        assert abs(G.area(sym) - (G.area(uni) - G.area(inter))) < 1e-9
+
+    def test_vertex_on_edge_contact(self):
+        # triangle tip touching square edge from outside
+        tri = g("POLYGON ((10 5, 14 3, 14 7, 10 5))")
+        uni = G.union(SQUARE, tri)
+        assert abs(G.area(uni) - 108.0) < 1e-9
+        assert G.area(G.intersection(SQUARE, tri)) < 1e-9
+        # collinear partial-overlap edges
+        shifted = g("POLYGON ((5 0, 15 0, 15 10, 5 10, 5 0))")
+        assert abs(G.area(G.union(SQUARE, shifted)) - 150.0) < 1e-9
+        assert abs(G.area(G.intersection(SQUARE, shifted)) - 50.0) < 1e-9
+
+    def test_multipolygon_operand(self):
+        mp = g(
+            "MULTIPOLYGON (((2 2, 4 2, 4 4, 2 4, 2 2)),"
+            " ((12 2, 14 2, 14 4, 12 4, 12 2)))"
+        )
+        inter = G.intersection(mp, SQUARE)
+        assert abs(G.area(inter) - 4.0) < 1e-9
+        diff = G.difference(mp, SQUARE)
+        assert abs(G.area(diff) - 4.0) < 1e-9
+        uni = G.union(mp, SQUARE)
+        assert abs(G.area(uni) - 104.0) < 1e-9
 
 
 def test_spark_udf_wrappers(spark):

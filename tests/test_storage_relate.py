@@ -128,9 +128,76 @@ class TestDE9IM:
         inside = g("LINESTRING (1 1, 2 2)")
         assert G.relate_pattern(inside, SQ, "T*F**F***")  # within
 
-    def test_relate_dimension_pattern_raises(self):
-        with pytest.raises(NotImplementedError):
-            G.relate_pattern(SQ, SQ, "2FFF1FFF2")
+    def test_relate_matrix_polygon_polygon(self):
+        # PostGIS-standard matrices
+        overlapping = g("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+        assert G.relate_matrix(SQ, overlapping) == "212101212"
+        adj = g("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))")
+        assert G.relate_matrix(SQ, adj) == "FF2F11212"
+        inner = g("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+        assert G.relate_matrix(SQ, inner) == "212FF1FF2"
+        assert G.relate_matrix(inner, SQ) == "2FF1FF212"
+        same = g("POLYGON ((10 0, 10 10, 0 10, 0 0, 10 0))")
+        assert G.relate_matrix(SQ, same) == "2FFF1FFF2"
+        far = g("POLYGON ((50 50, 60 50, 60 60, 50 60, 50 50))")
+        assert G.relate_matrix(SQ, far) == "FF2FF1212"
+        # corner touch: boundaries meet at a point
+        corner = g("POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))")
+        assert G.relate_matrix(SQ, corner) == "FF2F01212"
+
+    def test_relate_matrix_line_polygon(self):
+        crossing = g("LINESTRING (-5 5, 15 5)")
+        assert G.relate_matrix(SQ, crossing) == "1F20F1102"
+        # transpose form (line, polygon)
+        assert G.relate_matrix(crossing, SQ) == "101FF0212"
+        inside = g("LINESTRING (1 1, 2 2)")
+        assert G.relate_matrix(SQ, inside) == "102FF1FF2"
+        # line along the square's edge
+        edge = g("LINESTRING (2 0, 8 0)")
+        assert G.relate_matrix(SQ, edge) == "FF2101FF2"
+
+    def test_relate_matrix_line_line(self):
+        x1 = g("LINESTRING (0 0, 10 10)")
+        x2 = g("LINESTRING (0 10, 10 0)")
+        assert G.relate_matrix(x1, x2) == "0F1FF0102"
+        collinear = g("LINESTRING (5 5, 15 15)")
+        assert G.relate_matrix(x1, collinear) == "1010F0102"
+        same = g("LINESTRING (0 0, 10 10)")
+        assert G.relate_matrix(x1, same) == "1FFF0FFF2"
+
+    def test_relate_matrix_points(self):
+        p = g("POINT (5 5)")
+        assert G.relate_matrix(SQ, p) == "0F2FF1FF2"
+        on_edge = g("POINT (0 5)")
+        assert G.relate_matrix(SQ, on_edge) == "FF20F1FF2"
+        outside = g("POINT (50 50)")
+        assert G.relate_matrix(SQ, outside) == "FF2FF10F2"
+        assert G.relate_matrix(p, g("POINT (5 5)")) == "0FFFFFFF2"
+        assert G.relate_matrix(p, g("POINT (6 6)")) == "FF0FFF0F2"
+
+    def test_relate_dimension_patterns(self):
+        # explicit-dimension patterns now supported (VERDICT item 4)
+        assert G.relate_pattern(SQ, SQ, "2FFF1FFF2")
+        overlapping = g("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+        assert G.relate_pattern(SQ, overlapping, "212101212")
+        assert not G.relate_pattern(SQ, overlapping, "2FFF1FFF2")
+        adj = g("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))")
+        assert G.relate_pattern(SQ, adj, "FF2F11212")
+        assert G.relate_pattern(SQ, adj, "FF*F1****")  # touch along an edge (1-D)
+
+    def test_relate_matrix_spark_udf(self, spark):
+        from datafusion_spatial_spark.functions.predicates import st_relate_matrix
+        from datafusion_spatial_spark.functions.scalar import st_geomfromtext
+        from datafusion_spatial_spark.meta import GeometryMeta
+
+        W = GeometryMeta(encoding="WKB")
+        df = spark.createDataFrame(
+            [(1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+              "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")],
+            "id long, wa string, wb string",
+        ).select("id", st_geomfromtext("wa").alias("a"), st_geomfromtext("wb").alias("b"))
+        row = df.select(st_relate_matrix("a", "b", W, W).alias("m")).collect()[0]
+        assert row.m == "212101212"
 
     def test_relate_spark_udf(self, spark):
         from datafusion_spatial_spark.functions.predicates import st_relate
