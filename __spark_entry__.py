@@ -161,12 +161,17 @@ SELECT custkey, orderkey, totalprice, rk FROM (
 ORDER BY custkey, rk
 """
 
-Q_WINDOW_RUNNING_SQL = """
-SELECT o_orderkey AS orderkey, o_custkey AS custkey,
-       round(sum(o_totalprice) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
-FROM orders
+Q_WINDOW_RUNNING_CORE = """
+SELECT custkey, orderkey, running_total, {gap} AS gap_days
+FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_orderdate,
+         round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_date
+  FROM orders
+) t
 ORDER BY custkey, orderkey
 """
 
@@ -422,18 +427,6 @@ GROUP BY year(o_orderdate)
 ORDER BY yr
 """
 
-Q_LAG_CORE = """
-SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-       {gap} AS gap_days
-FROM (
-  SELECT o_custkey, o_orderkey, o_orderdate,
-         lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate, o_orderkey) AS prev_date
-  FROM orders
-) t
-ORDER BY custkey, orderkey
-"""
-
 Q_REGR_CORE = """
 SELECT event_type,
        round(regr_slope(value, {epoch}) * 86400, 4) AS slope_per_day,
@@ -511,47 +504,79 @@ FROM customer
 
 
 def _q_st_astext_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datafusion_spatial_spark.functions import st_astext, st_point
+    """ST_AsText over the native point encoding (pure-Catalyst path) AND the
+    full Python WKB codec round-trip (WKT text -> st_geomfromtext -> WKB ->
+    st_astext) in one query; the oracle builds the same WKT string directly,
+    so any drift in either serialization path breaks the match."""
+    from datafusion_spatial_spark.functions import (
+        st_astext,
+        st_geomfromtext,
+        st_point,
+    )
     from datafusion_spatial_spark.meta import GeometryMeta
 
     sup = load_table(spark, sf_dir, "supplier")
     meta = GeometryMeta(encoding="point", geometry_types=("Point",))
+    wkb_meta = GeometryMeta(encoding="WKB", geometry_types=("Point",))
+    wkt_in = F.expr(
+        "concat('POINT (', "
+        f"{_FMT_SPARK.format(x='s_acctbal')}, ' ', "
+        f"{_FMT_SPARK.format(x='cast(s_suppkey AS DOUBLE)')}, ')')"
+    )
     return sup.select(
         F.col("s_suppkey").alias("suppkey"),
         st_astext(
             st_point(F.col("s_acctbal"), F.col("s_suppkey").cast("double")), meta
         ).alias("wkt"),
+        st_astext(st_geomfromtext(wkt_in), wkb_meta).alias("rt_wkt"),
     ).orderBy("suppkey")
 
 
 _Q_ST_ASTEXT_ORACLE = f"""
 SELECT s_suppkey AS suppkey,
-       {_wkt_point(_FMT_DUCK, 's_acctbal', 'cast(s_suppkey AS DOUBLE)')} AS wkt
+       {_wkt_point(_FMT_DUCK, 's_acctbal', 'cast(s_suppkey AS DOUBLE)')} AS wkt,
+       {_wkt_point(_FMT_DUCK, 's_acctbal', 'cast(s_suppkey AS DOUBLE)')} AS rt_wkt
 FROM supplier ORDER BY suppkey
 """
 
 
 def _q_st_envelope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation ST_Extent envelope (WKT) plus a bbox-containment count in
+    the same per-nation aggregation (formerly the separate q_st_bbox_contains
+    query — merged to keep the driver gate under its 50-query cap)."""
     from datafusion_spatial_spark.functions import st_extent, st_point
     from datafusion_spatial_spark.functions.scalar import st_astext_bbox
     from datafusion_spatial_spark.meta import GeometryMeta
 
     cust = load_table(spark, sf_dir, "customer")
     meta = GeometryMeta(encoding="point", geometry_types=("Point",))
+    ckey = F.col("c_custkey").cast("double")
+    inside = (
+        (F.col("c_acctbal") >= 0) & (F.col("c_acctbal") <= 5000)
+        & (ckey >= 0) & (ckey <= 7500)
+    )
     pts = cust.select(
         F.col("c_nationkey").alias("nationkey"),
-        st_point(F.col("c_acctbal"), F.col("c_custkey").cast("double")).alias("geom"),
+        st_point(F.col("c_acctbal"), ckey).alias("geom"),
+        F.when(inside, F.lit(1)).otherwise(F.lit(0)).alias("inside"),
     )
-    ext = pts.groupBy("nationkey").agg(st_extent("geom", meta).alias("e"))
+    ext = pts.groupBy("nationkey").agg(
+        st_extent("geom", meta).alias("e"),
+        F.sum("inside").cast("bigint").alias("n_inside"),
+    )
     return ext.select(
-        "nationkey", st_astext_bbox(F.col("e")).alias("envelope_wkt")
+        "nationkey", st_astext_bbox(F.col("e")).alias("envelope_wkt"), "n_inside"
     ).orderBy("nationkey")
 
 
 _Q_ST_ENVELOPE_ORACLE = f"""
 SELECT c_nationkey AS nationkey,
        {_wkt_bbox(_FMT_DUCK, 'min(c_acctbal)', 'min(cast(c_custkey AS DOUBLE))',
-                  'max(c_acctbal)', 'max(cast(c_custkey AS DOUBLE))')} AS envelope_wkt
+                  'max(c_acctbal)', 'max(cast(c_custkey AS DOUBLE))')} AS envelope_wkt,
+       cast(sum(CASE WHEN c_acctbal >= 0 AND c_acctbal <= 5000
+                      AND cast(c_custkey AS DOUBLE) >= 0
+                      AND cast(c_custkey AS DOUBLE) <= 7500
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
 FROM customer GROUP BY c_nationkey ORDER BY nationkey
 """
 
@@ -571,14 +596,6 @@ WITH c AS (
 SELECT c.c_mktsegment AS segment, count(*) AS n_customers
 FROM c JOIN s ON c.cx = s.cx AND c.cy = s.cy
 GROUP BY c.c_mktsegment ORDER BY segment
-"""
-
-_Q_BBOX_CONTAINS_SPARK = """
-SELECT c_nationkey AS nationkey, count(*) AS n_inside
-FROM customer
-WHERE c_acctbal >= 0 AND c_acctbal <= 5000
-  AND cast(c_custkey AS DOUBLE) >= 0 AND cast(c_custkey AS DOUBLE) <= 7500
-GROUP BY c_nationkey ORDER BY nationkey
 """
 
 # triangle for the exact point-in-polygon predicate query (CCW)
@@ -767,34 +784,6 @@ def _q_st_intersection_area_oracle() -> str:
         "\n) AS t(pair_id, inter_area, union_area, diff_area, sym_area) "
         "ORDER BY pair_id"
     )
-
-
-def _q_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exercises the full Python WKB codec in the driver gate: build WKT
-    text from numeric columns, parse to WKB (st_geomfromtext), serialize
-    back (st_astext). The oracle builds the same WKT string directly — any
-    codec asymmetry breaks the match."""
-    from datafusion_spatial_spark.functions import st_astext, st_geomfromtext
-    from datafusion_spatial_spark.meta import GeometryMeta
-
-    sup = load_table(spark, sf_dir, "supplier")
-    wkb_meta = GeometryMeta(encoding="WKB", geometry_types=("Point",))
-    wkt_in = F.expr(
-        "concat('POINT (', "
-        f"{_FMT_SPARK.format(x='s_acctbal')}, ' ', "
-        f"{_FMT_SPARK.format(x='cast(s_suppkey AS DOUBLE)')}, ')')"
-    )
-    return sup.select(
-        F.col("s_suppkey").alias("suppkey"),
-        st_astext(st_geomfromtext(wkt_in), wkb_meta).alias("wkt"),
-    ).orderBy("suppkey")
-
-
-_Q_WKB_ROUNDTRIP_ORACLE = f"""
-SELECT s_suppkey AS suppkey,
-       {_wkt_point(_FMT_DUCK, 's_acctbal', 'cast(s_suppkey AS DOUBLE)')} AS wkt
-FROM supplier ORDER BY suppkey
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -1207,7 +1196,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("orders",),
         ),
         "q_window_top3_orders": _sql_query(Q_WINDOW_TOP3_SQL, ("orders",)),
-        "q_window_running_total": _sql_query(Q_WINDOW_RUNNING_SQL, ("orders",)),
+        "q_window_running_total": _sql_query(
+            Q_WINDOW_RUNNING_CORE.format(
+                gap="CASE WHEN prev_date IS NULL THEN NULL "
+                "ELSE cast(datediff(o_orderdate, prev_date) AS BIGINT) END"
+            ),
+            ("orders",),
+        ),
         "q_distinct_counts": _sql_query(Q_DISTINCT_SQL, ("lineitem",)),
         "q_setop_suppliers": _sql_query(Q_SETOP_SQL, ("lineitem", "supplier")),
         "q_events_hourly": _sql_query(
@@ -1251,13 +1246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             ("orders",),
         ),
-        "q_window_lag": _sql_query(
-            Q_LAG_CORE.format(
-                gap="CASE WHEN prev_date IS NULL THEN NULL "
-                "ELSE cast(datediff(o_orderdate, prev_date) AS BIGINT) END"
-            ),
-            ("orders",),
-        ),
         "q_regression": _sql_query(
             Q_REGR_CORE.format(epoch="(unix_timestamp(ts) - 1704067200)"),
             ("events",),
@@ -1270,11 +1258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spatial_grid_join": _sql_query(
             _Q_GRID_JOIN_SPARK, ("customer", "supplier")
         ),
-        "q_st_bbox_contains": _sql_query(_Q_BBOX_CONTAINS_SPARK, ("customer",)),
         "q_st_contains_triangle": _q_st_contains_triangle,
         "q_st_distance_topk": _q_st_distance_topk,
         "q_spatial_dwithin_join": _q_spatial_dwithin_join,
-        "q_wkb_roundtrip": _q_wkb_roundtrip,
         "q_st_intersection_area": _q_st_intersection_area,
     }
     # rows-only entries (no SQL-expressible oracle: iterative algorithms /
@@ -1310,10 +1296,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type", "n", "total_value",
         ).orderBy("hour", "event_type")
 
+    # Oracle-backed extension queries come BEFORE the rows-only tail: the
+    # driver gate records at most 50 rows in registration order, so every
+    # query with an oracle_sql() entry must sit inside the cap.  Total
+    # registered is kept at <= 50 so the rows-only queries get their
+    # (weaker) rows-only rows too.
     ext = {
-        "q_dedup_corpus": _q_dedup_corpus,
-        "q_ivf_ann_topk": _q_ivf_ann_topk,
-        "q_stream_hourly": _q_stream_hourly,
         "q_hash_split": _q_hash_split,
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1323,7 +1311,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": _q_cosine_topk,
         "q_lsh_ann_topk": _q_lsh_ann_topk,
     }
-    return {**rel, **spatial, **ext}
+    rows_only = {
+        "q_dedup_corpus": _q_dedup_corpus,
+        "q_ivf_ann_topk": _q_ivf_ann_topk,
+        "q_stream_hourly": _q_stream_hourly,
+    }
+    out = {**rel, **spatial, **ext, **rows_only}
+    assert len(out) <= 50, f"driver gate caps at 50 queries; got {len(out)}"
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1345,7 +1340,10 @@ def oracle_sql() -> dict[str, str]:
             month="strftime(o_orderdate, '%Y-%m')"
         ),
         "q_window_top3_orders": Q_WINDOW_TOP3_SQL,
-        "q_window_running_total": Q_WINDOW_RUNNING_SQL,
+        "q_window_running_total": Q_WINDOW_RUNNING_CORE.format(
+            gap="CASE WHEN prev_date IS NULL THEN NULL "
+            "ELSE cast(date_diff('day', prev_date, o_orderdate) AS BIGINT) END"
+        ),
         "q_distinct_counts": Q_DISTINCT_SQL,
         "q_setop_suppliers": Q_SETOP_SQL,
         "q_events_hourly": Q_EVENTS_HOURLY_CORE.format(
@@ -1372,10 +1370,6 @@ def oracle_sql() -> dict[str, str]:
         "q_date_arith": Q_DATE_ARITH_CORE.format(
             days_since="date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)"
         ),
-        "q_window_lag": Q_LAG_CORE.format(
-            gap="CASE WHEN prev_date IS NULL THEN NULL "
-            "ELSE cast(date_diff('day', prev_date, o_orderdate) AS BIGINT) END"
-        ),
         "q_regression": Q_REGR_CORE.format(
             epoch="(date_part('epoch', ts) - 1704067200)"
         ),
@@ -1383,11 +1377,9 @@ def oracle_sql() -> dict[str, str]:
         "q_st_astext_suppliers": _Q_ST_ASTEXT_ORACLE,
         "q_st_envelope_by_nation": _Q_ST_ENVELOPE_ORACLE,
         "q_spatial_grid_join": _Q_GRID_JOIN_SPARK,
-        "q_st_bbox_contains": _Q_BBOX_CONTAINS_SPARK,
         "q_st_contains_triangle": _q_st_contains_triangle_oracle(),
         "q_st_distance_topk": _Q_ST_DISTANCE_ORACLE,
         "q_spatial_dwithin_join": _Q_DWITHIN_ORACLE,
-        "q_wkb_roundtrip": _Q_WKB_ROUNDTRIP_ORACLE,
         "q_st_intersection_area": _q_st_intersection_area_oracle(),
         "q_hash_split": _q_hash_split_oracle(),
         "q_dedup_exact": _Q_DEDUP_EXACT_ORACLE,
