@@ -27,21 +27,54 @@ from datafusion_spatial_spark.meta import NESTING_DEPTH, GeometryMeta
 
 def _prep(col: Column | str, meta: GeometryMeta) -> Column:
     """Column fed to the UDF: WKB binary as-is; native nested geometry is
-    serialized to JSON JVM-side (``to_json`` is codegen'd). The JSON hop
-    sidesteps PySpark's Arrow→pandas converter, which cannot materialize
-    *ragged* nested arrays (e.g. polygon rings of different lengths) as
-    ndarrays, and keeps the UDF input schema flat."""
+    re-shaped JVM-side into a GeoArrow-style *flat offsets* struct
+    ``{xs: array<double>, ys: array<double>[, zs], ring_counts: array<int>,
+    part_counts: array<int>}`` built with codegen'd ``flatten``/``transform``.
+    Every field is a 1-D array, which the Arrow→pandas bridge handles;
+    ragged *nested* arrays (polygon rings of different lengths) it cannot
+    materialize, and the previous ``to_json`` text hop cost ~3-5× the bytes
+    plus a Python-side parse. Raw doubles cross the boundary losslessly."""
     col = F.col(col) if isinstance(col, str) else col
     if meta.is_wkb:
         return col
-    if meta.native_type == "Point":
-        # to_json needs struct/array root; wrap and unwrap
-        return F.to_json(F.struct(col.alias("g")))
-    return F.to_json(col)
+    depth = NESTING_DEPTH[meta.native_type]
+    if depth == 0:
+        leaves = F.array(col)
+    elif depth == 1:
+        leaves = col
+    elif depth == 2:
+        leaves = F.flatten(col)
+    else:
+        leaves = F.flatten(F.flatten(col))
+    fields = [
+        F.transform(leaves, lambda c: c["x"]).alias("xs"),
+        F.transform(leaves, lambda c: c["y"]).alias("ys"),
+    ]
+    if meta.has_z:
+        fields.append(F.transform(leaves, lambda c: c["z"]).alias("zs"))
+    if depth == 2:
+        fields.append(F.transform(col, F.size).alias("ring_counts"))
+    elif depth == 3:
+        fields.append(
+            F.flatten(
+                F.transform(col, lambda p: F.transform(p, F.size))
+            ).alias("ring_counts")
+        )
+        fields.append(F.transform(col, F.size).alias("part_counts"))
+    # a NULL geometry yields NULL transform outputs -> struct with null xs;
+    # the converter maps that back to None (no cast-to-struct needed)
+    return F.struct(*fields)
+
+
+def _as_rows(s):
+    """pandas_udf input normalizer: StructType columns arrive as a
+    pd.DataFrame (one column per field) — iterate them as per-row dicts;
+    plain Series pass through."""
+    return s.to_dict("records") if isinstance(s, pd.DataFrame) else s
 
 
 def _converter(meta: GeometryMeta) -> Callable[[object], wkb.Geom | None]:
-    """UDF-side value (WKB bytes or JSON text) -> Geom."""
+    """UDF-side value (WKB bytes or flat-offsets struct) -> Geom."""
     if meta.is_wkb:
         def conv_wkb(v):
             if v is None:
@@ -50,26 +83,40 @@ def _converter(meta: GeometryMeta) -> Callable[[object], wkb.Geom | None]:
 
         return conv_wkb
 
-    import json
-
     tname = meta.native_type
     depth = NESTING_DEPTH[tname]
-    is_point = tname == "Point"
-
-    def nest(v, d):
-        if d == 0:
-            return (v["x"], v["y"]) if "z" not in v else (v["x"], v["y"], v["z"])
-        return [nest(x, d - 1) for x in v]
+    has_z = meta.has_z
 
     def conv_native(v):
         if v is None:
             return None
-        obj = json.loads(v)
-        if is_point:
-            obj = obj.get("g")
-            if obj is None or "x" not in obj:
+        xs = v["xs"]
+        if xs is None:
+            return None
+        ys = v["ys"]
+        if has_z:
+            pts = list(zip(xs, ys, v["zs"]))
+        else:
+            pts = list(zip(xs, ys))
+        if depth == 0:
+            if not pts or pts[0][0] is None:
                 return None
-        return wkb.Geom(tname, nest(obj, depth))
+            return wkb.Geom(tname, pts[0])
+        if depth == 1:
+            return wkb.Geom(tname, pts)
+        rings = []
+        i = 0
+        for n in v["ring_counts"]:
+            rings.append(pts[i : i + n])
+            i += n
+        if depth == 2:
+            return wkb.Geom(tname, rings)
+        parts = []
+        j = 0
+        for n in v["part_counts"]:
+            parts.append(rings[j : j + n])
+            j += n
+        return wkb.Geom(tname, parts)
 
     return conv_native
 
@@ -82,7 +129,7 @@ def _binary_predicate(fn: Callable[[wkb.Geom, wkb.Geom], bool]):
         @F.pandas_udf(T.BooleanType())
         def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
             out = []
-            for va, vb in zip(sa, sb):
+            for va, vb in zip(_as_rows(sa), _as_rows(sb)):
                 ga, gb = ca(va), cb(vb)
                 out.append(None if ga is None or gb is None else fn(ga, gb))
             return pd.Series(out, dtype="object")
@@ -107,7 +154,7 @@ def st_distance(
     @F.pandas_udf(T.DoubleType())
     def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
         out = []
-        for va, vb in zip(sa, sb):
+        for va, vb in zip(_as_rows(sa), _as_rows(sb)):
             ga, gb = ca(va), cb(vb)
             out.append(None if ga is None or gb is None else geom_ops.distance(ga, gb))
         return pd.Series(out, dtype="float64")
@@ -132,7 +179,7 @@ def _unary_measure(fn, dtype=T.DoubleType()):
         @F.pandas_udf(dtype)
         def udf(s: pd.Series) -> pd.Series:
             out = []
-            for v in s:
+            for v in _as_rows(s):
                 g = conv(v)
                 out.append(None if g is None else fn(g))
             return pd.Series(out, dtype="object")
@@ -156,7 +203,7 @@ def _unary_constructive(fn):
         @F.pandas_udf(T.BinaryType())
         def udf(s: pd.Series) -> pd.Series:
             out = []
-            for v in s:
+            for v in _as_rows(s):
                 g = conv(v)
                 out.append(None if g is None else wkb.dumps(fn(g, **kw)))
             return pd.Series(out, dtype="object")
@@ -191,7 +238,7 @@ def st_centroid(col: Column | str, meta: GeometryMeta) -> Column:
     def udf(s: pd.Series) -> pd.DataFrame:
         nan = float("nan")
         xs, ys = [], []
-        for v in s:
+        for v in _as_rows(s):
             g = conv(v)
             if g is None:
                 xs.append(None)
@@ -218,7 +265,7 @@ def _binary_constructive(fn):
         @F.pandas_udf(T.BinaryType())
         def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
             out = []
-            for va, vb in zip(sa, sb):
+            for va, vb in zip(_as_rows(sa), _as_rows(sb)):
                 ga, gb = ca(va), cb(vb)
                 out.append(
                     None if ga is None or gb is None else wkb.dumps(fn(ga, gb))
@@ -254,7 +301,7 @@ def st_relate_matrix(
     @F.pandas_udf(T.StringType())
     def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
         out = []
-        for va, vb in zip(sa, sb):
+        for va, vb in zip(_as_rows(sa), _as_rows(sb)):
             ga, gb = ca(va), cb(vb)
             out.append(
                 None
@@ -280,7 +327,7 @@ def st_relate(
     @F.pandas_udf(T.BooleanType())
     def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
         out = []
-        for va, vb in zip(sa, sb):
+        for va, vb in zip(_as_rows(sa), _as_rows(sb)):
             ga, gb = ca(va), cb(vb)
             out.append(
                 None
@@ -313,7 +360,7 @@ def st_lineinterpolatepoint(
     @F.pandas_udf(_pt)
     def udf(s: pd.Series) -> pd.DataFrame:
         xs, ys = [], []
-        for v in s:
+        for v in _as_rows(s):
             g = conv(v)
             p = None if g is None else geom_ops.line_interpolate_point(g, fraction)
             xs.append(None if p is None else p[0])
@@ -333,7 +380,7 @@ def st_geohash(col: Column | str, precision: int, meta: GeometryMeta) -> Column:
     @F.pandas_udf(T.StringType())
     def udf(s: pd.Series) -> pd.Series:
         out = []
-        for v in s:
+        for v in _as_rows(s):
             g = conv(v)
             if g is None or g.type_name != "Point" or g.is_empty:
                 out.append(None)
@@ -356,7 +403,7 @@ def st_pointfromgeohash(col: Column | str) -> Column:
     @F.pandas_udf(_pt)
     def udf(s: pd.Series) -> pd.DataFrame:
         xs, ys = [], []
-        for v in s:
+        for v in _as_rows(s):
             if v is None:
                 xs.append(None)
                 ys.append(None)
@@ -384,7 +431,7 @@ def st_closestpoint(
     @F.pandas_udf(_pt)
     def udf(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
         xs, ys = [], []
-        for va, vb in zip(sa, sb):
+        for va, vb in zip(_as_rows(sa), _as_rows(sb)):
             ga, gb = ca(va), cb(vb)
             p = None if ga is None or gb is None else geom_ops.closest_point(ga, gb)
             xs.append(None if p is None else p[0])

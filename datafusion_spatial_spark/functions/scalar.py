@@ -436,38 +436,25 @@ def _wkb_npoints_udf(s: pd.Series) -> pd.Series:
 
 def st_asbinary(col: Column | str, meta: GeometryMeta) -> Column:
     """README.md:11 — geometry → ISO WKB. WKB input is the identity;
-    native input is serialized by the codec."""
+    native input crosses to Python via the flat-offsets transport
+    (predicates._prep — ragged nested arrays cannot cross the Arrow→pandas
+    bridge directly) and is serialized by the codec."""
     col = _c(col)
     if meta.is_wkb:
         return col
-    t = meta.native_type
-    return _native_to_wkb_udf(t)(col)
+    from datafusion_spatial_spark.functions.predicates import _as_rows, _converter, _prep
 
+    conv = _converter(meta)
 
-def _native_to_wkb_udf(type_name: str):
     @F.pandas_udf(T.BinaryType())
-    def conv(s: pd.Series) -> pd.Series:
-        def tup(c):
-            # Row/dict coord -> tuple
-            if isinstance(c, dict):
-                return (c["x"], c["y"])
-            return (c["x"], c["y"]) if hasattr(c, "x") else tuple(c)
+    def to_wkb(s: pd.Series) -> pd.Series:
+        out = []
+        for v in _as_rows(s):
+            g = conv(v)
+            out.append(None if g is None else _wkb.dumps(g))
+        return pd.Series(out, dtype="object")
 
-        def to_coords(v, depth):
-            if depth == 0:
-                return tup(v)
-            return [to_coords(x, depth - 1) for x in v]
-
-        depth = NESTING_DEPTH[type_name]
-
-        def one(v):
-            if v is None:
-                return None
-            return _wkb.dumps(_wkb.Geom(type_name, to_coords(v, depth)))
-
-        return s.map(one, na_action="ignore")
-
-    return conv
+    return to_wkb(_prep(col, meta))
 
 
 def st_geomfromtext(col: Column | str) -> Column:

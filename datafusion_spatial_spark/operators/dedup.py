@@ -336,17 +336,24 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 24,
+    check_every: int = 3,
 ) -> DataFrame:
-    """Connected components over a similarity-pair edge list via min-label
-    propagation: every node repeatedly adopts the smallest label among
-    itself and its neighbors until fixpoint. Returns (id, component).
+    """Connected components over a similarity-pair edge list. Returns
+    (id, component) with component = the minimum node id of the component.
 
-    Scale shape: each iteration is one self-join + groupBy-min on the edge
-    list (shuffle on node id); converges in O(diameter) iterations — near-dup
-    graphs are shallow (dup clusters are cliques from LSH buckets), so this
-    terminates in 2-3 rounds in practice. Caching the label frame between
-    iterations keeps lineage bounded.
+    Algorithm: min-label propagation **with path halving** — each round a
+    node adopts the smallest of (its label, its neighbors' labels, its
+    label's label). The pointer-jumping term turns O(diameter) convergence
+    into ~O(log diameter): a 100k-node chain converges in ~17 rounds
+    instead of 100k.
+
+    Scale shape (the 100 TB concerns): every round is shuffle-joins on node
+    id — no driver-side data. Lineage is truncated with an eager
+    ``localCheckpoint`` every ``check_every`` rounds (unbounded iterative
+    lineage OOMs the driver's plan and makes task binaries quadratic);
+    the convergence action runs only at those checkpoints, so the job
+    launches ~max_iter/check_every actions, not one per round.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -358,33 +365,56 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
+    prev = labels
+    done = 0
+    while done < max_iter:
+        for _ in range(min(check_every, max_iter - done)):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            # path halving: my label's current label (component ids are
+            # always node ids, so the self-join below always resolves)
+            jumped = (
+                labels.alias("a")
+                .join(
+                    labels.select(
+                        F.col("id").alias("__jid"),
+                        F.col("component").alias("__jcomp"),
+                    ),
+                    F.col("a.component") == F.col("__jid"),
+                    "left",
+                )
+                .select(
+                    F.col("a.id").alias("id"),
+                    F.col("a.component").alias("component"),
+                    F.col("__jcomp").alias("comp2"),
+                )
+            )
+            labels = jumped.join(
+                neighbor_min, jumped.id == neighbor_min.src, "left"
+            ).select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("comp2"), F.col("component")),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
             )
-            .cache()
-        )
+            done += 1
+        labels = labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+            labels.alias("n")
+            .join(prev.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        prev.unpersist()
+        prev = labels
         if changed == 0:
             break
     edges.unpersist()

@@ -7,7 +7,11 @@ A predicate UDF in a join condition degenerates to a nested-loop cross join
 2. expand each bbox to the grid cells it covers (``sequence`` + ``explode``,
    map-only);
 3. **equi-join on cell id** — hash-shuffle partitionable, AQE-skew-safe;
-4. de-dupe candidate pairs (a pair can share several cells);
+4. keep each candidate pair only in its **canonical reference cell** (the
+   cell containing the min corner of the two bboxes' padded intersection):
+   a pair sharing several cells survives exactly once, with **no
+   de-duplication shuffle** — the dedup is a map-side filter on the joined
+   row, so geometry payloads are never exchanged a second time;
 5. exact refine with the geom_ops predicate UDF on candidates only.
 
 At 100 TB this is the textbook shape: the only shuffle keys on cell id, the
@@ -15,6 +19,10 @@ Python predicate touches candidate pairs instead of the n×m cross product,
 and hot cells (skewed data) split via AQE. Cell size trades shuffle fan-out
 (small cells → more rows) against refine cost (big cells → more candidates);
 pick ~the median geometry bbox diagonal.
+
+The reference has no spatial join at all (its README.md roadmap stops at
+scalar routines); this operator is the Spark-native scale path for the
+predicate surface.
 """
 
 from __future__ import annotations
@@ -88,6 +96,20 @@ def spatial_join(
     lc = lb.withColumn("__cell", F.explode(_cells(F.col("__lbox"), cell_size, pad)))
     rc = rb.withColumn("__cell", F.explode(_cells(F.col("__rbox"), cell_size)))
 
+    # canonical reference cell: the cell of the min corner of the padded
+    # bbox intersection.  floor is monotonic, so greatest(floor(a),floor(b))
+    # == floor(greatest(a,b)); once the bbox prefilter holds, this cell is
+    # inside BOTH sides' cell ranges, so each pair survives exactly once —
+    # dedup as a map-side filter, not an exchange.
+    cs = F.lit(float(cell_size))
+    canon_x = F.greatest(
+        F.floor((F.col("__lbox.xmin") - pad) / cs),
+        F.floor(F.col("__rbox.xmin") / cs),
+    ).cast("long")
+    canon_y = F.greatest(
+        F.floor((F.col("__lbox.ymin") - pad) / cs),
+        F.floor(F.col("__rbox.ymin") / cs),
+    ).cast("long")
     cand = (
         lc.join(rc, "__cell")
         # bbox prefilter kills most false candidates JVM-side
@@ -97,8 +119,8 @@ def spatial_join(
             & (F.col("__lbox.ymin") - pad <= F.col("__rbox.ymax"))
             & (F.col("__rbox.ymin") <= F.col("__lbox.ymax") + pad)
         )
+        .filter(F.col("__cell") == canon_x * F.lit(1 << 32) + canon_y)
         .select("__lid", "__rid", "__lgeom", "__rgeom")
-        .dropDuplicates(["__lid", "__rid"])
     )
 
     if predicate == "dwithin":

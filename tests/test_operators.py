@@ -181,6 +181,21 @@ def test_connected_components(spark):
     assert comp[8] == comp[9] == comp[10] == 8
 
 
+def test_connected_components_deep_chain(spark):
+    """100k-edge single chain: path-halving label propagation must converge
+    in ~log2(n) rounds (a pure neighbor-min scheme would need 100k rounds),
+    with lineage truncated by localCheckpoint — this is the 100 TB shape
+    proof for deep components."""
+    n_edges = 100_000
+    edges = spark.range(1, n_edges + 1).select(
+        (F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b")
+    )
+    comp = dedup.connected_components(edges)
+    assert comp.count() == n_edges + 1
+    roots = [r.component for r in comp.select("component").distinct().collect()]
+    assert roots == [0]
+
+
 def test_dedup_corpus(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog today"),
