@@ -716,6 +716,34 @@ ORDER BY custkey, suppkey
 """
 
 
+def _q_sql_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-view spatial SQL: two registered geometry views joined in ONE
+    SQL string via ST_DWithin, routed by plans/sql.py to the grid-bucketed
+    spatial join (no UDF join condition reaches Catalyst). Reference analog:
+    the analyzer rule's per-table metadata maps (rules.rs:30-59)."""
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from datafusion_spatial_spark.meta import GeometryMeta, with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    meta = GeometryMeta(encoding="point", geometry_types=("Point",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        st_point(F.col("c_acctbal"), F.col("c_custkey").cast("double")).alias("geom"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"),
+        st_point(F.col("s_acctbal"), F.col("s_suppkey").cast("double")).alias("geom"),
+    )
+    ssql = SpatialSQL(spark, join_cell_size=200.0)
+    ssql.register_view("cust_pts", with_geo_meta(cust, "geom", meta))
+    ssql.register_view("supp_pts", with_geo_meta(sup, "geom", meta))
+    return ssql.sql(
+        "SELECT c.c_custkey AS custkey, s.s_suppkey AS suppkey "
+        "FROM cust_pts c JOIN supp_pts s ON ST_DWithin(c.geom, s.geom, 100) "
+        "ORDER BY custkey, suppkey"
+    )
+
+
 # degenerate / holed / concave / multi-part polygon pairs with
 # hand-computed set-operation areas — exercises the regularized overlay
 # kernel (overlay.py) end-to-end; reference README.md:34-39 lists these
@@ -1261,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_st_contains_triangle": _q_st_contains_triangle,
         "q_st_distance_topk": _q_st_distance_topk,
         "q_spatial_dwithin_join": _q_spatial_dwithin_join,
+        "q_sql_spatial_join": _q_sql_spatial_join,
         "q_st_intersection_area": _q_st_intersection_area,
     }
     # rows-only entries (no SQL-expressible oracle: iterative algorithms /
@@ -1380,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         "q_st_contains_triangle": _q_st_contains_triangle_oracle(),
         "q_st_distance_topk": _Q_ST_DISTANCE_ORACLE,
         "q_spatial_dwithin_join": _Q_DWITHIN_ORACLE,
+        "q_sql_spatial_join": _Q_DWITHIN_ORACLE,
         "q_st_intersection_area": _q_st_intersection_area_oracle(),
         "q_hash_split": _q_hash_split_oracle(),
         "q_dedup_exact": _Q_DEDUP_EXACT_ORACLE,

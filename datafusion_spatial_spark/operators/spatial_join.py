@@ -201,20 +201,29 @@ def estimate_cell_size(
     explosion (big cells). Point data (zero-extent bboxes) falls back to
     1/100 of the sampled extent's diagonal."""
     b = st_bbox(geom_col, meta)
+
+    def _stats(frame):
+        return frame.agg(
+            F.expr("percentile(sqrt(power(b.xmax - b.xmin, 2) + power(b.ymax - b.ymin, 2)), 0.5)").alias("med_diag"),
+            F.min("b.xmin").alias("x0"),
+            F.max("b.xmax").alias("x1"),
+            F.min("b.ymin").alias("y0"),
+            F.max("b.ymax").alias("y1"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+
     sampled = (
         df.sample(fraction=min(1.0, sample_fraction), seed=42)
         .select(b.alias("b"))
         .filter(F.col("b").isNotNull())
         .limit(100_000)
     )
-    stats = sampled.agg(
-        F.expr("percentile(sqrt(power(b.xmax - b.xmin, 2) + power(b.ymax - b.ymin, 2)), 0.5)").alias("med_diag"),
-        F.min("b.xmin").alias("x0"),
-        F.max("b.xmax").alias("x1"),
-        F.min("b.ymin").alias("y0"),
-        F.max("b.ymax").alias("y1"),
-        F.count("*").alias("n"),
-    ).collect()[0]
+    stats = _stats(sampled)
+    if stats.n < min_rows:
+        # tiny frame (or a too-thin sample): scan up to 100k rows directly
+        stats = _stats(
+            df.select(b.alias("b")).filter(F.col("b").isNotNull()).limit(100_000)
+        )
     if stats.n == 0:
         raise ValueError("no non-null geometries sampled; pass cell_size explicitly")
     if stats.med_diag and stats.med_diag > 0:

@@ -88,6 +88,23 @@ _CALL_RE = re.compile(r"\bST_([A-Za-z_]+)\s*\(", re.IGNORECASE)
 _FROM_RE = re.compile(r"\bFROM\s+([A-Za-z_][\w]*)", re.IGNORECASE)
 _IDENT_RE = re.compile(r"^[A-Za-z_][\w.]*$")
 
+# FROM <v1> [AS] <a1> JOIN <v2> [AS] <a2> ON ST_<pred>(args)
+_KW = r"(?!JOIN\b|ON\b|AS\b|WHERE\b|GROUP\b|ORDER\b)"
+_SPATIAL_JOIN_RE = re.compile(
+    rf"\bFROM\s+(?P<v1>[A-Za-z_]\w*)(?:\s+(?:AS\s+)?{_KW}(?P<a1>[A-Za-z_]\w*))?"
+    rf"\s+JOIN\s+(?P<v2>[A-Za-z_]\w*)(?:\s+(?:AS\s+)?{_KW}(?P<a2>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?=ST_)",
+    re.IGNORECASE,
+)
+
+# ON-clause predicate -> spatial_join(predicate=..., distance=...)
+_JOIN_PREDICATES = {
+    "ST_INTERSECTS": ("intersects", 2),
+    "ST_CONTAINS": ("contains", 2),
+    "ST_WITHIN": ("within", 2),
+    "ST_DWITHIN": ("dwithin", 3),
+}
+
 
 def _extent_agg_sql(bbox_col: str) -> str:
     """Static aggregate rewrite over a materialized per-row bbox column —
@@ -112,7 +129,9 @@ class SpatialSQL:
 
     spark: SparkSession
     registry: dict[str, dict[str, GeometryMeta]] = field(default_factory=dict)
+    join_cell_size: float | None = None
     _frames: dict[str, DataFrame] = field(default_factory=dict)
+    _pair_seq: int = 0
 
     def register_view(self, view: str, df: DataFrame) -> None:
         """Register a DataFrame as a temp view, harvesting GeometryMeta from
@@ -139,17 +158,27 @@ class SpatialSQL:
 
     def resolve(self, query: str) -> str:
         """Rewrite every ST_ call in ``query`` into references to hidden
-        resolved columns on an augmented view."""
+        resolved columns on an augmented view. A two-view spatial join
+        (``FROM a JOIN b ON ST_Pred(a.g, b.g[, dist])``) is routed to the
+        grid-bucketed :func:`operators.spatial_join.spatial_join` instead of
+        a nested-loop UDF join (the reference analyzer handles arbitrary
+        plans with per-table metadata maps, rules.rs:30-59; here the join
+        shape is recognized textually and planned with the scale operator)."""
         calls = self._find_calls(query)
         if not calls:
             return query
+        jm = _SPATIAL_JOIN_RE.search(query)
+        if jm is not None and jm.group("v1").lower() in self.registry \
+                and jm.group("v2").lower() in self.registry:
+            return self._resolve_spatial_join(query, jm)
         views = {m.lower() for m in _FROM_RE.findall(query)}
         reg_views = [v for v in views if v in self.registry]
         if len(reg_views) != 1:
             raise ValueError(
-                "SQL ST_ resolution currently supports exactly one registered "
-                f"geometry view per query; found {sorted(views)} "
-                "(use the DataFrame API for multi-view spatial queries)"
+                "SQL ST_ resolution supports one registered geometry view "
+                "per query, or the two-view join form "
+                "'FROM a JOIN b ON ST_Pred(a.g, b.g[, dist])'; found "
+                f"{sorted(views)}"
             )
         view = reg_views[0]
         col_meta = self.registry[view]
@@ -186,6 +215,106 @@ class SpatialSQL:
             rf"(\bFROM\s+){view}\b", rf"\g<1>{resolved_view}", rewritten,
             flags=re.IGNORECASE,
         )
+
+    def _resolve_spatial_join(self, query: str, jm: "re.Match") -> str:
+        """Two-view ON ST_Pred(...) join → grid spatial join.
+
+        The candidate pairs are computed by operators.spatial_join on
+        row-id-augmented copies of both views, published as a pairs view,
+        and the query text is rewritten into plain equi-joins against it —
+        so the final SQL carries no UDF in a join condition and Catalyst
+        plans hash joins throughout."""
+        from pyspark.sql import functions as F
+
+        from datafusion_spatial_spark.operators.spatial_join import (
+            estimate_cell_size,
+            spatial_join,
+        )
+
+        v1, v2 = jm.group("v1").lower(), jm.group("v2").lower()
+        a1 = (jm.group("a1") or v1)
+        a2 = (jm.group("a2") or v2)
+        call_start = jm.end()
+        call_end = _match_paren(query, query.index("(", call_start))
+        call_text = query[call_start:call_end]
+        cm = _CALL_RE.match(call_text)
+        name = "ST_" + cm.group(1).upper()
+        if name not in _JOIN_PREDICATES:
+            raise ValueError(
+                f"unsupported join predicate {name}; one of "
+                f"{sorted(_JOIN_PREDICATES)}"
+            )
+        predicate, n_args = _JOIN_PREDICATES[name]
+        args = _split_args(call_text[cm.end() : -1])
+        if len(args) != n_args:
+            raise ValueError(f"{name} takes {n_args} arguments, got {len(args)}")
+        distance = None
+        if predicate == "dwithin":
+            if not _NUM_RE.match(args[2]):
+                raise ValueError("ST_DWithin distance must be a numeric literal")
+            distance = float(args[2])
+
+        def side(qual: str, view: str, alias: str) -> tuple[str, GeometryMeta]:
+            parts = qual.split(".")
+            if len(parts) == 2:
+                owner, col = parts
+                if owner.lower() not in (alias.lower(), view):
+                    raise ValueError(
+                        f"argument {qual!r} does not reference {alias!r}/{view!r}"
+                    )
+            else:
+                col = parts[0]
+            metas = self.registry[view]
+            if col not in metas:
+                raise ValueError(
+                    f"no geometry metadata for column {col!r} of view {view!r}"
+                )
+            return col, metas[col]
+
+        lcol, lmeta = side(args[0], v1, a1)
+        rcol, rmeta = side(args[1], v2, a2)
+
+        self._pair_seq += 1
+        lview = f"{v1}__st_l{self._pair_seq}"
+        rview = f"{v2}__st_r{self._pair_seq}"
+        pview = f"__st_pairs_{self._pair_seq}"
+        rewritten = (
+            query[: jm.start()]
+            + f"FROM {lview} AS {a1} "
+            + f"JOIN {pview} ON {a1}.__st_lrowid = {pview}.__st_lrowid "
+            + f"JOIN {rview} AS {a2} ON {a2}.__st_rrowid = {pview}.__st_rrowid"
+            + query[call_end:]
+        )
+        if self._find_calls(rewritten):
+            raise ValueError(
+                "spatial-join SQL form supports ST_ only in the ON clause; "
+                "move other ST_ calls into a registered single-view query"
+            )
+
+        # lazy localCheckpoint freezes the synthetic row ids: the pairs job
+        # and the final query must see identical monotonically_increasing_id
+        # values (recomputation is only guaranteed stable for plain scans)
+        da = self._frames[v1].withColumn(
+            "__st_lrowid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+        db = self._frames[v2].withColumn(
+            "__st_rrowid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+        if self.join_cell_size is not None:
+            cell = float(self.join_cell_size)
+        else:
+            cell = estimate_cell_size(da, lcol, lmeta)
+            if distance:
+                cell = max(cell, 2.0 * distance)
+        pairs = spatial_join(
+            da, db, lcol, rcol, lmeta, rmeta,
+            "__st_lrowid", "__st_rrowid", cell_size=cell,
+            predicate=predicate, distance=distance,
+        )
+        da.createOrReplaceTempView(lview)
+        db.createOrReplaceTempView(rview)
+        pairs.createOrReplaceTempView(pview)
+        return rewritten
 
     def _find_calls(self, query: str) -> list[tuple[int, int, str]]:
         """Top-level ST_ call spans (nested calls stay inside their parent).

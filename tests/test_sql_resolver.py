@@ -103,3 +103,68 @@ def test_st_inside_string_literal_untouched(ssql):
     ).collect()
     assert all(r.lit == "ST_AsText(geometry)" for r in rows)
     assert all(r.t == "ST_Point" for r in rows)
+
+
+def test_multiview_spatial_join_dwithin(spark):
+    """Two registered views joined in one SQL string via ST_DWithin — routed
+    to the grid spatial join (no UDF in any join condition)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from datafusion_spatial_spark.meta import GeometryMeta, with_geo_meta
+
+    meta = GeometryMeta(encoding="point", geometry_types=("Point",))
+    a = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 0.0), (3, 50.0, 50.0)], "id long, x double, y double"
+    ).select("id", st_point("x", "y").alias("g"))
+    b = spark.createDataFrame(
+        [(7, 1.0, 1.0), (8, 10.5, 0.0), (9, 100.0, 100.0)], "id long, x double, y double"
+    ).select("id", st_point("x", "y").alias("g"))
+    s = SpatialSQL(spark)
+    s.register_view("va", with_geo_meta(a, "g", meta))
+    s.register_view("vb", with_geo_meta(b, "g", meta))
+    rows = s.sql(
+        "SELECT a.id AS aid, b.id AS bid FROM va a JOIN vb b "
+        "ON ST_DWithin(a.g, b.g, 2) ORDER BY aid, bid"
+    ).collect()
+    assert [(r.aid, r.bid) for r in rows] == [(1, 7), (2, 8)]
+
+
+def test_multiview_spatial_join_intersects(spark):
+    from datafusion_spatial_spark.functions.scalar import st_geomfromtext
+    from datafusion_spatial_spark.meta import GeometryMeta, with_geo_meta
+
+    wkb_meta = GeometryMeta(encoding="WKB")
+    polys = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+         (2, "POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))")],
+        "id long, w string",
+    ).select("id", st_geomfromtext("w").alias("g"))
+    pts = spark.createDataFrame(
+        [(7, "POINT (5 5)"), (8, "POINT (25 25)"), (9, "POINT (50 50)")],
+        "id long, w string",
+    ).select("id", st_geomfromtext("w").alias("g"))
+    s = SpatialSQL(spark, join_cell_size=10.0)
+    s.register_view("polys", with_geo_meta(polys, "g", wkb_meta))
+    s.register_view("pts", with_geo_meta(pts, "g", wkb_meta))
+    rows = s.sql(
+        "SELECT polys.id AS pid, pts.id AS qid FROM polys JOIN pts "
+        "ON ST_Intersects(polys.g, pts.g) ORDER BY pid, qid"
+    ).collect()
+    assert [(r.pid, r.qid) for r in rows] == [(1, 7), (2, 8)]
+
+
+def test_multiview_rejects_extra_st_calls(spark):
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from datafusion_spatial_spark.meta import GeometryMeta, with_geo_meta
+
+    meta = GeometryMeta(encoding="point", geometry_types=("Point",))
+    a = spark.createDataFrame([(1, 0.0, 0.0)], "id long, x double, y double") \
+        .select("id", st_point("x", "y").alias("g"))
+    s = SpatialSQL(spark)
+    s.register_view("wa", with_geo_meta(a, "g", meta))
+    s.register_view("wb", with_geo_meta(a, "g", meta))
+    with pytest.raises(ValueError, match="ON clause"):
+        s.resolve(
+            "SELECT ST_AsText(wa.g) FROM wa JOIN wb ON ST_DWithin(wa.g, wb.g, 1)"
+        )
