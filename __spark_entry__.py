@@ -767,15 +767,36 @@ _OVERLAY_CASES = [
         4.0, 104.0, 96.0, 100.0),
 ]
 
+# line×line pairs with hand-computed set-operation LENGTHS (collinear
+# overlap, containment, proper crossing, mixed 0-D/1-D, endpoint touch) —
+# exercises the round-3 noding kernel (geom_ops._line_line_setop)
+_LINE_CASES = [
+    # (pair_id, wkt_a, wkt_b, inter_len, union_len, diff_len, sym_len)
+    (101, "LINESTRING (0 0, 10 0)", "LINESTRING (5 0, 15 0)",
+     5.0, 15.0, 5.0, 10.0),
+    (102, "LINESTRING (0 0, 10 0)", "LINESTRING (2 0, 8 0)",
+     6.0, 10.0, 4.0, 4.0),
+    (103, "LINESTRING (0 0, 10 0)", "LINESTRING (5 -5, 5 5)",
+     0.0, 20.0, 10.0, 20.0),
+    (104, "LINESTRING (0 0, 10 0)", "MULTILINESTRING ((2 0, 4 0), (7 -1, 7 1))",
+     2.0, 12.0, 8.0, 10.0),
+    (105, "LINESTRING (0 0, 5 0)", "LINESTRING (5 0, 10 0)",
+     0.0, 10.0, 5.0, 10.0),
+]
+
 
 def _q_st_intersection_area(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST_Intersection/Union/Difference/SymDifference areas over polygon
-    pairs covering shared edges, vertex-on-edge contact, holes, concave
-    rings and multipolygons (the round-2 hardened overlay kernel)."""
+    """ST_Intersection/Union/Difference/SymDifference over polygon pairs
+    (areas — shared edges, vertex-on-edge contact, holes, concave rings,
+    multipolygons; round-2 overlay kernel) AND line pairs (lengths —
+    collinear overlap/containment, crossings, mixed-dimension results,
+    endpoint touch; round-3 noding kernel). Length columns are NULL for
+    polygon pairs (they'd be result perimeters — not closed-form here)."""
     from datafusion_spatial_spark.functions.predicates import (
         st_area,
         st_difference,
         st_intersection,
+        st_length,
         st_symdifference,
         st_union,
     )
@@ -784,33 +805,52 @@ def _q_st_intersection_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = GeometryMeta(encoding="WKB")
     df = spark.createDataFrame(
-        [(c[0], c[1], c[2]) for c in _OVERLAY_CASES],
+        [(c[0], c[1], c[2]) for c in _OVERLAY_CASES]
+        + [(c[0], c[1], c[2]) for c in _LINE_CASES],
         "pair_id int, wkt_a string, wkt_b string",
     ).select(
         "pair_id",
         st_geomfromtext("wkt_a").alias("a"),
         st_geomfromtext("wkt_b").alias("b"),
     )
+    is_line = F.col("pair_id") >= 100
+
+    def _len(col: F.Column) -> F.Column:
+        return F.when(is_line, F.round(st_length(col, w), 6)).cast("double")
+
+    inter = st_intersection("a", "b", w, w)
+    uni = st_union("a", "b", w, w)
+    diff = st_difference("a", "b", w, w)
+    sym = st_symdifference("a", "b", w, w)
     return df.select(
         "pair_id",
-        F.round(st_area(st_intersection("a", "b", w, w), w), 6).alias("inter_area"),
-        F.round(st_area(st_union("a", "b", w, w), w), 6).alias("union_area"),
-        F.round(st_area(st_difference("a", "b", w, w), w), 6).alias("diff_area"),
-        F.round(st_area(st_symdifference("a", "b", w, w), w), 6).alias("sym_area"),
+        F.round(st_area(inter, w), 6).alias("inter_area"),
+        F.round(st_area(uni, w), 6).alias("union_area"),
+        F.round(st_area(diff, w), 6).alias("diff_area"),
+        F.round(st_area(sym, w), 6).alias("sym_area"),
+        _len(inter).alias("inter_len"),
+        _len(uni).alias("union_len"),
+        _len(diff).alias("diff_len"),
+        _len(sym).alias("sym_len"),
     ).orderBy("pair_id")
 
 
 def _q_st_intersection_area_oracle() -> str:
-    rows = ",\n".join(
-        f"  ({c[0]}, {c[3]}, {c[4]}, {c[5]}, {c[6]})" for c in _OVERLAY_CASES
-    )
+    rows = [
+        f"  ({c[0]}, {c[3]}, {c[4]}, {c[5]}, {c[6]}, NULL, NULL, NULL, NULL)"
+        for c in _OVERLAY_CASES
+    ] + [
+        f"  ({c[0]}, 0.0, 0.0, 0.0, 0.0, {c[3]}, {c[4]}, {c[5]}, {c[6]})"
+        for c in _LINE_CASES
+    ]
+    cols = [
+        "inter_area", "union_area", "diff_area", "sym_area",
+        "inter_len", "union_len", "diff_len", "sym_len",
+    ]
+    casts = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in cols)
     return (
-        "SELECT pair_id, CAST(inter_area AS DOUBLE) AS inter_area, "
-        "CAST(union_area AS DOUBLE) AS union_area, "
-        "CAST(diff_area AS DOUBLE) AS diff_area, "
-        "CAST(sym_area AS DOUBLE) AS sym_area FROM (VALUES\n" + rows +
-        "\n) AS t(pair_id, inter_area, union_area, diff_area, sym_area) "
-        "ORDER BY pair_id"
+        f"SELECT pair_id, {casts} FROM (VALUES\n" + ",\n".join(rows) +
+        "\n) AS t(pair_id, " + ", ".join(cols) + ") ORDER BY pair_id"
     )
 
 

@@ -755,14 +755,9 @@ def intersection(a: Geom, b: Geom) -> Geom:
     if b_lines and a_polys:
         return intersection(b, a)
     if a_lines and b_lines:
-        pts = []
-        segs_b = list(_segments(b))
-        for sa in _segments(a):
-            for sb in segs_b:
-                p = _seg_seg_point(sa, sb)
-                if p is not None:
-                    pts.append(p)
-        return _points_geom(pts)
+        # noding-based: collinear overlap yields LineString parts, proper
+        # crossings yield points, mixed results a GeometryCollection
+        return _line_line_setop(a, b, "intersection")
     if a_polys and b_polys:
         if contains(a, b):
             return b
@@ -811,6 +806,172 @@ def _seg_seg_point(sa, sb):
     return None
 
 
+# -- 1-D (line×line) set-op machinery: node, classify, recompose ------------
+
+
+def _line_segs(g: Geom):
+    """All segments of a LineString/MultiLineString as coordinate pairs."""
+    lines = [g.coords] if g.type_name == "LineString" else list(g.coords)
+    segs = []
+    for line in lines:
+        for i in range(len(line) - 1):
+            p, q = tuple(line[i][:2]), tuple(line[i + 1][:2])
+            if p != q:
+                segs.append((p, q))
+    return segs
+
+
+def _collinear_overlap(sa, sb) -> bool:
+    """True when sb is collinear with sa and their spans overlap in >1 point."""
+    (ax, ay), (bx, by) = sa
+    (cx, cy), (dx, dy) = sb
+    ux, uy = bx - ax, by - ay
+    c1 = ux * (cy - ay) - uy * (cx - ax)
+    c2 = ux * (dy - ay) - uy * (dx - ax)
+    scale = max(abs(ux), abs(uy), 1.0)
+    if abs(c1) > EPS * scale or abs(c2) > EPS * scale:
+        return False
+    den = ux * ux + uy * uy
+    t1 = ((cx - ax) * ux + (cy - ay) * uy) / den
+    t2 = ((dx - ax) * ux + (dy - ay) * uy) / den
+    lo, hi = min(t1, t2), max(t1, t2)
+    return lo < 1.0 - EPS and hi > EPS
+
+
+def _split_segment(seg, cutters):
+    """Pieces of ``seg`` split at every intersection (proper crossing or
+    collinear-overlap endpoint) with segments in ``cutters``."""
+    (x1, y1), (x2, y2) = seg
+    ux, uy = x2 - x1, y2 - y1
+    den = ux * ux + uy * uy
+    if den == 0.0:
+        return []
+    ts = {0.0, 1.0}
+
+    def add(px, py):
+        t = ((px - x1) * ux + (py - y1) * uy) / den
+        if EPS < t < 1.0 - EPS:
+            ts.add(t)
+
+    for c in cutters:
+        p = _seg_seg_point(seg, c)
+        if p is not None:
+            add(*p)
+        if _collinear_overlap(seg, c):
+            add(*c[0])
+            add(*c[1])
+    order = sorted(ts)
+    pieces = []
+    for t0, t1 in zip(order, order[1:]):
+        if t1 - t0 > EPS:
+            pieces.append(
+                (
+                    (x1 + t0 * ux, y1 + t0 * uy),
+                    (x1 + t1 * ux, y1 + t1 * uy),
+                )
+            )
+    return pieces
+
+
+def _seg_on_geom(seg, g: Geom) -> bool:
+    """Whole (already-noded) segment lies on line geometry ``g`` — midpoint
+    distance test suffices after noding."""
+    mx = ((seg[0][0] + seg[1][0]) / 2.0, (seg[0][1] + seg[1][1]) / 2.0)
+    for s in _line_segs(g):
+        if point_seg_dist2(mx[0], mx[1], s[0][0], s[0][1], s[1][0], s[1][1]) <= EPS * EPS:
+            return True
+    return False
+
+
+def _canon_seg(seg):
+    p = (round(seg[0][0], 9), round(seg[0][1], 9))
+    q = (round(seg[1][0], 9), round(seg[1][1], 9))
+    return (p, q) if p <= q else (q, p)
+
+
+def _stitch_segments(segs):
+    """Chain noded segments into maximal LineStrings (greedy walk over a
+    shared-endpoint adjacency map); output parts as coordinate lists."""
+    from collections import defaultdict
+
+    remaining = {}
+    adj = defaultdict(list)
+    for s in segs:
+        c = _canon_seg(s)
+        if c in remaining:
+            continue
+        remaining[c] = s
+        adj[c[0]].append(c)
+        adj[c[1]].append(c)
+    parts = []
+    while remaining:
+        c0 = next(iter(remaining))
+        del remaining[c0]
+        chain = [c0[0], c0[1]]
+        for endsel in (1, 0):  # extend tail, then head
+            while True:
+                end = chain[-1] if endsel else chain[0]
+                nxt = next((c for c in adj[end] if c in remaining), None)
+                if nxt is None:
+                    break
+                del remaining[nxt]
+                other = nxt[1] if nxt[0] == end else nxt[0]
+                if endsel:
+                    chain.append(other)
+                else:
+                    chain.insert(0, other)
+        parts.append([(float(x), float(y)) for x, y in chain])
+    return parts
+
+
+def _line_line_setop(a: Geom, b: Geom, op: str) -> Geom:
+    """Noding-based line×line intersection/union/difference: split both
+    inputs at all mutual intersections, classify each piece by a midpoint
+    on-the-other test, recompose. Mixed 0-D/1-D intersections return a
+    GeometryCollection (PostGIS/DuckDB behavior)."""
+    sa, sb = _line_segs(a), _line_segs(b)
+    pieces_a = [p for s in sa for p in _split_segment(s, sb)]
+    if op == "intersection":
+        shared = [p for p in pieces_a if _seg_on_geom(p, b)]
+        lines = _stitch_segments(shared) if shared else []
+        pts = []
+        for s1 in sa:
+            for s2 in sb:
+                p = _seg_seg_point(s1, s2)
+                if p is not None:
+                    pts.append(p)
+        # collinear touches (shared endpoints / T-junctions) have den≈0 and
+        # no _seg_seg_point — catch them with endpoint-on-other tests
+        for s1 in sa:
+            for q in s1:
+                if _point_intersects(q, b):
+                    pts.append(q)
+        for s2 in sb:
+            for q in s2:
+                if _point_intersects(q, a):
+                    pts.append(q)
+        # drop crossing points already covered by a shared piece
+        line_geom = _lines_geom(lines) if lines else None
+        if line_geom is not None:
+            pts = [p for p in pts if not _point_intersects(p, line_geom)]
+        pts_geom = _points_geom(pts) if pts else None
+        if line_geom is not None and pts_geom is not None and not pts_geom.is_empty:
+            return Geom("GeometryCollection", [pts_geom, line_geom])
+        if line_geom is not None:
+            return line_geom
+        return _points_geom(pts)
+    if op == "difference":
+        keep = [p for p in pieces_a if not _seg_on_geom(p, b)]
+        return _lines_geom(_stitch_segments(keep)) if keep else Geom(
+            "GeometryCollection", []
+        )
+    if op == "union":
+        pieces_b = [p for s in sb for p in _split_segment(s, sa)]
+        merged = pieces_a + [p for p in pieces_b if not _seg_on_geom(p, a)]
+        return _lines_geom(_stitch_segments(merged))
+    raise ValueError(op)
+
+
 def difference(a: Geom, b: Geom) -> Geom:
     """a − b for point-set / line a; polygon a only for disjoint or
     b-contains-a fast paths."""
@@ -832,8 +993,16 @@ def difference(a: Geom, b: Geom) -> Geom:
         return Geom("GeometryCollection", [])
     if not intersects(a, b):
         return a
+    a_lines = a.type_name in ("LineString", "MultiLineString")
+    b_lines = b.type_name in ("LineString", "MultiLineString")
+    if a_lines and b_lines:
+        return _line_line_setop(a, b, "difference")
+    if a_lines and (b.type_name in ("Point", "MultiPoint")):
+        return a  # removing 0-D from 1-D leaves the line (regularized)
     if list(_polygons(a)) and list(_polygons(b)):
         return _gh_binary(a, b, "difference")
+    if list(_polygons(a)) and b_lines:
+        return a  # removing 1-D from 2-D leaves the polygon (regularized)
     raise NotImplementedError(
         f"difference({a.type_name}, {b.type_name}) with partial overlap "
         "not implemented"
@@ -866,6 +1035,10 @@ def union(a: Geom, b: Geom) -> Geom:
         return Geom("GeometryCollection", [a, b])
     if list(_polygons(a)) and list(_polygons(b)):
         return _gh_binary(a, b, "union")
+    a_lines = a.type_name in ("LineString", "MultiLineString")
+    b_lines = b.type_name in ("LineString", "MultiLineString")
+    if a_lines and b_lines:
+        return _line_line_setop(a, b, "union")
     raise NotImplementedError(
         f"union({a.type_name}, {b.type_name}) with partial overlap not "
         "implemented"

@@ -184,3 +184,55 @@ def test_spark_udf_wrappers(spark):
     }
     assert abs(out[1] - 25.0) < 1e-9
     assert out[2] == 0.0  # line has zero area
+
+class TestLineLineSetOps:
+    """Round-3 noding kernel: collinear overlap yields 1-D results."""
+
+    def _w(self, s):
+        from datafusion_spatial_spark.wkb import from_wkt
+        return from_wkt(s)
+
+    def test_collinear_partial_overlap(self):
+        from datafusion_spatial_spark import geom_ops as G
+        a = self._w("LINESTRING (0 0, 10 0)")
+        b = self._w("LINESTRING (5 0, 15 0)")
+        assert G.length(G.intersection(a, b)) == 5.0
+        assert G.length(G.union(a, b)) == 15.0
+        assert G.length(G.difference(a, b)) == 5.0
+        assert G.length(G.sym_difference(a, b)) == 10.0
+        assert G.intersection(a, b).type_name == "LineString"
+
+    def test_containment(self):
+        from datafusion_spatial_spark import geom_ops as G
+        a = self._w("LINESTRING (0 0, 10 0)")
+        b = self._w("LINESTRING (2 0, 8 0)")
+        assert G.length(G.intersection(a, b)) == 6.0
+        assert G.length(G.union(a, b)) == 10.0
+        d = G.difference(a, b)
+        assert d.type_name == "MultiLineString" and G.length(d) == 4.0
+
+    def test_crossing_is_point(self):
+        from datafusion_spatial_spark import geom_ops as G
+        a = self._w("LINESTRING (0 0, 10 0)")
+        b = self._w("LINESTRING (5 -5, 5 5)")
+        i = G.intersection(a, b)
+        assert i.type_name == "Point" and i.coords == (5.0, 0.0)
+        assert G.length(G.union(a, b)) == 20.0
+
+    def test_mixed_dimension_collection(self):
+        from datafusion_spatial_spark import geom_ops as G
+        a = self._w("LINESTRING (0 0, 10 0)")
+        b = self._w("MULTILINESTRING ((2 0, 4 0), (7 -1, 7 1))")
+        i = G.intersection(a, b)
+        assert i.type_name == "GeometryCollection"
+        assert G.length(i) == 2.0
+        assert G.length(G.sym_difference(a, b)) == 10.0
+
+    def test_endpoint_touch_is_point(self):
+        from datafusion_spatial_spark import geom_ops as G
+        a = self._w("LINESTRING (0 0, 5 0)")
+        b = self._w("LINESTRING (5 0, 10 0)")
+        i = G.intersection(a, b)
+        assert i.type_name == "Point" and i.coords == (5.0, 0.0)
+        u = G.union(a, b)
+        assert u.type_name == "LineString" and G.length(u) == 10.0
