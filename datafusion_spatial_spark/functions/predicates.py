@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datafusion_spatial_spark import geom_ops, wkb
-from datafusion_spatial_spark.meta import NESTING_DEPTH, GeometryMeta
+from datafusion_spatial_spark.meta import NESTING_DEPTH, GeometryMeta, to_separated
 
 
 def _prep(col: Column | str, meta: GeometryMeta) -> Column:
@@ -37,6 +37,7 @@ def _prep(col: Column | str, meta: GeometryMeta) -> Column:
     col = F.col(col) if isinstance(col, str) else col
     if meta.is_wkb:
         return col
+    col, meta = to_separated(col, meta)
     depth = NESTING_DEPTH[meta.native_type]
     if depth == 0:
         leaves = F.array(col)

@@ -35,6 +35,7 @@ from datafusion_spatial_spark.meta import (
     NESTING_DEPTH,
     GeometryMeta,
     coord_struct_type,
+    to_separated,
 )
 
 ENVELOPE_META = GeometryMeta(encoding="polygon", geometry_types=("Polygon",))
@@ -156,6 +157,7 @@ def st_astext(col: Column | str, meta: GeometryMeta) -> Column:
     col = _c(col)
     if meta.is_wkb:
         return _wkb_astext_udf(col)
+    col, meta = to_separated(col, meta)
     t = meta.native_type
     z = meta.has_z
     ztok = " Z" if z else ""
@@ -228,6 +230,7 @@ def st_envelope(col: Column | str, meta: GeometryMeta) -> Column:
     col = _c(col)
     if meta.is_wkb:
         return _wkb_envelope_udf(col)
+    col, meta = to_separated(col, meta)
     coords = _native_coords(col, meta)
     xs = F.transform(coords, lambda p: p["x"])
     ys = F.transform(coords, lambda p: p["y"])
@@ -278,6 +281,7 @@ def st_bbox(col: Column | str, meta: GeometryMeta) -> Column:
         # normalize all-null rows to a NULL struct here
         b = _wkb_bbox_udf(col)
         return F.when(b["xmax"].isNull(), F.lit(None).cast(_BBOX_TYPE)).otherwise(b)
+    col, meta = to_separated(col, meta)
     coords = _native_coords(col, meta)
     xs = F.transform(coords, lambda p: p["x"])
     ys = F.transform(coords, lambda p: p["y"])
@@ -316,13 +320,15 @@ def st_point(x: Column | str, y: Column | str) -> Column:
 def st_x(col: Column | str, meta: GeometryMeta = POINT_META) -> Column:
     if meta.is_wkb:
         return _wkb_x_udf(_c(col))
-    return _c(col)["x"]
+    col, meta = to_separated(_c(col), meta)
+    return col["x"]
 
 
 def st_y(col: Column | str, meta: GeometryMeta = POINT_META) -> Column:
     if meta.is_wkb:
         return _wkb_y_udf(_c(col))
-    return _c(col)["y"]
+    col, meta = to_separated(_c(col), meta)
+    return col["y"]
 
 
 @F.pandas_udf(T.DoubleType())
@@ -346,6 +352,7 @@ def st_isempty(col: Column | str, meta: GeometryMeta) -> Column:
     col = _c(col)
     if meta.is_wkb:
         return _wkb_isempty_udf(col)
+    col, meta = to_separated(col, meta)
     return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
         _is_native_empty(col, meta)
     )
@@ -407,6 +414,7 @@ def st_npoints(col: Column | str, meta: GeometryMeta) -> Column:
     col = _c(col)
     if meta.is_wkb:
         return _wkb_npoints_udf(col)
+    col, meta = to_separated(col, meta)
     if meta.native_type == "Point":
         return F.when(col.isNull(), F.lit(None).cast("int")).otherwise(
             F.when(_is_native_empty(col, meta), F.lit(0)).otherwise(F.lit(1))

@@ -65,6 +65,10 @@ class GeometryMeta:
     encoding: str  # "WKB" or one of NATIVE_ENCODINGS keys
     geometry_types: tuple[str, ...] = ()
     crs: str | None = None
+    # physical coord layout of native encodings (reference helpers.rs:49-71
+    # sniffs both): "separated" = struct<x,y>; "interleaved" =
+    # fixed_size_list<double>[2] — surfaced in Spark as array<double>
+    coord_layout: str = "separated"
 
     @property
     def is_wkb(self) -> bool:
@@ -102,6 +106,8 @@ class GeometryMeta:
         }
         if self.crs is not None:
             d["crs"] = self.crs
+        if self.coord_layout != "separated":
+            d["coord_layout"] = self.coord_layout
         return d
 
     @classmethod
@@ -110,6 +116,7 @@ class GeometryMeta:
             encoding=d.get("encoding", WKB),
             geometry_types=tuple(d.get("geometry_types", ()) or ()),
             crs=d.get("crs"),
+            coord_layout=d.get("coord_layout", "separated"),
         )
 
 
@@ -134,12 +141,36 @@ def with_geo_meta(df: DataFrame, column: str, meta: GeometryMeta) -> DataFrame:
 
 def resolve_meta(df: DataFrame, column: str) -> GeometryMeta:
     """Resolve the GeometryMeta for ``df[column]``: explicit field metadata
-    first, else structural sniff (the analyzer-rule analog)."""
+    first, else structural sniff (the analyzer-rule analog). The physical
+    coord layout is always re-sniffed from the Spark type — GeoParquet
+    footers do not declare it (the reference sniffs structurally too,
+    helpers.rs:49-71)."""
+    from dataclasses import replace
+
     fld = df.schema[column]
     md = fld.metadata or {}
     if "geo" in md:
-        return GeometryMeta.from_dict(md["geo"])
+        meta = GeometryMeta.from_dict(md["geo"])
+        if meta.is_native:
+            layout = _sniff_layout(fld.dataType)
+            if layout is not None and layout != meta.coord_layout:
+                meta = replace(meta, coord_layout=layout)
+        return meta
     return sniff_meta(fld.dataType)
+
+
+def _sniff_layout(dt: T.DataType) -> str | None:
+    """Physical coord layout of a native Spark geometry type, or None."""
+    cur = dt
+    depth = 0
+    while isinstance(cur, T.ArrayType) and depth <= 4:
+        cur = cur.elementType
+        depth += 1
+    if _is_coord_struct(cur):
+        return "separated"
+    if isinstance(cur, T.DoubleType) and depth >= 1:
+        return "interleaved"
+    return None
 
 
 def sniff_meta(dt: T.DataType) -> GeometryMeta:
@@ -150,23 +181,33 @@ def sniff_meta(dt: T.DataType) -> GeometryMeta:
     default* shape for that depth (depth 1 = LineString, depth 2 = Polygon,
     depth 3 = MultiPolygon); LineString-vs-MultiPoint and
     Polygon-vs-MultiLineString are physically identical and need declared
-    metadata to distinguish — same limitation as the reference.
+    metadata to distinguish — same limitation as the reference. An
+    ``array<double>`` leaf is the interleaved layout (fixed-size-list
+    lengths are erased by Spark, so XY is assumed — declare ``"Point Z"``
+    etc. in metadata for XYZ interleaved data).
     """
     if isinstance(dt, T.BinaryType):
         return GeometryMeta(encoding=WKB)
     depth = 0
     cur = dt
-    while isinstance(cur, T.ArrayType) and depth <= 3:
+    while isinstance(cur, T.ArrayType) and depth <= 4:
         cur = cur.elementType
         depth += 1
+    by_depth = {0: "point", 1: "linestring", 2: "polygon", 3: "multipolygon"}
     if _is_coord_struct(cur):
-        by_depth = {0: "point", 1: "linestring", 2: "polygon", 3: "multipolygon"}
         if depth in by_depth:
             enc = by_depth[depth]
             name = NATIVE_ENCODINGS[enc]
             if any(f.name == "z" for f in cur.fields):
                 name += " Z"
             return GeometryMeta(encoding=enc, geometry_types=(name,))
+    if isinstance(cur, T.DoubleType) and depth >= 1 and (depth - 1) in by_depth:
+        enc = by_depth[depth - 1]
+        return GeometryMeta(
+            encoding=enc,
+            geometry_types=(NATIVE_ENCODINGS[enc],),
+            coord_layout="interleaved",
+        )
     raise ValueError(f"cannot infer geometry metadata from Spark type {dt}")
 
 
@@ -187,6 +228,44 @@ def coord_struct_type(dims: int = 2) -> T.StructType:
     if dims == 3:
         fields.append(T.StructField("z", T.DoubleType(), False))
     return T.StructType(fields)
+
+
+def to_separated(col: Column, meta: GeometryMeta) -> tuple[Column, GeometryMeta]:
+    """Normalize an interleaved native geometry column (``array<double>``
+    coords) to the separated ``struct<x,y[,z]>`` layout at the expression
+    level, so every native kernel is single-layout. The reference computes
+    over interleaved buffers directly with a chunk-by-D fold
+    (compute.rs:19-44); in Catalyst a ``transform`` to structs is equally
+    map-only and fuses into downstream whole-stage codegen. No-op for WKB
+    and already-separated input."""
+    if not meta.is_native or meta.coord_layout != "interleaved":
+        return col, meta
+    from dataclasses import replace
+
+    z = meta.has_z
+
+    def c2s(c: Column) -> Column:
+        fields = [c[0].alias("x"), c[1].alias("y")]
+        if z:
+            fields.append(c[2].alias("z"))
+        return F.struct(*fields)
+
+    depth = NESTING_DEPTH[meta.native_type]
+    if depth == 0:
+        out_type = T.StructType(
+            [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+            + ([T.StructField("z", T.DoubleType())] if z else [])
+        )
+        out = F.when(col.isNull(), F.lit(None).cast(out_type)).otherwise(c2s(col))
+    elif depth == 1:
+        out = F.transform(col, c2s)
+    elif depth == 2:
+        out = F.transform(col, lambda r: F.transform(r, c2s))
+    else:
+        out = F.transform(
+            col, lambda p: F.transform(p, lambda r: F.transform(r, c2s))
+        )
+    return out, replace(meta, coord_layout="separated")
 
 
 def native_spark_type(geometry_type: str, dims: int = 2) -> T.DataType:
