@@ -1076,6 +1076,13 @@ def sym_difference(a: Geom, b: Geom) -> Geom:
 # relate-family predicates (reference README.md:23-26)
 
 
+def _near_any(p, pts, eps: float = 1e-9) -> bool:
+    """Quantized point-set membership (float-noise-tolerant)."""
+    return any(
+        (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 <= eps * eps for q in pts
+    )
+
+
 def _proper_cross_exists(a: Geom, b: Geom) -> bool:
     """Any pair of segments crossing at interior points (not mere touching
     at shared endpoints/collinear overlap)."""
@@ -1585,7 +1592,10 @@ def relate_matrix(a: Geom, b: Geom) -> str:
             for _f0, _f1, m in _split_fragments(ra, lb)
         ):
             cells[3] = "1"
-        elif any(p not in bpts for p in pts):
+        elif any(not _near_any(p, bpts) for p in pts):
+            # epsilon compare: a line endpoint touching the ring can come
+            # back from _seg_seg_point with float noise — exact tuple
+            # membership would misreport BI as '0' instead of 'F'
             cells[3] = "0"
         if any(_on_any_seg(p, ra) for p in bpts):
             cells[4] = "0"
@@ -1621,7 +1631,7 @@ def relate_matrix(a: Geom, b: Geom) -> str:
         apts, bpts = _line_boundary_pts(a), _line_boundary_pts(b)
 
         def in_interior(p, segs, bnd):
-            return _on_any_seg(p, segs) and (p[0], p[1]) not in bnd
+            return _on_any_seg(p, segs) and not _near_any(p, bnd)
 
         overlap, pts = _seg_sets_meet(la, lb)
         if overlap:
@@ -1720,11 +1730,31 @@ def relate_pattern(a: Geom, b: Geom, pattern: str) -> bool:
     return True
 
 
+def _has_nonpolygonal_member(g: Geom) -> bool:
+    if g.type_name != "GeometryCollection":
+        return False
+    for m in g.coords:
+        if m.type_name == "GeometryCollection":
+            if _has_nonpolygonal_member(m):
+                return True
+        elif m.type_name not in ("Polygon", "MultiPolygon"):
+            return True
+    return False
+
+
 def _gh_binary(a: Geom, b: Geom, op: str) -> Geom:
     """Regularized overlay bridge: full (multi)polygon ring sets, holes,
-    and degenerate contact supported (overlay.overlay_multi)."""
+    and degenerate contact supported (overlay.overlay_multi). Mixed-
+    dimension GeometryCollection operands raise rather than silently
+    dropping their lower-dimensional members (GEOS/JTS keep them)."""
     from datafusion_spatial_spark.overlay import overlay_multi
 
+    if _has_nonpolygonal_member(a) or _has_nonpolygonal_member(b):
+        raise NotImplementedError(
+            f"{op} over a mixed-dimension GeometryCollection operand is not "
+            "supported (line/point members would be dropped); decompose the "
+            "collection and combine per-dimension results"
+        )
     pa = [[[(p[0], p[1]) for p in ring] for ring in rings] for rings in _polygons(a)]
     pb = [[[(p[0], p[1]) for p in ring] for ring in rings] for rings in _polygons(b)]
     polys = overlay_multi(pa, pb, op)

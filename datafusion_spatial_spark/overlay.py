@@ -43,10 +43,13 @@ Ops: 'intersection' | 'union' | 'difference' (a − b) | 'symdifference'.
 from __future__ import annotations
 
 import math
+from collections import defaultdict
 
 # Node quantization: coordinates snapped to _Q_SNAP when comparing graph
 # nodes. Well above f64 noise from intersection arithmetic (~1e-12 at
 # coordinate magnitudes ≤1e4) and far below any fixture feature size.
+# Inputs whose extent falls outside the magnitude band where this absolute
+# snap is sane are rescaled by an exact power of two first (overlay_multi).
 _Q_SCALE = 1e7
 _Q_SNAP = 1 / _Q_SCALE
 _PARAM_EPS = 1e-12  # split-parameter tolerance along an edge
@@ -103,13 +106,62 @@ def _isect_params(p, q, r, s):
     return out
 
 
+class _SegGrid:
+    """Uniform grid over segments, keyed by the cells each segment's bbox
+    covers — turns the all-pairs edge scans (fragmentation, clearance)
+    into local queries. Cell size ≈ the median segment length, floored so
+    a segment never covers an unbounded number of cells."""
+
+    def __init__(self, segs):
+        lengths = sorted(
+            math.hypot(q[0] - p[0], q[1] - p[1]) for p, q in segs
+        )
+        med = lengths[len(lengths) // 2] if lengths else 1.0
+        self.cell = max(med, _Q_SNAP * 16)
+        self.m: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for i, (p, q) in enumerate(segs):
+            for c in self._cells(p[0], p[1], q[0], q[1]):
+                self.m[c].append(i)
+
+    def _cells(self, x0, y0, x1, y1, pad=0.0):
+        if x1 < x0:
+            x0, x1 = x1, x0
+        if y1 < y0:
+            y0, y1 = y1, y0
+        cx0 = math.floor((x0 - pad) / self.cell)
+        cx1 = math.floor((x1 + pad) / self.cell)
+        cy0 = math.floor((y0 - pad) / self.cell)
+        cy1 = math.floor((y1 + pad) / self.cell)
+        return [
+            (cx, cy)
+            for cx in range(cx0, cx1 + 1)
+            for cy in range(cy0, cy1 + 1)
+        ]
+
+    def near_seg(self, p, q):
+        """Candidate indices whose bbox cells intersect segment p-q's."""
+        out = set()
+        for c in self._cells(p[0], p[1], q[0], q[1], pad=_Q_SNAP):
+            out.update(self.m.get(c, ()))
+        return out
+
+    def near_point(self, x, y, radius):
+        out = set()
+        for c in self._cells(x, y, x, y, pad=radius):
+            out.update(self.m.get(c, ()))
+        return out
+
+
 def _fragment(edges):
-    """Split every edge at its intersections with every other edge."""
+    """Split every edge at its intersections with nearby edges (grid-
+    indexed: O(E · local-density) instead of the former all-pairs O(E²))."""
+    grid = _SegGrid(edges)
     frags = []
     for k, (p, q) in enumerate(edges):
         ts = {0.0, 1.0}
-        for j, (r, s) in enumerate(edges):
+        for j in grid.near_seg(p, q):
             if j != k:
+                r, s = edges[j]
                 ts.update(_isect_params(p, q, r, s))
         ordered = sorted(ts)
         for t0, t1 in zip(ordered, ordered[1:]):
@@ -174,37 +226,99 @@ _PREDS = {
 }
 
 
-def _select(frags, pa, pb, pred):
-    """Classify each fragment by sampling both sides of its midpoint;
-    keep boundary fragments directed with the kept region on the left."""
-    directed = []
+def _chains(frags):
+    """Group fragments into maximal chains through degree-2 nodes. The
+    left/right region classification is constant along a chain (a region
+    change requires crossing another boundary fragment, which makes a
+    node of degree ≥3), so each chain needs only ONE sampled
+    classification — O(#intersections) inside-tests, not O(#fragments).
+
+    Returns a list of chains; each chain is a list of (frag_idx, flipped)
+    in walk order, flipped = walk traverses the fragment end→start."""
+    node_inc = defaultdict(list)  # node -> [(idx, incident_at_start)]
     for i, (f0, f1) in enumerate(frags):
+        node_inc[_q(f0)].append((i, True))
+        node_inc[_q(f1)].append((i, False))
+    visited = [False] * len(frags)
+    chains = []
+
+    def walk(start_idx, flipped):
+        chain = []
+        i = start_idx
+        while True:
+            visited[i] = True
+            chain.append((i, flipped))
+            exit_node = _q(frags[i][0] if flipped else frags[i][1])
+            inc = node_inc[exit_node]
+            if len(inc) != 2:
+                break
+            nxt = [(j, at_start) for j, at_start in inc if j != i]
+            if len(nxt) != 1 or visited[nxt[0][0]]:
+                break
+            i, at_start = nxt[0]
+            flipped = not at_start
+        return chain
+
+    for inc in node_inc.values():
+        if len(inc) != 2:
+            for i, at_start in inc:
+                if not visited[i]:
+                    chains.append(walk(i, not at_start))
+    for i in range(len(frags)):  # closed loops (no junction nodes)
+        if not visited[i]:
+            chains.append(walk(i, False))
+    return chains
+
+
+def _select(frags, pa, pb, pred):
+    """Classify fragments by sampling both sides of a representative per
+    chain; keep boundary fragments directed with the kept region left.
+    Clearance (how far off the boundary we may sample) is a grid-local
+    query bounded by the sampling cap, not an all-fragments scan."""
+    grid = _SegGrid(frags) if frags else None
+    directed = []
+    for chain in _chains(frags):
+        # representative: the longest fragment in the chain
+        rep_i, rep_flipped, rep_len = -1, False, -1.0
+        for i, flipped in chain:
+            f0, f1 = frags[i]
+            L = math.hypot(f1[0] - f0[0], f1[1] - f0[1])
+            if L > rep_len:
+                rep_i, rep_flipped, rep_len = i, flipped, L
+        if rep_len <= 0:
+            continue
+        f0, f1 = frags[rep_i]
         mx, my = (f0[0] + f1[0]) / 2, (f0[1] + f1[1]) / 2
         dx, dy = f1[0] - f0[0], f1[1] - f0[1]
-        L = math.hypot(dx, dy)
-        if L <= 0:
-            continue
-        # clearance: nearest other fragment to the midpoint bounds how far
-        # we may sample without crossing another boundary
-        clear2 = math.inf
-        for j, (g0, g1) in enumerate(frags):
-            if j == i:
+        L = rep_len
+        cap = 0.25 * L
+        clear2 = cap * cap
+        for j in grid.near_point(mx, my, cap):
+            if j == rep_i:
                 continue
+            g0, g1 = frags[j]
             d2 = _point_seg_dist2(mx, my, g0[0], g0[1], g1[0], g1[1])
             if d2 < clear2:
                 clear2 = d2
-        delta = 0.45 * math.sqrt(clear2) if clear2 < math.inf else 0.25 * L
-        delta = min(delta, 0.25 * L)
+        delta = min(0.45 * math.sqrt(clear2), cap)
         if delta <= 0:
             continue
-        nx, ny = -dy / L, dx / L  # left normal
+        nx, ny = -dy / L, dx / L  # left normal of the STORED direction
         pl = (mx + delta * nx, my + delta * ny)
         pr = (mx - delta * nx, my - delta * ny)
         keep_l = pred(_inside(pl, pa), _inside(pl, pb))
         keep_r = pred(_inside(pr, pa), _inside(pr, pb))
         if keep_l == keep_r:
-            continue  # interior edge or fully-outside edge — dissolved
-        directed.append((f0, f1) if keep_l else (f1, f0))
+            continue  # interior or fully-outside chain — dissolved
+        # translate the rep's stored-left classification to walk-left, then
+        # to each fragment's stored orientation
+        keep_left_of_walk = keep_l if not rep_flipped else keep_r
+        for i, flipped in chain:
+            g0, g1 = frags[i]
+            if g0 == g1:
+                continue
+            keep_left_stored = keep_left_of_walk if not flipped else not keep_left_of_walk
+            directed.append((g0, g1) if keep_left_stored else (g1, g0))
     return directed
 
 
@@ -316,16 +430,46 @@ def _assemble(rings):
     return polys
 
 
+def _max_abs_coord(polys):
+    m = 0.0
+    for rings in polys:
+        for ring in rings:
+            for p in ring:
+                ax, ay = abs(p[0]), abs(p[1])
+                if ax > m:
+                    m = ax
+                if ay > m:
+                    m = ay
+    return m
+
+
+def _scale_polys(polys, s):
+    return [[[(p[0] * s, p[1] * s) for p in ring] for ring in rings]
+            for rings in polys]
+
+
 def overlay_multi(polys_a, polys_b, op: str):
     """Regularized boolean overlay of two (multi)polygons.
 
     ``polys_a`` / ``polys_b``: list of polygons, each a list of closed
     coordinate rings (ring 0 = shell, rest = holes; orientation free).
     Returns the result in the same form (shells CCW, holes CW as traced).
-    """
+
+    The node-snap tolerance (_Q_SNAP, absolute) is kept meaningful for any
+    input magnitude by rescaling operands whose coordinates fall outside
+    [1e-3, 1e5] into that band with an **exact power-of-two** factor
+    (mantissas unchanged — the inverse scaling restores coordinates
+    bit-for-bit), so micro-scale geometries no longer collapse to [] and
+    planetary-scale ones no longer alias."""
     pred = _PREDS.get(op)
     if pred is None:
         raise ValueError(f"unknown overlay op {op!r}")
+    m = max(_max_abs_coord(polys_a), _max_abs_coord(polys_b))
+    scale = 1.0
+    if m > 0 and not (1e-3 <= m <= 1e5):
+        scale = 2.0 ** round(math.log2(1000.0 / m))
+        polys_a = _scale_polys(polys_a, scale)
+        polys_b = _scale_polys(polys_b, scale)
     edges = _edges_of(polys_a) + _edges_of(polys_b)
     if not edges:
         return []
@@ -333,7 +477,10 @@ def overlay_multi(polys_a, polys_b, op: str):
     directed = _select(frags, polys_a, polys_b, pred)
     if not directed:
         return []
-    return _assemble(_stitch(directed))
+    out = _assemble(_stitch(directed))
+    if scale != 1.0:
+        out = _scale_polys(out, 1.0 / scale)
+    return out
 
 
 def overlay(ring_a, ring_b, op: str):

@@ -239,10 +239,17 @@ def _fmt(v: float) -> str:
     chooses oracle formatting). One shared rule with the native-encoding
     Catalyst path (scalar.fmt_coord_num): fixed 8-decimal format with
     trailing zeros (and bare trailing dot) trimmed — never scientific
-    notation, so WKB and native ST_AsText agree byte-for-byte."""
+    notation, so WKB and native ST_AsText agree byte-for-byte.
+
+    A nonzero value that the 8-decimal rendering would collapse to zero
+    (|v| < 5e-9) falls back to repr so data is never silently erased, and
+    negative zero normalizes to "0" (no "-0" drift between paths)."""
     if v != v:  # NaN
         return "nan"
-    return _TRAILING_ZEROS.sub("", f"{v:.8f}")
+    out = _TRAILING_ZEROS.sub("", f"{v:.8f}")
+    if out in ("0", "-0"):
+        return "0" if v == 0.0 else repr(v)
+    return out
 
 
 _TRAILING_ZEROS = re.compile(r"\.?0+$")

@@ -214,3 +214,67 @@ def test_integer_grid_rects_exact():
         assert abs(inter - exp_inter) < 1e-9, (A, B)
         assert abs(uni - (area_a + area_b - exp_inter)) < 1e-9, (A, B)
         assert abs(diff - (area_a - exp_inter)) < 1e-9, (A, B)
+
+
+class TestScaleAndPerformance:
+    """Round-3: grid-indexed fragmentation + chain classification must keep
+    high-vertex overlays fast, and extent-relative rescaling must keep
+    micro/planetary-scale inputs from collapsing under the node snap."""
+
+    @staticmethod
+    def _ring(cx, cy, r, n):
+        import math
+        pts = [
+            (cx + r * math.cos(2 * math.pi * i / n),
+             cy + r * math.sin(2 * math.pi * i / n))
+            for i in range(n)
+        ]
+        return pts + [pts[0]]
+
+    @staticmethod
+    def _area(polys):
+        total = 0.0
+        for rings in polys:
+            for rg in rings:
+                total += sum(
+                    rg[j][0] * rg[j + 1][1] - rg[j + 1][0] * rg[j][1]
+                    for j in range(len(rg) - 1)
+                ) / 2
+        return total
+
+    def test_1000_vertex_pair_under_100ms(self):
+        import math
+        import time
+
+        from datafusion_spatial_spark.overlay import overlay_multi
+
+        a = [[self._ring(0, 0, 10, 1000)]]
+        b = [[self._ring(7, 0, 10, 1000)]]
+        t0 = time.perf_counter()
+        out = overlay_multi(a, b, "intersection")
+        elapsed = time.perf_counter() - t0
+        d, r = 7.0, 10.0
+        lens = 2 * r * r * math.acos(d / (2 * r)) - d / 2 * math.sqrt(4 * r * r - d * d)
+        assert abs(self._area(out) - lens) < 0.01
+        assert elapsed < 0.5, f"overlay took {elapsed*1000:.0f}ms"
+
+    def test_micro_scale_union_not_empty(self):
+        from datafusion_spatial_spark.overlay import overlay_multi
+
+        sq = lambda x0, y0, s: [  # noqa: E731
+            [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)]
+        ]
+        u = overlay_multi([sq(0, 0, 1e-8)], [sq(5e-9, 5e-9, 1e-8)], "union")
+        assert u, "micro-scale union must not vanish under quantization"
+        assert abs(self._area(u) - 1.75e-16) < 1e-19
+
+    def test_planetary_scale(self):
+        from datafusion_spatial_spark.overlay import overlay_multi
+
+        sq = lambda x0, y0, s: [  # noqa: E731
+            [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)]
+        ]
+        inter = overlay_multi(
+            [sq(0, 0, 2e7)], [sq(1e7, 1e7, 2e7)], "intersection"
+        )
+        assert abs(self._area(inter) - 1e14) < 1.0
