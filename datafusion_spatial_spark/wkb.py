@@ -48,6 +48,9 @@ class Geom:
     coords: object  # nested per the module docstring
     has_z: bool = False
     srid: int | None = None
+    # measured coordinates: coord tuples are (x, y[, z][, m]) in ISO XYZM
+    # order (reference WKT writer dim tokens, scalar.rs:215-238)
+    has_m: bool = False
 
     @property
     def is_empty(self) -> bool:
@@ -70,11 +73,11 @@ def header_type_name(buf: bytes) -> str:
         raise WKBError("buffer too short for WKB header")
     endian = "<" if buf[0] == 1 else ">"
     (raw,) = struct.unpack_from(endian + "I", buf, 1)
-    code, has_z, _has_m, _ = _decode_type_code(raw)
+    code, has_z, has_m, _ = _decode_type_code(raw)
     name = _TYPE_NAMES.get(code)
     if name is None:
         raise WKBError(f"unknown WKB geometry type code {raw}")
-    return name + (" Z" if has_z else "")
+    return name + _dim_suffix(has_z, has_m)
 
 
 def _decode_type_code(raw: int) -> tuple[int, bool, bool, bool]:
@@ -93,6 +96,16 @@ def _decode_type_code(raw: int) -> tuple[int, bool, bool, bool]:
         code -= 1000
         has_z = True
     return code, has_z, has_m, has_srid
+
+
+def _dim_suffix(has_z: bool, has_m: bool) -> str:
+    if has_z and has_m:
+        return " ZM"
+    if has_z:
+        return " Z"
+    if has_m:
+        return " M"
+    return ""
 
 
 class _Reader:
@@ -119,8 +132,7 @@ class _Reader:
         def coord():
             vals = struct.unpack_from(endian + "d" * ndim, self.buf, self.pos)
             self.pos += 8 * ndim
-            # drop M if present; keep (x, y[, z])
-            return vals[: 3 if has_z else 2]
+            return vals  # (x, y[, z][, m]) — M values preserved
 
         def ring():
             (n,) = struct.unpack_from(endian + "I", self.buf, self.pos)
@@ -134,34 +146,37 @@ class _Reader:
 
         if name == "Point":
             c = coord()
-            return Geom("Point", c, has_z, srid)
+            return Geom("Point", c, has_z, srid, has_m)
         if name == "LineString":
-            return Geom("LineString", ring(), has_z, srid)
+            return Geom("LineString", ring(), has_z, srid, has_m)
         if name == "Polygon":
-            return Geom("Polygon", [ring() for _ in range(count())], has_z, srid)
+            return Geom(
+                "Polygon", [ring() for _ in range(count())], has_z, srid, has_m
+            )
         if name == "MultiPoint":
             n = count()
             pts = []
             for _ in range(n):
                 g = self.geometry()
                 pts.append(g.coords)
-            return Geom("MultiPoint", pts, has_z, srid)
+            return Geom("MultiPoint", pts, has_z, srid, has_m)
         if name == "MultiLineString":
             n = count()
             return Geom(
                 "MultiLineString", [self.geometry().coords for _ in range(n)],
-                has_z, srid,
+                has_z, srid, has_m,
             )
         if name == "MultiPolygon":
             n = count()
             return Geom(
                 "MultiPolygon", [self.geometry().coords for _ in range(n)],
-                has_z, srid,
+                has_z, srid, has_m,
             )
         # GeometryCollection
         n = count()
         return Geom(
-            "GeometryCollection", [self.geometry() for _ in range(n)], has_z, srid
+            "GeometryCollection", [self.geometry() for _ in range(n)], has_z,
+            srid, has_m,
         )
 
 
@@ -183,13 +198,18 @@ def _write_geom(out: bytearray, geom: Geom) -> None:
     code = _TYPE_CODES[geom.type_name]
     if geom.has_z:
         code += 1000
+    if geom.has_m:
+        code += 2000
     out += b"\x01"
     out += struct.pack("<I", code)
-    ndim = 3 if geom.has_z else 2
+    ndim = 2 + (1 if geom.has_z else 0) + (1 if geom.has_m else 0)
     pack = struct.Struct("<" + "d" * ndim).pack
 
     def wcoord(c):
-        out.extend(pack(*c[:ndim]))
+        vals = tuple(c[:ndim])
+        if len(vals) < ndim:  # e.g. EMPTY point parsed as (nan, nan)
+            vals += (math.nan,) * (ndim - len(vals))
+        out.extend(pack(*vals))
 
     def wring(r):
         out.extend(struct.pack("<I", len(r)))
@@ -212,15 +232,15 @@ def _write_geom(out: bytearray, geom: Geom) -> None:
     elif t == "MultiPoint":
         out.extend(struct.pack("<I", len(geom.coords)))
         for c in geom.coords:
-            _write_geom(out, Geom("Point", c, geom.has_z))
+            _write_geom(out, Geom("Point", c, geom.has_z, None, geom.has_m))
     elif t == "MultiLineString":
         out.extend(struct.pack("<I", len(geom.coords)))
         for line in geom.coords:
-            _write_geom(out, Geom("LineString", line, geom.has_z))
+            _write_geom(out, Geom("LineString", line, geom.has_z, None, geom.has_m))
     elif t == "MultiPolygon":
         out.extend(struct.pack("<I", len(geom.coords)))
         for poly in geom.coords:
-            _write_geom(out, Geom("Polygon", poly, geom.has_z))
+            _write_geom(out, Geom("Polygon", poly, geom.has_z, None, geom.has_m))
     elif t == "GeometryCollection":
         out.extend(struct.pack("<I", len(geom.coords)))
         for g in geom.coords:
@@ -261,7 +281,7 @@ def _coord_wkt(c) -> str:
 
 def to_wkt(geom: Geom) -> str:
     t = geom.type_name.upper()
-    z = " Z" if geom.has_z else ""
+    z = _dim_suffix(geom.has_z, geom.has_m)
     if geom.is_empty:
         return f"{t}{z} EMPTY"
     c = geom.coords
@@ -374,30 +394,34 @@ class _WktParser:
     def geometry(self) -> Geom:
         name_raw = self.word()
         has_z = False
+        has_m = False
         for suffix in ("ZM", "Z", "M"):
             if name_raw.endswith(suffix) and name_raw not in (
                 "MULTIPOINT",
                 "MULTILINESTRING",
                 "MULTIPOLYGON",
             ):
-                # dimension token attached (POINTZ) — rare; normalize
+                # dimension token attached (POINTZ / POINTM) — normalize
                 base = name_raw[: -len(suffix)]
                 if base in (t.upper() for t in _TYPE_CODES):
                     name_raw = base
                     has_z = "Z" in suffix
+                    has_m = "M" in suffix
                 break
         canonical = {t.upper(): t for t in _TYPE_CODES}
         if name_raw not in canonical:
             raise WKBError(f"unknown WKT type {name_raw!r}")
         name = canonical[name_raw]
-        # optional separate dimension token: POINT Z (...)
+        # optional separate dimension token: POINT Z (...) / POINT ZM (...)
         save = self.pos
         tok = self.word()
         if tok in ("Z", "M", "ZM"):
             has_z = "Z" in tok
+            has_m = "M" in tok
         elif tok == "EMPTY":
             return Geom(
-                name, (math.nan, math.nan) if name == "Point" else [], has_z
+                name, (math.nan, math.nan) if name == "Point" else [], has_z,
+                None, has_m,
             )
         else:
             self.pos = save
@@ -405,18 +429,22 @@ class _WktParser:
         if self.s[self.pos :].upper().startswith("EMPTY"):
             self.pos += 5
             return Geom(
-                name, (math.nan, math.nan) if name == "Point" else [], has_z
+                name, (math.nan, math.nan) if name == "Point" else [], has_z,
+                None, has_m,
             )
-        ndim = 3 if has_z else 2
+        ndim = 2 + (1 if has_z else 0) + (1 if has_m else 0)
         if name == "Point":
             self.expect("(")
             c = self.coord(ndim)
             self.expect(")")
-            return Geom(name, c, has_z)
+            return Geom(name, c, has_z, None, has_m)
         if name in ("LineString",):
-            return Geom(name, self.coord_seq(ndim), has_z)
+            return Geom(name, self.coord_seq(ndim), has_z, None, has_m)
         if name in ("Polygon", "MultiLineString"):
-            return Geom(name, self.paren_list(lambda: self.coord_seq(ndim)), has_z)
+            return Geom(
+                name, self.paren_list(lambda: self.coord_seq(ndim)), has_z,
+                None, has_m,
+            )
         if name == "MultiPoint":
             # members may be parenthesized "((1 2), (3 4))" or bare "(1 2, 3 4)"
             def member():
@@ -427,17 +455,17 @@ class _WktParser:
                     return c
                 return self.coord(ndim)
 
-            return Geom(name, self.paren_list(member), has_z)
+            return Geom(name, self.paren_list(member), has_z, None, has_m)
         if name == "MultiPolygon":
             return Geom(
                 name,
                 self.paren_list(
                     lambda: self.paren_list(lambda: self.coord_seq(ndim))
                 ),
-                has_z,
+                has_z, None, has_m,
             )
         # GeometryCollection
-        return Geom(name, self.paren_list(self.geometry), has_z)
+        return Geom(name, self.paren_list(self.geometry), has_z, None, has_m)
 
 
 # ---------------------------------------------------------------------------

@@ -115,3 +115,54 @@ def test_point_empty_nan():
     g = wkb.from_wkt("POINT EMPTY")
     assert g.is_empty
     assert all(math.isnan(v) for v in g.coords)
+
+
+class TestMeasuredCoordinates:
+    """M / ZM round-trip — parity with the reference WKT writer's dimension
+    tokens (scalar.rs:215-238)."""
+
+    CASES = [
+        "POINT M (1 2 3)",
+        "POINT ZM (1 2 3 4)",
+        "LINESTRING M (0 0 1, 10 0 2)",
+        "LINESTRING ZM (0 0 1 2, 10 0 3 4)",
+        "POLYGON M ((0 0 1, 10 0 2, 10 10 3, 0 0 1))",
+        "MULTIPOINT ZM ((1 2 3 4), (5 6 7 8))",
+        "POINT M EMPTY",
+        "POINT ZM EMPTY",
+    ]
+
+    def test_wkt_wkb_wkt_roundtrip(self):
+        from datafusion_spatial_spark import wkb
+
+        for w in self.CASES:
+            g = wkb.from_wkt(w)
+            assert wkb.to_wkt(wkb.loads(wkb.dumps(g))) == w
+
+    def test_header_type_name_reports_dim(self):
+        from datafusion_spatial_spark import wkb
+
+        assert wkb.header_type_name(
+            wkb.dumps(wkb.from_wkt("POINT M (1 2 3)"))
+        ) == "Point M"
+        assert wkb.header_type_name(
+            wkb.dumps(wkb.from_wkt("POINT ZM (1 2 3 4)"))
+        ) == "Point ZM"
+
+    def test_m_values_preserved(self):
+        from datafusion_spatial_spark import wkb
+
+        g = wkb.loads(wkb.dumps(wkb.from_wkt("LINESTRING M (0 0 7, 1 1 9)")))
+        assert g.has_m and not g.has_z
+        assert [c[2] for c in g.coords] == [7.0, 9.0]
+
+    def test_ewkb_m_flag_decoded(self):
+        import struct
+
+        from datafusion_spatial_spark import wkb
+
+        # EWKB little-endian Point with M flag (0x40000001), coords (1, 2, 5)
+        buf = b"\x01" + struct.pack("<I", 0x40000001) + struct.pack("<ddd", 1, 2, 5)
+        g = wkb.loads(buf)
+        assert g.has_m and g.coords == (1.0, 2.0, 5.0)
+        assert wkb.to_wkt(g) == "POINT M (1 2 5)"
