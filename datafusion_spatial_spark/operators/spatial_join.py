@@ -82,16 +82,22 @@ def spatial_join(
     ``predicate='dwithin'`` uses ``distance`` and pads the left grid cells.
     """
     pad = float(distance or 0.0)
-    lb = left.select(
-        F.col(left_id).alias("__lid"),
-        F.col(left_geom).alias("__lgeom"),
-        st_bbox(left_geom, left_meta).alias("__lbox"),
-    ).filter(F.col("__lbox").isNotNull())
-    rb = right.select(
-        F.col(right_id).alias("__rid"),
-        F.col(right_geom).alias("__rgeom"),
-        st_bbox(right_geom, right_meta).alias("__rbox"),
-    ).filter(F.col("__rbox").isNotNull())
+    both_points = (
+        left_meta.is_native and left_meta.native_type == "Point"
+        and right_meta.is_native and right_meta.native_type == "Point"
+    )
+    # point×point dwithin refines on bbox coords alone — don't shuffle the
+    # geometry payload at all
+    carry_geom = not (both_points and predicate == "dwithin")
+    lcols = [F.col(left_id).alias("__lid"),
+             st_bbox(left_geom, left_meta).alias("__lbox")]
+    rcols = [F.col(right_id).alias("__rid"),
+             st_bbox(right_geom, right_meta).alias("__rbox")]
+    if carry_geom:
+        lcols.insert(1, F.col(left_geom).alias("__lgeom"))
+        rcols.insert(1, F.col(right_geom).alias("__rgeom"))
+    lb = left.select(*lcols).filter(F.col("__lbox").isNotNull())
+    rb = right.select(*rcols).filter(F.col("__rbox").isNotNull())
 
     lc = lb.withColumn("__cell", F.explode(_cells(F.col("__lbox"), cell_size, pad)))
     rc = rb.withColumn("__cell", F.explode(_cells(F.col("__rbox"), cell_size)))
@@ -120,16 +126,27 @@ def spatial_join(
             & (F.col("__rbox.ymin") <= F.col("__lbox.ymax") + pad)
         )
         .filter(F.col("__cell") == canon_x * F.lit(1 << 32) + canon_y)
-        .select("__lid", "__rid", "__lgeom", "__rgeom")
+        .select(
+            "__lid", "__rid",
+            *(("__lgeom", "__rgeom") if carry_geom else ("__lbox", "__rbox")),
+        )
     )
 
     if predicate == "dwithin":
         if distance is None:
             raise ValueError("dwithin requires distance=")
-        keep = (
-            st_distance("__lgeom", "__rgeom", left_meta, right_meta)
-            <= F.lit(float(distance))
-        )
+        if both_points:
+            # pure-Catalyst refine: a point's bbox IS the point, so the
+            # exact distance needs no geometry decode and no Python — the
+            # whole join plan stays inside whole-stage codegen
+            dx = F.col("__lbox.xmin") - F.col("__rbox.xmin")
+            dy = F.col("__lbox.ymin") - F.col("__rbox.ymin")
+            keep = F.sqrt(dx * dx + dy * dy) <= F.lit(float(distance))
+        else:
+            keep = (
+                st_distance("__lgeom", "__rgeom", left_meta, right_meta)
+                <= F.lit(float(distance))
+            )
     else:
         try:
             pred = _PREDICATES[predicate]
