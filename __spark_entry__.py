@@ -511,6 +511,7 @@ def _q_st_astext_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_spatial_spark.functions import (
         st_astext,
         st_geomfromtext,
+        st_geometrytype,
         st_point,
     )
     from datafusion_spatial_spark.meta import GeometryMeta
@@ -529,13 +530,17 @@ def _q_st_astext_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             st_point(F.col("s_acctbal"), F.col("s_suppkey").cast("double")), meta
         ).alias("wkt"),
         st_astext(st_geomfromtext(wkt_in), wkb_meta).alias("rt_wkt"),
+        # ST_GeometryType via the WKB header-decode path (per-row, not
+        # metadata-only — reference geometry_type.rs:119-146)
+        st_geometrytype(st_geomfromtext(wkt_in), wkb_meta).alias("gtype"),
     ).orderBy("suppkey")
 
 
 _Q_ST_ASTEXT_ORACLE = f"""
 SELECT s_suppkey AS suppkey,
        {_wkt_point(_FMT_DUCK, 's_acctbal', 'cast(s_suppkey AS DOUBLE)')} AS wkt,
-       {_wkt_point(_FMT_DUCK, 's_acctbal', 'cast(s_suppkey AS DOUBLE)')} AS rt_wkt
+       {_wkt_point(_FMT_DUCK, 's_acctbal', 'cast(s_suppkey AS DOUBLE)')} AS rt_wkt,
+       'ST_Point' AS gtype
 FROM supplier ORDER BY suppkey
 """
 

@@ -523,18 +523,119 @@ def buffer_point(p, radius: float, segments: int = 16) -> Geom:
     return Geom("Polygon", [ring])
 
 
-def buffer(geom: Geom, radius: float, segments: int = 16) -> Geom:
-    """Buffer: exact n-gon for points; convex-hull-of-buffered-vertices
-    approximation for other types (documented approximation — full offset
-    curves need a polygon-clipping kernel)."""
-    if geom.type_name == "Point" and not geom.is_empty:
-        return buffer_point(geom.coords, radius, segments)
-    pts = []
-    for p in _all_coords(geom):
-        pts.extend(buffer_point(p, radius, max(4, segments // 2)).coords[0])
-    if not pts:
+def _union_all_polys(pieces):
+    """N-ary regularized union of polygon ring-sets via tree reduce over
+    the planar-overlay kernel (pieces may overlap arbitrarily)."""
+    from datafusion_spatial_spark.overlay import overlay_multi
+
+    items = [[piece] for piece in pieces if piece]
+    while len(items) > 1:
+        nxt = []
+        for i in range(0, len(items) - 1, 2):
+            u = overlay_multi(items[i], items[i + 1], "union")
+            if u:
+                nxt.append(u)
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0] if items else []
+
+
+def _wrap_polys(polys) -> Geom:
+    if not polys:
         return Geom("Polygon", [])
-    return convex_hull(Geom("MultiPoint", pts))
+    if len(polys) == 1:
+        return Geom("Polygon", polys[0])
+    return Geom("MultiPolygon", polys)
+
+
+def _buffer_boundary_pieces(segs, verts, radius: float, n_circle: int):
+    """Minkowski pieces of a boundary: one rectangle per segment plus one
+    disc per vertex (round joins/caps)."""
+    pieces = []
+    for a, b in segs:
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        length = math.hypot(dx, dy)
+        if length <= 0:
+            continue
+        nx, ny = -dy / length * radius, dx / length * radius
+        pieces.append([[
+            (a[0] + nx, a[1] + ny), (b[0] + nx, b[1] + ny),
+            (b[0] - nx, b[1] - ny), (a[0] - nx, a[1] - ny),
+            (a[0] + nx, a[1] + ny),
+        ]])
+    seen = set()
+    for v in verts:
+        key = (round(v[0], 9), round(v[1], 9))
+        if key in seen:
+            continue
+        seen.add(key)
+        ring = []
+        for i in range(n_circle):
+            ang = 2 * math.pi * i / n_circle
+            ring.append((v[0] + radius * math.cos(ang),
+                         v[1] + radius * math.sin(ang)))
+        ring.append(ring[0])
+        pieces.append([ring])
+    return pieces
+
+
+def buffer(geom: Geom, radius: float, segments: int = 16) -> Geom:
+    """Offset-curve buffer via Minkowski decomposition: the union of the
+    input's areal part, one rectangle per boundary segment, and one disc
+    per vertex (round joins and caps), dissolved through the planar
+    overlay kernel. A negative radius erodes polygons (difference with the
+    boundary's buffer). Circles are ``segments*4``-gons (PostGIS-style
+    quad segmentation). Reference README.md:30 lists ST_Buffer as an
+    unimplemented roadmap item; semantics here follow PostGIS round
+    joins."""
+    from datafusion_spatial_spark.overlay import overlay_multi
+
+    if geom.is_empty:
+        return Geom("Polygon", [])
+    if geom.type_name == "Point":
+        if radius <= 0:
+            return Geom("Polygon", [])
+        return buffer_point(geom.coords, radius, segments)
+    n_circle = max(8, segments * 4)
+
+    polys = [
+        [[(p[0], p[1]) for p in ring] for ring in rings]
+        for rings in _polygons(geom)
+    ]
+    segs: list = []
+    verts: list = []
+    for rings in polys:
+        for ring in rings:
+            closed = ring if ring[0] == ring[-1] else ring + [ring[0]]
+            for i in range(len(closed) - 1):
+                if closed[i] != closed[i + 1]:
+                    segs.append((closed[i], closed[i + 1]))
+            verts.extend(ring)
+    if geom.type_name in ("LineString", "MultiLineString"):
+        segs.extend(_line_segs(geom))
+        lines = [geom.coords] if geom.type_name == "LineString" else geom.coords
+        for line in lines:
+            verts.extend((p[0], p[1]) for p in line)
+    if geom.type_name in ("MultiPoint",):
+        verts.extend((p[0], p[1]) for p in _points(geom))
+    if geom.type_name == "GeometryCollection":
+        parts = [buffer(m, radius, segments) for m in geom.coords]
+        return _wrap_polys(
+            _union_all_polys([rings for p in parts for rings in _polygons(p)])
+        )
+
+    if radius == 0:
+        return _wrap_polys(polys)
+    if radius < 0:
+        if not polys:
+            return Geom("Polygon", [])
+        shrink = _union_all_polys(
+            _buffer_boundary_pieces(segs, verts, -radius, n_circle)
+        )
+        return _wrap_polys(overlay_multi(polys, shrink, "difference"))
+    pieces = list(polys) + _buffer_boundary_pieces(segs, verts, radius, n_circle)
+    return _wrap_polys(_union_all_polys(pieces))
 
 
 def is_simple(geom: Geom) -> bool:

@@ -163,3 +163,44 @@ class TestConstructive:
         assert not G.is_simple(g("LINESTRING (0 0, 2 2, 2 0, 0 2)"))  # self-cross
         assert G.is_simple(g("MULTIPOINT ((1 1), (2 2))"))
         assert not G.is_simple(g("MULTIPOINT ((1 1), (1 1))"))
+
+
+class TestProperBuffer:
+    """Round-3 offset-curve buffer (Minkowski pieces + overlay union):
+    closed-form areas, negative-radius erosion, holed operands."""
+
+    def test_square_buffer_area(self):
+        b = G.buffer(g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"), 2.0)
+        expected = 100 + 4 * 10 * 2 + math.pi * 4  # sides + rounded corners
+        assert b.type_name == "Polygon"
+        assert abs(G.area(b) - expected) < 0.05
+        assert G.contains(b, g("POINT (-1.5 5)"))
+        assert not G.contains(b, g("POINT (-2.5 5)"))
+
+    def test_line_buffer_area(self):
+        b = G.buffer(g("LINESTRING (0 0, 10 0)"), 2.0)
+        assert abs(G.area(b) - (2 * 2 * 10 + math.pi * 4)) < 0.05
+
+    def test_negative_buffer_erodes(self):
+        b = G.buffer(g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"), -2.0)
+        assert abs(G.area(b) - 36.0) < 1e-6
+        assert G.contains(b, g("POINT (5 5)"))
+        assert not G.contains(b, g("POINT (1.5 1.5)"))
+
+    def test_holed_polygon_buffer(self):
+        b = G.buffer(
+            g("POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), "
+              "(8 8, 12 8, 12 12, 8 12, 8 8))"), 1.0
+        )
+        # shell grows (+perimeter*r + pi r^2), 4x4 hole erodes to 2x2
+        expected = 400 + 80 + math.pi - 4
+        assert abs(G.area(b) - expected) < 0.05
+        # hole shrinks 8..12 -> 9..11: (8.5,10) is newly covered,
+        # the hole center (10,10) stays open
+        assert G.contains(b, g("POINT (8.5 10)"))
+        assert not G.contains(b, g("POINT (10 10)"))
+
+    def test_multipoint_buffer_disjoint_discs(self):
+        b = G.buffer(g("MULTIPOINT ((0 0), (100 0))"), 1.0)
+        assert b.type_name == "MultiPolygon"
+        assert abs(G.area(b) - 2 * math.pi) < 0.02
