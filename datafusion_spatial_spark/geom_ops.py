@@ -834,6 +834,7 @@ def _lines_geom(parts) -> Geom:
 
 def intersection(a: Geom, b: Geom) -> Geom:
     """a ∩ b. Empty result → empty GeometryCollection."""
+    a, b = flatten_collection(a), flatten_collection(b)
     if a.is_empty or b.is_empty or _bbox_disjoint(a, b):
         return Geom("GeometryCollection", [])
     if a.type_name == b.type_name and a.coords == b.coords:
@@ -908,18 +909,6 @@ def _seg_seg_point(sa, sb):
 
 
 # -- 1-D (line×line) set-op machinery: node, classify, recompose ------------
-
-
-def _line_segs(g: Geom):
-    """All segments of a LineString/MultiLineString as coordinate pairs."""
-    lines = [g.coords] if g.type_name == "LineString" else list(g.coords)
-    segs = []
-    for line in lines:
-        for i in range(len(line) - 1):
-            p, q = tuple(line[i][:2]), tuple(line[i + 1][:2])
-            if p != q:
-                segs.append((p, q))
-    return segs
 
 
 def _collinear_overlap(sa, sb) -> bool:
@@ -1076,6 +1065,7 @@ def _line_line_setop(a: Geom, b: Geom, op: str) -> Geom:
 def difference(a: Geom, b: Geom) -> Geom:
     """a − b for point-set / line a; polygon a only for disjoint or
     b-contains-a fast paths."""
+    a, b = flatten_collection(a), flatten_collection(b)
     if a.is_empty:
         return Geom("GeometryCollection", [])
     if b.is_empty or _bbox_disjoint(a, b):
@@ -1111,8 +1101,9 @@ def difference(a: Geom, b: Geom) -> Geom:
 
 
 def union(a: Geom, b: Geom) -> Geom:
-    """a ∪ b: containment/disjoint fast paths, point-set merge; overlapping
-    polygon dissolve is not implemented."""
+    """a ∪ b: containment/disjoint fast paths, point-set merge, polygon
+    overlay, line noding."""
+    a, b = flatten_collection(a), flatten_collection(b)
     if a.is_empty:
         return b
     if b.is_empty:
@@ -1150,6 +1141,7 @@ def sym_difference(a: Geom, b: Geom) -> Geom:
     """(a − b) ∪ (b − a). Polygon×polygon goes through the overlay kernel
     directly (single regularized pass, XOR predicate); other type combos
     compose from the two differences."""
+    a, b = flatten_collection(a), flatten_collection(b)
     if (
         list(_polygons(a))
         and list(_polygons(b))
@@ -1606,11 +1598,56 @@ def _dim_of_interior(g: Geom) -> str:
     return {0: "0", 1: "1", 2: "2"}[d]
 
 
+def flatten_collection(g: Geom) -> Geom:
+    """A GeometryCollection whose members all share one dimension collapses
+    to the corresponding Multi type (nested collections expanded), which
+    the relate/set-op kernels handle; MIXED-dimension collections raise —
+    same contract as PostGIS/JTS RelateOp. Non-collections pass through."""
+    if g.type_name != "GeometryCollection":
+        return g
+    members: list[Geom] = []
+
+    def walk(x: Geom) -> None:
+        for m in x.coords:
+            if m.type_name == "GeometryCollection":
+                walk(m)
+            elif not m.is_empty:
+                members.append(m)
+
+    walk(g)
+    if not members:
+        return Geom("GeometryCollection", [])
+    dims = {_geom_dim(m) for m in members}
+    if len(dims) > 1:
+        raise NotImplementedError(
+            "mixed-dimension GeometryCollection operands are not supported; "
+            "decompose the collection and combine per-dimension results"
+        )
+    d = dims.pop()
+    if d == 0:
+        pts = [
+            (p[0], p[1])
+            for m in members
+            for p in ([m.coords] if m.type_name == "Point" else m.coords)
+        ]
+        return Geom("MultiPoint", pts) if len(pts) > 1 else Geom("Point", pts[0])
+    if d == 1:
+        lines = [line for m in members for line in _line_parts(m)]
+        if len(lines) == 1:
+            return Geom("LineString", lines[0])
+        return Geom("MultiLineString", lines)
+    polys = [rings for m in members for rings in _polygons(m)]
+    if len(polys) == 1:
+        return Geom("Polygon", polys[0])
+    return Geom("MultiPolygon", polys)
+
+
 def relate_matrix(a: Geom, b: Geom) -> str:
     """Dimension-true DE-9IM matrix (row-major II IB IE / BI BB BE /
-    EI EB EE; cells F/0/1/2). GeometryCollections unsupported."""
-    if a.type_name == "GeometryCollection" or b.type_name == "GeometryCollection":
-        raise NotImplementedError("relate_matrix over GeometryCollection")
+    EI EB EE; cells F/0/1/2). Homogeneous GeometryCollections are
+    flattened to their Multi type; mixed-dimension collections raise."""
+    a = flatten_collection(a)
+    b = flatten_collection(b)
 
     def bnd_dim(g: Geom) -> str:
         if g.is_empty:

@@ -212,3 +212,59 @@ class TestDE9IM:
         ).select("id", st_geomfromtext("wa").alias("a"), st_geomfromtext("wb").alias("b"))
         row = df.select(st_relate("a", "b", "T*F**F***", W, W).alias("within")).collect()[0]
         assert row.within is True
+
+
+class TestHomogeneousCollections:
+    """Round-3: GeometryCollections of a single dimension flatten to their
+    Multi type for relate/set ops; mixed dimensions still raise."""
+
+    def _g(self, w):
+        from datafusion_spatial_spark.wkb import from_wkt
+        return from_wkt(w)
+
+    def test_relate_gc_of_polygons(self):
+        from datafusion_spatial_spark import geom_ops as G
+        gc = self._g(
+            "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), "
+            "POLYGON ((10 10, 14 10, 14 14, 10 14, 10 10)))"
+        )
+        mp = self._g(
+            "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+            "((10 10, 14 10, 14 14, 10 14, 10 10)))"
+        )
+        probe = self._g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+        assert G.relate_matrix(gc, probe) == G.relate_matrix(mp, probe)
+
+    def test_relate_gc_of_lines_and_points(self):
+        from datafusion_spatial_spark import geom_ops as G
+        gc = self._g(
+            "GEOMETRYCOLLECTION (LINESTRING (0 0, 10 0), LINESTRING (0 5, 10 5))"
+        )
+        line = self._g("LINESTRING (5 -5, 5 10)")
+        m = G.relate_matrix(gc, line)
+        assert m[0] == "0"  # crossings are 0-D interior meets
+        gcp = self._g("GEOMETRYCOLLECTION (POINT (1 1), POINT (2 2))")
+        assert G.relate_matrix(gcp, self._g("POINT (1 1)"))[0] == "0"
+
+    def test_setops_gc_of_polygons(self):
+        from datafusion_spatial_spark import geom_ops as G
+        gc = self._g(
+            "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), "
+            "POLYGON ((6 0, 10 0, 10 4, 6 4, 6 0)))"
+        )
+        sq = self._g("POLYGON ((2 0, 8 0, 8 4, 2 4, 2 0))")
+        assert abs(G.area(G.intersection(gc, sq)) - (2 * 4 + 2 * 4)) < 1e-9
+        assert abs(G.area(G.union(gc, sq)) - 40.0) < 1e-9
+
+    def test_mixed_dimension_still_raises(self):
+        import pytest
+        from datafusion_spatial_spark import geom_ops as G
+        gc = self._g(
+            "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), "
+            "LINESTRING (5 5, 6 6))"
+        )
+        sq = self._g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+        with pytest.raises(NotImplementedError):
+            G.relate_matrix(gc, sq)
+        with pytest.raises(NotImplementedError):
+            G.sym_difference(gc, sq)
