@@ -154,6 +154,58 @@ def lsh_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+    dims: int | None = None,
+    n_planes: int = 8,
+    seed: int = 42,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Embedding-based near-duplicate PAIR mining at corpus scale: LSH
+    hyperplane bucketing (map-only) → within-bucket self-join (equi-join on
+    bucket id — never an all-pairs cross join) → exact cosine verify at
+    ``threshold``. Returns (id_a, id_b, score) with id_a < id_b.
+
+    Same scale shape as the MinHash text path (operators/dedup.py): the
+    only shuffle keys on the bucket id, and ``max_bucket`` caps degenerate
+    buckets (e.g. all-zeros embeddings) so a hot bucket cannot go
+    quadratic. Recall is bucket-limited by construction — raise
+    ``n_planes``-probes or union several plane seeds for higher recall;
+    candidates are always verified exactly, so precision is 1.0.
+    """
+    if planes is None:
+        if dims is None:
+            raise ValueError("pass planes= or dims=")
+        planes = random_hyperplanes(dims, n_planes, seed)
+    bucketed = lsh_bucket(df, vec_col, id_col, planes).select(
+        F.col(id_col).alias("__id"), _vec(vec_col).alias("__v"), "bucket"
+    )
+    # cap pathological buckets before the self-join
+    counts = bucketed.groupBy("bucket").count()
+    bucketed = bucketed.join(
+        F.broadcast(counts.filter(F.col("count") <= max_bucket).select("bucket")),
+        "bucket",
+    )
+    a = bucketed.select(
+        "bucket", F.col("__id").alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = bucketed.select(
+        "bucket", F.col("__id").alias("id_b"), F.col("__v").alias("__vb")
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("score") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search
 

@@ -311,3 +311,33 @@ def test_st_closestpoint(spark):
     rows = {r.id: r.p for r in df.select("id", st_closestpoint("a", "b", W, W).alias("p")).collect()}
     assert (rows[1].x, rows[1].y) == (10.0, 5.0)
     assert (rows[2].x, rows[2].y) == (3.0, 0.0)
+
+
+def test_cosine_near_dup_pairs(spark):
+    """LSH-bucketed embedding near-dup mining: exact verify at threshold,
+    a<b canonical order, identical vectors always collide (same bucket)."""
+    import math
+    rows = []
+    base = [1.0, 0.2, -0.3, 0.5]
+    near = [1.01, 0.21, -0.29, 0.5]       # cosine ~0.9999
+    far = [-1.0, 0.5, 0.8, -0.2]
+    for i, v in [(1, base), (2, list(base)), (3, near), (4, far), (5, far)]:
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = simsearch.cosine_near_dup_pairs(
+        df, "embedding", "vec_id", threshold=0.999, dims=4, n_planes=6
+    )
+    got = {(r.id_a, r.id_b): r.score for r in out.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got and (2, 3) in got
+    assert (4, 5) in got
+    assert all(a < b for a, b in got)
+    assert not any((a in (1, 2, 3)) != (b in (1, 2, 3)) for a, b in got)
+
+
+def test_cosine_near_dup_pairs_on_embeddings(spark, emb):
+    out = simsearch.cosine_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.9, dims=64, n_planes=8
+    ).collect()
+    # verified-exact: every reported pair really is >= 0.9
+    assert all(r.score >= 0.9 for r in out)
