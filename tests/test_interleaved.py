@@ -133,3 +133,31 @@ def test_area_and_npoints_invariance(spark, twin_dir, t):
     assert areas(sep, ms) == areas(il, mi)
     assert npts(sep, ms) == npts(il, mi)
     assert any(a and a > 0 for a in areas(sep, ms))
+
+
+def test_interleaved_xyz_with_declared_metadata(spark):
+    """Interleaved arrays carry no length info in Spark, so XYZ needs
+    declared 'Point Z'-style metadata; to_separated must then emit z."""
+    from pyspark.sql import functions as F
+
+    from datafusion_spatial_spark.functions import st_astext
+    from datafusion_spatial_spark.functions.scalar import st_x, st_y
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [4.0, 5.0, 6.0]), (3, None)],
+        "id long, g array<double>",
+    )
+    meta = GeometryMeta(
+        encoding="point", geometry_types=("Point Z",), coord_layout="interleaved"
+    )
+    rows = df.select(
+        "id",
+        st_astext("g", meta).alias("w"),
+        st_x("g", meta).alias("x"),
+        st_y("g", meta).alias("y"),
+    ).orderBy("id").collect()
+    assert rows[0].w == "POINT Z (1 2 3)"
+    assert rows[1].w == "POINT Z (4 5 6)"
+    assert rows[2].w is None
+    assert (rows[0].x, rows[0].y) == (1.0, 2.0)

@@ -236,3 +236,39 @@ class TestLineLineSetOps:
         assert i.type_name == "Point" and i.coords == (5.0, 0.0)
         u = G.union(a, b)
         assert u.type_name == "LineString" and G.length(u) == 10.0
+
+
+def test_line_setop_measure_identity_randomized():
+    """Inclusion-exclusion on 1-D measure over random segment soups:
+    len(A∪B) == len(A) + len(B) − len(A∩B) and sym == union − inter
+    (0-D intersection parts carry no length)."""
+    import random
+
+    from datafusion_spatial_spark import geom_ops as G
+    from datafusion_spatial_spark.wkb import Geom
+
+    rng = random.Random(20260813)
+    for trial in range(25):
+        def soup():
+            lines = []
+            for _ in range(rng.randint(1, 3)):
+                # axis-aligned integer segments make collinear overlap likely
+                if rng.random() < 0.5:
+                    y = rng.randint(0, 4)
+                    x0, x1 = sorted(rng.sample(range(0, 10), 2))
+                    lines.append([(float(x0), float(y)), (float(x1), float(y))])
+                else:
+                    x = rng.randint(0, 4)
+                    y0, y1 = sorted(rng.sample(range(0, 10), 2))
+                    lines.append([(float(x), float(y0)), (float(x), float(y1))])
+            if len(lines) == 1:
+                return Geom("LineString", lines[0])
+            return Geom("MultiLineString", lines)
+
+        a, b = soup(), soup()
+        la, lb = G.length(a), G.length(b)
+        li = G.length(G.intersection(a, b))
+        lu = G.length(G.union(a, b))
+        ls = G.length(G.sym_difference(a, b))
+        assert abs(lu - (la + lb - li)) < 1e-6, (trial, a, b)
+        assert abs(ls - (lu - li)) < 1e-6, (trial, a, b)
