@@ -470,6 +470,39 @@ def st_geomfromtext(col: Column | str) -> Column:
     return _wkt_to_wkb_udf(_c(col))
 
 
+def st_geomfromgeojson(col: Column | str) -> Column:
+    """GeoJSON geometry text → ISO WKB binary (pair with
+    GeometryMeta("WKB")). RFC 7946; extension beyond the reference's
+    surface (PostGIS ST_GeomFromGeoJSON parity)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def conv(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: _wkb.dumps(_wkb.from_geojson(v)) if v is not None else None,
+            na_action="ignore",
+        )
+
+    return conv(_c(col))
+
+
+def st_asgeojson(col: Column | str, meta: GeometryMeta) -> Column:
+    """Geometry → GeoJSON text (PostGIS ST_AsGeoJSON parity; M dropped)."""
+    col = _c(col)
+    from datafusion_spatial_spark.functions.predicates import _as_rows, _converter, _prep
+
+    conv = _converter(meta)
+
+    @F.pandas_udf(T.StringType())
+    def to_gj(s: pd.Series) -> pd.Series:
+        out = []
+        for v in _as_rows(s):
+            g = conv(v)
+            out.append(None if g is None else _wkb.to_geojson(g))
+        return pd.Series(out, dtype="object")
+
+    return to_gj(_prep(col, meta))
+
+
 @F.pandas_udf(T.BinaryType())
 def _wkt_to_wkb_udf(s: pd.Series) -> pd.Series:
     def one(t):

@@ -57,6 +57,7 @@ _FUNCTIONS = {
     ),
     "ST_CONVEXHULL": (_pr.st_convexhull, _WKB),
     "ST_BOUNDARY": (_pr.st_boundary, _WKB),
+    "ST_ASGEOJSON": (_sc.st_asgeojson, None),
 }
 
 # 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)

@@ -319,6 +319,71 @@ def to_wkt(geom: Geom) -> str:
 # WKT parsing (for the CSV fixtures and st_geomfromtext)
 
 
+def from_geojson(obj) -> Geom:
+    """GeoJSON geometry (dict or JSON text) → Geom. The GeoJSON coordinate
+    nesting matches the Geom value model exactly (Point [x,y],
+    LineString [[x,y],...], Polygon [rings], Multi* one level deeper), so
+    this is a structural relabel. A 3rd coordinate is Z per RFC 7946."""
+    import json
+
+    if isinstance(obj, (str, bytes)):
+        obj = json.loads(obj)
+    t = obj.get("type")
+    if t == "GeometryCollection":
+        members = [from_geojson(g) for g in obj.get("geometries", [])]
+        return Geom("GeometryCollection", members,
+                    any(m.has_z for m in members))
+    if t not in _TYPE_CODES:
+        raise WKBError(f"unknown GeoJSON geometry type {t!r}")
+    coords = obj.get("coordinates")
+
+    def depth_first(c):
+        while isinstance(c, (list, tuple)) and c and isinstance(c[0], (list, tuple)):
+            c = c[0]
+        return c
+
+    first = depth_first(coords) if coords else []
+    has_z = isinstance(first, (list, tuple)) and len(first) >= 3
+
+    def conv(c, d):
+        if d == 0:
+            return tuple(float(v) for v in c[: 3 if has_z else 2])
+        return [conv(x, d - 1) for x in c]
+
+    depth = {"Point": 0, "LineString": 1, "MultiPoint": 1, "Polygon": 2,
+             "MultiLineString": 2, "MultiPolygon": 3}[t]
+    if coords is None or (depth == 0 and not coords) or (depth > 0 and not coords):
+        return Geom(t, (math.nan, math.nan) if t == "Point" else [], has_z)
+    return Geom(t, conv(coords, depth), has_z)
+
+
+def to_geojson(geom: Geom) -> str:
+    """Geom → GeoJSON geometry text (RFC 7946; M measures are dropped —
+    GeoJSON has no M)."""
+    import json
+
+    def strip(c, d):
+        if d == 0:
+            return list(c[: 3 if geom.has_z else 2])
+        return [strip(x, d - 1) for x in c]
+
+    t = geom.type_name
+    if t == "GeometryCollection":
+        return json.dumps(
+            {"type": t,
+             "geometries": [json.loads(to_geojson(g)) for g in geom.coords]},
+            separators=(",", ":"),
+        )
+    depth = {"Point": 0, "LineString": 1, "MultiPoint": 1, "Polygon": 2,
+             "MultiLineString": 2, "MultiPolygon": 3}[t]
+    if geom.is_empty:
+        coords = [] if t != "Point" else []
+    else:
+        coords = strip(geom.coords, depth)
+    return json.dumps({"type": t, "coordinates": coords},
+                      separators=(",", ":"))
+
+
 def from_wkt(text: str) -> Geom:
     p = _WktParser(text)
     g = p.geometry()
