@@ -1,0 +1,200 @@
+"""Geometry accessor functions (PostGIS parity family).
+
+Parity-plus surface: the reference implements none of these (README.md
+roadmap stops at predicates/measures), but any PostGIS/DuckDB-spatial user
+switching to this engine expects them. All run over the flat-offsets
+transport (functions.predicates._prep) so WKB, separated-native and
+interleaved-native inputs work uniformly; geometry outputs are WKB (pair
+with ``GeometryMeta("WKB")``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_spatial_spark import geom_ops, wkb
+from datafusion_spatial_spark.functions.predicates import _as_rows, _converter, _prep
+from datafusion_spatial_spark.meta import GeometryMeta
+
+
+def _unary(fn, dtype):
+    """(Geom -> value|None) lifted to a Column function."""
+
+    def build(col: Column | str, meta: GeometryMeta) -> Column:
+        conv = _converter(meta)
+
+        @F.pandas_udf(dtype)
+        def udf(s: pd.Series) -> pd.Series:
+            out = []
+            for v in _as_rows(s):
+                g = conv(v)
+                out.append(None if g is None else fn(g))
+            return pd.Series(out, dtype="object")
+
+        return udf(_prep(col, meta))
+
+    return build
+
+
+def _geom_out(fn):
+    """(Geom -> Geom|None) lifted to a WKB-emitting Column function."""
+
+    def inner(g):
+        r = fn(g)
+        return None if r is None else wkb.dumps(r)
+
+    return _unary(inner, T.BinaryType())
+
+
+# -- cardinality / members ---------------------------------------------------
+
+
+def _parts(g: wkb.Geom):
+    t = g.type_name
+    if t == "GeometryCollection":
+        return list(g.coords)
+    if t == "MultiPoint":
+        return [wkb.Geom("Point", c, g.has_z) for c in g.coords]
+    if t == "MultiLineString":
+        return [wkb.Geom("LineString", line, g.has_z) for line in g.coords]
+    if t == "MultiPolygon":
+        return [wkb.Geom("Polygon", rings, g.has_z) for rings in g.coords]
+    return [g]
+
+
+def _num_geometries(g):
+    return 0 if g.is_empty and g.type_name != "Point" else len(_parts(g))
+
+
+def _geometry_n(g, n):
+    parts = _parts(g)
+    return parts[n - 1] if 1 <= n <= len(parts) else None
+
+
+st_numgeometries = _unary(_num_geometries, T.IntegerType())
+
+
+def st_geometryn(col: Column | str, n: int, meta: GeometryMeta) -> Column:
+    """1-based member of a Multi*/collection (PostGIS ST_GeometryN)."""
+    return _geom_out(lambda g: _geometry_n(g, int(n)))(col, meta)
+
+
+# -- rings -------------------------------------------------------------------
+
+
+def _exterior_ring(g):
+    if g.type_name != "Polygon" or not g.coords:
+        return None
+    return wkb.Geom("LineString", list(g.coords[0]), g.has_z)
+
+
+def _num_interior_rings(g):
+    if g.type_name != "Polygon":
+        return None
+    return max(0, len(g.coords) - 1)
+
+
+def _interior_ring_n(g, n):
+    if g.type_name != "Polygon" or not (1 <= n <= len(g.coords) - 1):
+        return None
+    return wkb.Geom("LineString", list(g.coords[n]), g.has_z)
+
+
+st_exteriorring = _geom_out(_exterior_ring)
+st_numinteriorrings = _unary(_num_interior_rings, T.IntegerType())
+
+
+def st_interiorringn(col: Column | str, n: int, meta: GeometryMeta) -> Column:
+    return _geom_out(lambda g: _interior_ring_n(g, int(n)))(col, meta)
+
+
+# -- line vertices -----------------------------------------------------------
+
+
+def _point_n(g, n):
+    if g.type_name != "LineString" or not g.coords:
+        return None
+    m = len(g.coords)
+    if n < 0:
+        n = m + 1 + n  # PostGIS negative indexing from the end
+    if not (1 <= n <= m):
+        return None
+    return wkb.Geom("Point", tuple(g.coords[n - 1]), g.has_z)
+
+
+def st_pointn(col: Column | str, n: int, meta: GeometryMeta) -> Column:
+    """1-based vertex of a LineString (negative n counts from the end)."""
+    return _geom_out(lambda g: _point_n(g, int(n)))(col, meta)
+
+
+st_startpoint = _geom_out(lambda g: _point_n(g, 1))
+st_endpoint = _geom_out(lambda g: _point_n(g, -1))
+
+
+# -- orientation / measures --------------------------------------------------
+
+
+def _reverse(g):
+    t = g.type_name
+    if t == "Point":
+        return g
+    if t in ("LineString", "MultiPoint"):
+        return wkb.Geom(t, list(reversed(g.coords)), g.has_z, None, g.has_m)
+    if t in ("Polygon", "MultiLineString"):
+        return wkb.Geom(
+            t, [list(reversed(r)) for r in g.coords], g.has_z, None, g.has_m
+        )
+    if t == "MultiPolygon":
+        return wkb.Geom(
+            t,
+            [[list(reversed(r)) for r in rings] for rings in g.coords],
+            g.has_z, None, g.has_m,
+        )
+    return wkb.Geom(t, [_reverse(m) for m in g.coords], g.has_z, None, g.has_m)
+
+
+st_reverse = _geom_out(_reverse)
+
+
+def _perimeter(g):
+    if not list(geom_ops._polygons(g)):
+        return 0.0
+    return geom_ops.length(g)
+
+
+st_perimeter = _unary(_perimeter, T.DoubleType())
+
+
+def st_azimuth(
+    a: Column | str, b: Column | str, meta_a: GeometryMeta, meta_b: GeometryMeta
+) -> Column:
+    """North-based clockwise azimuth (radians) from point a to point b;
+    NULL for coincident points or non-point input (PostGIS ST_Azimuth)."""
+    ca, cb = _converter(meta_a), _converter(meta_b)
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for va, vb in zip(_as_rows(sa), _as_rows(sb)):
+            ga, gb = ca(va), cb(vb)
+            if (
+                ga is None or gb is None
+                or ga.type_name != "Point" or gb.type_name != "Point"
+                or ga.is_empty or gb.is_empty
+            ):
+                out.append(None)
+                continue
+            dx = gb.coords[0] - ga.coords[0]
+            dy = gb.coords[1] - ga.coords[1]
+            if dx == 0.0 and dy == 0.0:
+                out.append(None)
+                continue
+            out.append(math.atan2(dx, dy) % (2 * math.pi))
+        return pd.Series(out, dtype="object")
+
+    return udf(_prep(a, meta_a), _prep(b, meta_b))

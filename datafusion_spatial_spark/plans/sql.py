@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from datafusion_spatial_spark.functions import accessors as _ac
 from datafusion_spatial_spark.functions import predicates as _pr
 from datafusion_spatial_spark.functions import scalar as _sc
 from datafusion_spatial_spark.meta import GeometryMeta
@@ -58,6 +59,13 @@ _FUNCTIONS = {
     "ST_CONVEXHULL": (_pr.st_convexhull, _WKB),
     "ST_BOUNDARY": (_pr.st_boundary, _WKB),
     "ST_ASGEOJSON": (_sc.st_asgeojson, None),
+    "ST_NUMGEOMETRIES": (_ac.st_numgeometries, None),
+    "ST_EXTERIORRING": (_ac.st_exteriorring, _WKB),
+    "ST_NUMINTERIORRINGS": (_ac.st_numinteriorrings, None),
+    "ST_STARTPOINT": (_ac.st_startpoint, _WKB),
+    "ST_ENDPOINT": (_ac.st_endpoint, _WKB),
+    "ST_REVERSE": (_ac.st_reverse, _WKB),
+    "ST_PERIMETER": (_ac.st_perimeter, None),
 }
 
 # 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)
@@ -80,6 +88,11 @@ _FUNCTIONS_2 = {
 # geometry + numeric-literal arg
 _FUNCTIONS_GEOM_NUM = {
     "ST_BUFFER": (lambda col, r, meta: _pr.st_buffer(col, r, meta), _WKB),
+    "ST_GEOMETRYN": (lambda col, n, meta: _ac.st_geometryn(col, int(n), meta), _WKB),
+    "ST_INTERIORRINGN": (
+        lambda col, n, meta: _ac.st_interiorringn(col, int(n), meta), _WKB
+    ),
+    "ST_POINTN": (lambda col, n, meta: _ac.st_pointn(col, int(n), meta), _WKB),
 }
 
 _AGG_EXTENT = "ST_EXTENT"

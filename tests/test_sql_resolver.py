@@ -168,3 +168,15 @@ def test_multiview_rejects_extra_st_calls(spark):
         s.resolve(
             "SELECT ST_AsText(wa.g) FROM wa JOIN wb ON ST_DWithin(wa.g, wb.g, 1)"
         )
+
+
+def test_accessor_functions_in_sql(ssql):
+    rows = ssql.sql(
+        "SELECT col, ST_NumGeometries(geometry) AS n, "
+        "ST_Perimeter(geometry) AS per, "
+        "ST_AsText(ST_ExteriorRing(geometry)) AS ring "
+        "FROM polygon_native ORDER BY col"
+    ).collect()
+    assert rows[0].n == 1
+    assert rows[0].ring.startswith("LINESTRING (30 10")
+    assert rows[0].per > 0
