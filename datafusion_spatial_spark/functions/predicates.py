@@ -193,6 +193,10 @@ def _unary_measure(fn, dtype=T.DoubleType()):
 st_area = _unary_measure(geom_ops.area)
 st_length = _unary_measure(geom_ops.length)
 st_issimple = _unary_measure(geom_ops.is_simple, T.BooleanType())
+st_isvalid = _unary_measure(geom_ops.is_valid, T.BooleanType())
+st_isvalidreason = _unary_measure(
+    lambda g: geom_ops.invalid_reason(g) or "Valid Geometry", T.StringType()
+)
 
 
 def _unary_constructive(fn):

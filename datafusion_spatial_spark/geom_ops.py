@@ -664,6 +664,111 @@ def is_simple(geom: Geom) -> bool:
     return True
 
 
+def _ring_self_intersects(ring) -> bool:
+    """A closed ring self-intersects if non-adjacent segments meet, or
+    adjacent ones overlap beyond the shared endpoint."""
+    segs = []
+    closed = ring if (ring and ring[0][:2] == ring[-1][:2]) else list(ring) + [ring[0]]
+    for i in range(len(closed) - 1):
+        a, b = closed[i], closed[i + 1]
+        if a[:2] != b[:2]:
+            segs.append(((a[0], a[1]), (b[0], b[1])))
+    n = len(segs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a1, a2 = segs[i]
+            b1, b2 = segs[j]
+            adjacent = j == i + 1 or (i == 0 and j == n - 1)
+            if adjacent:
+                # at the shared vertex s with neighbors u (from seg i) and
+                # v (from seg j): collinear u-s-v with u,v on the SAME ray
+                # is a fold-back spike; opposite rays = straight
+                # continuation (redundant vertex, valid)
+                if a2 == b1:
+                    s, u, v = a2, a1, b2
+                elif a1 == b2:
+                    s, u, v = a1, a2, b1
+                else:
+                    if seg_intersects(a1, a2, b1, b2):
+                        return True
+                    continue
+                if abs(_orient(*u, *s, *v)) <= EPS and (
+                    (u[0] - s[0]) * (v[0] - s[0])
+                    + (u[1] - s[1]) * (v[1] - s[1])
+                ) > 0:
+                    return True
+                continue
+            if seg_intersects(a1, a2, b1, b2):
+                return True
+    return False
+
+
+def invalid_reason(geom: Geom) -> str | None:
+    """OGC validity check; None when valid, else a short reason string
+    (PostGIS ST_IsValidReason shape). Points/lines are always valid by
+    OGC rules (simplicity is a separate notion)."""
+    t = geom.type_name
+    if t in ("Point", "MultiPoint", "LineString", "MultiLineString"):
+        return None
+    if t == "GeometryCollection":
+        for m in geom.coords:
+            r = invalid_reason(m)
+            if r is not None:
+                return r
+        return None
+    polys = list(_polygons(geom))
+    for rings in polys:
+        for k, ring in enumerate(rings):
+            pts = [(p[0], p[1]) for p in ring]
+            if pts and pts[0] == pts[-1]:
+                pts = pts[:-1]
+            if len(pts) < 3:
+                return "ring with fewer than 3 distinct points"
+            if _ring_self_intersects(ring):
+                return "self-intersecting ring"
+            if abs(_ring_area2(pts + [pts[0]])) / 2 <= EPS:
+                return "zero-area ring"
+        shell = rings[0]
+        shell_geom = Geom("Polygon", [shell])
+        for hole in rings[1:]:
+            # hole must lie inside the shell (boundary contact allowed)
+            for p in hole:
+                if polygon_contains_point([shell], p[0], p[1]) == 0:
+                    return "hole outside shell"
+        # rings must not cross each other (finite contact allowed)
+        for i in range(len(rings)):
+            for j in range(i + 1, len(rings)):
+                overlap, _pts = _seg_sets_meet(
+                    _ring_segs([[rings[i]]]), _ring_segs([[rings[j]]])
+                )
+                if overlap:
+                    return "rings share a boundary segment"
+                # a hole's vertices strictly inside another hole → nested
+                if i > 0 and any(
+                    polygon_contains_point([rings[i]], p[0], p[1]) == 2
+                    for p in rings[j]
+                ):
+                    return "nested holes"
+    # multipolygon shells must have disjoint interiors
+    for i in range(len(polys)):
+        for j in range(i + 1, len(polys)):
+            si, sj = polys[i][0], polys[j][0]
+            if any(
+                polygon_contains_point([si], p[0], p[1]) == 2 for p in sj
+            ) or any(
+                polygon_contains_point([sj], p[0], p[1]) == 2 for p in si
+            ):
+                return "overlapping multipolygon members"
+            overlap, _ = _seg_sets_meet(_ring_segs([[si]]), _ring_segs([[sj]]))
+            if overlap:
+                return "multipolygon members share a boundary segment"
+    return None
+
+
+def is_valid(geom: Geom) -> bool:
+    return invalid_reason(geom) is None
+
+
 def boundary(geom: Geom) -> Geom:
     """OGC boundary: points→empty GC, lines→endpoints, polygons→rings."""
     t, c = geom.type_name, geom.coords

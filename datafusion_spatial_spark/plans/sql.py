@@ -52,6 +52,8 @@ _FUNCTIONS = {
     "ST_AREA": (_pr.st_area, None),
     "ST_LENGTH": (_pr.st_length, None),
     "ST_ISSIMPLE": (_pr.st_issimple, None),
+    "ST_ISVALID": (_pr.st_isvalid, None),
+    "ST_ISVALIDREASON": (_pr.st_isvalidreason, None),
     "ST_CENTROID": (
         _pr.st_centroid,
         GeometryMeta(encoding="point", geometry_types=("Point",)),

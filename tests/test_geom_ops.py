@@ -204,3 +204,42 @@ class TestProperBuffer:
         b = G.buffer(g("MULTIPOINT ((0 0), (100 0))"), 1.0)
         assert b.type_name == "MultiPolygon"
         assert abs(G.area(b) - 2 * math.pi) < 0.02
+
+
+class TestValidity:
+    """OGC polygon validity (PostGIS ST_IsValid semantics)."""
+
+    def test_valid_shapes(self):
+        for w in [
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))",
+            "POLYGON ((0 0, 5 0, 10 0, 10 10, 0 10, 0 0))",  # redundant vertex
+            "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 0)), ((10 10, 14 10, 14 14, 10 10)))",
+            "POINT (1 2)",
+            "LINESTRING (0 0, 1 1, 0 1, 1 0)",  # self-crossing line IS valid
+        ]:
+            assert G.is_valid(g(w)), w
+
+    def test_bowtie_invalid(self):
+        assert not G.is_valid(g("POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))"))
+        assert "self-intersecting" in G.invalid_reason(
+            g("POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))")
+        )
+
+    def test_hole_outside_shell(self):
+        w = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+             "(20 20, 22 20, 22 22, 20 22, 20 20))")
+        assert G.invalid_reason(g(w)) == "hole outside shell"
+
+    def test_spike_invalid(self):
+        assert not G.is_valid(
+            g("POLYGON ((0 0, 10 0, 5 0, 5 10, 0 10, 0 0))")
+        )
+
+    def test_overlapping_multipolygon(self):
+        w = ("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+             "((5 5, 15 5, 15 15, 5 15, 5 5)))")
+        assert G.invalid_reason(g(w)) == "overlapping multipolygon members"
+
+    def test_degenerate_rings(self):
+        assert G.invalid_reason(g("POLYGON ((0 0, 1 0, 0 0))")) is not None

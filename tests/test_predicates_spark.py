@@ -233,3 +233,27 @@ def test_spatial_join_broadcast_and_cell_estimate(spark):
 
     cs = estimate_cell_size(polys, "geom", WKB_META, sample_fraction=1.0)
     assert 40.0 < cs < 80.0  # ~median bbox diagonal of the two squares
+
+
+def test_st_isvalid_spark(spark):
+    from datafusion_spatial_spark.functions.predicates import (
+        st_isvalid,
+        st_isvalidreason,
+    )
+
+    rows = [
+        (1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+        (2, "POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))"),  # bowtie
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, w string").select(
+        "id", st_geomfromtext("w").alias("g")
+    )
+    out = {r.id: (r.v, r.reason) for r in df.select(
+        "id",
+        st_isvalid("g", WKB_META).alias("v"),
+        st_isvalidreason("g", WKB_META).alias("reason"),
+    ).collect()}
+    assert out[1] == (True, "Valid Geometry")
+    assert out[2][0] is False and "self-intersecting" in out[2][1]
+    assert out[3] == (None, None)
