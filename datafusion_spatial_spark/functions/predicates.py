@@ -344,6 +344,31 @@ def st_relate(
     return udf(_prep(a, meta_a), _prep(b, meta_b))
 
 
+def st_subdivide(
+    col: Column | str, max_vertices: int, meta: GeometryMeta
+) -> Column:
+    """PostGIS ST_Subdivide as an array column (``array<binary>`` of WKB
+    parts — ``F.explode`` it to get the set-returning form). Use before
+    grid spatial joins on huge polygons: parts have tighter bboxes and
+    bounded refine cost."""
+    conv = _converter(meta)
+
+    @F.pandas_udf(T.ArrayType(T.BinaryType()))
+    def udf(s: pd.Series) -> pd.Series:
+        out = []
+        for v in _as_rows(s):
+            g = conv(v)
+            if g is None:
+                out.append(None)
+            else:
+                out.append(
+                    [wkb.dumps(p) for p in geom_ops.subdivide(g, max_vertices)]
+                )
+        return pd.Series(out, dtype="object")
+
+    return udf(_prep(col, meta))
+
+
 def st_simplify(col: Column | str, tolerance: float, meta: GeometryMeta) -> Column:
     """Douglas–Peucker simplification → WKB out."""
     return _unary_constructive(

@@ -638,6 +638,68 @@ def buffer(geom: Geom, radius: float, segments: int = 16) -> Geom:
     return _wrap_polys(_union_all_polys(pieces))
 
 
+def subdivide(geom: Geom, max_vertices: int = 128) -> list[Geom]:
+    """PostGIS-style ST_Subdivide: recursively halve a (multi)polygon along
+    its bbox's longer axis (overlay intersection with half-rectangles)
+    until every part has ≤ ``max_vertices`` vertices. The standard prep
+    for spatial joins over huge polygons — smaller parts mean tighter
+    bboxes, fewer grid cells per geometry, and cheaper refine tests."""
+    from datafusion_spatial_spark.overlay import overlay_multi
+
+    if max_vertices < 8:
+        raise ValueError("max_vertices must be >= 8")
+    out: list[list] = []
+
+    def nverts(polys) -> int:
+        return sum(len(r) for rings in polys for r in rings)
+
+    def rec(polys, depth):
+        if not polys:
+            return
+        if nverts(polys) <= max_vertices or depth > 48:
+            out.extend(polys)
+            return
+        if len(polys) > 1:  # split multi parts independently first
+            for rings in polys:
+                rec([rings], depth)
+            return
+        xs = [p[0] for r in polys[0] for p in r]
+        ys = [p[1] for r in polys[0] for p in r]
+        x0, x1, y0, y1 = min(xs), max(xs), min(ys), max(ys)
+        pad = max(x1 - x0, y1 - y0) * 1e-6 + 1e-12
+        if x1 - x0 >= y1 - y0:
+            xm = (x0 + x1) / 2
+            halves = (
+                [(x0 - pad, y0 - pad), (xm, y0 - pad), (xm, y1 + pad),
+                 (x0 - pad, y1 + pad), (x0 - pad, y0 - pad)],
+                [(xm, y0 - pad), (x1 + pad, y0 - pad), (x1 + pad, y1 + pad),
+                 (xm, y1 + pad), (xm, y0 - pad)],
+            )
+        else:
+            ym = (y0 + y1) / 2
+            halves = (
+                [(x0 - pad, y0 - pad), (x1 + pad, y0 - pad), (x1 + pad, ym),
+                 (x0 - pad, ym), (x0 - pad, y0 - pad)],
+                [(x0 - pad, ym), (x1 + pad, ym), (x1 + pad, y1 + pad),
+                 (x0 - pad, y1 + pad), (x0 - pad, ym)],
+            )
+        before = nverts(polys)
+        pieces = [
+            overlay_multi(polys, [[list(h)]], "intersection") for h in halves
+        ]
+        if all(nverts(p) >= before for p in pieces if p):
+            out.extend(polys)  # split no longer reduces — stop
+            return
+        for p in pieces:
+            rec(p, depth + 1)
+
+    rec(
+        [[[(p[0], p[1]) for p in r] for r in rings] for rings in _polygons(geom)],
+        0,
+    )
+    return [Geom("Polygon", rings) for rings in out]
+
+
 def is_simple(geom: Geom) -> bool:
     """Lines: no self-intersection besides shared endpoints; points: no
     duplicates; polygons: assumed simple (validity is st_isvalid's job)."""

@@ -243,3 +243,27 @@ class TestValidity:
 
     def test_degenerate_rings(self):
         assert G.invalid_reason(g("POLYGON ((0 0, 1 0, 0 0))")) is not None
+
+
+class TestSubdivide:
+    """ST_Subdivide: area-preserving, vertex-bounded recursive halving."""
+
+    def test_area_preserved_and_bounded(self):
+        n = 400
+        ring = [
+            (50 + 30 * math.cos(2 * math.pi * i / n),
+             50 + 30 * math.sin(2 * math.pi * i / n))
+            for i in range(n)
+        ]
+        poly = G.Geom("Polygon", [ring + [ring[0]]])
+        parts = G.subdivide(poly, max_vertices=64)
+        assert len(parts) > 1
+        assert abs(sum(G.area(p) for p in parts) - G.area(poly)) < 1e-6
+        assert max(sum(len(r) for r in p.coords) for p in parts) <= 64
+
+    def test_holed_and_small(self):
+        holed = g("POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), "
+                  "(8 8, 12 8, 12 12, 8 12, 8 8))")
+        parts = G.subdivide(holed, max_vertices=8)
+        assert abs(sum(G.area(p) for p in parts) - G.area(holed)) < 1e-9
+        assert len(G.subdivide(SQUARE, 128)) == 1

@@ -257,3 +257,19 @@ def test_st_isvalid_spark(spark):
     assert out[1] == (True, "Valid Geometry")
     assert out[2][0] is False and "self-intersecting" in out[2][1]
     assert out[3] == (None, None)
+
+
+def test_st_subdivide_spark(spark):
+    from datafusion_spatial_spark.functions.predicates import st_area, st_subdivide
+
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (8 8, 12 8, 12 12, 8 12, 8 8))")],
+        "id long, w string",
+    ).select("id", st_geomfromtext("w").alias("g"))
+    parts = df.select(
+        "id", F.explode(st_subdivide("g", 8, WKB_META)).alias("part")
+    )
+    total = parts.agg(
+        F.round(F.sum(st_area("part", WKB_META)), 6).alias("a")
+    ).collect()[0].a
+    assert total == 384.0
