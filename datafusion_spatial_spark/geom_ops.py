@@ -638,6 +638,31 @@ def buffer(geom: Geom, radius: float, segments: int = 16) -> Geom:
     return _wrap_polys(_union_all_polys(pieces))
 
 
+def make_valid(geom: Geom) -> Geom:
+    """PostGIS-style ST_MakeValid for polygonal input (structure method):
+    each polygon part is rebuilt from its noded edges with even-odd
+    classification (bowties split into their lobes, zero-width spikes and
+    slivers vanish), then parts are dissolved with the overlay union (so
+    overlapping multipolygon members merge instead of cancelling). Valid
+    input — and non-polygonal input, which is always OGC-valid — returns
+    unchanged."""
+    from datafusion_spatial_spark.overlay import overlay_multi
+
+    polys = list(_polygons(geom))
+    if not polys or is_valid(geom):
+        return geom
+    rebuilt = []
+    for rings in polys:
+        rebuilt.extend(
+            overlay_multi(
+                [[[(p[0], p[1]) for p in r] for r in rings]], [], "union"
+            )
+        )
+    if len(rebuilt) > 1:
+        rebuilt = _union_all_polys(rebuilt)
+    return _wrap_polys(rebuilt)
+
+
 def subdivide(geom: Geom, max_vertices: int = 128) -> list[Geom]:
     """PostGIS-style ST_Subdivide: recursively halve a (multi)polygon along
     its bbox's longer axis (overlay intersection with half-rectangles)

@@ -54,6 +54,7 @@ _FUNCTIONS = {
     "ST_ISSIMPLE": (_pr.st_issimple, None),
     "ST_ISVALID": (_pr.st_isvalid, None),
     "ST_ISVALIDREASON": (_pr.st_isvalidreason, None),
+    "ST_MAKEVALID": (_pr.st_makevalid, _WKB),
     "ST_CENTROID": (
         _pr.st_centroid,
         GeometryMeta(encoding="point", geometry_types=("Point",)),

@@ -267,3 +267,30 @@ class TestSubdivide:
         parts = G.subdivide(holed, max_vertices=8)
         assert abs(sum(G.area(p) for p in parts) - G.area(holed)) < 1e-9
         assert len(G.subdivide(SQUARE, 128)) == 1
+
+
+class TestMakeValid:
+    def test_bowtie_splits_into_lobes(self):
+        bow = g("POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))")
+        fixed = G.make_valid(bow)
+        assert G.is_valid(fixed)
+        assert fixed.type_name == "MultiPolygon"
+        assert abs(G.area(fixed) - 50.0) < 1e-9  # two 25-area triangles
+
+    def test_overlapping_members_dissolve(self):
+        mp = g("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+               "((5 5, 15 5, 15 15, 5 15, 5 5)))")
+        fixed = G.make_valid(mp)
+        assert G.is_valid(fixed)
+        assert abs(G.area(fixed) - 175.0) < 1e-9  # union, not XOR
+
+    def test_valid_input_unchanged(self):
+        assert G.make_valid(SQUARE) is SQUARE
+        line = g("LINESTRING (0 0, 1 1)")
+        assert G.make_valid(line) is line
+
+    def test_spike_removed(self):
+        spiky = g("POLYGON ((0 0, 10 0, 5 0, 5 10, 0 10, 0 0))")
+        fixed = G.make_valid(spiky)
+        assert G.is_valid(fixed)
+        assert abs(G.area(fixed) - 50.0) < 1e-9
