@@ -789,14 +789,48 @@ _LINE_CASES = [
      0.0, 10.0, 5.0, 10.0),
 ]
 
+# mixed-dimension pairs (polygon×line, GeometryCollection operands) with
+# hand-computed set-operation AREAS and LENGTHS — exercises the round-3
+# decompose-and-combine layer (geom_ops._mixed_setop): union absorbs
+# lower-dim pieces covered by higher-dim closure, difference subtracts the
+# closure of the subtrahend, per GEOS OverlayNG.
+_MIXED_CASES = [
+    # (pair_id, wkt_a, wkt_b,
+    #  inter_area, union_area, diff_area, sym_area,
+    #  inter_len, union_len, diff_len, sym_len)
+    (201, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "LINESTRING (-1 2, 5 2)",
+     0.0, 16.0, 16.0, 16.0, 4.0, 2.0, 0.0, 2.0),
+    (202, "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), "
+          "LINESTRING (6 0, 8 0), POINT (10 10))",
+          "POLYGON ((-1 -1, 7 -1, 7 5, -1 5, -1 -1))",
+     16.0, 48.0, 0.0, 32.0, 1.0, 1.0, 1.0, 1.0),
+    (203, "GEOMETRYCOLLECTION (LINESTRING (0 10, 4 10), POINT (10 10))",
+          "POLYGON ((2 9, 6 9, 6 11, 2 11, 2 9))",
+     0.0, 8.0, 0.0, 8.0, 2.0, 2.0, 2.0, 2.0),
+    (204, "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), "
+          "POINT (6 6))",
+          "GEOMETRYCOLLECTION (LINESTRING (2 -1, 2 5), POINT (6 6))",
+     0.0, 16.0, 16.0, 16.0, 4.0, 2.0, 0.0, 2.0),
+    (205, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "LINESTRING (0 0, 4 0)",
+     0.0, 16.0, 16.0, 16.0, 4.0, 0.0, 0.0, 0.0),
+    (206, "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), "
+          "POLYGON ((3 0, 5 0, 5 2, 3 2, 3 0)), LINESTRING (0 5, 10 5))",
+          "GEOMETRYCOLLECTION (POLYGON ((1 1, 4 1, 4 3, 1 3, 1 1)), "
+          "POINT (0 5))",
+     2.0, 12.0, 6.0, 10.0, 0.0, 10.0, 10.0, 10.0),
+]
+
 
 def _q_st_intersection_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Intersection/Union/Difference/SymDifference over polygon pairs
     (areas — shared edges, vertex-on-edge contact, holes, concave rings,
     multipolygons; round-2 overlay kernel) AND line pairs (lengths —
     collinear overlap/containment, crossings, mixed-dimension results,
-    endpoint touch; round-3 noding kernel). Length columns are NULL for
-    polygon pairs (they'd be result perimeters — not closed-form here)."""
+    endpoint touch; round-3 noding kernel) AND mixed-dimension pairs
+    (polygon×line, GeometryCollection operands; decompose-and-combine
+    layer, areas and lengths both closed-form). Length columns are NULL
+    for polygon pairs (they'd be result perimeters — not closed-form
+    here); st_length itself is linear-members-only per PostGIS."""
     from datafusion_spatial_spark.functions.predicates import (
         st_area,
         st_difference,
@@ -811,17 +845,19 @@ def _q_st_intersection_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = GeometryMeta(encoding="WKB")
     df = spark.createDataFrame(
         [(c[0], c[1], c[2]) for c in _OVERLAY_CASES]
-        + [(c[0], c[1], c[2]) for c in _LINE_CASES],
+        + [(c[0], c[1], c[2]) for c in _LINE_CASES]
+        + [(c[0], c[1], c[2]) for c in _MIXED_CASES],
         "pair_id int, wkt_a string, wkt_b string",
     ).select(
         "pair_id",
         st_geomfromtext("wkt_a").alias("a"),
         st_geomfromtext("wkt_b").alias("b"),
     )
-    is_line = F.col("pair_id") >= 100
+    # line and mixed-dimension pairs have meaningful lengths
+    has_len = F.col("pair_id") >= 100
 
     def _len(col: F.Column) -> F.Column:
-        return F.when(is_line, F.round(st_length(col, w), 6)).cast("double")
+        return F.when(has_len, F.round(st_length(col, w), 6)).cast("double")
 
     inter = st_intersection("a", "b", w, w)
     uni = st_union("a", "b", w, w)
@@ -847,6 +883,10 @@ def _q_st_intersection_area_oracle() -> str:
     ] + [
         f"  ({c[0]}, 0.0, 0.0, 0.0, 0.0, {c[3]}, {c[4]}, {c[5]}, {c[6]})"
         for c in _LINE_CASES
+    ] + [
+        f"  ({c[0]}, {c[3]}, {c[4]}, {c[5]}, {c[6]},"
+        f" {c[7]}, {c[8]}, {c[9]}, {c[10]})"
+        for c in _MIXED_CASES
     ]
     cols = [
         "inter_area", "union_area", "diff_area", "sym_area",

@@ -161,13 +161,7 @@ def _reverse(g):
 st_reverse = _geom_out(_reverse)
 
 
-def _perimeter(g):
-    if not list(geom_ops._polygons(g)):
-        return 0.0
-    return geom_ops.length(g)
-
-
-st_perimeter = _unary(_perimeter, T.DoubleType())
+st_perimeter = _unary(geom_ops.perimeter, T.DoubleType())
 
 
 def st_azimuth(

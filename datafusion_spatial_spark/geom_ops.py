@@ -431,9 +431,30 @@ def area(geom: Geom) -> float:
 
 
 def length(geom: Geom) -> float:
-    """Sum of segment lengths (perimeter for polygons)."""
+    """Length of the linear members only — PostGIS/DuckDB ST_Length
+    contract: 0 for points and polygons (use :func:`perimeter` for ring
+    lengths). GeometryCollections sum their linear members."""
+    t = geom.type_name
+    if t == "GeometryCollection":
+        return sum(length(m) for m in geom.coords)
     return sum(
-        math.hypot(b[0] - a[0], b[1] - a[1]) for a, b in _segments(geom)
+        math.hypot(b[0] - a[0], b[1] - a[1])
+        for line in _line_parts(geom)
+        for a, b in zip(line, line[1:])
+    )
+
+
+def perimeter(geom: Geom) -> float:
+    """Sum of polygon ring lengths (shells + holes) — PostGIS
+    ST_Perimeter. 0 for non-areal input."""
+    t = geom.type_name
+    if t == "GeometryCollection":
+        return sum(perimeter(m) for m in geom.coords)
+    return sum(
+        math.hypot(b[0] - a[0], b[1] - a[1])
+        for rings in _polygons(geom)
+        for ring in rings
+        for a, b in zip(ring, ring[1:])
     )
 
 
@@ -1026,6 +1047,8 @@ def _lines_geom(parts) -> Geom:
 
 def intersection(a: Geom, b: Geom) -> Geom:
     """a ∩ b. Empty result → empty GeometryCollection."""
+    if _is_mixed_collection(a) or _is_mixed_collection(b):
+        return _mixed_setop(a, b, "intersection")
     a, b = flatten_collection(a), flatten_collection(b)
     if a.is_empty or b.is_empty or _bbox_disjoint(a, b):
         return Geom("GeometryCollection", [])
@@ -1079,9 +1102,8 @@ def intersection(a: Geom, b: Geom) -> Geom:
         if len(out_polys) == 1:
             return Geom("Polygon", out_polys[0])
         return Geom("MultiPolygon", out_polys)
-    raise NotImplementedError(
-        f"intersection({a.type_name}, {b.type_name}) not supported"
-    )
+    # remaining cross-dimension combos: decompose-and-combine
+    return _mixed_setop(a, b, "intersection")
 
 
 def _seg_seg_point(sa, sb):
@@ -1257,6 +1279,8 @@ def _line_line_setop(a: Geom, b: Geom, op: str) -> Geom:
 def difference(a: Geom, b: Geom) -> Geom:
     """a − b for point-set / line a; polygon a only for disjoint or
     b-contains-a fast paths."""
+    if _is_mixed_collection(a) or _is_mixed_collection(b):
+        return _mixed_setop(a, b, "difference")
     a, b = flatten_collection(a), flatten_collection(b)
     if a.is_empty:
         return Geom("GeometryCollection", [])
@@ -1286,15 +1310,17 @@ def difference(a: Geom, b: Geom) -> Geom:
         return _gh_binary(a, b, "difference")
     if list(_polygons(a)) and b_lines:
         return a  # removing 1-D from 2-D leaves the polygon (regularized)
-    raise NotImplementedError(
-        f"difference({a.type_name}, {b.type_name}) with partial overlap "
-        "not implemented"
-    )
+    if list(_polygons(a)) and b.type_name in ("Point", "MultiPoint"):
+        return a  # removing 0-D from 2-D leaves the polygon (regularized)
+    # remaining cross-dimension combos: decompose-and-combine
+    return _mixed_setop(a, b, "difference")
 
 
 def union(a: Geom, b: Geom) -> Geom:
     """a ∪ b: containment/disjoint fast paths, point-set merge, polygon
     overlay, line noding."""
+    if _is_mixed_collection(a) or _is_mixed_collection(b):
+        return _mixed_setop(a, b, "union")
     a, b = flatten_collection(a), flatten_collection(b)
     if a.is_empty:
         return b
@@ -1323,16 +1349,17 @@ def union(a: Geom, b: Geom) -> Geom:
     b_lines = b.type_name in ("LineString", "MultiLineString")
     if a_lines and b_lines:
         return _line_line_setop(a, b, "union")
-    raise NotImplementedError(
-        f"union({a.type_name}, {b.type_name}) with partial overlap not "
-        "implemented"
-    )
+    # cross-dimension partial overlap (polygon ∪ crossing line, line ∪
+    # off-line point, ...): decompose-and-combine with absorption
+    return _mixed_setop(a, b, "union")
 
 
 def sym_difference(a: Geom, b: Geom) -> Geom:
     """(a − b) ∪ (b − a). Polygon×polygon goes through the overlay kernel
     directly (single regularized pass, XOR predicate); other type combos
     compose from the two differences."""
+    if _is_mixed_collection(a) or _is_mixed_collection(b):
+        return _mixed_setop(a, b, "symdifference")
     a, b = flatten_collection(a), flatten_collection(b)
     if (
         list(_polygons(a))
@@ -1355,6 +1382,158 @@ def sym_difference(a: Geom, b: Geom) -> Geom:
     if pa and pb:
         return Geom("MultiPolygon", pa + pb)
     return union(da, db)
+
+
+# ---------------------------------------------------------------------------
+# mixed-dimension set operations (decompose-and-combine)
+#
+# GEOS/JTS OverlayNG supports heterogeneous GeometryCollection operands by
+# computing per-dimension overlays and regularizing (lower-dimensional
+# pieces covered by higher-dimensional ones are absorbed). Same strategy
+# here, composed from the homogeneous kernels above.
+
+
+def _decompose_dims(g: Geom) -> dict:
+    """Split any geometry (incl. nested mixed collections) into homogeneous
+    per-dimension geometries: {0: points|None, 1: lines|None, 2: polys|None}."""
+    pts: list = []
+    lines: list = []
+    polys: list = []
+
+    def walk(x: Geom) -> None:
+        t = x.type_name
+        if t == "GeometryCollection":
+            for m in x.coords:
+                walk(m)
+        elif t == "Point":
+            if not x.is_empty:
+                pts.append(x.coords)
+        elif t == "MultiPoint":
+            pts.extend(x.coords)
+        elif t in ("LineString", "MultiLineString"):
+            lines.extend(_line_parts(x))
+        elif t in ("Polygon", "MultiPolygon"):
+            polys.extend(_polygons(x))
+
+    walk(g)
+    return {
+        0: _points_geom(pts) if pts else None,
+        1: _lines_geom(lines) if lines else None,
+        2: _wrap_polys(polys) if polys else None,
+    }
+
+
+def _is_mixed_collection(g: Geom) -> bool:
+    if g.type_name != "GeometryCollection":
+        return False
+    d = _decompose_dims(g)
+    return sum(1 for v in d.values() if v is not None) > 1
+
+
+def _assemble_dims(poly, line, pt) -> Geom:
+    """Combine per-dimension results: single dim passes through typed, two
+    or more dims become a GeometryCollection (highest dimension first —
+    PostGIS member order)."""
+    parts = [g for g in (poly, line, pt) if g is not None and not g.is_empty]
+    if not parts:
+        return Geom("GeometryCollection", [])
+    if len(parts) == 1:
+        return parts[0]
+    return Geom("GeometryCollection", parts)
+
+
+def _absorb(lo, his) -> Geom | None:
+    """Union regularization: drop the parts of lower-dim geometry `lo`
+    covered by the closure of any higher-dim geometry in `his`."""
+    if lo is None or lo.is_empty:
+        return None
+    for hi in his:
+        if hi is None or hi.is_empty:
+            continue
+        lo = difference(lo, hi)
+        if lo.is_empty:
+            return None
+    return lo
+
+
+def _fold_union(parts: list) -> Geom | None:
+    """N-ary union of same-dimension homogeneous geometries."""
+    parts = [p for p in parts if p is not None and not p.is_empty]
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    dims = {_geom_dim(p) for p in parts}
+    assert len(dims) == 1, "fold_union operands must share a dimension"
+    d = dims.pop()
+    if d == 0:
+        return _points_geom([p for g in parts for p in _points(g)])
+    if d == 2:
+        polys = _union_all_polys(
+            [rings for g in parts for rings in _polygons(g)]
+        )
+        return _wrap_polys(polys) if polys else None
+    out = parts[0]
+    for nxt in parts[1:]:
+        out = union(out, nxt)
+    return out
+
+
+def _mixed_setop(a: Geom, b: Geom, op: str) -> Geom:
+    """Set operation over operands where at least one mixes dimensions.
+
+    intersection: all 9 per-dimension pairwise overlays, bucketed by result
+    dimension, folded, then absorbed upward.
+    union: per-dimension unions with lower dims absorbed by higher.
+    difference: each dimension of `a` minus the closure of every dimension
+    of `b` that can reduce it (points cut nothing of higher dims).
+    symdifference: union of the two differences."""
+    if op == "symdifference":
+        return union(_mixed_setop(a, b, "difference"),
+                     _mixed_setop(b, a, "difference"))
+    da, db = _decompose_dims(a), _decompose_dims(b)
+    if op == "intersection":
+        buckets: dict = {0: [], 1: [], 2: []}
+        for i in (0, 1, 2):
+            for j in (0, 1, 2):
+                if da[i] is None or db[j] is None:
+                    continue
+                r = intersection(da[i], db[j])
+                if r.is_empty:
+                    continue
+                rd = _decompose_dims(r)
+                for d in (0, 1, 2):
+                    if rd[d] is not None:
+                        buckets[d].append(rd[d])
+        poly = _fold_union(buckets[2])
+        line = _absorb(_fold_union(buckets[1]), [poly])
+        pt = _absorb(_fold_union(buckets[0]), [poly, line])
+        return _assemble_dims(poly, line, pt)
+    if op == "union":
+        poly = _fold_union([da[2], db[2]])
+        line = _absorb(_fold_union([da[1], db[1]]), [poly])
+        pt = _absorb(_fold_union([da[0], db[0]]), [poly, line])
+        return _assemble_dims(poly, line, pt)
+    if op == "difference":
+        poly = da[2]
+        if poly is not None and db[2] is not None:
+            poly = difference(poly, db[2])
+        if poly is not None and poly.is_empty:
+            poly = None
+        line = da[1]
+        for cut in (db[2], db[1]):
+            if line is not None and cut is not None:
+                line = difference(line, cut)
+                if line.is_empty:
+                    line = None
+        pt = da[0]
+        for cut in (db[2], db[1], db[0]):
+            if pt is not None and cut is not None:
+                pt = difference(pt, cut)
+                if pt.is_empty:
+                    pt = None
+        return _assemble_dims(poly, line, pt)
+    raise ValueError(f"unknown set op {op!r}")
 
 
 # ---------------------------------------------------------------------------

@@ -124,7 +124,11 @@ class TestMeasures:
 
     def test_length(self):
         assert G.length(g("LINESTRING (0 0, 3 4)")) == 5.0
-        assert G.length(SQUARE) == 40.0  # perimeter
+        # PostGIS/DuckDB contract: areal input has zero ST_Length;
+        # perimeter is the separate ST_Perimeter measure
+        assert G.length(SQUARE) == 0.0
+        assert G.perimeter(SQUARE) == 40.0
+        assert G.perimeter(HOLED) == 40.0 + 8.0
 
     def test_centroid(self):
         assert G.centroid(SQUARE) == (5.0, 5.0)
