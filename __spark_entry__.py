@@ -609,7 +609,14 @@ _TRI = [(0.0, 0.0), (9000.0, 1000.0), (1000.0, 9000.0)]
 
 def _q_st_contains_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact geometry predicate (geom_ops ray casting) against a literal
-    triangle; the oracle reproduces it with half-plane sign tests."""
+    triangle PLUS a per-segment ST_Union aggregate over unit grid cells
+    (round-3 cascaded-union kernel, functions/aggregates.st_union_agg).
+    Unit-cell construction keeps the union area closed-form: adjacent
+    squares dissolve along shared edges and duplicates vanish, so
+    union_area == count of DISTINCT occupied cells. The oracle reproduces
+    the predicate with half-plane sign tests and the union area with
+    COUNT(DISTINCT cell)."""
+    from datafusion_spatial_spark.functions import st_area, st_union_agg
     from datafusion_spatial_spark.functions.predicates import st_contains
     from datafusion_spatial_spark.functions.scalar import st_geomfromtext, st_point
     from datafusion_spatial_spark.meta import GeometryMeta
@@ -624,10 +631,46 @@ def _q_st_contains_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_point(F.col("c_acctbal"), F.col("c_custkey").cast("double")).alias("geom"),
         st_geomfromtext(tri).alias("tri"),
     )
-    return (
+    inside = (
         pts.filter(st_contains("tri", "geom", wkb_meta, point_meta))
         .groupBy("segment")
         .agg(F.count("*").alias("n_inside"))
+    )
+    # distinct occupied cells first (Catalyst dedupe — the scalable shape:
+    # the Python union kernel sees each cell once, not each customer)
+    cells = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000.0).alias("cx"),
+        F.floor(F.col("c_custkey").cast("double") / 100.0).alias("cy"),
+    ).distinct()
+    cell_geom = cells.select(
+        "segment",
+        st_geomfromtext(
+            F.format_string(
+                "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+                "cx", "cy",
+                F.col("cx") + 1, "cy",
+                F.col("cx") + 1, F.col("cy") + 1,
+                "cx", F.col("cy") + 1,
+                "cx", "cy",
+            )
+        ).alias("cellg"),
+    )
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT) — count in a separate aggregation
+    n_cells = cells.groupBy("segment").agg(F.count("*").alias("n_cells"))
+    uni = (
+        cell_geom.groupBy("segment")
+        .agg(st_union_agg("cellg", wkb_meta).alias("u"))
+        .select(
+            "segment",
+            F.round(st_area("u", wkb_meta), 6).alias("union_area"),
+        )
+    )
+    return (
+        inside.join(n_cells, "segment")
+        .join(uni, "segment")
+        .select("segment", "n_inside", "n_cells", "union_area")
         .orderBy("segment")
     )
 
@@ -642,10 +685,24 @@ def _q_st_contains_triangle_oracle() -> str:
     e2 = f"(({cx} - {bx}) * ({py} - {by}) - ({cy} - {by}) * ({px} - {bx}))"
     e3 = f"(({ax} - {cx}) * ({py} - {cy}) - ({ay} - {cy}) * ({px} - {cx}))"
     return f"""
-SELECT c_mktsegment AS segment, count(*) AS n_inside
-FROM customer
-WHERE {e1} > 0 AND {e2} > 0 AND {e3} > 0
-GROUP BY c_mktsegment ORDER BY segment
+WITH inside AS (
+  SELECT c_mktsegment AS segment, count(*) AS n_inside
+  FROM customer
+  WHERE {e1} > 0 AND {e2} > 0 AND {e3} > 0
+  GROUP BY c_mktsegment
+), cells AS (
+  SELECT DISTINCT c_mktsegment AS segment,
+         cast(floor(c_acctbal / 1000.0) AS BIGINT) AS cx,
+         cast(floor(cast(c_custkey AS DOUBLE) / 100.0) AS BIGINT) AS cy
+  FROM customer
+), u AS (
+  SELECT segment, count(*) AS n_cells,
+         cast(count(*) AS DOUBLE) AS union_area
+  FROM cells GROUP BY segment
+)
+SELECT i.segment, i.n_inside, u.n_cells, u.union_area
+FROM inside i JOIN u ON i.segment = u.segment
+ORDER BY i.segment
 """
 
 

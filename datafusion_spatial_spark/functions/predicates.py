@@ -221,6 +221,7 @@ def _unary_constructive(fn):
 st_convexhull = _unary_constructive(lambda g: geom_ops.convex_hull(g))
 st_boundary = _unary_constructive(lambda g: geom_ops.boundary(g))
 st_makevalid = _unary_constructive(lambda g: geom_ops.make_valid(g))
+st_unaryunion = _unary_constructive(lambda g: geom_ops.unary_union(g))
 
 
 def st_buffer(col: Column | str, radius: float, meta: GeometryMeta, segments: int = 16) -> Column:

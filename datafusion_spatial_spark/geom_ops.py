@@ -1536,6 +1536,58 @@ def _mixed_setop(a: Geom, b: Geom, op: str) -> Geom:
     raise ValueError(f"unknown set op {op!r}")
 
 
+def union_many(geoms) -> Geom:
+    """N-ary regularized union (GEOS UnaryUnion / cascaded union): all
+    operands decomposed per dimension, polygons dissolved through the
+    overlay kernel via tree reduce, lines noded pairwise, points merged;
+    lower-dimensional pieces covered by higher-dimensional closure are
+    absorbed. Backs ST_Union(agg) and ST_UnaryUnion."""
+    pts: list = []
+    lines: list = []
+    polys: list = []
+    for g in geoms:
+        if g is None or g.is_empty:
+            continue
+        d = _decompose_dims(g)
+        if d[0] is not None:
+            pts.extend(_points(d[0]))
+        if d[1] is not None:
+            lines.append(d[1])
+        if d[2] is not None:
+            polys.extend(_polygons(d[2]))
+    poly = None
+    if polys:
+        dissolved = _union_all_polys(polys)
+        poly = _wrap_polys(dissolved) if dissolved else None
+    line = _absorb(_fold_union(lines), [poly])
+    pt = _absorb(_points_geom(pts) if pts else None, [poly, line])
+    return _assemble_dims(poly, line, pt)
+
+
+def unary_union(g: Geom) -> Geom:
+    """Dissolve the parts of a single (multi-part / collection) geometry —
+    PostGIS ST_UnaryUnion."""
+    return union_many([g])
+
+
+def collect_geoms(geoms) -> Geom:
+    """PostGIS ST_Collect: assemble without dissolving. Homogeneous
+    single-part inputs → Multi*; anything else → GeometryCollection."""
+    gs = [g for g in geoms if g is not None and not g.is_empty]
+    if not gs:
+        return Geom("GeometryCollection", [])
+    if len(gs) == 1:
+        return gs[0]
+    types = {g.type_name for g in gs}
+    if types == {"Point"}:
+        return Geom("MultiPoint", [g.coords for g in gs])
+    if types == {"LineString"}:
+        return Geom("MultiLineString", [g.coords for g in gs])
+    if types == {"Polygon"}:
+        return Geom("MultiPolygon", [g.coords for g in gs])
+    return Geom("GeometryCollection", gs)
+
+
 # ---------------------------------------------------------------------------
 # relate-family predicates (reference README.md:23-26)
 

@@ -3,5 +3,6 @@ from datafusion_spatial_spark.operators import (  # noqa: F401
     hashing,
     multimodal,
     simsearch,
+    spatial_agg,
     text,
 )

@@ -55,6 +55,7 @@ _FUNCTIONS = {
     "ST_ISVALID": (_pr.st_isvalid, None),
     "ST_ISVALIDREASON": (_pr.st_isvalidreason, None),
     "ST_MAKEVALID": (_pr.st_makevalid, _WKB),
+    "ST_UNARYUNION": (_pr.st_unaryunion, _WKB),
     "ST_CENTROID": (
         _pr.st_centroid,
         GeometryMeta(encoding="point", geometry_types=("Point",)),
