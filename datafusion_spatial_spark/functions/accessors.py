@@ -192,3 +192,101 @@ def st_azimuth(
         return pd.Series(out, dtype="object")
 
     return udf(_prep(a, meta_a), _prep(b, meta_b))
+
+
+# -- dump / merge / densify / canonical (round-3 constructive extras) --------
+
+
+st_linemerge = _geom_out(geom_ops.line_merge)
+st_normalize = _geom_out(geom_ops.normalize)
+st_force2d = _geom_out(geom_ops.force_2d)
+st_orientedenvelope = _geom_out(geom_ops.oriented_envelope)
+
+
+def _pos_point(g):
+    p = geom_ops.point_on_surface(g)
+    return None if p is None else wkb.Geom("Point", (p[0], p[1]))
+
+
+st_pointonsurface = _geom_out(_pos_point)
+
+
+def st_force3d(col: Column | str, meta: GeometryMeta, z: float = 0.0) -> Column:
+    return _geom_out(lambda g: geom_ops.force_3d(g, z))(col, meta)
+
+
+def st_segmentize(col: Column | str, max_len: float, meta: GeometryMeta) -> Column:
+    return _geom_out(lambda g: geom_ops.segmentize(g, max_len))(col, meta)
+
+
+def st_removerepeatedpoints(
+    col: Column | str, meta: GeometryMeta, tolerance: float = 0.0
+) -> Column:
+    return _geom_out(
+        lambda g: geom_ops.remove_repeated_points(g, tolerance)
+    )(col, meta)
+
+
+def st_linesubstring(
+    col: Column | str, start: float, end: float, meta: GeometryMeta
+) -> Column:
+    return _geom_out(lambda g: geom_ops.line_substring(g, start, end))(col, meta)
+
+
+def st_minimumboundingcircle(
+    col: Column | str, meta: GeometryMeta, segments: int = 32
+) -> Column:
+    """Smallest enclosing circle as a polygon (``segments`` arc points per
+    quadrant-4 total, PostGIS-style n-gon approximation); degenerate
+    single-point input yields that point."""
+
+    def mbc(g):
+        c = geom_ops.minimum_bounding_circle(g)
+        if c is None:
+            return None
+        (cx, cy), r = c
+        if r <= 0:
+            return wkb.Geom("Point", (cx, cy))
+        return geom_ops.buffer_point((cx, cy), r, segments)
+
+    return _geom_out(mbc)(col, meta)
+
+
+def st_dump(col: Column | str, meta: GeometryMeta) -> Column:
+    """PostGIS ST_Dump as an array of single-part WKB geometries — pair
+    with ``F.explode`` for the row-per-part form (the Spark-idiomatic
+    shape of the set-returning PostGIS function)."""
+    return _unary(
+        lambda g: [wkb.dumps(p) for p in geom_ops.dump_parts(g)],
+        T.ArrayType(T.BinaryType()),
+    )(col, meta)
+
+
+def st_dumppoints(col: Column | str, meta: GeometryMeta) -> Column:
+    """Every vertex as WKB points (array; explode for rows)."""
+    return _unary(
+        lambda g: [wkb.dumps(p) for p in geom_ops.dump_points(g)],
+        T.ArrayType(T.BinaryType()),
+    )(col, meta)
+
+
+def st_linelocatepoint(
+    line: Column | str, point: Column | str,
+    meta_line: GeometryMeta, meta_point: GeometryMeta,
+) -> Column:
+    """Fraction [0,1] along ``line`` of the projection of ``point`` —
+    PostGIS ST_LineLocatePoint."""
+    cl, cp = _converter(meta_line), _converter(meta_point)
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(sl: pd.Series, sp: pd.Series) -> pd.Series:
+        out = []
+        for vl, vp in zip(_as_rows(sl), _as_rows(sp)):
+            gl, gp = cl(vl), cp(vp)
+            if gl is None or gp is None or gp.type_name != "Point" or gp.is_empty:
+                out.append(None)
+                continue
+            out.append(geom_ops.line_locate_point(gl, gp.coords))
+        return pd.Series(out, dtype="object")
+
+    return udf(_prep(line, meta_line), _prep(point, meta_point))

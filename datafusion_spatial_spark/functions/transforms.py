@@ -99,3 +99,46 @@ def st_snaptogrid(col: Column | str, size: float, meta: GeometryMeta) -> Column:
         )
 
     return _map_coords(col, meta, snap)
+
+
+def st_affine(
+    col: Column | str,
+    a: float, b: float, d: float, e: float,
+    xoff: float, yoff: float,
+    meta: GeometryMeta,
+) -> Column:
+    """2-D affine transform (PostGIS ST_Affine 2D form):
+    x' = a·x + b·y + xoff, y' = d·x + e·y + yoff. Pure Catalyst."""
+    col = _c(col)
+    la, lb, ld, le = (F.lit(float(v)) for v in (a, b, d, e))
+    lx, ly = F.lit(float(xoff)), F.lit(float(yoff))
+
+    def tx(p):
+        return F.struct(
+            (la * p["x"] + lb * p["y"] + lx).alias("x"),
+            (ld * p["x"] + le * p["y"] + ly).alias("y"),
+        )
+
+    return _map_coords(col, meta, tx)
+
+
+def st_rotate(
+    col: Column | str,
+    angle: float,
+    meta: GeometryMeta,
+    origin: tuple[float, float] = (0.0, 0.0),
+) -> Column:
+    """CCW rotation by ``angle`` radians about ``origin`` (PostGIS
+    ST_Rotate). Composition of affines, folded to literals — pure
+    Catalyst, zero Python."""
+    import math as _m
+
+    c, s = _m.cos(angle), _m.sin(angle)
+    ox, oy = origin
+    # x' = c(x-ox) - s(y-oy) + ox ; y' = s(x-ox) + c(y-oy) + oy
+    return st_affine(
+        col, c, -s, s, c,
+        ox - c * ox + s * oy,
+        oy - s * ox - c * oy,
+        meta,
+    )

@@ -2466,3 +2466,379 @@ def _project_on_segment(p, seg):
         return (ax, ay)
     t = max(0.0, min(1.0, ((p[0] - ax) * dx + (p[1] - ay) * dy) / L2))
     return (ax + t * dx, ay + t * dy)
+
+
+# ---------------------------------------------------------------------------
+# constructive extras (PostGIS parity-plus: dump/merge/densify/canonical)
+
+
+def dump_parts(g: Geom) -> list:
+    """PostGIS ST_Dump: top-level single-part members (collections and
+    Multi* expanded recursively)."""
+    t = g.type_name
+    if t == "GeometryCollection":
+        out = []
+        for m in g.coords:
+            out.extend(dump_parts(m))
+        return out
+    if t == "MultiPoint":
+        return [Geom("Point", p, g.has_z, g.srid, g.has_m) for p in g.coords]
+    if t == "MultiLineString":
+        return [
+            Geom("LineString", line, g.has_z, g.srid, g.has_m)
+            for line in g.coords
+        ]
+    if t == "MultiPolygon":
+        return [
+            Geom("Polygon", rings, g.has_z, g.srid, g.has_m)
+            for rings in g.coords
+        ]
+    return [] if g.is_empty else [g]
+
+
+def dump_points(g: Geom) -> list:
+    """PostGIS ST_DumpPoints: every vertex as a Point (full tuples kept,
+    so Z/M survive)."""
+    t, c = g.type_name, g.coords
+    mk = lambda p: Geom("Point", p, g.has_z, g.srid, g.has_m)
+    if t == "Point":
+        return [] if g.is_empty else [mk(c)]
+    if t in ("LineString", "MultiPoint"):
+        return [mk(p) for p in c]
+    if t in ("Polygon", "MultiLineString"):
+        return [mk(p) for part in c for p in part]
+    if t == "MultiPolygon":
+        return [mk(p) for rings in c for ring in rings for p in ring]
+    return [p for m in c for p in dump_points(m)]
+
+
+def line_merge(g: Geom) -> Geom:
+    """PostGIS ST_LineMerge: stitch the linework at degree-2 endpoints.
+    Non-linear input returns an empty collection (PostGIS contract)."""
+    segs = _line_segs(g)
+    if not segs:
+        return Geom("GeometryCollection", [])
+    return _lines_geom(_stitch_segments(segs))
+
+
+def point_on_surface(g: Geom) -> tuple | None:
+    """A point guaranteed on the geometry: interior sample for polygons,
+    middle vertex for lines, first point otherwise."""
+    polys = list(_polygons(g))
+    if polys:
+        return representative_point(polys[0])
+    lines = _line_parts(g)
+    if lines:
+        line = lines[0]
+        return line[len(line) // 2]
+    pts = list(_points(g))
+    return pts[0] if pts else None
+
+
+def segmentize(g: Geom, max_len: float) -> Geom:
+    """PostGIS ST_Segmentize: insert vertices so no segment exceeds
+    ``max_len`` (shape unchanged)."""
+    if max_len <= 0:
+        raise ValueError("max_len must be positive")
+
+    def densify(path):
+        out = [path[0]]
+        for a, b in zip(path, path[1:]):
+            d = math.hypot(b[0] - a[0], b[1] - a[1])
+            n = max(1, math.ceil(d / max_len - 1e-12))
+            for i in range(1, n + 1):
+                t = i / n
+                out.append((a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])))
+        return out
+
+    t, c = g.type_name, g.coords
+    if t in ("Point", "MultiPoint"):
+        return g
+    if t == "LineString":
+        return Geom(t, densify(c), g.has_z, g.srid)
+    if t == "MultiLineString":
+        return Geom(t, [densify(x) for x in c], g.has_z, g.srid)
+    if t == "Polygon":
+        return Geom(t, [densify(r) for r in c], g.has_z, g.srid)
+    if t == "MultiPolygon":
+        return Geom(t, [[densify(r) for r in rings] for rings in c], g.has_z, g.srid)
+    return Geom(t, [segmentize(m, max_len) for m in c], g.has_z, g.srid)
+
+
+def remove_repeated_points(g: Geom, tolerance: float = 0.0) -> Geom:
+    """Drop consecutive vertices within ``tolerance`` of the previous kept
+    one (rings keep their closure)."""
+    tol2 = tolerance * tolerance
+
+    def clean(path, closed):
+        out = [path[0]]
+        for p in path[1:]:
+            q = out[-1]
+            d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+            if d2 > tol2:
+                out.append(p)
+        if closed:
+            if len(out) > 1 and out[0] == out[-1]:
+                pass
+            elif out[-1] != out[0]:
+                out.append(out[0])
+        return out
+
+    t, c = g.type_name, g.coords
+    if t in ("Point", "MultiPoint"):
+        return g
+    if t == "LineString":
+        return Geom(t, clean(c, False), g.has_z, g.srid)
+    if t == "MultiLineString":
+        return Geom(t, [clean(x, False) for x in c], g.has_z, g.srid)
+    if t == "Polygon":
+        return Geom(t, [clean(r, True) for r in c], g.has_z, g.srid)
+    if t == "MultiPolygon":
+        return Geom(
+            t, [[clean(r, True) for r in rings] for rings in c], g.has_z, g.srid
+        )
+    return Geom(
+        t, [remove_repeated_points(m, tolerance) for m in c], g.has_z, g.srid
+    )
+
+
+def normalize(g: Geom) -> Geom:
+    """Canonical form, stable under vertex rotation and part order:
+    shells CCW / holes CW, rings rotated to start at their lexicographic
+    minimum vertex, multi-part members sorted. (Own convention, documented
+    — JTS normalize uses the opposite ring orientation.)"""
+
+    def rot_ring(ring):
+        body = ring[:-1] if ring[0] == ring[-1] else list(ring)
+        i = min(range(len(body)), key=lambda k: body[k])
+        body = body[i:] + body[:i]
+        return body + [body[0]]
+
+    def norm_poly(rings):
+        out = []
+        for j, r in enumerate(rings):
+            ccw = _ring_area2(r) >= 0
+            want_ccw = j == 0
+            rr = list(r) if ccw == want_ccw else list(r)[::-1]
+            out.append(rot_ring(rr))
+        return out
+
+    t, c = g.type_name, g.coords
+    if t == "Point":
+        return g
+    if t == "MultiPoint":
+        return Geom(t, sorted(c), g.has_z, g.srid)
+    if t == "LineString":
+        return Geom(t, min(list(c), list(c)[::-1]), g.has_z, g.srid)
+    if t == "MultiLineString":
+        return Geom(
+            t,
+            sorted(min(list(x), list(x)[::-1]) for x in c),
+            g.has_z,
+            g.srid,
+        )
+    if t == "Polygon":
+        return Geom(t, norm_poly(c), g.has_z, g.srid)
+    if t == "MultiPolygon":
+        return Geom(t, sorted(norm_poly(r) for r in c), g.has_z, g.srid)
+    return Geom(t, [normalize(m) for m in c], g.has_z, g.srid)
+
+
+def force_2d(g: Geom) -> Geom:
+    """Strip Z/M from every coordinate."""
+
+    def strip(c, depth):
+        if depth == 0:
+            return (c[0], c[1])
+        return [strip(x, depth - 1) for x in c]
+
+    t = g.type_name
+    if t == "GeometryCollection":
+        return Geom(t, [force_2d(m) for m in g.coords], False, g.srid, False)
+    if not (g.has_z or g.has_m):
+        return g
+    depth = {"Point": 0, "MultiPoint": 1, "LineString": 1,
+             "MultiLineString": 2, "Polygon": 2, "MultiPolygon": 3}[t]
+    if t == "Point" and g.is_empty:
+        return Geom(t, g.coords and (g.coords[0], g.coords[1]), False, g.srid)
+    return Geom(t, strip(g.coords, depth), False, g.srid, False)
+
+
+def force_3d(g: Geom, z: float = 0.0) -> Geom:
+    """Add a Z (default 0) to 2-D coordinates; existing Z kept, M dropped."""
+
+    def pad(c, depth):
+        if depth == 0:
+            return (c[0], c[1], c[2] if g.has_z else z)
+        return [pad(x, depth - 1) for x in c]
+
+    t = g.type_name
+    if t == "GeometryCollection":
+        return Geom(t, [force_3d(m, z) for m in g.coords], True, g.srid)
+    depth = {"Point": 0, "MultiPoint": 1, "LineString": 1,
+             "MultiLineString": 2, "Polygon": 2, "MultiPolygon": 3}[t]
+    if t == "Point" and g.is_empty:
+        return Geom(t, g.coords, True, g.srid)
+    return Geom(t, pad(g.coords, depth), True, g.srid)
+
+
+def line_locate_point(g: Geom, p) -> float | None:
+    """Fraction [0,1] along the line of the closest-point projection —
+    PostGIS ST_LineLocatePoint. First part of a MultiLineString."""
+    lines = _line_parts(g)
+    if not lines:
+        return None
+    line = lines[0]
+    total = sum(
+        math.hypot(b[0] - a[0], b[1] - a[1]) for a, b in zip(line, line[1:])
+    )
+    if total <= 0:
+        return 0.0
+    best = None
+    walked = 0.0
+    for a, b in zip(line, line[1:]):
+        seg_len = math.hypot(b[0] - a[0], b[1] - a[1])
+        q = _project_on_segment(p, (a, b))
+        d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+        if best is None or d2 < best[0] - 1e-15:
+            frac_here = walked + math.hypot(q[0] - a[0], q[1] - a[1])
+            best = (d2, frac_here)
+        walked += seg_len
+    return best[1] / total
+
+
+def line_substring(g: Geom, start: float, end: float) -> Geom | None:
+    """PostGIS ST_LineSubstring: the portion of the line between two
+    length fractions (0 ≤ start ≤ end ≤ 1)."""
+    if not (0.0 <= start <= end <= 1.0):
+        raise ValueError("fractions must satisfy 0 <= start <= end <= 1")
+    lines = _line_parts(g)
+    if not lines:
+        return None
+    line = lines[0]
+    total = sum(
+        math.hypot(b[0] - a[0], b[1] - a[1]) for a, b in zip(line, line[1:])
+    )
+    if total <= 0:
+        return Geom("Point", line[0], g.has_z, g.srid)
+    s_len, e_len = start * total, end * total
+
+    def at(dist):
+        walked = 0.0
+        for a, b in zip(line, line[1:]):
+            seg = math.hypot(b[0] - a[0], b[1] - a[1])
+            if walked + seg >= dist - 1e-12 and seg > 0:
+                t = (dist - walked) / seg
+                t = max(0.0, min(1.0, t))
+                return (a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1]))
+            walked += seg
+        return line[-1]
+
+    if abs(e_len - s_len) < 1e-12:
+        return Geom("Point", at(s_len), g.has_z, g.srid)
+    out = [at(s_len)]
+    walked = 0.0
+    for a, b in zip(line, line[1:]):
+        seg = math.hypot(b[0] - a[0], b[1] - a[1])
+        node = walked + seg
+        if s_len + 1e-12 < node < e_len - 1e-12:
+            out.append(b)
+        walked = node
+    out.append(at(e_len))
+    dedup = [out[0]]
+    for p in out[1:]:
+        if p != dedup[-1]:
+            dedup.append(p)
+    if len(dedup) == 1:
+        return Geom("Point", dedup[0], g.has_z, g.srid)
+    return Geom("LineString", dedup, g.has_z, g.srid)
+
+
+def minimum_bounding_circle(g: Geom) -> tuple | None:
+    """Exact smallest enclosing circle ((cx, cy), r) — Welzl's algorithm
+    over the convex hull vertices (deterministic order; hull size keeps
+    the recursion shallow)."""
+    pts = list(dict.fromkeys((p[0], p[1]) for p in _all_coords(g)))
+    if not pts:
+        return None
+    if len(pts) == 1:
+        return (pts[0], 0.0)
+    hull = convex_hull(g)
+    hp = list(dict.fromkeys((p[0], p[1]) for p in _all_coords(hull)))
+
+    def circle2(a, b):
+        c = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+        return (c, math.hypot(a[0] - c[0], a[1] - c[1]))
+
+    def circle3(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx, cy = c
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if abs(d) < 1e-24:
+            return None
+        ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+              + (cx * cx + cy * cy) * (ay - by)) / d
+        uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+              + (cx * cx + cy * cy) * (bx - ax)) / d
+        ctr = (ux, uy)
+        return (ctr, math.hypot(ax - ux, ay - uy))
+
+    def covers(circ, p, eps=1e-9):
+        (cx, cy), r = circ
+        return math.hypot(p[0] - cx, p[1] - cy) <= r + eps
+
+    # iterative incremental Welzl (no recursion — hull can be large)
+    circ = (hp[0], 0.0)
+    for i, p in enumerate(hp):
+        if covers(circ, p):
+            continue
+        circ = (p, 0.0)
+        for j in range(i):
+            q = hp[j]
+            if covers(circ, q):
+                continue
+            circ = circle2(p, q)
+            for k in range(j):
+                r = hp[k]
+                if covers(circ, r):
+                    continue
+                c3 = circle3(p, q, r)
+                if c3 is not None:
+                    circ = c3
+    return circ
+
+
+def oriented_envelope(g: Geom) -> Geom:
+    """Minimum-area rotated rectangle (rotating calipers over the convex
+    hull) — PostGIS ST_OrientedEnvelope."""
+    hull = convex_hull(g)
+    hp = list(dict.fromkeys((p[0], p[1]) for p in _all_coords(hull)))
+    if len(hp) == 0:
+        return Geom("GeometryCollection", [])
+    if len(hp) == 1:
+        return Geom("Point", hp[0])
+    if len(hp) == 2:
+        return Geom("LineString", hp)
+    best = None
+    for a, b in zip(hp, hp[1:] + hp[:1]):
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        L = math.hypot(dx, dy)
+        if L <= 0:
+            continue
+        ux, uy = dx / L, dy / L  # edge direction
+        vx, vy = -uy, ux  # normal
+        us = [p[0] * ux + p[1] * uy for p in hp]
+        vs = [p[0] * vx + p[1] * vy for p in hp]
+        u0, u1, v0, v1 = min(us), max(us), min(vs), max(vs)
+        area = (u1 - u0) * (v1 - v0)
+        if best is None or area < best[0]:
+            best = (area, ux, uy, vx, vy, u0, u1, v0, v1)
+    _, ux, uy, vx, vy, u0, u1, v0, v1 = best
+    corners = [
+        (u0 * ux + v0 * vx, u0 * uy + v0 * vy),
+        (u1 * ux + v0 * vx, u1 * uy + v0 * vy),
+        (u1 * ux + v1 * vx, u1 * uy + v1 * vy),
+        (u0 * ux + v1 * vx, u0 * uy + v1 * vy),
+    ]
+    return Geom("Polygon", [corners + [corners[0]]])

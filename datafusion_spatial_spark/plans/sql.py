@@ -70,6 +70,12 @@ _FUNCTIONS = {
     "ST_ENDPOINT": (_ac.st_endpoint, _WKB),
     "ST_REVERSE": (_ac.st_reverse, _WKB),
     "ST_PERIMETER": (_ac.st_perimeter, None),
+    "ST_LINEMERGE": (_ac.st_linemerge, _WKB),
+    "ST_NORMALIZE": (_ac.st_normalize, _WKB),
+    "ST_FORCE2D": (_ac.st_force2d, _WKB),
+    "ST_POINTONSURFACE": (_ac.st_pointonsurface, _WKB),
+    "ST_ORIENTEDENVELOPE": (_ac.st_orientedenvelope, _WKB),
+    "ST_MINIMUMBOUNDINGCIRCLE": (_ac.st_minimumboundingcircle, _WKB),
 }
 
 # 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)

@@ -1,0 +1,168 @@
+"""Round-3 constructive extras: Dump/DumpPoints (explode form), LineMerge,
+PointOnSurface, Segmentize, RemoveRepeatedPoints, Normalize, Force2D/3D,
+LineSubstring/LineLocatePoint, MinimumBoundingCircle, OrientedEnvelope,
+Rotate/Affine (pure Catalyst)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark import geom_ops as G
+from datafusion_spatial_spark import wkb
+from datafusion_spatial_spark.functions import (
+    st_affine,
+    st_area,
+    st_astext,
+    st_dump,
+    st_dumppoints,
+    st_force2d,
+    st_force3d,
+    st_geomfromtext,
+    st_linelocatepoint,
+    st_linemerge,
+    st_linesubstring,
+    st_minimumboundingcircle,
+    st_normalize,
+    st_orientedenvelope,
+    st_point,
+    st_pointonsurface,
+    st_removerepeatedpoints,
+    st_rotate,
+    st_segmentize,
+)
+from datafusion_spatial_spark.meta import GeometryMeta
+
+W = GeometryMeta(encoding="WKB")
+PT = GeometryMeta(encoding="point", geometry_types=("Point",))
+
+
+def wdf(spark, *wkts):
+    return spark.createDataFrame([(w,) for w in wkts], "wkt string").select(
+        st_geomfromtext("wkt").alias("g")
+    )
+
+
+def test_dump_explode(spark):
+    df = wdf(
+        spark,
+        "GEOMETRYCOLLECTION (MULTIPOINT ((1 1), (2 2)), LINESTRING (0 0, 1 1))",
+    )
+    parts = (
+        df.select(F.explode(st_dump("g", W)).alias("p"))
+        .select(st_astext("p", W).alias("wkt"))
+        .collect()
+    )
+    assert [r.wkt for r in parts] == [
+        "POINT (1 1)",
+        "POINT (2 2)",
+        "LINESTRING (0 0, 1 1)",
+    ]
+
+
+def test_dumppoints_count(spark):
+    df = wdf(spark, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    n = df.select(F.size(st_dumppoints("g", W)).alias("n")).collect()[0].n
+    assert n == 5
+
+
+def test_linemerge(spark):
+    df = wdf(spark, "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (5 5, 6 6))")
+    out = df.select(st_astext(st_linemerge("g", W), W).alias("m")).collect()
+    assert out[0].m == "MULTILINESTRING ((0 0, 1 0, 2 0), (5 5, 6 6))"
+
+
+def test_pointonsurface_inside(spark):
+    df = wdf(spark, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))")
+    out = df.select(st_pointonsurface("g", W).alias("p")).collect()
+    g = wkb.loads(bytes(out[0].p))
+    holed = wkb.from_wkt(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    )
+    assert G._point_intersects((g.coords[0], g.coords[1]), holed)
+
+
+def test_segmentize_preserves_shape(spark):
+    df = wdf(spark, "LINESTRING (0 0, 10 0)")
+    out = df.select(st_astext(st_segmentize("g", 3.0, W), W).alias("s")).collect()
+    assert out[0].s == "LINESTRING (0 0, 2.5 0, 5 0, 7.5 0, 10 0)"
+
+
+def test_removerepeatedpoints(spark):
+    df = wdf(spark, "LINESTRING (0 0, 0 0, 1 0, 1 0, 2 0)")
+    out = df.select(
+        st_astext(st_removerepeatedpoints("g", W), W).alias("c")
+    ).collect()
+    assert out[0].c == "LINESTRING (0 0, 1 0, 2 0)"
+
+
+def test_normalize_canonical(spark):
+    a = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    b = "POLYGON ((4 4, 0 4, 0 0, 4 0, 4 4))"  # rotated start, same ring
+    df = wdf(spark, a, b)
+    out = df.select(st_astext(st_normalize("g", W), W).alias("n")).collect()
+    assert out[0].n == out[1].n
+
+
+def test_force_dims_roundtrip(spark):
+    df = wdf(spark, "POINT (1 2)")
+    z = df.select(st_astext(st_force3d("g", W, 7.0), W).alias("z")).collect()
+    assert z[0].z == "POINT Z (1 2 7)"
+    df2 = spark.createDataFrame([("POINT Z (1 2 7)",)], "wkt string").select(
+        st_geomfromtext("wkt").alias("g")
+    )
+    flat = df2.select(st_astext(st_force2d("g", W), W).alias("f")).collect()
+    assert flat[0].f == "POINT (1 2)"
+
+
+def test_line_substring_and_locate(spark):
+    df = wdf(spark, "LINESTRING (0 0, 10 0, 10 10)")
+    sub = df.select(
+        st_astext(st_linesubstring("g", 0.25, 0.75, W), W).alias("s")
+    ).collect()
+    assert sub[0].s == "LINESTRING (5 0, 10 0, 10 5)"
+    pt = spark.createDataFrame([(3.0, 5.0)], "x double, y double").select(
+        st_point("x", "y").alias("p")
+    )
+    line = wdf(spark, "LINESTRING (0 0, 10 0)")
+    both = line.crossJoin(pt)
+    frac = both.select(st_linelocatepoint("g", "p", W, PT).alias("f")).collect()
+    assert abs(frac[0].f - 0.3) < 1e-12
+
+
+def test_minimum_bounding_circle(spark):
+    df = wdf(spark, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    out = df.select(st_area(st_minimumboundingcircle("g", W), W).alias("a")).collect()
+    r = 2 * math.sqrt(2)
+    # 32-gon area slightly below pi*r^2
+    assert math.pi * r * r * 0.97 < out[0].a < math.pi * r * r
+
+
+def test_oriented_envelope_rotated_square(spark):
+    # unit square rotated 45deg: oriented envelope area == 2, axis bbox == 4
+    df = wdf(spark, "MULTIPOINT ((0 0), (1 1), (2 0), (1 -1))")
+    out = df.select(st_area(st_orientedenvelope("g", W), W).alias("a")).collect()
+    assert abs(out[0].a - 2.0) < 1e-9
+
+
+def test_rotate_and_affine_catalyst(spark):
+    # native point meta: rotation by 90deg CCW about origin maps (1,0)->(0,1)
+    df = spark.createDataFrame([(1.0, 0.0)], "x double, y double").select(
+        st_point("x", "y").alias("g")
+    )
+    out = df.select(st_rotate("g", math.pi / 2, PT).alias("r")).collect()
+    p = out[0].r
+    assert abs(p.x - 0.0) < 1e-12 and abs(p.y - 1.0) < 1e-12
+    out2 = df.select(st_affine("g", 2, 0, 0, 3, 10, 20, PT).alias("r")).collect()
+    assert (out2[0].r.x, out2[0].r.y) == (12.0, 20.0)
+
+
+def test_rotate_plan_is_codegen(spark):
+    df = spark.createDataFrame([(1.0, 0.0)], "x double, y double").select(
+        st_point("x", "y").alias("g")
+    )
+    plan = (
+        df.select(st_rotate("g", 0.5, PT).alias("r"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
