@@ -4,5 +4,6 @@ from datafusion_spatial_spark.operators import (  # noqa: F401
     multimodal,
     simsearch,
     spatial_agg,
+    spatial_cluster,
     text,
 )

@@ -1,0 +1,150 @@
+"""Distributed spatial clustering (PostGIS ST_ClusterWithin /
+ST_ClusterDBSCAN as set-level operators).
+
+PostGIS exposes these as window/aggregate functions that materialize the
+whole partition on one node; at 100 TB that is the wrong shape. Here both
+are compositions of two already-scale-proven pieces:
+
+1. neighbor pairs from the grid-bucketed spatial join
+   (``operators/spatial_join.py`` — canonical-cell dedup, no payload
+   re-exchange), and
+2. component labels from min-label + path-halving connected components
+   (``operators/dedup.py`` — localCheckpoint-truncated lineage).
+
+Everything between is plain Catalyst joins/aggregations, so the plan
+scales with the cluster instead of a window buffer.
+
+Reference parity note: the reference engine has no clustering surface at
+all (README.md roadmap stops at predicates/measures) — this is
+parity-plus for PostGIS users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark.meta import GeometryMeta
+from datafusion_spatial_spark.operators.dedup import connected_components
+from datafusion_spatial_spark.operators.spatial_join import (
+    estimate_cell_size,
+    spatial_join,
+)
+
+
+def _with_ids(df: DataFrame, id_col: str | None) -> DataFrame:
+    """Attach a ``__cid`` row id. With a caller-provided unique id column
+    it's a cheap alias; otherwise ``monotonically_increasing_id`` — which
+    is only recompute-stable for plain scans, so the lazy localCheckpoint
+    pins the assignment and the self-join sides and the final label join
+    agree (NOTES_r3)."""
+    if id_col is not None:
+        return df.withColumn("__cid", F.col(id_col))
+    return df.withColumn(
+        "__cid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
+
+
+def _neighbor_pairs(
+    work: DataFrame,
+    geom_col: str,
+    meta: GeometryMeta,
+    distance: float,
+    cell_size: float | None,
+) -> DataFrame:
+    """Unordered (ida < idb) dwithin self-join pairs, excluding self."""
+    if cell_size is None:
+        cell_size = max(estimate_cell_size(work, geom_col, meta), 2.0 * distance)
+    left = work.select(F.col("__cid").alias("__ida"), F.col(geom_col).alias("__ga"))
+    right = work.select(F.col("__cid").alias("__idb"), F.col(geom_col).alias("__gb"))
+    pairs = spatial_join(
+        left, right, "__ga", "__gb", meta, meta,
+        "__ida", "__idb", cell_size, "dwithin", distance,
+    )
+    return pairs.filter(F.col("__ida") < F.col("__idb"))
+
+
+def cluster_within(
+    df: DataFrame,
+    geom_col: str,
+    meta: GeometryMeta,
+    distance: float,
+    cell_size: float | None = None,
+    id_col: str | None = None,
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """PostGIS ST_ClusterWithin: rows whose geometries form a chain of
+    hops each ≤ ``distance`` share a cluster id (the minimum row id of the
+    component). Singletons keep their own id. Returns the input plus
+    ``out_col``."""
+    work = _with_ids(df, id_col)
+    pairs = _neighbor_pairs(work, geom_col, meta, distance, cell_size)
+    labels = connected_components(pairs, "__ida", "__idb")
+    out = work.join(
+        labels.select(F.col("id").alias("__cid"), F.col("component")),
+        "__cid",
+        "left",
+    ).withColumn(out_col, F.coalesce("component", "__cid"))
+    return out.drop("component", "__cid")
+
+
+def cluster_dbscan(
+    df: DataFrame,
+    geom_col: str,
+    meta: GeometryMeta,
+    eps: float,
+    min_points: int,
+    cell_size: float | None = None,
+    id_col: str | None = None,
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """PostGIS ST_ClusterDBSCAN: density-based clusters.
+
+    A row is a *core* point when at least ``min_points`` rows (itself
+    included, PostGIS convention) lie within ``eps``. Clusters are the
+    connected components of the core-core ≤ eps graph; non-core rows with
+    a core neighbor (border points) adopt the smallest adjacent core
+    cluster; everything else is noise → NULL ``out_col``."""
+    work = _with_ids(df, id_col)
+    pairs = _neighbor_pairs(work, geom_col, meta, eps, cell_size)
+    # symmetric edge list (both directions) for degree + border adoption
+    sym = pairs.union(
+        pairs.select(F.col("__idb").alias("__ida"), F.col("__ida").alias("__idb"))
+    )
+    # degree over ALL rows (zero-neighbor rows are absent from the edge
+    # list but are still core when min_points == 1)
+    degree = (
+        work.select(F.col("__cid").alias("__ida"))
+        .join(sym.groupBy("__ida").agg(F.count("*").alias("__deg")), "__ida", "left")
+        .withColumn("__deg", F.coalesce("__deg", F.lit(0)))
+    )
+    core = degree.filter(F.col("__deg") + 1 >= min_points).select(
+        F.col("__ida").alias("__core_id")
+    )
+    # core-core edges -> components
+    cc_edges = (
+        pairs.join(core.withColumnRenamed("__core_id", "__ida"), "__ida")
+        .join(core.withColumnRenamed("__core_id", "__idb"), "__idb")
+        .select("__ida", "__idb")
+    )
+    comp = connected_components(cc_edges, "__ida", "__idb").select(
+        F.col("id").alias("__core_id"), F.col("component")
+    )
+    # isolated cores (min_points == 1 or no core neighbors) are their own cluster
+    core_labels = core.join(comp, "__core_id", "left").select(
+        "__core_id", F.coalesce("component", "__core_id").alias("__cluster")
+    )
+    # border adoption: non-core nodes take the min cluster among core neighbors
+    border = (
+        sym.join(
+            core_labels.withColumnRenamed("__core_id", "__idb"), "__idb"
+        )
+        .join(core_labels.withColumnRenamed("__core_id", "__ida"), "__ida", "left_anti")
+        .groupBy("__ida")
+        .agg(F.min("__cluster").alias("__cluster"))
+    )
+    labels = core_labels.select(
+        F.col("__core_id").alias("__cid"), "__cluster"
+    ).union(border.select(F.col("__ida").alias("__cid"), "__cluster"))
+    out = work.join(labels, "__cid", "left").withColumn(out_col, F.col("__cluster"))
+    return out.drop("__cluster", "__cid")

@@ -1,0 +1,94 @@
+"""ST_ClusterWithin / ST_ClusterDBSCAN as distributed operators
+(grid spatial join + connected components), hand-computed fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark.meta import GeometryMeta
+from datafusion_spatial_spark.operators.spatial_cluster import (
+    cluster_dbscan,
+    cluster_within,
+)
+
+PT = GeometryMeta(encoding="point", geometry_types=("Point",))
+
+
+def pdf(spark, pts):
+    from datafusion_spatial_spark.functions import st_point
+
+    return spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "id bigint, x double, y double",
+    ).select("id", st_point("x", "y").alias("g"))
+
+
+# chain A: 0-1-2 linked by 1-unit hops; B: 3-4 pair far away; 5: singleton
+POINTS = [(0, 0), (1, 0), (2, 0), (100, 100), (100.5, 100), (-50, 70)]
+
+
+def test_cluster_within_chains(spark):
+    df = pdf(spark, POINTS)
+    out = (
+        cluster_within(df, "g", PT, distance=1.1, cell_size=2.0, id_col="id")
+        .select("id", "cluster_id")
+        .orderBy("id")
+        .collect()
+    )
+    got = {r.id: r.cluster_id for r in out}
+    # chain A clusters to min id 0; pair B to 3; singleton keeps own id
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == got[4] == 3
+    assert got[5] == 5
+
+
+def test_cluster_within_generated_ids(spark):
+    df = pdf(spark, POINTS).drop("id")
+    out = cluster_within(df, "g", PT, distance=1.1, cell_size=2.0).collect()
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r.cluster_id, 0)
+        clusters[r.cluster_id] += 1
+    assert sorted(clusters.values()) == [1, 2, 3]
+
+
+def test_dbscan_core_border_noise(spark):
+    # dense blob of 4 at origin (all within eps of each other), a border
+    # point attached to one core, and an isolated noise point
+    pts = [
+        (0, 0), (0.5, 0), (0, 0.5), (0.5, 0.5),  # cores at min_points=4
+        (1.3, 0),  # within eps=1 of (0.5,0) only -> border (2 neighbors < 4)
+        (50, 50),  # noise
+    ]
+    df = pdf(spark, pts)
+    out = (
+        cluster_dbscan(df, "g", PT, eps=1.0, min_points=4, cell_size=2.0, id_col="id")
+        .select("id", "cluster_id")
+        .orderBy("id")
+        .collect()
+    )
+    got = {r.id: r.cluster_id for r in out}
+    assert got[0] == got[1] == got[2] == got[3] == 0  # one core cluster
+    assert got[4] == 0  # border adopts the core's cluster
+    assert got[5] is None  # noise
+
+
+def test_dbscan_min_points_one_everything_clusters(spark):
+    df = pdf(spark, POINTS)
+    out = cluster_dbscan(
+        df, "g", PT, eps=1.1, min_points=1, cell_size=2.0, id_col="id"
+    ).collect()
+    got = {r.id: r.cluster_id for r in out}
+    assert got[5] == 5  # isolated core forms its own singleton cluster
+    assert got[0] == got[1] == got[2] == 0
+
+
+def test_dbscan_two_dense_blobs_stay_separate(spark):
+    blob1 = [(0, 0), (0.4, 0), (0, 0.4)]
+    blob2 = [(10, 10), (10.4, 10), (10, 10.4)]
+    df = pdf(spark, blob1 + blob2)
+    out = cluster_dbscan(
+        df, "g", PT, eps=1.0, min_points=3, cell_size=2.0, id_col="id"
+    ).collect()
+    got = {r.id: r.cluster_id for r in out}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == got[4] == got[5] == 3

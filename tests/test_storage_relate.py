@@ -256,7 +256,10 @@ class TestHomogeneousCollections:
         assert abs(G.area(G.intersection(gc, sq)) - (2 * 4 + 2 * 4)) < 1e-9
         assert abs(G.area(G.union(gc, sq)) - 40.0) < 1e-9
 
-    def test_mixed_dimension_still_raises(self):
+    def test_mixed_dimension_relate_raises_setops_work(self):
+        # relate keeps the PostGIS/JTS RelateOp contract (mixed-dimension
+        # collections raise); set ops route through the round-3
+        # decompose-and-combine layer (test_setops_mixed.py)
         import pytest
         from datafusion_spatial_spark import geom_ops as G
         gc = self._g(
@@ -266,5 +269,12 @@ class TestHomogeneousCollections:
         sq = self._g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
         with pytest.raises(NotImplementedError):
             G.relate_matrix(gc, sq)
-        with pytest.raises(NotImplementedError):
-            G.sym_difference(gc, sq)
+        s = G.sym_difference(gc, sq)
+        # 16 - 4 (hole cut by sq) + sq fully inside -> area 12; line kept
+        assert G.area(s) == 12.0
+        assert G.length(s) == self._line_len((5, 5), (6, 6))
+
+    @staticmethod
+    def _line_len(a, b):
+        import math
+        return math.hypot(b[0] - a[0], b[1] - a[1])
