@@ -200,3 +200,64 @@ def windowed_extent(
             "xmin", "ymin", "xmax", "ymax", "n",
         )
     )
+
+
+def geofence_alerts(
+    points: DataFrame,
+    fences: DataFrame,
+    point_geom: str,
+    fence_geom: str,
+    fence_id: str,
+    ts_col: str = "ts",
+    distance: float | None = None,
+) -> DataFrame:
+    """Streaming geofencing: emit one alert row per (point, fence) hit.
+
+    Stream-static broadcast join — the fence table (admin boundaries,
+    alert zones: small by construction) is broadcast once; each
+    micro-batch runs a JVM-side bbox prefilter against it and the exact
+    predicate (intersects, or dwithin when ``distance`` is given) on the
+    survivors. Entirely stateless, so it composes with any downstream
+    watermarking/windowed aggregation and scales with the point stream's
+    partitioning — the canonical 100 TB shape for enrichment against a
+    small dimension.
+
+    ``points`` must carry a native point column ``point_geom``;
+    ``fences`` any geometry column ``fence_geom`` (WKB typical).
+    """
+    from pyspark.sql.functions import broadcast
+
+    from datafusion_spatial_spark.functions.predicates import (
+        st_dwithin,
+        st_intersects,
+    )
+    from datafusion_spatial_spark.functions.scalar import st_bbox
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    pmeta = GeometryMeta(encoding="point", geometry_types=("Point",))
+    fmeta = GeometryMeta(encoding="WKB")
+    pad = float(distance or 0.0)
+    pb = points.withColumn("__pbox", st_bbox(point_geom, pmeta)).filter(
+        F.col("__pbox").isNotNull()
+    )
+    fb = fences.select(
+        F.col(fence_id).alias("__fid"),
+        F.col(fence_geom).alias("__fgeom"),
+        st_bbox(fence_geom, fmeta).alias("__fbox"),
+    ).filter(F.col("__fbox").isNotNull())
+    cand = pb.join(
+        broadcast(fb),
+        (F.col("__pbox.xmin") - pad <= F.col("__fbox.xmax"))
+        & (F.col("__fbox.xmin") <= F.col("__pbox.xmax") + pad)
+        & (F.col("__pbox.ymin") - pad <= F.col("__fbox.ymax"))
+        & (F.col("__fbox.ymin") <= F.col("__pbox.ymax") + pad),
+    )
+    if distance is not None:
+        keep = st_dwithin(point_geom, "__fgeom", float(distance), pmeta, fmeta)
+    else:
+        keep = st_intersects(point_geom, "__fgeom", pmeta, fmeta)
+    return (
+        cand.filter(keep)
+        .withColumn("fence_id", F.col("__fid"))
+        .drop("__pbox", "__fbox", "__fgeom", "__fid")
+    )

