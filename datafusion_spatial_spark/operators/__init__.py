@@ -5,5 +5,6 @@ from datafusion_spatial_spark.operators import (  # noqa: F401
     simsearch,
     spatial_agg,
     spatial_cluster,
+    spatial_knn,
     text,
 )

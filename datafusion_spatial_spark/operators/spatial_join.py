@@ -76,10 +76,14 @@ def spatial_join(
     cell_size: float,
     predicate: str = "intersects",
     distance: float | None = None,
+    with_distance: bool = False,
 ) -> DataFrame:
     """Returns (left_id, right_id) pairs satisfying the predicate.
 
     ``predicate='dwithin'`` uses ``distance`` and pads the left grid cells.
+    ``with_distance=True`` (dwithin only) adds the exact ``distance``
+    column — computed inside the join, so consumers like the k-NN join
+    don't re-join geometries by id to get it.
     """
     pad = float(distance or 0.0)
     both_points = (
@@ -141,12 +145,20 @@ def spatial_join(
             # whole join plan stays inside whole-stage codegen
             dx = F.col("__lbox.xmin") - F.col("__rbox.xmin")
             dy = F.col("__lbox.ymin") - F.col("__rbox.ymin")
-            keep = F.sqrt(dx * dx + dy * dy) <= F.lit(float(distance))
+            dcol = F.sqrt(dx * dx + dy * dy)
         else:
-            keep = (
-                st_distance("__lgeom", "__rgeom", left_meta, right_meta)
-                <= F.lit(float(distance))
+            dcol = st_distance("__lgeom", "__rgeom", left_meta, right_meta)
+        if with_distance:
+            return (
+                cand.withColumn("__dist", dcol)
+                .filter(F.col("__dist") <= F.lit(float(distance)))
+                .select(
+                    F.col("__lid").alias(left_id),
+                    F.col("__rid").alias(right_id),
+                    F.col("__dist").alias("distance"),
+                )
             )
+        keep = dcol <= F.lit(float(distance))
     else:
         try:
             pred = _PREDICATES[predicate]

@@ -1,0 +1,116 @@
+"""Distributed k-nearest-neighbor spatial join.
+
+For every left point, the k nearest right points by Euclidean distance.
+PostGIS does this with the ``<->`` KNN-GiST operator per row; the
+distributed shape here is radius-doubling over the grid join:
+
+1. candidates within radius r via the grid-bucketed dwithin join
+   (canonical-cell dedup — no payload re-exchange),
+2. per-left top-k by exact distance (window over the candidate set),
+3. a left row is *resolved* when it has k hits AND its k-th distance is
+   ≤ r — then no true neighbor can be outside r. Unresolved rows re-run
+   with r doubled; each round only carries the unresolved remainder, so
+   late rounds are tiny. This keeps the fan-out bounded by the data's
+   local density instead of a global worst case — the property that
+   matters at 100 TB where density varies by orders of magnitude.
+
+Exact (not approximate) within ``max_rounds`` doublings; rows still
+unresolved after that are returned with their best-so-far neighbors and a
+``resolved = false`` flag rather than silently wrong results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark.meta import GeometryMeta
+from datafusion_spatial_spark.operators.spatial_join import spatial_join
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_geom: str,
+    right_geom: str,
+    left_meta: GeometryMeta,
+    right_meta: GeometryMeta,
+    left_id: str,
+    right_id: str,
+    k: int,
+    radius: float,
+    cell_size: float | None = None,
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Returns (left_id, right_id, distance, rank, resolved) with
+    rank 1..k per left row. ``radius`` seeds the first search ring;
+    ``cell_size`` defaults to the current ring's diameter each round."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+
+    # point×point dwithin joins refine on bbox coords JVM-side, so the
+    # candidate pass carries no geometry payload at all
+    lp = left.select(
+        F.col(left_id).alias("__lid"), F.col(left_geom).alias("__lg")
+    ).localCheckpoint(eager=False)
+    rp = right.select(
+        F.col(right_id).alias("__rid"), F.col(right_geom).alias("__rg")
+    )
+
+    pending = lp
+    resolved_parts: list[DataFrame] = []
+    r = float(radius)
+    best = None
+    for _ in range(max_rounds):
+        # the dwithin join computes the exact distance in-plan
+        # (with_distance) — no geometry re-join by id afterwards
+        pairs = spatial_join(
+            pending, rp, "__lg", "__rg", left_meta, right_meta,
+            "__lid", "__rid",
+            cell_size if cell_size is not None else 2.0 * r,
+            "dwithin", r, with_distance=True,
+        )
+        w = Window.partitionBy("__lid").orderBy(
+            F.col("__dist").asc(), F.col("__rid").asc()
+        )
+        topk = (
+            pairs.withColumnRenamed("distance", "__dist")
+            .withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+        )
+        stats = topk.groupBy("__lid").agg(
+            F.count("*").alias("__n"), F.max("__dist").alias("__kth")
+        )
+        done_ids = stats.filter(
+            (F.col("__n") >= k) & (F.col("__kth") <= F.lit(r))
+        ).select("__lid")
+        resolved_parts.append(
+            topk.join(done_ids, "__lid").withColumn("resolved", F.lit(True))
+        )
+        pending = pending.join(done_ids, "__lid", "left_anti").localCheckpoint(
+            eager=False
+        )
+        best = topk  # last round's partial results for the unresolved tail
+        if pending.isEmpty():
+            best = None
+            break
+        r *= 2.0
+    parts = resolved_parts
+    if best is not None:
+        parts.append(
+            best.join(pending.select("__lid"), "__lid").withColumn(
+                "resolved", F.lit(False)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("__lid").alias(left_id),
+        F.col("__rid").alias(right_id),
+        F.col("__dist").alias("distance"),
+        F.col("__rank").alias("rank"),
+        "resolved",
+    )
