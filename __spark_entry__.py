@@ -707,36 +707,48 @@ ORDER BY i.segment
 
 
 def _q_st_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10 nearest customer points to a literal query point through the
-    st_distance UDF; the oracle uses the euclidean formula."""
-    from datafusion_spatial_spark.functions.predicates import st_distance
-    from datafusion_spatial_spark.functions.scalar import st_geomfromtext, st_point
+    """10 nearest customer points to a probe point, computed by the
+    distributed k-NN spatial join (operators/spatial_knn.knn_join:
+    radius-doubling over the grid join, exact within guarantee) — the
+    single-probe degenerate case doubles as its oracle check. The oracle
+    is the euclidean formula + row_number."""
+    from datafusion_spatial_spark.functions.scalar import st_point
     from datafusion_spatial_spark.meta import GeometryMeta
+    from datafusion_spatial_spark.operators.spatial_knn import knn_join
 
-    cust = load_table(spark, sf_dir, "customer")
     point_meta = GeometryMeta(encoding="point", geometry_types=("Point",))
-    wkb_meta = GeometryMeta(encoding="WKB")
-    pts = cust.select(
+    cust = load_table(spark, sf_dir, "customer")
+    right = cust.select(
         F.col("c_custkey").alias("custkey"),
         st_point(F.col("c_acctbal"), F.col("c_custkey").cast("double")).alias("geom"),
-        st_geomfromtext(F.lit("POINT (5000 75)")).alias("q"),
+    )
+    left = spark.createDataFrame([(0, 5000.0, 75.0)], "pid bigint, x double, y double").select(
+        "pid", st_point("x", "y").alias("geom")
+    )
+    knn = knn_join(
+        left, right, "geom", "geom", point_meta, point_meta,
+        "pid", "custkey", k=10, radius=500.0, max_rounds=8,
     )
     return (
-        pts.select(
+        knn.select(
             "custkey",
-            F.round(st_distance("geom", "q", point_meta, wkb_meta), 6).alias("dist"),
+            F.round(F.col("distance"), 6).alias("dist"),
+            F.col("rank").cast("int").alias("rank"),
         )
-        .orderBy("dist", "custkey")
-        .limit(10)
+        .orderBy("rank")
     )
 
 
 _Q_ST_DISTANCE_ORACLE = """
 SELECT c_custkey AS custkey,
        round(sqrt((c_acctbal - 5000) * (c_acctbal - 5000)
-                  + (cast(c_custkey AS DOUBLE) - 75) * (cast(c_custkey AS DOUBLE) - 75)), 6) AS dist
+                  + (cast(c_custkey AS DOUBLE) - 75) * (cast(c_custkey AS DOUBLE) - 75)), 6) AS dist,
+       cast(row_number() OVER (
+           ORDER BY sqrt((c_acctbal - 5000) * (c_acctbal - 5000)
+                  + (cast(c_custkey AS DOUBLE) - 75) * (cast(c_custkey AS DOUBLE) - 75)),
+                  c_custkey) AS INT) AS rank
 FROM customer
-ORDER BY dist, custkey
+ORDER BY rank
 LIMIT 10
 """
 
