@@ -53,6 +53,8 @@ def _prep(col: Column | str, meta: GeometryMeta) -> Column:
     ]
     if meta.has_z:
         fields.append(F.transform(leaves, lambda c: c["z"]).alias("zs"))
+    if meta.has_m:
+        fields.append(F.transform(leaves, lambda c: c["m"]).alias("ms"))
     if depth == 2:
         fields.append(F.transform(col, F.size).alias("ring_counts"))
     elif depth == 3:
@@ -86,7 +88,10 @@ def _converter(meta: GeometryMeta) -> Callable[[object], wkb.Geom | None]:
 
     tname = meta.native_type
     depth = NESTING_DEPTH[tname]
-    has_z = meta.has_z
+    has_z, has_m = meta.has_z, meta.has_m
+
+    def mk(coords):
+        return wkb.Geom(tname, coords, has_z, None, has_m)
 
     def conv_native(v):
         if v is None:
@@ -95,29 +100,31 @@ def _converter(meta: GeometryMeta) -> Callable[[object], wkb.Geom | None]:
         if xs is None:
             return None
         ys = v["ys"]
+        cols = [xs, ys]
         if has_z:
-            pts = list(zip(xs, ys, v["zs"]))
-        else:
-            pts = list(zip(xs, ys))
+            cols.append(v["zs"])
+        if has_m:
+            cols.append(v["ms"])
+        pts = list(zip(*cols))
         if depth == 0:
             if not pts or pts[0][0] is None:
                 return None
-            return wkb.Geom(tname, pts[0])
+            return mk(pts[0])
         if depth == 1:
-            return wkb.Geom(tname, pts)
+            return mk(pts)
         rings = []
         i = 0
         for n in v["ring_counts"]:
             rings.append(pts[i : i + n])
             i += n
         if depth == 2:
-            return wkb.Geom(tname, rings)
+            return mk(rings)
         parts = []
         j = 0
         for n in v["part_counts"]:
             parts.append(rings[j : j + n])
             j += n
-        return wkb.Geom(tname, parts)
+        return mk(parts)
 
     return conv_native
 

@@ -70,20 +70,24 @@ def fmt_coord_num(c: Column) -> Column:
     )
 
 
-def _coord_txt(c: Column, has_z: bool = False) -> Column:
+def _coord_txt(c: Column, has_z: bool = False, has_m: bool = False) -> Column:
     parts = [fmt_coord_num(c["x"]), F.lit(" "), fmt_coord_num(c["y"])]
     if has_z:
         parts += [F.lit(" "), fmt_coord_num(c["z"])]
+    if has_m:
+        parts += [F.lit(" "), fmt_coord_num(c["m"])]
     return F.concat(*parts)
 
 
-def _seq_txt(arr: Column, has_z: bool = False) -> Column:
+def _seq_txt(arr: Column, has_z: bool = False, has_m: bool = False) -> Column:
     """array<coord> -> "x y, x y, ..." """
-    return F.array_join(F.transform(arr, lambda c: _coord_txt(c, has_z)), ", ")
+    return F.array_join(
+        F.transform(arr, lambda c: _coord_txt(c, has_z, has_m)), ", "
+    )
 
 
-def _ring_txt(arr: Column, has_z: bool = False) -> Column:
-    return F.concat(F.lit("("), _seq_txt(arr, has_z), F.lit(")"))
+def _ring_txt(arr: Column, has_z: bool = False, has_m: bool = False) -> Column:
+    return F.concat(F.lit("("), _seq_txt(arr, has_z, has_m), F.lit(")"))
 
 
 # ---------------------------------------------------------------------------
@@ -159,14 +163,14 @@ def st_astext(col: Column | str, meta: GeometryMeta) -> Column:
         return _wkb_astext_udf(col)
     col, meta = to_separated(col, meta)
     t = meta.native_type
-    z = meta.has_z
-    ztok = " Z" if z else ""
+    z, m = meta.has_z, meta.has_m
+    ztok = " ZM" if (z and m) else (" Z" if z else (" M" if m else ""))
     upper = t.upper() + ztok
     empty = F.lit(f"{upper} EMPTY")
     if t == "Point":
-        body = F.concat(F.lit(f"POINT{ztok} ("), _coord_txt(col, z), F.lit(")"))
+        body = F.concat(F.lit(f"POINT{ztok} ("), _coord_txt(col, z, m), F.lit(")"))
     elif t in ("LineString",):
-        body = F.concat(F.lit(f"{upper} ("), _seq_txt(col, z), F.lit(")"))
+        body = F.concat(F.lit(f"{upper} ("), _seq_txt(col, z, m), F.lit(")"))
     elif t == "MultiPoint":
         # parenthesized members: MULTIPOINT ((30 10), (10 40))
         body = F.concat(
@@ -174,7 +178,7 @@ def st_astext(col: Column | str, meta: GeometryMeta) -> Column:
             F.array_join(
                 F.transform(
                     col,
-                    lambda p: F.concat(F.lit("("), _coord_txt(p, z), F.lit(")")),
+                    lambda p: F.concat(F.lit("("), _coord_txt(p, z, m), F.lit(")")),
                 ),
                 ", ",
             ),
@@ -183,13 +187,13 @@ def st_astext(col: Column | str, meta: GeometryMeta) -> Column:
     elif t in ("Polygon", "MultiLineString"):
         body = F.concat(
             F.lit(f"{upper} ("),
-            F.array_join(F.transform(col, lambda r: _ring_txt(r, z)), ", "),
+            F.array_join(F.transform(col, lambda r: _ring_txt(r, z, m)), ", "),
             F.lit(")"),
         )
     elif t == "MultiPolygon":
         poly_txt = lambda poly: F.concat(  # noqa: E731
             F.lit("("),
-            F.array_join(F.transform(poly, lambda r: _ring_txt(r, z)), ", "),
+            F.array_join(F.transform(poly, lambda r: _ring_txt(r, z, m)), ", "),
             F.lit(")"),
         )
         body = F.concat(

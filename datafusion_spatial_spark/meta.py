@@ -96,8 +96,16 @@ class GeometryMeta:
     @property
     def has_z(self) -> bool:
         """True when the declared geometry types are Z variants ("Point Z"
-        etc. — the reference's 14-type taxonomy, src/helpers.rs:117-132)."""
-        return any(t.rstrip().endswith("Z") for t in self.geometry_types)
+        / "Point ZM" — the reference's 14-type taxonomy,
+        src/helpers.rs:117-132)."""
+        return any(
+            t.rstrip().endswith(("Z", "ZM")) for t in self.geometry_types
+        )
+
+    @property
+    def has_m(self) -> bool:
+        """True for measured variants ("Point M" / "Point ZM")."""
+        return any(t.rstrip().endswith("M") for t in self.geometry_types)
 
     def to_dict(self) -> dict:
         d: dict = {
@@ -198,8 +206,14 @@ def sniff_meta(dt: T.DataType) -> GeometryMeta:
         if depth in by_depth:
             enc = by_depth[depth]
             name = NATIVE_ENCODINGS[enc]
-            if any(f.name == "z" for f in cur.fields):
+            z = any(f.name == "z" for f in cur.fields)
+            m = any(f.name == "m" for f in cur.fields)
+            if z and m:
+                name += " ZM"
+            elif z:
                 name += " Z"
+            elif m:
+                name += " M"
             return GeometryMeta(encoding=enc, geometry_types=(name,))
     if isinstance(cur, T.DoubleType) and depth >= 1 and (depth - 1) in by_depth:
         enc = by_depth[depth - 1]
@@ -220,13 +234,15 @@ def _is_coord_struct(dt: T.DataType) -> bool:
     )
 
 
-def coord_struct_type(dims: int = 2) -> T.StructType:
+def coord_struct_type(dims: int = 2, with_m: bool = False) -> T.StructType:
     fields = [
         T.StructField("x", T.DoubleType(), False),
         T.StructField("y", T.DoubleType(), False),
     ]
     if dims == 3:
         fields.append(T.StructField("z", T.DoubleType(), False))
+    if with_m:
+        fields.append(T.StructField("m", T.DoubleType(), False))
     return T.StructType(fields)
 
 
@@ -242,12 +258,16 @@ def to_separated(col: Column, meta: GeometryMeta) -> tuple[Column, GeometryMeta]
         return col, meta
     from dataclasses import replace
 
-    z = meta.has_z
+    z, m = meta.has_z, meta.has_m
 
     def c2s(c: Column) -> Column:
         fields = [c[0].alias("x"), c[1].alias("y")]
+        i = 2
         if z:
-            fields.append(c[2].alias("z"))
+            fields.append(c[i].alias("z"))
+            i += 1
+        if m:
+            fields.append(c[i].alias("m"))
         return F.struct(*fields)
 
     depth = NESTING_DEPTH[meta.native_type]
@@ -255,6 +275,7 @@ def to_separated(col: Column, meta: GeometryMeta) -> tuple[Column, GeometryMeta]
         out_type = T.StructType(
             [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
             + ([T.StructField("z", T.DoubleType())] if z else [])
+            + ([T.StructField("m", T.DoubleType())] if m else [])
         )
         out = F.when(col.isNull(), F.lit(None).cast(out_type)).otherwise(c2s(col))
     elif depth == 1:
@@ -268,9 +289,11 @@ def to_separated(col: Column, meta: GeometryMeta) -> tuple[Column, GeometryMeta]
     return out, replace(meta, coord_layout="separated")
 
 
-def native_spark_type(geometry_type: str, dims: int = 2) -> T.DataType:
+def native_spark_type(
+    geometry_type: str, dims: int = 2, with_m: bool = False
+) -> T.DataType:
     """Spark type for a native-encoded geometry column of ``geometry_type``."""
-    dt: T.DataType = coord_struct_type(dims)
+    dt: T.DataType = coord_struct_type(dims, with_m)
     for _ in range(NESTING_DEPTH[geometry_type]):
         dt = T.ArrayType(dt, containsNull=False)
     return dt

@@ -98,3 +98,89 @@ def test_sniff_z(spark, xyz_paths):
     plain = spark.read.parquet(native)  # no geo metadata attached
     meta = resolve_meta(plain, "geometry")
     assert meta.has_z  # structural sniff sees the z field
+
+
+class TestNativeM:
+    """Native measured coordinates: struct<x,y,m> and struct<x,y,z,m>
+    columns (sniffed or declared), Catalyst WKT with M/ZM tokens, and the
+    flat-offsets transport carrying measures into kernels."""
+
+    def test_sniff_m_and_zm(self, spark):
+        import pyspark.sql.types as T
+
+        from datafusion_spatial_spark.meta import sniff_meta
+
+        m_t = T.StructType([
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+            T.StructField("m", T.DoubleType()),
+        ])
+        zm_t = T.StructType([
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+            T.StructField("z", T.DoubleType()),
+            T.StructField("m", T.DoubleType()),
+        ])
+        mm = sniff_meta(m_t)
+        assert mm.geometry_types == ("Point M",)
+        assert mm.has_m and not mm.has_z
+        mzm = sniff_meta(zm_t)
+        assert mzm.geometry_types == ("Point ZM",)
+        assert mzm.has_m and mzm.has_z
+
+    def test_astext_m_token(self, spark):
+        from pyspark.sql import functions as F
+
+        from datafusion_spatial_spark.functions.scalar import st_astext
+        from datafusion_spatial_spark.meta import GeometryMeta
+
+        df = spark.createDataFrame(
+            [(1.0, 2.0, 9.5)], "x double, y double, m double"
+        ).select(
+            F.struct(
+                F.col("x"), F.col("y"), F.col("m")
+            ).alias("g")
+        )
+        meta = GeometryMeta(encoding="point", geometry_types=("Point M",))
+        out = df.select(st_astext("g", meta).alias("wkt")).collect()
+        assert out[0].wkt == "POINT M (1 2 9.5)"
+
+    def test_astext_zm_linestring(self, spark):
+        from pyspark.sql import functions as F
+
+        from datafusion_spatial_spark.functions.scalar import st_astext
+        from datafusion_spatial_spark.meta import GeometryMeta
+
+        df = spark.createDataFrame(
+            [([ (0.0, 0.0, 1.0, 10.0), (3.0, 4.0, 2.0, 20.0) ],)],
+            "g array<struct<x double, y double, z double, m double>>",
+        )
+        meta = GeometryMeta(
+            encoding="linestring", geometry_types=("LineString ZM",)
+        )
+        out = df.select(st_astext("g", meta).alias("wkt")).collect()
+        assert out[0].wkt == "LINESTRING ZM (0 0 1 10, 3 4 2 20)"
+
+    def test_m_transport_roundtrip_via_asbinary(self, spark):
+        """Native M column -> flat-offsets transport -> codec WKB -> WKT:
+        measures survive the full path."""
+        from pyspark.sql import functions as F
+
+        from datafusion_spatial_spark import wkb
+        from datafusion_spatial_spark.functions.scalar import st_asbinary
+        from datafusion_spatial_spark.meta import GeometryMeta
+
+        df = spark.createDataFrame(
+            [([ (0.0, 0.0, 10.0), (3.0, 4.0, 20.0) ],)],
+            "g array<struct<x double, y double, m double>>",
+        )
+        meta = GeometryMeta(
+            encoding="linestring", geometry_types=("LineString M",)
+        )
+        out = df.select(st_asbinary("g", meta).alias("b")).collect()
+        g = wkb.loads(bytes(out[0].b))
+        assert g.has_m and not g.has_z
+        assert wkb.to_wkt(g) == "LINESTRING M (0 0 10, 3 4 20)"
+        # 2-D measures don't perturb geometry: length ignores m
+        from datafusion_spatial_spark import geom_ops as G
+        assert G.length(g) == 5.0
