@@ -290,3 +290,57 @@ def st_linelocatepoint(
         return pd.Series(out, dtype="object")
 
     return udf(_prep(line, meta_line), _prep(point, meta_point))
+
+
+def st_expand(col: Column | str, dx: float, meta: GeometryMeta, dy: float | None = None) -> Column:
+    """Bounding box grown by dx/dy as a polygon (PostGIS ST_Expand)."""
+    return _geom_out(lambda g: geom_ops.expand(g, dx, dy))(col, meta)
+
+
+def st_split(col: Column | str, blade_wkt: str, meta: GeometryMeta) -> Column:
+    """Split a (multi)line by a literal blade (point/multipoint/line WKT);
+    returns an array of WKB pieces — explode for the row-per-piece
+    PostGIS form."""
+    blade = wkb.from_wkt(blade_wkt)
+    return _unary(
+        lambda g: [wkb.dumps(p) for p in geom_ops.split(g, blade)],
+        T.ArrayType(T.BinaryType()),
+    )(col, meta)
+
+
+def st_snap(
+    a: Column | str, b: Column | str,
+    tolerance: float,
+    meta_a: GeometryMeta, meta_b: GeometryMeta,
+) -> Column:
+    """Snap vertices of ``a`` onto nearby vertices/edges of ``b``
+    (PostGIS ST_Snap); WKB out."""
+    ca, cb = _converter(meta_a), _converter(meta_b)
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for va, vb in zip(_as_rows(sa), _as_rows(sb)):
+            ga, gb = ca(va), cb(vb)
+            if ga is None or gb is None:
+                out.append(None)
+                continue
+            out.append(wkb.dumps(geom_ops.snap(ga, gb, tolerance)))
+        return pd.Series(out, dtype="object")
+
+    return udf(_prep(a, meta_a), _prep(b, meta_b))
+
+
+def st_project(
+    col: Column | str, distance: float, azimuth: float, meta: GeometryMeta
+) -> Column:
+    """Destination point at ``distance`` along north-based clockwise
+    ``azimuth`` radians from a point (planar ST_Project); WKB out."""
+
+    def proj(g):
+        if g.type_name != "Point" or g.is_empty:
+            return None
+        p = geom_ops.project_point(g.coords, distance, azimuth)
+        return wkb.Geom("Point", p)
+
+    return _geom_out(proj)(col, meta)

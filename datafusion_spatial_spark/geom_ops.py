@@ -2842,3 +2842,125 @@ def oriented_envelope(g: Geom) -> Geom:
         (u0 * ux + v1 * vx, u0 * uy + v1 * vy),
     ]
     return Geom("Polygon", [corners + [corners[0]]])
+
+
+def snap(g: Geom, target: Geom, tolerance: float) -> Geom:
+    """PostGIS ST_Snap: move each vertex of ``g`` onto the nearest vertex
+    of ``target`` within ``tolerance`` (vertices win), else onto the
+    nearest point of a ``target`` segment within ``tolerance``."""
+    if tolerance < 0:
+        raise ValueError("tolerance must be non-negative")
+    tol2 = tolerance * tolerance
+    tverts = [(p[0], p[1]) for p in _all_coords(target)]
+    tsegs = list(_segments(target))
+
+    def snap_pt(p):
+        best_v, bd2 = None, tol2
+        for q in tverts:
+            d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+            if d2 <= bd2:
+                best_v, bd2 = q, d2
+        if best_v is not None:
+            return best_v
+        best_s, bd2 = None, tol2
+        for seg in tsegs:
+            q = _project_on_segment(p, seg)
+            d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+            if d2 <= bd2:
+                best_s, bd2 = q, d2
+        return best_s if best_s is not None else (p[0], p[1])
+
+    def walk(c, depth):
+        if depth == 0:
+            return snap_pt(c)
+        return [walk(x, depth - 1) for x in c]
+
+    t = g.type_name
+    if t == "GeometryCollection":
+        return Geom(t, [snap(mm, target, tolerance) for mm in g.coords], g.has_z, g.srid)
+    depth = {"Point": 0, "MultiPoint": 1, "LineString": 1,
+             "MultiLineString": 2, "Polygon": 2, "MultiPolygon": 3}[t]
+    if t == "Point" and g.is_empty:
+        return g
+    return Geom(t, walk(g.coords, depth), g.has_z, g.srid)
+
+
+def split(g: Geom, blade: Geom) -> list:
+    """PostGIS ST_Split for 1-D inputs: split a (multi)line by a point,
+    multipoint, or (multi)line blade. Returns the list of pieces.
+    Polygon splitting is not supported (raise, never silently wrong)."""
+    if g.type_name not in ("LineString", "MultiLineString"):
+        raise NotImplementedError(
+            f"split({g.type_name}, ...) not supported; only 1-D inputs"
+        )
+    pieces = []
+    if blade.type_name in ("Point", "MultiPoint"):
+        cut_pts = [(p[0], p[1]) for p in _points(blade)]
+        for line in _line_parts(g):
+            # walk the line, breaking at any cut point lying on it
+            cur = [line[0]]
+            for a, b in zip(line, line[1:]):
+                # order cut points along this segment by parameter t
+                hits = []
+                dx, dy = b[0] - a[0], b[1] - a[1]
+                L2 = dx * dx + dy * dy
+                for p in cut_pts:
+                    if L2 <= 0:
+                        continue
+                    if _on_segment(p[0], p[1], a[0], a[1], b[0], b[1]):
+                        t = ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / L2
+                        if 1e-12 < t < 1 - 1e-12:
+                            hits.append((t, p))
+                for _, p in sorted(hits):
+                    cur.append(p)
+                    pieces.append(cur)
+                    cur = [p]
+                cur.append(b)
+            if len(cur) > 1:
+                pieces.append(cur)
+        return [Geom("LineString", p) for p in pieces]
+    if blade.type_name in ("LineString", "MultiLineString"):
+        # cut at every proper crossing and at blade vertices lying on g,
+        # then reuse the point-splitting walk (collinear overlaps are not
+        # split points — PostGIS returns the input unchanged there too)
+        gsegs = _line_segs(g)
+        bsegs = _line_segs(blade)
+        cuts = []
+        for s in gsegs:
+            for t in bsegs:
+                p = _seg_seg_point(s, t)
+                if p is not None:
+                    cuts.append(p)
+        for p in _all_coords(blade):
+            for s in gsegs:
+                if _on_segment(p[0], p[1], s[0][0], s[0][1], s[1][0], s[1][1]):
+                    cuts.append((p[0], p[1]))
+        if not cuts:
+            return [g]
+        return split(g, _points_geom(cuts))
+    raise NotImplementedError(
+        f"split(..., {blade.type_name}) blade not supported"
+    )
+
+
+def project_point(p, distance: float, azimuth: float):
+    """PostGIS ST_Project: destination point at ``distance`` along
+    north-based clockwise ``azimuth`` (radians) — planar."""
+    return (
+        p[0] + distance * math.sin(azimuth),
+        p[1] + distance * math.cos(azimuth),
+    )
+
+
+def expand(g: Geom, dx: float, dy: float | None = None) -> Geom:
+    """PostGIS ST_Expand: the bounding box grown by dx/dy, as a polygon."""
+    if dy is None:
+        dy = dx
+    bb = _bbox(g)
+    if bb is None:
+        return Geom("GeometryCollection", [])
+    x0, y0, x1, y1 = bb[0] - dx, bb[1] - dy, bb[2] + dx, bb[3] + dy
+    return Geom(
+        "Polygon",
+        [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]],
+    )

@@ -166,3 +166,44 @@ def test_rotate_plan_is_codegen(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_split_explode(spark):
+    from datafusion_spatial_spark.functions.accessors import st_split
+
+    df = wdf(spark, "LINESTRING (0 0, 10 0)")
+    parts = (
+        df.select(F.explode(st_split("g", "LINESTRING (5 -5, 5 5)", W)).alias("p"))
+        .select(st_astext("p", W).alias("wkt"))
+        .collect()
+    )
+    assert [r.wkt for r in parts] == [
+        "LINESTRING (0 0, 5 0)",
+        "LINESTRING (5 0, 10 0)",
+    ]
+
+
+def test_snap_to_grid_line(spark):
+    from datafusion_spatial_spark.functions.accessors import st_snap
+
+    noisy = wdf(spark, "LINESTRING (0.05 0, 5 0.04, 9.97 0)")
+    target = wdf(spark, "LINESTRING (0 0, 10 0)").withColumnRenamed("g", "t")
+    out = (
+        noisy.crossJoin(target)
+        .select(st_astext(st_snap("g", "t", 0.1, W, W), W).alias("s"))
+        .collect()
+    )
+    assert out[0].s == "LINESTRING (0 0, 5 0, 10 0)"
+
+
+def test_project_and_expand(spark):
+    from datafusion_spatial_spark.functions.accessors import st_expand, st_project
+
+    df = wdf(spark, "POINT (0 0)")
+    east = df.select(
+        st_astext(st_project("g", 10.0, math.pi / 2, W), W).alias("p")
+    ).collect()
+    # azimuth pi/2 = due east
+    g = wdf(spark, east[0].p).collect()  # parse back via st_geomfromtext
+    box = df.select(st_area(st_expand("g", 2.0, W), W).alias("a")).collect()
+    assert box[0].a == 16.0
