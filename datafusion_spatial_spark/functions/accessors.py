@@ -344,3 +344,25 @@ def st_project(
         return wkb.Geom("Point", p)
 
     return _geom_out(proj)(col, meta)
+
+
+def st_delaunaytriangles(col: Column | str, meta: GeometryMeta) -> Column:
+    """Delaunay triangulation (Bowyer–Watson) of the geometry's vertices;
+    array of triangle WKBs — explode for rows, or aggregate areas in
+    place (PostGIS ST_DelaunayTriangles analog)."""
+    return _unary(
+        lambda g: [wkb.dumps(t) for t in geom_ops.delaunay_triangles(g)],
+        T.ArrayType(T.BinaryType()),
+    )(col, meta)
+
+
+def st_voronoipolygons(
+    col: Column | str, meta: GeometryMeta, envelope_wkt: str | None = None
+) -> Column:
+    """Voronoi cells of the geometry's vertices clipped to an optional
+    literal envelope (WKT); array of cell WKBs in sorted-site order."""
+    env = wkb.from_wkt(envelope_wkt) if envelope_wkt else None
+    return _unary(
+        lambda g: [wkb.dumps(c) for c in geom_ops.voronoi_polygons(g, env)],
+        T.ArrayType(T.BinaryType()),
+    )(col, meta)

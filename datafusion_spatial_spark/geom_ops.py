@@ -2964,3 +2964,131 @@ def expand(g: Geom, dx: float, dy: float | None = None) -> Geom:
         "Polygon",
         [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]],
     )
+
+
+# ---------------------------------------------------------------------------
+# triangulation / tessellation (PostGIS ST_DelaunayTriangles /
+# ST_VoronoiPolygons — reference has neither; parity-plus)
+
+
+def _circumcircle(a, b, c):
+    """Circumcenter and squared radius of triangle abc, or None if
+    degenerate."""
+    ax, ay = a
+    bx, by = b
+    cx, cy = c
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if abs(d) < 1e-24:
+        return None
+    ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+          + (cx * cx + cy * cy) * (ay - by)) / d
+    uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+          + (cx * cx + cy * cy) * (bx - ax)) / d
+    r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+    return (ux, uy), r2
+
+
+def delaunay_triangles(g: Geom) -> list:
+    """Delaunay triangulation of the input's distinct vertices
+    (Bowyer–Watson). Returns a list of triangle Polygons; fewer than 3
+    non-collinear points → empty list."""
+    pts = sorted(dict.fromkeys((p[0], p[1]) for p in _all_coords(g)))
+    if len(pts) < 3:
+        return []
+    # super-triangle well outside the extent
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    cx, cy = (min(xs) + max(xs)) / 2.0, (min(ys) + max(ys)) / 2.0
+    span = max(max(xs) - min(xs), max(ys) - min(ys), 1.0) * 64.0
+    s1 = (cx - span, cy - span)
+    s2 = (cx + span, cy - span)
+    s3 = (cx, cy + span)
+    tris = [(s1, s2, s3)]
+    for p in pts:
+        bad = []
+        for t in tris:
+            cc = _circumcircle(*t)
+            if cc is None:
+                continue
+            (ux, uy), r2 = cc
+            if (p[0] - ux) ** 2 + (p[1] - uy) ** 2 <= r2 * (1 + 1e-12):
+                bad.append(t)
+        # boundary of the cavity: edges used by exactly one bad triangle
+        edge_count: dict = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = tuple(sorted(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        tris = [t for t in tris if t not in bad]
+        for (ea, eb), n in edge_count.items():
+            if n == 1:
+                tris.append((ea, eb, p))
+    supers = {s1, s2, s3}
+    out = []
+    for t in tris:
+        if supers & set(t):
+            continue
+        a, b, c = t
+        if _ring_area2([a, b, c, a]) < 0:
+            a, b, c = a, c, b  # CCW orientation
+        out.append(Geom("Polygon", [[a, b, c, a]]))
+    return out
+
+
+def _clip_halfplane(ring, a, b, site):
+    """Sutherland–Hodgman clip of convex ring to the half-plane of the
+    perpendicular bisector of (site, other) containing site. a=site,
+    b=other point."""
+    mx, my = (a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0
+    nx, ny = b[0] - a[0], b[1] - a[1]  # outward normal (toward b)
+
+    def inside(p):
+        return (p[0] - mx) * nx + (p[1] - my) * ny <= 0
+
+    def isect(p, q):
+        dp = (p[0] - mx) * nx + (p[1] - my) * ny
+        dq = (q[0] - mx) * nx + (q[1] - my) * ny
+        t = dp / (dp - dq)
+        return (p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1]))
+
+    out = []
+    n = len(ring)
+    for i in range(n):
+        p, q = ring[i], ring[(i + 1) % n]
+        pin, qin = inside(p), inside(q)
+        if pin:
+            out.append(p)
+            if not qin:
+                out.append(isect(p, q))
+        elif qin:
+            out.append(isect(p, q))
+    return out
+
+
+def voronoi_polygons(g: Geom, envelope: Geom | None = None) -> list:
+    """Voronoi cells of the input's distinct vertices, clipped to
+    ``envelope``'s bbox (default: input extent expanded by half its
+    diagonal — PostGIS-style margin). Each cell is the half-plane
+    intersection over all other sites (O(n) per site over a convex ring —
+    exact, no triangulation dual bookkeeping). Returns cells in site
+    order (sorted x,y)."""
+    pts = sorted(dict.fromkeys((p[0], p[1]) for p in _all_coords(g)))
+    if not pts:
+        return []
+    bb = _bbox(envelope if envelope is not None else g)
+    x0, y0, x1, y1 = bb
+    if envelope is None:
+        mx = max((x1 - x0), (y1 - y0), 1.0) / 2.0
+        x0, y0, x1, y1 = x0 - mx, y0 - mx, x1 + mx, y1 + mx
+    out = []
+    for site in pts:
+        ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        for other in pts:
+            if other == site:
+                continue
+            ring = _clip_halfplane(ring, site, other, site)
+            if len(ring) < 3:
+                break
+        if len(ring) >= 3:
+            out.append(Geom("Polygon", [ring + [ring[0]]]))
+    return out

@@ -207,3 +207,52 @@ def test_project_and_expand(spark):
     g = wdf(spark, east[0].p).collect()  # parse back via st_geomfromtext
     box = df.select(st_area(st_expand("g", 2.0, W), W).alias("a")).collect()
     assert box[0].a == 16.0
+
+
+def test_delaunay_square(spark):
+    from datafusion_spatial_spark.functions.accessors import st_delaunaytriangles
+
+    df = wdf(spark, "MULTIPOINT ((0 0), (1 0), (1 1), (0 1))")
+    tris = (
+        df.select(F.explode(st_delaunaytriangles("g", W)).alias("t"))
+        .select(st_area("t", W).alias("a"))
+        .collect()
+    )
+    assert len(tris) == 2
+    assert sum(r.a for r in tris) == 1.0
+
+
+def test_delaunay_empty_circumcircle_property(spark):
+    # Delaunay invariant: no site lies strictly inside any triangle's
+    # circumcircle (checked kernel-side on a pseudo-random-ish point set)
+    pts = [(i * 7 % 13, i * 11 % 17) for i in range(12)]
+    mp = wkb.Geom("MultiPoint", [(float(x), float(y)) for x, y in pts])
+    tris = G.delaunay_triangles(mp)
+    sites = sorted(dict.fromkeys((p[0], p[1]) for p in G._all_coords(mp)))
+    for t in tris:
+        ring = t.coords[0]
+        cc = G._circumcircle(ring[0], ring[1], ring[2])
+        assert cc is not None
+        (ux, uy), r2 = cc
+        for s in sites:
+            if s in ring[:3]:
+                continue
+            assert (s[0] - ux) ** 2 + (s[1] - uy) ** 2 >= r2 * (1 - 1e-9)
+
+
+def test_voronoi_partition_of_envelope(spark):
+    from datafusion_spatial_spark.functions.accessors import st_voronoipolygons
+
+    df = wdf(spark, "MULTIPOINT ((0 0), (1 0), (1 1), (0 1))")
+    cells = (
+        df.select(
+            F.explode(
+                st_voronoipolygons("g", W, "POLYGON ((-1 -1, 2 -1, 2 2, -1 2, -1 -1))")
+            ).alias("c")
+        )
+        .select(st_area("c", W).alias("a"))
+        .collect()
+    )
+    assert len(cells) == 4
+    assert abs(sum(r.a for r in cells) - 9.0) < 1e-9
+    assert all(abs(r.a - 2.25) < 1e-9 for r in cells)
