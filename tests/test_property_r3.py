@@ -1,0 +1,125 @@
+"""Property-based tests for the round-3 kernels: n-ary union, mixed-
+dimension set ops, Delaunay/Voronoi, normalize, and the measure
+contracts. Random axis-aligned unit squares give closed-form invariants
+(union area == count of distinct cells)."""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datafusion_spatial_spark import geom_ops as G
+from datafusion_spatial_spark import wkb
+
+cell = st.tuples(st.integers(-8, 8), st.integers(-8, 8))
+
+
+def _sq(c):
+    x, y = float(c[0]), float(c[1])
+    return wkb.Geom(
+        "Polygon",
+        [[(x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1), (x, y)]],
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(cell, min_size=1, max_size=12))
+def test_union_many_unit_cells(cells):
+    u = G.union_many([_sq(c) for c in cells])
+    assert abs(G.area(u) - len(set(cells))) < 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(cell, min_size=1, max_size=8))
+def test_unary_union_idempotent(cells):
+    u = G.union_many([_sq(c) for c in cells])
+    uu = G.unary_union(u)
+    assert abs(G.area(uu) - G.area(u)) < 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(cell, min_size=1, max_size=6), st.lists(cell, min_size=1, max_size=6))
+def test_setop_measure_identities(ca, cb):
+    """area(A∩B) + area(A∪B) == area(A) + area(B); sym = union - inter."""
+    a = G.union_many([_sq(c) for c in ca])
+    b = G.union_many([_sq(c) for c in cb])
+    inter = G.area(G.intersection(a, b))
+    uni = G.area(G.union(a, b))
+    sym = G.area(G.sym_difference(a, b))
+    assert abs((inter + uni) - (G.area(a) + G.area(b))) < 1e-6
+    assert abs(sym - (uni - inter)) < 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(cell, min_size=1, max_size=6), st.lists(cell, min_size=1, max_size=6))
+def test_difference_partition(ca, cb):
+    """area(A−B) + area(A∩B) == area(A)."""
+    a = G.union_many([_sq(c) for c in ca])
+    b = G.union_many([_sq(c) for c in cb])
+    diff = G.area(G.difference(a, b))
+    inter = G.area(G.intersection(a, b))
+    assert abs((diff + inter) - G.area(a)) < 1e-6
+
+
+pts_set = st.lists(
+    st.tuples(
+        st.integers(0, 30).map(float), st.integers(0, 30).map(float)
+    ),
+    min_size=3,
+    max_size=14,
+    unique=True,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(pts_set)
+def test_delaunay_covers_hull(pts):
+    mp = wkb.Geom("MultiPoint", list(pts))
+    tris = G.delaunay_triangles(mp)
+    hull_area = G.area(G.convex_hull(mp))
+    tri_area = sum(G.area(t) for t in tris)
+    # triangles tile the convex hull exactly (0 when collinear)
+    assert abs(tri_area - hull_area) < 1e-6
+
+
+@settings(max_examples=30, deadline=None)
+@given(pts_set)
+def test_voronoi_partitions_envelope(pts):
+    mp = wkb.Geom("MultiPoint", list(pts))
+    env = wkb.from_wkt("POLYGON ((-5 -5, 35 -5, 35 35, -5 35, -5 -5))")
+    cells_ = G.voronoi_polygons(mp, env)
+    uniq = sorted(set(pts))
+    assert len(cells_) == len(uniq)
+    assert abs(sum(G.area(c) for c in cells_) - 1600.0) < 1e-6
+    # every site lies in (or on) its own cell
+    for site, c in zip(uniq, cells_):
+        assert G._point_intersects(site, c)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(cell, min_size=1, max_size=5))
+def test_normalize_stable_under_part_rotation(cells):
+    g = G.union_many([_sq(c) for c in cells])
+    n1 = wkb.to_wkt(G.normalize(g))
+    # rebuild with rotated vertex order and reversed part order
+    def rot(ring):
+        body = ring[:-1]
+        return body[1:] + body[:1] + [body[1]]
+
+    polys = [[rot(r) for r in rings] for rings in G._polygons(g)]
+    if len(polys) == 1:
+        g2 = wkb.Geom("Polygon", polys[0])
+    else:
+        g2 = wkb.Geom("MultiPolygon", polys[::-1])
+    n2 = wkb.to_wkt(G.normalize(g2))
+    assert n1 == n2
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(-20, 20), st.integers(-20, 20)),
+                min_size=2, max_size=10, unique=True))
+def test_mbc_covers_all_points(pts):
+    mp = wkb.Geom("MultiPoint", [(float(x), float(y)) for x, y in pts])
+    (cx, cy), r = G.minimum_bounding_circle(mp)
+    for x, y in pts:
+        assert math.hypot(x - cx, y - cy) <= r + 1e-6
