@@ -177,6 +177,22 @@ class SpatialSQL:
 
     # -- resolution ---------------------------------------------------------
 
+    def _register_agg_udf(self, name: str) -> str:
+        """Register the pandas aggregate UDF behind SQL ST_Union/ST_Collect
+        once per session; returns the SQL function name."""
+        from datafusion_spatial_spark.functions.aggregates import (
+            _collect_agg_wkb,
+            _union_agg_wkb,
+        )
+
+        fn = "__st_union_agg" if name == "ST_UNION" else "__st_collect_agg"
+        if not getattr(self, f"_reg{fn}", False):
+            self.spark.udf.register(
+                fn, _union_agg_wkb if name == "ST_UNION" else _collect_agg_wkb
+            )
+            object.__setattr__(self, f"_reg{fn}", True)
+        return fn
+
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(self.resolve(query))
 
@@ -212,12 +228,22 @@ class SpatialSQL:
         replacements: list[tuple[int, int, str]] = []
         for start, end, text in calls:
             name = "ST_" + _CALL_RE.match(text).group(1).upper()
+            inner_args = _split_args(text[_CALL_RE.match(text).end() : -1])
             if name == _AGG_EXTENT:
                 inner = text[_CALL_RE.match(text).end() : -1].strip()
                 col, meta = self._arg_column(inner, col_meta)
                 idx = len(new_cols)
                 new_cols.append(_sc.st_bbox(col, meta).alias(f"__st_{idx}"))
                 replacements.append((start, end, _extent_agg_sql(f"__st_{idx}")))
+            elif name in ("ST_UNION", "ST_COLLECT") and len(inner_args) == 1:
+                # 1-arg form is the PostGIS AGGREGATE (2-arg ST_Union is
+                # the scalar set op): materialize per-row WKB, call the
+                # registered pandas aggregate UDF in the rewritten SQL
+                col, meta = self._arg_column(inner_args[0], col_meta)
+                idx = len(new_cols)
+                new_cols.append(_sc.st_asbinary(col, meta).alias(f"__st_{idx}"))
+                fn = self._register_agg_udf(name)
+                replacements.append((start, end, f"{fn}(__st_{idx})"))
             else:
                 col, _ = self._build_call(text, col_meta)
                 idx = len(new_cols)

@@ -180,3 +180,36 @@ def test_accessor_functions_in_sql(ssql):
     assert rows[0].n == 1
     assert rows[0].ring.startswith("LINESTRING (30 10")
     assert rows[0].per > 0
+
+
+def test_union_aggregate_in_sql(ssql, spark):
+    """1-arg ST_Union in SQL is the PostGIS aggregate: per-group cascaded
+    union through the registered pandas agg UDF."""
+    from datafusion_spatial_spark import geom_ops as G
+    from datafusion_spatial_spark import wkb
+
+    rows = ssql.sql(
+        "SELECT ST_Union(geometry) AS u FROM polygon_native"
+    ).collect()
+    assert len(rows) == 1
+    g = wkb.loads(bytes(rows[0].u))
+    # cross-check against the kernel union of the same rows
+    per_row = ssql.sql(
+        "SELECT ST_AsBinary(geometry) AS b FROM polygon_native"
+    ).collect()
+    members = [wkb.loads(bytes(r.b)) for r in per_row if r.b is not None]
+    expect = G.union_many(members)
+    assert abs(G.area(g) - G.area(expect)) < 1e-6
+    # the fixture polygons overlap, so the dissolve is non-trivial
+    per_area = ssql.sql("SELECT ST_Area(geometry) AS a FROM polygon_native").collect()
+    assert G.area(g) < sum(r.a or 0.0 for r in per_area)
+
+
+def test_collect_aggregate_in_sql(ssql, spark):
+    from datafusion_spatial_spark import wkb
+
+    rows = ssql.sql(
+        "SELECT ST_Collect(geometry) AS c FROM polygon_native"
+    ).collect()
+    g = wkb.loads(bytes(rows[0].c))
+    assert g.type_name in ("MultiPolygon", "GeometryCollection")
