@@ -366,3 +366,55 @@ def st_voronoipolygons(
         lambda g: [wkb.dumps(c) for c in geom_ops.voronoi_polygons(g, env)],
         T.ArrayType(T.BinaryType()),
     )(col, meta)
+
+
+def _binary_geom_fn(fn, dtype):
+    """(Geom, Geom -> value|None) lifted to a 2-column function."""
+
+    def build(a, b, meta_a, meta_b):
+        ca, cb = _converter(meta_a), _converter(meta_b)
+
+        @F.pandas_udf(dtype)
+        def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+            out = []
+            for va, vb in zip(_as_rows(sa), _as_rows(sb)):
+                ga, gb = ca(va), cb(vb)
+                out.append(None if ga is None or gb is None else fn(ga, gb))
+            return pd.Series(out, dtype="object")
+
+        return udf(_prep(a, meta_a), _prep(b, meta_b))
+
+    return build
+
+
+def _shortest_line_wkb(ga, gb):
+    r = geom_ops.shortest_line(ga, gb)
+    return None if r is None else wkb.dumps(r)
+
+
+st_shortestline = _binary_geom_fn(_shortest_line_wkb, T.BinaryType())
+st_hausdorffdistance = _binary_geom_fn(
+    geom_ops.hausdorff_distance, T.DoubleType()
+)
+
+
+def st_angle(
+    p1: Column | str, p2: Column | str, p3: Column | str,
+    meta: GeometryMeta,
+) -> Column:
+    """3-point form of PostGIS ST_Angle (angle at p2), clockwise [0, 2π)."""
+    conv = _converter(meta)
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(s1: pd.Series, s2: pd.Series, s3: pd.Series) -> pd.Series:
+        out = []
+        for v1, v2, v3 in zip(_as_rows(s1), _as_rows(s2), _as_rows(s3)):
+            g1, g2, g3 = conv(v1), conv(v2), conv(v3)
+            if any(g is None or g.type_name != "Point" or g.is_empty
+                   for g in (g1, g2, g3)):
+                out.append(None)
+                continue
+            out.append(geom_ops.angle(g1.coords, g2.coords, g3.coords))
+        return pd.Series(out, dtype="object")
+
+    return udf(_prep(p1, meta), _prep(p2, meta), _prep(p3, meta))

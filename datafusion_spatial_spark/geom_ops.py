@@ -3092,3 +3092,53 @@ def voronoi_polygons(g: Geom, envelope: Geom | None = None) -> list:
         if len(ring) >= 3:
             out.append(Geom("Polygon", [ring + [ring[0]]]))
     return out
+
+
+def shortest_line(a: Geom, b: Geom) -> Geom | None:
+    """PostGIS ST_ShortestLine: the (possibly zero-length) line between the
+    closest points of a and b."""
+    if a.is_empty or b.is_empty:
+        return None
+    pa = closest_point(a, b)
+    if pa is None:
+        return None
+    pb = closest_point(b, Geom("Point", pa))
+    if pb is None:
+        return None
+    return Geom("LineString", [pa, pb])
+
+
+def hausdorff_distance(a: Geom, b: Geom) -> float | None:
+    """Vertex-based discrete Hausdorff distance (PostGIS default without a
+    densify fraction: vertices of one against the full other geometry,
+    symmetric max). Exact for point sets; a lower bound for lines and
+    polygons — use segmentize() first for a tighter estimate."""
+    if a.is_empty or b.is_empty:
+        return None
+
+    def directed(src: Geom, dst: Geom) -> float:
+        worst = 0.0
+        for p in _all_coords(src):
+            d = distance(Geom("Point", (p[0], p[1])), dst)
+            if d is not None and d > worst:
+                worst = d
+        return worst
+
+    return max(directed(a, b), directed(b, a))
+
+
+def angle(p1, p2, p3, p4=None) -> float | None:
+    """PostGIS ST_Angle: with 3 points, the angle at p2 between rays to p1
+    and p3; with 4, the angle between directed lines p1→p2 and p3→p4.
+    Result in [0, 2π) measured clockwise."""
+    if p4 is None:
+        v1 = (p1[0] - p2[0], p1[1] - p2[1])
+        v2 = (p3[0] - p2[0], p3[1] - p2[1])
+    else:
+        v1 = (p2[0] - p1[0], p2[1] - p1[1])
+        v2 = (p4[0] - p3[0], p4[1] - p3[1])
+    if (v1[0] == 0 and v1[1] == 0) or (v2[0] == 0 and v2[1] == 0):
+        return None
+    a1 = math.atan2(v1[1], v1[0])
+    a2 = math.atan2(v2[1], v2[0])
+    return (a1 - a2) % (2 * math.pi)

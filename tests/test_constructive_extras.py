@@ -256,3 +256,29 @@ def test_voronoi_partition_of_envelope(spark):
     assert len(cells) == 4
     assert abs(sum(r.a for r in cells) - 9.0) < 1e-9
     assert all(abs(r.a - 2.25) < 1e-9 for r in cells)
+
+
+def test_shortestline_hausdorff_angle(spark):
+    from datafusion_spatial_spark.functions.accessors import (
+        st_angle,
+        st_hausdorffdistance,
+        st_shortestline,
+    )
+
+    a = wdf(spark, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    b = wdf(spark, "POINT (5 2)").withColumnRenamed("g", "h")
+    both = a.crossJoin(b)
+    row = both.select(
+        st_astext(st_shortestline("g", "h", W, W), W).alias("sl"),
+        st_hausdorffdistance("g", "h", W, W).alias("hd"),
+    ).collect()[0]
+    assert row.sl == "LINESTRING (2 2, 5 2)"
+    assert abs(row.hd - math.hypot(5, 2)) < 1e-9  # farthest corner (0,0)
+
+    pts = spark.createDataFrame([(1.0,)], "v double").select(
+        st_point(F.lit(1.0), F.lit(0.0)).alias("p1"),
+        st_point(F.lit(0.0), F.lit(0.0)).alias("p2"),
+        st_point(F.lit(0.0), F.lit(1.0)).alias("p3"),
+    )
+    ang = pts.select(st_angle("p1", "p2", "p3", PT).alias("a")).collect()[0].a
+    assert abs(ang - 3 * math.pi / 2) < 1e-12
