@@ -93,6 +93,10 @@ _FUNCTIONS_2 = {
     "ST_DIFFERENCE": (_pr.st_difference, _WKB),
     "ST_UNION": (_pr.st_union, _WKB),
     "ST_SYMDIFFERENCE": (_pr.st_symdifference, _WKB),
+    "ST_SHORTESTLINE": (_ac.st_shortestline, _WKB),
+    "ST_HAUSDORFFDISTANCE": (_ac.st_hausdorffdistance, None),
+    "ST_CLOSESTPOINT": (_pr.st_closestpoint, _WKB),
+    "ST_AZIMUTH": (_ac.st_azimuth, None),
 }
 
 # geometry + numeric-literal arg
