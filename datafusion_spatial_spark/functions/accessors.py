@@ -298,9 +298,9 @@ def st_expand(col: Column | str, dx: float, meta: GeometryMeta, dy: float | None
 
 
 def st_split(col: Column | str, blade_wkt: str, meta: GeometryMeta) -> Column:
-    """Split a (multi)line by a literal blade (point/multipoint/line WKT);
-    returns an array of WKB pieces — explode for the row-per-piece
-    PostGIS form."""
+    """Split a (multi)line by a point/multipoint/line blade, or a
+    (multi)polygon by a line blade (literal WKT); returns an array of WKB
+    pieces — explode for the row-per-piece PostGIS form."""
     blade = wkb.from_wkt(blade_wkt)
     return _unary(
         lambda g: [wkb.dumps(p) for p in geom_ops.split(g, blade)],
@@ -344,6 +344,23 @@ def st_project(
         return wkb.Geom("Point", p)
 
     return _geom_out(proj)(col, meta)
+
+
+def st_polygonize(col: Column | str, meta: GeometryMeta) -> Column:
+    """PostGIS ST_Polygonize over one geometry's linework: faces of the
+    (auto-noded) arrangement as an array of polygon WKBs — explode for
+    rows. For the aggregate form, ``st_collect_agg`` the lines first and
+    polygonize the collection."""
+    return _unary(
+        lambda g: [wkb.dumps(p) for p in geom_ops.polygonize(g)],
+        T.ArrayType(T.BinaryType()),
+    )(col, meta)
+
+
+def st_node(col: Column | str, meta: GeometryMeta) -> Column:
+    """PostGIS ST_Node: fully node the linework (split at every crossing /
+    touch, dissolve duplicate segments); MultiLineString WKB out."""
+    return _geom_out(geom_ops.node_lines)(col, meta)
 
 
 def st_delaunaytriangles(col: Column | str, meta: GeometryMeta) -> Column:

@@ -2885,13 +2885,65 @@ def snap(g: Geom, target: Geom, tolerance: float) -> Geom:
     return Geom(t, walk(g.coords, depth), g.has_z, g.srid)
 
 
+def polygonize(g: Geom) -> list:
+    """PostGIS/GEOS ST_Polygonize: faces of the (auto-noded) linework of
+    ``g``'s segments, as Polygon Geoms — nested rings yield a holed outer
+    face AND the inner face (GEOS Polygonizer semantics); dangles and cut
+    edges are ignored. The reference lists no polygonize (roadmap README);
+    parity target is PostGIS ST_Polygonize."""
+    from datafusion_spatial_spark.overlay import polygonize_segments
+
+    segs = [((a[0], a[1]), (b[0], b[1])) for a, b in _segments(g)]
+    return [
+        Geom("Polygon", [[tuple(p) for p in ring] for ring in rings])
+        for rings in polygonize_segments(segs)
+    ]
+
+
+def node_lines(g: Geom) -> Geom:
+    """PostGIS ST_Node: node the linework at every crossing / touch and
+    dissolve duplicate segments; parts merged through degree-2 nodes."""
+    from datafusion_spatial_spark.overlay import node_segments
+
+    segs = [((a[0], a[1]), (b[0], b[1])) for a, b in _segments(g)]
+    paths = node_segments(segs)
+    return Geom("MultiLineString", [[tuple(p) for p in path] for path in paths])
+
+
+def _split_polygon(g: Geom, blade: Geom) -> list:
+    """Split a (multi)polygon by a (multi)line blade: polygonize the union
+    of the polygon's rings and the blade, keep faces whose interior point
+    lies inside the input."""
+    from datafusion_spatial_spark.overlay import polygonize_segments
+
+    segs = [((a[0], a[1]), (b[0], b[1])) for a, b in _segments(g)]
+    segs += [((a[0], a[1]), (b[0], b[1])) for a, b in _segments(blade)]
+    out = []
+    for rings in polygonize_segments(segs):
+        cand = Geom("Polygon", [[tuple(p) for p in ring] for ring in rings])
+        rp = representative_point(cand.coords)
+        if rp is None:
+            continue
+        if any(polygon_contains_point(polys, rp[0], rp[1]) == 2
+               for polys in _polygons(g)):
+            out.append(cand)
+    return out or [g]
+
+
 def split(g: Geom, blade: Geom) -> list:
-    """PostGIS ST_Split for 1-D inputs: split a (multi)line by a point,
-    multipoint, or (multi)line blade. Returns the list of pieces.
-    Polygon splitting is not supported (raise, never silently wrong)."""
+    """PostGIS ST_Split: a (multi)line split by a point, multipoint, or
+    (multi)line blade; a (multi)polygon split by a (multi)line blade (face
+    extraction from the noded arrangement). Returns the list of pieces."""
+    if g.type_name in ("Polygon", "MultiPolygon"):
+        if blade.type_name not in ("LineString", "MultiLineString"):
+            raise NotImplementedError(
+                f"split({g.type_name}, {blade.type_name}) not supported; "
+                "polygon inputs take a line blade"
+            )
+        return _split_polygon(g, blade)
     if g.type_name not in ("LineString", "MultiLineString"):
         raise NotImplementedError(
-            f"split({g.type_name}, ...) not supported; only 1-D inputs"
+            f"split({g.type_name}, ...) not supported; only 1-D and 2-D inputs"
         )
     pieces = []
     if blade.type_name in ("Point", "MultiPoint"):

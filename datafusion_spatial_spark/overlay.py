@@ -486,3 +486,160 @@ def overlay_multi(polys_a, polys_b, op: str):
 def overlay(ring_a, ring_b, op: str):
     """Single-ring convenience wrapper kept for round-1 callers/tests."""
     return overlay_multi([[list(ring_a)]], [[list(ring_b)]], op)
+
+
+# ---------------------------------------------------------------------------
+# Face extraction (polygonize) over the same noded arrangement
+# ---------------------------------------------------------------------------
+
+def _prune_dangles(frags):
+    """Iteratively drop fragments with a free (degree-1) endpoint — dangling
+    linework never bounds a face (GEOS Polygonizer's dangle removal)."""
+    while True:
+        deg = defaultdict(int)
+        for f0, f1 in frags:
+            deg[_q(f0)] += 1
+            deg[_q(f1)] += 1
+        keep = [f for f in frags
+                if deg[_q(f[0])] >= 2 and deg[_q(f[1])] >= 2]
+        if len(keep) == len(frags):
+            return keep
+        frags = keep
+
+
+def _trace_faces(frags):
+    """Partition the half-edges of a noded arrangement into face-boundary
+    rings: from each half-edge, repeatedly take the sharpest-CCW outgoing
+    half-edge at the head node, never the immediate reverse (unless it is
+    the only incident edge). Interiors lie LEFT of the walk, so bounded
+    faces come out as CCW (positive-area) rings and each unbounded /
+    hole-side boundary component comes out CW (negative)."""
+    halfs = []
+    twin = []
+    for f0, f1 in frags:
+        halfs.append((f0, f1))
+        halfs.append((f1, f0))
+        twin.extend((len(halfs) - 1, len(halfs) - 2))
+    out_map = defaultdict(list)
+    for i, (a, _b) in enumerate(halfs):
+        out_map[_q(a)].append(i)
+    used = [False] * len(halfs)
+    rings = []
+    for start in range(len(halfs)):
+        if used[start]:
+            continue
+        ring = [halfs[start][0], halfs[start][1]]
+        used[start] = True
+        cur = start
+        ok = True
+        for _guard in range(len(halfs) + 1):
+            a, b = halfs[cur]
+            din = math.atan2(b[1] - a[1], b[0] - a[0])
+            cands = [j for j in out_map.get(_q(b), ()) if j != twin[cur]]
+            if not cands:
+                cands = [twin[cur]]
+
+            def turn(j):
+                (jx, jy), (kx, ky) = halfs[j]
+                ang = math.atan2(ky - jy, kx - jx) - din
+                while ang <= -math.pi:
+                    ang += 2 * math.pi
+                while ang > math.pi:
+                    ang -= 2 * math.pi
+                return ang
+
+            nxt = max(cands, key=turn)
+            if nxt == start:
+                ring[-1] = ring[0]
+                break
+            if used[nxt]:
+                ok = False  # numerically broken rotation system
+                break
+            used[nxt] = True
+            ring.append(halfs[nxt][1])
+            cur = nxt
+        else:
+            ok = False
+        if ok and len(ring) >= 4 and _q(ring[0]) == _q(ring[-1]):
+            rings.append(ring)
+    return rings
+
+
+def polygonize_segments(segs):
+    """Polygonize arbitrary (not necessarily noded) linework: node it,
+    drop dangles, trace faces, and assemble shells + holes.
+
+    Returns a list of polygons (each a list of rings, shell first, CCW
+    shell / CW holes) — GEOS/PostGIS ``ST_Polygonize`` face semantics:
+    nested rings produce a holed outer polygon AND the inner polygon as
+    its own face. Input coordinates outside the quantization band are
+    rescaled exactly as in :func:`overlay_multi`."""
+    segs = [(tuple(p), tuple(q)) for p, q in segs if _q(p) != _q(q)]
+    if not segs:
+        return []
+    m = _max_abs_coord([[[p, q]] for p, q in segs])
+    scale = 1.0
+    if m > 0 and not (1e-3 <= m <= 1e5):
+        scale = 2.0 ** round(math.log2(1000.0 / m))
+        segs = [((p[0] * scale, p[1] * scale), (q[0] * scale, q[1] * scale))
+                for p, q in segs]
+    frags = _prune_dangles(_fragment(segs))
+    if not frags:
+        return []
+    rings = _trace_faces(frags)
+    shells, negs = [], []
+    for r in rings:
+        a2 = _ring_area2(r)
+        if a2 / 2 > _AREA_EPS:
+            shells.append(r)
+        elif a2 / 2 < -_AREA_EPS:
+            negs.append(r)
+    order = sorted(range(len(shells)), key=lambda i: abs(_ring_area2(shells[i])))
+    shell_verts = [{_q(p) for p in s[:-1]} for s in shells]
+    polys = [[s] for s in shells]
+    # A negative ring is the inner boundary component of some face: attach
+    # it as a hole to the smallest shell that strictly contains one of its
+    # NON-SHARED vertices (GEOS EdgeRing::findEdgeRingContaining test);
+    # with no such shell it is the unbounded face's boundary — dropped.
+    for h in negs:
+        hq = [(p, _q(p)) for p in h[:-1]]
+        for i in order:
+            pts = [p for p, k in hq if k not in shell_verts[i]]
+            if pts and _inside(pts[0], [[shells[i]]]):
+                polys[i].append(h)
+                break
+    if scale != 1.0:
+        polys = _scale_polys(polys, 1.0 / scale)
+    return polys
+
+
+def node_segments(segs):
+    """ST_Node kernel: node the linework and merge the fragments back into
+    maximal chains through degree-2 nodes. Returns a list of coordinate
+    paths (the MultiLineString parts of PostGIS ``ST_Node``), duplicates
+    dissolved."""
+    segs = [(tuple(p), tuple(q)) for p, q in segs if _q(p) != _q(q)]
+    if not segs:
+        return []
+    m = _max_abs_coord([[[p, q]] for p, q in segs])
+    scale = 1.0
+    if m > 0 and not (1e-3 <= m <= 1e5):
+        scale = 2.0 ** round(math.log2(1000.0 / m))
+        segs = [((p[0] * scale, p[1] * scale), (q[0] * scale, q[1] * scale))
+                for p, q in segs]
+    frags = _fragment(segs)
+    paths = []
+    for chain in _chains(frags):
+        path = []
+        for i, flipped in chain:
+            f0, f1 = frags[i]
+            a, b = (f1, f0) if flipped else (f0, f1)
+            if not path:
+                path.append(a)
+            path.append(b)
+        if len(path) >= 2:
+            paths.append(path)
+    if scale != 1.0:
+        inv = 1.0 / scale
+        paths = [[(x * inv, y * inv) for x, y in p] for p in paths]
+    return paths

@@ -76,6 +76,8 @@ _FUNCTIONS = {
     "ST_POINTONSURFACE": (_ac.st_pointonsurface, _WKB),
     "ST_ORIENTEDENVELOPE": (_ac.st_orientedenvelope, _WKB),
     "ST_MINIMUMBOUNDINGCIRCLE": (_ac.st_minimumboundingcircle, _WKB),
+    "ST_NODE": (_ac.st_node, _WKB),
+    "ST_POLYGONIZE": (_ac.st_polygonize, None),
 }
 
 # 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)
