@@ -2995,6 +2995,90 @@ def split(g: Geom, blade: Geom) -> list:
     )
 
 
+# ---------------------------------------------------------------------------
+# geodesic kernels (coordinates interpreted as lon/lat degrees on WGS84)
+
+EARTH_RADIUS = 6371008.8  # IUGG mean radius (m); oracle SQL uses the same
+WGS84_A = 6378137.0  # semi-major axis (m)
+WGS84_F = 1.0 / 298.257223563  # flattening
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> float:
+    """Great-circle distance in meters on the mean-radius sphere."""
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = p2 - p1, math.radians(lon2 - lon1)
+    h = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2.0 * EARTH_RADIUS * math.asin(min(1.0, math.sqrt(h)))
+
+
+def geodesic_length(g: Geom) -> float:
+    """Sum of great-circle segment lengths over the LINEAR members (same
+    linear-only contract as planar ``length``); meters."""
+    total = 0.0
+    for line in _line_parts(g):
+        for a, b in zip(line, line[1:]):
+            total += haversine_m(a[0], a[1], b[0], b[1])
+    return total
+
+
+_MERC_R = 6378137.0  # spherical Web-Mercator radius (EPSG:3857)
+
+
+def _merc_fwd(lon, lat):
+    return (
+        _MERC_R * math.radians(lon),
+        _MERC_R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)),
+    )
+
+
+def _merc_inv(x, y):
+    return (
+        math.degrees(x / _MERC_R),
+        math.degrees(2 * math.atan(math.exp(y / _MERC_R)) - math.pi / 2),
+    )
+
+
+_TRANSFORMS = {
+    (4326, 3857): _merc_fwd,
+    (3857, 4326): _merc_inv,
+}
+
+
+def transform(g: Geom, src_srid: int, dst_srid: int) -> Geom:
+    """Reproject coordinates between supported CRS pairs (EPSG:4326 ↔
+    EPSG:3857 closed-form spherical Web Mercator). Other pairs raise —
+    never silently wrong. Z/M passed through untouched."""
+    if src_srid == dst_srid:
+        return Geom(g.type_name, g.coords, g.has_z, dst_srid, g.has_m)
+    fn = _TRANSFORMS.get((src_srid, dst_srid))
+    if fn is None:
+        raise NotImplementedError(
+            f"transform {src_srid} -> {dst_srid} not supported "
+            "(closed-form pairs only: 4326 <-> 3857)"
+        )
+
+    def conv(c):
+        x, y = fn(c[0], c[1])
+        return (x, y) + tuple(c[2:])
+
+    def walk(c, depth):
+        if depth == 0:
+            return conv(c)
+        return [walk(v, depth - 1) for v in c]
+
+    t = g.type_name
+    if t == "GeometryCollection":
+        return Geom(t, [transform(m, src_srid, dst_srid) for m in g.coords],
+                    g.has_z, dst_srid, g.has_m)
+    if t == "Point":
+        if g.is_empty:
+            return Geom(t, g.coords, g.has_z, dst_srid, g.has_m)
+        return Geom(t, conv(g.coords), g.has_z, dst_srid, g.has_m)
+    depth = {"LineString": 1, "MultiPoint": 1,
+             "Polygon": 2, "MultiLineString": 2, "MultiPolygon": 3}[t]
+    return Geom(t, walk(g.coords, depth), g.has_z, dst_srid, g.has_m)
+
+
 def project_point(p, distance: float, azimuth: float):
     """PostGIS ST_Project: destination point at ``distance`` along
     north-based clockwise ``azimuth`` (radians) — planar."""

@@ -30,6 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from datafusion_spatial_spark.functions import accessors as _ac
+from datafusion_spatial_spark.functions import geodesic as _gd
 from datafusion_spatial_spark.functions import predicates as _pr
 from datafusion_spatial_spark.functions import scalar as _sc
 from datafusion_spatial_spark.meta import GeometryMeta
@@ -78,6 +79,7 @@ _FUNCTIONS = {
     "ST_MINIMUMBOUNDINGCIRCLE": (_ac.st_minimumboundingcircle, _WKB),
     "ST_NODE": (_ac.st_node, _WKB),
     "ST_POLYGONIZE": (_ac.st_polygonize, None),
+    "ST_LENGTHSPHERE": (_gd.st_lengthsphere, None),
 }
 
 # 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)
@@ -99,6 +101,8 @@ _FUNCTIONS_2 = {
     "ST_HAUSDORFFDISTANCE": (_ac.st_hausdorffdistance, None),
     "ST_CLOSESTPOINT": (_pr.st_closestpoint, _WKB),
     "ST_AZIMUTH": (_ac.st_azimuth, None),
+    "ST_DISTANCESPHERE": (_gd.st_distancesphere, None),
+    "ST_DISTANCESPHEROID": (_gd.st_distancespheroid, None),
 }
 
 # geometry + numeric-literal arg
@@ -109,6 +113,7 @@ _FUNCTIONS_GEOM_NUM = {
         lambda col, n, meta: _ac.st_interiorringn(col, int(n), meta), _WKB
     ),
     "ST_POINTN": (lambda col, n, meta: _ac.st_pointn(col, int(n), meta), _WKB),
+    "ST_QUADKEY": (lambda col, z, meta: _gd.st_quadkey(col, int(z), meta), None),
 }
 
 _AGG_EXTENT = "ST_EXTENT"
