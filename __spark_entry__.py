@@ -729,25 +729,64 @@ def _q_st_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, "geom", "geom", point_meta, point_meta,
         "pid", "custkey", k=10, radius=500.0, max_rounds=8,
     )
+    # geodesic columns (functions/geodesic.py, all pure Catalyst): a synthetic
+    # lon/lat derived from custkey, checked value-exact against the DuckDB
+    # closed forms — verifies haversine, Web-Mercator forward, quadkey tiles.
+    from datafusion_spatial_spark.functions.geodesic import (
+        st_distancesphere, st_quadkey, st_transform_point,
+    )
+
+    lon = (F.col("custkey") % 360 - 180).cast("double") + F.lit(0.5)
+    lat = (F.col("custkey") % 170 - 85).cast("double") + F.lit(0.25)
+    cpt = st_point(lon, lat)
+    probe = st_point(F.lit(2.3522), F.lit(48.8566))
     return (
         knn.select(
             "custkey",
             F.round(F.col("distance"), 6).alias("dist"),
             F.col("rank").cast("int").alias("rank"),
         )
+        .withColumn("dist_sphere_km", F.round(st_distancesphere(probe, cpt) / 1000.0, 3))
+        .withColumn("merc_x", F.round(st_transform_point(cpt, 4326, 3857)["x"], 3))
+        .withColumn("quadkey", st_quadkey(cpt, 5))
         .orderBy("rank")
     )
 
 
 _Q_ST_DISTANCE_ORACLE = """
-SELECT c_custkey AS custkey,
-       round(sqrt((c_acctbal - 5000) * (c_acctbal - 5000)
-                  + (cast(c_custkey AS DOUBLE) - 75) * (cast(c_custkey AS DOUBLE) - 75)), 6) AS dist,
-       cast(row_number() OVER (
-           ORDER BY sqrt((c_acctbal - 5000) * (c_acctbal - 5000)
-                  + (cast(c_custkey AS DOUBLE) - 75) * (cast(c_custkey AS DOUBLE) - 75)),
-                  c_custkey) AS INT) AS rank
-FROM customer
+WITH topk AS (
+  SELECT c_custkey AS custkey,
+         round(sqrt((c_acctbal - 5000) * (c_acctbal - 5000)
+                    + (cast(c_custkey AS DOUBLE) - 75) * (cast(c_custkey AS DOUBLE) - 75)), 6) AS dist,
+         cast(row_number() OVER (
+             ORDER BY sqrt((c_acctbal - 5000) * (c_acctbal - 5000)
+                    + (cast(c_custkey AS DOUBLE) - 75) * (cast(c_custkey AS DOUBLE) - 75)),
+                    c_custkey) AS INT) AS rank
+  FROM customer
+), geo AS (
+  SELECT *,
+         cast(custkey % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+         cast(custkey % 170 - 85 AS DOUBLE) + 0.25 AS lat
+  FROM topk
+), tiles AS (
+  SELECT *,
+         greatest(0, least(cast(floor(32.0 * (lon + 180.0) / 360.0) AS BIGINT), 31)) AS tx,
+         greatest(0, least(cast(floor(32.0 * (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0) AS BIGINT), 31)) AS ty
+  FROM geo
+)
+SELECT custkey, dist, rank,
+       round(2.0 * 6371008.8 * asin(least(1.0, sqrt(
+           pow(sin(radians(lat - 48.8566) / 2.0), 2)
+           + cos(radians(48.8566)) * cos(radians(lat))
+             * pow(sin(radians(lon - 2.3522) / 2.0), 2)
+       ))) / 1000.0, 3) AS dist_sphere_km,
+       round(6378137.0 * radians(lon), 3) AS merc_x,
+       cast((tx >> 4) % 2 + 2 * ((ty >> 4) % 2) AS VARCHAR)
+       || cast((tx >> 3) % 2 + 2 * ((ty >> 3) % 2) AS VARCHAR)
+       || cast((tx >> 2) % 2 + 2 * ((ty >> 2) % 2) AS VARCHAR)
+       || cast((tx >> 1) % 2 + 2 * ((ty >> 1) % 2) AS VARCHAR)
+       || cast(tx % 2 + 2 * (ty % 2) AS VARCHAR) AS quadkey
+FROM tiles
 ORDER BY rank
 LIMIT 10
 """
