@@ -3171,6 +3171,194 @@ def delaunay_triangles(g: Geom) -> list:
     return out
 
 
+def concave_hull(g: Geom, ratio: float = 0.3, allow_holes: bool = False) -> Geom:
+    """PostGIS/GEOS ST_ConcaveHull by edge-length ratio: Delaunay-triangulate
+    the vertices, then erode boundary triangles (chi-shape: only triangles
+    with exactly ONE boundary edge are removable, which keeps the region
+    simply connected) while the boundary edge exceeds
+    ``minEdge + ratio * (maxEdge - minEdge)`` over all Delaunay edges.
+    ratio=1 → convex hull; ratio→0 → maximally concave. ``allow_holes`` is
+    accepted for signature parity (chi erosion never creates holes)."""
+    tris = delaunay_triangles(g)
+    if not tris:
+        return convex_hull(g)
+    tri_edges = []  # per-triangle edge keys
+    edge_tris: dict = {}
+    edge_len: dict = {}
+
+    def ekey(a, b):
+        return (a, b) if a <= b else (b, a)
+
+    tset = set()
+    for i, t in enumerate(tris):
+        ring = t.coords[0]
+        vs = (tuple(ring[0]), tuple(ring[1]), tuple(ring[2]))
+        tset.add(i)
+        keys = []
+        for a, b in ((vs[0], vs[1]), (vs[1], vs[2]), (vs[2], vs[0])):
+            k = ekey(a, b)
+            keys.append(k)
+            edge_tris.setdefault(k, set()).add(i)
+            edge_len[k] = math.hypot(b[0] - a[0], b[1] - a[1])
+        tri_edges.append((vs, keys))
+    lens = sorted(edge_len.values())
+    target = lens[0] + max(0.0, min(1.0, ratio)) * (lens[-1] - lens[0])
+
+    import heapq
+
+    def border_edges_of(i):
+        return [k for k in tri_edges[i][1] if len(edge_tris[k] & tset) == 1]
+
+    heap = []
+    for k, owners in edge_tris.items():
+        if len(owners & tset) == 1:
+            heapq.heappush(heap, (-edge_len[k], k))
+    while heap:
+        negl, k = heapq.heappop(heap)
+        if -negl <= target:
+            break
+        owners = edge_tris[k] & tset
+        if len(owners) != 1:
+            continue  # stale entry
+        (i,) = owners
+        if len(tset) <= 1:
+            break
+        if len(border_edges_of(i)) != 1:
+            continue  # ear — removing would pinch or disconnect
+        tset.remove(i)
+        for k2 in tri_edges[i][1]:
+            if k2 != k and len(edge_tris[k2] & tset) == 1:
+                heapq.heappush(heap, (-edge_len[k2], k2))
+    # trace the boundary of the surviving triangle set
+    border = [k for k, owners in edge_tris.items() if len(owners & tset) == 1]
+    nxt: dict = {}
+    for a, b in border:
+        nxt.setdefault(a, []).append(b)
+        nxt.setdefault(b, []).append(a)
+    loops = []
+    seen = set()
+    for a, b in border:
+        if ekey(a, b) in seen:
+            continue
+        loop = [a, b]
+        seen.add(ekey(a, b))
+        while loop[-1] != loop[0]:
+            cur, prev = loop[-1], loop[-2]
+            outs = [v for v in nxt.get(cur, ()) if ekey(cur, v) not in seen]
+            if not outs:
+                break
+            v = outs[0] if outs[0] != prev or len(outs) == 1 else outs[1]
+            seen.add(ekey(cur, v))
+            loop.append(v)
+        if loop[-1] == loop[0] and len(loop) >= 4:
+            loops.append(loop)
+    if not loops:
+        return convex_hull(g)
+    loops.sort(key=lambda r: -abs(_ring_area2(r)))
+    shell = _ensure_ccw(loops[0])
+    return Geom("Polygon", [list(shell)])
+
+
+def maximum_inscribed_circle(g: Geom, tolerance: float | None = None):
+    """Largest circle inside a (multi)polygon — polylabel-style branch and
+    bound over quadtree cells with the upper bound d(center)+cell_radius;
+    returns ``((cx, cy), radius, (nx, ny))`` with the nearest boundary
+    point, or None for non-areal input. Default tolerance: 1e-6 of the
+    larger bbox span (exact-within-tolerance, not a heuristic)."""
+    polys = list(_polygons(g))
+    if not polys:
+        return None
+    segs = [s for rings in polys for s in _ring_segs([rings])]
+    bb = _bbox(g)
+    if bb is None or not segs:
+        return None
+    xmin, ymin, xmax, ymax = bb
+    span = max(xmax - xmin, ymax - ymin)
+    if span <= 0:
+        return None
+    tol = tolerance if tolerance is not None else span * 1e-6
+
+    def signed_dist(x, y):
+        d = math.sqrt(min(
+            point_seg_dist2(x, y, a[0], a[1], b[0], b[1]) for a, b in segs
+        ))
+        inside = any(polygon_contains_point(r, x, y) == 2 for r in polys)
+        return d if inside else -d
+
+    import heapq
+
+    h = span / 2.0
+    cells = []
+    counter = 0  # tie-break (tuples with equal priority otherwise compare cells)
+
+    def push(cx, cy, half):
+        nonlocal counter
+        d = signed_dist(cx, cy)
+        bound = d + half * math.sqrt(2.0)
+        heapq.heappush(cells, (-bound, counter, cx, cy, half, d))
+        counter += 1
+
+    # seed with a grid so long skinny polygons are covered
+    nx = max(1, int(math.ceil((xmax - xmin) / span * 4)))
+    ny = max(1, int(math.ceil((ymax - ymin) / span * 4)))
+    hx, hy = (xmax - xmin) / nx / 2.0, (ymax - ymin) / ny / 2.0
+    half0 = max(hx, hy)
+    for i in range(nx):
+        for j in range(ny):
+            push(xmin + (2 * i + 1) * hx, ymin + (2 * j + 1) * hy, half0)
+    c = centroid(g)
+    best = (-math.inf, None)
+    if c is not None:
+        d = signed_dist(c[0], c[1])
+        best = (d, (c[0], c[1]))
+    while cells:
+        negb, _, cx, cy, half, d = heapq.heappop(cells)
+        if d > best[0]:
+            best = (d, (cx, cy))
+        if -negb - best[0] <= tol:
+            continue
+        q = half / 2.0
+        for dx in (-q, q):
+            for dy in (-q, q):
+                push(cx + dx, cy + dy, q)
+    if best[1] is None or best[0] <= 0:
+        return None
+    (cx, cy), r = best[1], best[0]
+    # nearest boundary point
+    bd2, np_ = math.inf, None
+    for a, b in segs:
+        d2 = point_seg_dist2(cx, cy, a[0], a[1], b[0], b[1])
+        if d2 < bd2:
+            bd2 = d2
+            np_ = _project_on_segment((cx, cy), (a, b))
+    return (cx, cy), r, np_
+
+
+def generate_points(g: Geom, n: int, seed: int = 0) -> Geom:
+    """PostGIS ST_GeneratePoints: ``n`` deterministic pseudo-random points
+    inside a (multi)polygon (seeded rejection sampling over the bbox —
+    attempt cap keeps sliver polygons from spinning; returns fewer points
+    only in that pathological case)."""
+    import random
+
+    polys = list(_polygons(g))
+    bb = _bbox(g)
+    if not polys or bb is None or n <= 0:
+        return Geom("MultiPoint", [])
+    xmin, ymin, xmax, ymax = bb
+    rng = random.Random(seed)
+    pts = []
+    attempts = 0
+    cap = max(10000, 1000 * n)
+    while len(pts) < n and attempts < cap:
+        attempts += 1
+        x = xmin + (xmax - xmin) * rng.random()
+        y = ymin + (ymax - ymin) * rng.random()
+        if any(polygon_contains_point(r, x, y) == 2 for r in polys):
+            pts.append((x, y))
+    return Geom("MultiPoint", pts)
+
+
 def _clip_halfplane(ring, a, b, site):
     """Sutherland–Hodgman clip of convex ring to the half-plane of the
     perpendicular bisector of (site, other) containing site. a=site,
