@@ -385,6 +385,72 @@ def st_voronoipolygons(
     )(col, meta)
 
 
+def st_concavehull(
+    col: Column | str, ratio: float, meta: GeometryMeta,
+    allow_holes: bool = False,
+) -> Column:
+    """PostGIS ST_ConcaveHull(geom, ratio): chi-shape erosion of the
+    Delaunay triangulation by target edge length — ratio 1 = convex hull,
+    ratio→0 = maximally concave; polygon WKB out."""
+    return _geom_out(
+        lambda g: geom_ops.concave_hull(g, float(ratio), allow_holes)
+    )(col, meta)
+
+
+_MIC_SCHEMA = T.StructType(
+    [
+        T.StructField("center", T.BinaryType()),
+        T.StructField("nearest", T.BinaryType()),
+        T.StructField("radius", T.DoubleType()),
+    ]
+)
+
+
+def st_maximuminscribedcircle(
+    col: Column | str, meta: GeometryMeta, tolerance: float | None = None
+) -> Column:
+    """PostGIS ST_MaximumInscribedCircle: largest circle inside a
+    (multi)polygon, as struct{center WKB point, nearest WKB boundary
+    point, radius} (polylabel-style branch and bound, exact within
+    ``tolerance`` — default 1e-6 of the bbox span)."""
+    conv = _converter(meta)
+
+    @F.pandas_udf(_MIC_SCHEMA)
+    def udf(s: pd.Series) -> pd.DataFrame:
+        centers, nearests, radii = [], [], []
+        for v in _as_rows(s):
+            g = conv(v)
+            r = None if g is None else geom_ops.maximum_inscribed_circle(
+                g, tolerance
+            )
+            if r is None:
+                centers.append(None)
+                nearests.append(None)
+                radii.append(None)
+            else:
+                (cx, cy), rad, np_ = r
+                centers.append(wkb.dumps(wkb.Geom("Point", (cx, cy))))
+                nearests.append(
+                    None if np_ is None else wkb.dumps(wkb.Geom("Point", np_))
+                )
+                radii.append(rad)
+        return pd.DataFrame(
+            {"center": centers, "nearest": nearests, "radius": radii}
+        )
+
+    return udf(_prep(col, meta))
+
+
+def st_generatepoints(
+    col: Column | str, n: int, meta: GeometryMeta, seed: int = 0
+) -> Column:
+    """PostGIS ST_GeneratePoints: ``n`` seeded-deterministic points inside
+    a (multi)polygon; MultiPoint WKB out."""
+    return _geom_out(
+        lambda g: geom_ops.generate_points(g, int(n), int(seed))
+    )(col, meta)
+
+
 def _binary_geom_fn(fn, dtype):
     """(Geom, Geom -> value|None) lifted to a 2-column function."""
 

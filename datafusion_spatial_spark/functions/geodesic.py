@@ -23,7 +23,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datafusion_spatial_spark import geom_ops, wkb
+from datafusion_spatial_spark import geom_ops
 from datafusion_spatial_spark.functions.accessors import _geom_out, _unary
 from datafusion_spatial_spark.functions.scalar import POINT_META, st_point, st_x, st_y
 from datafusion_spatial_spark.meta import GeometryMeta
@@ -64,7 +64,13 @@ def st_distancespheroid(
 ) -> Column:
     """PostGIS ST_DistanceSpheroid for point inputs on WGS84 — Andoyer's
     first-order flattening correction (~meter accuracy at continental
-    range), pure Catalyst."""
+    range), pure Catalyst.
+
+    Accuracy note: the first-order series degrades near antipodal pairs
+    (omega → π/2, where c → 0 and the h2 term blows up); those pairs, and
+    the exactly-coincident/polar ones (s·c == 0), fall back to spheroid-
+    scaled haversine (good to ~0.5% — the flattening magnitude — which
+    beats a divergent series)."""
     lat1, lat2 = F.radians(st_y(a, meta_a)), F.radians(st_y(b, meta_b))
     lon1, lon2 = F.radians(st_x(a, meta_a)), F.radians(st_x(b, meta_b))
     fm = (lat1 + lat2) / 2  # F
@@ -81,7 +87,7 @@ def st_distancespheroid(
         h1 * F.pow(F.sin(fm), 2) * F.pow(F.cos(gm), 2)
         - h2 * F.pow(F.cos(fm), 2) * F.pow(F.sin(gm), 2)
     )
-    return F.when(s * c == 0, _haversine_expr(
+    return F.when((s * c == 0) | (c < F.lit(1e-6)), _haversine_expr(
         st_x(a, meta_a), st_y(a, meta_a), st_x(b, meta_b), st_y(b, meta_b)
     ) * F.lit(WGS84_A / EARTH_RADIUS)).otherwise(d * corr)
 

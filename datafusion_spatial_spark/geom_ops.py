@@ -3210,9 +3210,11 @@ def concave_hull(g: Geom, ratio: float = 0.3, allow_holes: bool = False) -> Geom
         return [k for k in tri_edges[i][1] if len(edge_tris[k] & tset) == 1]
 
     heap = []
+    boundary_vs = set()
     for k, owners in edge_tris.items():
         if len(owners & tset) == 1:
             heapq.heappush(heap, (-edge_len[k], k))
+            boundary_vs.update(k)
     while heap:
         negl, k = heapq.heappop(heap)
         if -negl <= target:
@@ -3225,7 +3227,15 @@ def concave_hull(g: Geom, ratio: float = 0.3, allow_holes: bool = False) -> Geom
             break
         if len(border_edges_of(i)) != 1:
             continue  # ear — removing would pinch or disconnect
+        # Duckham chi-shape regularity: the vertex opposite the border edge
+        # must be interior; removing a triangle whose apex already lies on
+        # the boundary would pinch the region there and strand that input
+        # vertex outside the hull
+        (apex,) = [v for v in tri_edges[i][0] if v not in k]
+        if apex in boundary_vs:
+            continue
         tset.remove(i)
+        boundary_vs.add(apex)
         for k2 in tri_edges[i][1]:
             if k2 != k and len(edge_tris[k2] & tset) == 1:
                 heapq.heappush(heap, (-edge_len[k2], k2))

@@ -80,6 +80,7 @@ _FUNCTIONS = {
     "ST_NODE": (_ac.st_node, _WKB),
     "ST_POLYGONIZE": (_ac.st_polygonize, None),
     "ST_LENGTHSPHERE": (_gd.st_lengthsphere, None),
+    "ST_MAXIMUMINSCRIBEDCIRCLE": (_ac.st_maximuminscribedcircle, None),
 }
 
 # 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)
@@ -114,6 +115,12 @@ _FUNCTIONS_GEOM_NUM = {
     ),
     "ST_POINTN": (lambda col, n, meta: _ac.st_pointn(col, int(n), meta), _WKB),
     "ST_QUADKEY": (lambda col, z, meta: _gd.st_quadkey(col, int(z), meta), None),
+    "ST_CONCAVEHULL": (
+        lambda col, r, meta: _ac.st_concavehull(col, float(r), meta), _WKB
+    ),
+    "ST_GENERATEPOINTS": (
+        lambda col, n, meta: _ac.st_generatepoints(col, int(n), meta), _WKB
+    ),
 }
 
 _AGG_EXTENT = "ST_EXTENT"

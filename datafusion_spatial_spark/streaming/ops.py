@@ -19,30 +19,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns epoch (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (ns→µs ts fixup applied,
-    matching sources/tables.py)."""
+    """File-source stream over the events table.
+
+    The streaming file source needs a user-declared schema, so unlike the
+    batch loader we must sniff the parquet's physical ``ts`` type first:
+    driver-generated data has shipped both INT64 TIMESTAMP(NANOS) (read as
+    long via ``nanosAsLong``, then ns→µs floor-divided, matching
+    sources/tables.py) and plain ``timestamp[us]`` (read natively; dividing
+    it again would shrink the event-time span 1000× and stall every
+    watermark, which showed up as an append-mode stream emitting 0 rows).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
     from datafusion_spatial_spark.sources.tables import _ensure_session_confs
 
     _ensure_session_confs(spark)
+    t = papq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    native_ts = pa.types.is_timestamp(t) and t.unit in ("s", "ms", "us")
+    schema = _events_schema(
+        T.TimestampType() if native_ts else T.LongType()
+    )
     # the file source requires a directory; glob-filter to the events table
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if native_ts:
+        return raw
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -153,9 +172,25 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append"):
+def run_to_memory(
+    stream: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    flush_timeout: float = 30.0,
+):
     """Drive a (finite file-source) stream to completion into a memory sink;
-    returns the bound table name. Caller: ``spark.table(name)``."""
+    returns the bound table name. Caller: ``spark.table(name)``.
+
+    Append-mode watermarked aggregations only emit a window when the
+    watermark passes its end — and that happens in a **no-data micro-batch**
+    the engine schedules *after* the last data batch commits its new
+    watermark. ``processAllAvailable()`` returns as soon as all source
+    offsets are processed, i.e. possibly before that flush batch, so
+    stopping there races dropped output (observed: 0 rows from a green
+    query). For stateful append streams we therefore wait until a
+    zero-input batch has committed before stopping."""
+    import time
+
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -163,6 +198,15 @@ def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append"):
         .start()
     )
     q.processAllAvailable()
+    progress = q.recentProgress
+    stateful = any(p.get("stateOperators") for p in progress)
+    if output_mode == "append" and stateful:
+        deadline = time.monotonic() + flush_timeout
+        while time.monotonic() < deadline:
+            if any(p["numInputRows"] == 0 for p in q.recentProgress):
+                q.processAllAvailable()  # make sure the flush batch is fully committed
+                break
+            time.sleep(0.1)
     q.stop()
     return name
 

@@ -282,3 +282,82 @@ def test_shortestline_hausdorff_angle(spark):
     )
     ang = pts.select(st_angle("p1", "p2", "p3", PT).alias("a")).collect()[0].a
     assert abs(ang - 3 * math.pi / 2) < 1e-12
+
+
+def test_concave_hull_tighter_than_convex(spark):
+    from datafusion_spatial_spark.functions.accessors import st_concavehull
+
+    # U-shape: dense rim of a square minus its open top — a low-ratio
+    # concave hull should carve into the notch, a ratio-1 hull equals convex
+    pts = []
+    for i in range(11):
+        t = i / 10.0
+        pts += [(t * 4, 0.0), (0.0, t * 4), (4.0, t * 4)]
+    pts += [(1.0, 4.0), (3.0, 4.0), (1.0, 1.0), (3.0, 1.0), (2.0, 0.5)]
+    mp = "MULTIPOINT (" + ", ".join(f"({x} {y})" for x, y in pts) + ")"
+    df = wdf(spark, mp)
+    row = df.select(
+        st_area(st_concavehull("g", 0.2, W), W).alias("concave"),
+        st_area(st_concavehull("g", 1.0, W), W).alias("ratio1"),
+        st_area(F.col("g"), W).alias("zero"),
+    ).collect()[0]
+    hull_area = G.area(G.convex_hull(wkb.from_wkt(mp)))
+    assert abs(row.ratio1 - hull_area) < 1e-9
+    assert 0 < row.concave < hull_area - 1e-9
+    # every input vertex stays covered by the concave hull
+    hull_wkb = df.select(st_concavehull("g", 0.2, W).alias("h")).collect()[0].h
+    hull = wkb.loads(hull_wkb)
+    for x, y in pts:
+        assert G.intersects(hull, wkb.Geom("Point", (x, y)))
+
+
+def test_maximum_inscribed_circle_square(spark):
+    from datafusion_spatial_spark.functions.accessors import (
+        st_maximuminscribedcircle,
+    )
+
+    df = wdf(spark, "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")
+    row = df.select(
+        st_maximuminscribedcircle("g", W).alias("mic")
+    ).select("mic.*").collect()[0]
+    assert abs(row.radius - 1.0) < 1e-4
+    cx, cy = wkb.loads(row.center).coords
+    assert abs(cy - 1.0) < 1e-3 and 1.0 - 1e-3 <= cx <= 3.0 + 1e-3
+    nx, ny = wkb.loads(row.nearest).coords
+    assert min(abs(ny - 0.0), abs(ny - 2.0), abs(nx), abs(nx - 4.0)) < 1e-3
+    # non-areal input -> NULL struct fields
+    ln = wdf(spark, "LINESTRING (0 0, 1 1)")
+    r2 = ln.select(st_maximuminscribedcircle("g", W).alias("m")).collect()[0].m
+    assert r2.radius is None and r2.center is None
+
+
+def test_generate_points_deterministic_inside(spark):
+    from datafusion_spatial_spark.functions.accessors import st_generatepoints
+
+    poly = "POLYGON ((0 0, 10 0, 10 5, 0 5, 0 0), (4 1, 6 1, 6 4, 4 4, 4 1))"
+    df = wdf(spark, poly)
+    a = df.select(st_generatepoints("g", 40, W, seed=7).alias("p")).collect()[0].p
+    b = df.select(st_generatepoints("g", 40, W, seed=7).alias("p")).collect()[0].p
+    assert a == b  # seeded-deterministic bytes
+    g = wkb.loads(a)
+    assert g.type_name == "MultiPoint" and len(g.coords) == 40
+    shell = wkb.from_wkt(poly)
+    for x, y in g.coords:
+        assert G.intersects(shell, wkb.Geom("Point", (x, y)))
+
+
+def test_concave_hull_sql_resolver(spark, tmp_path):
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    df = wdf(spark, "MULTIPOINT ((0 0), (4 0), (4 4), (0 4), (2 1))").select(
+        F.col("g").alias("geometry")
+    )
+    ssql = SpatialSQL(spark)
+    ssql.register_view("chull_t", with_geo_meta(df, "geometry", W))
+    out = ssql.sql(
+        "SELECT ST_Area(ST_ConcaveHull(geometry, 1.0)) AS a, "
+        "ST_AsText(ST_GeneratePoints(geometry, 0)) AS empty_mp FROM chull_t"
+    ).collect()[0]
+    assert abs(out.a - 16.0) < 1e-9
+    assert out.empty_mp == "MULTIPOINT EMPTY"
