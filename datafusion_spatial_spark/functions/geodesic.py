@@ -98,6 +98,13 @@ def st_lengthsphere(col: Column | str, meta: GeometryMeta) -> Column:
     return _unary(geom_ops.geodesic_length, T.DoubleType())(col, meta)
 
 
+def st_areasphere(col: Column | str, meta: GeometryMeta) -> Column:
+    """Geodesic area (m²) of areal members on the mean-radius sphere —
+    Chamberlain–Duquette spherical excess per ring, shells minus holes
+    (PostGIS ST_Area(geography) analog); Arrow-batched kernel."""
+    return _unary(geom_ops.spherical_area, T.DoubleType())(col, meta)
+
+
 def st_transform(
     col: Column | str,
     src_srid: int,

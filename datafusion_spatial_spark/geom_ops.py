@@ -3021,6 +3021,30 @@ def geodesic_length(g: Geom) -> float:
     return total
 
 
+def spherical_area(g: Geom) -> float:
+    """Geodesic area (m²) of the AREAL members on the mean-radius sphere —
+    Chamberlain–Duquette spherical-excess sum per ring (lon/lat degrees
+    in; shells minus holes). The PostGIS ``ST_Area(geography)`` analog up
+    to the sphere-vs-spheroid difference (~0.3%); exact on the sphere for
+    great-circle-edged rings, and for the small edges of real data the
+    rhumb-vs-great-circle difference is far below that."""
+
+    def ring_area(ring) -> float:
+        s = 0.0
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+            s += math.radians(x2 - x1) * (
+                2.0 + math.sin(math.radians(y1)) + math.sin(math.radians(y2))
+            )
+        return abs(s) * EARTH_RADIUS * EARTH_RADIUS / 2.0
+
+    total = 0.0
+    for rings in _polygons(g):
+        total += ring_area(rings[0])
+        for hole in rings[1:]:
+            total -= ring_area(hole)
+    return total
+
+
 _MERC_R = 6378137.0  # spherical Web-Mercator radius (EPSG:3857)
 
 

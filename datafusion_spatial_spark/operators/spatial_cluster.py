@@ -148,3 +148,57 @@ def cluster_dbscan(
     ).union(border.select(F.col("__ida").alias("__cid"), "__cluster"))
     out = work.join(labels, "__cid", "left").withColumn(out_col, F.col("__cluster"))
     return out.drop("__cluster", "__cid")
+
+
+def cluster_kmeans(
+    df: DataFrame,
+    geom_col: str,
+    meta: GeometryMeta,
+    k: int,
+    id_col: str | None = None,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """PostGIS ST_ClusterKMeans as a set-level operator: adds
+    ``cluster_id`` (0..k-1) per row from k-means over the geometries' bbox
+    centers.
+
+    PostGIS runs this as a window function buffering the whole partition
+    on one node; here it is Spark ML KMeans — the canonical distributed
+    shape (broadcast centroids, map-side assignment, tree-aggregated
+    updates), so it scales to any row count. Cluster ids are renumbered by
+    ascending centroid (x, y) so results are deterministic for a fixed
+    seed regardless of ML's internal centroid order. Rows with null/empty
+    geometry get NULL cluster_id (PostGIS contract)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    from datafusion_spatial_spark.functions.scalar import st_bbox
+
+    b = st_bbox(geom_col, meta)
+    work = _with_ids(df, id_col).withColumn("__bbox", b)
+    feat = work.filter(F.col("__bbox").isNotNull()).withColumn(
+        "__cx", (F.col("__bbox.xmin") + F.col("__bbox.xmax")) / 2.0
+    ).withColumn("__cy", (F.col("__bbox.ymin") + F.col("__bbox.ymax")) / 2.0)
+    asm = VectorAssembler(inputCols=["__cx", "__cy"], outputCol="__features")
+    vec = asm.transform(feat)
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, featuresCol="__features",
+        predictionCol="__raw_cluster",
+    ).fit(vec)
+    # stable renumbering: ascending centroid (x, y)
+    order = sorted(
+        range(k), key=lambda i: (model.clusterCenters()[i][0],
+                                 model.clusterCenters()[i][1])
+    )
+    remap = {raw: new for new, raw in enumerate(order)}
+    mapping = F.create_map(
+        *[F.lit(v) for kv in remap.items() for v in kv]
+    )
+    labeled = model.transform(vec).select(
+        "__cid", mapping[F.col("__raw_cluster")].alias("cluster_id")
+    )
+    return (
+        work.join(labeled, "__cid", "left")
+        .drop("__bbox", "__cid")
+    )

@@ -80,6 +80,7 @@ _FUNCTIONS = {
     "ST_NODE": (_ac.st_node, _WKB),
     "ST_POLYGONIZE": (_ac.st_polygonize, None),
     "ST_LENGTHSPHERE": (_gd.st_lengthsphere, None),
+    "ST_AREASPHERE": (_gd.st_areasphere, None),
     "ST_MAXIMUMINSCRIBEDCIRCLE": (_ac.st_maximuminscribedcircle, None),
 }
 

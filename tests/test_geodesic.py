@@ -193,3 +193,34 @@ def test_sql_resolver_geodesic(spark):
     ).collect()[0]
     assert abs(r.d - G.haversine_m(*PARIS, *LONDON)) < 1e-6
     assert len(r.qk) == 5
+
+
+def test_st_areasphere_equator_square(spark):
+    import math
+
+    from datafusion_spatial_spark.functions.geodesic import st_areasphere
+    from datafusion_spatial_spark.geom_ops import EARTH_RADIUS
+
+    # 1x1 degree lon/lat rectangle at the equator, with a half-degree hole;
+    # Chamberlain-Duquette is exact for parallel-bounded rectangles:
+    # A = R^2 * dLon * (sin latN - sin latS)
+    outer = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    holed = (
+        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0), "
+        "(0.25 0.25, 0.75 0.25, 0.75 0.75, 0.25 0.75, 0.25 0.25))"
+    )
+    from datafusion_spatial_spark.functions import st_geomfromtext
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    df = spark.createDataFrame([(outer,), (holed,)], "wkt string").select(
+        st_areasphere(
+            st_geomfromtext("wkt"), GeometryMeta(encoding="WKB")
+        ).alias("a")
+    ).collect()
+    rad = math.pi / 180.0
+    a_outer = EARTH_RADIUS**2 * rad * math.sin(rad)
+    a_hole = EARTH_RADIUS**2 * (0.5 * rad) * (
+        math.sin(0.75 * rad) - math.sin(0.25 * rad)
+    )
+    assert abs(df[0].a - a_outer) / a_outer < 1e-12
+    assert abs(df[1].a - (a_outer - a_hole)) / a_outer < 1e-12

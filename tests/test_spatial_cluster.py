@@ -92,3 +92,32 @@ def test_dbscan_two_dense_blobs_stay_separate(spark):
     got = {r.id: r.cluster_id for r in out}
     assert got[0] == got[1] == got[2] == 0
     assert got[3] == got[4] == got[5] == 3
+
+
+def test_cluster_kmeans_two_blobs(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from datafusion_spatial_spark.meta import GeometryMeta
+    from datafusion_spatial_spark.operators.spatial_cluster import cluster_kmeans
+
+    meta = GeometryMeta(encoding="point", geometry_types=("Point",))
+    rows = []
+    for i in range(30):
+        rows.append((i, 0.0 + (i % 5) * 0.1, 0.0 + (i % 7) * 0.1))     # blob A
+        rows.append((100 + i, 50.0 + (i % 5) * 0.1, 50.0 + (i % 7) * 0.1))  # blob B
+    df = spark.createDataFrame(rows, "id long, x double, y double").withColumn(
+        "geom", st_point(F.col("x"), F.col("y"))
+    )
+    out = cluster_kmeans(df, "geom", meta, k=2, id_col="id")
+    got = {r.id: r.cluster_id for r in out.collect()}
+    # centroid renumbering: blob A (lower x) is cluster 0, blob B cluster 1
+    assert all(got[i] == 0 for i in range(30))
+    assert all(got[100 + i] == 1 for i in range(30))
+
+    # null geometry -> NULL cluster_id
+    df2 = df.withColumn(
+        "geom", F.when(F.col("id") == 0, F.lit(None)).otherwise(F.col("geom"))
+    )
+    out2 = cluster_kmeans(df2, "geom", meta, k=2, id_col="id")
+    assert out2.filter(F.col("id") == 0).collect()[0].cluster_id is None
