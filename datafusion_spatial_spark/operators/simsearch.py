@@ -19,6 +19,7 @@ from __future__ import annotations
 import math
 import random
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -269,3 +270,157 @@ def ivf_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization): compressed-domain ANN
+#
+# IVF prunes WHICH rows a probe scans; PQ shrinks WHAT each row costs.
+# Vectors are L2-normalized, split into m subvectors, and each subvector is
+# replaced by the id of its nearest codeword (2^nbits-entry codebook per
+# subspace) — e.g. a 768-dim float32 embedding (3 KB) becomes m=8 bytes,
+# a ~400x compression that turns a 100 TB embedding corpus into a fraction
+# the scan/shuffle/cache cost. Queries score candidates WITHOUT
+# reconstructing vectors: a per-query lookup table LUT[j][c] =
+# dot(q_j, codebook_j[c]) is built driver-side (tiny) and folded into a
+# pure-Catalyst expression — the scan stays JVM-side and map-only
+# (asymmetric distance computation, as in FAISS IVFPQ/the original
+# Jegou et al. 2011 paper). Optional exact rerank joins the true vectors
+# back for the short candidate list only.
+
+
+def _l2_normalize_np(X):
+    import numpy as np
+
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return X / n
+
+
+def _kmeans_np(X, k: int, iters: int = 25, seed: int = 0):
+    """Deterministic Lloyd's k-means (numpy, driver-side) for codebook
+    training on a bounded sample — no Spark-ML dependency per subspace."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    idx = rng.choice(len(X), size=k, replace=False)
+    C = X[idx].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    nbits: int = 4,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: ``m`` subspaces x ``2^nbits`` codewords each,
+    k-means on an L2-normalized driver-side sample (bounded by
+    ``sample_size`` — codebooks need thousands of examples, not the
+    corpus; the expensive full-corpus step is ``pq_encode``, which is
+    distributed). Vector dim must be divisible by ``m``."""
+    import numpy as np
+
+    sample = df.select(_vec(vec_col).alias("v")).limit(sample_size).collect()
+    X = _l2_normalize_np(np.array([r.v for r in sample], dtype=np.float64))
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    k = 1 << nbits
+    books = []
+    for j in range(m):
+        C = _kmeans_np(X[:, j * sub : (j + 1) * sub], k, seed=seed + j)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """Add ``pq_code`` (array<int>, length m): per-subspace nearest-codeword
+    ids of the L2-normalized vector. Arrow-batched pandas UDF, fully
+    vectorized per batch; map-only, so it scales with the scan. At 100 TB
+    you would persist (id, pq_code) — m bytes/row — as the search table."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(s: pd.Series) -> pd.Series:
+        X = _l2_normalize_np(np.array(list(s), dtype=np.float64))
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+            d2 = (
+                -2.0 * Xj @ books[j].T
+                + (books[j] ** 2).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series([list(map(int, row)) for row in codes])
+
+    return df.withColumn("pq_code", encode(_vec(vec_col)))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    rerank: DataFrame | None = None,
+    vec_col: str | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """ANN top-k over PQ codes by asymmetric distance: the per-query LUT is
+    embedded as a nested array literal and the approximate cosine is
+    ``aggregate(zip_with(pq_code, LUT, (c, row) -> row[c]), sum)`` — pure
+    Catalyst, no Python, no vector column read. With ``rerank`` (a frame
+    carrying ``id_col`` + ``vec_col``) the top ``k*rerank_factor``
+    candidates are re-scored exactly and the final top-k is exact over
+    that candidate set (standard PQ-then-rerank)."""
+    import math as _m
+
+    qn = _m.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
+    qv = [float(x) / qn for x in query]
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    lut = [
+        [
+            sum(qv[j * sub + t] * c[t] for t in range(sub))
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    partials = F.zip_with(
+        F.col("pq_code"), lut_lit, lambda c, row: F.element_at(row, c + 1)
+    )
+    approx = F.aggregate(partials, F.lit(0.0), lambda acc, x: acc + x)
+    scored = encoded.select(F.col(id_col), approx.alias("approx_score"))
+    n_cand = k * rerank_factor if rerank is not None else k
+    cand = scored.orderBy(F.desc("approx_score"), F.col(id_col)).limit(n_cand)
+    if rerank is None:
+        return cand
+    if vec_col is None:
+        raise ValueError("vec_col required when rerank frame is given")
+    q = F.array(*[F.lit(float(x)) for x in query])
+    exact = (
+        cand.join(rerank.select(F.col(id_col), _vec(vec_col).alias("__v")), id_col)
+        .select(F.col(id_col), cosine(F.col("__v"), q).alias("score"))
+    )
+    return exact.orderBy(F.desc("score"), F.col(id_col)).limit(k)

@@ -341,3 +341,44 @@ def test_cosine_near_dup_pairs_on_embeddings(spark, emb):
     ).collect()
     # verified-exact: every reported pair really is >= 0.9
     assert all(r.score >= 0.9 for r in out)
+
+
+def test_pq_compressed_ann(spark, emb):
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = list(qrow.embedding)
+    exact = [
+        r.vec_id
+        for r in simsearch.cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()
+    ]
+    books = simsearch.pq_train(emb, "embedding", m=16, nbits=4)
+    assert len(books) == 16 and len(books[0]) == 16 and len(books[0][0]) == 4
+    enc = simsearch.pq_encode(emb, "embedding", books)
+    code0 = enc.filter(F.col("vec_id") == 0).collect()[0].pq_code
+    assert len(code0) == 16 and all(0 <= c < 16 for c in code0)
+
+    # compressed-domain scan (no rerank): query vector itself must surface
+    approx = [
+        r.vec_id
+        for r in simsearch.pq_topk(enc, books, "vec_id", q, k=10).collect()
+    ]
+    assert 0 in approx
+    assert len(set(exact) & set(approx)) >= 4  # ADC recall on 16x compression
+
+    # exact rerank of the PQ shortlist: the top hit is the query vector and
+    # scores are true cosines (monotone non-increasing, top == 1.0)
+    rr = simsearch.pq_topk(
+        enc, books, "vec_id", q, k=5,
+        rerank=emb, vec_col="embedding", rerank_factor=6,
+    ).collect()
+    assert rr[0].vec_id == 0 and abs(rr[0].score - 1.0) < 1e-9
+    scores = [r.score for r in rr]
+    assert scores == sorted(scores, reverse=True)
+    assert len(set(exact[:5]) & {r.vec_id for r in rr}) >= 3
+
+    # the ADC scan is pure Catalyst: once the (id, pq_code) search table is
+    # materialized (as it would be persisted at scale), the scoring plan has
+    # no Python eval at all
+    codes = enc.drop("embedding").localCheckpoint()
+    plan = simsearch.pq_topk(codes, books, "vec_id", q, k=10)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
