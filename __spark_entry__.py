@@ -731,10 +731,13 @@ def _q_st_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # geodesic columns (functions/geodesic.py, all pure Catalyst): a synthetic
     # lon/lat derived from custkey, checked value-exact against the DuckDB
-    # closed forms — verifies haversine, Web-Mercator forward, quadkey tiles.
+    # closed forms — verifies haversine, Web-Mercator forward, quadkey tiles,
+    # and the Hilbert layout key (functions/indexing.py — the oracle mirrors
+    # the rotate/flip fold with a recursive CTE).
     from datafusion_spatial_spark.functions.geodesic import (
         st_distancesphere, st_quadkey, st_transform_point,
     )
+    from datafusion_spatial_spark.functions.indexing import st_hilbert
 
     lon = (F.col("custkey") % 360 - 180).cast("double") + F.lit(0.5)
     lat = (F.col("custkey") % 170 - 85).cast("double") + F.lit(0.25)
@@ -749,12 +752,16 @@ def _q_st_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist_sphere_km", F.round(st_distancesphere(probe, cpt) / 1000.0, 3))
         .withColumn("merc_x", F.round(st_transform_point(cpt, 4326, 3857)["x"], 3))
         .withColumn("quadkey", st_quadkey(cpt, 5))
+        .withColumn(
+            "hkey",
+            st_hilbert(cpt, point_meta, (-180.0, -90.0, 180.0, 90.0), level=8),
+        )
         .orderBy("rank")
     )
 
 
 _Q_ST_DISTANCE_ORACLE = """
-WITH topk AS (
+WITH RECURSIVE topk AS (
   SELECT c_custkey AS custkey,
          round(sqrt((c_acctbal - 5000) * (c_acctbal - 5000)
                     + (cast(c_custkey AS DOUBLE) - 75) * (cast(c_custkey AS DOUBLE) - 75)), 6) AS dist,
@@ -773,6 +780,31 @@ WITH topk AS (
          greatest(0, least(cast(floor(32.0 * (lon + 180.0) / 360.0) AS BIGINT), 31)) AS tx,
          greatest(0, least(cast(floor(32.0 * (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0) AS BIGINT), 31)) AS ty
   FROM geo
+), hseed AS (
+  -- level-8 Hilbert key over extent (-180,-90,180,90): quantize to the
+  -- 256x256 grid, then the canonical rotate/flip fold as a recursive CTE
+  -- (mirrors functions/indexing.py hilbert_xy2d exactly)
+  SELECT custkey,
+         greatest(0, least(cast(floor((lon + 180.0) / 360.0 * 256.0) AS BIGINT), 255)) AS x,
+         greatest(0, least(cast(floor((lat + 90.0) / 180.0 * 256.0) AS BIGINT), 255)) AS y
+  FROM tiles
+), hfold AS (
+  SELECT custkey, x, y, CAST(0 AS BIGINT) AS d, CAST(128 AS BIGINT) AS s FROM hseed
+  UNION ALL
+  SELECT custkey,
+    CASE WHEN (y // s) % 2 = 0
+         THEN CASE WHEN (x // s) % 2 = 1 THEN 255 - y ELSE y END
+         ELSE x END,
+    CASE WHEN (y // s) % 2 = 0
+         THEN CASE WHEN (x // s) % 2 = 1 THEN 255 - x ELSE x END
+         ELSE y END,
+    d + s * s * (CASE WHEN (x // s) % 2 = 1
+                      THEN CASE WHEN (y // s) % 2 = 1 THEN 2 ELSE 3 END
+                      ELSE (y // s) % 2 END),
+    s // 2
+  FROM hfold WHERE s > 0
+), hkeys AS (
+  SELECT custkey, d AS hkey FROM hfold WHERE s = 0
 )
 SELECT custkey, dist, rank,
        round(2.0 * 6371008.8 * asin(least(1.0, sqrt(
@@ -785,8 +817,9 @@ SELECT custkey, dist, rank,
        || cast((tx >> 3) % 2 + 2 * ((ty >> 3) % 2) AS VARCHAR)
        || cast((tx >> 2) % 2 + 2 * ((ty >> 2) % 2) AS VARCHAR)
        || cast((tx >> 1) % 2 + 2 * ((ty >> 1) % 2) AS VARCHAR)
-       || cast(tx % 2 + 2 * (ty % 2) AS VARCHAR) AS quadkey
-FROM tiles
+       || cast(tx % 2 + 2 * (ty % 2) AS VARCHAR) AS quadkey,
+       hkey
+FROM tiles JOIN hkeys USING (custkey)
 ORDER BY rank
 LIMIT 10
 """

@@ -351,6 +351,53 @@ def _wkb_y_udf(s: pd.Series) -> pd.Series:
     )
 
 
+def st_z(col: Column | str, meta: GeometryMeta = POINT_META) -> Column:
+    """Z of a point, NULL when the geometry has no Z (PostGIS ST_Z)."""
+    if meta.is_wkb:
+        return _wkb_z_udf(_c(col))
+    col, meta = to_separated(_c(col), meta)
+    if not meta.has_z:
+        return F.lit(None).cast("double")
+    return col["z"]
+
+
+def st_m(col: Column | str, meta: GeometryMeta = POINT_META) -> Column:
+    """M of a point, NULL when the geometry carries no measure (ST_M)."""
+    if meta.is_wkb:
+        return _wkb_m_udf(_c(col))
+    col, meta = to_separated(_c(col), meta)
+    if not meta.has_m:
+        return F.lit(None).cast("double")
+    return col["m"]
+
+
+def _pt_extra_dim(b, want: str):
+    g = _wkb.loads(bytes(b))
+    if g.type_name != "Point" or g.is_empty:
+        return None
+    if want == "z":
+        return g.coords[2] if g.has_z else None
+    if not g.has_m:
+        return None
+    return g.coords[3] if g.has_z else g.coords[2]
+
+
+@F.pandas_udf(T.DoubleType())
+def _wkb_z_udf(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda b: _pt_extra_dim(b, "z") if b is not None else None,
+        na_action="ignore",
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _wkb_m_udf(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda b: _pt_extra_dim(b, "m") if b is not None else None,
+        na_action="ignore",
+    )
+
+
 def st_isempty(col: Column | str, meta: GeometryMeta) -> Column:
     """README.md:13. Native: pure SQL on sizes / NaN; WKB: codec UDF."""
     col = _c(col)

@@ -50,6 +50,8 @@ _FUNCTIONS = {
     "ST_ASBINARY": (_sc.st_asbinary, _WKB),
     "ST_X": (_sc.st_x, None),
     "ST_Y": (_sc.st_y, None),
+    "ST_Z": (_sc.st_z, None),
+    "ST_M": (_sc.st_m, None),
     "ST_AREA": (_pr.st_area, None),
     "ST_LENGTH": (_pr.st_length, None),
     "ST_ISSIMPLE": (_pr.st_issimple, None),

@@ -305,3 +305,36 @@ def geofence_alerts(
         .withColumn("fence_id", F.col("__fid"))
         .drop("__pbox", "__fbox", "__fgeom", "__fid")
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    interval: str = "15 minutes",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with an event-time interval
+    bound: right rows within ``[left_ts, left_ts + interval]`` of a
+    matching left row.
+
+    Both sides MUST carry watermarks and the join condition MUST bound
+    event time — that is what lets Spark expire buffered state instead of
+    holding both streams forever (state size ~ watermark horizon x input
+    rate, independent of stream length — the only shape that survives an
+    unbounded 100 TB/day stream). Inner matches emit eagerly; outer rows
+    emit once the watermark proves no match can arrive."""
+    lf = left.withWatermark(left_ts, watermark).alias("l")
+    rf = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {interval}")
+        )
+    )
+    return lf.join(rf, cond, how)

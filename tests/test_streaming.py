@@ -179,3 +179,47 @@ def test_geofence_alerts_stream(spark, sf_dir):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_batch):
+    views = ops.stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    purchases = (
+        ops.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = ops.stream_stream_join(
+        views.select("user_id", "ts", "event_id"),
+        purchases.withColumnRenamed("p_user", "user_id"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        interval="30 minutes",
+        watermark="2 hours",
+    ).select("l.user_id", "event_id", "ts", "p_ts", "p_value")
+    name = ops.run_to_memory(joined, "ssj_out")
+    got = {
+        (r.user_id, r.event_id, r.p_ts) for r in spark.table(name).collect()
+    }
+
+    bv = events_batch.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    bp = events_batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+    )
+    want = {
+        (r.user_id, r.event_id, r.p_ts)
+        for r in bv.join(
+            bp,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("p_ts") >= F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    # inner stream-stream matches emit eagerly: exact batch equivalence
+    assert got == want and got

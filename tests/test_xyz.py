@@ -184,3 +184,23 @@ class TestNativeM:
         # 2-D measures don't perturb geometry: length ignores m
         from datafusion_spatial_spark import geom_ops as G
         assert G.length(g) == 5.0
+
+
+def test_st_z_st_m_accessors(spark):
+    from datafusion_spatial_spark.functions import st_geomfromtext, st_m, st_x, st_z
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    W = GeometryMeta(encoding="WKB")
+    df = spark.createDataFrame(
+        [("POINT ZM (1 2 3 4)",), ("POINT Z (1 2 3)",),
+         ("POINT M (1 2 4)",), ("POINT (1 2)",)],
+        "wkt string",
+    ).select(st_geomfromtext("wkt").alias("g"), "wkt")
+    rows = {r.wkt: (r.x, r.z, r.m) for r in df.select(
+        "wkt", st_x("g", W).alias("x"), st_z("g", W).alias("z"),
+        st_m("g", W).alias("m"),
+    ).collect()}
+    assert rows["POINT ZM (1 2 3 4)"] == (1.0, 3.0, 4.0)
+    assert rows["POINT Z (1 2 3)"] == (1.0, 3.0, None)
+    assert rows["POINT M (1 2 4)"] == (1.0, None, 4.0)
+    assert rows["POINT (1 2)"] == (1.0, None, None)
