@@ -479,6 +479,7 @@ st_shortestline = _binary_geom_fn(_shortest_line_wkb, T.BinaryType())
 st_hausdorffdistance = _binary_geom_fn(
     geom_ops.hausdorff_distance, T.DoubleType()
 )
+st_3ddistance = _binary_geom_fn(geom_ops.distance_3d, T.DoubleType())
 
 
 def st_angle(

@@ -10,13 +10,14 @@ consecutive keys are always 4-adjacent cells, no diagonal jumps across the
 map), and it is what Delta Lake's OPTIMIZE ZORDER and Iceberg's
 ``hilbert(...)`` transform compute on the JVM side.
 
-This implementation is **pure Catalyst**: the classic per-level
-rotate-and-flip fold (Hamilton's algorithm, the public-domain form on the
-Hilbert-curve Wikipedia page) is unrolled over a fixed number of levels
-into bit-arithmetic column expressions, so key computation runs inside
-whole-stage codegen — no Python in the write path of a 100 TB re-layout
-job. A driver-side Python mirror (``hilbert_xy2d``) backs cell-covering
-enumeration and tests.
+This implementation is **pure Catalyst** in two forms: an expression form
+(:func:`st_hilbert` — the per-level rotate-and-flip fold as an
+``aggregate`` higher-order function, for use inside any query and
+mirrorable in oracle SQL) and a bulk form (:func:`with_hilbert_key` — the
+same fold as a codegen-collapsed chain of per-level projections, for the
+100 TB re-layout write path). No Python in either hot path. A driver-side
+Python mirror (``hilbert_xy2d``) backs cell-covering enumeration and
+tests.
 
 The reference has no storage-layout surface (it is a query-side extension;
 reference src/lib.rs:1-6) — this is Spark-first extension surface.
@@ -150,3 +151,63 @@ def hilbert_covering_cells(
         for cy in range(y0, y1 + 1)
     }
     return sorted(out)
+
+
+def with_hilbert_key(
+    df,
+    geom_col: str,
+    meta: GeometryMeta,
+    extent: tuple[float, float, float, float],
+    level: int = DEFAULT_LEVEL,
+    key_col: str = "hkey",
+):
+    """DataFrame-level Hilbert key: same fold as :func:`st_hilbert`, but
+    unrolled into a linear chain of per-level projections over named
+    columns instead of one nested expression. Each level reads the
+    previous level's ``__hx/__hy/__hd`` columns BY NAME, so the plan is
+    15 stacked projections (whole-stage codegen collapses them into
+    straight-line JVM code) rather than an exponentially-substituted tree
+    (the pure-Column form must route per-level state through an
+    interpreted ``aggregate`` lambda — ~10x slower per key; fine inside a
+    query expression or the DuckDB-mirrored oracle, wrong for the bulk
+    re-layout write path)."""
+    xmin, ymin, xmax, ymax = (float(v) for v in extent)
+    n = 1 << level
+    b = st_bbox(geom_col, meta)
+    out = df.withColumn("__hbox", b)
+    cx = quantize_expr(
+        (F.col("__hbox.xmin") + F.col("__hbox.xmax")) / 2.0, xmin, xmax, level
+    )
+    cy = quantize_expr(
+        (F.col("__hbox.ymin") + F.col("__hbox.ymax")) / 2.0, ymin, ymax, level
+    )
+    out = (
+        out.withColumn("__hx", cx)
+        .withColumn("__hy", cy)
+        .withColumn("__hd", F.lit(0).cast("long"))
+    )
+    for i in range(level - 1, -1, -1):
+        s = 1 << i
+        x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
+        rx = F.shiftrightunsigned(x, i) % 2
+        ry = F.shiftrightunsigned(y, i) % 2
+        quad = (
+            F.when(rx == 1, F.when(ry == 1, F.lit(2)).otherwise(F.lit(3)))
+            .otherwise(ry)
+            .cast("long")
+        )
+        flip = (ry == 0) & (rx == 1)
+        swap = ry == 0
+        nx = F.when(swap, F.when(flip, F.lit(n - 1) - y).otherwise(y)).otherwise(x)
+        ny = F.when(swap, F.when(flip, F.lit(n - 1) - x).otherwise(x)).otherwise(y)
+        keep = [c for c in out.columns if c not in ("__hx", "__hy", "__hd")]
+        out = out.select(
+            *keep,
+            nx.alias("__hx"),
+            ny.alias("__hy"),
+            (d + F.lit(s * s).cast("long") * quad).alias("__hd"),
+        )
+    return (
+        out.withColumn(key_col, F.col("__hd"))
+        .drop("__hx", "__hy", "__hd", "__hbox")
+    )

@@ -3500,3 +3500,103 @@ def angle(p1, p2, p3, p4=None) -> float | None:
     a1 = math.atan2(v1[1], v1[0])
     a2 = math.atan2(v2[1], v2[0])
     return (a1 - a2) % (2 * math.pi)
+
+
+# ---------------------------------------------------------------------------
+# 3-D distance (PostGIS ST_3DDistance for point/line/boundary geometries)
+
+
+def _coords3(c):
+    x, y = c[0], c[1]
+    z = c[2] if len(c) > 2 else 0.0
+    return (x, y, z)
+
+
+def _segs_3d(g: Geom):
+    """All 3-D segments of the linework (points as degenerate segments;
+    missing Z treated as 0, the PostGIS convention)."""
+    t, c = g.type_name, g.coords
+    if t == "Point":
+        if not g.is_empty:
+            p = _coords3(c)
+            yield (p, p)
+    elif t == "MultiPoint":
+        for pt in c:
+            p = _coords3(pt)
+            yield (p, p)
+    elif t == "LineString":
+        for a, b in zip(c, c[1:]):
+            yield (_coords3(a), _coords3(b))
+    elif t == "MultiLineString":
+        for line in c:
+            for a, b in zip(line, line[1:]):
+                yield (_coords3(a), _coords3(b))
+    elif t == "Polygon":
+        for ring in c:
+            for a, b in zip(ring, ring[1:]):
+                yield (_coords3(a), _coords3(b))
+    elif t == "MultiPolygon":
+        for rings in c:
+            for ring in rings:
+                for a, b in zip(ring, ring[1:]):
+                    yield (_coords3(a), _coords3(b))
+    elif t == "GeometryCollection":
+        for sub in c:
+            yield from _segs_3d(sub)
+
+
+def _seg_seg_dist3(p1, q1, p2, q2) -> float:
+    """Min distance between 3-D segments (clamped closest-approach)."""
+    eps = 1e-300
+
+    def sub(a, b):
+        return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+    def dot3(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    d1, d2, r = sub(q1, p1), sub(q2, p2), sub(p1, p2)
+    a, e, f = dot3(d1, d1), dot3(d2, d2), dot3(d2, r)
+    if a <= eps and e <= eps:
+        return math.sqrt(dot3(r, r))
+    if a <= eps:
+        s, t = 0.0, min(1.0, max(0.0, f / e))
+    else:
+        c = dot3(d1, r)
+        if e <= eps:
+            s, t = min(1.0, max(0.0, -c / a)), 0.0
+        else:
+            b = dot3(d1, d2)
+            denom = a * e - b * b
+            s = min(1.0, max(0.0, (b * f - c * e) / denom)) if denom > eps else 0.0
+            t = (b * s + f) / e
+            if t < 0.0:
+                t, s = 0.0, min(1.0, max(0.0, -c / a))
+            elif t > 1.0:
+                t, s = 1.0, min(1.0, max(0.0, (b - c) / a))
+    c1 = (p1[0] + s * d1[0], p1[1] + s * d1[1], p1[2] + s * d1[2])
+    c2 = (p2[0] + t * d2[0], p2[1] + t * d2[1], p2[2] + t * d2[2])
+    dd = sub(c1, c2)
+    return math.sqrt(dot3(dd, dd))
+
+
+def distance_3d(a: Geom, b: Geom) -> float | None:
+    """PostGIS ST_3DDistance over points/lines/ring boundaries: exact
+    min distance between the 3-D linework (all segment pairs, clamped
+    closest approach; 2-D inputs behave as z=0). Polygon INTERIORS are
+    not modeled as surfaces — for areal operands this is the boundary
+    distance (0 when boundaries touch), the usual TIN-free convention."""
+    if a.is_empty or b.is_empty:
+        return None
+    best = math.inf
+    sb = list(_segs_3d(b))
+    if not sb:
+        return None
+    for p1, q1 in _segs_3d(a):
+        for p2, q2 in sb:
+            d = _seg_seg_dist3(p1, q1, p2, q2)
+            if d < best:
+                best = d
+                if best == 0.0:
+                    return 0.0
+    return None if best is math.inf else best

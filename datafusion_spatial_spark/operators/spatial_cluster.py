@@ -202,3 +202,21 @@ def cluster_kmeans(
         work.join(labeled, "__cid", "left")
         .drop("__bbox", "__cid")
     )
+
+
+def cluster_intersecting(
+    df: DataFrame,
+    geom_col: str,
+    meta: GeometryMeta,
+    cell_size: float | None = None,
+    id_col: str | None = None,
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """PostGIS ST_ClusterIntersecting: transitive closure of the
+    intersects relation. Euclidean distance 0 is exactly "intersects" for
+    closed geometries, so this is ``cluster_within(distance=0)`` riding
+    the same grid join + connected components."""
+    return cluster_within(
+        df, geom_col, meta, 0.0, cell_size=cell_size, id_col=id_col,
+        out_col=out_col,
+    )

@@ -111,16 +111,19 @@ def write_spatial(
     sidecar next to the data (local filesystem; on an object store this
     would go through the Hadoop FS API — same pattern as Delta's
     ``_delta_log``)."""
-    from datafusion_spatial_spark.functions.indexing import st_hilbert
+    from datafusion_spatial_spark.functions.indexing import with_hilbert_key
 
     from datafusion_spatial_spark.functions.scalar import st_bbox
 
     shift = 2 * (level - coarse_level)
     out = (
         # materialize the bbox struct once (one UDF call for WKB inputs),
-        # then fan out to flat min/max-statistics columns
-        df.withColumn("__bbox", st_bbox(geom_col, meta))
-        .withColumn("hkey", st_hilbert(geom_col, meta, extent, level))
+        # then fan out to flat min/max-statistics columns; the key uses the
+        # codegen bulk form (with_hilbert_key), not the interpreted HOF fold
+        with_hilbert_key(
+            df.withColumn("__bbox", st_bbox(geom_col, meta)),
+            geom_col, meta, extent, level,
+        )
         .withColumn("hcell", F.shiftrightunsigned(F.col("hkey"), shift))
         .withColumn("bbox_xmin", F.col("__bbox.xmin"))
         .withColumn("bbox_ymin", F.col("__bbox.ymin"))

@@ -103,6 +103,7 @@ _FUNCTIONS_2 = {
     "ST_SYMDIFFERENCE": (_pr.st_symdifference, _WKB),
     "ST_SHORTESTLINE": (_ac.st_shortestline, _WKB),
     "ST_HAUSDORFFDISTANCE": (_ac.st_hausdorffdistance, None),
+    "ST_3DDISTANCE": (_ac.st_3ddistance, None),
     "ST_CLOSESTPOINT": (_pr.st_closestpoint, _WKB),
     "ST_AZIMUTH": (_ac.st_azimuth, None),
     "ST_DISTANCESPHERE": (_gd.st_distancesphere, None),
@@ -129,7 +130,7 @@ _FUNCTIONS_GEOM_NUM = {
 _AGG_EXTENT = "ST_EXTENT"
 _NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
 
-_CALL_RE = re.compile(r"\bST_([A-Za-z_]+)\s*\(", re.IGNORECASE)
+_CALL_RE = re.compile(r"\bST_(\w+)\s*\(", re.IGNORECASE)
 _FROM_RE = re.compile(r"\bFROM\s+([A-Za-z_][\w]*)", re.IGNORECASE)
 _IDENT_RE = re.compile(r"^[A-Za-z_][\w.]*$")
 

@@ -50,19 +50,73 @@ def read_geo_footer(path: str) -> dict[str, GeometryMeta]:
     return parse_geo_footer(raw)
 
 
+def read_geo_footer_raw(path: str) -> dict:
+    """The parsed ``geo`` footer JSON as-is (incl. GeoParquet 1.1 keys like
+    ``covering`` that GeometryMeta doesn't model)."""
+    import pyarrow.parquet as pq
+
+    f = _first_parquet_file(path)
+    if f is None:
+        return {}
+    md = pq.read_schema(f).metadata or {}
+    raw = md.get(b"geo")
+    return json.loads(raw.decode()) if raw else {}
+
+
 def read_geoparquet(
-    spark: SparkSession, path: str, view: str | None = None
+    spark: SparkSession,
+    path: str,
+    view: str | None = None,
+    window: tuple[float, float, float, float] | None = None,
 ) -> DataFrame:
     """Read parquet and attach GeoParquet ``geo`` metadata to its geometry
     columns (the PySpark analog of the reference's metadata-preserving scan,
-    examples/main.rs:17-18 + rules.rs:39-49)."""
+    examples/main.rs:17-18 + rules.rs:39-49).
+
+    With ``window`` (xmin, ymin, xmax, ymax) and a GeoParquet 1.1
+    ``covering.bbox`` declaration in the footer, the bbox-overlap filter is
+    applied on the covering struct's fields — nested-column predicates push
+    down to parquet row-group statistics, so the window prunes IO before
+    any geometry is decoded (the 100 TB window-query shape; see also
+    operators/storage.write_spatial for the Hilbert-clustered layout that
+    makes those statistics tight)."""
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet(path)
     for col, meta in read_geo_footer(path).items():
         if col in df.columns:
             df = with_geo_meta(df, col, meta)
+    if window is not None:
+        raw = read_geoparquet_covering(path)
+        if not raw:
+            raise ValueError(
+                "window= requires a GeoParquet covering.bbox declaration "
+                "(write with write_geoparquet(..., covering=True))"
+            )
+        wxmin, wymin, wxmax, wymax = (float(v) for v in window)
+        # any declared covering works; use the primary column's
+        refs = next(iter(raw.values()))
+        col_of = lambda k: F.col(".".join(refs[k]))  # noqa: E731
+        df = df.filter(
+            (col_of("xmin") <= wxmax)
+            & (col_of("xmax") >= wxmin)
+            & (col_of("ymin") <= wymax)
+            & (col_of("ymax") >= wymin)
+        )
     if view:
         df.createOrReplaceTempView(view)
     return df
+
+
+def read_geoparquet_covering(path: str) -> dict[str, dict[str, list[str]]]:
+    """{geometry column: {"xmin": [field path], ...}} for every column with
+    a GeoParquet 1.1 ``covering.bbox`` declaration."""
+    out = {}
+    for col, spec in (read_geo_footer_raw(path).get("columns") or {}).items():
+        bbox = (spec.get("covering") or {}).get("bbox")
+        if bbox:
+            out[col] = bbox
+    return out
 
 
 def write_geoparquet(
@@ -71,6 +125,7 @@ def write_geoparquet(
     geo_columns: dict[str, GeometryMeta] | None = None,
     mode: str = "overwrite",
     primary_column: str | None = None,
+    covering: bool = False,
 ) -> None:
     """Write parquet, then stamp the ``geo`` footer onto every produced file.
 
@@ -78,6 +133,12 @@ def write_geoparquet(
     DataFrame's StructField metadata. The footer rewrite is a per-file
     metadata-only rewrite via pyarrow; for very large outputs prefer sidecar
     metadata or a catalog, but GeoParquet interop requires the footer key.
+
+    ``covering=True`` adds the GeoParquet 1.1 ``covering.bbox`` column for
+    the primary geometry (a ``bbox`` struct{xmin,ymin,xmax,ymax} stamped
+    per row and declared in the footer) so ANY spec-compliant reader — and
+    :func:`read_geoparquet`'s ``window=`` — can prune row groups from
+    parquet min/max statistics without touching geometry bytes.
     """
     import pyarrow.parquet as pq
 
@@ -86,15 +147,35 @@ def write_geoparquet(
         for fld in df.schema.fields:
             if fld.metadata and "geo" in fld.metadata:
                 geo_columns[fld.name] = GeometryMeta.from_dict(fld.metadata["geo"])
+    primary = primary_column or (next(iter(geo_columns)) if geo_columns else None)
+    covering_decl = {}
+    if covering:
+        if primary is None:
+            raise ValueError("covering=True needs a geometry column")
+        from datafusion_spatial_spark.functions.scalar import st_bbox
+
+        df = df.withColumn("bbox", st_bbox(primary, geo_columns[primary]))
+        covering_decl = {
+            "covering": {
+                "bbox": {
+                    "xmin": ["bbox", "xmin"],
+                    "ymin": ["bbox", "ymin"],
+                    "xmax": ["bbox", "xmax"],
+                    "ymax": ["bbox", "ymax"],
+                }
+            }
+        }
     df.write.mode(mode).parquet(path)
     if not geo_columns:
         return
-    primary = primary_column or next(iter(geo_columns))
     geo_json = json.dumps(
         {
             "version": "1.1.0",
             "primary_column": primary,
-            "columns": {c: m.to_dict() for c, m in geo_columns.items()},
+            "columns": {
+                c: {**m.to_dict(), **(covering_decl if c == primary else {})}
+                for c, m in geo_columns.items()
+            },
         }
     )
     for f in glob.glob(os.path.join(path, "*.parquet")):

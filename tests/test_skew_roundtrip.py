@@ -49,3 +49,44 @@ def test_write_geoparquet_roundtrip(spark, tmp_path):
     a = [r.w for r in src.select(st_astext("geometry", meta).alias("w")).orderBy("col").collect()]
     b = [r.w for r in back.select(st_astext("geometry", meta2).alias("w")).orderBy("col").collect()]
     assert a == b
+
+
+def test_write_geoparquet_covering_window_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from datafusion_spatial_spark.meta import GeometryMeta, with_geo_meta
+    from datafusion_spatial_spark.sources.geoparquet import (
+        read_geoparquet_covering,
+    )
+
+    PT = GeometryMeta(encoding="point", geometry_types=("Point",))
+    pts = spark.range(2000).select(
+        "id",
+        ((F.col("id") * 13 % 100).cast("double")).alias("x"),
+        ((F.col("id") * 29 % 100).cast("double")).alias("y"),
+    ).withColumn("geometry", st_point(F.col("x"), F.col("y")))
+    out = str(tmp_path / "cov")
+    write_geoparquet(with_geo_meta(pts, "geometry", PT), out, covering=True)
+
+    # footer declares the 1.1 covering; reading with window= prunes on it
+    cov = read_geoparquet_covering(out)
+    assert cov == {
+        "geometry": {
+            "xmin": ["bbox", "xmin"], "ymin": ["bbox", "ymin"],
+            "xmax": ["bbox", "xmax"], "ymax": ["bbox", "ymax"],
+        }
+    }
+    win = (10.0, 10.0, 30.0, 30.0)
+    got = read_geoparquet(spark, out, window=win)
+    exp = {
+        r.id
+        for r in pts.filter(
+            (F.col("x") >= 10) & (F.col("x") <= 30)
+            & (F.col("y") >= 10) & (F.col("y") <= 30)
+        ).collect()
+    }
+    assert {r.id for r in got.collect()} == exp and exp
+    # the window reaches the scan as pushed nested-field filters
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "bbox.xmin" in plan

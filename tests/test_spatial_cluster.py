@@ -121,3 +121,29 @@ def test_cluster_kmeans_two_blobs(spark):
     )
     out2 = cluster_kmeans(df2, "geom", meta, k=2, id_col="id")
     assert out2.filter(F.col("id") == 0).collect()[0].cluster_id is None
+
+
+def test_cluster_intersecting_chains(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_spatial_spark.functions import st_geomfromtext
+    from datafusion_spatial_spark.meta import GeometryMeta, with_geo_meta
+    from datafusion_spatial_spark.operators.spatial_cluster import (
+        cluster_intersecting,
+    )
+
+    W = GeometryMeta(encoding="WKB")
+    # A-B overlap, B-C touch at an edge -> one cluster; D is far away
+    rows = [
+        (1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        (2, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+        (3, "POLYGON ((3 1, 5 1, 5 3, 3 3, 3 1))"),
+        (4, "POLYGON ((50 50, 51 50, 51 51, 50 51, 50 50))"),
+    ]
+    df = spark.createDataFrame(rows, "id long, wkt string").select(
+        "id", st_geomfromtext("wkt").alias("g")
+    )
+    out = cluster_intersecting(df, "g", W, id_col="id", cell_size=10.0)
+    got = {r.id: r.cluster_id for r in out.collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] != got[1]

@@ -111,3 +111,30 @@ def test_write_spatial_scan_roundtrip_and_pruning(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "hcell" in plan
     assert "PushedFilters" in plan and "bbox_xmin" in plan
+
+
+def test_with_hilbert_key_matches_expr_form(spark):
+    from datafusion_spatial_spark.functions.indexing import with_hilbert_key
+    from datafusion_spatial_spark.functions.scalar import st_point
+
+    df = spark.range(500).select(
+        "id",
+        ((F.col("id") * 97 % 1000) / 10.0).alias("x"),
+        ((F.col("id") * 61 % 1000) / 10.0).alias("y"),
+    ).withColumn("geom", st_point(F.col("x"), F.col("y")))
+    ext = (0.0, 0.0, 100.0, 100.0)
+    bulk = with_hilbert_key(df, "geom", PT, ext, level=15)
+    got = {r.id: r.hkey for r in bulk.collect()}
+    expected = {
+        r.id: hilbert_xy2d(
+            15,
+            min(int(r.x / 100.0 * (1 << 15)), (1 << 15) - 1),
+            min(int(r.y / 100.0 * (1 << 15)), (1 << 15) - 1),
+        )
+        for r in df.collect()
+    }
+    assert got == expected
+    # the bulk form stays whole-stage-codegen ("*(n)"-starred operators)
+    # with no interpreted HOF fold in the plan
+    plan = bulk._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan and "aggregate(" not in plan

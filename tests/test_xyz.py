@@ -204,3 +204,29 @@ def test_st_z_st_m_accessors(spark):
     assert rows["POINT Z (1 2 3)"] == (1.0, 3.0, None)
     assert rows["POINT M (1 2 4)"] == (1.0, None, 4.0)
     assert rows["POINT (1 2)"] == (1.0, None, None)
+
+
+def test_st_3ddistance(spark):
+    from datafusion_spatial_spark.functions import (
+        st_3ddistance,
+        st_distance,
+        st_geomfromtext,
+    )
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    W = GeometryMeta(encoding="WKB")
+    pairs = [
+        # 3-4-12 box diagonal: sqrt(3^2+4^2+12^2) = 13
+        ("POINT Z (0 0 0)", "POINT Z (3 4 12)", 13.0),
+        # point above the middle of a vertical segment: xy-dist 5, z inside
+        ("POINT Z (3 4 5)", "LINESTRING Z (0 0 0, 0 0 10)", 5.0),
+        # skew segments passing 2 apart in z
+        ("LINESTRING Z (-1 0 0, 1 0 0)", "LINESTRING Z (0 -1 2, 0 1 2)", 2.0),
+        # 2-D inputs behave as z=0 (planar distance)
+        ("POINT (0 0)", "POINT (3 4)", 5.0),
+    ]
+    df = spark.createDataFrame(pairs, "wa string, wb string, want double").select(
+        st_geomfromtext("wa").alias("a"), st_geomfromtext("wb").alias("b"), "want"
+    )
+    for r in df.select(st_3ddistance("a", "b", W, W).alias("d"), "want").collect():
+        assert abs(r.d - r.want) < 1e-12
