@@ -393,25 +393,9 @@ def pq_topk(
     carrying ``id_col`` + ``vec_col``) the top ``k*rerank_factor``
     candidates are re-scored exactly and the final top-k is exact over
     that candidate set (standard PQ-then-rerank)."""
-    import math as _m
-
-    qn = _m.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
-    qv = [float(x) / qn for x in query]
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    lut = [
-        [
-            sum(qv[j * sub + t] * c[t] for t in range(sub))
-            for c in codebooks[j]
-        ]
-        for j in range(m)
-    ]
-    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
-    partials = F.zip_with(
-        F.col("pq_code"), lut_lit, lambda c, row: F.element_at(row, c + 1)
+    scored = encoded.select(
+        F.col(id_col), _adc_score_expr(codebooks, query).alias("approx_score")
     )
-    approx = F.aggregate(partials, F.lit(0.0), lambda acc, x: acc + x)
-    scored = encoded.select(F.col(id_col), approx.alias("approx_score"))
     n_cand = k * rerank_factor if rerank is not None else k
     cand = scored.orderBy(F.desc("approx_score"), F.col(id_col)).limit(n_cand)
     if rerank is None:
@@ -423,4 +407,71 @@ def pq_topk(
         cand.join(rerank.select(F.col(id_col), _vec(vec_col).alias("__v")), id_col)
         .select(F.col(id_col), cosine(F.col("__v"), q).alias("score"))
     )
+    return exact.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def _adc_score_expr(codebooks: list[list[list[float]]], query: list[float]) -> Column:
+    """Approximate-cosine column over ``pq_code``: per-query LUT[j][c] =
+    dot(normalized query subvector j, codeword c), folded as
+    zip_with + aggregate — pure Catalyst."""
+    import math as _m
+
+    qn = _m.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
+    qv = [float(x) / qn for x in query]
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    lut = [
+        [sum(qv[j * sub + t] * c[t] for t in range(sub)) for c in codebooks[j]]
+        for j in range(m)
+    ]
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    partials = F.zip_with(
+        F.col("pq_code"), lut_lit, lambda c, row: F.element_at(row, c + 1)
+    )
+    return F.aggregate(partials, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivfpq_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: DataFrame | None = None,
+    vec_col: str | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """IVF·PQ — the standard billion-scale ANN composition (FAISS IVFPQ):
+    IVF prunes WHICH rows are scanned (nprobe/n_lists of the corpus via
+    the ``list_id`` filter → partition pruning on list-partitioned
+    storage), PQ shrinks WHAT each scanned row costs (m-byte codes scored
+    by the pure-Catalyst ADC fold, no vector read). ``assigned`` must
+    carry both ``list_id`` (ivf_index) and ``pq_code`` (pq_encode).
+    Optional exact rerank as in :func:`pq_topk`."""
+    import math as _m
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = _m.sqrt(sum(x * x for x in a)) or 1.0
+        nb = _m.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    ranked = sorted(range(len(centroids)), key=lambda i: -cos(query, centroids[i]))
+    probes = ranked[: max(1, nprobe)]
+    cand = assigned.filter(F.col("list_id").isin(probes))
+    scored = cand.select(
+        F.col(id_col), _adc_score_expr(codebooks, query).alias("approx_score")
+    )
+    n_cand = k * rerank_factor if rerank is not None else k
+    short = scored.orderBy(F.desc("approx_score"), F.col(id_col)).limit(n_cand)
+    if rerank is None:
+        return short
+    if vec_col is None:
+        raise ValueError("vec_col required when rerank frame is given")
+    q = F.array(*[F.lit(float(x)) for x in query])
+    exact = short.join(
+        rerank.select(F.col(id_col), _vec(vec_col).alias("__v")), id_col
+    ).select(F.col(id_col), cosine(F.col("__v"), q).alias("score"))
     return exact.orderBy(F.desc("score"), F.col(id_col)).limit(k)

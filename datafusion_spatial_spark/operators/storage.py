@@ -110,7 +110,12 @@ def write_spatial(
     The layout parameters are persisted in a ``_spatial_layout.json``
     sidecar next to the data (local filesystem; on an object store this
     would go through the Hadoop FS API — same pattern as Delta's
-    ``_delta_log``)."""
+    ``_delta_log``).
+
+    Scan-time directory pruning is padded by the dataset's max geometry
+    half-extent (recorded here), so a few huge geometries inflate every
+    window's cell list — ``st_subdivide`` such rows before layout (the
+    standard practice) to keep the pad tight."""
     from datafusion_spatial_spark.functions.indexing import with_hilbert_key
 
     from datafusion_spatial_spark.functions.scalar import st_bbox
@@ -134,6 +139,19 @@ def write_spatial(
     n = num_files or max(1, df.sparkSession.sparkContext.defaultParallelism)
     out = out.repartitionByRange(n, "hkey").sortWithinPartitions("hkey")
     out.write.mode(mode).partitionBy("hcell").parquet(path)
+    # The Hilbert key places each geometry at its bbox CENTER, so a window
+    # scan's covering-cell list must be padded by the largest half-extent
+    # in the dataset or a big geometry centered outside the window could be
+    # directory-pruned away while its bbox still overlaps. Record it (one
+    # cheap agg over the just-written columns; 0 for points).
+    halves = (
+        df.sparkSession.read.parquet(path)
+        .agg(
+            F.max((F.col("bbox_xmax") - F.col("bbox_xmin")) / 2.0),
+            F.max((F.col("bbox_ymax") - F.col("bbox_ymin")) / 2.0),
+        )
+        .collect()[0]
+    )
     with open(os.path.join(path, _LAYOUT_FILE), "w") as f:
         json.dump(
             {
@@ -141,6 +159,8 @@ def write_spatial(
                 "extent": list(extent),
                 "level": level,
                 "coarse_level": coarse_level,
+                "max_half_w": float(halves[0] or 0.0),
+                "max_half_h": float(halves[1] or 0.0),
             },
             f,
         )
@@ -150,25 +170,55 @@ def spatial_scan(
     spark: SparkSession,
     path: str,
     window: tuple[float, float, float, float],
+    refine_meta=None,
 ) -> DataFrame:
     """Window scan over a ``write_spatial`` layout: directory pruning via
     the coarse-cell IN-list (PartitionFilters), row-group pruning via the
-    bbox min/max columns (PushedFilters), bbox-overlap semantics. For
-    non-point geometries follow with an exact ``st_intersects`` refine —
-    the bbox filter is the standard conservative prefilter."""
+    bbox min/max columns (PushedFilters), bbox-overlap semantics.
+
+    The bbox filter is exact for points. For non-point geometries pass
+    ``refine_meta`` (the layout column's GeometryMeta) to append the exact
+    ``st_intersects`` against the window rectangle — the standard
+    filter-then-refine: the predicate UDF only ever sees the pruned
+    bbox-surviving rows."""
     from datafusion_spatial_spark.functions.indexing import hilbert_covering_cells
 
     with open(os.path.join(path, _LAYOUT_FILE)) as f:
         layout = json.load(f)
-    cells = hilbert_covering_cells(
-        window, tuple(layout["extent"]), layout["level"], layout["coarse_level"]
-    )
     wxmin, wymin, wxmax, wymax = (float(v) for v in window)
+    # pad the cell-covering window by the dataset's max half-extent: keys
+    # sit at bbox centers, so this is what makes the directory prune safe
+    # for non-point geometries (the bbox columns then filter exactly)
+    pw = float(layout.get("max_half_w", 0.0))
+    ph = float(layout.get("max_half_h", 0.0))
+    cells = hilbert_covering_cells(
+        (wxmin - pw, wymin - ph, wxmax + pw, wymax + ph),
+        tuple(layout["extent"]), layout["level"], layout["coarse_level"],
+    )
     df = spark.read.parquet(path)
-    return df.filter(
+    out = df.filter(
         F.col("hcell").isin(cells)
         & (F.col("bbox_xmin") <= wxmax)
         & (F.col("bbox_xmax") >= wxmin)
         & (F.col("bbox_ymin") <= wymax)
         & (F.col("bbox_ymax") >= wymin)
     )
+    if refine_meta is not None:
+        from datafusion_spatial_spark import wkb
+        from datafusion_spatial_spark.functions.predicates import st_intersects
+        from datafusion_spatial_spark.meta import GeometryMeta
+
+        ring = [
+            (wxmin, wymin), (wxmax, wymin), (wxmax, wymax),
+            (wxmin, wymax), (wxmin, wymin),
+        ]
+        wbytes = wkb.dumps(wkb.Geom("Polygon", [ring]))
+        out = out.filter(
+            st_intersects(
+                layout["geom_col"],
+                F.lit(wbytes),
+                refine_meta,
+                GeometryMeta(encoding="WKB"),
+            )
+        )
+    return out

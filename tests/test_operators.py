@@ -382,3 +382,35 @@ def test_pq_compressed_ann(spark, emb):
     plan = simsearch.pq_topk(codes, books, "vec_id", q, k=10)
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+
+
+def test_ivfpq_compressed_pruned_ann(spark, emb):
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = list(qrow.embedding)
+    exact = [
+        r.vec_id
+        for r in simsearch.cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()
+    ]
+    assigned, centroids = simsearch.ivf_index(emb, "embedding", "vec_id", n_lists=8)
+    books = simsearch.pq_train(emb, "embedding", m=16, nbits=4)
+    table = simsearch.pq_encode(assigned, "embedding", books)
+
+    out = simsearch.ivfpq_topk(
+        table, centroids, books, "vec_id", q, k=10, nprobe=3
+    ).collect()
+    ids = [r.vec_id for r in out]
+    assert 0 in ids  # query vector survives prune + compression
+    assert len(set(exact) & set(ids)) >= 3
+
+    # IVF prune really prunes: candidates are a strict subset of the corpus
+    probed = table.filter(F.col("list_id").isin(
+        [r.list_id for r in table.filter(F.col("vec_id") == 0).select("list_id").collect()]
+    )).count()
+    assert 0 < probed < table.count()
+
+    # rerank path returns true cosines, query first
+    rr = simsearch.ivfpq_topk(
+        table, centroids, books, "vec_id", q, k=5,
+        nprobe=3, rerank=emb, vec_col="embedding", rerank_factor=6,
+    ).collect()
+    assert rr[0].vec_id == 0 and abs(rr[0].score - 1.0) < 1e-9

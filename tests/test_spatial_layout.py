@@ -138,3 +138,28 @@ def test_with_hilbert_key_matches_expr_form(spark):
     # with no interpreted HOF fold in the plan
     plan = bulk._jdf.queryExecution().executedPlan().toString()
     assert "*(" in plan and "aggregate(" not in plan
+
+
+def test_spatial_scan_refine_for_polygons(spark, tmp_path):
+    from datafusion_spatial_spark.functions import st_geomfromtext
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    W = GeometryMeta(encoding="WKB")
+    # diagonal sliver whose bbox overlaps the window but whose geometry
+    # does not; plus one polygon genuinely inside
+    rows = [
+        (1, "POLYGON ((0 0, 1 0, 50 49, 50 50, 0 1, 0 0))"),   # sliver along diag
+        (2, "POLYGON ((30 5, 35 5, 35 9, 30 9, 30 5))"),       # inside window
+        (3, "POLYGON ((80 80, 90 80, 90 90, 80 90, 80 80))"),  # far away
+    ]
+    df = spark.createDataFrame(rows, "id long, wkt string").select(
+        "id", st_geomfromtext("wkt").alias("geom")
+    )
+    path = str(tmp_path / "poly_layout")
+    write_spatial(df, path, "geom", W, extent=(0.0, 0.0, 100.0, 100.0),
+                  coarse_level=2)
+    window = (25.0, 2.0, 40.0, 12.0)  # bbox of sliver overlaps; geometry not
+    coarse = spatial_scan(spark, path, window)
+    assert {r.id for r in coarse.collect()} == {1, 2}  # bbox prefilter keeps sliver
+    exact = spatial_scan(spark, path, window, refine_meta=W)
+    assert {r.id for r in exact.collect()} == {2}      # refine drops it
