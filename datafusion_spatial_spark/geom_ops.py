@@ -520,8 +520,20 @@ def convex_hull(geom: Geom) -> Geom:
     def chain(points):
         out = []
         for p in points:
-            while len(out) >= 2 and _orient(*out[-2], *out[-1], *p) <= EPS:
-                out.pop()
+            while len(out) >= 2:
+                o = _orient(*out[-2], *out[-1], *p)
+                # o <= 0 (right turn / exact collinear) is always a safe pop
+                # under lexicographic order; in the noise zone (0, EPS] the
+                # popped point must also lie between its neighbors, or a true
+                # extreme vertex on a near-vertical flank gets discarded
+                if o <= 0 or (
+                    o <= EPS
+                    and min(out[-2][0], p[0]) - EPS <= out[-1][0] <= max(out[-2][0], p[0]) + EPS
+                    and min(out[-2][1], p[1]) - EPS <= out[-1][1] <= max(out[-2][1], p[1]) + EPS
+                ):
+                    out.pop()
+                else:
+                    break
             out.append(p)
         return out
 
@@ -3205,6 +3217,12 @@ def concave_hull(g: Geom, ratio: float = 0.3, allow_holes: bool = False) -> Geom
     accepted for signature parity (chi erosion never creates holes)."""
     tris = delaunay_triangles(g)
     if not tris:
+        return convex_hull(g)
+    # degenerate (near-collinear) configurations can drop sliver triangles
+    # from the triangulation; a chi hull built on a partial cover would
+    # strand the lost vertices outside — fall back to the convex hull
+    covered = {tuple(v) for t in tris for v in t.coords[0][:3]}
+    if any((p[0], p[1]) not in covered for p in _all_coords(g)):
         return convex_hull(g)
     tri_edges = []  # per-triangle edge keys
     edge_tris: dict = {}

@@ -78,3 +78,60 @@ def filter_corpus(
     if langs:
         cond = cond & lang_id(text_col).isin(list(langs))
     return df.filter(cond)
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    min_quality: float = 0.2,
+    langs: list[str] | None = None,
+    min_tokens: int = 5,
+    max_tokens: int | None = None,
+    near_dup: bool = True,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The standard pre-training corpus pipeline as ONE composition:
+
+      quality/language/length filter  (map-only)
+        → exact dedup                 (hash shuffle on (md5, id) only)
+        → MinHash-LSH near-dedup      (banded equi-join, min-id survivor)
+        → deterministic split column  (map-only)
+
+    Returns the surviving documents with their original columns plus
+    ``split``. Stage order is the cheap-to-expensive discipline: the
+    map-only filter shrinks the corpus before any shuffle, exact dedup
+    shrinks it again before the (pricier) banded join, and nothing ever
+    shuffles document payloads except the final survivors' scan.
+
+    ``near_dup=False`` skips the LSH stage (exact-only dedup).
+    """
+    from datafusion_spatial_spark.operators.dedup import (
+        dedup_exact_canonical,
+        minhash_lsh_dedup_pairs,
+    )
+
+    kept = filter_corpus(
+        df, text_col, min_quality=min_quality, langs=langs,
+        min_tokens=min_tokens, max_tokens=max_tokens,
+    )
+    # dedup_exact_canonical returns surviving ids only (its shuffle moves
+    # (md5, id), never payloads) — semi-join the full rows back
+    survivors = dedup_exact_canonical(kept, text_col, id_col)
+    kept = kept.join(survivors, id_col, "left_semi")
+    if near_dup:
+        pairs = minhash_lsh_dedup_pairs(
+            kept, text_col, id_col, num_hashes=num_hashes, bands=bands,
+            shingle_k=shingle_k, jaccard_threshold=jaccard_threshold,
+            hash_fn=hash_fn,
+        )
+        # min-id survivor per near-dup pair: drop every id that appears as
+        # the larger member (id_a < id_b by contract)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        kept = kept.join(losers, id_col, "left_anti")
+    return hash_split(kept, id_col, weights or {"train": 0.98, "val": 0.01, "test": 0.01})

@@ -414,3 +414,31 @@ def test_ivfpq_compressed_pruned_ann(spark, emb):
         nprobe=3, rerank=emb, vec_col="embedding", rerank_factor=6,
     ).collect()
     assert rr[0].vec_id == 0 and abs(rr[0].score - 1.0) < 1e-9
+
+
+def test_prepare_training_corpus_end_to_end(spark):
+    from datafusion_spatial_spark.operators.corpus import prepare_training_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the warm morning sun"),
+        (2, "the quick brown fox jumps over the lazy dog in the warm morning sun"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog in the warm evening sun"),   # near dup of 1
+        (4, "completely different high quality content about distributed query engines and the optimizers they use"),
+        (5, "x"),                                                                      # too short
+        (6, "el gato grande vive en la casa blanca cerca de la playa y el mar azul"), # spanish
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_training_corpus(
+        df, "text", "doc_id", langs=["en"], min_tokens=5,
+        num_hashes=16, bands=8, jaccard_threshold=0.5, min_quality=0.1,
+    )
+    got = {r.doc_id: r.split for r in out.collect()}
+    # 2 (exact dup), 3 (near dup), 5 (short), 6 (non-en) all dropped
+    assert set(got) == {1, 4}
+    assert all(s in ("train", "val", "test") for s in got.values())
+    # deterministic: same result on re-run
+    again = {r.doc_id: r.split for r in prepare_training_corpus(
+        df, "text", "doc_id", langs=["en"], min_tokens=5,
+        num_hashes=16, bands=8, jaccard_threshold=0.5, min_quality=0.1,
+    ).collect()}
+    assert again == got
