@@ -160,6 +160,7 @@ def with_hilbert_key(
     extent: tuple[float, float, float, float],
     level: int = DEFAULT_LEVEL,
     key_col: str = "hkey",
+    bbox_col: str | None = None,
 ):
     """DataFrame-level Hilbert key: same fold as :func:`st_hilbert`, but
     unrolled into a linear chain of per-level projections over named
@@ -170,10 +171,14 @@ def with_hilbert_key(
     (the pure-Column form must route per-level state through an
     interpreted ``aggregate`` lambda — ~10x slower per key; fine inside a
     query expression or the DuckDB-mirrored oracle, wrong for the bulk
-    re-layout write path)."""
+    re-layout write path).
+
+    ``bbox_col`` names an already-materialized bbox struct column to reuse —
+    callers that also need the bbox (write_spatial's pruning columns) pass it
+    so WKB rows are decoded once, not once per consumer."""
     xmin, ymin, xmax, ymax = (float(v) for v in extent)
     n = 1 << level
-    b = st_bbox(geom_col, meta)
+    b = F.col(bbox_col) if bbox_col else st_bbox(geom_col, meta)
     out = df.withColumn("__hbox", b)
     cx = quantize_expr(
         (F.col("__hbox.xmin") + F.col("__hbox.xmax")) / 2.0, xmin, xmax, level

@@ -328,10 +328,23 @@ def pq_train(
     k-means on an L2-normalized driver-side sample (bounded by
     ``sample_size`` — codebooks need thousands of examples, not the
     corpus; the expensive full-corpus step is ``pq_encode``, which is
-    distributed). Vector dim must be divisible by ``m``."""
+    distributed). Vector dim must be divisible by ``m``.
+
+    The sample is a seeded Bernoulli ``df.sample`` before the limit — a bare
+    ``.limit(n)`` would take the first partitions' rows, biasing codebooks
+    toward a physically-sorted prefix (e.g. one spatial region after a
+    Hilbert re-layout)."""
     import numpy as np
 
-    sample = df.select(_vec(vec_col).alias("v")).limit(sample_size).collect()
+    n_rows = df.count()
+    frac = min(1.0, (3.0 * sample_size) / max(1, n_rows))
+    sample = (
+        df.select(_vec(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .sample(fraction=frac, seed=seed)
+        .limit(sample_size)
+        .collect()
+    )
     X = _l2_normalize_np(np.array([r.v for r in sample], dtype=np.float64))
     dim = X.shape[1]
     if dim % m != 0:
@@ -359,19 +372,31 @@ def pq_encode(
     m = len(books)
     sub = books[0].shape[1]
 
+    dim = m * sub
+
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def encode(s: pd.Series) -> pd.Series:
-        X = _l2_normalize_np(np.array(list(s), dtype=np.float64))
-        codes = np.empty((len(X), m), dtype=np.int32)
-        for j in range(m):
-            Xj = X[:, j * sub : (j + 1) * sub]
-            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
-            d2 = (
-                -2.0 * Xj @ books[j].T
-                + (books[j] ** 2).sum(axis=1)[None, :]
-            )
-            codes[:, j] = d2.argmin(axis=1)
-        return pd.Series([list(map(int, row)) for row in codes])
+        # null / wrong-length vectors encode to null instead of failing the
+        # whole stage (a single ragged row would otherwise kill the job)
+        ok = [v is not None and len(v) == dim for v in s]
+        good = [v for v, f in zip(s, ok) if f]
+        rows: list[list[int] | None] = []
+        if good:
+            X = _l2_normalize_np(np.array(good, dtype=np.float64))
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+                d2 = (
+                    -2.0 * Xj @ books[j].T
+                    + (books[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            rows = [list(map(int, row)) for row in codes]
+        it = iter(rows)
+        return pd.Series(
+            [next(it) if f else None for f in ok], dtype=object
+        )
 
     return df.withColumn("pq_code", encode(_vec(vec_col)))
 

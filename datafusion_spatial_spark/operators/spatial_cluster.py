@@ -186,10 +186,11 @@ def cluster_kmeans(
         k=k, seed=seed, maxIter=max_iter, featuresCol="__features",
         predictionCol="__raw_cluster",
     ).fit(vec)
-    # stable renumbering: ascending centroid (x, y)
+    # stable renumbering: ascending centroid (x, y); ML can return fewer
+    # than k centers when the data has fewer distinct points
+    centers = model.clusterCenters()
     order = sorted(
-        range(k), key=lambda i: (model.clusterCenters()[i][0],
-                                 model.clusterCenters()[i][1])
+        range(len(centers)), key=lambda i: (centers[i][0], centers[i][1])
     )
     remap = {raw: new for new, raw in enumerate(order)}
     mapping = F.create_map(

@@ -122,12 +122,14 @@ def write_spatial(
 
     shift = 2 * (level - coarse_level)
     out = (
-        # materialize the bbox struct once (one UDF call for WKB inputs),
-        # then fan out to flat min/max-statistics columns; the key uses the
-        # codegen bulk form (with_hilbert_key), not the interpreted HOF fold
+        # materialize the bbox struct once (one UDF call for WKB inputs) and
+        # hand it to with_hilbert_key via bbox_col=, so the flat pruning
+        # columns AND the key share a single geometry decode; the key uses
+        # the codegen bulk form (with_hilbert_key), not the interpreted HOF
+        # fold
         with_hilbert_key(
             df.withColumn("__bbox", st_bbox(geom_col, meta)),
-            geom_col, meta, extent, level,
+            geom_col, meta, extent, level, bbox_col="__bbox",
         )
         .withColumn("hcell", F.shiftrightunsigned(F.col("hkey"), shift))
         .withColumn("bbox_xmin", F.col("__bbox.xmin"))

@@ -94,8 +94,19 @@ def read_geoparquet(
                 "(write with write_geoparquet(..., covering=True))"
             )
         wxmin, wymin, wxmax, wymax = (float(v) for v in window)
-        # any declared covering works; use the primary column's
-        refs = next(iter(raw.values()))
+        # filter on the PRIMARY column's covering — with several geometry
+        # columns declaring coverings, an arbitrary pick would window the
+        # wrong geometry; fall back to a single unambiguous declaration
+        primary = read_geo_footer_raw(path).get("primary_column")
+        if primary in raw:
+            refs = raw[primary]
+        elif len(raw) == 1:
+            refs = next(iter(raw.values()))
+        else:
+            raise ValueError(
+                "window= is ambiguous: multiple covering declarations "
+                f"({sorted(raw)}) and primary_column={primary!r} has none"
+            )
         col_of = lambda k: F.col(".".join(refs[k]))  # noqa: E731
         df = df.filter(
             (col_of("xmin") <= wxmax)

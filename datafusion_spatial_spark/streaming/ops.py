@@ -201,9 +201,19 @@ def run_to_memory(
     progress = q.recentProgress
     stateful = any(p.get("stateOperators") for p in progress)
     if output_mode == "append" and stateful:
+        # the flush batch must come AFTER the last data batch — an idle
+        # zero-input batch that committed before it (startup tick) must not
+        # satisfy the wait, so require a batchId past the last DATA batch
+        last_seen = max(
+            (p["batchId"] for p in progress if p["numInputRows"] > 0),
+            default=-1,
+        )
         deadline = time.monotonic() + flush_timeout
         while time.monotonic() < deadline:
-            if any(p["numInputRows"] == 0 for p in q.recentProgress):
+            if any(
+                p["numInputRows"] == 0 and p["batchId"] > last_seen
+                for p in q.recentProgress
+            ):
                 q.processAllAvailable()  # make sure the flush batch is fully committed
                 break
             time.sleep(0.1)

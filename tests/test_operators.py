@@ -384,6 +384,25 @@ def test_pq_compressed_ann(spark, emb):
     assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
 
 
+def test_pq_encode_null_and_ragged_vectors(spark):
+    # a null or wrong-length vector must encode to NULL, not fail the stage
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, None),
+        (2, [1.0, 2.0]),  # ragged
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, embedding array<double>")
+    books = [[[1.0, 0.0], [0.0, 1.0]], [[1.0, 0.0], [0.0, 1.0]]]
+    got = {
+        r.id: r.pq_code
+        for r in simsearch.pq_encode(df, "embedding", books).collect()
+    }
+    assert got[1] is None and got[2] is None
+    assert got[0] is not None and got[3] is not None
+    assert len(got[0]) == 2
+
+
 def test_ivfpq_compressed_pruned_ann(spark, emb):
     qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
     q = list(qrow.embedding)
