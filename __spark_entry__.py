@@ -18,6 +18,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 
@@ -1385,6 +1386,96 @@ LIMIT 10
 """
 
 
+N_IVF_LISTS = 8
+N_IVF_PROBE = 3
+
+
+def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the deterministic pivot coarse quantizer
+    (operators/simsearch.ivf_index_pivots): pivots = first N_IVF_LISTS
+    embeddings, pure-Catalyst argmin assignment, driver-side nprobe ranking,
+    exact cosine rerank over the probed lists only. Every step is
+    sequential-sum arithmetic, so the DuckDB oracle reproduces it
+    value-exact (the Spark-ML k-means IVF variant stays in tests — centroid
+    means are not bit-stable across engines)."""
+    from datafusion_spatial_spark.operators.simsearch import (
+        _vec,
+        cosine,
+        ivf_index_pivots,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    ]
+    assigned, pivots = ivf_index_pivots(
+        emb, "embedding", "vec_id", n_lists=N_IVF_LISTS
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    ranked = sorted(range(len(pivots)), key=lambda i: -cos(qvec, pivots[i]))
+    probes = ranked[:N_IVF_PROBE]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        assigned.filter(F.col("list_id").isin(probes))
+        .select(
+            "vec_id",
+            F.round(cosine(_vec("embedding"), q), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def _duckdb_sqdist(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(cast(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {EMB_DIMS} + 1), "
+        f"i -> (cast({a}[i] AS DOUBLE) - cast({b}[i] AS DOUBLE)) "
+        f"* (cast({a}[i] AS DOUBLE) - cast({b}[i] AS DOUBLE)))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _q_ivf_ann_oracle() -> str:
+    cos_pq = (
+        f"{_duckdb_dot('p.pv', 'q.qe')} / (sqrt({_duckdb_dot('p.pv', 'p.pv')})"
+        f" * sqrt({_duckdb_dot('q.qe', 'q.qe')}))"
+    )
+    cos_eq = (
+        f"{_duckdb_dot('a.embedding', 'q.qe')}"
+        f" / (sqrt({_duckdb_dot('a.embedding', 'a.embedding')})"
+        f" * sqrt({_duckdb_dot('q.qe', 'q.qe')}))"
+    )
+    return f"""
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), piv AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pid, embedding AS pv
+  FROM embeddings ORDER BY vec_id LIMIT {N_IVF_LISTS}
+), probes AS (
+  SELECT pid FROM piv p, q ORDER BY {cos_pq} DESC, pid LIMIT {N_IVF_PROBE}
+), assigned AS (
+  SELECT e.vec_id, e.embedding, p.pid,
+         row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duckdb_sqdist('e.embedding', 'p.pv')}, p.pid
+         ) AS rn
+  FROM embeddings e CROSS JOIN piv p
+)
+SELECT a.vec_id, round({cos_eq}, 6) AS score
+FROM assigned a CROSS JOIN q
+WHERE a.rn = 1 AND a.pid IN (SELECT pid FROM probes)
+ORDER BY score DESC, a.vec_id
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1526,18 +1617,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_table(spark, sf_dir, "documents")
         return dedup_corpus(docs, "text", "doc_id", jaccard_threshold=JACCARD_T)
 
-    def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from datafusion_spatial_spark.operators.simsearch import ivf_index, ivf_topk
-
-        emb = load_table(spark, sf_dir, "embeddings")
-        qvec = [
-            float(x)
-            for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding
-        ]
-        assigned, centroids = ivf_index(emb, "embedding", "vec_id", n_lists=8)
-        out = ivf_topk(assigned, centroids, "embedding", "vec_id", qvec, k=10, nprobe=3)
-        return out.select("vec_id", F.round("score", 6).alias("score"))
-
     def _q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         from datafusion_spatial_spark.streaming import ops as stream_ops
 
@@ -1565,10 +1644,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": _q_text_stats,
         "q_cosine_topk": _q_cosine_topk,
         "q_lsh_ann_topk": _q_lsh_ann_topk,
+        "q_ivf_ann_topk": _q_ivf_ann_topk,
     }
     rows_only = {
         "q_dedup_corpus": _q_dedup_corpus,
-        "q_ivf_ann_topk": _q_ivf_ann_topk,
         "q_stream_hourly": _q_stream_hourly,
     }
     out = {**rel, **spatial, **ext, **rows_only}
@@ -1645,4 +1724,5 @@ def oracle_sql() -> dict[str, str]:
         "q_text_stats": _q_text_stats_oracle(),
         "q_cosine_topk": _Q_COSINE_ORACLE,
         "q_lsh_ann_topk": _q_lsh_ann_oracle(),
+        "q_ivf_ann_topk": _q_ivf_ann_oracle(),
     }

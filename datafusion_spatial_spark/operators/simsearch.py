@@ -240,6 +240,57 @@ def ivf_index(
     return assigned, centroids
 
 
+def sqdist(a: Column, b: Column) -> Column:
+    """Sequential-order squared L2 distance (matches DuckDB list_reduce
+    order, so oracle mirrors are bit-exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_index_pivots(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int = 8,
+):
+    """Deterministic IVF coarse quantizer: the pivots ("centroids") are the
+    embeddings of the ``n_lists`` smallest ids, and every row is assigned to
+    its nearest pivot by squared L2 — a pure-Catalyst argmin over literal
+    pivot arrays. Map-only: zero shuffle, zero Python, the same scan shape
+    as :func:`lsh_bucket`.
+
+    Why pivots instead of Lloyd's k-means here: k-means centroid MEANS are
+    not bit-reproducible across engines (group-summation order is
+    unspecified), so a k-means IVF can never be value-checked against a SQL
+    oracle. Nearest-pivot assignment uses only products and sequential
+    sums, which this repo's oracles mirror exactly. For production-quality
+    lists use :func:`ivf_index` (Spark ML) — the downstream shape is
+    identical (``list_id`` filter → partition pruning on list-partitioned
+    storage).
+
+    Returns ``(assigned_df, pivots)`` with ``assigned_df`` = df +
+    ``list_id`` and ``pivots`` the list of pivot vectors (index = list id).
+    Ties go to the smallest list id (``array_position`` finds the first
+    minimum).
+    """
+    rows = (
+        df.select(F.col(id_col).alias("__i"), _vec(vec_col).alias("__v"))
+        .orderBy("__i")
+        .limit(n_lists)
+        .collect()
+    )
+    pivots = [[float(x) for x in r["__v"]] for r in rows]
+    v = _vec(vec_col)
+    scores = F.array(
+        *[sqdist(v, F.array(*[F.lit(x) for x in p])) for p in pivots]
+    )
+    list_id = (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+    return df.withColumn("list_id", list_id), pivots
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],

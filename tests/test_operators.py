@@ -384,6 +384,22 @@ def test_pq_compressed_ann(spark, emb):
     assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
 
 
+def test_ivf_pivots_assignment_exact(spark, emb):
+    # pure-Catalyst argmin assignment == python argmin, ties to smallest id
+    assigned, pivots = simsearch.ivf_index_pivots(
+        emb, "embedding", "vec_id", n_lists=8
+    )
+    assert len(pivots) == 8
+    for r in assigned.select("vec_id", "embedding", "list_id").limit(64).collect():
+        v = [float(x) for x in r.embedding]
+        d = [sum((a - b) ** 2 for a, b in zip(v, p)) for p in pivots]
+        assert r.list_id == d.index(min(d)), r.vec_id
+    # map-only: no shuffle exchange, no Python eval in the assignment plan
+    s = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in s
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+
+
 def test_pq_encode_null_and_ragged_vectors(spark):
     # a null or wrong-length vector must encode to NULL, not fail the stage
     rows = [
