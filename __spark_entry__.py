@@ -1130,7 +1130,10 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _q_minhash_lsh_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """The shared DuckDB CTE chain producing MinHash-LSH candidate pairs
+    (``cand``) + signatures (``sig``) — used by both the pair-mining oracle
+    and the corpus-dedup (connected components) oracle."""
     rows_per_band = N_MINHASH // N_BANDS
     sh = _duckdb_shingles("text", SHINGLE_K)
     ph = poly_hash_str_duckdb("s")
@@ -1144,8 +1147,7 @@ def _q_minhash_lsh_oracle() -> str:
         f"list_reduce(list_prepend(cast(0 AS BIGINT), {band_slice}), "
         f"(acc, x) -> (acc * 131 + x) % {P})"
     )
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id, {sh} AS shingles FROM documents
 ), hs AS (
   SELECT doc_id,
@@ -1161,7 +1163,12 @@ WITH sh AS (
   FROM banded a
   JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
                AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _q_minhash_lsh_oracle() -> str:
+    return f"""
+WITH {_minhash_pair_ctes()}
 SELECT id_a, id_b,
        round(len(list_intersect(sa.hs, sb.hs))
              / len(list_distinct(list_cat(sa.hs, sb.hs))), 6) AS jaccard
@@ -1171,6 +1178,40 @@ JOIN sig sb ON sb.doc_id = id_b
 WHERE len(list_intersect(sa.hs, sb.hs))
       / len(list_distinct(list_cat(sa.hs, sb.hs))) >= {JACCARD_T}
 ORDER BY id_a, id_b
+"""
+
+
+def _q_dedup_corpus_oracle() -> str:
+    """Connected-components mirror: the LSH pair list (same CTEs as the
+    pair-mining oracle) becomes a symmetric edge list; a recursive CTE
+    computes full reachability (UNION-dedup bounds it at |V|·|component|
+    rows — fine at gate scale); component = min reachable id; survivors =
+    documents that are not a non-minimum member of any component. Mirrors
+    operators/dedup.connected_components + dedup_corpus exactly."""
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()}, pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+  WHERE len(list_intersect(sa.hs, sb.hs))
+        / len(list_distinct(list_cat(sa.hs, sb.hs))) >= {JACCARD_T}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+), losers AS (
+  SELECT id FROM comp WHERE component <> id
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM losers)
+ORDER BY doc_id
 """
 
 
@@ -1609,13 +1650,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_spatial_join": _q_sql_spatial_join,
         "q_st_intersection_area": _q_st_intersection_area,
     }
-    # rows-only entries (no SQL-expressible oracle: iterative algorithms /
-    # ML-state / streaming — the driver records a weaker rows-only check)
     def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end near-dup removal (MinHash-LSH pairs → distributed
+        min-label-propagation connected components → min-id survivors).
+        The iterative CC algorithm IS oracle-checked: the DuckDB twin
+        computes the same components with a recursive reachability CTE,
+        so the survivor doc_id set must match value-exact."""
         from datafusion_spatial_spark.operators.dedup import dedup_corpus
 
         docs = load_table(spark, sf_dir, "documents")
-        return dedup_corpus(docs, "text", "doc_id", jaccard_threshold=JACCARD_T)
+        out = dedup_corpus(
+            docs, "text", "doc_id",
+            num_hashes=N_MINHASH, bands=N_BANDS, shingle_k=SHINGLE_K,
+            jaccard_threshold=JACCARD_T, hash_fn="poly",
+        )
+        return out.select("doc_id").orderBy("doc_id")
 
     def _q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         from datafusion_spatial_spark.streaming import ops as stream_ops
@@ -1645,9 +1694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": _q_cosine_topk,
         "q_lsh_ann_topk": _q_lsh_ann_topk,
         "q_ivf_ann_topk": _q_ivf_ann_topk,
-    }
-    rows_only = {
         "q_dedup_corpus": _q_dedup_corpus,
+    }
+    # rows-only tail (no SQL-expressible oracle: streaming)
+    rows_only = {
         "q_stream_hourly": _q_stream_hourly,
     }
     out = {**rel, **spatial, **ext, **rows_only}
@@ -1725,4 +1775,5 @@ def oracle_sql() -> dict[str, str]:
         "q_cosine_topk": _Q_COSINE_ORACLE,
         "q_lsh_ann_topk": _q_lsh_ann_oracle(),
         "q_ivf_ann_topk": _q_ivf_ann_oracle(),
+        "q_dedup_corpus": _q_dedup_corpus_oracle(),
     }
