@@ -1667,11 +1667,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id").orderBy("doc_id")
 
     def _q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming hourly rollup driven to a COMPLETE-mode memory sink:
+        complete mode emits the full windowed state, so the stream result
+        must equal the batch hourly aggregation row-for-row — which is
+        exactly what the DuckDB oracle checks (a real equivalence proof,
+        not a rows-only count). The bounded-state append+watermark path —
+        where late rows are dropped by design and so can never be
+        batch-equal — is batch-equivalence-tested with the drop accounting
+        in tests/test_streaming.py."""
         from datafusion_spatial_spark.streaming import ops as stream_ops
 
         s = stream_ops.stream_events(spark, sf_dir)
         name = stream_ops.run_to_memory(
-            stream_ops.windowed_counts(s, window="1 hour"), "q_stream_hourly_out"
+            stream_ops.windowed_counts(s, window="1 hour"),
+            "q_stream_hourly_out",
+            output_mode="complete",
         )
         out = spark.table(name)
         return out.select(
@@ -1695,12 +1705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_ann_topk": _q_lsh_ann_topk,
         "q_ivf_ann_topk": _q_ivf_ann_topk,
         "q_dedup_corpus": _q_dedup_corpus,
-    }
-    # rows-only tail (no SQL-expressible oracle: streaming)
-    rows_only = {
         "q_stream_hourly": _q_stream_hourly,
     }
-    out = {**rel, **spatial, **ext, **rows_only}
+    out = {**rel, **spatial, **ext}
     assert len(out) <= 50, f"driver gate caps at 50 queries; got {len(out)}"
     return out
 
@@ -1776,4 +1783,10 @@ def oracle_sql() -> dict[str, str]:
         "q_lsh_ann_topk": _q_lsh_ann_oracle(),
         "q_ivf_ann_topk": _q_ivf_ann_oracle(),
         "q_dedup_corpus": _q_dedup_corpus_oracle(),
+        # the stream result is checked against the BATCH hourly rollup —
+        # complete-mode equivalence makes the streaming query fully
+        # oracle-backed (same oracle text as q_events_hourly by design)
+        "q_stream_hourly": Q_EVENTS_HOURLY_CORE.format(
+            hour="strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')"
+        ),
     }
