@@ -141,9 +141,14 @@ def write_geoparquet(
     """Write parquet, then stamp the ``geo`` footer onto every produced file.
 
     ``geo_columns`` defaults to whatever GeometryMeta is attached to the
-    DataFrame's StructField metadata. The footer rewrite is a per-file
-    metadata-only rewrite via pyarrow; for very large outputs prefer sidecar
-    metadata or a catalog, but GeoParquet interop requires the footer key.
+    DataFrame's StructField metadata. GeoParquet interop requires the footer
+    key, and parquet footers live at the file tail, so attaching one means
+    rewriting each file — the rewrite is therefore DISTRIBUTED: the file
+    list is parallelized and every task re-streams its own files row-group
+    by row-group through task-side pyarrow (row-group boundaries and
+    statistics preserved, memory bounded by one row group). The driver
+    never reads a data file; at 100 TB the stamp costs one distributed
+    pass, the same order as the write itself.
 
     ``covering=True`` adds the GeoParquet 1.1 ``covering.bbox`` column for
     the primary geometry (a ``bbox`` struct{xmin,ymin,xmax,ymax} stamped
@@ -151,8 +156,6 @@ def write_geoparquet(
     :func:`read_geoparquet`'s ``window=`` — can prune row groups from
     parquet min/max statistics without touching geometry bytes.
     """
-    import pyarrow.parquet as pq
-
     if geo_columns is None:
         geo_columns = {}
         for fld in df.schema.fields:
@@ -189,12 +192,38 @@ def write_geoparquet(
             },
         }
     )
-    for f in glob.glob(os.path.join(path, "*.parquet")):
-        tbl = pq.read_table(f)
-        md = dict(tbl.schema.metadata or {})
-        md[b"geo"] = geo_json.encode()
-        pq.write_table(tbl.replace_schema_metadata(md), f)
-        # drop Spark's .crc sidecar — the rewrite invalidates its checksum
-        crc = os.path.join(path, f".{os.path.basename(f)}.crc")
-        if os.path.exists(crc):
-            os.remove(crc)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return
+    geo_bytes = geo_json.encode()
+
+    def _stamp(paths):
+        # runs INSIDE a task: stream each file row-group-by-row-group with
+        # task-side pyarrow, writing the same data under a schema that
+        # carries the geo footer; atomic replace keeps readers safe
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        for f in paths:
+            pf = _pq.ParquetFile(f)
+            md = dict(pf.schema_arrow.metadata or {})
+            md[b"geo"] = geo_bytes
+            schema = pf.schema_arrow.with_metadata(md)
+            tmp = f + ".geo.tmp"
+            with _pq.ParquetWriter(tmp, schema) as w:
+                for rg in range(pf.num_row_groups):
+                    w.write_table(pf.read_row_group(rg))
+            pf.close()
+            _os.replace(tmp, f)
+            # drop Spark's .crc sidecar — the rewrite invalidates its checksum
+            crc = _os.path.join(
+                _os.path.dirname(f), f".{_os.path.basename(f)}.crc"
+            )
+            if _os.path.exists(crc):
+                _os.remove(crc)
+        return iter(())
+
+    sc = df.sparkSession.sparkContext
+    n_slices = max(1, min(len(files), sc.defaultParallelism))
+    sc.parallelize(files, n_slices).foreachPartition(_stamp)

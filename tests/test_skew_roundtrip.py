@@ -51,6 +51,50 @@ def test_write_geoparquet_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_write_geoparquet_footer_stamp_is_distributed(spark, tmp_path, monkeypatch):
+    """Multi-file write: every file gets the geo footer, row groups are
+    preserved, and the DRIVER never reads a data file — the per-file
+    rewrite happens inside tasks (driver-side pyarrow read_table /
+    ParquetFile are poisoned for the duration)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    PT = GeometryMeta(encoding="point", geometry_types=("Point",))
+    pts = (
+        spark.range(5000)
+        .repartition(7)
+        .select(
+            "id",
+            st_point(
+                (F.col("id") % 100).cast("double"),
+                (F.col("id") % 91).cast("double"),
+            ).alias("geometry"),
+        )
+    )
+    out = str(tmp_path / "dist")
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side data read during footer stamp")
+
+    monkeypatch.setattr(pq, "read_table", _boom)
+    monkeypatch.setattr(pq, "ParquetFile", _boom)
+    write_geoparquet(pts, out, {"geometry": PT})
+    monkeypatch.undo()
+
+    files = _glob.glob(f"{out}/*.parquet")
+    assert len(files) == 7
+    for f in files:
+        md = pq.read_schema(f).metadata or {}
+        assert b"geo" in md
+    back = read_geoparquet(spark, out)
+    assert back.count() == 5000
+    assert resolve_meta(back, "geometry").encoding == "point"
+
+
 def test_write_geoparquet_covering_window_pushdown(spark, tmp_path):
     from pyspark.sql import functions as F
 
