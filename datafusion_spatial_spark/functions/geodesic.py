@@ -111,12 +111,180 @@ def st_transform(
     dst_srid: int,
     meta: GeometryMeta,
 ) -> Column:
-    """Reproject a geometry column between EPSG:4326 and EPSG:3857
-    (closed-form spherical Web Mercator; other pairs raise). WKB out.
+    """Reproject a whole geometry column (any shape, WKB out) between the
+    closed-form CRS set: EPSG:4326, 3857 (spherical Web Mercator), WGS84
+    UTM zones 326zz/327zz, and 3035 (ETRS89-LAEA) — any pair, pivoting
+    through lon/lat; unknown codes raise. Arrow-batched kernel.
 
     For bare point columns prefer :func:`st_transform_point` — it stays
     pure Catalyst and returns a native point."""
     return _geom_out(lambda g: geom_ops.transform(g, src_srid, dst_srid))(col, meta)
+
+
+def _tm_fwd_expr(
+    lon: Column, lat: Column, lon0_deg: float, south: bool
+) -> tuple[Column, Column]:
+    """Catalyst Transverse-Mercator forward (Snyder series, WGS84) — the
+    expression twin of geom_ops._tm_fwd; shared constants computed in
+    Python so both paths (and any SQL mirror) agree to the literal."""
+    e2 = WGS84_F * (2 - WGS84_F)
+    ep2 = e2 / (1 - e2)
+    c0, c2, c4, c6 = geom_ops._merid_coeffs(e2)
+    k0, fe = geom_ops._UTM_K0, geom_ops._UTM_FE
+    fn = geom_ops._UTM_FN_S if south else 0.0
+    phi, lam = F.radians(lat), F.radians(lon)
+    sphi, cphi, tphi = F.sin(phi), F.cos(phi), F.tan(phi)
+    N = F.lit(WGS84_A) / F.sqrt(1 - F.lit(e2) * sphi * sphi)
+    T = tphi * tphi
+    C = F.lit(ep2) * cphi * cphi
+    A = (lam - F.lit(math.radians(lon0_deg))) * cphi
+    M = F.lit(WGS84_A) * (
+        F.lit(c0) * phi - F.lit(c2) * F.sin(2 * phi)
+        + F.lit(c4) * F.sin(4 * phi) - F.lit(c6) * F.sin(6 * phi)
+    )
+    A2, A3 = A * A, A * A * A
+    x = F.lit(fe) + F.lit(k0) * N * (
+        A + (1 - T + C) * A3 / 6
+        + (5 - 18 * T + T * T + 72 * C - F.lit(58 * ep2)) * A3 * A2 / 120
+    )
+    y = F.lit(fn) + F.lit(k0) * (
+        M + N * tphi * (
+            A2 / 2 + (5 - T + 9 * C + 4 * C * C) * A2 * A2 / 24
+            + (61 - 58 * T + T * T + 600 * C - F.lit(330 * ep2)) * A3 * A3 / 720
+        )
+    )
+    return x, y
+
+
+def _tm_inv_expr(
+    x: Column, y: Column, lon0_deg: float, south: bool
+) -> tuple[Column, Column]:
+    """Catalyst Transverse-Mercator inverse (Snyder series, WGS84)."""
+    e2 = WGS84_F * (2 - WGS84_F)
+    ep2 = e2 / (1 - e2)
+    c0, _, _, _ = geom_ops._merid_coeffs(e2)
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    k0, fe = geom_ops._UTM_K0, geom_ops._UTM_FE
+    fn = geom_ops._UTM_FN_S if south else 0.0
+    mu = (y - F.lit(fn)) / F.lit(k0 * WGS84_A * c0)
+    phi1 = (
+        mu
+        + F.lit(3 * e1 / 2 - 27 * e1**3 / 32) * F.sin(2 * mu)
+        + F.lit(21 * e1**2 / 16 - 55 * e1**4 / 32) * F.sin(4 * mu)
+        + F.lit(151 * e1**3 / 96) * F.sin(6 * mu)
+        + F.lit(1097 * e1**4 / 512) * F.sin(8 * mu)
+    )
+    s1, c1_, t1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
+    C1 = F.lit(ep2) * c1_ * c1_
+    T1 = t1 * t1
+    N1 = F.lit(WGS84_A) / F.sqrt(1 - F.lit(e2) * s1 * s1)
+    R1 = F.lit(WGS84_A * (1 - e2)) / F.pow(1 - F.lit(e2) * s1 * s1, 1.5)
+    D = (x - F.lit(fe)) / (N1 * F.lit(k0))
+    D2 = D * D
+    phi = phi1 - (N1 * t1 / R1) * (
+        D2 / 2
+        - (5 + 3 * T1 + 10 * C1 - 4 * C1 * C1 - F.lit(9 * ep2)) * D2 * D2 / 24
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1 * T1 - F.lit(252 * ep2)
+           - 3 * C1 * C1) * D2 * D2 * D2 / 720
+    )
+    lam = F.lit(math.radians(lon0_deg)) + (
+        D
+        - (1 + 2 * T1 + C1) * D * D2 / 6
+        + (5 - 2 * C1 + 28 * T1 - 3 * C1 * C1 + F.lit(8 * ep2)
+           + 24 * T1 * T1) * D * D2 * D2 / 120
+    ) / c1_
+    return F.degrees(lam), F.degrees(phi)
+
+
+def _laea_fwd_expr(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """Catalyst ellipsoidal LAEA forward (EPSG:3035 constants, Snyder)."""
+    e, e2, qp, beta0, Rq, Dc, lam0 = geom_ops._laea_consts()
+    _, _, FE, FN = geom_ops._LAEA_3035
+    phi, lam = F.radians(lat), F.radians(lon)
+    s = F.sin(phi)
+    q = F.lit(1 - e2) * (
+        s / (1 - F.lit(e2) * s * s)
+        - F.lit(1 / (2 * e)) * F.log((1 - F.lit(e) * s) / (1 + F.lit(e) * s))
+    )
+    beta = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), q / F.lit(qp))))
+    dl = lam - F.lit(lam0)
+    B = F.lit(Rq) * F.sqrt(
+        2 / (1 + F.lit(math.sin(beta0)) * F.sin(beta)
+             + F.lit(math.cos(beta0)) * F.cos(beta) * F.cos(dl))
+    )
+    x = F.lit(FE) + B * F.lit(Dc) * F.cos(beta) * F.sin(dl)
+    y = F.lit(FN) + (B / F.lit(Dc)) * (
+        F.lit(math.cos(beta0)) * F.sin(beta)
+        - F.lit(math.sin(beta0)) * F.cos(beta) * F.cos(dl)
+    )
+    return x, y
+
+
+def _laea_inv_expr(x: Column, y: Column) -> tuple[Column, Column]:
+    """Catalyst ellipsoidal LAEA inverse (EPSG:3035 constants, Snyder)."""
+    e, e2, qp, beta0, Rq, Dc, lam0 = geom_ops._laea_consts()
+    _, _, FE, FN = geom_ops._LAEA_3035
+    xp, yp = x - F.lit(FE), y - F.lit(FN)
+    rho = F.sqrt((xp / F.lit(Dc)) * (xp / F.lit(Dc)) + (F.lit(Dc) * yp) * (F.lit(Dc) * yp))
+    ce = 2 * F.asin(
+        F.greatest(F.lit(-1.0), F.least(F.lit(1.0), rho / F.lit(2 * Rq)))
+    )
+    betap = F.asin(
+        F.cos(ce) * F.lit(math.sin(beta0))
+        + (F.lit(Dc) * yp * F.sin(ce) * F.lit(math.cos(beta0)) / rho)
+    )
+    lam = F.lit(lam0) + F.atan2(
+        xp * F.sin(ce),
+        F.lit(Dc) * rho * F.lit(math.cos(beta0)) * F.cos(ce)
+        - F.lit(Dc * Dc) * yp * F.lit(math.sin(beta0)) * F.sin(ce),
+    )
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    phi = (
+        betap
+        + F.lit(e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * F.sin(2 * betap)
+        + F.lit(23 * e4 / 360 + 251 * e6 / 3780) * F.sin(4 * betap)
+        + F.lit(761 * e6 / 45360) * F.sin(6 * betap)
+    )
+    # the projection center itself has rho == 0 (NaN above): patch exactly
+    lat0 = geom_ops._LAEA_3035[1]
+    at_center = rho < F.lit(1e-12)
+    return (
+        F.when(at_center, F.lit(math.degrees(lam0))).otherwise(F.degrees(lam)),
+        F.when(at_center, F.lit(lat0)).otherwise(F.degrees(phi)),
+    )
+
+
+def _to_lonlat_expr(x: Column, y: Column, srid: int):
+    if srid == 4326:
+        return x, y
+    if srid == 3857:
+        return (
+            F.degrees(x / F.lit(_MERC_R)),
+            F.degrees(2 * F.atan(F.exp(y / F.lit(_MERC_R))) - F.lit(math.pi / 2)),
+        )
+    if srid == 3035:
+        return _laea_inv_expr(x, y)
+    z = geom_ops.utm_zone_of(srid)
+    if z:
+        return _tm_inv_expr(x, y, geom_ops.utm_lon0(z[0]), z[1])
+    return None
+
+
+def _from_lonlat_expr(lon: Column, lat: Column, srid: int):
+    if srid == 4326:
+        return lon, lat
+    if srid == 3857:
+        return (
+            F.lit(_MERC_R) * F.radians(lon),
+            F.lit(_MERC_R)
+            * F.log(F.tan(F.lit(math.pi / 4) + F.radians(lat) / 2)),
+        )
+    if srid == 3035:
+        return _laea_fwd_expr(lon, lat)
+    z = geom_ops.utm_zone_of(srid)
+    if z:
+        return _tm_fwd_expr(lon, lat, geom_ops.utm_lon0(z[0]), z[1])
+    return None
 
 
 def st_transform_point(
@@ -126,22 +294,24 @@ def st_transform_point(
     meta: GeometryMeta = POINT_META,
 ) -> Column:
     """Point-column reprojection, pure Catalyst: native struct{x,y} out.
-    Supported pairs: 4326 -> 3857, 3857 -> 4326, identity."""
+
+    Supported CRS (any pair, pivoting through lon/lat): EPSG:4326,
+    EPSG:3857 (closed-form spherical Web Mercator), WGS84 UTM zones
+    EPSG:326zz/327zz (Snyder Transverse-Mercator series, <1 mm in-zone),
+    EPSG:3035 (ETRS89-LAEA Europe, ellipsoidal). Everything stays in
+    whole-stage codegen — trig expressions only, usable inside join
+    conditions at scale."""
     x, y = st_x(col, meta), st_y(col, meta)
     if src_srid == dst_srid:
         return st_point(x, y)
-    if (src_srid, dst_srid) == (4326, 3857):
-        mx = F.lit(_MERC_R) * F.radians(x)
-        my = F.lit(_MERC_R) * F.log(F.tan(F.lit(math.pi / 4) + F.radians(y) / 2))
-        return st_point(mx, my)
-    if (src_srid, dst_srid) == (3857, 4326):
-        lon = F.degrees(x / F.lit(_MERC_R))
-        lat = F.degrees(2 * F.atan(F.exp(y / F.lit(_MERC_R))) - F.lit(math.pi / 2))
-        return st_point(lon, lat)
-    raise NotImplementedError(
-        f"transform {src_srid} -> {dst_srid} not supported "
-        "(closed-form pairs only: 4326 <-> 3857)"
-    )
+    ll = _to_lonlat_expr(x, y, src_srid)
+    out = None if ll is None else _from_lonlat_expr(ll[0], ll[1], dst_srid)
+    if out is None:
+        raise NotImplementedError(
+            f"transform {src_srid} -> {dst_srid} not supported (closed-form "
+            "CRS only: 4326, 3857, UTM 326zz/327zz, LAEA 3035)"
+        )
+    return st_point(out[0], out[1])
 
 
 # ---------------------------------------------------------------------------

@@ -3074,23 +3074,230 @@ def _merc_inv(x, y):
     )
 
 
-_TRANSFORMS = {
-    (4326, 3857): _merc_fwd,
-    (3857, 4326): _merc_inv,
-}
+# --- Transverse Mercator (UTM zones, EPSG:326zz/327zz on WGS84) ---------
+# Snyder, "Map Projections — A Working Manual" (USGS PP 1395), eqs. 8-9..8-25
+# — public-domain series, closed-form to <1 mm inside a zone.
+
+_UTM_K0 = 0.9996
+_UTM_FE = 500_000.0
+_UTM_FN_S = 10_000_000.0
+
+
+def _merid_coeffs(e2: float):
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return (
+        1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256,
+        3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024,
+        15 * e4 / 256 + 45 * e6 / 1024,
+        35 * e6 / 3072,
+    )
+
+
+def _tm_fwd(lon: float, lat: float, lon0_deg: float, south: bool,
+            a: float = WGS84_A, f: float = WGS84_F):
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    c0, c2, c4, c6 = _merid_coeffs(e2)
+    phi = math.radians(lat)
+    lam = math.radians(lon)
+    lam0 = math.radians(lon0_deg)
+    sphi, cphi, tphi = math.sin(phi), math.cos(phi), math.tan(phi)
+    N = a / math.sqrt(1 - e2 * sphi * sphi)
+    T = tphi * tphi
+    C = ep2 * cphi * cphi
+    A = (lam - lam0) * cphi
+    M = a * (c0 * phi - c2 * math.sin(2 * phi) + c4 * math.sin(4 * phi)
+             - c6 * math.sin(6 * phi))
+    A2, A3 = A * A, A * A * A
+    x = _UTM_FE + _UTM_K0 * N * (
+        A + (1 - T + C) * A3 / 6
+        + (5 - 18 * T + T * T + 72 * C - 58 * ep2) * A3 * A2 / 120
+    )
+    y = (_UTM_FN_S if south else 0.0) + _UTM_K0 * (
+        M + N * tphi * (
+            A2 / 2 + (5 - T + 9 * C + 4 * C * C) * A2 * A2 / 24
+            + (61 - 58 * T + T * T + 600 * C - 330 * ep2) * A3 * A3 / 720
+        )
+    )
+    return x, y
+
+
+def _tm_inv(x: float, y: float, lon0_deg: float, south: bool,
+            a: float = WGS84_A, f: float = WGS84_F):
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    c0, _, _, _ = _merid_coeffs(e2)
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    M = (y - (_UTM_FN_S if south else 0.0)) / _UTM_K0
+    mu = M / (a * c0)
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * math.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * math.sin(4 * mu)
+        + (151 * e1**3 / 96) * math.sin(6 * mu)
+        + (1097 * e1**4 / 512) * math.sin(8 * mu)
+    )
+    s1, c1_, t1 = math.sin(phi1), math.cos(phi1), math.tan(phi1)
+    C1 = ep2 * c1_ * c1_
+    T1 = t1 * t1
+    N1 = a / math.sqrt(1 - e2 * s1 * s1)
+    R1 = a * (1 - e2) / (1 - e2 * s1 * s1) ** 1.5
+    D = (x - _UTM_FE) / (N1 * _UTM_K0)
+    D2 = D * D
+    phi = phi1 - (N1 * t1 / R1) * (
+        D2 / 2
+        - (5 + 3 * T1 + 10 * C1 - 4 * C1 * C1 - 9 * ep2) * D2 * D2 / 24
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1 * T1 - 252 * ep2 - 3 * C1 * C1)
+        * D2 * D2 * D2 / 720
+    )
+    lam = math.radians(lon0_deg) + (
+        D
+        - (1 + 2 * T1 + C1) * D * D2 / 6
+        + (5 - 2 * C1 + 28 * T1 - 3 * C1 * C1 + 8 * ep2 + 24 * T1 * T1)
+        * D * D2 * D2 / 120
+    ) / c1_
+    return math.degrees(lam), math.degrees(phi)
+
+
+def utm_zone_of(srid: int):
+    """(zone, south) for EPSG UTM codes 32601-32660 / 32701-32760, else
+    None."""
+    if 32601 <= srid <= 32660:
+        return srid - 32600, False
+    if 32701 <= srid <= 32760:
+        return srid - 32700, True
+    return None
+
+
+def utm_lon0(zone: int) -> float:
+    return -183.0 + 6.0 * zone
+
+
+# --- Lambert Azimuthal Equal-Area (EPSG:3035, ETRS89 Europe) -------------
+# Snyder PP 1395 eqs. 3-11..3-18, 24-2..24-30 (ellipsoidal oblique case).
+
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+_LAEA_3035 = (10.0, 52.0, 4_321_000.0, 3_210_000.0)  # lon0, lat0, FE, FN
+
+
+def _laea_q(phi: float, e: float, e2: float) -> float:
+    s = math.sin(phi)
+    return (1 - e2) * (
+        s / (1 - e2 * s * s)
+        - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+    )
+
+
+def _laea_consts(a: float = GRS80_A, f: float = GRS80_F,
+                 lon0: float = _LAEA_3035[0], lat0: float = _LAEA_3035[1]):
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    phi0 = math.radians(lat0)
+    qp = _laea_q(math.pi / 2, e, e2)
+    q0 = _laea_q(phi0, e, e2)
+    beta0 = math.asin(q0 / qp)
+    Rq = a * math.sqrt(qp / 2)
+    m0 = math.cos(phi0) / math.sqrt(1 - e2 * math.sin(phi0) ** 2)
+    D = a * m0 / (Rq * math.cos(beta0))
+    return e, e2, qp, beta0, Rq, D, math.radians(lon0)
+
+
+def _laea_fwd(lon: float, lat: float, a: float = GRS80_A, f: float = GRS80_F,
+              params=_LAEA_3035):
+    lon0, lat0, FE, FN = params
+    e, e2, qp, beta0, Rq, D, lam0 = _laea_consts(a, f, lon0, lat0)
+    phi = math.radians(lat)
+    lam = math.radians(lon)
+    q = _laea_q(phi, e, e2)
+    beta = math.asin(max(-1.0, min(1.0, q / qp)))
+    dl = lam - lam0
+    B = Rq * math.sqrt(
+        2 / (1 + math.sin(beta0) * math.sin(beta)
+             + math.cos(beta0) * math.cos(beta) * math.cos(dl))
+    )
+    x = FE + B * D * math.cos(beta) * math.sin(dl)
+    y = FN + (B / D) * (
+        math.cos(beta0) * math.sin(beta)
+        - math.sin(beta0) * math.cos(beta) * math.cos(dl)
+    )
+    return x, y
+
+
+def _laea_inv(x: float, y: float, a: float = GRS80_A, f: float = GRS80_F,
+              params=_LAEA_3035):
+    lon0, lat0, FE, FN = params
+    e, e2, qp, beta0, Rq, D, lam0 = _laea_consts(a, f, lon0, lat0)
+    xp, yp = x - FE, y - FN
+    rho = math.hypot(xp / D, D * yp)
+    if rho == 0.0:
+        return lon0, lat0
+    ce = 2 * math.asin(max(-1.0, min(1.0, rho / (2 * Rq))))
+    betap = math.asin(
+        math.cos(ce) * math.sin(beta0)
+        + (D * yp * math.sin(ce) * math.cos(beta0) / rho)
+    )
+    lam = lam0 + math.atan2(
+        xp * math.sin(ce),
+        D * rho * math.cos(beta0) * math.cos(ce)
+        - D * D * yp * math.sin(beta0) * math.sin(ce),
+    )
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    phi = (
+        betap
+        + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * betap)
+        + (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * betap)
+        + (761 * e6 / 45360) * math.sin(6 * betap)
+    )
+    return math.degrees(lam), math.degrees(phi)
+
+
+def _lookup_transform(src_srid: int, dst_srid: int):
+    """(lon,lat)->(x,y) scalar fn for the pair, or None. 4326 pivots any
+    supported CRS pair (e.g. 3857 -> UTM chains through lon/lat)."""
+    def to_4326(srid):
+        if srid == 4326:
+            return lambda x, y: (x, y)
+        if srid == 3857:
+            return _merc_inv
+        if srid == 3035:
+            return _laea_inv
+        z = utm_zone_of(srid)
+        if z:
+            return lambda x, y, _z=z: _tm_inv(x, y, utm_lon0(_z[0]), _z[1])
+        return None
+
+    def from_4326(srid):
+        if srid == 4326:
+            return lambda x, y: (x, y)
+        if srid == 3857:
+            return _merc_fwd
+        if srid == 3035:
+            return _laea_fwd
+        z = utm_zone_of(srid)
+        if z:
+            return lambda x, y, _z=z: _tm_fwd(x, y, utm_lon0(_z[0]), _z[1])
+        return None
+
+    inv, fwd = to_4326(src_srid), from_4326(dst_srid)
+    if inv is None or fwd is None:
+        return None
+    return lambda x, y: fwd(*inv(x, y))
 
 
 def transform(g: Geom, src_srid: int, dst_srid: int) -> Geom:
-    """Reproject coordinates between supported CRS pairs (EPSG:4326 ↔
-    EPSG:3857 closed-form spherical Web Mercator). Other pairs raise —
-    never silently wrong. Z/M passed through untouched."""
+    """Reproject coordinates between supported CRS: EPSG:4326, 3857
+    (spherical Web Mercator), UTM WGS84 zones (326zz/327zz, Snyder series),
+    and 3035 (ETRS89-LAEA Europe) — any pair, pivoting through lon/lat.
+    Other codes raise — never silently wrong. Z/M passed through
+    untouched."""
     if src_srid == dst_srid:
         return Geom(g.type_name, g.coords, g.has_z, dst_srid, g.has_m)
-    fn = _TRANSFORMS.get((src_srid, dst_srid))
+    fn = _lookup_transform(src_srid, dst_srid)
     if fn is None:
         raise NotImplementedError(
-            f"transform {src_srid} -> {dst_srid} not supported "
-            "(closed-form pairs only: 4326 <-> 3857)"
+            f"transform {src_srid} -> {dst_srid} not supported (closed-form "
+            "CRS only: 4326, 3857, UTM 326zz/327zz, LAEA 3035)"
         )
 
     def conv(c):

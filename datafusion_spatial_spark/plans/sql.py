@@ -127,6 +127,14 @@ _FUNCTIONS_GEOM_NUM = {
     ),
 }
 
+# geometry + two numeric-literal args
+_FUNCTIONS_GEOM_NUM2 = {
+    "ST_TRANSFORM": (
+        lambda col, s, d, meta: _gd.st_transform(col, int(s), int(d), meta),
+        _WKB,
+    ),
+}
+
 _AGG_EXTENT = "ST_EXTENT"
 _NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
 
@@ -468,6 +476,18 @@ class SpatialSQL:
             builder, out_meta = _FUNCTIONS_GEOM_NUM[name]
             col, meta = self._arg_column(args[0], col_meta)
             return builder(col, float(args[1]), meta), out_meta
+        if name in _FUNCTIONS_GEOM_NUM2:
+            if (
+                len(args) != 3
+                or not _NUM_RE.match(args[1])
+                or not _NUM_RE.match(args[2])
+            ):
+                raise ValueError(
+                    f"{name} takes (geometry, numeric-literal, numeric-literal)"
+                )
+            builder, out_meta = _FUNCTIONS_GEOM_NUM2[name]
+            col, meta = self._arg_column(args[0], col_meta)
+            return builder(col, float(args[1]), float(args[2]), meta), out_meta
         raise ValueError(f"unsupported SQL spatial function {name}")
 
 

@@ -224,3 +224,174 @@ def test_st_areasphere_equator_square(spark):
     )
     assert abs(df[0].a - a_outer) / a_outer < 1e-12
     assert abs(df[1].a - (a_outer - a_hole)) / a_outer < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# General CRS transforms: UTM (EPSG:326zz/327zz) + LAEA (EPSG:3035)
+
+
+def test_utm_structural_truths():
+    # central meridian -> easting exactly 500000; equator -> northing 0
+    assert G._tm_fwd(3.0, 0.0, 3.0, False) == (500_000.0, 0.0)
+    # scale at the central meridian is k0 = 0.9996: northing delta over a
+    # short meridian arc (exact ellipsoidal arc via the M series)
+    _, y1 = G._tm_fwd(3.0, 45.0, 3.0, False)
+    _, y2 = G._tm_fwd(3.0, 45.01, 3.0, False)
+    e2 = G.WGS84_F * (2 - G.WGS84_F)
+    c0, c2, c4, c6 = G._merid_coeffs(e2)
+
+    def M(lat):
+        p = math.radians(lat)
+        return G.WGS84_A * (
+            c0 * p - c2 * math.sin(2 * p) + c4 * math.sin(4 * p)
+            - c6 * math.sin(6 * p)
+        )
+
+    assert abs((y2 - y1) / (M(45.01) - M(45.0)) - 0.9996) < 1e-12
+    # southern hemisphere: false northing 10,000,000 at the equator
+    xs, ys = G._tm_fwd(151.0, -0.001, 151.0 - (151.0 % 6) + 3.0, True)
+    assert ys < 10_000_000.0 and ys > 9_999_000.0
+
+
+def test_utm_kernel_roundtrip_and_zone_codes():
+    for lon, lat, srid in [
+        (2.2945, 48.8584, 32631),      # Paris, 31N
+        (151.2093, -33.8688, 32756),   # Sydney, 56S
+        (-74.0060, 40.7128, 32618),    # NYC, 18N
+    ]:
+        zone, south = G.utm_zone_of(srid)
+        x, y = G._tm_fwd(lon, lat, G.utm_lon0(zone), south)
+        # in-zone plausibility: easting within [100km, 900km]
+        assert 100_000 < x < 900_000
+        lon2, lat2 = G._tm_inv(x, y, G.utm_lon0(zone), south)
+        assert abs(lon2 - lon) < 1e-7 and abs(lat2 - lat) < 1e-7
+    assert G.utm_zone_of(4326) is None
+    assert G.utm_zone_of(32661) is None  # UPS codes are NOT UTM
+
+
+def test_laea_equal_area_and_center():
+    # projection center maps exactly to the false origin
+    assert G._laea_fwd(10.0, 52.0) == (4_321_000.0, 3_210_000.0)
+    # EQUAL AREA: planar shoelace area of a projected graticule cell equals
+    # the exact ellipsoidal area  a^2 * dlam * (q2 - q1) / 2
+    lon1, lon2, lat1, lat2 = 8.0, 12.0, 50.0, 54.0
+    n = 200
+    ring = (
+        [(lon1 + (lon2 - lon1) * i / n, lat1) for i in range(n)]
+        + [(lon2, lat1 + (lat2 - lat1) * i / n) for i in range(n)]
+        + [(lon2 - (lon2 - lon1) * i / n, lat2) for i in range(n)]
+        + [(lon1, lat2 - (lat2 - lat1) * i / n) for i in range(n)]
+    )
+    proj = [G._laea_fwd(lo, la) for lo, la in ring]
+    s = 0.0
+    for (x1, y1), (x2, y2) in zip(proj, proj[1:] + proj[:1]):
+        s += x1 * y2 - x2 * y1
+    planar = abs(s) / 2
+    e2 = G.GRS80_F * (2 - G.GRS80_F)
+    e = math.sqrt(e2)
+    q1 = G._laea_q(math.radians(lat1), e, e2)
+    q2 = G._laea_q(math.radians(lat2), e, e2)
+    exact = G.GRS80_A**2 * math.radians(lon2 - lon1) * (q2 - q1) / 2
+    assert abs(planar - exact) / exact < 1e-6
+    # roundtrip
+    for lo, la in [(2.2945, 48.8584), (24.9, 60.2), (-3.7, 40.4)]:
+        x, y = G._laea_fwd(lo, la)
+        lo2, la2 = G._laea_inv(x, y)
+        assert abs(lo2 - lo) < 1e-7 and abs(la2 - la) < 1e-7
+
+
+def test_transform_catalyst_matches_kernel_and_duckdb(spark):
+    """Three-way agreement at mm level: python kernel == pure-Catalyst
+    expression == a DuckDB mirror of the same Snyder series (the
+    value-exact SQL-oracle leg)."""
+    import duckdb
+
+    pts = [(2.2945, 48.8584), (5.9, 45.1), (0.1, 52.0), (2.999, 0.001)]
+    df = spark.createDataFrame(pts, "lon double, lat double").select(
+        st_point("lon", "lat").alias("g"), "lon", "lat"
+    )
+    out = df.select(
+        "lon", "lat",
+        st_transform_point("g", 4326, 32631).alias("utm"),
+        st_transform_point("g", 4326, 3035).alias("laea"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    rows = out.collect()
+    for r in rows:
+        kx, ky = G._tm_fwd(r.lon, r.lat, G.utm_lon0(31), False)
+        assert abs(r.utm.x - kx) < 1e-6 and abs(r.utm.y - ky) < 1e-6
+        lx, ly = G._laea_fwd(r.lon, r.lat)
+        assert abs(r.laea.x - lx) < 1e-6 and abs(r.laea.y - ly) < 1e-6
+
+    # DuckDB mirror of the UTM forward series with the same shared literals
+    e2 = G.WGS84_F * (2 - G.WGS84_F)
+    ep2 = e2 / (1 - e2)
+    c0, c2, c4, c6 = G._merid_coeffs(e2)
+    a, k0, fe = G.WGS84_A, G._UTM_K0, G._UTM_FE
+    lam0 = math.radians(G.utm_lon0(31))
+    sql = f"""
+WITH p AS (SELECT radians(lat) AS phi, radians(lon) AS lam, lon, lat FROM pts),
+t AS (
+  SELECT lon, lat,
+         {a} / sqrt(1 - {e2} * sin(phi) * sin(phi)) AS N,
+         tan(phi) * tan(phi) AS T,
+         {ep2} * cos(phi) * cos(phi) AS C,
+         (lam - {lam0}) * cos(phi) AS A,
+         {a} * ({c0} * phi - {c2} * sin(2 * phi) + {c4} * sin(4 * phi)
+                - {c6} * sin(6 * phi)) AS M,
+         tan(phi) AS tphi
+  FROM p
+)
+SELECT lon, lat,
+       {fe} + {k0} * N * (A + (1 - T + C) * A * A * A / 6
+           + (5 - 18 * T + T * T + 72 * C - {58 * ep2}) * A * A * A * A * A / 120) AS x,
+       {k0} * (M + N * tphi * (A * A / 2
+           + (5 - T + 9 * C + 4 * C * C) * A * A * A * A / 24
+           + (61 - 58 * T + T * T + 600 * C - {330 * ep2}) * A * A * A * A * A * A / 720)) AS y
+FROM t
+"""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts (lon DOUBLE, lat DOUBLE)"
+    )
+    con.executemany("INSERT INTO pts VALUES (?, ?)", pts)
+    duck = {(r[0], r[1]): (r[2], r[3]) for r in con.execute(sql).fetchall()}
+    for r in rows:
+        dx, dy = duck[(r.lon, r.lat)]
+        assert abs(r.utm.x - dx) < 1e-3 and abs(r.utm.y - dy) < 1e-3
+
+
+def test_transform_wkb_kernel_utm_laea():
+    g = wkb.from_wkt("LINESTRING (2 48, 3 49, 4 50)")
+    m = G.transform(g, 4326, 32631)
+    assert m.srid == 32631
+    back = G.transform(m, 32631, 4326)
+    for (x0, y0), (x1, y1) in zip(g.coords, back.coords):
+        assert abs(x0 - x1) < 1e-7 and abs(y0 - y1) < 1e-7
+    # chained pair that pivots through 4326 (3857 -> 3035)
+    merc = G.transform(g, 4326, 3857)
+    eu = G.transform(merc, 3857, 3035)
+    direct = G.transform(g, 4326, 3035)
+    for (x0, y0), (x1, y1) in zip(eu.coords, direct.coords):
+        assert abs(x0 - x1) < 1e-6 and abs(y0 - y1) < 1e-6
+
+
+def test_sql_resolver_st_transform(spark):
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    df = spark.createDataFrame([(2.2945, 48.8584)], "lon double, lat double")
+    df = df.select(st_point("lon", "lat").alias("geometry"))
+    df = with_geo_meta(
+        df, "geometry",
+        GeometryMeta(encoding="point", geometry_types=("Point",)),
+    )
+    ssql = SpatialSQL(spark)
+    ssql.register_view("t", df)
+    out = ssql.sql(
+        "SELECT ST_Transform(geometry, 4326, 32631) AS g FROM t"
+    ).collect()[0].g
+    got = wkb.loads(bytes(out))
+    kx, ky = G._tm_fwd(2.2945, 48.8584, G.utm_lon0(31), False)
+    assert abs(got.coords[0] - kx) < 1e-6 and abs(got.coords[1] - ky) < 1e-6
