@@ -2080,9 +2080,14 @@ def flatten_collection(g: Geom) -> Geom:
 def relate_matrix(a: Geom, b: Geom) -> str:
     """Dimension-true DE-9IM matrix (row-major II IB IE / BI BB BE /
     EI EB EE; cells F/0/1/2). Homogeneous GeometryCollections are
-    flattened to their Multi type; mixed-dimension collections raise."""
-    a = flatten_collection(a)
-    b = flatten_collection(b)
+    flattened to their Multi type; MIXED-dimension collections are
+    handled by the arrangement-sampling path (:func:`_relate_mixed`,
+    union semantics as in GEOS RelateNG)."""
+    try:
+        a = flatten_collection(a)
+        b = flatten_collection(b)
+    except NotImplementedError:
+        return _relate_mixed(a, b)
 
     def bnd_dim(g: Geom) -> str:
         if g.is_empty:
@@ -2250,6 +2255,133 @@ def relate_matrix(a: Geom, b: Geom) -> str:
     cells[2] = "0" if sa - sb else "F"
     cells[6] = "0" if sb - sa else "F"
     return "".join(cells)
+
+
+def _split_fragments_at(segs, other_segs, other_pts):
+    """:func:`_split_fragments`, additionally splitting every segment at
+    the given 0-dim feature points that lie on it."""
+    from datafusion_spatial_spark.overlay import _isect_params
+
+    out = []
+    for p, q in segs:
+        ts = {0.0, 1.0}
+        for r, s in other_segs:
+            ts.update(_isect_params(p, q, r, s))
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        l2 = dx * dx + dy * dy
+        if l2 > 0:
+            for pt in other_pts:
+                if _on_segment(pt[0], pt[1], p[0], p[1], q[0], q[1]):
+                    t = ((pt[0] - p[0]) * dx + (pt[1] - p[1]) * dy) / l2
+                    ts.add(min(1.0, max(0.0, t)))
+        tt = sorted(ts)
+        for t0, t1 in zip(tt, tt[1:]):
+            if t1 - t0 <= 1e-12:
+                continue
+            f0 = (p[0] + t0 * (q[0] - p[0]), p[1] + t0 * (q[1] - p[1]))
+            f1 = (p[0] + t1 * (q[0] - p[0]), p[1] + t1 * (q[1] - p[1]))
+            tm = (t0 + t1) / 2
+            mid = (p[0] + tm * (q[0] - p[0]), p[1] + tm * (q[1] - p[1]))
+            out.append((f0, f1, mid))
+    return out
+
+
+class _RelateSide:
+    """One operand decomposed for union-semantics DE-9IM classification:
+    I(X) = union of member interiors (poly interiors ∪ line interiors ∪
+    points), B(X) = union of member boundaries minus I(X), E(X) = rest —
+    the GEOS RelateNG rules for GeometryCollections."""
+
+    def __init__(self, g: Geom):
+        d = _decompose_dims(g)
+        self.poly_geom = d[2]
+        self.polys = list(_polygons(d[2])) if d[2] is not None else []
+        self.line_segs = _line_segs(d[1]) if d[1] is not None else []
+        self.mod2 = _line_boundary_pts(d[1]) if d[1] is not None else set()
+        self.pts = (
+            [(p[0], p[1]) for p in _points(d[0])] if d[0] is not None else []
+        )
+        self.ring_segs = _ring_segs(self.polys)
+        self.segs = self.ring_segs + self.line_segs
+
+    def classify(self, p) -> str:
+        x, y = p
+        locs = [polygon_contains_point(r, x, y) for r in self.polys]
+        if any(c == 2 for c in locs):
+            return "I"
+        on_line = _on_any_seg(p, self.line_segs)
+        if on_line and not _near_any(p, self.mod2):
+            return "I"
+        if any(abs(q[0] - x) <= EPS and abs(q[1] - y) <= EPS for q in self.pts):
+            return "I"
+        if any(c == 1 for c in locs) or (on_line and _near_any(p, self.mod2)):
+            return "B"
+        return "E"
+
+
+def _relate_mixed(a: Geom, b: Geom) -> str:
+    """DE-9IM for operands where at least one is a mixed-dimension
+    GeometryCollection (PostGIS/GEOS RelateNG union semantics).
+
+    Arrangement sampling with the same machinery as the homogeneous
+    kernel: 2-dim cells from polygon-interior reachability, 1-dim cells
+    from fragment midpoints (each side's segments split at every crossing
+    with the other side's), 0-dim cells from the arrangement's vertices
+    (member points, mod-2 line endpoints, fragment endpoints). Each
+    witness is classified I/B/E against BOTH operands and every cell
+    keeps the maximum witnessed dimension — exactly how the homogeneous
+    kernels derive their cells, generalized to mixed decompositions."""
+    A, B = _RelateSide(a), _RelateSide(b)
+    order = {"I": 0, "B": 1, "E": 2}
+    dims = [[-1] * 3 for _ in range(3)]
+
+    def note(ca: str, cb: str, d: int) -> None:
+        i, j = order[ca], order[cb]
+        if d > dims[i][j]:
+            dims[i][j] = d
+
+    note("E", "E", 2)  # bounded operands: exteriors always share area
+    # 2-dim witnesses (only polygon interiors carry area)
+    if A.polys and B.polys and _interiors_intersect(A.poly_geom, B.poly_geom):
+        note("I", "I", 2)
+    if A.polys and (
+        not B.polys or _exterior_reachable(A.poly_geom, B.poly_geom)
+    ):
+        note("I", "E", 2)
+    if B.polys and (
+        not A.polys or _exterior_reachable(B.poly_geom, A.poly_geom)
+    ):
+        note("E", "I", 2)
+    # 1-dim witnesses: fragment midpoints of each side's segments. Segments
+    # are additionally split at the OTHER side's 0-dim features (member
+    # points, mod-2 endpoints) — otherwise a fragment midpoint can land
+    # exactly on such a feature and claim a 1-dim witness for what is a
+    # 0-dim contact (e.g. a ring midpoint coinciding with a point member).
+    pts_b0 = set(B.pts) | B.mod2
+    pts_a0 = set(A.pts) | A.mod2
+    frags_a = _split_fragments_at(A.segs, B.segs, pts_b0)
+    frags_b = _split_fragments_at(B.segs, A.segs, pts_a0)
+    for _f0, _f1, m in frags_a:
+        note(A.classify(m), B.classify(m), 1)
+    for _f0, _f1, m in frags_b:
+        note(A.classify(m), B.classify(m), 1)
+    # 0-dim witnesses: every arrangement vertex
+    vertices: set = set()
+    for f0, f1, _m in frags_a:
+        vertices.add(f0)
+        vertices.add(f1)
+    for f0, f1, _m in frags_b:
+        vertices.add(f0)
+        vertices.add(f1)
+    vertices.update(A.pts)
+    vertices.update(B.pts)
+    vertices.update(A.mod2)
+    vertices.update(B.mod2)
+    for p in vertices:
+        note(A.classify(p), B.classify(p), 0)
+    return "".join(
+        "F" if d < 0 else str(d) for row in dims for d in row
+    )
 
 
 def relate_pattern(a: Geom, b: Geom, pattern: str) -> bool:

@@ -256,23 +256,73 @@ class TestHomogeneousCollections:
         assert abs(G.area(G.intersection(gc, sq)) - (2 * 4 + 2 * 4)) < 1e-9
         assert abs(G.area(G.union(gc, sq)) - 40.0) < 1e-9
 
-    def test_mixed_dimension_relate_raises_setops_work(self):
-        # relate keeps the PostGIS/JTS RelateOp contract (mixed-dimension
-        # collections raise); set ops route through the round-3
-        # decompose-and-combine layer (test_setops_mixed.py)
-        import pytest
+    def test_mixed_dimension_relate_and_setops(self):
+        # relate on mixed-dimension collections routes through the
+        # arrangement-sampling path (union semantics, GEOS RelateNG);
+        # set ops route through the round-3 decompose-and-combine layer
         from datafusion_spatial_spark import geom_ops as G
         gc = self._g(
             "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), "
             "LINESTRING (5 5, 6 6))"
         )
         sq = self._g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
-        with pytest.raises(NotImplementedError):
-            G.relate_matrix(gc, sq)
+        # sq within the GC's polygon; the line is far away:
+        # II=2, IB=1 (sq boundary in poly interior), IE=2 (poly + line
+        # outside sq), BI/BB F, BE=1, EI F, EB F, EE 2
+        assert G.relate_matrix(gc, sq) == "212FF1FF2"
         s = G.sym_difference(gc, sq)
         # 16 - 4 (hole cut by sq) + sq fully inside -> area 12; line kept
         assert G.area(s) == 12.0
         assert G.length(s) == self._line_len((5, 5), (6, 6))
+
+    def test_mixed_dimension_relate_matrices(self):
+        # PostGIS/GEOS-RelateNG matrices for poly x GC(line, pt) configs
+        from datafusion_spatial_spark import geom_ops as G
+        P = self._g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        cases = [
+            # line + point both inside
+            ("GEOMETRYCOLLECTION (LINESTRING (2 2, 8 8), POINT (5 1))",
+             "102FF1FF2"),
+            # line crossing out; point outside
+            ("GEOMETRYCOLLECTION (LINESTRING (5 5, 15 5), POINT (12 12))",
+             "1020F1102"),
+            # line inside; point member ON the polygon boundary (the point
+            # is INTERIOR of the collection, so BI = 0, not BB)
+            ("GEOMETRYCOLLECTION (LINESTRING (2 2, 8 2), POINT (10 5))",
+             "1020F1FF2"),
+            # everything outside
+            ("GEOMETRYCOLLECTION (LINESTRING (12 12, 18 18), POINT (15 1))",
+             "FF2FF1102"),
+        ]
+        for wkt, want in cases:
+            got = G.relate_matrix(P, self._g(wkt))
+            assert got == want, (wkt, got, want)
+            # transpose consistency both directions
+            t = "".join(got[3 * c + r] for r in range(3) for c in range(3))
+            assert G.relate_matrix(self._g(wkt), P) == t
+        # relate_pattern composes: intersects via the mixed path
+        gc = self._g("GEOMETRYCOLLECTION (LINESTRING (5 5, 15 5), POINT (1 1))")
+        assert G.relate_pattern(P, gc, "T********")
+
+    def test_mixed_path_agrees_with_homogeneous_kernel(self):
+        # the sampling path must reproduce the homogeneous kernel exactly
+        # on homogeneous operands (it is only ROUTED for mixed ones, but
+        # agreement is what makes the generalization trustworthy)
+        import itertools
+        from datafusion_spatial_spark import geom_ops as G
+        shapes = [
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+            "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))",
+            "POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))",
+            "LINESTRING (2 2, 8 8)",
+            "LINESTRING (5 -5, 5 20)",
+            "LINESTRING (0 0, 10 0)",
+            "MULTIPOINT (5 5, 12 12)",
+            "POINT (10 5)",
+        ]
+        for wa, wb in itertools.product(shapes, repeat=2):
+            ga, gb = self._g(wa), self._g(wb)
+            assert G.relate_matrix(ga, gb) == G._relate_mixed(ga, gb), (wa, wb)
 
     @staticmethod
     def _line_len(a, b):
