@@ -557,21 +557,21 @@ def buffer_point(p, radius: float, segments: int = 16) -> Geom:
 
 
 def _union_all_polys(pieces):
-    """N-ary regularized union of polygon ring-sets via tree reduce over
-    the planar-overlay kernel (pieces may overlap arbitrarily)."""
-    from datafusion_spatial_spark.overlay import overlay_multi
+    """N-ary regularized union of polygon ring-sets (pieces may overlap
+    arbitrarily). Three or more pieces go through the one-pass arrangement
+    union (``overlay.union_pieces``) — a tree reduce of pairwise unions
+    re-nodes the whole accumulated boundary at each upper level, which is
+    quadratic for buffer-style inputs of thousands of small pieces."""
+    from datafusion_spatial_spark.overlay import overlay_multi, union_pieces
 
-    items = [[piece] for piece in pieces if piece]
-    while len(items) > 1:
-        nxt = []
-        for i in range(0, len(items) - 1, 2):
-            u = overlay_multi(items[i], items[i + 1], "union")
-            if u:
-                nxt.append(u)
-        if len(items) % 2:
-            nxt.append(items[-1])
-        items = nxt
-    return items[0] if items else []
+    items = [piece for piece in pieces if piece]
+    if not items:
+        return []
+    if len(items) == 1:
+        return [items[0]]
+    if len(items) == 2:
+        return overlay_multi([items[0]], [items[1]], "union")
+    return union_pieces(items)
 
 
 def _wrap_polys(polys) -> Geom:
@@ -582,47 +582,117 @@ def _wrap_polys(polys) -> Geom:
     return Geom("MultiPolygon", polys)
 
 
-def _buffer_boundary_pieces(segs, verts, radius: float, n_circle: int):
-    """Minkowski pieces of a boundary: one rectangle per segment plus one
-    disc per vertex (round joins/caps)."""
-    pieces = []
+def _sausage_loop(pts, radius: float, n_circle: int):
+    """Clipper-style round offset: ONE closed curve at distance ``radius``
+    around polyline ``pts`` — right-side offset of the forward pass, then
+    of the backward pass, with round-join arcs where consecutive offsets
+    diverge (left turns / tangent reversals, spanning only the turn
+    angle) and direct connections where they cross (reflex turns; the
+    crossing resolves under the positive-winding fill). The positive-
+    winding region of the returned loop is {p : dist(p, polyline) ≤ r}.
+
+    Unlike the former Minkowski decomposition (a rectangle per segment +
+    a disc per vertex), the edge count is O(n + total-turn-angle) and
+    does NOT grow with radius/spacing — the decomposition's piece overlap
+    made dense-vertex buffers quadratic (each disc overlapped ~r/spacing
+    neighbors)."""
+    fwd = []
+    for i in range(len(pts) - 1):
+        a = (pts[i][0], pts[i][1])
+        b = (pts[i + 1][0], pts[i + 1][1])
+        if a != b:
+            fwd.append((a, b))
+    if not fwd:
+        return None
+    segs = fwd + [(b, a) for a, b in reversed(fwd)]
+    k = len(segs)
+    offs = []
+    norms = []
     for a, b in segs:
         dx, dy = b[0] - a[0], b[1] - a[1]
         length = math.hypot(dx, dy)
-        if length <= 0:
-            continue
-        nx, ny = -dy / length * radius, dx / length * radius
-        pieces.append([[
-            (a[0] + nx, a[1] + ny), (b[0] + nx, b[1] + ny),
-            (b[0] - nx, b[1] - ny), (a[0] - nx, a[1] - ny),
-            (a[0] + nx, a[1] + ny),
-        ]])
-    seen = set()
-    for v in verts:
-        key = (round(v[0], 9), round(v[1], 9))
-        if key in seen:
-            continue
-        seen.add(key)
-        ring = []
-        for i in range(n_circle):
-            ang = 2 * math.pi * i / n_circle
-            ring.append((v[0] + radius * math.cos(ang),
-                         v[1] + radius * math.sin(ang)))
-        ring.append(ring[0])
-        pieces.append([ring])
-    return pieces
+        nx, ny = dy / length * radius, -dx / length * radius
+        offs.append([(a[0] + nx, a[1] + ny), (b[0] + nx, b[1] + ny)])
+        norms.append((nx, ny))
+    arcs: dict[int, list] = {}
+    for i in range(k):
+        a, b = segs[i]
+        c, d = segs[(i + 1) % k]
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        ex, ey = d[0] - c[0], d[1] - c[1]
+        crossz = dx * ey - dy * ex
+        dotz = dx * ex + dy * ey
+        tol = EPS * math.hypot(dx, dy) * math.hypot(ex, ey)
+        if crossz > tol or (abs(crossz) <= tol and dotz < 0):
+            # diverging side: round-join arc spanning the turn angle
+            nx, ny = norms[i]
+            mx, my = norms[(i + 1) % k]
+            ang0 = math.atan2(ny, nx)
+            ang1 = math.atan2(my, mx)
+            sweep = (ang1 - ang0) % (2 * math.pi)
+            steps = max(1, math.ceil(sweep / (2 * math.pi / n_circle)))
+            arcs[i] = [
+                (b[0] + radius * math.cos(ang0 + sweep * s / steps),
+                 b[1] + radius * math.sin(ang0 + sweep * s / steps))
+                for s in range(1, steps)
+            ]
+        elif crossz < -tol:
+            # converging side: clip both offsets at their intersection
+            # (exact local offset of a concave corner) — a direct connect
+            # would leave an X crossing per vertex, fragmenting the
+            # arrangement into O(n) chains
+            p0, p1 = offs[i]
+            q0, q1 = offs[(i + 1) % k]
+            den = ((p1[0] - p0[0]) * (q1[1] - q0[1])
+                   - (p1[1] - p0[1]) * (q1[0] - q0[0]))
+            if abs(den) > EPS:
+                t = ((q0[0] - p0[0]) * (q1[1] - q0[1])
+                     - (q0[1] - p0[1]) * (q1[0] - q0[0])) / den
+                u = ((q0[0] - p0[0]) * (p1[1] - p0[1])
+                     - (q0[1] - p0[1]) * (p1[0] - p0[0])) / den
+                if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+                    x = (p0[0] + t * (p1[0] - p0[0]),
+                         p0[1] + t * (p1[1] - p0[1]))
+                    offs[i][1] = x
+                    offs[(i + 1) % k][0] = x
+    loop: list = []
+    for i in range(k):
+        loop.extend(offs[i])
+        loop.extend(arcs.get(i, ()))
+    loop.append(loop[0])
+    return loop
+
+
+def _winding(pt, loop) -> int:
+    """Winding number of closed point sequence ``loop`` around ``pt``."""
+    x, y = pt
+    w = 0
+    for i in range(len(loop) - 1):
+        ax, ay = loop[i]
+        bx, by = loop[i + 1]
+        if ay <= y:
+            if by > y and _orient(ax, ay, bx, by, x, y) > 0:
+                w += 1
+        elif by <= y and _orient(ax, ay, bx, by, x, y) < 0:
+            w -= 1
+    return w
 
 
 def buffer(geom: Geom, radius: float, segments: int = 16) -> Geom:
-    """Offset-curve buffer via Minkowski decomposition: the union of the
-    input's areal part, one rectangle per boundary segment, and one disc
-    per vertex (round joins and caps), dissolved through the planar
-    overlay kernel. A negative radius erodes polygons (difference with the
-    boundary's buffer). Circles are ``segments*4``-gons (PostGIS-style
-    quad segmentation). Reference README.md:30 lists ST_Buffer as an
+    """Round-join offset buffer: one closed offset loop per boundary ring
+    / line (``_sausage_loop``), resolved against the filled areal part in
+    a single noded arrangement with a positive-winding fill — the Clipper
+    offset construction, O(n) in vertices regardless of radius. A
+    negative radius erodes polygons (difference with the boundary's
+    sausage region). Circles are ``segments*4``-gons (PostGIS-style quad
+    segmentation). Reference README.md:30 lists ST_Buffer as an
     unimplemented roadmap item; semantics here follow PostGIS round
     joins."""
-    from datafusion_spatial_spark.overlay import overlay_multi
+    from datafusion_spatial_spark.overlay import (
+        _inside,
+        arrangement_region,
+        overlay_multi,
+    )
 
     if geom.is_empty:
         return Geom("Polygon", [])
@@ -631,44 +701,74 @@ def buffer(geom: Geom, radius: float, segments: int = 16) -> Geom:
             return Geom("Polygon", [])
         return buffer_point(geom.coords, radius, segments)
     n_circle = max(8, segments * 4)
-
-    polys = [
-        [[(p[0], p[1]) for p in ring] for ring in rings]
-        for rings in _polygons(geom)
-    ]
-    segs: list = []
-    verts: list = []
-    for rings in polys:
-        for ring in rings:
-            closed = ring if ring[0] == ring[-1] else ring + [ring[0]]
-            for i in range(len(closed) - 1):
-                if closed[i] != closed[i + 1]:
-                    segs.append((closed[i], closed[i + 1]))
-            verts.extend(ring)
-    if geom.type_name in ("LineString", "MultiLineString"):
-        segs.extend(_line_segs(geom))
-        lines = [geom.coords] if geom.type_name == "LineString" else geom.coords
-        for line in lines:
-            verts.extend((p[0], p[1]) for p in line)
-    if geom.type_name in ("MultiPoint",):
-        verts.extend((p[0], p[1]) for p in _points(geom))
     if geom.type_name == "GeometryCollection":
         parts = [buffer(m, radius, segments) for m in geom.coords]
         return _wrap_polys(
             _union_all_polys([rings for p in parts for rings in _polygons(p)])
         )
 
+    polys = [
+        [[(p[0], p[1]) for p in ring] for ring in rings]
+        for rings in _polygons(geom)
+    ]
     if radius == 0:
         return _wrap_polys(polys)
+
+    rad = abs(radius)
+    loops: list = []
+    for rings in polys:
+        for ring in rings:
+            closed = ring if ring[0] == ring[-1] else ring + [ring[0]]
+            lp = _sausage_loop(closed, rad, n_circle)
+            if lp:
+                loops.append(lp)
+    if geom.type_name in ("LineString", "MultiLineString"):
+        for line in _line_parts(geom):
+            lp = _sausage_loop(line, rad, n_circle)
+            if lp:
+                loops.append(lp)
+    if geom.type_name == "MultiPoint":
+        for v in _points(geom):
+            disc = buffer_point(v, rad, segments)
+            loops.append([(p[0], p[1]) for p in disc.coords[0]])
+
+    boxes = []
+    for lp in loops:
+        xs = [p[0] for p in lp]
+        ys = [p[1] for p in lp]
+        boxes.append((min(xs), min(ys), max(xs), max(ys)))
+
+    def in_band(pt):
+        x, y = pt
+        for lp, (x0, y0, x1, y1) in zip(loops, boxes):
+            if x0 <= x <= x1 and y0 <= y <= y1 and _winding(pt, lp) > 0:
+                return True
+        return False
+
+    loop_edges = [
+        (lp[i], lp[i + 1])
+        for lp in loops
+        for i in range(len(lp) - 1)
+        if lp[i] != lp[i + 1]
+    ]
     if radius < 0:
         if not polys:
             return Geom("Polygon", [])
-        shrink = _union_all_polys(
-            _buffer_boundary_pieces(segs, verts, -radius, n_circle)
-        )
-        return _wrap_polys(overlay_multi(polys, shrink, "difference"))
-    pieces = list(polys) + _buffer_boundary_pieces(segs, verts, radius, n_circle)
-    return _wrap_polys(_union_all_polys(pieces))
+        band = arrangement_region(loop_edges, in_band)
+        if not band:
+            return _wrap_polys(polys)
+        return _wrap_polys(overlay_multi(polys, band, "difference"))
+
+    edges = list(loop_edges)
+    for rings in polys:
+        for ring in rings:
+            closed = ring if ring[0] == ring[-1] else ring + [ring[0]]
+            for i in range(len(closed) - 1):
+                if closed[i] != closed[i + 1]:
+                    edges.append((closed[i], closed[i + 1]))
+    return _wrap_polys(
+        arrangement_region(edges, lambda pt: _inside(pt, polys) or in_band(pt))
+    )
 
 
 def make_valid(geom: Geom) -> Geom:

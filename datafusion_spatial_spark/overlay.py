@@ -270,9 +270,10 @@ def _chains(frags):
     return chains
 
 
-def _select(frags, pa, pb, pred):
+def _select(frags, classify):
     """Classify fragments by sampling both sides of a representative per
     chain; keep boundary fragments directed with the kept region left.
+    ``classify(pt) -> bool`` decides region membership for a sample point.
     Clearance (how far off the boundary we may sample) is a grid-local
     query bounded by the sampling cap, not an all-fragments scan."""
     grid = _SegGrid(frags) if frags else None
@@ -306,8 +307,8 @@ def _select(frags, pa, pb, pred):
         nx, ny = -dy / L, dx / L  # left normal of the STORED direction
         pl = (mx + delta * nx, my + delta * ny)
         pr = (mx - delta * nx, my - delta * ny)
-        keep_l = pred(_inside(pl, pa), _inside(pl, pb))
-        keep_r = pred(_inside(pr, pa), _inside(pr, pb))
+        keep_l = classify(pl)
+        keep_r = classify(pr)
         if keep_l == keep_r:
             continue  # interior or fully-outside chain — dissolved
         # translate the rep's stored-left classification to walk-left, then
@@ -474,7 +475,9 @@ def overlay_multi(polys_a, polys_b, op: str):
     if not edges:
         return []
     frags = _fragment(edges)
-    directed = _select(frags, polys_a, polys_b, pred)
+    directed = _select(
+        frags, lambda pt: pred(_inside(pt, polys_a), _inside(pt, polys_b))
+    )
     if not directed:
         return []
     out = _assemble(_stitch(directed))
@@ -486,6 +489,181 @@ def overlay_multi(polys_a, polys_b, op: str):
 def overlay(ring_a, ring_b, op: str):
     """Single-ring convenience wrapper kept for round-1 callers/tests."""
     return overlay_multi([[list(ring_a)]], [[list(ring_b)]], op)
+
+
+class _PieceGrid:
+    """Bbox grid over polygons (ring-sets) answering point-in-ANY-piece.
+    Membership per piece is even-odd over that piece's own rings (holes
+    honored), OR'd across pieces — the correct containment for a set of
+    arbitrarily-overlapping operands, where a single global even-odd scan
+    would cancel doubly-covered regions."""
+
+    def __init__(self, pieces):
+        self.pieces = pieces
+        boxes = []
+        sizes = []
+        for rings in pieces:
+            xs = [p[0] for ring in rings for p in ring]
+            ys = [p[1] for ring in rings for p in ring]
+            boxes.append((min(xs), min(ys), max(xs), max(ys)))
+            sizes.append(sum(len(r) for r in rings))
+        self.boxes = boxes
+        self.sizes = sizes
+        spans = sorted(max(b[2] - b[0], b[3] - b[1]) for b in boxes)
+        med = spans[len(spans) // 2] if spans else 1.0
+        self.cell = max(med, _Q_SNAP * 16)
+        self.m: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for i, (x0, y0, x1, y1) in enumerate(boxes):
+            for cx in range(math.floor(x0 / self.cell), math.floor(x1 / self.cell) + 1):
+                for cy in range(math.floor(y0 / self.cell), math.floor(y1 / self.cell) + 1):
+                    self.m[(cx, cy)].append(i)
+        # small pieces first within each cell: containment queries hit a
+        # cheap piece early instead of scanning a huge polygon's ring
+        for lst in self.m.values():
+            lst.sort(key=lambda i: sizes[i])
+
+    def candidates_at(self, x, y):
+        """Piece indices whose bbox contains (x, y), cheapest first."""
+        key = (math.floor(x / self.cell), math.floor(y / self.cell))
+        return [
+            i for i in self.m.get(key, ())
+            if self.boxes[i][0] <= x <= self.boxes[i][2]
+            and self.boxes[i][1] <= y <= self.boxes[i][3]
+        ]
+
+    def inside_any(self, pt) -> bool:
+        x, y = pt
+        for i in self.candidates_at(x, y):
+            if _inside(pt, (self.pieces[i],)):
+                return True
+        return False
+
+
+def union_pieces(pieces):
+    """One-pass regularized n-ary union of polygon ring-sets.
+
+    Nodes ALL piece boundaries into a single arrangement, then keeps the
+    fragments with exactly one side inside ANY piece. A tree-reduce of
+    pairwise unions re-nodes the whole accumulated boundary at every upper
+    level (quadratic in total edges for buffer-style inputs of thousands
+    of overlapping pieces); this pays one grid-indexed fragmentation over
+    the total edge set plus one grid-local containment query per chain.
+    """
+    pieces = [
+        rings for rings in pieces
+        if rings and any(len(r) >= 3 for r in rings)
+    ]
+    if not pieces:
+        return []
+    m = _max_abs_coord(pieces)
+    scale = 1.0
+    if m > 0 and not (1e-3 <= m <= 1e5):
+        scale = 2.0 ** round(math.log2(1000.0 / m))
+        pieces = [_scale_polys([rings], scale)[0] for rings in pieces]
+    edges = []
+    owners = []
+    for pi, rings in enumerate(pieces):
+        for e in _edges_of([rings]):
+            edges.append(e)
+            owners.append(pi)
+    if not edges:
+        return []
+    pgrid = _PieceGrid(pieces)
+    edges = _prune_covered_edges(edges, owners, pieces, pgrid)
+    if not edges:
+        return []
+    frags = _fragment(edges)
+    directed = _select(frags, pgrid.inside_any)
+    if not directed:
+        return []
+    out = _assemble(_stitch(directed))
+    if scale != 1.0:
+        out = _scale_polys(out, 1.0 / scale)
+    return out
+
+
+def arrangement_region(edges, classify):
+    """Node ``edges`` into an arrangement and extract the region where
+    ``classify(pt) -> bool`` holds (sampled per boundary chain), assembled
+    into shell+hole polygons. ``classify`` receives points in the INPUT
+    coordinate frame — the snap-band rescale applied internally is undone
+    (exactly: power-of-two factor) before each sample is classified."""
+    if not edges:
+        return []
+    m = 0.0
+    for p, q in edges:
+        for x in (p[0], p[1], q[0], q[1]):
+            ax = abs(x)
+            if ax > m:
+                m = ax
+    scale = 1.0
+    if m > 0 and not (1e-3 <= m <= 1e5):
+        scale = 2.0 ** round(math.log2(1000.0 / m))
+        edges = [
+            ((p[0] * scale, p[1] * scale), (q[0] * scale, q[1] * scale))
+            for p, q in edges
+        ]
+    frags = _fragment(edges)
+    if scale != 1.0:
+        cls = lambda pt: classify((pt[0] / scale, pt[1] / scale))  # noqa: E731
+    else:
+        cls = classify
+    directed = _select(frags, cls)
+    if not directed:
+        return []
+    out = _assemble(_stitch(directed))
+    if scale != 1.0:
+        out = _scale_polys(out, 1.0 / scale)
+    return out
+
+
+def _prune_covered_edges(edges, owners, pieces, pgrid):
+    """Drop edges lying wholly in the OPEN interior of some other piece —
+    they can never bound the union, and for buffer-style inputs (thousands
+    of small overlapping pieces along a curve) they are the vast majority
+    of the edge set. Soundness: if no boundary edge of piece ``j`` touches
+    edge ``e`` (closed-segment test, grid-local — any segment touching
+    ``e`` shares one of ``e``'s bbox cells), a connected ``e`` is entirely
+    on one side of ``j``'s boundary, so a single midpoint parity test
+    decides containment reliably (the midpoint cannot sit on ``j``'s
+    boundary). Coincident duplicate edges keep each other (they touch), so
+    exact-duplicate pieces still dissolve through fragment dedup."""
+    from datafusion_spatial_spark.geom_ops import seg_intersects
+
+    grid = _SegGrid(edges)
+    keep = []
+    for k, (p, q) in enumerate(edges):
+        own = owners[k]
+        mx, my = (p[0] + q[0]) / 2, (p[1] + q[1]) / 2
+        cands = [j for j in pgrid.candidates_at(mx, my) if j != own]
+        if not cands:
+            keep.append((p, q))
+            continue
+        # big pieces first: most likely to contain the edge clear of
+        # their (distant) boundary
+        cands.sort(key=lambda j: -pgrid.sizes[j])
+        near_by_owner: dict[int, list[int]] | None = None
+        dropped = False
+        for j in cands:
+            if not _inside((mx, my), (pieces[j],)):
+                continue
+            if near_by_owner is None:
+                near_by_owner = defaultdict(list)
+                for e2 in grid.near_seg(p, q):
+                    if e2 != k:
+                        near_by_owner[owners[e2]].append(e2)
+            contact = False
+            for e2 in near_by_owner.get(j, ()):
+                r, s = edges[e2]
+                if seg_intersects(p, q, r, s):
+                    contact = True
+                    break
+            if not contact:
+                dropped = True
+                break
+        if not dropped:
+            keep.append((p, q))
+    return keep
 
 
 # ---------------------------------------------------------------------------

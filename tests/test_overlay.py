@@ -258,6 +258,83 @@ class TestScaleAndPerformance:
         assert abs(self._area(out) - lens) < 0.01
         assert elapsed < 0.5, f"overlay took {elapsed*1000:.0f}ms"
 
+    def test_10k_vertex_overlay_subquadratic(self):
+        """Round-5 budget: the grid-indexed fragmentation must keep a
+        10k-vertex overlay both under an absolute wall-time cap and
+        sub-quadratic relative to the 1k case (quadratic would be 100×;
+        we demand <35× and observe ~14×)."""
+        import math
+        import time
+
+        from datafusion_spatial_spark.overlay import overlay_multi
+
+        def run(n):
+            a = [[self._ring(0, 0, 10, n)]]
+            b = [[self._ring(7, 0, 10, n)]]
+            t0 = time.perf_counter()
+            out = overlay_multi(a, b, "intersection")
+            return time.perf_counter() - t0, out
+
+        t1k, _ = run(1000)
+        t10k, out = run(10000)
+        d, r = 7.0, 10.0
+        lens = 2 * r * r * math.acos(d / (2 * r)) - d / 2 * math.sqrt(4 * r * r - d * d)
+        assert abs(self._area(out) - lens) < 0.01
+        assert t10k < 8.0, f"10k overlay took {t10k:.1f}s"
+        assert t10k < 35 * max(t1k, 0.05), (
+            f"scaling 1k→10k is {t10k / t1k:.0f}× — super-quadratic"
+        )
+
+    def test_10k_vertex_buffer_budget(self):
+        """The offset-loop buffer (one sausage loop per ring, miter joins
+        on the converging side) must stay O(n): 10k vertices under an
+        absolute cap, and within ~linear scaling of the 1k case. The
+        former Minkowski decomposition was quadratic in r/spacing (~25
+        minutes for this input)."""
+        import math
+        import time
+
+        from datafusion_spatial_spark.geom_ops import area, buffer
+        from datafusion_spatial_spark.wkb import Geom
+
+        def run(n, rad):
+            g = Geom("Polygon", [self._ring(0, 0, 10, n)])
+            t0 = time.perf_counter()
+            out = buffer(g, rad, 4)
+            return time.perf_counter() - t0, out
+
+        t1k, _ = run(1000, 0.5)
+        t10k, out = run(10000, 0.5)
+        assert abs(area(out) - math.pi * 10.5**2) < 0.05
+        assert t10k < 10.0, f"10k buffer took {t10k:.1f}s"
+        assert t10k < 35 * max(t1k, 0.05), (
+            f"scaling 1k→10k is {t10k / t1k:.0f}× — super-quadratic"
+        )
+        te, eroded = run(10000, -0.5)
+        assert abs(area(eroded) - math.pi * 9.5**2) < 0.05
+        assert te < 15.0, f"10k erode took {te:.1f}s"
+
+    def test_union_pieces_one_pass(self):
+        """N-ary one-pass union: overlapping pieces dissolve in a single
+        arrangement (per-piece parity OR'd — a global even-odd would
+        cancel double-covered regions), duplicates collapse, and a piece
+        strictly inside another contributes nothing."""
+        from datafusion_spatial_spark.overlay import union_pieces
+
+        sq = lambda x0, y0, s: [  # noqa: E731
+            [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)]
+        ]
+        # chain of 50% overlapping unit squares: union area = 1 + 9*0.5
+        out = union_pieces([sq(i * 0.5, 0, 1) for i in range(10)])
+        assert abs(self._area(out) - (1 + 9 * 0.5)) < 1e-9
+        # exact duplicates + fully-contained piece
+        out = union_pieces([sq(0, 0, 4), sq(0, 0, 4), sq(1, 1, 1)])
+        assert abs(self._area(out) - 16.0) < 1e-9
+        # disjoint pieces stay separate shells
+        out = union_pieces([sq(0, 0, 1), sq(5, 5, 1), sq(10, 0, 1)])
+        assert len(out) == 3
+        assert abs(self._area(out) - 3.0) < 1e-9
+
     def test_micro_scale_union_not_empty(self):
         from datafusion_spatial_spark.overlay import overlay_multi
 
