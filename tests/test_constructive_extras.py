@@ -240,6 +240,60 @@ def test_delaunay_empty_circumcircle_property(spark):
             assert (s[0] - ux) ** 2 + (s[1] - uy) ** 2 >= r2 * (1 - 1e-9)
 
 
+def test_delaunay_voronoi_scale_budget(spark):
+    """Round-5: walk-located Bowyer–Watson + Delaunay-neighbor Voronoi
+    clipping must stay near-linear — 5k random sites under wall-time
+    budgets, with the Voronoi partition property verified exactly (cells
+    tile the envelope; every cell vertex is nearest its own site)."""
+    import math
+    import random
+    import time
+
+    random.seed(11)
+    pts = [
+        (round(random.uniform(0, 100), 6), round(random.uniform(0, 100), 6))
+        for _ in range(5000)
+    ]
+    mp = wkb.Geom("MultiPoint", pts)
+    t0 = time.perf_counter()
+    tris = G.delaunay_triangles(mp)
+    t_del = time.perf_counter() - t0
+    sites = sorted(dict.fromkeys(pts))
+    # Euler bound: 2n - 2 - hull_size triangles
+    assert len(tris) > 1.8 * len(sites)
+    assert t_del < 15.0, f"5k-site delaunay took {t_del:.1f}s"
+    t0 = time.perf_counter()
+    cells = G.voronoi_polygons(mp)
+    t_vor = time.perf_counter() - t0
+    assert t_vor < 15.0, f"5k-site voronoi took {t_vor:.1f}s"
+    assert len(cells) == len(sites)
+    x0, y0, x1, y1 = G._bbox(mp)
+    mx = max(x1 - x0, y1 - y0, 1.0) / 2
+    env_area = (x1 - x0 + 2 * mx) * (y1 - y0 + 2 * mx)
+    total = sum(G.area(c) for c in cells)
+    assert abs(total - env_area) < 1e-6 * env_area
+    # spot-check the nearest-site property on a sample of cells
+    for site, cell in random.sample(list(zip(sites, cells)), 50):
+        for v in cell.coords[0]:
+            d_own = math.hypot(v[0] - site[0], v[1] - site[1])
+            d_min = min(
+                math.hypot(v[0] - s[0], v[1] - s[1]) for s in sites
+            )
+            assert d_own <= d_min + 1e-6
+
+
+def test_voronoi_collinear_fallback(spark):
+    """Collinear sites degenerate the triangulation — the all-pairs
+    fallback must still emit one slab per site."""
+    mp = wkb.Geom(
+        "MultiPoint", [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (3.0, 0.0)]
+    )
+    cells = G.voronoi_polygons(mp)
+    assert len(cells) == 4
+    widths = sorted(round(G._bbox(c)[2] - G._bbox(c)[0], 9) for c in cells)
+    assert widths == [1.0, 1.0, 2.0, 2.0]  # inner slabs 1 wide, outer 2
+
+
 def test_voronoi_partition_of_envelope(spark):
     from datafusion_spatial_spark.functions.accessors import st_voronoipolygons
 
