@@ -136,6 +136,25 @@ def spatial_join(
         )
     )
 
+    return _refine(
+        cand, left_meta, right_meta, left_id, right_id,
+        predicate, distance, with_distance, both_points,
+    )
+
+
+def _refine(
+    cand: DataFrame,
+    left_meta: GeometryMeta,
+    right_meta: GeometryMeta,
+    left_id: str,
+    right_id: str,
+    predicate: str,
+    distance: float | None,
+    with_distance: bool,
+    both_points: bool,
+) -> DataFrame:
+    """Exact-refine candidate pairs (columns __lid/__rid and __lgeom/__rgeom
+    or __lbox/__rbox) — shared by the shuffle and bucketed join paths."""
     if predicate == "dwithin":
         if distance is None:
             raise ValueError("dwithin requires distance=")
@@ -261,3 +280,158 @@ def estimate_cell_size(
 
     extent_diag = math.hypot(stats.x1 - stats.x0, stats.y1 - stats.y0)
     return max(extent_diag / 100.0, 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Co-located spatial join: cell-bucketed layout → zero-exchange candidates
+# ---------------------------------------------------------------------------
+
+def write_spatial_bucketed(
+    df: DataFrame,
+    geom_col: str,
+    meta: GeometryMeta,
+    id_col: str,
+    table: str,
+    cell_size: float,
+    num_buckets: int = 32,
+    path: str | None = None,
+    pad: float = 0.0,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a geometry table's grid-cell explosion as a table
+    BUCKETED and SORTED by cell id — the co-located spatial-join layout.
+
+    Two tables written with the same grid (``cell_size``) and bucket count
+    join on cell id with ZERO exchange (and zero sort): the candidate join
+    is the only shuffle in :func:`spatial_join`, so for repeated joins
+    against the same corpora this layout removes the shuffle entirely —
+    the spatial analog of bucketing a fact table on its join key, and at
+    100 TB the difference between re-shuffling the corpus per query and
+    reading co-located buckets.
+
+    ``pad`` pre-pads the cell explosion; write the LEFT side of future
+    dwithin joins with ``pad`` = the largest distance it should serve (a
+    larger pad only adds bbox-prefiltered false candidates, never wrong
+    results). Grid parameters are recorded in table properties and
+    validated at join time.
+    """
+    from datafusion_spatial_spark.operators.storage import write_bucketed
+
+    dfx = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(geom_col).alias("geom"),
+            st_bbox(geom_col, meta).alias("box"),
+        )
+        .filter(F.col("box").isNotNull())
+        .withColumn("cell", F.explode(_cells(F.col("box"), cell_size, pad)))
+    )
+    write_bucketed(
+        dfx, table, ["cell"], num_buckets, sort_cols=["cell"],
+        mode=mode, path=path,
+    )
+    df.sparkSession.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'spatial.cell_size'='{float(cell_size)!r}', "
+        f"'spatial.pad'='{float(pad)!r}', "
+        f"'spatial.num_buckets'='{int(num_buckets)}')"
+    )
+
+
+def _table_grid_props(spark, table: str) -> dict:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    return {r["key"]: r["value"] for r in rows}
+
+
+def spatial_join_bucketed(
+    spark,
+    left_table: str,
+    right_table: str,
+    left_meta: GeometryMeta,
+    right_meta: GeometryMeta,
+    left_id: str,
+    right_id: str,
+    predicate: str = "intersects",
+    distance: float | None = None,
+    with_distance: bool = False,
+    hint: str | None = None,
+) -> DataFrame:
+    """Grid spatial join over two :func:`write_spatial_bucketed` tables.
+
+    Same semantics and canonical-cell dedup as :func:`spatial_join`, but
+    the equi-join on cell id rides the bucketed layout: matching bucket
+    spec on both sides → no Exchange, and the sortBy(cell) makes the
+    sort-merge join sort-free too. Validates that both tables share the
+    grid, and that a dwithin ``distance`` does not exceed the pad the
+    left table was written with (the cell explosion would under-reach).
+
+    ``hint`` (e.g. ``"merge"``) pins the join strategy — useful to keep
+    AQE from choosing broadcast on small inputs when demonstrating the
+    zero-exchange plan.
+    """
+    lp = _table_grid_props(spark, left_table)
+    rp = _table_grid_props(spark, right_table)
+    try:
+        cs_l = float(lp["spatial.cell_size"])
+        cs_r = float(rp["spatial.cell_size"])
+    except KeyError:
+        raise ValueError(
+            "both tables must be written by write_spatial_bucketed "
+            "(missing spatial.cell_size property)"
+        ) from None
+    if cs_l != cs_r:
+        raise ValueError(
+            f"grid mismatch: {left_table} cell_size={cs_l} vs "
+            f"{right_table} cell_size={cs_r}"
+        )
+    pad = float(distance or 0.0)
+    left_pad = float(lp.get("spatial.pad", "0.0"))
+    if predicate == "dwithin" and pad > left_pad:
+        raise ValueError(
+            f"distance={pad} exceeds the pad={left_pad} {left_table} was "
+            "written with; rewrite the left table with a larger pad"
+        )
+    cell_size = cs_l
+    left = spark.table(left_table).alias("l")
+    right = spark.table(right_table).alias("r")
+    if hint:
+        left = left.hint(hint)
+    cs = F.lit(float(cell_size))
+    canon_x = F.greatest(
+        F.floor((F.col("l.box.xmin") - pad) / cs),
+        F.floor(F.col("r.box.xmin") / cs),
+    ).cast("long")
+    canon_y = F.greatest(
+        F.floor((F.col("l.box.ymin") - pad) / cs),
+        F.floor(F.col("r.box.ymin") / cs),
+    ).cast("long")
+    both_points = (
+        left_meta.is_native and left_meta.native_type == "Point"
+        and right_meta.is_native and right_meta.native_type == "Point"
+    )
+    carry_geom = not (both_points and predicate == "dwithin")
+    cand = (
+        left.join(right, F.col("l.cell") == F.col("r.cell"))
+        .filter(
+            (F.col("l.box.xmin") - pad <= F.col("r.box.xmax"))
+            & (F.col("r.box.xmin") <= F.col("l.box.xmax") + pad)
+            & (F.col("l.box.ymin") - pad <= F.col("r.box.ymax"))
+            & (F.col("r.box.ymin") <= F.col("l.box.ymax") + pad)
+        )
+        .filter(F.col("l.cell") == canon_x * F.lit(1 << 32) + canon_y)
+        .select(
+            F.col("l.id").alias("__lid"),
+            F.col("r.id").alias("__rid"),
+            *(
+                (F.col("l.geom").alias("__lgeom"),
+                 F.col("r.geom").alias("__rgeom"))
+                if carry_geom
+                else (F.col("l.box").alias("__lbox"),
+                      F.col("r.box").alias("__rbox"))
+            ),
+        )
+    )
+    return _refine(
+        cand, left_meta, right_meta, left_id, right_id,
+        predicate, distance, with_distance, both_points,
+    )

@@ -140,6 +140,81 @@ def test_spatial_join_points_in_polygons(spark):
     assert got == want
 
 
+def test_spatial_join_bucketed_zero_exchange(spark, tmp_path):
+    """Co-located spatial join: both sides written cell-bucketed+sorted →
+    the candidate equi-join on cell id runs with NO exchange (and no
+    sort), and the result matches the shuffle-path spatial_join exactly.
+    Grid/pad validation raises on mismatched layouts."""
+    import random
+
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_bucketed,
+        write_spatial_bucketed,
+    )
+
+    rng = random.Random(7)
+    n = 400
+    a = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(n)]
+    b = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(n)]
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+
+    def pdf(rows):
+        return spark.createDataFrame(rows, "id long, x double, y double").select(
+            "id",
+            F.struct(F.col("x").alias("x"), F.col("y").alias("y")).alias("geom"),
+        )
+
+    d = 3.0
+    write_spatial_bucketed(
+        pdf(a), "geom", pm, "id", "sjb_left", cell_size=10.0,
+        num_buckets=8, path=str(tmp_path / "l"), pad=d,
+    )
+    write_spatial_bucketed(
+        pdf(b), "geom", pm, "id", "sjb_right", cell_size=10.0,
+        num_buckets=8, path=str(tmp_path / "r"),
+    )
+    try:
+        out = spatial_join_bucketed(
+            spark, "sjb_left", "sjb_right", pm, pm, "aid", "bid",
+            predicate="dwithin", distance=d, hint="merge",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        got = {(r.aid, r.bid) for r in out.collect()}
+        want = {
+            (ai, bi)
+            for ai, ax, ay in a
+            for bi, bx, by in b
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= d * d
+        }
+        assert got == want
+        # the un-bucketed shuffle path over the same frames agrees too
+        ref = spatial_join(
+            pdf(a).withColumnRenamed("id", "aid"),
+            pdf(b).withColumnRenamed("id", "bid"),
+            "geom", "geom", pm, pm, "aid", "bid",
+            cell_size=10.0, predicate="dwithin", distance=d,
+        )
+        assert {(r.aid, r.bid) for r in ref.collect()} == want
+        # layout validation
+        write_spatial_bucketed(
+            pdf(b), "geom", pm, "id", "sjb_off", cell_size=5.0,
+            num_buckets=8, path=str(tmp_path / "o"),
+        )
+        with pytest.raises(ValueError, match="grid mismatch"):
+            spatial_join_bucketed(
+                spark, "sjb_left", "sjb_off", pm, pm, "aid", "bid"
+            )
+        with pytest.raises(ValueError, match="exceeds the pad"):
+            spatial_join_bucketed(
+                spark, "sjb_left", "sjb_right", pm, pm, "aid", "bid",
+                predicate="dwithin", distance=d + 1,
+            )
+    finally:
+        for t in ("sjb_left", "sjb_right", "sjb_off"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_simplify_and_interpolate(spark):
     from datafusion_spatial_spark import wkb as W
     from datafusion_spatial_spark.functions.predicates import (
