@@ -158,9 +158,25 @@ def st_distance(
     a: Column | str, b: Column | str, meta_a: GeometryMeta, meta_b: GeometryMeta
 ) -> Column:
     ca, cb = _converter(meta_a), _converter(meta_b)
+    both_wkb = meta_a.is_wkb and meta_b.is_wkb
 
     @F.pandas_udf(T.DoubleType())
     def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        if both_wkb:
+            from datafusion_spatial_spark.functions._fastpath import (
+                point_xy_batch,
+            )
+
+            fa = point_xy_batch(sa)
+            fb = point_xy_batch(sb) if fa is not None else None
+            if fa is not None and fb is not None:
+                import numpy as np
+
+                xa, ya, va = fa
+                xb, yb, vb = fb
+                d = np.sqrt((xa - xb) ** 2 + (ya - yb) ** 2)
+                d = np.where(va & vb, d, np.nan)
+                return pd.Series(d, dtype="float64")
         out = []
         for va, vb in zip(_as_rows(sa), _as_rows(sb)):
             ga, gb = ca(va), cb(vb)

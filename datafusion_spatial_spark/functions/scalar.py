@@ -300,6 +300,19 @@ def st_bbox(col: Column | str, meta: GeometryMeta) -> Column:
 
 @F.pandas_udf(_BBOX_TYPE)
 def _wkb_bbox_udf(s: pd.Series) -> pd.DataFrame:
+    from datafusion_spatial_spark.functions._fastpath import point_xy_batch
+
+    fast = point_xy_batch(s)
+    if fast is not None:
+        # uniform 2-D point batch: bbox degenerates to the point itself;
+        # invalid rows stay NaN and Arrow maps NaN -> null field (the
+        # st_bbox wrapper then nulls the whole struct via xmax IS NULL)
+        import numpy as np
+
+        x, y, valid = fast
+        x = np.where(valid, x, np.nan)
+        y = np.where(valid, y, np.nan)
+        return pd.DataFrame({"xmin": x, "ymin": y, "xmax": x, "ymax": y})
     rows = []
     for b in s:
         if b is None or (isinstance(b, float) and pd.isna(b)):

@@ -140,6 +140,59 @@ def test_spatial_join_points_in_polygons(spark):
     assert got == want
 
 
+def test_wkb_point_fastpath_parity(spark):
+    """The vectorized uniform-point WKB batch path must agree exactly with
+    the generic per-row codec: nulls stay null, NaN empty-points null the
+    bbox, and a mixed batch (any non-point value) falls back without
+    changing results."""
+    nan = float("nan")
+    rows = [
+        (1, wkb.dumps(wkb.Geom("Point", (3.5, -2.25))),
+            wkb.dumps(wkb.Geom("Point", (0.5, 1.75)))),
+        (2, None, wkb.dumps(wkb.Geom("Point", (9.0, 9.0)))),
+        (3, wkb.dumps(wkb.Geom("Point", (nan, nan))),
+            wkb.dumps(wkb.Geom("Point", (1.0, 1.0)))),
+        (4, wkb.dumps(wkb.Geom("Point", (-7.0, 0.0))), None),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(a) if a else None, bytearray(b) if b else None)
+         for i, a, b in rows],
+        "id long, ga binary, gb binary",
+    )
+    from datafusion_spatial_spark.functions.scalar import st_bbox
+
+    got = {
+        r.id: (r.b, r.d)
+        for r in df.select(
+            "id",
+            st_bbox("ga", WKB_META).alias("b"),
+            st_distance("ga", "gb", WKB_META, WKB_META).alias("d"),
+        ).collect()
+    }
+    assert got[1][0].xmin == 3.5 and got[1][0].ymax == -2.25
+    assert abs(got[1][1] - (3.0**2 + 4.0**2) ** 0.5) < 1e-12
+    assert got[2][0] is None and got[2][1] is None  # null geometry
+    assert got[3][0] is None  # NaN empty point -> null bbox
+    assert got[4][1] is None  # null right side
+    # mixed batch: a linestring forces the generic path; same answers
+    mixed = df.union(
+        spark.createDataFrame(
+            [(9, bytearray(wkb.dumps(wkb.Geom(
+                "LineString", [(0.0, 0.0), (6.0, 8.0)]))), None)],
+            "id long, ga binary, gb binary",
+        )
+    ).coalesce(1)
+    got2 = {
+        r.id: r.b
+        for r in mixed.select(
+            "id", st_bbox("ga", WKB_META).alias("b")
+        ).collect()
+    }
+    assert got2[1].xmin == 3.5
+    assert got2[9].xmax == 6.0 and got2[9].ymax == 8.0
+    assert got2[3] is None
+
+
 def test_spatial_join_bucketed_zero_exchange(spark, tmp_path):
     """Co-located spatial join: both sides written cell-bucketed+sorted →
     the candidate equi-join on cell id runs with NO exchange (and no
