@@ -375,6 +375,49 @@ class TestScaleAndPerformance:
                     trial, r, got, approx, exact,
                 )
 
+    def test_buffer_nonconvex_random_probes(self):
+        """Randomized ground-truth check on star (reflex-vertex) polygons:
+        a probe point is in buffer(P, r) iff dist(probe, P) < r, and in
+        buffer(P, -r) iff it's inside P at depth > r — skipping a ±5%
+        band around the arc-approximated boundary."""
+        import math
+        import random
+
+        from datafusion_spatial_spark import geom_ops as G
+        from datafusion_spatial_spark.wkb import Geom
+
+        rng = random.Random(5)
+        for trial in range(4):
+            n = rng.randint(6, 25)
+            angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+            ring = [
+                (12 * math.cos(a) * rng.uniform(0.3, 1.0),
+                 12 * math.sin(a) * rng.uniform(0.3, 1.0))
+                for a in angs
+            ]
+            ring.append(ring[0])
+            poly = Geom("Polygon", [ring])
+            boundary = Geom("LineString", ring)
+            r = 1.5
+            buf = G.buffer(poly, r, 16)
+            ero = G.buffer(poly, -r, 16)
+            for _ in range(200):
+                p = (rng.uniform(-16, 16), rng.uniform(-16, 16))
+                pt = Geom("Point", p)
+                d = G.distance(pt, poly)
+                if abs(d - r) >= 0.05 * r:
+                    assert G.contains(buf, pt) == (d < r), (trial, p, d)
+                db = G.distance(pt, boundary)
+                inside = G.contains(poly, pt)
+                if abs(db - r) >= 0.05 * r and not (
+                    ero.is_empty and not inside
+                ):
+                    want = inside and db > r
+                    if ero.is_empty:
+                        assert not want, (trial, p)
+                    else:
+                        assert G.contains(ero, pt) == want, (trial, p, db)
+
     def test_micro_scale_union_not_empty(self):
         from datafusion_spatial_spark.overlay import overlay_multi
 
