@@ -441,6 +441,47 @@ def st_maximuminscribedcircle(
     return udf(_prep(col, meta))
 
 
+def st_largestemptycircle(
+    col: Column | str,
+    meta: GeometryMeta,
+    tolerance: float | None = None,
+    boundary_wkt: str | None = None,
+) -> Column:
+    """PostGIS/GEOS ST_LargestEmptyCircle: largest circle whose CENTER
+    lies within ``boundary_wkt`` (default: the obstacles' convex hull) and
+    whose interior avoids the row's obstacle geometry. Returns
+    struct{center WKB point, nearest WKB obstacle point, radius} — same
+    branch-and-bound as ST_MaximumInscribedCircle with the distance sign
+    flipped to empty space."""
+    conv = _converter(meta)
+    bnd = None if boundary_wkt is None else wkb.from_wkt(boundary_wkt)
+
+    @F.pandas_udf(_MIC_SCHEMA)
+    def udf(s: pd.Series) -> pd.DataFrame:
+        centers, nearests, radii = [], [], []
+        for v in _as_rows(s):
+            g = conv(v)
+            r = None if g is None else geom_ops.largest_empty_circle(
+                g, bnd, tolerance
+            )
+            if r is None:
+                centers.append(None)
+                nearests.append(None)
+                radii.append(None)
+            else:
+                (cx, cy), rad, np_ = r
+                centers.append(wkb.dumps(wkb.Geom("Point", (cx, cy))))
+                nearests.append(
+                    None if np_ is None else wkb.dumps(wkb.Geom("Point", np_))
+                )
+                radii.append(rad)
+        return pd.DataFrame(
+            {"center": centers, "nearest": nearests, "radius": radii}
+        )
+
+    return udf(_prep(col, meta))
+
+
 def st_generatepoints(
     col: Column | str, n: int, meta: GeometryMeta, seed: int = 0
 ) -> Column:

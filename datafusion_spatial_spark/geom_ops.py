@@ -3892,6 +3892,82 @@ def maximum_inscribed_circle(g: Geom, tolerance: float | None = None):
     return (cx, cy), r, np_
 
 
+def largest_empty_circle(
+    obstacles: Geom,
+    boundary: Geom | None = None,
+    tolerance: float | None = None,
+):
+    """GEOS/PostGIS ST_LargestEmptyCircle: the largest circle whose center
+    lies within ``boundary`` (default: convex hull of the obstacles) and
+    whose interior does not intersect any obstacle. Same branch-and-bound
+    as :func:`maximum_inscribed_circle` — distance-to-obstacles is
+    1-Lipschitz, so ``d(center) + half·√2`` bounds any point in a cell;
+    cells wholly outside the boundary are pruned. Returns
+    ``((cx, cy), radius, (nx, ny))`` with the nearest obstacle point, or
+    None for empty input / degenerate boundary."""
+    if obstacles is None or obstacles.is_empty:
+        return None
+    if boundary is None:
+        boundary = convex_hull(obstacles)
+    bpolys = list(_polygons(boundary))
+    bb = _bbox(boundary)
+    if bb is None:
+        return None
+    xmin, ymin, xmax, ymax = bb
+    span = max(xmax - xmin, ymax - ymin)
+    if span <= 0 or not bpolys:
+        # degenerate boundary (collinear hull): no areal center region
+        return None
+    tol = tolerance if tolerance is not None else span * 1e-6
+
+    def feasible(x, y):
+        return any(polygon_contains_point(r, x, y) >= 1 for r in bpolys)
+
+    def boundary_dist(x, y):
+        return distance(Geom("Point", (x, y)), boundary)
+
+    def obstacle_dist(x, y):
+        return distance(Geom("Point", (x, y)), obstacles)
+
+    import heapq
+
+    cells = []
+    counter = 0
+    best = (-math.inf, None)
+
+    def push(cx, cy, half):
+        nonlocal counter, best
+        reach = half * math.sqrt(2.0)
+        if not feasible(cx, cy) and boundary_dist(cx, cy) > reach:
+            return  # the whole cell lies outside the boundary
+        d = obstacle_dist(cx, cy)
+        if feasible(cx, cy) and d > best[0]:
+            best = (d, (cx, cy))
+        heapq.heappush(cells, (-(d + reach), counter, cx, cy, half))
+        counter += 1
+
+    nx = max(1, int(math.ceil((xmax - xmin) / span * 4)))
+    ny = max(1, int(math.ceil((ymax - ymin) / span * 4)))
+    hx, hy = (xmax - xmin) / nx / 2.0, (ymax - ymin) / ny / 2.0
+    half0 = max(hx, hy)
+    for i in range(nx):
+        for j in range(ny):
+            push(xmin + (2 * i + 1) * hx, ymin + (2 * j + 1) * hy, half0)
+    while cells:
+        negb, _, cx, cy, half = heapq.heappop(cells)
+        if -negb - best[0] <= tol:
+            break
+        q = half / 2.0
+        for dx in (-q, q):
+            for dy in (-q, q):
+                push(cx + dx, cy + dy, q)
+    if best[1] is None:
+        return None
+    (cx, cy), r = best[1], best[0]
+    np_ = closest_point(obstacles, Geom("Point", (cx, cy)))
+    return (cx, cy), r, np_
+
+
 def generate_points(g: Geom, n: int, seed: int = 0) -> Geom:
     """PostGIS ST_GeneratePoints: ``n`` deterministic pseudo-random points
     inside a (multi)polygon (seeded rejection sampling over the bbox —

@@ -84,6 +84,7 @@ _FUNCTIONS = {
     "ST_LENGTHSPHERE": (_gd.st_lengthsphere, None),
     "ST_AREASPHERE": (_gd.st_areasphere, None),
     "ST_MAXIMUMINSCRIBEDCIRCLE": (_ac.st_maximuminscribedcircle, None),
+    "ST_LARGESTEMPTYCIRCLE": (_ac.st_largestemptycircle, None),
 }
 
 # 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)

@@ -385,6 +385,46 @@ def test_maximum_inscribed_circle_square(spark):
     assert r2.radius is None and r2.center is None
 
 
+def test_largest_empty_circle(spark):
+    """LEC of the 4 corners of a square: center at the middle, radius =
+    half diagonal; with an explicit boundary the center is clamped into
+    it; SQL-registered form agrees."""
+    import math
+
+    from datafusion_spatial_spark.functions.accessors import (
+        st_largestemptycircle,
+    )
+
+    df = wdf(spark, "MULTIPOINT ((0 0), (10 0), (10 10), (0 10))")
+    row = df.select(
+        st_largestemptycircle("g", W, 1e-7).alias("lec")
+    ).select("lec.*").collect()[0]
+    assert abs(row.radius - math.hypot(5, 5)) < 1e-4
+    cx, cy = wkb.loads(row.center).coords
+    assert abs(cx - 5.0) < 1e-3 and abs(cy - 5.0) < 1e-3
+    # explicit boundary: center constrained to [0,4]^2 -> corner (4,4)
+    row2 = df.select(
+        st_largestemptycircle(
+            "g", W, 1e-7, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+        ).alias("lec")
+    ).select("lec.*").collect()[0]
+    assert abs(row2.radius - math.hypot(4, 4)) < 1e-4
+    # SQL resolver path
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    ssql = SpatialSQL(spark)
+    ssql.register_view("lec_t", with_geo_meta(df, "g", W))
+    r3 = ssql.sql(
+        "SELECT ST_LargestEmptyCircle(g).radius AS r FROM lec_t"
+    ).collect()[0]
+    assert abs(r3.r - math.hypot(5, 5)) < 1e-3
+    # empty obstacles -> NULL struct
+    e = wdf(spark, "MULTIPOINT EMPTY")
+    r4 = e.select(st_largestemptycircle("g", W).alias("m")).collect()[0].m
+    assert r4.radius is None
+
+
 def test_generate_points_deterministic_inside(spark):
     from datafusion_spatial_spark.functions.accessors import st_generatepoints
 
