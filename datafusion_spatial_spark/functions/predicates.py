@@ -247,9 +247,48 @@ st_makevalid = _unary_constructive(lambda g: geom_ops.make_valid(g))
 st_unaryunion = _unary_constructive(lambda g: geom_ops.unary_union(g))
 
 
-def st_buffer(col: Column | str, radius: float, meta: GeometryMeta, segments: int = 16) -> Column:
+def _parse_buffer_params(params: str) -> dict:
+    """PostGIS buffer style string: 'quad_segs=8 endcap=flat join=mitre
+    mitre_limit=5.0' (aliases: butt=flat, miter=mitre)."""
+    out: dict = {}
+    for tok in params.split():
+        if "=" not in tok:
+            raise ValueError(f"bad buffer parameter {tok!r}")
+        k, v = tok.split("=", 1)
+        k = k.strip().lower()
+        v = v.strip().lower()
+        if k == "quad_segs":
+            out["segments"] = int(v)
+        elif k == "endcap":
+            if v not in ("round", "flat", "butt", "square"):
+                raise ValueError(f"unknown endcap {v!r}")
+            out["endcap"] = v
+        elif k == "join":
+            if v not in ("round", "mitre", "miter", "bevel"):
+                raise ValueError(f"unknown join {v!r}")
+            out["join"] = v
+        elif k in ("mitre_limit", "miter_limit"):
+            out["mitre_limit"] = float(v)
+        else:
+            raise ValueError(f"unknown buffer parameter {k!r}")
+    return out
+
+
+def st_buffer(
+    col: Column | str,
+    radius: float,
+    meta: GeometryMeta,
+    segments: int = 16,
+    params: str | None = None,
+) -> Column:
+    """PostGIS ST_Buffer; ``params`` accepts the PostGIS style string
+    ('quad_segs=8 endcap=round|flat|square join=round|mitre|bevel
+    mitre_limit=5.0')."""
+    kw: dict = {"segments": segments}
+    if params:
+        kw.update(_parse_buffer_params(params))
     return _unary_constructive(
-        lambda g: geom_ops.buffer(g, radius, segments)
+        lambda g: geom_ops.buffer(g, radius, **kw)
     )(col, meta)
 
 

@@ -582,7 +582,15 @@ def _wrap_polys(polys) -> Geom:
     return Geom("MultiPolygon", polys)
 
 
-def _sausage_loop(pts, radius: float, n_circle: int):
+def _sausage_loop(
+    pts,
+    radius: float,
+    n_circle: int,
+    join: str = "round",
+    endcap: str = "round",
+    mitre_limit: float = 5.0,
+    closed: bool = False,
+):
     """Clipper-style round offset: ONE closed curve at distance ``radius``
     around polyline ``pts`` — right-side offset of the forward pass, then
     of the backward pass, with round-join arcs where consecutive offsets
@@ -604,7 +612,10 @@ def _sausage_loop(pts, radius: float, n_circle: int):
             fwd.append((a, b))
     if not fwd:
         return None
-    segs = fwd + [(b, a) for a, b in reversed(fwd)]
+    # closed: the traversal is already a cycle — joins (incl. the wrap)
+    # get the join style and there is no seam. open: append the reversed
+    # pass; the two tangent reversals are the line's end caps.
+    segs = fwd if closed else fwd + [(b, a) for a, b in reversed(fwd)]
     k = len(segs)
     offs = []
     norms = []
@@ -614,6 +625,10 @@ def _sausage_loop(pts, radius: float, n_circle: int):
         nx, ny = dy / length * radius, -dx / length * radius
         offs.append([(a[0] + nx, a[1] + ny), (b[0] + nx, b[1] + ny)])
         norms.append((nx, ny))
+    # for an OPEN polyline these two reversal joins are the line's end
+    # caps (endcap style applies); any other reversal (a data spike)
+    # stays round
+    cap_joins = set() if closed else {len(fwd) - 1, k - 1}
     arcs: dict[int, list] = {}
     for i in range(k):
         a, b = segs[i]
@@ -624,9 +639,41 @@ def _sausage_loop(pts, radius: float, n_circle: int):
         dotz = dx * ex + dy * ey
         tol = EPS * math.hypot(dx, dy) * math.hypot(ex, ey)
         if crossz > tol or (abs(crossz) <= tol and dotz < 0):
-            # diverging side: round-join arc spanning the turn angle
+            # diverging side: cap/join treatment
+            is_reversal = abs(crossz) <= tol and dotz < 0
+            is_cap = is_reversal and i in cap_joins
+            style = endcap if is_cap else ("round" if is_reversal else join)
             nx, ny = norms[i]
             mx, my = norms[(i + 1) % k]
+            if style in ("flat", "butt", "bevel"):
+                continue  # direct connect
+            if style == "square" and is_cap:
+                # extend both offset ends by r along the tangent
+                L = math.hypot(dx, dy)
+                tx, ty = dx / L * radius, dy / L * radius
+                arcs[i] = [
+                    (b[0] + nx + tx, b[1] + ny + ty),
+                    (b[0] + mx + tx, b[1] + my + ty),
+                ]
+                continue
+            if style in ("mitre", "miter") and not is_cap:
+                # intersection of the two offset LINES; fall back to
+                # bevel past the mitre limit (near-180° turns diverge)
+                p0, p1 = offs[i]
+                q0, q1 = offs[(i + 1) % k]
+                den = ((p1[0] - p0[0]) * (q1[1] - q0[1])
+                       - (p1[1] - p0[1]) * (q1[0] - q0[0]))
+                if abs(den) > EPS:
+                    t = ((q0[0] - p0[0]) * (q1[1] - q0[1])
+                         - (q0[1] - p0[1]) * (q1[0] - q0[0])) / den
+                    mxp = (p0[0] + t * (p1[0] - p0[0]),
+                           p0[1] + t * (p1[1] - p0[1]))
+                    if math.hypot(mxp[0] - b[0], mxp[1] - b[1]) <= (
+                        mitre_limit * radius
+                    ):
+                        arcs[i] = [mxp]
+                continue
+            # round (default): arc spanning the turn angle
             ang0 = math.atan2(ny, nx)
             ang1 = math.atan2(my, mx)
             sweep = (ang1 - ang0) % (2 * math.pi)
@@ -678,16 +725,25 @@ def _winding(pt, loop) -> int:
     return w
 
 
-def buffer(geom: Geom, radius: float, segments: int = 16) -> Geom:
+def buffer(
+    geom: Geom,
+    radius: float,
+    segments: int = 16,
+    join: str = "round",
+    endcap: str = "round",
+    mitre_limit: float = 5.0,
+) -> Geom:
     """Round-join offset buffer: one closed offset loop per boundary ring
     / line (``_sausage_loop``), resolved against the filled areal part in
     a single noded arrangement with a positive-winding fill — the Clipper
     offset construction, O(n) in vertices regardless of radius. A
     negative radius erodes polygons (difference with the boundary's
     sausage region). Circles are ``segments*4``-gons (PostGIS-style quad
-    segmentation). Reference README.md:30 lists ST_Buffer as an
-    unimplemented roadmap item; semantics here follow PostGIS round
-    joins."""
+    segmentation). ``join``/``endcap``/``mitre_limit`` follow the PostGIS
+    buffer-style parameters: join round|mitre|bevel (mitre falls back to
+    bevel past ``mitre_limit``·r), endcap round|flat|square (flat on a
+    Point yields an empty polygon, as in PostGIS). Reference README.md:30
+    lists ST_Buffer as an unimplemented roadmap item."""
     from datafusion_spatial_spark.overlay import (
         _inside,
         arrangement_region,
@@ -697,12 +753,21 @@ def buffer(geom: Geom, radius: float, segments: int = 16) -> Geom:
     if geom.is_empty:
         return Geom("Polygon", [])
     if geom.type_name == "Point":
-        if radius <= 0:
+        if radius <= 0 or endcap in ("flat", "butt"):
             return Geom("Polygon", [])
+        if endcap == "square":
+            x, y = geom.coords[0], geom.coords[1]
+            r = radius
+            return Geom("Polygon", [[(x - r, y - r), (x + r, y - r),
+                                     (x + r, y + r), (x - r, y + r),
+                                     (x - r, y - r)]])
         return buffer_point(geom.coords, radius, segments)
     n_circle = max(8, segments * 4)
     if geom.type_name == "GeometryCollection":
-        parts = [buffer(m, radius, segments) for m in geom.coords]
+        parts = [
+            buffer(m, radius, segments, join, endcap, mitre_limit)
+            for m in geom.coords
+        ]
         return _wrap_polys(
             _union_all_polys([rings for p in parts for rings in _polygons(p)])
         )
@@ -715,39 +780,80 @@ def buffer(geom: Geom, radius: float, segments: int = 16) -> Geom:
         return _wrap_polys(polys)
 
     rad = abs(radius)
-    loops: list = []
+    # each GROUP's member windings are summed, groups OR'd.
+    # dilation (radius>0): ONE loop per ring, offset on the polygon's
+    #   EXTERIOR side (shell normalized CCW, holes CW, offset right) —
+    #   shell loop winds +1 over polygon∪band, hole loops wind −1 over
+    #   the shrunk hole; grouped per polygon. (A two-sided sausage is
+    #   wrong here: when r exceeds the inradius the inverted inner loop
+    #   leaks outside and cancels band winding.)
+    # erosion (radius<0): the two-sided ring sausage (outer forward loop
+    #   +1, inner reversed loop −1 → +1 exactly in the annulus), grouped
+    #   per ring, subtracted from the filled polygon.
+    groups: list = []
     for rings in polys:
+        if radius > 0:
+            grp = []
+            for j, ring in enumerate(rings):
+                closed = ring if ring[0] == ring[-1] else ring + [ring[0]]
+                ccw = _ring_area2(closed) > 0
+                if ccw != (j == 0):
+                    closed = list(reversed(closed))
+                lp = _sausage_loop(closed, rad, n_circle, join=join,
+                                   mitre_limit=mitre_limit, closed=True)
+                if lp:
+                    grp.append(lp)
+            if grp:
+                groups.append(grp)
+            continue
         for ring in rings:
             closed = ring if ring[0] == ring[-1] else ring + [ring[0]]
-            lp = _sausage_loop(closed, rad, n_circle)
-            if lp:
-                loops.append(lp)
+            outer = _sausage_loop(closed, rad, n_circle, join=join,
+                                  mitre_limit=mitre_limit, closed=True)
+            inner = _sausage_loop(list(reversed(closed)), rad, n_circle,
+                                  join=join, mitre_limit=mitre_limit,
+                                  closed=True)
+            grp = [lp for lp in (outer, inner) if lp]
+            if grp:
+                groups.append(grp)
     if geom.type_name in ("LineString", "MultiLineString"):
         for line in _line_parts(geom):
-            lp = _sausage_loop(line, rad, n_circle)
+            lp = _sausage_loop(line, rad, n_circle, join=join,
+                               endcap=endcap, mitre_limit=mitre_limit)
             if lp:
-                loops.append(lp)
+                groups.append([lp])
     if geom.type_name == "MultiPoint":
         for v in _points(geom):
-            disc = buffer_point(v, rad, segments)
-            loops.append([(p[0], p[1]) for p in disc.coords[0]])
+            disc = buffer(Geom("Point", v), rad, segments, join, endcap)
+            if not disc.is_empty and disc.coords:
+                groups.append([[(p[0], p[1]) for p in disc.coords[0]]])
 
-    boxes = []
-    for lp in loops:
-        xs = [p[0] for p in lp]
-        ys = [p[1] for p in lp]
-        boxes.append((min(xs), min(ys), max(xs), max(ys)))
+    gboxes = []
+    for grp in groups:
+        boxed = []
+        for lp in grp:
+            xs = [p[0] for p in lp]
+            ys = [p[1] for p in lp]
+            boxed.append((min(xs), min(ys), max(xs), max(ys)))
+        gboxes.append(boxed)
 
     def in_band(pt):
         x, y = pt
-        for lp, (x0, y0, x1, y1) in zip(loops, boxes):
-            if x0 <= x <= x1 and y0 <= y <= y1 and _winding(pt, lp) > 0:
+        for grp, boxed in zip(groups, gboxes):
+            w = 0
+            hit = False
+            for lp, (x0, y0, x1, y1) in zip(grp, boxed):
+                if x0 <= x <= x1 and y0 <= y <= y1:
+                    hit = True
+                    w += _winding(pt, lp)
+            if hit and w > 0:
                 return True
         return False
 
     loop_edges = [
         (lp[i], lp[i + 1])
-        for lp in loops
+        for grp in groups
+        for lp in grp
         for i in range(len(lp) - 1)
         if lp[i] != lp[i + 1]
     ]

@@ -136,6 +136,14 @@ _FUNCTIONS_GEOM_NUM2 = {
     ),
 }
 
+# (geometry, numeric-literal, 'string-literal') — buffer style parameters
+_FUNCTIONS_GEOM_NUM_STR = {
+    "ST_BUFFER": (
+        lambda col, r, style, meta: _pr.st_buffer(col, r, meta, params=style),
+        _WKB,
+    ),
+}
+
 _AGG_EXTENT = "ST_EXTENT"
 _NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
 
@@ -471,6 +479,16 @@ class SpatialSQL:
             ca, ma = self._arg_column(args[0], col_meta)
             cb, mb = self._arg_column(args[1], col_meta)
             return builder(ca, cb, ma, mb), out_meta
+        if (
+            name in _FUNCTIONS_GEOM_NUM_STR
+            and len(args) == 3
+            and _NUM_RE.match(args[1])
+            and args[2].startswith("'")
+            and args[2].endswith("'")
+        ):
+            builder, out_meta = _FUNCTIONS_GEOM_NUM_STR[name]
+            col, meta = self._arg_column(args[0], col_meta)
+            return builder(col, float(args[1]), args[2][1:-1], meta), out_meta
         if name in _FUNCTIONS_GEOM_NUM:
             if len(args) != 2 or not _NUM_RE.match(args[1]):
                 raise ValueError(f"{name} takes (geometry, numeric-literal)")

@@ -140,6 +140,43 @@ def test_spatial_join_points_in_polygons(spark):
     assert got == want
 
 
+def test_buffer_style_parameters(spark):
+    """PostGIS buffer styles through the column and SQL surfaces:
+    flat/square caps and mitre/bevel joins hit their closed forms
+    exactly; bad parameter strings raise."""
+    import math
+
+    from datafusion_spatial_spark.functions.scalar import st_geomfromtext
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    df = spark.createDataFrame(
+        [("LINESTRING (0 0, 10 0)",), ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",)],
+        "w string",
+    ).select(st_geomfromtext("w").alias("g"))
+    rows = df.select(
+        st_area(st_buffer("g", 1.0, WKB_META, params="endcap=flat"), WKB_META).alias("flat"),
+        st_area(st_buffer("g", 1.0, WKB_META, params="endcap=square"), WKB_META).alias("sq"),
+        st_area(st_buffer("g", 1.0, WKB_META, params="join=mitre quad_segs=16"), WKB_META).alias("mitre"),
+        st_area(st_buffer("g", 1.0, WKB_META, params="join=bevel"), WKB_META).alias("bevel"),
+    ).collect()
+    line, poly = rows
+    assert abs(line.flat - 20.0) < 1e-9
+    assert abs(line.sq - 24.0) < 1e-9
+    assert abs(poly.mitre - 144.0) < 1e-9
+    assert abs(poly.bevel - 142.0) < 1e-9
+    ssql = SpatialSQL(spark)
+    ssql.register_view("bufst", with_geo_meta(df, "g", WKB_META))
+    r = ssql.sql(
+        "SELECT ST_Area(ST_Buffer(g, 1.0, 'join=mitre endcap=square')) AS a "
+        "FROM bufst ORDER BY a"
+    ).collect()
+    assert abs(r[0].a - 24.0) < 1e-9  # line, square caps
+    assert abs(r[1].a - 144.0) < 1e-9  # polygon, mitre joins
+    with pytest.raises(ValueError, match="unknown join"):
+        st_buffer("g", 1.0, WKB_META, params="join=wavy")
+
+
 def test_wkb_point_fastpath_parity(spark):
     """The vectorized uniform-point WKB batch path must agree exactly with
     the generic per-row codec: nulls stay null, NaN empty-points null the
