@@ -269,6 +269,10 @@ def _parse_buffer_params(params: str) -> dict:
             out["join"] = v
         elif k in ("mitre_limit", "miter_limit"):
             out["mitre_limit"] = float(v)
+        elif k == "side":
+            if v not in ("both", "left", "right"):
+                raise ValueError(f"unknown side {v!r}")
+            out["side"] = v
         else:
             raise ValueError(f"unknown buffer parameter {k!r}")
     return out

@@ -590,6 +590,7 @@ def _sausage_loop(
     endcap: str = "round",
     mitre_limit: float = 5.0,
     closed: bool = False,
+    single_side: bool = False,
 ):
     """Clipper-style round offset: ONE closed curve at distance ``radius``
     around polyline ``pts`` — right-side offset of the forward pass, then
@@ -615,7 +616,10 @@ def _sausage_loop(
     # closed: the traversal is already a cycle — joins (incl. the wrap)
     # get the join style and there is no seam. open: append the reversed
     # pass; the two tangent reversals are the line's end caps.
-    segs = fwd if closed else fwd + [(b, a) for a, b in reversed(fwd)]
+    # single_side: offset the forward pass only and RETURN ALONG THE
+    # CURVE ITSELF — the loop encloses just the right-hand band (PostGIS
+    # side=right/left buffers; flat ends by construction).
+    segs = fwd if (closed or single_side) else fwd + [(b, a) for a, b in reversed(fwd)]
     k = len(segs)
     offs = []
     norms = []
@@ -630,7 +634,8 @@ def _sausage_loop(
     # stays round
     cap_joins = set() if closed else {len(fwd) - 1, k - 1}
     arcs: dict[int, list] = {}
-    for i in range(k):
+    n_joins = k - 1 if single_side else k
+    for i in range(n_joins):
         a, b = segs[i]
         c, d = segs[(i + 1) % k]
         dx, dy = b[0] - a[0], b[1] - a[1]
@@ -706,6 +711,10 @@ def _sausage_loop(
     for i in range(k):
         loop.extend(offs[i])
         loop.extend(arcs.get(i, ()))
+    if single_side:
+        loop.append(segs[-1][1])
+        for a, _b in reversed(segs):
+            loop.append(a)
     loop.append(loop[0])
     return loop
 
@@ -732,6 +741,7 @@ def buffer(
     join: str = "round",
     endcap: str = "round",
     mitre_limit: float = 5.0,
+    side: str = "both",
 ) -> Geom:
     """Round-join offset buffer: one closed offset loop per boundary ring
     / line (``_sausage_loop``), resolved against the filled areal part in
@@ -765,7 +775,7 @@ def buffer(
     n_circle = max(8, segments * 4)
     if geom.type_name == "GeometryCollection":
         parts = [
-            buffer(m, radius, segments, join, endcap, mitre_limit)
+            buffer(m, radius, segments, join, endcap, mitre_limit, side)
             for m in geom.coords
         ]
         return _wrap_polys(
@@ -818,8 +828,15 @@ def buffer(
                 groups.append(grp)
     if geom.type_name in ("LineString", "MultiLineString"):
         for line in _line_parts(geom):
-            lp = _sausage_loop(line, rad, n_circle, join=join,
-                               endcap=endcap, mitre_limit=mitre_limit)
+            if side in ("right", "left"):
+                # PostGIS side=...: band between the line and its one-side
+                # offset, flat ends (endcap ignored, as in PostGIS)
+                pts_line = line if side == "right" else list(reversed(line))
+                lp = _sausage_loop(pts_line, rad, n_circle, join=join,
+                                   mitre_limit=mitre_limit, single_side=True)
+            else:
+                lp = _sausage_loop(line, rad, n_circle, join=join,
+                                   endcap=endcap, mitre_limit=mitre_limit)
             if lp:
                 groups.append([lp])
     if geom.type_name == "MultiPoint":

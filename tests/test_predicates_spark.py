@@ -175,6 +175,19 @@ def test_buffer_style_parameters(spark):
     assert abs(r[1].a - 144.0) < 1e-9  # polygon, mitre joins
     with pytest.raises(ValueError, match="unknown join"):
         st_buffer("g", 1.0, WKB_META, params="join=wavy")
+    # single-sided line buffers (side=right/left): flat-ended band
+    # between the line and its offset; exact closed forms
+    import math as _m
+
+    ldf = spark.createDataFrame(
+        [("LINESTRING (0 0, 5 0, 5 5)",)], "w string"
+    ).select(st_geomfromtext("w").alias("g"))
+    r = ldf.select(
+        st_area(st_buffer("g", 1.0, WKB_META, params="side=right quad_segs=16"), WKB_META).alias("r"),
+        st_area(st_buffer("g", 1.0, WKB_META, params="side=left"), WKB_META).alias("l"),
+    ).collect()[0]
+    assert abs(r.r - (10 + _m.pi / 4)) < 2e-3  # outer corner round join
+    assert abs(r.l - 9.0) < 1e-9  # inner corner clip
 
 
 def test_wkb_point_fastpath_parity(spark):
