@@ -296,6 +296,28 @@ def st_buffer(
     )(col, meta)
 
 
+def st_offsetcurve(
+    col: Column | str,
+    distance: float,
+    meta: GeometryMeta,
+    segments: int = 16,
+    params: str | None = None,
+) -> Column:
+    """PostGIS ST_OffsetCurve: one-sided offset line (positive = left,
+    same direction; negative = right, reversed — GEOS convention). The
+    style string accepts quad_segs / join / mitre_limit."""
+    kw: dict = {"segments": segments}
+    if params:
+        parsed = _parse_buffer_params(params)
+        for k in ("endcap", "side"):
+            if k in parsed:
+                raise ValueError(f"{k} does not apply to ST_OffsetCurve")
+        kw.update(parsed)
+    return _unary_constructive(
+        lambda g: geom_ops.offset_curve(g, distance, **kw)
+    )(col, meta)
+
+
 def st_centroid(col: Column | str, meta: GeometryMeta) -> Column:
     """Centroid as a native Point struct; NULL or EMPTY geometry → NULL
     (the pandas→Arrow bridge coerces NaN to null, so EMPTY cannot round-trip

@@ -591,6 +591,7 @@ def _sausage_loop(
     mitre_limit: float = 5.0,
     closed: bool = False,
     single_side: bool = False,
+    curve_only: bool = False,
 ):
     """Clipper-style round offset: ONE closed curve at distance ``radius``
     around polyline ``pts`` — right-side offset of the forward pass, then
@@ -711,12 +712,62 @@ def _sausage_loop(
     for i in range(k):
         loop.extend(offs[i])
         loop.extend(arcs.get(i, ()))
+    if single_side and curve_only:
+        return loop  # the raw offset polyline, no return path
     if single_side:
         loop.append(segs[-1][1])
         for a, _b in reversed(segs):
             loop.append(a)
     loop.append(loop[0])
     return loop
+
+
+def offset_curve(
+    line: Geom,
+    distance: float,
+    segments: int = 16,
+    join: str = "round",
+    mitre_limit: float = 5.0,
+) -> Geom:
+    """PostGIS/GEOS ST_OffsetCurve: the line offset sideways by
+    ``distance`` — positive = left side, same direction; negative = right
+    side, direction reversed (GEOS convention). Joins follow the buffer
+    join style (round arcs span only the turn angle; converging corners
+    are clipped at the offset intersection)."""
+    if line.is_empty:
+        return Geom("LineString", [])
+    if line.type_name not in ("LineString", "MultiLineString"):
+        raise ValueError("offset_curve takes a (Multi)LineString")
+    n_circle = max(8, segments * 4)
+    d = abs(distance)
+    out = []
+    for pts in _line_parts(line):
+        pts = [(p[0], p[1]) for p in pts]
+        if d == 0:
+            out.append(pts)
+            continue
+        if distance > 0:
+            cur = _sausage_loop(list(reversed(pts)), d, n_circle, join=join,
+                                mitre_limit=mitre_limit, single_side=True,
+                                curve_only=True)
+            cur = list(reversed(cur)) if cur else None
+        else:
+            cur = _sausage_loop(pts, d, n_circle, join=join,
+                                mitre_limit=mitre_limit, single_side=True,
+                                curve_only=True)
+            cur = list(reversed(cur)) if cur else None
+        if cur:
+            dedup = [cur[0]]
+            for p in cur[1:]:
+                if p != dedup[-1]:
+                    dedup.append(p)
+            if len(dedup) >= 2:
+                out.append(dedup)
+    if not out:
+        return Geom("LineString", [])
+    if len(out) == 1:
+        return Geom("LineString", out[0])
+    return Geom("MultiLineString", out)
 
 
 def _winding(pt, loop) -> int:

@@ -114,6 +114,9 @@ _FUNCTIONS_2 = {
 # geometry + numeric-literal arg
 _FUNCTIONS_GEOM_NUM = {
     "ST_BUFFER": (lambda col, r, meta: _pr.st_buffer(col, r, meta), _WKB),
+    "ST_OFFSETCURVE": (
+        lambda col, r, meta: _pr.st_offsetcurve(col, r, meta), _WKB
+    ),
     "ST_GEOMETRYN": (lambda col, n, meta: _ac.st_geometryn(col, int(n), meta), _WKB),
     "ST_INTERIORRINGN": (
         lambda col, n, meta: _ac.st_interiorringn(col, int(n), meta), _WKB
@@ -140,6 +143,12 @@ _FUNCTIONS_GEOM_NUM2 = {
 _FUNCTIONS_GEOM_NUM_STR = {
     "ST_BUFFER": (
         lambda col, r, style, meta: _pr.st_buffer(col, r, meta, params=style),
+        _WKB,
+    ),
+    "ST_OFFSETCURVE": (
+        lambda col, r, style, meta: _pr.st_offsetcurve(
+            col, r, meta, params=style
+        ),
         _WKB,
     ),
 }

@@ -190,6 +190,42 @@ def test_buffer_style_parameters(spark):
     assert abs(r.l - 9.0) < 1e-9  # inner corner clip
 
 
+def test_offset_curve(spark):
+    """ST_OffsetCurve GEOS semantics: positive = left side same
+    direction, negative = right side reversed; converging corners
+    clipped at the offset intersection; SQL 2- and 3-arg forms."""
+    from datafusion_spatial_spark.functions.predicates import st_offsetcurve
+    from datafusion_spatial_spark.functions.scalar import st_geomfromtext
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    df = spark.createDataFrame(
+        [("LINESTRING (0 0, 5 0, 5 5)",)], "w string"
+    ).select(st_geomfromtext("w").alias("g"))
+    row = df.select(
+        st_offsetcurve("g", 1.0, WKB_META).alias("l"),
+        st_offsetcurve("g", -1.0, WKB_META, params="join=mitre").alias("r"),
+    ).collect()[0]
+    left = wkb.loads(bytes(row.l))
+    assert left.type_name == "LineString"
+    assert [tuple(p) for p in left.coords] == [(0.0, 1.0), (4.0, 1.0), (4.0, 5.0)]
+    right = wkb.loads(bytes(row.r))
+    # right side, mitre corner at (6,-1), direction reversed
+    assert [tuple(p) for p in right.coords] == [
+        (6.0, 5.0), (6.0, 0.0), (6.0, -1.0), (5.0, -1.0), (0.0, -1.0),
+    ]
+    ssql = SpatialSQL(spark)
+    ssql.register_view("oc_t", with_geo_meta(df, "g", WKB_META))
+    r2 = ssql.sql(
+        "SELECT ST_Length(ST_OffsetCurve(g, 1.0)) AS n, "
+        "ST_Length(ST_OffsetCurve(g, -1.0, 'join=bevel')) AS m FROM oc_t"
+    ).collect()[0]
+    assert abs(r2.n - 8.0) < 1e-9  # left: 4 + 4
+    assert r2.m > r2.n  # right side is longer (outer corner)
+    with pytest.raises(ValueError, match="does not apply"):
+        st_offsetcurve("g", 1.0, WKB_META, params="endcap=flat")
+
+
 def test_wkb_point_fastpath_parity(spark):
     """The vectorized uniform-point WKB batch path must agree exactly with
     the generic per-row codec: nulls stay null, NaN empty-points null the
