@@ -335,6 +335,39 @@ class TestScaleAndPerformance:
         assert len(out) == 3
         assert abs(self._area(out) - 3.0) < 1e-9
 
+    def test_union_pieces_random_rectangles_exact_area(self):
+        """Randomized oracle for the one-pass n-ary union: the union area
+        of random axis-aligned rectangles equals the exact
+        coordinate-compression (grid sweep) area."""
+        import random
+
+        from datafusion_spatial_spark.overlay import union_pieces
+
+        rng = random.Random(17)
+        for trial in range(5):
+            rects = []
+            for _ in range(rng.randint(3, 40)):
+                x0 = rng.randint(0, 60)
+                y0 = rng.randint(0, 60)
+                w = rng.randint(1, 25)
+                h = rng.randint(1, 25)
+                rects.append((float(x0), float(y0), float(x0 + w), float(y0 + h)))
+            xs = sorted({v for r in rects for v in (r[0], r[2])})
+            ys = sorted({v for r in rects for v in (r[1], r[3])})
+            exact = 0.0
+            for i in range(len(xs) - 1):
+                for j in range(len(ys) - 1):
+                    cx = (xs[i] + xs[i + 1]) / 2
+                    cy = (ys[j] + ys[j + 1]) / 2
+                    if any(r[0] <= cx <= r[2] and r[1] <= cy <= r[3] for r in rects):
+                        exact += (xs[i + 1] - xs[i]) * (ys[j + 1] - ys[j])
+            pieces = [
+                [[(r[0], r[1]), (r[2], r[1]), (r[2], r[3]), (r[0], r[3]), (r[0], r[1])]]
+                for r in rects
+            ]
+            got = self._area(union_pieces(pieces))
+            assert abs(got - exact) < 1e-6, (trial, got, exact)
+
     def test_buffer_convex_random_property(self):
         """Property: for a CONVEX polygon the round-join buffer area is
         exactly A + P·r + πr² (Steiner formula) and erosion of a polygon
