@@ -10,7 +10,11 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+# default sf0.001 for CI speed; set SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.01
+# to mirror the driver's gate SF exactly (verified manually each round)
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
