@@ -16,27 +16,47 @@ import numpy as np
 import pandas as pd
 
 
+# accepted little-endian point type words by record length: 2-D (21 B),
+# Z or M (29 B: ISO 1001/2001, EWKB 0x80000001/0x40000001), ZM (37 B:
+# ISO 3001, EWKB 0xC0000001). x,y sit at bytes 5..21 in every variant.
+_POINT_TYPES = {
+    21: {b"\x01\x00\x00\x00"},
+    29: {b"\xe9\x03\x00\x00", b"\xd1\x07\x00\x00",
+         b"\x01\x00\x00\x80", b"\x01\x00\x00\x40"},
+    37: {b"\xb9\x0b\x00\x00", b"\x01\x00\x00\xc0"},
+}
+
+
 def point_xy_batch(s: pd.Series):
-    """Decode a batch of little-endian 2-D WKB points vectorized.
+    """Decode a batch of little-endian WKB points (2-D, Z, M, or ZM — all
+    records in the batch must share one length) vectorized.
 
     Returns ``(x, y, valid)`` — float64 arrays plus a bool mask (False for
     null rows and NaN empty-points) — or ``None`` if any non-null value is
-    not a plain LE 2-D point (caller falls back to the per-row codec).
+    not a conforming LE point (caller falls back to the per-row codec).
     """
     n = len(s)
     idx = []
     chunks = []
+    reclen = None
     for i, v in enumerate(s):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             continue
         b = bytes(v)
-        if len(b) != 21 or b[0] != 1 or b[1] != 1 or b[2:5] != b"\x00\x00\x00":
+        L = len(b)
+        if (
+            b[:1] != b"\x01"
+            or L not in _POINT_TYPES
+            or b[1:5] not in _POINT_TYPES[L]
+            or (reclen is not None and L != reclen)
+        ):
             return None
+        reclen = L
         idx.append(i)
         chunks.append(b)
     if not idx:
         return None
-    arr = np.frombuffer(b"".join(chunks), np.uint8).reshape(-1, 21)
+    arr = np.frombuffer(b"".join(chunks), np.uint8).reshape(-1, reclen)
     px = arr[:, 5:13].copy().view(np.float64).ravel()
     py = arr[:, 13:21].copy().view(np.float64).ravel()
     x = np.full(n, np.nan)

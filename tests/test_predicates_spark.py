@@ -277,6 +277,20 @@ def test_wkb_point_fastpath_parity(spark):
     assert got2[1].xmin == 3.5
     assert got2[9].xmax == 6.0 and got2[9].ymax == 8.0
     assert got2[3] is None
+    # Z points take the fast path too (29-byte ISO 1001) with 2-D results
+    zdf = spark.createDataFrame(
+        [
+            (1, bytearray(wkb.dumps(wkb.Geom("Point", (1.0, 2.0, 3.0), has_z=True))),
+                bytearray(wkb.dumps(wkb.Geom("Point", (4.0, 6.0, 99.0), has_z=True)))),
+        ],
+        "id long, ga binary, gb binary",
+    )
+    zr = zdf.select(
+        st_bbox("ga", WKB_META).alias("b"),
+        st_distance("ga", "gb", WKB_META, WKB_META).alias("d"),
+    ).collect()[0]
+    assert zr.b.xmin == 1.0 and zr.b.ymax == 2.0
+    assert abs(zr.d - 5.0) < 1e-12  # 2-D distance, z ignored
 
 
 def test_spatial_join_bucketed_zero_exchange(spark, tmp_path):
