@@ -272,6 +272,11 @@ def test_delaunay_voronoi_scale_budget(spark):
     env_area = (x1 - x0 + 2 * mx) * (y1 - y0 + 2 * mx)
     total = sum(G.area(c) for c in cells)
     assert abs(total - env_area) < 1e-6 * env_area
+    # concave hull rides the same triangulation — budget it too
+    t0 = time.perf_counter()
+    ch = G.concave_hull(mp, 0.3)
+    assert time.perf_counter() - t0 < 15.0
+    assert 0 < G.area(ch) <= G.area(G.convex_hull(mp)) + 1e-9
     # spot-check the nearest-site property on a sample of cells
     for site, cell in random.sample(list(zip(sites, cells)), 50):
         for v in cell.coords[0]:
