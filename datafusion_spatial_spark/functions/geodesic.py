@@ -121,6 +121,32 @@ def st_transform(
     return _geom_out(lambda g: geom_ops.transform(g, src_srid, dst_srid))(col, meta)
 
 
+def st_buffergeography(
+    col: Column | str,
+    meters: float,
+    meta: GeometryMeta,
+    segments: int = 16,
+    params: str | None = None,
+) -> Column:
+    """Meter-radius buffer for EPSG:4326 geometries (the PostGIS
+    ``ST_Buffer(geography, meters)`` shape): pivot through the row's
+    local WGS84 UTM zone, buffer planar in meters, return to lon/lat
+    (WKB out). Accepts the buffer style string. Rows spanning more than
+    one UTM zone raise rather than distort."""
+    from datafusion_spatial_spark.functions.predicates import (
+        _parse_buffer_params,
+    )
+
+    kw: dict = {"segments": segments}
+    if params:
+        kw.update(_parse_buffer_params(params))
+    if "side" in kw:
+        raise ValueError("side is not supported for geography buffers")
+    return _geom_out(
+        lambda g: geom_ops.buffer_geography(g, meters, **kw)
+    )(col, meta)
+
+
 def _tm_fwd_expr(
     lon: Column, lat: Column, lon0_deg: float, south: bool
 ) -> tuple[Column, Column]:

@@ -3691,6 +3691,45 @@ def _lookup_transform(src_srid: int, dst_srid: int):
     return lambda x, y: fwd(*inv(x, y))
 
 
+def utm_srid_for(lon: float, lat: float) -> int:
+    """WGS84 UTM zone EPSG code containing (lon, lat)."""
+    zone = min(60, max(1, int((lon + 180.0) // 6.0) + 1))
+    return (32700 if lat < 0 else 32600) + zone
+
+
+def buffer_geography(
+    g: Geom,
+    meters: float,
+    segments: int = 16,
+    join: str = "round",
+    endcap: str = "round",
+    mitre_limit: float = 5.0,
+    max_span_deg: float = 6.0,
+) -> Geom:
+    """Meter-radius buffer for EPSG:4326 (lon/lat) geometries — the
+    PostGIS ``ST_Buffer(geography, meters)`` shape: pivot the geometry
+    into its local WGS84 UTM zone (selected by centroid), buffer planar
+    in meters, and transform back to lon/lat. In-zone scale distortion is
+    ≤ ~0.1%, so the radius is meter-true to that tolerance. Geometries
+    whose longitude span exceeds ``max_span_deg`` (≈ one zone) raise —
+    a single transverse-Mercator pivot would be silently wrong there."""
+    if g.is_empty:
+        return Geom("Polygon", [])
+    bb = _bbox(g)
+    if bb is not None and (bb[2] - bb[0]) > max_span_deg:
+        raise ValueError(
+            f"geometry spans {bb[2] - bb[0]:.1f}° of longitude — beyond a "
+            "single UTM zone; split it or buffer planar in a chosen CRS"
+        )
+    c = centroid(g)
+    if c is None:
+        return Geom("Polygon", [])
+    srid = utm_srid_for(c[0], c[1])
+    planar = transform(g, 4326, srid)
+    buffed = buffer(planar, meters, segments, join, endcap, mitre_limit)
+    return transform(buffed, srid, 4326)
+
+
 def transform(g: Geom, src_srid: int, dst_srid: int) -> Geom:
     """Reproject coordinates between supported CRS: EPSG:4326, 3857
     (spherical Web Mercator), UTM WGS84 zones (326zz/327zz, Snyder series),

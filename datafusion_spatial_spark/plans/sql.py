@@ -117,6 +117,9 @@ _FUNCTIONS_GEOM_NUM = {
     "ST_OFFSETCURVE": (
         lambda col, r, meta: _pr.st_offsetcurve(col, r, meta), _WKB
     ),
+    "ST_BUFFERGEOGRAPHY": (
+        lambda col, r, meta: _gd.st_buffergeography(col, r, meta), _WKB
+    ),
     "ST_GEOMETRYN": (lambda col, n, meta: _ac.st_geometryn(col, int(n), meta), _WKB),
     "ST_INTERIORRINGN": (
         lambda col, n, meta: _ac.st_interiorringn(col, int(n), meta), _WKB

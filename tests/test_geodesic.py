@@ -395,3 +395,54 @@ def test_sql_resolver_st_transform(spark):
     got = wkb.loads(bytes(out))
     kx, ky = G._tm_fwd(2.2945, 48.8584, G.utm_lon0(31), False)
     assert abs(got.coords[0] - kx) < 1e-6 and abs(got.coords[1] - ky) < 1e-6
+
+
+def test_buffer_geography_meter_true(spark):
+    """ST_BufferGeography: meter-radius buffer of lon/lat geometries via
+    the local UTM pivot — every boundary vertex sits ~1000 m (haversine)
+    from the center, both hemispheres; SQL form works; zone-spanning
+    input raises."""
+    import math
+
+    from datafusion_spatial_spark.functions.geodesic import (
+        st_buffergeography,
+    )
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    df = spark.createDataFrame(
+        [(1, 2.3522, 48.8566), (2, 151.2093, -33.8688)],
+        "id long, lon double, lat double",
+    ).select("id", st_point("lon", "lat").alias("g"))
+    rows = df.select(
+        "id", st_buffergeography("g", 1000.0, pm).alias("b")
+    ).collect()
+    R = 6371008.8
+
+    def hav(lon1, lat1, lon2, lat2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dl = math.radians(lon2 - lon1)
+        h = (
+            math.sin((p2 - p1) / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        )
+        return 2 * R * math.asin(math.sqrt(h))
+
+    centers = {1: (2.3522, 48.8566), 2: (151.2093, -33.8688)}
+    for r in rows:
+        g = wkb.loads(bytes(r.b))
+        assert g.type_name == "Polygon"
+        lon0, lat0 = centers[r.id]
+        ds = [hav(lon0, lat0, p[0], p[1]) for p in g.coords[0]]
+        assert 990 < min(ds) and max(ds) < 1010, (r.id, min(ds), max(ds))
+    ssql = SpatialSQL(spark)
+    ssql.register_view("geo_b", with_geo_meta(df, "g", pm))
+    out = ssql.sql(
+        "SELECT ST_Area(ST_Transform(ST_BufferGeography(g, 500.0), "
+        "4326, 32631)) AS a FROM geo_b WHERE id = 1"
+    ).collect()[0]
+    assert abs(out.a - math.pi * 500 * 500) < 0.01 * math.pi * 500 * 500
+    wide = wkb.Geom("LineString", [(0.0, 0.0), (30.0, 0.0)])
+    with pytest.raises(ValueError, match="UTM zone"):
+        G.buffer_geography(wide, 100.0)
