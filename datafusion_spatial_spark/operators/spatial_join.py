@@ -77,22 +77,28 @@ def spatial_join(
     predicate: str = "intersects",
     distance: float | None = None,
     with_distance: bool = False,
+    pad_override: float | None = None,
 ) -> DataFrame:
     """Returns (left_id, right_id) pairs satisfying the predicate.
 
     ``predicate='dwithin'`` uses ``distance`` and pads the left grid cells.
+    ``predicate='dwithin_sphere'`` (point×point lon/lat only) refines with
+    the haversine distance in METERS; pass the grid pad in DEGREES via
+    ``pad_override`` (see :func:`spatial_join_geography`).
     ``with_distance=True`` (dwithin only) adds the exact ``distance``
     column — computed inside the join, so consumers like the k-NN join
     don't re-join geometries by id to get it.
     """
-    pad = float(distance or 0.0)
+    pad = float(pad_override if pad_override is not None else (distance or 0.0))
     both_points = (
         left_meta.is_native and left_meta.native_type == "Point"
         and right_meta.is_native and right_meta.native_type == "Point"
     )
     # point×point dwithin refines on bbox coords alone — don't shuffle the
     # geometry payload at all
-    carry_geom = not (both_points and predicate == "dwithin")
+    carry_geom = not (
+        both_points and predicate in ("dwithin", "dwithin_sphere")
+    )
     lcols = [F.col(left_id).alias("__lid"),
              st_bbox(left_geom, left_meta).alias("__lbox")]
     rcols = [F.col(right_id).alias("__rid"),
@@ -155,6 +161,34 @@ def _refine(
 ) -> DataFrame:
     """Exact-refine candidate pairs (columns __lid/__rid and __lgeom/__rgeom
     or __lbox/__rbox) — shared by the shuffle and bucketed join paths."""
+    if predicate == "dwithin_sphere":
+        if distance is None:
+            raise ValueError("dwithin_sphere requires distance= (meters)")
+        if not both_points:
+            raise NotImplementedError(
+                "dwithin_sphere refines point x point lon/lat columns only"
+            )
+        from datafusion_spatial_spark.functions.geodesic import (
+            _haversine_expr,
+        )
+
+        dcol = _haversine_expr(
+            F.col("__lbox.xmin"), F.col("__lbox.ymin"),
+            F.col("__rbox.xmin"), F.col("__rbox.ymin"),
+        )
+        if with_distance:
+            return (
+                cand.withColumn("__dist", dcol)
+                .filter(F.col("__dist") <= F.lit(float(distance)))
+                .select(
+                    F.col("__lid").alias(left_id),
+                    F.col("__rid").alias(right_id),
+                    F.col("__dist").alias("distance_m"),
+                )
+            )
+        return cand.filter(dcol <= F.lit(float(distance))).select(
+            F.col("__lid").alias(left_id), F.col("__rid").alias(right_id)
+        )
     if predicate == "dwithin":
         if distance is None:
             raise ValueError("dwithin requires distance=")
@@ -434,4 +468,61 @@ def spatial_join_bucketed(
     return _refine(
         cand, left_meta, right_meta, left_id, right_id,
         predicate, distance, with_distance, both_points,
+    )
+
+
+def spatial_join_geography(
+    left: DataFrame,
+    right: DataFrame,
+    left_geom: str,
+    right_geom: str,
+    left_meta: GeometryMeta,
+    right_meta: GeometryMeta,
+    left_id: str,
+    right_id: str,
+    meters: float,
+    cell_size_deg: float | None = None,
+    with_distance: bool = False,
+    max_abs_lat: float = 80.0,
+) -> DataFrame:
+    """dwithin-in-METERS join for EPSG:4326 point columns.
+
+    Same grid-join shape as :func:`spatial_join` — the grid lives in
+    degrees with a latitude-safe pad (lon degrees shrink by cos(lat), so
+    the pad is sized for the data's extreme latitude; a too-large pad
+    only adds bbox-prefiltered false candidates) — and the exact refine
+    is the haversine distance, pure Catalyst: zero Python anywhere in
+    the plan. Data beyond ``max_abs_lat`` raises (the lon pad diverges
+    toward the poles; use a polar-cap projection there).
+    """
+    import math
+
+    for m_ in (left_meta, right_meta):
+        if not (m_.is_native and m_.native_type == "Point"):
+            raise NotImplementedError(
+                "spatial_join_geography takes native point columns"
+            )
+    stats = []
+    for df, col in ((left, left_geom), (right, right_geom)):
+        row = df.select(
+            F.max(F.abs(F.col(col)["y"])).alias("mx")
+        ).collect()[0]
+        stats.append(float(row["mx"] or 0.0))
+    lat = max(stats)
+    if lat > max_abs_lat:
+        raise ValueError(
+            f"data reaches |lat|={lat:.1f}° > {max_abs_lat}° — the "
+            "degree-grid pad diverges near the poles"
+        )
+    # meters per degree: lat ≥ 110574 everywhere; lon = 111320·cos(lat)
+    pad_deg = max(
+        meters / 110540.0,
+        meters / (111320.0 * math.cos(math.radians(lat))),
+    ) * 1.001  # spherical-vs-ellipsoid slack
+    cell = cell_size_deg if cell_size_deg is not None else 4 * pad_deg
+    return spatial_join(
+        left, right, left_geom, right_geom, left_meta, right_meta,
+        left_id, right_id, cell_size=cell, predicate="dwithin_sphere",
+        distance=meters, with_distance=with_distance,
+        pad_override=pad_deg,
     )

@@ -293,6 +293,63 @@ def test_wkb_point_fastpath_parity(spark):
     assert abs(zr.d - 5.0) < 1e-12  # 2-D distance, z ignored
 
 
+def test_spatial_join_geography_meters(spark):
+    """dwithin-in-meters join on lon/lat points: grid in degrees with a
+    latitude-safe pad, haversine refine. Ground truth = all-pairs
+    haversine with the engine's earth radius; plan must be Python-free;
+    polar data raises."""
+    import math
+    import random
+
+    from datafusion_spatial_spark.geom_ops import EARTH_RADIUS
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_geography,
+    )
+
+    rng = random.Random(23)
+    n = 250
+    a = [(i, rng.uniform(5, 8), rng.uniform(55, 58)) for i in range(n)]
+    b = [(i, rng.uniform(5, 8), rng.uniform(55, 58)) for i in range(n)]
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+
+    def pdf(rows, idn):
+        return spark.createDataFrame(rows, f"{idn} long, x double, y double").select(
+            idn,
+            F.struct(F.col("x").alias("x"), F.col("y").alias("y")).alias("geom"),
+        )
+
+    meters = 20_000.0
+    out = spatial_join_geography(
+        pdf(a, "aid"), pdf(b, "bid"), "geom", "geom", pm, pm,
+        "aid", "bid", meters, with_distance=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    got = {(r.aid, r.bid) for r in out.collect()}
+
+    def hav(lon1, lat1, lon2, lat2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dl = math.radians(lon2 - lon1)
+        h = (
+            math.sin((p2 - p1) / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        )
+        return 2 * EARTH_RADIUS * math.asin(min(1.0, math.sqrt(h)))
+
+    want = {
+        (ai, bi)
+        for ai, ax, ay in a
+        for bi, bx, by in b
+        if hav(ax, ay, bx, by) <= meters
+    }
+    assert got == want and len(want) > 50
+    with pytest.raises(ValueError, match="pole"):
+        spatial_join_geography(
+            pdf([(0, 10.0, 86.0)], "aid"), pdf(b, "bid"), "geom", "geom",
+            pm, pm, "aid", "bid", meters,
+        )
+
+
 def test_spatial_join_bucketed_zero_exchange(spark, tmp_path):
     """Co-located spatial join: both sides written cell-bucketed+sorted →
     the candidate equi-join on cell id runs with NO exchange (and no
