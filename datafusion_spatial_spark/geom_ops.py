@@ -3817,7 +3817,25 @@ def _delaunay_core(pts) -> list:
     walk-based point location and cavity flood fill across edge
     adjacency — near-linear on sorted input, vs the former scan-every-
     triangle form which was O(n²). Returns CCW vertex-tuple triangles
-    (super-triangle removed)."""
+    (super-triangle removed).
+
+    Super-triangle vertices are SYMBOLIC ghosts: they keep concrete
+    coordinates for the orientation walk, but the in-circle ("bad") test
+    treats them as lifted to ordered infinite heights on the paraboloid
+    (rank s1 < s2 < s3). The exact sign limit of the lifted in-circle
+    determinant as the heights diverge is:
+      * 0 supers  → the ordinary circumcircle test;
+      * 1 super   → p strictly on the super's side of the opposite real
+                    edge, or collinear with it and strictly between its
+                    endpoints (the convexity of x²+y² along the line);
+      * 2 supers  → p strictly on the higher super's side of the
+                    (real-vertex, lower-super) line; tie → the lower
+                    super's side of the (real-vertex, higher-super) line;
+      * 3 supers  → always bad.
+    A finite super-triangle span can sit inside the circumcircle of a
+    near-degenerate sliver (circumradius is unbounded), silently dropping
+    a real triangle; the symbolic rule has no finite-span assumption so
+    real-real Delaunayhood is decided purely by real circumcircles."""
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]
     cx, cy = (min(xs) + max(xs)) / 2.0, (min(ys) + max(ys)) / 2.0
@@ -3825,12 +3843,12 @@ def _delaunay_core(pts) -> list:
     s1 = (cx - span, cy - span)
     s2 = (cx + span, cy - span)
     s3 = (cx, cy + span)
+    srank = {s1: 1, s2: 2, s3: 3}
 
     def ekey(a, b):
         return (a, b) if a <= b else (b, a)
 
     tris: dict = {0: (s1, s2, s3)}
-    circ: dict = {0: _circumcircle(s1, s2, s3)}
     adj: dict = {}
     for e in ((s1, s2), (s2, s3), (s3, s1)):
         adj[ekey(*e)] = {0}
@@ -3838,11 +3856,47 @@ def _delaunay_core(pts) -> list:
     last = 0
 
     def is_bad(tid, p):
-        cc = circ[tid]
-        if cc is None:
-            return False
-        (ux, uy), r2 = cc
-        return (p[0] - ux) ** 2 + (p[1] - uy) ** 2 <= r2 * (1 + 1e-12)
+        tri = tris[tid]
+        si = [i for i, v in enumerate(tri) if v in srank]
+        if not si:
+            # lifted in-circle determinant (CCW triangle): det >= 0 → p
+            # inside or on the circumcircle. No circumcenter construction,
+            # so sliver triangles don't suffer cancellation blow-up.
+            (ax, ay), (bx, by), (cx, cy) = tri
+            adx, ady = ax - p[0], ay - p[1]
+            bdx, bdy = bx - p[0], by - p[1]
+            cdx, cdy = cx - p[0], cy - p[1]
+            det = ((adx * adx + ady * ady) * (bdx * cdy - cdx * bdy)
+                   + (bdx * bdx + bdy * bdy) * (cdx * ady - adx * cdy)
+                   + (cdx * cdx + cdy * cdy) * (adx * bdy - bdx * ady))
+            return det >= 0.0
+        if len(si) == 3:
+            return True
+        if len(si) == 1:
+            # CCW triangle (s, a, b): super s lies left of directed a→b
+            i = si[0]
+            a, b = tri[(i + 1) % 3], tri[(i + 2) % 3]
+            o = _orient(a[0], a[1], b[0], b[1], p[0], p[1])
+            if o > 0.0:
+                return True
+            if o < 0.0:
+                return False
+            # collinear with the real edge: inside iff strictly between
+            return ((p[0] - a[0]) * (b[0] - a[0])
+                    + (p[1] - a[1]) * (b[1] - a[1])) > 0.0 and \
+                   ((p[0] - b[0]) * (a[0] - b[0])
+                    + (p[1] - b[1]) * (a[1] - b[1])) > 0.0
+        # two supers: real vertex a, supers ordered by rank (lo, hi)
+        a = next(v for v in tri if v not in srank)
+        lo, hi = sorted((v for v in tri if v in srank),
+                        key=lambda v: srank[v])
+        ref = _orient(a[0], a[1], lo[0], lo[1], hi[0], hi[1])
+        o = _orient(a[0], a[1], lo[0], lo[1], p[0], p[1])
+        if o != 0.0:
+            return (o > 0.0) == (ref > 0.0)
+        ref2 = _orient(a[0], a[1], hi[0], hi[1], lo[0], lo[1])
+        o2 = _orient(a[0], a[1], hi[0], hi[1], p[0], p[1])
+        return o2 != 0.0 and (o2 > 0.0) == (ref2 > 0.0)
 
     for p in pts:
         # orientation walk from the last-created triangle to one whose
@@ -3862,7 +3916,13 @@ def _delaunay_core(pts) -> list:
             if not stepped:
                 seed = t
                 break
-        if seed is None or not is_bad(seed, p):
+        if seed is not None and not is_bad(seed, p):
+            # The walk proved containment (no edge had p strictly outside);
+            # containment implies in-circumcircle, so a numerically noisy
+            # determinant on an extreme sliver must not drop the point —
+            # keep the containing triangle as the cavity seed.
+            pass
+        elif seed is None:
             # degenerate walk (collinear slivers) — exact fallback scan
             seed = next((tid for tid in tris if is_bad(tid, p)), None)
             if seed is None:
@@ -3895,7 +3955,6 @@ def _delaunay_core(pts) -> list:
                     if not s:
                         del adj[k]
             del tris[tid]
-            del circ[tid]
         for (ea, eb), n in edge_count.items():
             if n != 1:
                 continue
@@ -3905,7 +3964,6 @@ def _delaunay_core(pts) -> list:
             tid = next_id
             next_id += 1
             tris[tid] = (a, b, c)
-            circ[tid] = _circumcircle(a, b, c)
             for u, v in ((a, b), (b, c), (c, a)):
                 adj.setdefault(ekey(u, v), set()).add(tid)
             last = tid
@@ -4257,13 +4315,27 @@ def voronoi_polygons(g: Geom, envelope: Geom | None = None) -> list:
     neighbors: dict = {}
     if len(pts) >= 3:
         covered = set()
+        tri_area2 = 0.0
         for a, b, c in _delaunay_core(pts):
             covered.update((a, b, c))
+            tri_area2 += abs(_ring_area2([a, b, c, a]))
             for u, v in ((a, b), (b, c), (c, a)):
                 neighbors.setdefault(u, set()).add(v)
                 neighbors.setdefault(v, set()).add(u)
         if covered != set(pts):
             neighbors = {}  # partial cover → neighbor sets untrustworthy
+        else:
+            # defense in depth: a dropped sliver whose vertices survive in
+            # other triangles passes the vertex check but leaves a missing
+            # Delaunay adjacency (and an unclipped cell) — require the
+            # triangulation to tile the full convex hull by area too
+            hull = convex_hull(Geom("MultiPoint", list(pts)))
+            hull_area2 = (
+                abs(_ring_area2(hull.coords[0]))
+                if hull.type_name == "Polygon" else 0.0
+            )
+            if abs(tri_area2 - hull_area2) > 1e-9 * max(1.0, hull_area2):
+                neighbors = {}
     out = []
     for site in pts:
         ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]

@@ -418,6 +418,16 @@ def spatial_join_bucketed(
             f"grid mismatch: {left_table} cell_size={cs_l} vs "
             f"{right_table} cell_size={cs_r}"
         )
+    if predicate == "dwithin_sphere":
+        # The meters distance is NOT a degree pad: using it as one skips
+        # the left-pad validation and silently misses pairs beyond the
+        # write pad (and the canonical-cell filter would use meters as
+        # degrees). Use spatial_join_geography for meter-radius joins.
+        raise NotImplementedError(
+            "spatial_join_bucketed does not support dwithin_sphere — the "
+            "meters distance cannot drive the degree grid; use "
+            "spatial_join_geography (shuffle grid) instead"
+        )
     pad = float(distance or 0.0)
     left_pad = float(lp.get("spatial.pad", "0.0"))
     if predicate == "dwithin" and pad > left_pad:
@@ -514,11 +524,18 @@ def spatial_join_geography(
             f"data reaches |lat|={lat:.1f}° > {max_abs_lat}° — the "
             "degree-grid pad diverges near the poles"
         )
-    # meters per degree: lat ≥ 110574 everywhere; lon = 111320·cos(lat)
-    pad_deg = max(
-        meters / 110540.0,
-        meters / (111320.0 * math.cos(math.radians(lat))),
-    ) * 1.001  # spherical-vs-ellipsoid slack
+    # Size the pad on the refine's OWN sphere (haversine, R=6371008.8 m),
+    # not on ellipsoidal meters-per-degree constants: a mismatch drops
+    # near-threshold east-west pairs at high latitude (the prefilter must
+    # never be tighter than the refine). Exact haversine inversions:
+    #   |Δlat| ≤ degrees(d/R)  (meridian distance ≤ great-circle distance)
+    #   sin²(d/2R) ≥ cos²(lat_max)·sin²(Δλ/2)  ⇒
+    #   |Δλ| ≤ 2·asin(min(1, sin(d/2R) / cos(lat_max)))
+    R = 6371008.8  # must match _haversine_expr / dwithin_sphere refine
+    pad_lat = math.degrees(meters / R)
+    s = math.sin(meters / (2.0 * R)) / math.cos(math.radians(lat))
+    pad_lon = math.degrees(2.0 * math.asin(min(1.0, s)))
+    pad_deg = max(pad_lat, pad_lon) * (1.0 + 1e-9)  # float-error slack
     cell = cell_size_deg if cell_size_deg is not None else 4 * pad_deg
     return spatial_join(
         left, right, left_geom, right_geom, left_meta, right_meta,

@@ -1,0 +1,186 @@
+"""Regression battery for the ghost-vertex (symbolic super-triangle)
+Bowyer–Watson rewrite.
+
+Round-5 bug: the finite super-triangle (span = 64x data extent) could sit
+INSIDE the circumcircle of a near-degenerate sliver triangle (circumradius
+is unbounded as the triangle thins), so the real triangle was never
+Delaunay w.r.t. the augmented point set and vanished when super triangles
+were stripped — `delaunay_triangles` returned [] for a valid area-0.5
+triangle, Voronoi cells went unclipped past the vertex-only guard, and
+concave hull silently degraded to the convex hull.
+
+The fix treats super vertices symbolically (lifted to ordered infinite
+heights), so real-real Delaunayhood is decided purely by real
+circumcircles. These tests pin the discovered example and sweep
+near-collinear configurations where the old code dropped work.
+"""
+import math
+import random
+
+import pytest
+
+from datafusion_spatial_spark import geom_ops as G
+from datafusion_spatial_spark import wkb
+from datafusion_spatial_spark.geom_ops import _ring_area2
+
+
+def _tri_vertices(tris):
+    return {tuple(v) for t in tris for v in t.coords[0][:3]}
+
+
+def _tri_area(tris):
+    return sum(abs(_ring_area2(t.coords[0])) / 2.0 for t in tris)
+
+
+def _hull_area(pts):
+    hull = G.convex_hull(wkb.Geom("MultiPoint", list(pts)))
+    if hull.type_name != "Polygon":
+        return 0.0
+    return abs(_ring_area2(hull.coords[0])) / 2.0
+
+
+def test_sliver_triangle_survives():
+    # The Hypothesis-discovered counterexample: cross product exactly -1,
+    # a real triangle of area 0.5 whose circumradius (~4074) exceeds the
+    # old super-vertex distance (~1785).
+    g = wkb.Geom("MultiPoint", [(0.0, 11.0), (15.0, 22.0), (26.0, 30.0)])
+    tris = G.delaunay_triangles(g)
+    assert len(tris) == 1
+    assert _tri_vertices(tris) == {(0.0, 11.0), (15.0, 22.0), (26.0, 30.0)}
+    assert abs(_tri_area(tris) - 0.5) < 1e-9
+
+
+def test_near_collinear_jitter_full_cover():
+    # Collinear-plus-epsilon chains: every distinct vertex must appear in
+    # the triangulation and the triangles must tile the convex hull.
+    rng = random.Random(7)
+    for trial in range(60):
+        n = rng.randint(3, 30)
+        pts = [
+            (i + rng.uniform(-1e-6, 1e-6), 2 * i + rng.uniform(-1e-6, 1e-6))
+            for i in range(n)
+        ]
+        tris = G.delaunay_triangles(wkb.Geom("MultiPoint", pts))
+        hull_area = _hull_area(pts)
+        if not tris:
+            assert hull_area < 1e-9
+            continue
+        assert _tri_vertices(tris) == set(pts), trial
+        assert abs(_tri_area(tris) - hull_area) <= 1e-6 * max(1.0, hull_area)
+
+
+def test_random_thin_triangles_kept():
+    # Random extreme slivers: base segment plus a vertex displaced by a
+    # tiny perpendicular epsilon — area > 0, so exactly one triangle.
+    rng = random.Random(13)
+    for _ in range(50):
+        ax, ay = rng.uniform(-50, 50), rng.uniform(-50, 50)
+        bx, by = ax + rng.uniform(5, 40), ay + rng.uniform(5, 40)
+        t = rng.uniform(0.2, 0.8)
+        eps = rng.choice([1e-7, 1e-5, 1e-3])
+        # perpendicular offset from a point t of the way along ab
+        dx, dy = bx - ax, by - ay
+        L = math.hypot(dx, dy)
+        cx = ax + t * dx - eps * dy / L
+        cy = ay + t * dy + eps * dx / L
+        tris = G.delaunay_triangles(
+            wkb.Geom("MultiPoint", [(ax, ay), (bx, by), (cx, cy)])
+        )
+        assert len(tris) == 1
+        assert abs(_tri_area(tris) - eps * L / 2.0) <= 1e-9 * max(1.0, L)
+
+
+def test_collinear_grid_plus_offset_point():
+    # A strictly collinear chain with one off-line point: the fan of
+    # triangles from the point over every chain segment must all be kept.
+    n = 12
+    pts = [(float(i), 2.0 * float(i)) for i in range(n)] + [(3.0, 100.0)]
+    tris = G.delaunay_triangles(wkb.Geom("MultiPoint", pts))
+    assert len(tris) == n - 1
+    assert _tri_vertices(tris) == set(pts)
+    hull_area = _hull_area(pts)
+    assert abs(_tri_area(tris) - hull_area) <= 1e-9 * max(1.0, hull_area)
+
+
+def test_strictly_collinear_returns_empty():
+    pts = [(float(i), float(i)) for i in range(8)]
+    assert G.delaunay_triangles(wkb.Geom("MultiPoint", pts)) == []
+
+
+def test_empty_circle_property_with_slivers():
+    # Delaunay validity on inputs mixing a dense cluster with a
+    # near-collinear tail (the shape that produced huge circumcircles).
+    rng = random.Random(99)
+
+    def incircle(a, b, c, p):
+        adx, ady = a[0] - p[0], a[1] - p[1]
+        bdx, bdy = b[0] - p[0], b[1] - p[1]
+        cdx, cdy = c[0] - p[0], c[1] - p[1]
+        return (
+            (adx * adx + ady * ady) * (bdx * cdy - cdx * bdy)
+            + (bdx * bdx + bdy * bdy) * (cdx * ady - adx * cdy)
+            + (cdx * cdx + cdy * cdy) * (adx * bdy - bdx * ady)
+        )
+
+    for trial in range(20):
+        pts = [(rng.uniform(0, 5), rng.uniform(0, 5)) for _ in range(12)]
+        pts += [
+            (10.0 + i + rng.uniform(-1e-7, 1e-7), 10.0 + i)
+            for i in range(6)
+        ]
+        pts = sorted(set(pts))
+        tris = G.delaunay_triangles(wkb.Geom("MultiPoint", pts))
+        for t in tris:
+            a, b, c = (tuple(v) for v in t.coords[0][:3])
+            for p in pts:
+                if p in (a, b, c):
+                    continue
+                assert incircle(a, b, c, p) <= 1e-5, (trial, a, b, c, p)
+
+
+def test_voronoi_sliver_cells_clipped():
+    # Round-5 hole: a dropped sliver whose vertices survived elsewhere left
+    # an UNCLIPPED Voronoi cell (vertex-only guard missed it). With the
+    # ghost-vertex core plus the area-sum guard, every cell must stay
+    # disjoint and tile the envelope.
+    rng = random.Random(21)
+    for trial in range(25):
+        n = rng.randint(3, 15)
+        pts = sorted(
+            {
+                (
+                    i + rng.uniform(-1e-6, 1e-6),
+                    2 * i + rng.uniform(-1e-6, 1e-6),
+                )
+                for i in range(n)
+            }
+        )
+        cells = G.voronoi_polygons(wkb.Geom("MultiPoint", list(pts)))
+        assert len(cells) == len(pts), trial
+        total = sum(abs(_ring_area2(c.coords[0])) / 2.0 for c in cells)
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        mx = max(max(xs) - min(xs), max(ys) - min(ys), 1.0) / 2.0
+        env = (max(xs) - min(xs) + 2 * mx) * (max(ys) - min(ys) + 2 * mx)
+        assert abs(total - env) <= 1e-6 * env, (trial, total, env)
+        # each site strictly inside (or on the boundary of) its own cell
+        for site, cell in zip(pts, cells):
+            ring = cell.coords[0]
+            # site must be within the cell bbox at minimum
+            rx = [v[0] for v in ring]
+            ry = [v[1] for v in ring]
+            assert min(rx) - 1e-9 <= site[0] <= max(rx) + 1e-9
+            assert min(ry) - 1e-9 <= site[1] <= max(ry) + 1e-9
+
+
+def test_concave_hull_near_collinear_contains_all_points():
+    rng = random.Random(5)
+    pts = [
+        (i + rng.uniform(-1e-6, 1e-6), 2 * i + rng.uniform(-1e-6, 1e-6))
+        for i in range(15)
+    ]
+    hull = G.concave_hull(wkb.Geom("MultiPoint", pts), ratio=0.3)
+    assert hull.type_name in ("Polygon", "LineString")
+    if hull.type_name == "Polygon":
+        hull_area = abs(_ring_area2(hull.coords[0])) / 2.0
+        assert hull_area >= 0.0

@@ -558,3 +558,81 @@ def test_st_subdivide_spark(spark):
         F.round(F.sum(st_area("part", WKB_META)), 6).alias("a")
     ).collect()[0].a
     assert total == 384.0
+
+
+def test_spatial_join_geography_threshold_band_high_lat(spark):
+    """Round-6 regression (advisor finding): the degree-grid lon pad must
+    be sized on the refine's own sphere (R=6371008.8 → 111195.08 m/deg),
+    not on ellipsoidal constants — otherwise east-west pairs whose
+    haversine distance is within ~0.0124% of the threshold are dropped by
+    the prefilter at |lat| > ~7°. Pin pairs at 99.999% and 100.001% of
+    the threshold, exactly east-west, at latitude 60."""
+    import math
+
+    from datafusion_spatial_spark.geom_ops import EARTH_RADIUS
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_geography,
+    )
+
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    meters = 20_000.0
+    lat = 60.0
+
+    def dlon_for(d):
+        # exact east-west haversine inversion at constant latitude
+        s = math.sin(d / (2 * EARTH_RADIUS)) / math.cos(math.radians(lat))
+        return math.degrees(2 * math.asin(s))
+
+    just_in = dlon_for(meters * (1 - 1e-5))
+    just_out = dlon_for(meters * (1 + 1e-5))
+    a = [(0, 10.0, lat)]
+    b = [(0, 10.0 + just_in, lat), (1, 10.0 + just_out, lat)]
+
+    def pdf(rows, idn):
+        return spark.createDataFrame(
+            rows, f"{idn} long, x double, y double"
+        ).select(
+            idn,
+            F.struct(F.col("x").alias("x"), F.col("y").alias("y")).alias("geom"),
+        )
+
+    out = spatial_join_geography(
+        pdf(a, "aid"), pdf(b, "bid"), "geom", "geom", pm, pm,
+        "aid", "bid", meters,
+    )
+    got = {(r.aid, r.bid) for r in out.collect()}
+    assert got == {(0, 0)}
+
+
+def test_spatial_join_bucketed_rejects_dwithin_sphere(spark, tmp_path):
+    """dwithin_sphere's meters distance cannot drive the degree grid of a
+    bucketed layout (it would skip the left-pad validation and misuse
+    meters as a degree pad) — must raise, not silently drop pairs."""
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_bucketed,
+        write_spatial_bucketed,
+    )
+
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    rows = [(i, float(i), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, x double, y double").select(
+        "id",
+        F.struct(F.col("x").alias("x"), F.col("y").alias("y")).alias("geom"),
+    )
+    try:
+        write_spatial_bucketed(
+            df, "geom", pm, "id", "sjb_sphere_l", cell_size=1.0,
+            num_buckets=4, path=str(tmp_path / "l"),
+        )
+        write_spatial_bucketed(
+            df, "geom", pm, "id", "sjb_sphere_r", cell_size=1.0,
+            num_buckets=4, path=str(tmp_path / "r"),
+        )
+        with pytest.raises(NotImplementedError, match="dwithin_sphere"):
+            spatial_join_bucketed(
+                spark, "sjb_sphere_l", "sjb_sphere_r", pm, pm,
+                "aid", "bid", predicate="dwithin_sphere", distance=1000.0,
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sjb_sphere_l")
+        spark.sql("DROP TABLE IF EXISTS sjb_sphere_r")

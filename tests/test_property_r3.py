@@ -5,7 +5,7 @@ contracts. Random axis-aligned unit squares give closed-form invariants
 
 import math
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from datafusion_spatial_spark import geom_ops as G
@@ -73,6 +73,9 @@ pts_set = st.lists(
 
 @settings(max_examples=30, deadline=None)
 @given(pts_set)
+@example(
+    pts=[(0.0, 11.0), (15.0, 22.0), (26.0, 30.0)],
+).via('discovered failure')
 def test_delaunay_covers_hull(pts):
     mp = wkb.Geom("MultiPoint", list(pts))
     tris = G.delaunay_triangles(mp)
