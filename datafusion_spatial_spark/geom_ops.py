@@ -3708,11 +3708,16 @@ def buffer_geography(
 ) -> Geom:
     """Meter-radius buffer for EPSG:4326 (lon/lat) geometries — the
     PostGIS ``ST_Buffer(geography, meters)`` shape: pivot the geometry
-    into its local WGS84 UTM zone (selected by centroid), buffer planar
-    in meters, and transform back to lon/lat. In-zone scale distortion is
-    ≤ ~0.1%, so the radius is meter-true to that tolerance. Geometries
-    whose longitude span exceeds ``max_span_deg`` (≈ one zone) raise —
-    a single transverse-Mercator pivot would be silently wrong there."""
+    into a local WGS84 transverse-Mercator frame, buffer planar in
+    meters, and transform back to lon/lat. The frame is the centroid's
+    standard UTM zone when the whole bbox sits inside one zone; a
+    geometry that straddles a zone boundary instead gets a CUSTOM TM
+    centered on its own centroid longitude, so distortion is bounded by
+    the geometry's half-span (≤ 3° for the allowed 6°), never by
+    distance to a fixed zone meridian — scale error stays ≤ ~0.1%
+    either way. Geometries whose longitude span exceeds ``max_span_deg``
+    (≈ one zone) raise — a single transverse-Mercator pivot would be
+    silently wrong there."""
     if g.is_empty:
         return Geom("Polygon", [])
     bb = _bbox(g)
@@ -3725,9 +3730,40 @@ def buffer_geography(
     if c is None:
         return Geom("Polygon", [])
     srid = utm_srid_for(c[0], c[1])
-    planar = transform(g, 4326, srid)
+    if bb is None or utm_srid_for(bb[0], c[1]) == utm_srid_for(bb[2], c[1]):
+        planar = transform(g, 4326, srid)
+        buffed = buffer(planar, meters, segments, join, endcap, mitre_limit)
+        return transform(buffed, srid, 4326)
+    # zone-straddling bbox: a centroid-centered custom TM (same Snyder
+    # series) keeps the worst-case meridian distance at half the span
+    lon0, south = c[0], c[1] < 0
+
+    def _apply(geom, fn):
+        t = geom.type_name
+        if t == "GeometryCollection":
+            return Geom(t, [_apply(m, fn) for m in geom.coords],
+                        geom.has_z, geom.srid, geom.has_m)
+        if t == "Point":
+            if geom.is_empty:
+                return geom
+            x, y = fn(geom.coords[0], geom.coords[1])
+            return Geom(t, (x, y) + tuple(geom.coords[2:]),
+                        geom.has_z, geom.srid, geom.has_m)
+        depth = {"LineString": 1, "MultiPoint": 1, "Polygon": 2,
+                 "MultiLineString": 2, "MultiPolygon": 3}[t]
+
+        def walk(cs, d):
+            if d == 0:
+                x, y = fn(cs[0], cs[1])
+                return (x, y) + tuple(cs[2:])
+            return [walk(v, d - 1) for v in cs]
+
+        return Geom(t, walk(geom.coords, depth),
+                    geom.has_z, geom.srid, geom.has_m)
+
+    planar = _apply(g, lambda x, y: _tm_fwd(x, y, lon0, south))
     buffed = buffer(planar, meters, segments, join, endcap, mitre_limit)
-    return transform(buffed, srid, 4326)
+    return _apply(buffed, lambda x, y: _tm_inv(x, y, lon0, south))
 
 
 def transform(g: Geom, src_srid: int, dst_srid: int) -> Geom:
@@ -4189,6 +4225,12 @@ def largest_empty_circle(
     if span <= 0 or not bpolys:
         # degenerate boundary (collinear hull): no areal center region
         return None
+    if area(boundary) <= 0.0:
+        # zero-area boundary with positive bbox span (e.g. a sliver
+        # collapsed to a line): no cell center is ever feasible, so the
+        # tolerance break would never fire and cells hugging the boundary
+        # would subdivide forever — treat like the collinear-hull case
+        return None
     tol = tolerance if tolerance is not None else span * 1e-6
 
     def feasible(x, y):
@@ -4228,6 +4270,11 @@ def largest_empty_circle(
         negb, _, cx, cy, half = heapq.heappop(cells)
         if -negb - best[0] <= tol:
             break
+        if half < tol:
+            # resolution floor: a cell this small cannot improve the
+            # answer beyond the tolerance contract; refusing to subdivide
+            # bounds the loop even if the break above never fires
+            continue
         q = half / 2.0
         for dx in (-q, q):
             for dy in (-q, q):

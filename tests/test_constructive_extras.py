@@ -460,3 +460,28 @@ def test_concave_hull_sql_resolver(spark, tmp_path):
     ).collect()[0]
     assert abs(out.a - 16.0) < 1e-9
     assert out.empty_mp == "MULTIPOINT EMPTY"
+
+
+def test_largest_empty_circle_degenerate_boundary_terminates(spark):
+    """Round-6 fix (advisor finding): a zero-area boundary polygon with a
+    positive bbox span used to subdivide forever (no cell center ever
+    feasible, best stayed -inf, the tolerance break never fired). Must
+    return None promptly, like the collinear-hull case."""
+    from datafusion_spatial_spark import geom_ops as G
+    from datafusion_spatial_spark import wkb
+
+    obstacles = wkb.Geom("MultiPoint", [(0.0, 0.0), (10.0, 10.0)])
+    degenerate = wkb.Geom(
+        "Polygon", [[(0.0, 0.0), (10.0, 10.0), (5.0, 5.0), (0.0, 0.0)]]
+    )
+    assert G.largest_empty_circle(obstacles, degenerate) is None
+    # normal boundaries still solve
+    sq = wkb.Geom(
+        "Polygon",
+        [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]],
+    )
+    (cx, cy), r, _ = G.largest_empty_circle(obstacles, sq)
+    assert abs(r - 10.0) < 1e-3
+    assert min(
+        abs(cx - gx) + abs(cy - gy) for gx, gy in ((0.0, 10.0), (10.0, 0.0))
+    ) < 1e-3

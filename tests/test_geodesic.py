@@ -446,3 +446,43 @@ def test_buffer_geography_meter_true(spark):
     wide = wkb.Geom("LineString", [(0.0, 0.0), (30.0, 0.0)])
     with pytest.raises(ValueError, match="UTM zone"):
         G.buffer_geography(wide, 100.0)
+
+
+def test_buffer_geography_zone_straddling(spark):
+    """Round-6 fix (advisor finding): a geometry straddling a UTM zone
+    boundary used to buffer in the centroid's zone with up to ~6° of
+    meridian distance (~0.3-0.5% scale error). It now pivots through a
+    centroid-centered custom transverse Mercator, so the meter radius
+    stays ~0.1%-true across the zone seam."""
+    import math
+
+    from datafusion_spatial_spark import geom_ops as G
+    from datafusion_spatial_spark import wkb
+    from datafusion_spatial_spark.geom_ops import EARTH_RADIUS
+
+    def hav(a, b):
+        p1, p2 = math.radians(a[1]), math.radians(b[1])
+        dl = math.radians(b[0] - a[0])
+        h = (
+            math.sin((p2 - p1) / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        )
+        return 2 * EARTH_RADIUS * math.asin(math.sqrt(h))
+
+    # zone 31/32 seam at lon 6: point buffers stay meter-true
+    for lon, lat in ((5.999, 48.0), (6.001, -33.0)):
+        pt = wkb.Geom("Point", (lon, lat))
+        ring = G.buffer_geography(
+            wkb.Geom("LineString", [(lon - 0.11, lat), (lon + 0.11, lat)]),
+            5000.0,
+        ).coords[0]
+        ds = [
+            min(hav(v, (lon - 0.11, lat)), hav(v, (lon + 0.11, lat)))
+            for v in ring
+        ]
+        # cap vertices sit ~radius from the nearer endpoint
+        assert 5000.0 * 0.99 < min(ds) < 5000.0 * 1.01
+        # and a plain point at the seam still round-trips
+        out = G.buffer_geography(pt, 1000.0)
+        dd = [hav(v, (lon, lat)) for v in out.coords[0]]
+        assert all(abs(d - 1000.0) < 10.0 for d in dd)
