@@ -36,32 +36,36 @@ def point_xy_batch(s: pd.Series):
     not a conforming LE point (caller falls back to the per-row codec).
     """
     n = len(s)
-    idx = []
-    chunks = []
-    reclen = None
-    for i, v in enumerate(s):
-        if v is None or (isinstance(v, float) and pd.isna(v)):
-            continue
-        b = bytes(v)
-        L = len(b)
-        if (
-            b[:1] != b"\x01"
-            or L not in _POINT_TYPES
-            or b[1:5] not in _POINT_TYPES[L]
-            or (reclen is not None and L != reclen)
-        ):
-            return None
-        reclen = L
-        idx.append(i)
-        chunks.append(b)
-    if not idx:
+    isna = s.isna().to_numpy()
+    ii = np.flatnonzero(~isna)
+    if ii.size == 0:
         return None
-    arr = np.frombuffer(b"".join(chunks), np.uint8).reshape(-1, reclen)
+    vals = s.to_numpy(dtype=object)[ii]
+    m = ii.size
+    # one concatenation + vectorized conformance checks over the raw
+    # bytes, instead of per-row slicing and set lookups in Python
+    try:
+        lens = np.fromiter((len(v) for v in vals), np.int64, count=m)
+        reclen = int(lens[0])
+        if reclen not in _POINT_TYPES or not (lens == reclen).all():
+            return None
+        joined = b"".join(vals)
+    except TypeError:
+        return None  # non-bytes value in the column
+    arr = np.frombuffer(joined, np.uint8).reshape(-1, reclen)
+    if (arr[:, 0] != 1).any():
+        return None  # big-endian (or junk) byte-order flag
+    words = arr[:, 1:5].copy().view(np.uint32).ravel()
+    allowed = np.array(
+        [np.frombuffer(t, np.uint32)[0] for t in _POINT_TYPES[reclen]],
+        np.uint32,
+    )
+    if not np.isin(words, allowed).all():
+        return None
     px = arr[:, 5:13].copy().view(np.float64).ravel()
     py = arr[:, 13:21].copy().view(np.float64).ravel()
     x = np.full(n, np.nan)
     y = np.full(n, np.nan)
-    ii = np.asarray(idx)
     x[ii] = px
     y[ii] = py
     valid = np.zeros(n, dtype=bool)

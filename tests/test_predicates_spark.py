@@ -636,3 +636,53 @@ def test_spatial_join_bucketed_rejects_dwithin_sphere(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS sjb_sphere_l")
         spark.sql("DROP TABLE IF EXISTS sjb_sphere_r")
+
+
+def test_offset_curve_dissolves_self_intersections(spark):
+    """Round-6: raw offsets whose curvature radius is below the offset
+    distance self-intersect; the curve must come back noded and
+    loop-free (GEOS dissolves these). Property: no proper crossing
+    between non-adjacent segments, on a hairpin and a tight S-curve."""
+    from datafusion_spatial_spark import geom_ops as G
+    from datafusion_spatial_spark import wkb
+
+    def crossings(cs):
+        hits = 0
+        n = len(cs)
+        for i in range(n - 1):
+            for j in range(i + 2, n - 1):
+                (p0, p1), (q0, q1) = (cs[i], cs[i + 1]), (cs[j], cs[j + 1])
+                den = (p1[0] - p0[0]) * (q1[1] - q0[1]) - (
+                    p1[1] - p0[1]
+                ) * (q1[0] - q0[0])
+                if abs(den) < 1e-18:
+                    continue
+                t = (
+                    (q0[0] - p0[0]) * (q1[1] - q0[1])
+                    - (q0[1] - p0[1]) * (q1[0] - q0[0])
+                ) / den
+                u = (
+                    (q0[0] - p0[0]) * (p1[1] - p0[1])
+                    - (q0[1] - p0[1]) * (p1[0] - p0[0])
+                ) / den
+                if 1e-9 < t < 1 - 1e-9 and 1e-9 < u < 1 - 1e-9:
+                    hits += 1
+        return hits
+
+    hairpin = wkb.Geom(
+        "LineString",
+        [(0.0, 0.0), (10.0, 0.0), (10.5, 0.2), (10.0, 0.4), (0.0, 0.4)],
+    )
+    s_curve = wkb.Geom(
+        "LineString",
+        [(0.0, 0.0), (5.0, 0.0), (5.5, 0.3), (5.0, 0.6), (0.0, 0.6),
+         (-0.5, 0.9), (0.0, 1.2), (5.0, 1.2)],
+    )
+    for line, d in ((hairpin, 2.0), (hairpin, -2.0), (s_curve, 1.5)):
+        out = G.offset_curve(line, d)
+        assert out.type_name == "LineString" and len(out.coords) >= 2
+        assert crossings([(p[0], p[1]) for p in out.coords]) == 0, (d,)
+    # gentle curves are untouched by the dissolve (no spurious noding)
+    gentle = wkb.Geom("LineString", [(0.0, 0.0), (10.0, 0.0), (20.0, 5.0)])
+    out = G.offset_curve(gentle, 1.0)
+    assert crossings([(p[0], p[1]) for p in out.coords]) == 0

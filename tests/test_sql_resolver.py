@@ -213,3 +213,59 @@ def test_collect_aggregate_in_sql(ssql, spark):
     ).collect()
     g = wkb.loads(bytes(rows[0].c))
     assert g.type_name in ("MultiPolygon", "GeometryCollection")
+
+
+def test_struct_field_access_inside_st_args(ssql, spark):
+    """Round-6: field access on a struct-returning ST_ call INSIDE another
+    ST_ call resolves (the reference analyzer rewrites nested expressions
+    generically, rules.rs:131-170). Value-checked against the DataFrame
+    path."""
+    from pyspark.sql import functions as F
+
+    from datafusion_spatial_spark.functions import accessors as _ac
+    from datafusion_spatial_spark.functions import scalar as _sc
+    from datafusion_spatial_spark.meta import GeometryMeta
+    from datafusion_spatial_spark.plans.sql import _WKB
+
+    rows = ssql.sql(
+        "SELECT col, ST_AsText(ST_LargestEmptyCircle(geometry).center) AS c "
+        "FROM polygon_native ORDER BY col"
+    ).collect()
+    # DataFrame path: same expression built directly
+    df = ssql._frames["polygon_native"]
+    meta = ssql.registry["polygon_native"]["geometry"]
+    want = (
+        df.select(
+            "col",
+            _sc.st_astext(
+                _ac.st_largestemptycircle("geometry", meta).getField("center"),
+                _WKB,
+            ).alias("c"),
+        )
+        .orderBy("col")
+        .collect()
+    )
+    assert [(r.col, r.c) for r in rows] == [(r.col, r.c) for r in want]
+    assert any(r.c is not None and r.c.startswith("POINT") for r in rows)
+
+    # two-level nesting around the field access
+    rows2 = ssql.sql(
+        "SELECT ST_AsText(ST_Envelope(ST_LargestEmptyCircle(geometry).center))"
+        " AS e FROM polygon_native ORDER BY col"
+    ).collect()
+    assert any(r.e is not None and r.e.startswith("POLYGON") for r in rows2)
+
+    # non-geometry field in a geometry slot → clear error
+    with pytest.raises(ValueError, match="not a geometry"):
+        ssql.resolve(
+            "SELECT ST_AsText(ST_LargestEmptyCircle(geometry).radius) "
+            "FROM polygon_native"
+        )
+
+
+def test_signature_table_error_messages(ssql):
+    """The table-driven dispatcher reports the declared shapes."""
+    with pytest.raises(ValueError, match=r"ST_BUFFER takes .*geometry, numeric-literal"):
+        ssql.resolve("SELECT ST_Buffer(geometry) FROM polygon_native")
+    with pytest.raises(ValueError, match="unsupported SQL spatial function"):
+        ssql.resolve("SELECT ST_Nonexistent(geometry) FROM polygon_native")
