@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -54,6 +56,42 @@ def st_distancesphere(
     return _haversine_expr(
         st_x(a, meta_a), st_y(a, meta_a), st_x(b, meta_b), st_y(b, meta_b)
     )
+
+
+def st_distancesphere_geoms(
+    a: Column | str,
+    b: Column | str,
+    meta_a: GeometryMeta,
+    meta_b: GeometryMeta,
+) -> Column:
+    """ST_DistanceSphere for ARBITRARY geometry pairs: minimum great-circle
+    meters between the two geometries (0 when intersecting; exact
+    vertex-vs-arc spherical cross-track minimum — geom_ops.
+    distance_sphere_geom). Arrow-batched kernel UDF; prefer the pure-
+    Catalyst :func:`st_distancesphere` when both sides are points."""
+    from datafusion_spatial_spark.functions.predicates import (
+        _as_rows,
+        _converter,
+        _prep,
+    )
+
+    conv_a = _converter(meta_a)
+    conv_b = _converter(meta_b)
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for va, vb in zip(_as_rows(sa), _as_rows(sb)):
+            ga = conv_a(va)
+            gb = conv_b(vb)
+            out.append(
+                None
+                if ga is None or gb is None
+                else geom_ops.distance_sphere_geom(ga, gb)
+            )
+        return pd.Series(out, dtype="float64")
+
+    return udf(_prep(a, meta_a), _prep(b, meta_b))
 
 
 def st_distancespheroid(

@@ -3498,6 +3498,94 @@ def split(g: Geom, blade: Geom) -> list:
 # geodesic kernels (coordinates interpreted as lon/lat degrees on WGS84)
 
 EARTH_RADIUS = 6371008.8  # IUGG mean radius (m); oracle SQL uses the same
+
+
+def _sph_unit(lon: float, lat: float):
+    """Unit 3-vector of a lon/lat point on the sphere."""
+    lo, la = math.radians(lon), math.radians(lat)
+    cl = math.cos(la)
+    return (cl * math.cos(lo), cl * math.sin(lo), math.sin(la))
+
+
+def _vangle(p, q) -> float:
+    """Angle (radians) between unit vectors — numerically stable atan2
+    form, exact near 0 and π where acos(dot) loses all precision."""
+    cx = p[1] * q[2] - p[2] * q[1]
+    cy = p[2] * q[0] - p[0] * q[2]
+    cz = p[0] * q[1] - p[1] * q[0]
+    return math.atan2(
+        math.sqrt(cx * cx + cy * cy + cz * cz),
+        p[0] * q[0] + p[1] * q[1] + p[2] * q[2],
+    )
+
+
+def _arc_dist_rad(p, a, b) -> float:
+    """Great-circle distance (radians) from unit vector p to the MINOR arc
+    a→b. Cross-track distance when p's projection falls within the arc,
+    else distance to the nearer endpoint — the standard exact form."""
+    nx = a[1] * b[2] - a[2] * b[1]
+    ny = a[2] * b[0] - a[0] * b[2]
+    nz = a[0] * b[1] - a[1] * b[0]
+    nn = math.sqrt(nx * nx + ny * ny + nz * nz)
+    if nn < 1e-18:  # degenerate arc (coincident or antipodal endpoints)
+        return min(_vangle(p, a), _vangle(p, b))
+    # tangents at a toward b: n×a; at b toward a: b×n
+    ta = (ny * a[2] - nz * a[1], nz * a[0] - nx * a[2], nx * a[1] - ny * a[0])
+    tb = (b[1] * nz - b[2] * ny, b[2] * nx - b[0] * nz, b[0] * ny - b[1] * nx)
+    if (p[0] * ta[0] + p[1] * ta[1] + p[2] * ta[2]) >= 0.0 and (
+        p[0] * tb[0] + p[1] * tb[1] + p[2] * tb[2]
+    ) >= 0.0:
+        s = (p[0] * nx + p[1] * ny + p[2] * nz) / nn
+        return abs(math.asin(max(-1.0, min(1.0, s))))
+    return min(_vangle(p, a), _vangle(p, b))
+
+
+def distance_sphere_geom(a: Geom, b: Geom) -> float | None:
+    """Minimum great-circle distance in METERS between two arbitrary
+    lon/lat geometries on the mean-radius sphere (PostGIS
+    ST_DistanceSphere semantics generalized beyond points). 0 when the
+    geometries intersect — areal containment and crossing segments are
+    detected with the planar lon/lat kernel, the right contract for the
+    sub-degree extents the geography join's degree grid serves (no
+    antimeridian wrap, |lat| bounded away from the poles). Otherwise the
+    minimum is attained at a vertex of one geometry against an arc (or
+    vertex) of the other — exact spherical cross-track distances, no
+    densification."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return None
+    if intersects(a, b):
+        return 0.0
+    va = [_sph_unit(p[0], p[1]) for p in _all_coords(a)]
+    vb = [_sph_unit(p[0], p[1]) for p in _all_coords(b)]
+    segs_a = [
+        (_sph_unit(p[0], p[1]), _sph_unit(q[0], q[1]))
+        for p, q in _segments(a)
+    ]
+    segs_b = [
+        (_sph_unit(p[0], p[1]), _sph_unit(q[0], q[1]))
+        for p, q in _segments(b)
+    ]
+    best = math.inf
+    if segs_b:
+        for p in va:
+            for s, t in segs_b:
+                d = _arc_dist_rad(p, s, t)
+                if d < best:
+                    best = d
+    if segs_a:
+        for p in vb:
+            for s, t in segs_a:
+                d = _arc_dist_rad(p, s, t)
+                if d < best:
+                    best = d
+    # vertex-vertex pairs: needed whenever a side has isolated vertices
+    # (points of a MultiPoint / collection) that lie on no segment
+    for p in va:
+        for q in vb:
+            d = _vangle(p, q)
+            if d < best:
+                best = d
+    return best * EARTH_RADIUS
 WGS84_A = 6378137.0  # semi-major axis (m)
 WGS84_F = 1.0 / 298.257223563  # flattening
 

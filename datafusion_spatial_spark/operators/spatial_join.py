@@ -164,18 +164,25 @@ def _refine(
     if predicate == "dwithin_sphere":
         if distance is None:
             raise ValueError("dwithin_sphere requires distance= (meters)")
-        if not both_points:
-            raise NotImplementedError(
-                "dwithin_sphere refines point x point lon/lat columns only"
+        if both_points:
+            from datafusion_spatial_spark.functions.geodesic import (
+                _haversine_expr,
             )
-        from datafusion_spatial_spark.functions.geodesic import (
-            _haversine_expr,
-        )
 
-        dcol = _haversine_expr(
-            F.col("__lbox.xmin"), F.col("__lbox.ymin"),
-            F.col("__rbox.xmin"), F.col("__rbox.ymin"),
-        )
+            dcol = _haversine_expr(
+                F.col("__lbox.xmin"), F.col("__lbox.ymin"),
+                F.col("__rbox.xmin"), F.col("__rbox.ymin"),
+            )
+        else:
+            # arbitrary geometries: exact vertex-vs-arc spherical minimum
+            # (candidate pairs only — the degree grid already pruned)
+            from datafusion_spatial_spark.functions.geodesic import (
+                st_distancesphere_geoms,
+            )
+
+            dcol = st_distancesphere_geoms(
+                "__lgeom", "__rgeom", left_meta, right_meta
+            )
         if with_distance:
             return (
                 cand.withColumn("__dist", dcol)
@@ -495,27 +502,34 @@ def spatial_join_geography(
     with_distance: bool = False,
     max_abs_lat: float = 80.0,
 ) -> DataFrame:
-    """dwithin-in-METERS join for EPSG:4326 point columns.
+    """dwithin-in-METERS join for EPSG:4326 geometry columns.
 
     Same grid-join shape as :func:`spatial_join` — the grid lives in
     degrees with a latitude-safe pad (lon degrees shrink by cos(lat), so
     the pad is sized for the data's extreme latitude; a too-large pad
-    only adds bbox-prefiltered false candidates) — and the exact refine
-    is the haversine distance, pure Catalyst: zero Python anywhere in
-    the plan. Data beyond ``max_abs_lat`` raises (the lon pad diverges
-    toward the poles; use a polar-cap projection there).
+    only adds bbox-prefiltered false candidates). Point×point pairs
+    refine with the pure-Catalyst haversine (zero Python in the plan);
+    any other geometry combination refines with the exact vertex-vs-arc
+    spherical minimum distance under an Arrow-batched kernel, still only
+    on grid candidates. Data beyond ``max_abs_lat`` raises (the lon pad
+    diverges toward the poles; use a polar-cap projection there).
     """
     import math
 
-    for m_ in (left_meta, right_meta):
-        if not (m_.is_native and m_.native_type == "Point"):
-            raise NotImplementedError(
-                "spatial_join_geography takes native point columns"
-            )
+    from datafusion_spatial_spark.functions.scalar import st_bbox
+
     stats = []
-    for df, col in ((left, left_geom), (right, right_geom)):
+    for df, col, m_ in (
+        (left, left_geom, left_meta),
+        (right, right_geom, right_meta),
+    ):
         row = df.select(
-            F.max(F.abs(F.col(col)["y"])).alias("mx")
+            F.max(
+                F.greatest(
+                    F.abs(st_bbox(col, m_)["ymin"]),
+                    F.abs(st_bbox(col, m_)["ymax"]),
+                )
+            ).alias("mx")
         ).collect()[0]
         stats.append(float(row["mx"] or 0.0))
     lat = max(stats)

@@ -686,3 +686,55 @@ def test_offset_curve_dissolves_self_intersections(spark):
     gentle = wkb.Geom("LineString", [(0.0, 0.0), (10.0, 0.0), (20.0, 5.0)])
     out = G.offset_curve(gentle, 1.0)
     assert crossings([(p[0], p[1]) for p in out.coords]) == 0
+
+
+def test_spatial_join_geography_lines_vs_points(spark):
+    """Round-6 (VERDICT #9): the meters join now takes arbitrary geometry
+    columns — lines vs points parity against all-pairs exact spherical
+    distance (same kernel, so this validates the GRID: the degree pad
+    must not drop any candidate pair)."""
+    import math
+    import random
+
+    from datafusion_spatial_spark import geom_ops as GO
+    from datafusion_spatial_spark import wkb as W
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_geography,
+    )
+
+    rng = random.Random(11)
+    lines = []
+    for i in range(60):
+        x, y = rng.uniform(5, 7), rng.uniform(55, 57)
+        ang = rng.uniform(0, 2 * math.pi)
+        L = rng.uniform(0.05, 0.3)
+        lines.append(
+            (i, [(x, y), (x + L * math.cos(ang), y + L * math.sin(ang))])
+        )
+    points = [
+        (i, rng.uniform(5, 7), rng.uniform(55, 57)) for i in range(150)
+    ]
+    wkb_meta = GeometryMeta(encoding="WKB", geometry_types=("LineString",))
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    ldf = spark.createDataFrame(
+        [(i, bytearray(W.dumps(W.Geom("LineString", cs)))) for i, cs in lines],
+        "lid long, geom binary",
+    )
+    rdf = spark.createDataFrame(points, "pid long, x double, y double").select(
+        "pid",
+        F.struct(F.col("x").alias("x"), F.col("y").alias("y")).alias("geom"),
+    )
+    meters = 15_000.0
+    out = spatial_join_geography(
+        ldf, rdf, "geom", "geom", wkb_meta, pm, "lid", "pid", meters,
+        with_distance=True,
+    )
+    got = {(r.lid, r.pid) for r in out.collect()}
+    want = set()
+    for i, cs in lines:
+        g = W.Geom("LineString", cs)
+        for pid, x, y in points:
+            d = GO.distance_sphere_geom(g, W.Geom("Point", (x, y)))
+            if d <= meters:
+                want.add((i, pid))
+    assert got == want and len(want) > 30
