@@ -50,12 +50,24 @@ def st_distancesphere(
     meta_a: GeometryMeta = POINT_META,
     meta_b: GeometryMeta = POINT_META,
 ) -> Column:
-    """PostGIS ST_DistanceSphere for point inputs: haversine meters on the
-    mean-radius sphere. Pure Catalyst (via st_x/st_y; WKB point inputs pay
-    one decode UDF per side, native points none)."""
-    return _haversine_expr(
-        st_x(a, meta_a), st_y(a, meta_a), st_x(b, meta_b), st_y(b, meta_b)
-    )
+    """PostGIS ST_DistanceSphere: haversine meters on the mean-radius
+    sphere. Point×point inputs stay pure Catalyst (via st_x/st_y; WKB
+    point inputs pay one decode UDF per side, native points none); any
+    other geometry combination dispatches to the exact vertex-vs-arc
+    spherical minimum (:func:`st_distancesphere_geoms`) — a LineString
+    argument must never ride the point x/y extraction silently."""
+
+    def _pointish(m: GeometryMeta) -> bool:
+        ts = tuple(m.geometry_types or ())
+        return (m.is_native and m.native_type == "Point") or (
+            m.is_wkb and ts in (("Point",), ("Point Z",))
+        )
+
+    if _pointish(meta_a) and _pointish(meta_b):
+        return _haversine_expr(
+            st_x(a, meta_a), st_y(a, meta_a), st_x(b, meta_b), st_y(b, meta_b)
+        )
+    return st_distancesphere_geoms(a, b, meta_a, meta_b)
 
 
 def st_distancesphere_geoms(

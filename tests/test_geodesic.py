@@ -486,3 +486,32 @@ def test_buffer_geography_zone_straddling(spark):
         out = G.buffer_geography(pt, 1000.0)
         dd = [hav(v, (lon, lat)) for v in out.coords[0]]
         assert all(abs(d - 1000.0) < 10.0 for d in dd)
+
+
+def test_st_distancesphere_dispatches_on_geometry_kind(spark):
+    """Round-6: ST_DistanceSphere on non-point columns must dispatch to
+    the exact geometry kernel, not ride the point x/y extraction. Point
+    inputs keep the pure-Catalyst haversine plan (no Python)."""
+    import math
+
+    from datafusion_spatial_spark import wkb as W
+    from datafusion_spatial_spark.functions.geodesic import st_distancesphere
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from datafusion_spatial_spark.geom_ops import EARTH_RADIUS
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    line_meta = GeometryMeta(encoding="WKB", geometry_types=("LineString",))
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    df = spark.createDataFrame(
+        [(1, bytearray(W.dumps(W.Geom("LineString", [(0.0, 0.0), (10.0, 0.0)]))),
+          5.0, 1.0)],
+        "id long, line binary, px double, py double",
+    ).select("id", "line", st_point(F.col("px"), F.col("py")).alias("p"))
+    d = df.select(
+        st_distancesphere("line", "p", line_meta, pm).alias("d")
+    ).collect()[0].d
+    assert abs(d - math.radians(1.0) * EARTH_RADIUS) < 1e-6
+    # point x point stays Catalyst (no Python eval in the plan)
+    out = df.select(st_distancesphere("p", "p", pm, pm).alias("d"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
