@@ -235,3 +235,29 @@ def test_exact_predicates_consistency():
     assert _incircle_exact(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0) == 0.0
     assert _incircle_exact(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.5, 0.5) > 0
     assert _incircle_exact(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 5.0, 5.0) < 0
+
+
+def test_integer_grid_maximal_cocircularity():
+    """A 30x30 integer grid makes every unit square's corners exactly
+    cocircular — the hardest consistency stress for in-circle predicates
+    (the exact zero must be handled identically everywhere). The
+    triangulation must tile the hull exactly with all vertices used and
+    no degenerate triangles."""
+    pts = [(float(x), float(y)) for x in range(30) for y in range(30)]
+    tris = G.delaunay_triangles(wkb.Geom("MultiPoint", pts))
+    area = _tri_area(tris)
+    assert abs(area - 29 * 29) < 1e-6
+    assert _tri_vertices(tris) == set(pts)
+    assert all(abs(_ring_area2(t.coords[0])) / 2.0 > 1e-12 for t in tris)
+
+
+def test_exactly_cocircular_ring_sites():
+    """Twelve integer lattice points exactly on a radius-5 circle: all
+    in-circle tests among them are exact zeros; the triangulation must
+    still tile the hull."""
+    circ = [(3.0, 4.0), (4.0, 3.0), (5.0, 0.0), (4.0, -3.0), (3.0, -4.0),
+            (0.0, -5.0), (-3.0, -4.0), (-4.0, -3.0), (-5.0, 0.0),
+            (-4.0, 3.0), (-3.0, 4.0), (0.0, 5.0)]
+    tris = G.delaunay_triangles(wkb.Geom("MultiPoint", circ))
+    assert len(tris) == 10
+    assert abs(_tri_area(tris) - _hull_area(circ)) < 1e-9
