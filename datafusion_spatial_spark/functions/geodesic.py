@@ -99,7 +99,7 @@ def st_distancesphere_geoms(
             out.append(
                 None
                 if ga is None or gb is None
-                else geom_ops.distance_sphere_geom(ga, gb)
+                else geom_ops.distance_sphere_geom_fast(ga, gb)
             )
         return pd.Series(out, dtype="float64")
 

@@ -3586,6 +3586,80 @@ def distance_sphere_geom(a: Geom, b: Geom) -> float | None:
             if d < best:
                 best = d
     return best * EARTH_RADIUS
+
+
+def _np_arc_dists(P, S, T):
+    """Vectorized point-vs-minor-arc great-circle distances (radians):
+    P (n,3) unit vectors, S/T (m,3) arc endpoint unit vectors →
+    per-point minimum over all arcs, shape (n,). Same math as
+    :func:`_arc_dist_rad` broadcast with numpy."""
+    import numpy as np
+
+    N = np.cross(S, T)                      # (m,3)
+    nn = np.linalg.norm(N, axis=1)          # (m,)
+    ok = nn > 1e-18
+    TA = np.cross(N, S)                     # tangent at S toward T
+    TB = np.cross(T, N)                     # tangent at T toward S
+    in_arc = (P @ TA.T >= 0.0) & (P @ TB.T >= 0.0) & ok[None, :]  # (n,m)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sin_x = np.clip((P @ N.T) / np.where(ok, nn, 1.0)[None, :], -1.0, 1.0)
+    xtrack = np.abs(np.arcsin(sin_x))       # (n,m)
+    # endpoint distances in the stable atan2 form (acos of a dot loses
+    # all precision near 0); (n,m,3) cross-product temps are fine at
+    # candidate-pair scale
+    PX = P[:, None, :]                       # (n,1,3)
+
+    def ang(Q):
+        sin_ = np.linalg.norm(np.cross(PX, Q[None, :, :]), axis=2)
+        return np.arctan2(sin_, P @ Q.T)
+
+    dend = np.minimum(ang(S), ang(T))        # (n,m)
+    d_all = np.where(in_arc, np.minimum(xtrack, dend), dend)
+    return d_all.min(axis=1)
+
+
+def distance_sphere_geom_fast(a: Geom, b: Geom) -> float | None:
+    """Numpy-vectorized :func:`distance_sphere_geom` — identical result,
+    used by the join refine when the pair has enough vertex×arc work to
+    amortize array setup; falls back to the scalar kernel for tiny
+    pairs."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return None
+    ca = list(_all_coords(a))
+    cb = list(_all_coords(b))
+    sa = list(_segments(a))
+    sb = list(_segments(b))
+    work = len(ca) * max(1, len(sb)) + len(cb) * max(1, len(sa))
+    if work <= 64:
+        return distance_sphere_geom(a, b)
+    if intersects(a, b):
+        return 0.0
+    import numpy as np
+
+    def units(coords):
+        arr = np.asarray([(c[0], c[1]) for c in coords], dtype=np.float64)
+        lo = np.radians(arr[:, 0])
+        la = np.radians(arr[:, 1])
+        cl = np.cos(la)
+        return np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)], axis=1)
+
+    va = units(ca)
+    vb = units(cb)
+    best = np.inf
+    if sb:
+        S = units([s[0] for s in sb])
+        T = units([s[1] for s in sb])
+        best = min(best, float(_np_arc_dists(va, S, T).min()))
+    if sa:
+        S = units([s[0] for s in sa])
+        T = units([s[1] for s in sa])
+        best = min(best, float(_np_arc_dists(vb, S, T).min()))
+    # vertex-vertex (isolated vertices of mixed collections)
+    dots = np.clip(va @ vb.T, -1.0, 1.0)
+    C = np.cross(va[:, None, :], vb[None, :, :])
+    sin_ = np.linalg.norm(C, axis=2)
+    best = min(best, float(np.arctan2(sin_, dots).min()))
+    return best * EARTH_RADIUS
 WGS84_A = 6378137.0  # semi-major axis (m)
 WGS84_F = 1.0 / 298.257223563  # flattening
 

@@ -515,3 +515,46 @@ def test_st_distancesphere_dispatches_on_geometry_kind(spark):
     out = df.select(st_distancesphere("p", "p", pm, pm).alias("d"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_distance_sphere_geom_fast_parity(spark):
+    """The numpy-vectorized spherical distance kernel must agree with the
+    scalar reference on random point/line/polygon pairs (the join refine
+    routes through the fast path)."""
+    import math
+    import random
+
+    from datafusion_spatial_spark import geom_ops as GO
+    from datafusion_spatial_spark import wkb as W
+
+    rng = random.Random(2)
+
+    def mk():
+        k = rng.randrange(3)
+        if k == 0:
+            return W.Geom("Point", (rng.uniform(-10, 10), rng.uniform(40, 60)))
+        if k == 1:
+            n = rng.randint(2, 30)
+            x, y = rng.uniform(-10, 10), rng.uniform(40, 60)
+            pts = [(x, y)]
+            for _ in range(n - 1):
+                x += rng.uniform(-0.3, 0.3)
+                y += rng.uniform(-0.3, 0.3)
+                pts.append((x, y))
+            return W.Geom("LineString", pts)
+        x, y = rng.uniform(-10, 10), rng.uniform(40, 60)
+        r = rng.uniform(0.05, 0.5)
+        ring = [
+            (x + r * math.cos(t * 2 * math.pi / 8),
+             y + r * math.sin(t * 2 * math.pi / 8))
+            for t in range(8)
+        ]
+        return W.Geom("Polygon", [ring + [ring[0]]])
+
+    for trial in range(150):
+        a, b = mk(), mk()
+        d1 = GO.distance_sphere_geom(a, b)
+        d2 = GO.distance_sphere_geom_fast(a, b)
+        assert (d1 is None) == (d2 is None)
+        if d1 is not None:
+            assert abs(d1 - d2) <= 1e-6 * max(1.0, d1), (trial, d1, d2)
