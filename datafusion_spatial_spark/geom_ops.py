@@ -797,6 +797,121 @@ def _dissolve_self_intersections(pts: list) -> list:
     return out
 
 
+def _seg_pt_dist2(px, py, ax, ay, bx, by) -> float:
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 <= 0.0:
+        ex, ey = px - ax, py - ay
+        return ex * ex + ey * ey
+    t = ((px - ax) * dx + (py - ay) * dy) / L2
+    t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+    ex, ey = px - ax - t * dx, py - ay - t * dy
+    return ex * ex + ey * ey
+
+
+def _offset_via_buffer(pts, raw, d, segments, join, mitre_limit):
+    """GEOS-style offset rerouting for pathological curves: the true
+    offset curve is a SUBSET of the d-buffer boundary, so where the raw
+    offset self-intersected (curvature radius < d) we extract the
+    boundary sections that match the raw curve and stitch them in raw
+    arc-length order. Every output vertex then sits at distance ~d from
+    the input line — the property the loop-excision chord violates.
+    Returns a list of chains (usually one)."""
+    buf = buffer(Geom("LineString", pts), d, segments, join,
+                 "round", mitre_limit)
+    if buf.is_empty:
+        return [_dissolve_self_intersections(raw)]
+    eps2 = (1e-6 * d) ** 2
+    # raw-curve arc-length parameter of the nearest point, for ordering
+    raw_cum = [0.0]
+    for i in range(len(raw) - 1):
+        raw_cum.append(
+            raw_cum[-1]
+            + math.hypot(raw[i + 1][0] - raw[i][0], raw[i + 1][1] - raw[i][1])
+        )
+
+    def near_raw(p):
+        best = math.inf
+        best_s = 0.0
+        for i in range(len(raw) - 1):
+            ax, ay = raw[i]
+            bx, by = raw[i + 1]
+            d2 = _seg_pt_dist2(p[0], p[1], ax, ay, bx, by)
+            if d2 < best:
+                best = d2
+                dx, dy = bx - ax, by - ay
+                L2 = dx * dx + dy * dy
+                t = 0.0 if L2 <= 0 else max(
+                    0.0, min(1.0, ((p[0] - ax) * dx + (p[1] - ay) * dy) / L2)
+                )
+                best_s = raw_cum[i] + t * math.sqrt(L2)
+        return best, best_s
+
+    # keep boundary segments whose midpoint AND endpoints match the raw
+    # curve (same offset machinery built both, so matches are tight)
+    kept = []  # (order_s, a, b)
+    for poly in _polygons(buf):
+        for ring in poly:
+            for i in range(len(ring) - 1):
+                a = (ring[i][0], ring[i][1])
+                b = (ring[i + 1][0], ring[i + 1][1])
+                m = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+                dm, sm = near_raw(m)
+                if dm > eps2:
+                    continue
+                da, _ = near_raw(a)
+                db, _ = near_raw(b)
+                if da <= eps2 and db <= eps2:
+                    kept.append((sm, a, b))
+    if not kept:
+        # the requested side is entirely inside the buffer (offset larger
+        # than the local feature, e.g. the inside of a tight hairpin):
+        # no boundary to follow — fall back to the loop-dissolved raw
+        return [_dissolve_self_intersections(raw)]
+    # stitch kept segments into chains via endpoint adjacency
+    def key(p):
+        return (round(p[0], 9), round(p[1], 9))
+
+    adj: dict = {}
+    segs = {}
+    for si, (sm, a, b) in enumerate(kept):
+        segs[si] = (sm, a, b)
+        adj.setdefault(key(a), []).append(si)
+        adj.setdefault(key(b), []).append(si)
+    unused = set(segs)
+    chains = []
+    while unused:
+        si = min(unused, key=lambda s: segs[s][0])
+        unused.discard(si)
+        _, a, b = segs[si]
+        chain = [a, b]
+        # extend forward from b, then backward from a
+        for end_idx, append in ((1, True), (0, False)):
+            while True:
+                endpoint = chain[-1] if append else chain[0]
+                nxt = [
+                    s for s in adj.get(key(endpoint), []) if s in unused
+                ]
+                if not nxt:
+                    break
+                s2 = nxt[0]
+                unused.discard(s2)
+                _, a2, b2 = segs[s2]
+                other = b2 if key(a2) == key(endpoint) else a2
+                if append:
+                    chain.append(other)
+                else:
+                    chain.insert(0, other)
+        # orient along raw arc-length
+        s_first = near_raw(chain[0])[1]
+        s_last = near_raw(chain[-1])[1]
+        if s_last < s_first:
+            chain.reverse()
+        chains.append((min(s_first, s_last), chain))
+    chains.sort()
+    return [c for _, c in chains]
+
+
 def offset_curve(
     line: Geom,
     distance: float,
@@ -843,7 +958,19 @@ def offset_curve(
                 if p != dedup[-1]:
                     dedup.append(p)
             if len(dedup) >= 2:
-                out.append(_dissolve_self_intersections(dedup))
+                dissolved = _dissolve_self_intersections(dedup)
+                if dissolved != dedup:
+                    # the raw offset self-intersected: reroute along the
+                    # d-buffer boundary (GEOS semantics) — match against
+                    # the PRE-dissolve raw so boundary arc sections the
+                    # excision chord skips are retained
+                    out.extend(
+                        _offset_via_buffer(
+                            pts, dedup, d, segments, join, mitre_limit
+                        )
+                    )
+                else:
+                    out.append(dedup)
     if not out:
         return Geom("LineString", [])
     if len(out) == 1:

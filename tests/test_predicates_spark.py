@@ -738,3 +738,38 @@ def test_spatial_join_geography_lines_vs_points(spark):
             if d <= meters:
                 want.add((i, pid))
     assert got == want and len(want) > 30
+
+
+def test_offset_curve_reroutes_along_buffer_boundary(spark):
+    """Round-6: when the raw offset self-intersects, the curve follows
+    the d-buffer boundary (GEOS semantics) — every vertex at distance
+    exactly d from the input line — instead of the excision chord, which
+    can dip inside. Near-closed square with an overshooting end leg: the
+    inside offsets of the first and last legs cross."""
+    import math
+
+    from datafusion_spatial_spark import geom_ops as G
+    from datafusion_spatial_spark import wkb
+
+    s = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, -1.0)]
+    out = G.offset_curve(wkb.Geom("LineString", s), 0.6)
+    parts = [out.coords] if out.type_name == "LineString" else out.coords
+
+    def seg_dist(p, a, b):
+        ax, ay = a
+        bx, by = b
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        t = 0 if L2 == 0 else max(
+            0, min(1, ((p[0] - ax) * dx + (p[1] - ay) * dy) / L2)
+        )
+        return math.hypot(p[0] - ax - t * dx, p[1] - ay - t * dy)
+
+    assert parts and sum(len(cs) for cs in parts) >= 5
+    for cs in parts:
+        for p in cs:
+            d = min(
+                seg_dist((p[0], p[1]), s[i], s[i + 1])
+                for i in range(len(s) - 1)
+            )
+            assert abs(d - 0.6) < 1e-6, (p, d)
