@@ -923,13 +923,15 @@ def offset_curve(
     ``distance`` — positive = left side, same direction; negative = right
     side, direction reversed (GEOS convention). Joins follow the buffer
     join style (round arcs span only the turn angle; converging corners
-    are clipped at the offset intersection). Global self-intersections of
-    the raw offset (curvature radius < distance) are dissolved: the curve
-    is noded against itself and every closed loop excised, keeping the
-    outermost chain — the result is always simple. Remaining delta vs
-    GEOS: GEOS extracts the curve from the buffer boundary, so a chain
-    vertex can sit closer than ``distance`` to a DIFFERENT part of the
-    input here, where GEOS would reroute it along the buffer arc."""
+    are clipped at the offset intersection). When the raw offset
+    self-intersects globally (curvature radius < distance), the curve is
+    rerouted along the d-buffer BOUNDARY (GEOS semantics): boundary
+    sections matching the raw curve are stitched in raw arc-length
+    order, so every rerouted vertex sits at distance exactly
+    ``distance`` from the input line; when the requested side is
+    entirely inside the buffer (offset larger than the local feature,
+    e.g. a tight hairpin's inside), the loop-dissolved raw chain is
+    returned instead. Output is always simple."""
     if line.is_empty:
         return Geom("LineString", [])
     if line.type_name not in ("LineString", "MultiLineString"):
