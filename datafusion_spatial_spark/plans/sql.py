@@ -81,6 +81,8 @@ _FUNCTIONS = {
     "ST_MINIMUMBOUNDINGCIRCLE": (_ac.st_minimumboundingcircle, _WKB),
     "ST_NODE": (_ac.st_node, _WKB),
     "ST_POLYGONIZE": (_ac.st_polygonize, None),
+    "ST_DELAUNAYTRIANGLES": (_ac.st_delaunaytriangles, None),
+    "ST_VORONOIPOLYGONS": (_ac.st_voronoipolygons, None),
     "ST_LENGTHSPHERE": (_gd.st_lengthsphere, None),
     "ST_AREASPHERE": (_gd.st_areasphere, None),
     "ST_MAXIMUMINSCRIBEDCIRCLE": (_ac.st_maximuminscribedcircle, None),

@@ -269,3 +269,17 @@ def test_signature_table_error_messages(ssql):
         ssql.resolve("SELECT ST_Buffer(geometry) FROM polygon_native")
     with pytest.raises(ValueError, match="unsupported SQL spatial function"):
         ssql.resolve("SELECT ST_Nonexistent(geometry) FROM polygon_native")
+
+
+def test_delaunay_voronoi_sql_registered(ssql):
+    """Round-6: ST_DelaunayTriangles / ST_VoronoiPolygons callable from
+    SQL (array-of-WKB results, like ST_Polygonize)."""
+    rows = ssql.sql(
+        "SELECT col, size(ST_DelaunayTriangles(geometry)) AS n_tri, "
+        "size(ST_VoronoiPolygons(geometry)) AS n_cells "
+        "FROM polygon_native ORDER BY col"
+    ).collect()
+    ok = [r for r in rows if r.n_tri is not None and r.n_tri > 0]
+    assert ok, rows
+    for r in ok:
+        assert r.n_cells >= 1
