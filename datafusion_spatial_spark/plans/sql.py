@@ -87,6 +87,12 @@ _FUNCTIONS = {
     "ST_AREASPHERE": (_gd.st_areasphere, None),
     "ST_MAXIMUMINSCRIBEDCIRCLE": (_ac.st_maximuminscribedcircle, None),
     "ST_LARGESTEMPTYCIRCLE": (_ac.st_largestemptycircle, None),
+    "ST_DUMP": (_ac.st_dump, None),
+    "ST_DUMPPOINTS": (_ac.st_dumppoints, None),
+    "ST_FORCE3D": (lambda col, meta: _ac.st_force3d(col, meta), _WKB),
+    "ST_REMOVEREPEATEDPOINTS": (
+        lambda col, meta: _ac.st_removerepeatedpoints(col, meta), _WKB,
+    ),
 }
 
 # 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)
@@ -111,6 +117,9 @@ _FUNCTIONS_2 = {
     "ST_AZIMUTH": (_ac.st_azimuth, None),
     "ST_DISTANCESPHERE": (_gd.st_distancesphere, None),
     "ST_DISTANCESPHEROID": (_gd.st_distancespheroid, None),
+    "ST_LINELOCATEPOINT": (_ac.st_linelocatepoint, None),
+    # 2-arg PostGIS form: the full DE-9IM matrix string
+    "ST_RELATE": (_pr.st_relate_matrix, None),
 }
 
 # geometry + numeric-literal arg
@@ -134,6 +143,36 @@ _FUNCTIONS_GEOM_NUM = {
     "ST_GENERATEPOINTS": (
         lambda col, n, meta: _ac.st_generatepoints(col, int(n), meta), _WKB
     ),
+    "ST_SIMPLIFY": (
+        lambda col, t, meta: _pr.st_simplify(col, float(t), meta), _WKB
+    ),
+    "ST_SEGMENTIZE": (
+        lambda col, t, meta: _ac.st_segmentize(col, float(t), meta), _WKB
+    ),
+    "ST_LINEINTERPOLATEPOINT": (
+        lambda col, f_, meta: _pr.st_lineinterpolatepoint(
+            col, float(f_), meta
+        ),
+        GeometryMeta(encoding="point", geometry_types=("Point",)),
+    ),
+    "ST_EXPAND": (
+        lambda col, dxv, meta: _ac.st_expand(col, float(dxv), meta), _WKB
+    ),
+    "ST_GEOHASH": (
+        lambda col, p_, meta: _pr.st_geohash(col, int(p_), meta), None
+    ),
+    "ST_SUBDIVIDE": (
+        lambda col, n_, meta: _pr.st_subdivide(col, int(n_), meta), None
+    ),
+    "ST_REMOVEREPEATEDPOINTS": (
+        lambda col, t, meta: _ac.st_removerepeatedpoints(
+            col, meta, float(t)
+        ),
+        _WKB,
+    ),
+    "ST_FORCE3D": (
+        lambda col, z, meta: _ac.st_force3d(col, meta, float(z)), _WKB
+    ),
 }
 
 # geometry + two numeric-literal args
@@ -142,7 +181,64 @@ _FUNCTIONS_GEOM_NUM2 = {
         lambda col, s, d, meta: _gd.st_transform(col, int(s), int(d), meta),
         _WKB,
     ),
+    "ST_LINESUBSTRING": (
+        lambda col, s, e, meta: _ac.st_linesubstring(
+            col, float(s), float(e), meta
+        ),
+        _WKB,
+    ),
+    "ST_PROJECT": (
+        lambda col, d_, az, meta: _ac.st_project(
+            col, float(d_), float(az), meta
+        ),
+        _WKB,
+    ),
+    "ST_EXPAND": (
+        lambda col, dxv, dyv, meta: _ac.st_expand(
+            col, float(dxv), meta, float(dyv)
+        ),
+        _WKB,
+    ),
 }
+
+# geometry + 'string-literal' arg
+_FUNCTIONS_GEOM_STR = {
+    "ST_SPLIT": (lambda col, blade, meta: _ac.st_split(col, blade, meta), None),
+}
+
+# two geometries + 'string-literal' (DE-9IM pattern test)
+_FUNCTIONS_2_STR = {
+    "ST_RELATE": (
+        lambda a, b, pat, ma, mb: _pr.st_relate(a, b, pat, ma, mb), None
+    ),
+}
+
+_POINT_OUT = GeometryMeta(encoding="point", geometry_types=("Point",))
+
+# pure-literal constructors: (kinds, builder(parsed-args), out_meta)
+_FUNCTIONS_LIT = {
+    "ST_GEOMFROMTEXT": (
+        ("s",),
+        lambda a: _sc.st_geomfromtext(_F_lit(a[0])),
+        _WKB,
+    ),
+    "ST_POINT": (
+        ("n", "n"),
+        lambda a: _sc.st_point(_F_lit(a[0]), _F_lit(a[1])),
+        _POINT_OUT,
+    ),
+    "ST_POINTFROMGEOHASH": (
+        ("s",),
+        lambda a: _pr.st_pointfromgeohash(_F_lit(a[0])),
+        _POINT_OUT,
+    ),
+}
+
+
+def _F_lit(v):
+    from pyspark.sql import functions as F
+
+    return F.lit(v)
 
 # (geometry, numeric-literal, 'string-literal') — buffer style parameters
 _FUNCTIONS_GEOM_NUM_STR = {
@@ -206,6 +302,15 @@ def _build_signatures() -> dict:
             name, ("g", "n", "s"),
             lambda a, _b=b: _b(a[0][0], a[1], a[2], a[0][1]), om,
         )
+    for name, (b, om) in _FUNCTIONS_GEOM_STR.items():
+        add(name, ("g", "s"), lambda a, _b=b: _b(a[0][0], a[1], a[0][1]), om)
+    for name, (b, om) in _FUNCTIONS_2_STR.items():
+        add(
+            name, ("g", "g", "s"),
+            lambda a, _b=b: _b(a[0][0], a[1][0], a[2], a[0][1], a[1][1]), om,
+        )
+    for name, (kinds, b, om) in _FUNCTIONS_LIT.items():
+        add(name, kinds, b, om)
     return sigs
 
 

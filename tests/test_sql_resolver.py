@@ -283,3 +283,72 @@ def test_delaunay_voronoi_sql_registered(ssql):
     assert ok, rows
     for r in ok:
         assert r.n_cells >= 1
+
+
+def test_round6_sql_surface_sweep(ssql, spark):
+    """Round-6: previously DataFrame-only functions registered in SQL via
+    the declarative signature spec, including the new ('g','s'),
+    ('g','g','s') and pure-literal constructor shapes."""
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    s = SpatialSQL(spark)
+    s.register_geoparquet(
+        "r6poly", "/root/reference/data/data-polygon-encoding_native.parquet"
+    )
+    s.register_geoparquet(
+        "r6ls", "/root/reference/data/data-linestring-encoding_wkb.parquet"
+    )
+
+    def one(q):
+        return s.sql(q).collect()[0][0]
+
+    assert one(
+        "SELECT ST_AsText(ST_Simplify(geometry, 5)) FROM r6poly "
+        "WHERE geometry IS NOT NULL LIMIT 1"
+    ).startswith("POLYGON")
+    assert one(
+        "SELECT size(ST_Dump(geometry)) FROM r6poly "
+        "WHERE geometry IS NOT NULL LIMIT 1"
+    ) == 1
+    # literal constructors
+    assert one("SELECT ST_AsText(ST_Point(3, 4)) FROM r6poly LIMIT 1") == \
+        "POINT (3 4)"
+    assert one(
+        "SELECT ST_AsText(ST_GeomFromText('POINT (1 2)')) FROM r6poly LIMIT 1"
+    ) == "POINT (1 2)"
+    assert one(
+        "SELECT ST_GeoHash(ST_Point(-5.6, 42.6), 5) FROM r6poly LIMIT 1"
+    ) == "ezs42"
+    # DE-9IM: 2-arg matrix and 3-arg pattern overloads of ST_Relate
+    assert one(
+        "SELECT ST_Relate(geometry, geometry) FROM r6poly "
+        "WHERE geometry IS NOT NULL LIMIT 1"
+    ) == "2FFF1FFF2"
+    assert one(
+        "SELECT ST_Relate(geometry, geometry, 'T*F**FFF*') FROM r6poly "
+        "WHERE geometry IS NOT NULL LIMIT 1"
+    ) is True
+    # ('g','s'): split by a literal blade
+    assert one(
+        "SELECT size(ST_Split(geometry, 'LINESTRING (25 0, 25 50)')) "
+        "FROM r6poly WHERE geometry IS NOT NULL LIMIT 1"
+    ) == 2
+    # native-point out_meta flows through nested calls
+    assert one(
+        "SELECT ST_AsText(ST_LineInterpolatePoint(geometry, 0.5)) FROM r6ls "
+        "WHERE geometry IS NOT NULL LIMIT 1"
+    ).startswith("POINT")
+    assert one(
+        "SELECT ST_AsText(ST_LineSubstring(geometry, 0.25, 0.75)) FROM r6ls "
+        "WHERE geometry IS NOT NULL LIMIT 1"
+    ).startswith("LINESTRING")
+    # two-num expand overload vs one-num
+    e1 = one(
+        "SELECT ST_AsText(ST_Envelope(ST_Expand(geometry, 1))) FROM r6poly "
+        "WHERE geometry IS NOT NULL LIMIT 1"
+    )
+    e2 = one(
+        "SELECT ST_AsText(ST_Envelope(ST_Expand(geometry, 1, 2))) FROM r6poly "
+        "WHERE geometry IS NOT NULL LIMIT 1"
+    )
+    assert e1 != e2 and e1.startswith("POLYGON") and e2.startswith("POLYGON")
