@@ -213,6 +213,20 @@ _FUNCTIONS_2_STR = {
     ),
 }
 
+# two geometries + numeric literal
+_FUNCTIONS_2_NUM = {
+    "ST_SNAP": (
+        lambda a, b, t, ma, mb: _ac.st_snap(a, b, float(t), ma, mb), _WKB
+    ),
+}
+
+# three geometries
+_FUNCTIONS_3 = {
+    "ST_ANGLE": (
+        lambda p1, p2, p3, m1, m2, m3: _ac.st_angle(p1, p2, p3, m1), None
+    ),
+}
+
 _POINT_OUT = GeometryMeta(encoding="point", geometry_types=("Point",))
 
 # pure-literal constructors: (kinds, builder(parsed-args), out_meta)
@@ -308,6 +322,19 @@ def _build_signatures() -> dict:
         add(
             name, ("g", "g", "s"),
             lambda a, _b=b: _b(a[0][0], a[1][0], a[2], a[0][1], a[1][1]), om,
+        )
+    for name, (b, om) in _FUNCTIONS_2_NUM.items():
+        add(
+            name, ("g", "g", "n"),
+            lambda a, _b=b: _b(a[0][0], a[1][0], a[2], a[0][1], a[1][1]), om,
+        )
+    for name, (b, om) in _FUNCTIONS_3.items():
+        add(
+            name, ("g", "g", "g"),
+            lambda a, _b=b: _b(
+                a[0][0], a[1][0], a[2][0], a[0][1], a[1][1], a[2][1]
+            ),
+            om,
         )
     for name, (kinds, b, om) in _FUNCTIONS_LIT.items():
         add(name, kinds, b, om)

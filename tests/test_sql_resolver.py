@@ -352,3 +352,14 @@ def test_round6_sql_surface_sweep(ssql, spark):
         "WHERE geometry IS NOT NULL LIMIT 1"
     )
     assert e1 != e2 and e1.startswith("POLYGON") and e2.startswith("POLYGON")
+    # ('g','g','n') snap and ('g','g','g') angle
+    snapped = one(
+        "SELECT ST_AsText(ST_Snap(geometry, ST_GeomFromText('POINT (30.4 10.2)'), 1)) "
+        "FROM r6poly WHERE geometry IS NOT NULL LIMIT 1"
+    )
+    assert "30.4 10.2" in snapped
+    ang = one(
+        "SELECT round(ST_Angle(ST_Point(1, 0), ST_Point(0, 0), ST_Point(0, 1)), 6) "
+        "FROM r6poly LIMIT 1"
+    )
+    assert abs(float(ang) - 4.712389) < 1e-6
