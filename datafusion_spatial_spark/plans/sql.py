@@ -173,6 +173,9 @@ _FUNCTIONS_GEOM_NUM = {
     "ST_FORCE3D": (
         lambda col, z, meta: _ac.st_force3d(col, meta, float(z)), _WKB
     ),
+    "ST_TILE": (
+        lambda col, z, meta: _gd.st_tile(col, int(z), meta), None
+    ),
 }
 
 # geometry + two numeric-literal args
@@ -245,6 +248,11 @@ _FUNCTIONS_LIT = {
         ("s",),
         lambda a: _pr.st_pointfromgeohash(_F_lit(a[0])),
         _POINT_OUT,
+    ),
+    "ST_TILEENVELOPE": (
+        ("n", "n", "n"),
+        lambda a: _gd.st_tileenvelope(int(a[0]), int(a[1]), int(a[2])),
+        _sc.ENVELOPE_META,
     ),
 }
 
