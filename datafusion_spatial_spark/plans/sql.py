@@ -254,6 +254,11 @@ _FUNCTIONS_LIT = {
         lambda a: _gd.st_tileenvelope(int(a[0]), int(a[1]), int(a[2])),
         _sc.ENVELOPE_META,
     ),
+    "ST_GEOMFROMGEOJSON": (
+        ("s",),
+        lambda a: _sc.st_geomfromgeojson(_F_lit(a[0])),
+        _WKB,
+    ),
 }
 
 
