@@ -33,9 +33,26 @@ from datafusion_spatial_spark.functions import accessors as _ac
 from datafusion_spatial_spark.functions import geodesic as _gd
 from datafusion_spatial_spark.functions import predicates as _pr
 from datafusion_spatial_spark.functions import scalar as _sc
+from datafusion_spatial_spark.functions import transforms as _tr
 from datafusion_spatial_spark.meta import GeometryMeta
 
 _WKB = GeometryMeta(encoding="WKB")
+
+# output metadata sentinel: the result keeps the INPUT column's geometry
+# metadata (pure-Catalyst coordinate transforms preserve the encoding)
+_SAME = object()
+
+
+def _require_native(meta: GeometryMeta, name: str) -> GeometryMeta:
+    if meta.is_wkb:
+        raise ValueError(
+            f"{name} operates on native-encoded geometry (nested coord "
+            "structs); WKB columns are not supported in SQL — read the "
+            "data native or transform via ST_Transform"
+        )
+    return meta
+
+
 
 # 1-geometry-arg functions: name -> (builder(col, meta) -> Column, out_meta)
 _FUNCTIONS = {
@@ -92,6 +109,12 @@ _FUNCTIONS = {
     "ST_FORCE3D": (lambda col, meta: _ac.st_force3d(col, meta), _WKB),
     "ST_REMOVEREPEATEDPOINTS": (
         lambda col, meta: _ac.st_removerepeatedpoints(col, meta), _WKB,
+    ),
+    "ST_FLIPCOORDINATES": (
+        lambda col, meta: _tr.st_flipcoordinates(
+            col, _require_native(meta, "ST_FLIPCOORDINATES")
+        ),
+        _SAME,
     ),
 }
 
@@ -176,6 +199,18 @@ _FUNCTIONS_GEOM_NUM = {
     "ST_TILE": (
         lambda col, z, meta: _gd.st_tile(col, int(z), meta), None
     ),
+    "ST_ROTATE": (
+        lambda col, a_, meta: _tr.st_rotate(
+            col, float(a_), _require_native(meta, "ST_ROTATE")
+        ),
+        _SAME,
+    ),
+    "ST_SNAPTOGRID": (
+        lambda col, sz, meta: _tr.st_snaptogrid(
+            col, float(sz), _require_native(meta, "ST_SNAPTOGRID")
+        ),
+        _SAME,
+    ),
 }
 
 # geometry + two numeric-literal args
@@ -201,6 +236,19 @@ _FUNCTIONS_GEOM_NUM2 = {
             col, float(dxv), meta, float(dyv)
         ),
         _WKB,
+    ),
+    "ST_TRANSLATE": (
+        lambda col, dxv, dyv, meta: _tr.st_translate(
+            col, float(dxv), float(dyv),
+            _require_native(meta, "ST_TRANSLATE"),
+        ),
+        _SAME,
+    ),
+    "ST_SCALE": (
+        lambda col, sx, sy, meta: _tr.st_scale(
+            col, float(sx), float(sy), _require_native(meta, "ST_SCALE")
+        ),
+        _SAME,
     ),
 }
 
@@ -723,7 +771,14 @@ class SpatialSQL:
                     parsed.append(float(a))
                 else:
                     parsed.append(a[1:-1])
-            return build(parsed), out_meta
+            out = out_meta
+            if out is _SAME:
+                # encoding-preserving transform: result metadata = the
+                # first geometry argument's metadata
+                out = next(
+                    pv[1] for k, pv in zip(kinds, parsed) if k == "g"
+                )
+            return build(parsed), out
         shapes = " | ".join(
             "(" + ", ".join(
                 {"g": "geometry", "n": "numeric-literal",

@@ -363,3 +363,40 @@ def test_round6_sql_surface_sweep(ssql, spark):
         "FROM r6poly LIMIT 1"
     )
     assert abs(float(ang) - 4.712389) < 1e-6
+
+
+def test_transform_functions_sql_same_meta(ssql, spark):
+    """Round-6: pure-Catalyst coordinate transforms in SQL with the
+    _SAME out-meta sentinel (result keeps the input encoding, so they
+    nest under other ST_ calls); WKB inputs get a clear error."""
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    s = SpatialSQL(spark)
+    s.register_geoparquet(
+        "trn", "/root/reference/data/data-polygon-encoding_native.parquet"
+    )
+    s.register_geoparquet(
+        "trw", "/root/reference/data/data-polygon-encoding_wkb.parquet"
+    )
+
+    def one(q):
+        return s.sql(q).collect()[0][0]
+
+    assert one(
+        "SELECT ST_AsText(ST_Translate(geometry, 10, 20)) FROM trn "
+        "WHERE geometry IS NOT NULL LIMIT 1"
+    ) == "POLYGON ((40 30, 50 60, 30 60, 20 40, 40 30))"
+    assert one(
+        "SELECT ST_AsText(ST_Envelope(ST_Rotate(geometry, "
+        "3.141592653589793))) FROM trn WHERE geometry IS NOT NULL LIMIT 1"
+    ).startswith("POLYGON ((-40 -40")
+    assert one(
+        "SELECT ST_AsText(ST_FlipCoordinates(geometry)) FROM trn "
+        "WHERE geometry IS NOT NULL LIMIT 1"
+    ).startswith("POLYGON ((10 30")
+    assert one(
+        "SELECT ST_AsText(ST_Scale(geometry, 2, 0.5)) FROM trn "
+        "WHERE geometry IS NOT NULL LIMIT 1"
+    ).startswith("POLYGON ((60 5")
+    with pytest.raises(ValueError, match="native-encoded"):
+        s.resolve("SELECT ST_Translate(geometry, 1, 1) FROM trw")
