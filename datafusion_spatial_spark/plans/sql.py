@@ -307,6 +307,14 @@ _FUNCTIONS_LIT = {
         lambda a: _sc.st_geomfromgeojson(_F_lit(a[0])),
         _WKB,
     ),
+    "ST_AFFINE": (
+        ("g", "n", "n", "n", "n", "n", "n"),
+        lambda p: _tr.st_affine(
+            p[0][0], p[1], p[2], p[3], p[4], p[5], p[6],
+            _require_native(p[0][1], "ST_AFFINE"),
+        ),
+        _SAME,
+    ),
 }
 
 
