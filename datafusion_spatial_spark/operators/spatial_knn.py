@@ -114,3 +114,95 @@ def knn_join(
         F.col("__rank").alias("rank"),
         "resolved",
     )
+
+
+def knn_join_geography(
+    left: DataFrame,
+    right: DataFrame,
+    left_geom: str,
+    right_geom: str,
+    left_meta: GeometryMeta,
+    right_meta: GeometryMeta,
+    left_id: str,
+    right_id: str,
+    k: int,
+    radius_m: float,
+    max_rounds: int = 4,
+    max_abs_lat: float = 80.0,
+) -> DataFrame:
+    """k-nearest-neighbor join in METERS on lon/lat geometry columns —
+    the geography analog of :func:`knn_join` (PostGIS ``<->`` on
+    geography). Same radius-doubling shape; each ring is a
+    :func:`spatial_join_geography` dwithin-in-meters pass (exact
+    haversine-inverted degree pad; Catalyst haversine refine for
+    point×point, exact spherical arc kernel otherwise), so the fan-out
+    tracks local density exactly like the planar form. Returns
+    (left_id, right_id, distance_m, rank, resolved)."""
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_geography,
+    )
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if radius_m <= 0:
+        raise ValueError("radius_m must be positive")
+
+    lp = left.select(
+        F.col(left_id).alias("__lid"), F.col(left_geom).alias("__lg")
+    ).localCheckpoint(eager=False)
+    rp = right.select(
+        F.col(right_id).alias("__rid"), F.col(right_geom).alias("__rg")
+    )
+
+    pending = lp
+    resolved_parts: list[DataFrame] = []
+    r = float(radius_m)
+    best = None
+    for _ in range(max_rounds):
+        pairs = spatial_join_geography(
+            pending, rp, "__lg", "__rg", left_meta, right_meta,
+            "__lid", "__rid", r, with_distance=True,
+            max_abs_lat=max_abs_lat,
+        )
+        w = Window.partitionBy("__lid").orderBy(
+            F.col("__dist").asc(), F.col("__rid").asc()
+        )
+        topk = (
+            pairs.withColumnRenamed("distance_m", "__dist")
+            .withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+        )
+        stats = topk.groupBy("__lid").agg(
+            F.count("*").alias("__n"), F.max("__dist").alias("__kth")
+        )
+        done_ids = stats.filter(
+            (F.col("__n") >= k) & (F.col("__kth") <= F.lit(r))
+        ).select("__lid")
+        resolved_parts.append(
+            topk.join(done_ids, "__lid").withColumn("resolved", F.lit(True))
+        )
+        pending = pending.join(done_ids, "__lid", "left_anti").localCheckpoint(
+            eager=False
+        )
+        best = topk
+        if pending.isEmpty():
+            best = None
+            break
+        r *= 2.0
+    parts = resolved_parts
+    if best is not None:
+        parts.append(
+            best.join(pending.select("__lid"), "__lid").withColumn(
+                "resolved", F.lit(False)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("__lid").alias(left_id),
+        F.col("__rid").alias(right_id),
+        F.col("__dist").alias("distance_m"),
+        F.col("__rank").alias("rank"),
+        "resolved",
+    )

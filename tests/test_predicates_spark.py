@@ -773,3 +773,54 @@ def test_offset_curve_reroutes_along_buffer_boundary(spark):
                 for i in range(len(s) - 1)
             )
             assert abs(d - 0.6) < 1e-6, (p, d)
+
+
+def test_knn_join_geography_meters(spark):
+    """Round-6: geography k-NN join (meters, radius-doubling over the
+    degree-grid dwithin join). Ground truth = all-pairs haversine top-k."""
+    import math
+    import random
+
+    from datafusion_spatial_spark.geom_ops import EARTH_RADIUS
+    from datafusion_spatial_spark.operators.spatial_knn import (
+        knn_join_geography,
+    )
+
+    rng = random.Random(31)
+    a = [(i, rng.uniform(5, 6), rng.uniform(55, 56)) for i in range(40)]
+    b = [(i, rng.uniform(5, 6), rng.uniform(55, 56)) for i in range(120)]
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+
+    def pdf(rows, idn):
+        return spark.createDataFrame(
+            rows, f"{idn} long, x double, y double"
+        ).select(
+            idn,
+            F.struct(F.col("x").alias("x"), F.col("y").alias("y")).alias("geom"),
+        )
+
+    out = knn_join_geography(
+        pdf(a, "aid"), pdf(b, "bid"), "geom", "geom", pm, pm,
+        "aid", "bid", k=3, radius_m=2_000.0, max_rounds=8,
+    )
+    rows = out.collect()
+    assert all(r.resolved for r in rows)
+    got = {}
+    for r in rows:
+        got.setdefault(r.aid, []).append((r.rank, r.bid))
+
+    def hav(lon1, lat1, lon2, lat2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dl = math.radians(lon2 - lon1)
+        h = (
+            math.sin((p2 - p1) / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        )
+        return 2 * EARTH_RADIUS * math.asin(min(1.0, math.sqrt(h)))
+
+    for ai, ax, ay in a:
+        want = sorted(
+            ((hav(ax, ay, bx, by), bi) for bi, bx, by in b)
+        )[:3]
+        have = [bid for _, bid in sorted(got[ai])]
+        assert have == [bi for _, bi in want], (ai, have, want)
