@@ -34,6 +34,7 @@ from datafusion_spatial_spark.functions import geodesic as _gd
 from datafusion_spatial_spark.functions import predicates as _pr
 from datafusion_spatial_spark.functions import scalar as _sc
 from datafusion_spatial_spark.functions import transforms as _tr
+from datafusion_spatial_spark.functions import indexing as _ix
 from datafusion_spatial_spark.meta import GeometryMeta
 
 _WKB = GeometryMeta(encoding="WKB")
@@ -306,6 +307,14 @@ _FUNCTIONS_LIT = {
         ("s",),
         lambda a: _sc.st_geomfromgeojson(_F_lit(a[0])),
         _WKB,
+    ),
+    "ST_HILBERT": (
+        ("g", "n", "n", "n", "n", "n"),
+        lambda p: _ix.st_hilbert(
+            p[0][0], p[0][1],
+            (p[1], p[2], p[3], p[4]), int(p[5]),
+        ),
+        None,
     ),
     "ST_AFFINE": (
         ("g", "n", "n", "n", "n", "n", "n"),
