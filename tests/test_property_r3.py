@@ -126,3 +126,47 @@ def test_mbc_covers_all_points(pts):
     (cx, cy), r = G.minimum_bounding_circle(mp)
     for x, y in pts:
         assert math.hypot(x - cx, y - cy) <= r + 1e-6
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    ),
+    st.floats(min_value=0.1, max_value=5.0, allow_nan=False),
+)
+def test_offset_curve_always_simple(pts, d):
+    """Round-6 property: whatever the input polyline (including shapes
+    whose raw offset self-intersects), offset_curve output has no proper
+    crossing between non-adjacent segments."""
+    line = wkb.Geom("LineString", list(pts))
+    out = G.offset_curve(line, d)
+    parts = [out.coords] if out.type_name == "LineString" else out.coords
+    for cs in parts:
+        n = len(cs)
+        for i in range(n - 1):
+            for j in range(i + 2, n - 1):
+                (p0, p1) = cs[i], cs[i + 1]
+                (q0, q1) = cs[j], cs[j + 1]
+                den = (p1[0] - p0[0]) * (q1[1] - q0[1]) - (
+                    p1[1] - p0[1]
+                ) * (q1[0] - q0[0])
+                if abs(den) < 1e-18:
+                    continue
+                t = (
+                    (q0[0] - p0[0]) * (q1[1] - q0[1])
+                    - (q0[1] - p0[1]) * (q1[0] - q0[0])
+                ) / den
+                u = (
+                    (q0[0] - p0[0]) * (p1[1] - p0[1])
+                    - (q0[1] - p0[1]) * (p1[0] - p0[0])
+                ) / den
+                assert not (
+                    1e-9 < t < 1 - 1e-9 and 1e-9 < u < 1 - 1e-9
+                ), (cs[i], cs[j])
