@@ -256,6 +256,13 @@ _FUNCTIONS_GEOM_NUM2 = {
 # geometry + 'string-literal' arg
 _FUNCTIONS_GEOM_STR = {
     "ST_SPLIT": (lambda col, blade, meta: _ac.st_split(col, blade, meta), None),
+    # explicit boundary polygon (literal WKT) for the empty-circle search
+    "ST_LARGESTEMPTYCIRCLE": (
+        lambda col, bnd, meta: _ac.st_largestemptycircle(
+            col, meta, None, bnd
+        ),
+        None,
+    ),
 }
 
 # two geometries + 'string-literal' (DE-9IM pattern test)

@@ -824,3 +824,51 @@ def test_knn_join_geography_meters(spark):
         )[:3]
         have = [bid for _, bid in sorted(got[ai])]
         assert have == [bi for _, bi in want], (ai, have, want)
+
+
+def test_knn_join_geography_lines_left(spark):
+    """Geography k-NN with a LINE left side (exercises the spherical
+    arc-kernel refine inside the radius-doubling loop)."""
+    import math
+    import random
+
+    from datafusion_spatial_spark import geom_ops as GO
+    from datafusion_spatial_spark import wkb as W
+    from datafusion_spatial_spark.operators.spatial_knn import (
+        knn_join_geography,
+    )
+
+    rng = random.Random(41)
+    lines = []
+    for i in range(12):
+        x, y = rng.uniform(5, 5.5), rng.uniform(55, 55.5)
+        lines.append((i, [(x, y), (x + 0.05, y + 0.03)]))
+    pts = [(i, rng.uniform(5, 5.5), rng.uniform(55, 55.5)) for i in range(60)]
+    lm = GeometryMeta(encoding="WKB", geometry_types=("LineString",))
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    ldf = spark.createDataFrame(
+        [(i, bytearray(W.dumps(W.Geom("LineString", cs)))) for i, cs in lines],
+        "lid long, geom binary",
+    )
+    rdf = spark.createDataFrame(pts, "pid long, x double, y double").select(
+        "pid",
+        F.struct(F.col("x").alias("x"), F.col("y").alias("y")).alias("geom"),
+    )
+    out = knn_join_geography(
+        ldf, rdf, "geom", "geom", lm, pm, "lid", "pid",
+        k=2, radius_m=1_000.0, max_rounds=8,
+    ).collect()
+    assert all(r.resolved for r in out)
+    got = {}
+    for r in out:
+        got.setdefault(r.lid, []).append((r.rank, r.pid))
+    for i, cs in lines:
+        g = W.Geom("LineString", cs)
+        want = sorted(
+            (
+                (GO.distance_sphere_geom(g, W.Geom("Point", (x, y))), pid)
+                for pid, x, y in pts
+            )
+        )[:2]
+        have = [pid for _, pid in sorted(got[i])]
+        assert have == [pid for _, pid in want], (i, have, want)

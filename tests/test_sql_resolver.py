@@ -400,3 +400,33 @@ def test_transform_functions_sql_same_meta(ssql, spark):
     ).startswith("POLYGON ((60 5")
     with pytest.raises(ValueError, match="native-encoded"):
         s.resolve("SELECT ST_Translate(geometry, 1, 1) FROM trw")
+
+
+def test_largest_empty_circle_boundary_sql(ssql, spark):
+    """('g','s') overload: explicit boundary WKT for the empty-circle
+    search, agreeing with the DataFrame path."""
+    from datafusion_spatial_spark.functions import accessors as _ac
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    s = SpatialSQL(spark)
+    s.register_geoparquet(
+        "lecmp", "/root/reference/data/data-multipoint-encoding_native.parquet"
+    )
+    bnd = "POLYGON ((0 0, 50 0, 50 50, 0 50, 0 0))"
+    rows = s.sql(
+        f"SELECT ST_LargestEmptyCircle(geometry, '{bnd}').radius AS r "
+        "FROM lecmp WHERE geometry IS NOT NULL"
+    ).collect()
+    df = s._frames["lecmp"]
+    meta = s.registry["lecmp"]["geometry"]
+    want = (
+        df.filter(df.geometry.isNotNull())
+        .select(
+            _ac.st_largestemptycircle("geometry", meta, None, bnd)
+            .getField("radius")
+            .alias("r")
+        )
+        .collect()
+    )
+    assert [r.r for r in rows] == [w.r for w in want]
+    assert any(r.r is not None and r.r > 0 for r in rows)
