@@ -526,15 +526,23 @@ st_3ddistance = _binary_geom_fn(geom_ops.distance_3d, T.DoubleType())
 def st_angle(
     p1: Column | str, p2: Column | str, p3: Column | str,
     meta: GeometryMeta,
+    meta2: GeometryMeta | None = None,
+    meta3: GeometryMeta | None = None,
 ) -> Column:
-    """3-point form of PostGIS ST_Angle (angle at p2), clockwise [0, 2π)."""
-    conv = _converter(meta)
+    """3-point form of PostGIS ST_Angle (angle at p2), clockwise [0, 2π).
+
+    Each argument may carry its own encoding (``meta2``/``meta3`` default
+    to ``meta``), so mixed native + WKB columns decode correctly.
+    """
+    m2 = meta2 if meta2 is not None else meta
+    m3 = meta3 if meta3 is not None else meta
+    c1, c2, c3 = _converter(meta), _converter(m2), _converter(m3)
 
     @F.pandas_udf(T.DoubleType())
     def udf(s1: pd.Series, s2: pd.Series, s3: pd.Series) -> pd.Series:
         out = []
         for v1, v2, v3 in zip(_as_rows(s1), _as_rows(s2), _as_rows(s3)):
-            g1, g2, g3 = conv(v1), conv(v2), conv(v3)
+            g1, g2, g3 = c1(v1), c2(v2), c3(v3)
             if any(g is None or g.type_name != "Point" or g.is_empty
                    for g in (g1, g2, g3)):
                 out.append(None)
@@ -542,4 +550,4 @@ def st_angle(
             out.append(geom_ops.angle(g1.coords, g2.coords, g3.coords))
         return pd.Series(out, dtype="object")
 
-    return udf(_prep(p1, meta), _prep(p2, meta), _prep(p3, meta))
+    return udf(_prep(p1, meta), _prep(p2, m2), _prep(p3, m3))

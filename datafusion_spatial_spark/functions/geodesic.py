@@ -164,7 +164,10 @@ def st_transform(
     """Reproject a whole geometry column (any shape, WKB out) between the
     closed-form CRS set: EPSG:4326, 3857 (spherical Web Mercator), WGS84
     UTM zones 326zz/327zz, and 3035 (ETRS89-LAEA) — any pair, pivoting
-    through lon/lat; unknown codes raise. Arrow-batched kernel.
+    through lon/lat. Any other EPSG pair works when the optional public
+    ``pyproj`` library is installed (probed lazily on each worker —
+    geom_ops._pyproj_transform); without it, unknown codes raise naming
+    the extra. Arrow-batched kernel.
 
     For bare point columns prefer :func:`st_transform_point` — it stays
     pure Catalyst and returns a native point."""
@@ -384,8 +387,10 @@ def st_transform_point(
     out = None if ll is None else _from_lonlat_expr(ll[0], ll[1], dst_srid)
     if out is None:
         raise NotImplementedError(
-            f"transform {src_srid} -> {dst_srid} not supported (closed-form "
-            "CRS only: 4326, 3857, UTM 326zz/327zz, LAEA 3035)"
+            f"transform {src_srid} -> {dst_srid} has no pure-Catalyst "
+            "closed form (built-ins: 4326, 3857, UTM 326zz/327zz, LAEA "
+            "3035) — use st_transform, which supports any EPSG pair via "
+            "the optional 'pyproj' extra"
         )
     return st_point(out[0], out[1])
 

@@ -313,6 +313,25 @@ def _wkb_bbox_udf(s: pd.Series) -> pd.DataFrame:
         x = np.where(valid, x, np.nan)
         y = np.where(valid, y, np.nan)
         return pd.DataFrame({"xmin": x, "ymin": y, "xmax": x, "ymax": y})
+    from datafusion_spatial_spark.functions._fastpath import flat_coords_batch
+
+    flat = flat_coords_batch(s)
+    if flat is not None:
+        # uniform LineString/Polygon/MultiPoint batch: one reduceat per
+        # bound over the flat vertex stream instead of a Python parse per
+        # row (rows with 0 vertices — null or EMPTY — stay NaN -> null)
+        import numpy as np
+
+        xs, ys, counts = flat
+        nz = np.flatnonzero(counts > 0)
+        out = np.full((len(s), 4), np.nan)
+        if nz.size:
+            offs = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+            out[nz, 0] = np.minimum.reduceat(xs, offs)
+            out[nz, 1] = np.minimum.reduceat(ys, offs)
+            out[nz, 2] = np.maximum.reduceat(xs, offs)
+            out[nz, 3] = np.maximum.reduceat(ys, offs)
+        return pd.DataFrame(out, columns=["xmin", "ymin", "xmax", "ymax"])
     rows = []
     for b in s:
         if b is None or (isinstance(b, float) and pd.isna(b)):

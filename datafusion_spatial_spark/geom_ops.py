@@ -830,10 +830,39 @@ def _offset_via_buffer(pts, raw, d, segments, join, mitre_limit):
             + math.hypot(raw[i + 1][0] - raw[i][0], raw[i + 1][1] - raw[i][1])
         )
 
+    # Grid hash over raw segments so each near_raw call scans only the
+    # query point's cell instead of every raw segment (the naive scan is
+    # O(boundary_segs × raw_segs) — a dense self-intersecting polyline
+    # with high segments= stalls a UDF batch). Each segment registers in
+    # every cell its eps-padded bbox overlaps, so a point within eps of a
+    # segment ALWAYS finds it in its own cell; callers only compare the
+    # returned distance against eps² (beyond eps the value may be an
+    # overestimate, which is equivalent for the threshold test), and the
+    # arc-length parameter is only consumed for points within eps.
+    eps_len = 1e-6 * abs(d)
+    nseg = len(raw) - 1
+    cell = max(raw_cum[-1] / max(nseg, 1), eps_len * 4.0, 1e-300)
+    grid: dict = {}
+    for i in range(nseg):
+        ax, ay = raw[i]
+        bx, by = raw[i + 1]
+        x0 = int(math.floor((min(ax, bx) - eps_len) / cell))
+        x1 = int(math.floor((max(ax, bx) + eps_len) / cell))
+        y0 = int(math.floor((min(ay, by) - eps_len) / cell))
+        y1 = int(math.floor((max(ay, by) + eps_len) / cell))
+        for gx in range(x0, x1 + 1):
+            for gy in range(y0, y1 + 1):
+                grid.setdefault((gx, gy), []).append(i)
+
     def near_raw(p):
+        cand = grid.get(
+            (int(math.floor(p[0] / cell)), int(math.floor(p[1] / cell)))
+        )
+        if not cand:
+            return math.inf, 0.0
         best = math.inf
         best_s = 0.0
-        for i in range(len(raw) - 1):
+        for i in cand:
             ax, ay = raw[i]
             bx, by = raw[i + 1]
             d2 = _seg_pt_dist2(p[0], p[1], ax, ay, bx, by)
@@ -4063,6 +4092,35 @@ def _lookup_transform(src_srid: int, dst_srid: int):
     return lambda x, y: fwd(*inv(x, y))
 
 
+_PYPROJ_CACHE: dict = {}
+
+
+def _pyproj_transform(src_srid: int, dst_srid: int):
+    """Optional-extra CRS backend (mirrors multimodal.resolve_decoder):
+    probe pyproj and return a (x, y) -> (x, y) scalar fn for ANY EPSG
+    pair, or None when the library is absent. The probe and the
+    Transformer build both happen lazily at call time, so the closure
+    pickles cleanly to executors and each worker process builds its own
+    cached Transformer (pyproj objects are not picklable)."""
+    try:
+        import pyproj  # noqa: F401
+    except ImportError:
+        return None
+
+    def fn(x, y):
+        t = _PYPROJ_CACHE.get((src_srid, dst_srid))
+        if t is None:
+            from pyproj import Transformer
+
+            t = Transformer.from_crs(
+                f"EPSG:{src_srid}", f"EPSG:{dst_srid}", always_xy=True
+            )
+            _PYPROJ_CACHE[(src_srid, dst_srid)] = t
+        return t.transform(x, y)
+
+    return fn
+
+
 def utm_srid_for(lon: float, lat: float) -> int:
     """WGS84 UTM zone EPSG code containing (lon, lat)."""
     zone = min(60, max(1, int((lon + 180.0) // 6.0) + 1))
@@ -4148,9 +4206,15 @@ def transform(g: Geom, src_srid: int, dst_srid: int) -> Geom:
         return Geom(g.type_name, g.coords, g.has_z, dst_srid, g.has_m)
     fn = _lookup_transform(src_srid, dst_srid)
     if fn is None:
+        # general-EPSG escape hatch: any pair pyproj knows, when the
+        # (public, optional) library is installed — closed-form CRS stay
+        # the hermetic default so results are identical with or without it
+        fn = _pyproj_transform(src_srid, dst_srid)
+    if fn is None:
         raise NotImplementedError(
-            f"transform {src_srid} -> {dst_srid} not supported (closed-form "
-            "CRS only: 4326, 3857, UTM 326zz/327zz, LAEA 3035)"
+            f"transform {src_srid} -> {dst_srid} not supported — built-in "
+            "closed-form CRS are 4326, 3857, UTM 326zz/327zz, LAEA 3035; "
+            "install the optional 'pyproj' extra for general EPSG support"
         )
 
     def conv(c):
@@ -4756,6 +4820,38 @@ def largest_empty_circle(
     def obstacle_dist(x, y):
         return distance(Geom("Point", (x, y)), obstacles)
 
+    # Filled obstacle polygons make the distance field identically 0 over
+    # their interior, which defeats the generic 1-Lipschitz bound
+    # (d + reach stays reach everywhere inside, so branch-and-bound
+    # degenerates to exhaustive subdivision). The exact fix: a point q in
+    # a cell whose center c lies strictly INSIDE a filled obstacle at
+    # depth δ (distance from c to the obstacle boundary) can only gain
+    # obstacle-distance by first crossing that boundary, so
+    # dist(q, obstacles) ≤ max(0, |q−c| − δ) ≤ max(0, reach − δ).
+    # Deep-interior cells therefore prune immediately and the search cost
+    # reverts to O(cells near the medial surface) — no pop cap needed for
+    # this class.
+    opolys = [p for p in _polygons(obstacles) if p]
+    oring_segs = []
+    for rings in opolys:
+        for ring in rings:
+            for i in range(len(ring) - 1):
+                oring_segs.append((ring[i], ring[i + 1]))
+
+    def interior_depth(x, y):
+        """Distance to the obstacle-polygon boundary if (x, y) is strictly
+        inside a filled obstacle, else None."""
+        if not opolys or not any(
+            polygon_contains_point(rings, x, y) == 2 for rings in opolys
+        ):
+            return None
+        best_d2 = math.inf
+        for a, b in oring_segs:
+            d2 = point_seg_dist2(x, y, a[0], a[1], b[0], b[1])
+            if d2 < best_d2:
+                best_d2 = d2
+        return math.sqrt(best_d2)
+
     import heapq
 
     cells = []
@@ -4770,7 +4866,14 @@ def largest_empty_circle(
         d = obstacle_dist(cx, cy)
         if feasible(cx, cy) and d > best[0]:
             best = (d, (cx, cy))
-        heapq.heappush(cells, (-(d + reach), counter, cx, cy, half))
+        bound = d + reach
+        if d <= 0.0:
+            depth = interior_depth(cx, cy)
+            if depth is not None:
+                bound = max(0.0, reach - depth)
+                if bound <= best[0] + tol:
+                    return  # cannot improve best beyond tolerance
+        heapq.heappush(cells, (-bound, counter, cx, cy, half))
         counter += 1
 
     nx = max(1, int(math.ceil((xmax - xmin) / span * 4)))
@@ -4781,6 +4884,11 @@ def largest_empty_circle(
         for j in range(ny):
             push(xmin + (2 * i + 1) * hx, ymin + (2 * j + 1) * hy, half0)
     pops = 0
+    # Budget scales with requested resolution: ~64 cells per tolerance
+    # step across the span, floored at the old constant so existing
+    # behavior only ever gets more headroom, capped to keep a pathological
+    # tol from unbounded work.
+    pop_cap = min(2_000_000, max(20_000, 64 * int(span / max(tol, 1e-300))))
     while cells:
         negb, _, cx, cy, half = heapq.heappop(cells)
         if -negb - best[0] <= tol:
@@ -4791,15 +4899,26 @@ def largest_empty_circle(
             # bounds the loop even if the break above never fires
             continue
         pops += 1
-        if pops > 20_000:
-            # flat distance fields defeat the Lipschitz bound: e.g. a
-            # FILLED polygon obstacle makes d == 0 across its whole
-            # interior, so every cell keeps bound = half·√2 and the
-            # search degenerates to exhaustive subdivision to tolerance
-            # depth, O((span/tol)²) cells. Branch-and-bound never comes
-            # near this cap on genuine point/line obstacle fields; on
-            # flat fields the best found so far is within the remaining
-            # bound (≤ top-of-heap) of optimal — return it.
+        if pops > pop_cap:
+            # Safety valve only. The interior-depth bound above removes
+            # the flat-field degeneracy (filled obstacles now prune like
+            # any other field), so branch-and-bound should converge well
+            # under this cap — it scales with the requested resolution
+            # span/tol, so a tight tolerance buys a proportionally larger
+            # budget instead of silently relaxing the contract. If it
+            # still fires, the best found is within the top-of-heap bound
+            # of optimal; warn so the caller knows the tolerance was
+            # relaxed rather than met.
+            import warnings
+
+            warnings.warn(
+                "largest_empty_circle: subdivision budget exhausted "
+                f"(pops>{pop_cap}); returning best-so-far within "
+                f"{-negb - best[0]:.3g} of optimal (requested tol "
+                f"{tol:.3g})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             break
         q = half / 2.0
         for dx in (-q, q):

@@ -353,7 +353,13 @@ def connected_components(
     ``localCheckpoint`` every ``check_every`` rounds (unbounded iterative
     lineage OOMs the driver's plan and makes task binaries quadratic);
     the convergence action runs only at those checkpoints, so the job
-    launches ~max_iter/check_every actions, not one per round.
+    launches ~max_iter/check_every actions, not one per round. Every join
+    carries an explicit SHUFFLE_HASH hint: at scale the label table is as
+    big as the edge list (broadcast was never the right plan), and at
+    test scale it stops the planner auto-broadcasting a fresh copy of the
+    labels every round — the accumulated broadcast exchanges were a real
+    JVM GC hazard (GCLocker allocation failures on broadcast threads
+    under a long shared-JVM suite).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -372,7 +378,7 @@ def connected_components(
     while done < max_iter:
         for _ in range(min(check_every, max_iter - done)):
             neighbor_min = (
-                edges.join(labels, edges.dst == labels.id)
+                edges.join(labels.hint("shuffle_hash"), edges.dst == labels.id)
                 .groupBy("src")
                 .agg(F.min("component").alias("nbr_min"))
             )
@@ -384,7 +390,7 @@ def connected_components(
                     labels.select(
                         F.col("id").alias("__jid"),
                         F.col("component").alias("__jcomp"),
-                    ),
+                    ).hint("shuffle_hash"),
                     F.col("a.component") == F.col("__jid"),
                     "left",
                 )
@@ -395,7 +401,9 @@ def connected_components(
                 )
             )
             labels = jumped.join(
-                neighbor_min, jumped.id == neighbor_min.src, "left"
+                neighbor_min.hint("shuffle_hash"),
+                jumped.id == neighbor_min.src,
+                "left",
             ).select(
                 "id",
                 F.least(
@@ -408,7 +416,7 @@ def connected_components(
         labels = labels.localCheckpoint(eager=True)
         changed = (
             labels.alias("n")
-            .join(prev.alias("o"), "id")
+            .join(prev.alias("o").hint("shuffle_hash"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()

