@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Scale audit (VERDICT r6 "Next round" #1): run the headline bench queries
+plus the shuffle-heavy extension ops at sf0.1 AND the 10x-scaled sf1
+directory (tools/scale_data.py), record per-query scaling exponents
+alpha = log(T_10x / T_1x) / log(10), and dump each query's sf1 physical
+plan for regression audit (AQE broadcast->SMJ switches, skew splits, LSH
+band fan-out).
+
+alpha ~ 1.0 is linear scaling; the VERDICT gate is T_10x <= 2x the
+linearly-scaled sf0.1 time, i.e. alpha <= 1 + log10(2) ~= 1.30.
+
+Usage: python tools/scale_audit.py [--runs 3] [--queries q01,...]
+Writes .scale/audit.json and .scale/plans/<query>.txt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SMALL = "/root/testdata/sf0.1"
+BIG = os.path.join(REPO, ".scale", "sf1")
+FACTOR = 10.0
+
+
+def extra_queries():
+    """Shuffle-heavy ops the bench harness doesn't cover."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from datafusion_spatial_spark.meta import GeometryMeta
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_geography,
+    )
+    from datafusion_spatial_spark.sources.tables import load_table
+
+    q = entry_mod.queries()
+
+    def geography_join(spark, sf_dir):
+        # customer/supplier keys mapped onto a lon/lat band incl. high
+        # latitudes (up to ~84N) so the latitude-safe pad path is exercised
+        pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            st_point(
+                (F.col("c_acctbal") % 360.0) - 180.0,
+                (F.col("c_custkey") % 168).cast("double") - 84.0,
+            ).alias("geom"),
+        )
+        sup = load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey",
+            st_point(
+                (F.col("s_acctbal") % 360.0) - 180.0,
+                (F.col("s_suppkey") % 168).cast("double") - 84.0,
+            ).alias("geom"),
+        )
+        return spatial_join_geography(
+            cust, sup, "geom", "geom", pm, pm, "c_custkey", "s_suppkey",
+            meters=50_000.0,
+        )
+
+    return {
+        "q_dedup_corpus": q["q_dedup_corpus"],
+        "q_minhash_lsh_pairs": q["q_minhash_lsh_pairs"],
+        "q_spatial_grid_join": q["q_spatial_grid_join"],
+        "q_ngram_jaccard_pairs": q["q_ngram_jaccard_pairs"],
+        "q_ivf_ann_topk": q["q_ivf_ann_topk"],
+        "q_geography_join": geography_join,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--queries", default="")
+    ap.add_argument("--skip-small", action="store_true",
+                    help="reuse small-side timings from an existing audit.json")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    import bench as bench_mod
+    from datafusion_spatial_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_audit")
+    queries = dict(bench_mod.bench_queries())
+    queries.update(extra_queries())
+    if args.queries:
+        keep = set(args.queries.split(","))
+        queries = {k: v for k, v in queries.items() if k in keep}
+
+    audit_path = os.path.join(REPO, ".scale", "audit.json")
+    plans_dir = os.path.join(REPO, ".scale", "plans")
+    os.makedirs(plans_dir, exist_ok=True)
+    prior = {}
+    if os.path.exists(audit_path):
+        with open(audit_path) as f:
+            prior = json.load(f).get("queries", {})
+
+    def run_side(fn, sf_dir, runs):
+        df = fn(spark, sf_dir)
+        n = df.count()  # warmup + row count in one pass
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        return round(statistics.median(samples), 4), n
+
+    out = {}
+    for name, fn in queries.items():
+        rec = dict(prior.get(name, {}))
+        try:
+            if args.skip_small and "t_small" in rec:
+                pass
+            else:
+                rec["t_small"], rec["rows_small"] = run_side(fn, SMALL, args.runs)
+            rec["t_big"], rec["rows_big"] = run_side(fn, BIG, args.runs)
+            rec["alpha"] = round(
+                math.log(rec["t_big"] / rec["t_small"]) / math.log(FACTOR), 3
+            )
+            rec["within_2x_gate"] = rec["t_big"] <= 2 * FACTOR * rec["t_small"]
+            with open(os.path.join(plans_dir, f"{name}.txt"), "w") as f:
+                f.write(fn(spark, BIG)._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted")))
+            print(f"{name}: {rec['t_small']}s -> {rec['t_big']}s  "
+                  f"alpha={rec['alpha']}  rows {rec['rows_small']}->{rec['rows_big']}")
+        except Exception as e:  # keep going; record the failure
+            rec["error"] = f"{type(e).__name__}: {e}"
+            print(f"{name}: ERROR {rec['error']}", file=sys.stderr)
+        out[name] = rec
+
+    prior.update(out)
+    with open(audit_path, "w") as f:
+        json.dump({"factor": FACTOR, "queries": prior}, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
