@@ -132,14 +132,23 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
 
-Q_ROLLUP_SQL = """
-SELECT coalesce(c_mktsegment, 'ALL') AS segment,
-       coalesce(o_orderstatus, 'ALL') AS status,
-       round(sum(o_totalprice), 2) AS total,
+Q_ROLLUP_CUBE_SQL = """
+SELECT 'rollup' AS grp,
+       coalesce(c_mktsegment, 'ALL') AS dim1,
+       coalesce(o_orderstatus, 'ALL') AS dim2,
+       round(sum(o_totalprice), 2) AS measure,
        count(*) AS n
 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
-ORDER BY segment, status
+UNION ALL
+SELECT 'cube' AS grp,
+       coalesce(l_returnflag, 'ALL') AS dim1,
+       coalesce(l_linestatus, 'ALL') AS dim2,
+       round(sum(l_quantity), 2) AS measure,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY grp, dim1, dim2
 """
 
 Q_MONTHLY_CORE = """
@@ -386,16 +395,6 @@ SELECT o_orderkey AS orderkey, o_custkey AS custkey,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
 ORDER BY custkey, orderkey
-"""
-
-Q_CUBE_SQL = """
-SELECT coalesce(l_returnflag, 'ALL') AS rf,
-       coalesce(l_linestatus, 'ALL') AS ls,
-       round(sum(l_quantity), 2) AS qty,
-       count(*) AS n
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-ORDER BY rf, ls
 """
 
 Q_QUANTILES_CORE = """
@@ -1427,6 +1426,62 @@ LIMIT 10
 """
 
 
+NEAR_DUP_PLANES = 4  # coarser buckets than the ANN path so pairs survive
+NEAR_DUP_SEED = 42
+NEAR_DUP_T = 0.40  # the driver embeddings are near-orthogonal random vectors
+
+
+def _q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIR mining
+    (operators/simsearch.cosine_near_dup_pairs): hyperplane-LSH bucketing
+    (map-only) → within-bucket self-join on the bucket id (never all-pairs)
+    → exact sequential-order cosine verify. Recall is bucket-limited by
+    construction and the oracle mirrors the same bucketing, so the gate
+    checks the distributed semantics bit-exactly."""
+    from datafusion_spatial_spark.operators.simsearch import (
+        cosine_near_dup_pairs,
+        random_hyperplanes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = random_hyperplanes(EMB_DIMS, NEAR_DUP_PLANES, seed=NEAR_DUP_SEED)
+    pairs = cosine_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=NEAR_DUP_T, planes=planes
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+def _q_cosine_near_dup_oracle() -> str:
+    from datafusion_spatial_spark.operators.simsearch import random_hyperplanes
+
+    planes = random_hyperplanes(EMB_DIMS, NEAR_DUP_PLANES, seed=NEAR_DUP_SEED)
+    bucket_terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        d = (
+            f"list_reduce(list_prepend(cast(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {EMB_DIMS} + 1), "
+            f"i -> cast(embedding[i] AS DOUBLE) * ([{lits}])[i])), "
+            f"(acc, x) -> acc + x)"
+        )
+        bucket_terms.append(f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    cos = (
+        f"{_duckdb_dot('a.embedding', 'b.embedding')}"
+        f" / (sqrt({_duckdb_dot('a.embedding', 'a.embedding')})"
+        f" * sqrt({_duckdb_dot('b.embedding', 'b.embedding')}))"
+    )
+    return f"""
+WITH bk AS (
+  SELECT vec_id, embedding, cast({bucket} AS INT) AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS score
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {NEAR_DUP_T}
+ORDER BY id_a, id_b
+"""
+
+
 N_IVF_LISTS = 8
 N_IVF_PROBE = 3
 
@@ -1571,8 +1626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_forecast_revenue": _sql_query(Q06_SQL, ("lineitem",)),
         "q_top_customers": _sql_query(Q_TOP_CUSTOMERS_SQL, ("customer", "orders")),
         "q_customers_no_orders": _sql_query(Q_NO_ORDERS_SQL, ("customer", "orders")),
-        "q_rollup_status": _sql_query(Q_ROLLUP_SQL, ("customer", "orders")),
-        "q_cube_lineitem": _sql_query(Q_CUBE_SQL, ("lineitem",)),
+        "q_rollup_cube": _sql_query(
+            Q_ROLLUP_CUBE_SQL, ("customer", "orders", "lineitem")
+        ),
         "q_window_suite": _sql_query(Q_WINDOW_SUITE_SQL, ("orders",)),
         "q15_top_supplier": _sql_query(
             Q15_TOP_SUPPLIER_SQL, ("lineitem", "supplier")
@@ -1703,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": _q_text_stats,
         "q_cosine_topk": _q_cosine_topk,
         "q_lsh_ann_topk": _q_lsh_ann_topk,
+        "q_cosine_near_dup": _q_cosine_near_dup,
         "q_ivf_ann_topk": _q_ivf_ann_topk,
         "q_dedup_corpus": _q_dedup_corpus,
         "q_stream_hourly": _q_stream_hourly,
@@ -1723,8 +1780,7 @@ def oracle_sql() -> dict[str, str]:
         "q06_forecast_revenue": Q06_SQL,
         "q_top_customers": Q_TOP_CUSTOMERS_SQL,
         "q_customers_no_orders": Q_NO_ORDERS_SQL,
-        "q_rollup_status": Q_ROLLUP_SQL,
-        "q_cube_lineitem": Q_CUBE_SQL,
+        "q_rollup_cube": Q_ROLLUP_CUBE_SQL,
         "q_window_suite": Q_WINDOW_SUITE_SQL,
         "q15_top_supplier": Q15_TOP_SUPPLIER_SQL,
         "q_monthly_revenue": Q_MONTHLY_CORE.format(
@@ -1781,6 +1837,7 @@ def oracle_sql() -> dict[str, str]:
         "q_text_stats": _q_text_stats_oracle(),
         "q_cosine_topk": _Q_COSINE_ORACLE,
         "q_lsh_ann_topk": _q_lsh_ann_oracle(),
+        "q_cosine_near_dup": _q_cosine_near_dup_oracle(),
         "q_ivf_ann_topk": _q_ivf_ann_oracle(),
         "q_dedup_corpus": _q_dedup_corpus_oracle(),
         # the stream result is checked against the BATCH hourly rollup —
