@@ -4852,6 +4852,46 @@ def largest_empty_circle(
                 best_d2 = d2
         return math.sqrt(best_d2)
 
+    if opolys:
+        # Exact zero-radius detection. When the filled obstacle polygons
+        # cover the whole boundary region — in particular the default
+        # boundary = convex_hull(obstacles) of a convex filled polygon,
+        # whose ring COINCIDES with the obstacle ring — every feasible
+        # center has obstacle-distance exactly 0.  The interior-depth
+        # bound cannot prune the cells hugging the shared ring (depth→0
+        # there), so branch-and-bound would subdivide the ring
+        # neighborhood to tolerance resolution: O(perimeter/tol) pops.
+        # free = boundary \ ∪obstacle_polys via the regularized overlay
+        # decides the case exactly and in one pass.
+        from datafusion_spatial_spark.overlay import overlay_multi
+
+        free = overlay_multi(
+            [
+                [[(p[0], p[1]) for p in ring] for ring in rings]
+                for rings in bpolys
+            ],
+            [
+                [[(p[0], p[1]) for p in ring] for ring in rings]
+                for rings in opolys
+            ],
+            "difference",
+        )
+        free_area = sum(
+            _ring_area2(ring) for rings in free for ring in rings
+        ) / 2.0
+        if free_area <= 0.0:
+            c = centroid(boundary)
+            if c is None or not feasible(c[0], c[1]):
+                mic = maximum_inscribed_circle(boundary)
+                c = mic[0] if mic else None
+            if c is None:
+                return None
+            return (
+                (c[0], c[1]),
+                0.0,
+                closest_point(obstacles, Geom("Point", (c[0], c[1]))),
+            )
+
     import heapq
 
     cells = []
@@ -4888,7 +4928,10 @@ def largest_empty_circle(
     # step across the span, floored at the old constant so existing
     # behavior only ever gets more headroom, capped to keep a pathological
     # tol from unbounded work.
-    pop_cap = min(2_000_000, max(20_000, 64 * int(span / max(tol, 1e-300))))
+    # Ceiling keeps worst-case wall clock bounded even when every pop costs
+    # an O(segments) distance eval; the zero-radius overlay check above
+    # removes the class that used to need millions of pops.
+    pop_cap = min(200_000, max(20_000, 64 * int(span / max(tol, 1e-300))))
     while cells:
         negb, _, cx, cy, half = heapq.heappop(cells)
         if -negb - best[0] <= tol:

@@ -546,6 +546,35 @@ def test_largest_empty_circle_obstacle_covers_boundary():
     assert out is None or out[1] <= 1e-6
 
 
+def test_largest_empty_circle_coincident_hull_ring_exact_zero():
+    """Round-7 regression: ST_LargestEmptyCircle(convex filled polygon)
+    with the DEFAULT boundary (= its own convex hull) has the obstacle
+    ring coinciding with the boundary ring. Interior-depth pruning cannot
+    touch the ring-hugging cells (depth -> 0 there), so before the
+    free-space overlay check this subdivided O(perimeter/tol) cells —
+    an effective hang that froze the full suite via the SQL-resolver
+    fixture query. Must now return exact radius 0 promptly, no warning."""
+    import time
+    import warnings
+
+    from datafusion_spatial_spark import geom_ops as G
+    from datafusion_spatial_spark import wkb
+
+    # the reference fixture polygon that exposed the hang
+    quad = wkb.Geom(
+        "Polygon",
+        [[(30.0, 10.0), (40.0, 40.0), (20.0, 40.0), (10.0, 20.0), (30.0, 10.0)]],
+    )
+    t0 = time.time()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        (cx, cy), r, _ = G.largest_empty_circle(quad)
+    assert time.time() - t0 < 5.0
+    assert r == 0.0
+    # center is feasible (inside the hull)
+    assert G.polygon_contains_point(quad.coords, cx, cy) >= 1
+
+
 def test_largest_empty_circle_obstacle_with_interior_free_pocket():
     """A filled C-shaped obstacle with a free pocket: the optimum sits in
     the pocket, and interior-depth pruning must not cut it off."""
