@@ -1024,7 +1024,80 @@ def _winding(pt, loop) -> int:
     return w
 
 
+def _nudge_geom(g: Geom, eps: float) -> Geom:
+    """Deterministic per-vertex-occurrence nudge of magnitude ≤ ``eps``.
+    Used only as the degeneracy-retry fallback in :func:`buffer`: exact
+    retraces (a polyline folding back over itself) make opposite-direction
+    offset outlines coincide exactly, which the arrangement walk cannot
+    always resolve. Occurrence-keyed (not coordinate-keyed) so repeated
+    visits to the same coordinate separate; polygon ring closure is
+    preserved by reusing the first vertex for the closing vertex."""
+    counter = [0]
+
+    def nf(x, y):
+        counter[0] += 1
+        h = hash((counter[0], int(x / eps) if eps else 0,
+                  int(y / eps) if eps else 0))
+        return (
+            x + ((h & 0xFF) - 127.5) / 127.5 * eps,
+            y + (((h >> 8) & 0xFF) - 127.5) / 127.5 * eps,
+        )
+
+    t = g.type_name
+    if t == "GeometryCollection":
+        return Geom(t, [_nudge_geom(m, eps) for m in g.coords],
+                    g.has_z, g.srid, g.has_m)
+    if t == "Point":
+        if g.is_empty:
+            return g
+        x, y = nf(g.coords[0], g.coords[1])
+        return Geom(t, (x, y) + tuple(g.coords[2:]), g.has_z, g.srid, g.has_m)
+    depth = {"LineString": 1, "MultiPoint": 1, "Polygon": 2,
+             "MultiLineString": 2, "MultiPolygon": 3}[t]
+    ring_depth = {"Polygon": 1, "MultiPolygon": 2}.get(t)
+
+    def walk(cs, d):
+        if d == 0:
+            x, y = nf(cs[0], cs[1])
+            return (x, y) + tuple(cs[2:])
+        out = [walk(v, d - 1) for v in cs]
+        if d - 1 == 0 and ring_depth is not None and len(out) >= 2 \
+                and cs[0] == cs[-1]:
+            out[-1] = out[0]  # keep rings exactly closed
+        return out
+
+    return Geom(t, walk(g.coords, depth), g.has_z, g.srid, g.has_m)
+
+
 def buffer(
+    geom: Geom,
+    radius: float,
+    segments: int = 16,
+    join: str = "round",
+    endcap: str = "round",
+    mitre_limit: float = 5.0,
+    side: str = "both",
+) -> Geom:
+    """Robustness wrapper over :func:`_buffer_impl`: on an
+    ``OverlayDegeneracyError`` (exactly-coincident opposite-direction
+    offset outlines from e.g. a partially self-retracing polyline), retry
+    once with a deterministic sub-feature vertex nudge (~1e-6 of the
+    span) that breaks the exact coincidence — the classic
+    snap-and-jitter fallback. Error propagates if it persists."""
+    from datafusion_spatial_spark.overlay import OverlayDegeneracyError
+
+    try:
+        return _buffer_impl(geom, radius, segments, join, endcap,
+                            mitre_limit, side)
+    except OverlayDegeneracyError:
+        bb = _bbox(geom)
+        span = max(bb[2] - bb[0], bb[3] - bb[1]) if bb else 0.0
+        eps = max(span, abs(radius), 1e-12) * 1e-6
+        return _buffer_impl(_nudge_geom(geom, eps), radius, segments,
+                            join, endcap, mitre_limit, side)
+
+
+def _buffer_impl(
     geom: Geom,
     radius: float,
     segments: int = 16,

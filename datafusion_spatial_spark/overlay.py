@@ -93,7 +93,12 @@ def _isect_params(p, q, r, s):
     if abs(den) <= 1e-12 * max(1.0, l1 * l2):
         # parallel — collinear iff r lies (nearly) on line p→q
         if l1 > 0 and abs((r[0] - p[0]) * dy1 - (r[1] - p[1]) * dx1) <= 1e-9 * max(1.0, l1):
-            inv = 1.0 / (dx1 * dx1 + dy1 * dy1)
+            den2 = dx1 * dx1 + dy1 * dy1
+            if den2 <= 0.0:
+                # l1 is a subnormal: the squared length underflows to 0 —
+                # the carrier is a point, nothing to split
+                return out
+            inv = 1.0 / den2
             for w in (r, s):
                 t = ((w[0] - p[0]) * dx1 + (w[1] - p[1]) * dy1) * inv
                 if _PARAM_EPS < t < 1 - _PARAM_EPS:
