@@ -209,6 +209,32 @@ class TestProperBuffer:
         assert b.type_name == "MultiPolygon"
         assert abs(G.area(b) - 2 * math.pi) < 0.02
 
+    def test_partial_collinear_retrace(self):
+        # Hypothesis-found (r7): a polyline folding partway back over
+        # itself makes opposite offset outlines exactly coincide; the
+        # nudge-retry must recover a sane sausage, not raise.
+        b = G.buffer(g("LINESTRING (0 0, 2 0, 1 0)"), 0.5)
+        assert b.type_name in ("Polygon", "MultiPolygon")
+        # effective covered path is the 0..2 segment
+        expected = 2 * 2 * 0.5 + math.pi * 0.25
+        assert abs(G.area(b) - expected) < 0.05
+        assert G.contains(b, g("POINT (1 0.3)"))
+
+    def test_full_retrace(self):
+        b = G.buffer(g("LINESTRING (0 0, 3 0, 0 0, 3 0)"), 0.25)
+        assert b.type_name in ("Polygon", "MultiPolygon")
+        expected = 2 * 3 * 0.25 + math.pi * 0.0625
+        assert abs(G.area(b) - expected) < 0.05
+
+    def test_subnormal_segment_offset(self):
+        # Hypothesis-found (r7): squared length of a 5e-324-long segment
+        # underflows to exactly 0 in the collinear-split branch.
+        from datafusion_spatial_spark.wkb import Geom
+        gsub = Geom("LineString", [[0.0, 0.0], [5e-324, 0.0], [0.0, 0.0]],
+                    False, 0, False)
+        r = G.offset_curve(gsub, 1.0, 8)
+        assert r.type_name in ("LineString", "MultiLineString")
+
 
 class TestValidity:
     """OGC polygon validity (PostGIS ST_IsValid semantics)."""
