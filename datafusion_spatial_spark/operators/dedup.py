@@ -33,6 +33,7 @@ from datafusion_spatial_spark.operators.hashing import (
     poly_hash_list,
     poly_hash_str,
 )
+from datafusion_spatial_spark.operators.skew import ensure_min_parallelism
 
 
 def _hash_str(col: Column, hash_fn: str) -> Column:
@@ -126,6 +127,7 @@ def minhash_signature(
     and kept in the output for downstream exact-Jaccard verification.
     """
     params = minhash_affine_params(num_hashes, seed)
+    df = ensure_min_parallelism(df)  # shingling is the CPU-heavy map stage
     sh = word_shingles(text_col, shingle_k)
     hs = F.array_distinct(
         F.transform(sh, lambda s: F.pmod(_hash_str(s, hash_fn), F.lit(P)))
@@ -246,6 +248,7 @@ def ngram_jaccard_pairs(
     explode distinct shingles → self-join on shingle → count common →
     ``|A∩B| / (|A| + |B| - |A∩B|)``. ``max_postings`` drops shingles whose
     posting list exceeds the cap (stopword-shingle skew guard at scale)."""
+    df = ensure_min_parallelism(df)  # shingle explode is the heavy map stage
     shing = df.select(
         F.col(id_col),
         F.explode(
@@ -300,6 +303,7 @@ def simhash(
     """30-bit SimHash per document, fully in Catalyst: per-word hash → ±1
     vote per bit (aggregate with a 30-counter array) → sign bits → integer.
     """
+    df = ensure_min_parallelism(df)  # per-word vote fold is CPU-heavy
     c = F.col(text_col)
     words = F.split(F.trim(c), r"\s+")
     hashes = F.transform(words, lambda w: F.pmod(_hash_str(w, hash_fn), F.lit(P)))

@@ -13,6 +13,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_min_parallelism(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Spread a scan whose file layout under-parallelizes CPU-heavy
+    downstream map work.
+
+    Parquet splits at row-group granularity, so a corpus written as one
+    fat file yields a handful of input splits no matter how many cores
+    exist — the r7 10x scale audit caught the shingle explode of
+    ``ngram_jaccard_pairs`` running on 2 of 32 cores for minutes. A
+    round-robin repartition to ``defaultParallelism`` fixes the local /
+    fat-row-group case; at real cluster scale (thousands of files) the
+    partition count already exceeds the target and this is a no-op with
+    zero added shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_count_sum(
     df: DataFrame,
     keys: list[str],

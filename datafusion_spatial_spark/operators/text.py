@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datafusion_spatial_spark.operators.hashing import poly_hash_str
+from datafusion_spatial_spark.operators.skew import ensure_min_parallelism
 
 # Tiny deterministic stopword lists per language (heuristic language ID).
 STOPWORDS = {
@@ -115,6 +116,7 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     stat derives from it — Catalyst does not CSE across lambda bodies, so
     the naive per-stat form re-split the text ~10× (measured 30% slower at
     bench scale)."""
+    df = ensure_min_parallelism(df)  # tokenization is the heavy map stage
     base = df.select(
         F.col(id_col),
         F.col(text_col).alias("__t"),
