@@ -1180,6 +1180,101 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs + MinHash-LSH pairs in one gate query
+    (UNION ALL with a ``method`` discriminator — merged r7 to free a gate
+    slot under the 50-query cap; both operators stay fully exercised)."""
+    ng = _q_ngram_jaccard(spark, sf_dir).withColumn("method", F.lit("ngram"))
+    mh = _q_minhash_lsh(spark, sf_dir).withColumn("method", F.lit("minhash"))
+    return ng.unionByName(mh).orderBy("method", "id_a", "id_b")
+
+
+def _q_near_dup_pairs_oracle() -> str:
+    return f"""
+SELECT 'ngram' AS method, * FROM ({_q_ngram_jaccard_oracle()})
+UNION ALL
+SELECT 'minhash' AS method, * FROM ({_q_minhash_lsh_oracle()})
+ORDER BY method, id_a, id_b
+"""
+
+
+LINE_WORDS = 8  # gate-side re-chunking: 8-word lines (corpus has no \\n)
+
+
+def _chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with text re-chunked into LINE_WORDS-word lines joined by
+    newline — a deterministic line structure for the line-dedup gate
+    query, reproduced verbatim by the DuckDB oracle (range semantics:
+    start indices 1, 9, ... strictly below ``len(w) - (LINE_WORDS - 1)``,
+    matching DuckDB ``range(1, len(w) - 7, 8)`` which is stop-exclusive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    last_excl = F.size(w) - F.lit(LINE_WORDS - 1)
+    starts = F.when(
+        last_excl > 1,
+        F.sequence(F.lit(1), last_excl - F.lit(1), F.lit(LINE_WORDS)),
+    ).otherwise(F.array().cast("array<int>"))
+    content = F.concat_ws(
+        "\n",
+        F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(w, i, LINE_WORDS))
+        ),
+    )
+    return docs.select("doc_id", content.alias("content"))
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate line removal over the re-chunked
+    corpus: lines >= 5 chars occurring in > 1 distinct document are
+    dropped everywhere; result is per-doc md5 of the cleaned text plus
+    line counts (operators/dedup.line_dedup)."""
+    from datafusion_spatial_spark.operators.dedup import line_dedup
+
+    docs = _chunked_docs(spark, sf_dir)
+    out = line_dedup(
+        docs, "content", "doc_id", max_doc_freq=1, min_line_chars=5,
+        hash_fn="exact",
+    )
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    ).orderBy("doc_id")
+
+
+_Q_LINE_DEDUP_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(1, len(w) - 7, 8),
+             i -> array_to_string(list_slice(w, i, i + 7), ' ')), chr(10)) AS content
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+), lines AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line
+  FROM (SELECT doc_id, string_split(content, chr(10)) AS parts FROM docs),
+       UNNEST(list_transform(range(1, len(parts) + 1),
+                             i -> {'pos': i - 1, 'line': parts[i]})) AS t(u)
+), flagged AS (
+  SELECT doc_id, pos, line,
+         (len(trim(line)) >= 5) AS eligible, trim(line) AS key
+  FROM lines
+), hot AS (
+  SELECT key FROM (SELECT DISTINCT doc_id, key FROM flagged WHERE eligible)
+  GROUP BY key HAVING count(*) > 1
+), joined AS (
+  SELECT f.doc_id, f.pos, f.line,
+         (f.eligible AND h.key IS NOT NULL) AS dropped
+  FROM flagged f LEFT JOIN hot h ON f.key = h.key
+)
+SELECT doc_id,
+       md5(coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                               chr(10) ORDER BY pos), '')) AS clean_md5,
+       count(*) AS n_lines,
+       cast(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM joined GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_dedup_corpus_oracle() -> str:
     """Connected-components mirror: the LSH pair list (same CTEs as the
     pair-mining oracle) becomes a symmetric edge list; a recursive CTE
@@ -1753,8 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ext = {
         "q_hash_split": _q_hash_split,
         "q_dedup_exact": _q_dedup_exact,
-        "q_ngram_jaccard_pairs": _q_ngram_jaccard,
-        "q_minhash_lsh_pairs": _q_minhash_lsh,
+        "q_near_dup_pairs": _q_near_dup_pairs,
+        "q_line_dedup": _q_line_dedup,
         "q_simhash": _q_simhash,
         "q_text_stats": _q_text_stats,
         "q_cosine_topk": _q_cosine_topk,
@@ -1831,8 +1926,8 @@ def oracle_sql() -> dict[str, str]:
         "q_st_intersection_area": _q_st_intersection_area_oracle(),
         "q_hash_split": _q_hash_split_oracle(),
         "q_dedup_exact": _Q_DEDUP_EXACT_ORACLE,
-        "q_ngram_jaccard_pairs": _q_ngram_jaccard_oracle(),
-        "q_minhash_lsh_pairs": _q_minhash_lsh_oracle(),
+        "q_near_dup_pairs": _q_near_dup_pairs_oracle(),
+        "q_line_dedup": _Q_LINE_DEDUP_ORACLE,
         "q_simhash": _q_simhash_oracle(),
         "q_text_stats": _q_text_stats_oracle(),
         "q_cosine_topk": _Q_COSINE_ORACLE,

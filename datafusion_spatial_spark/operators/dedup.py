@@ -456,3 +456,84 @@ def dedup_corpus(
         .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate removal (C4 / RefinedWeb style)
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_doc_freq: int = 2,
+    min_line_chars: int = 1,
+    hash_fn: str = "xxhash64",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-wide boilerplate *line* removal: a (trimmed) line at least
+    ``min_line_chars`` long that occurs in more than ``max_doc_freq``
+    distinct documents is dropped from every document; shorter lines are
+    kept untouched (and never counted). The cleaning step used by C4 /
+    RefinedWeb-class training-data pipelines for nav bars, cookie
+    banners and license footers.
+
+    Returns one row per input document: ``(id, out_col, n_lines,
+    n_dropped)`` with surviving lines re-joined in original order
+    (documents reduced to nothing keep an empty string — they are
+    candidates for a downstream quality filter, not silent deletion).
+
+    Scale shape: posexplode (map-only) → one groupBy on the 8-byte line
+    key for document frequency (map-side partial ``count_distinct`` via
+    the (key, id) pre-aggregate) → join lines against the *hot* set only
+    (boilerplate is a tiny fraction of distinct lines, so AQE broadcasts
+    it at runtime) → one groupBy(id) to reassemble. Documents shuffle
+    once, as their own lines.
+
+    ``hash_fn``: ``"xxhash64"`` (fast JVM intrinsic), ``"poly"``
+    (oracle-reproducible 30-bit), or ``"exact"`` — key on the trimmed
+    line string itself (zero collision risk; the string shuffle costs
+    more at scale). The driver-gate query uses "exact" so the DuckDB
+    oracle is collision-free by construction.
+    """
+    df = ensure_min_parallelism(df)
+    trimmed = F.trim(F.col("__line"))
+    key = trimmed if hash_fn == "exact" else _hash_str(trimmed, hash_fn)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).select(
+        F.col(id_col),
+        "__pos",
+        "__line",
+        key.alias("__key"),
+        (F.length(trimmed) >= min_line_chars).alias("__eligible"),
+    )
+    hot = (
+        lines.filter("__eligible")
+        .select("__key", id_col)
+        .distinct()
+        .groupBy("__key")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__key", F.lit(True).alias("__hot"))
+    )
+    flagged = lines.join(hot, "__key", "left").withColumn(
+        "__drop", F.col("__eligible") & F.coalesce("__hot", F.lit(False))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__line", "__drop"))
+                    ),
+                    lambda x: ~x["__drop"],
+                ),
+                lambda x: x["__line"],
+            ),
+        ).alias(out_col),
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("__drop").cast("int")).alias("n_dropped"),
+    )

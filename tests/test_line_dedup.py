@@ -1,0 +1,103 @@
+"""line_dedup (C4/RefinedWeb boilerplate-line removal) and the
+ensure_min_parallelism under-parallel-scan guard (both r7)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark.operators.dedup import line_dedup
+from datafusion_spatial_spark.operators.skew import ensure_min_parallelism
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "COOKIE BANNER\nalpha unique text\nfooter legal line"),
+        (2, "COOKIE BANNER\nbeta body text\nfooter legal line"),
+        (3, "COOKIE BANNER\ngamma content here\nfooter legal line"),
+        (4, "delta standalone doc\nxy"),  # 'xy' short: kept, never counted
+        (5, "COOKIE BANNER"),  # reduces to empty
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "content"])
+
+
+class TestLineDedup:
+    def test_hot_lines_removed_everywhere(self, docs):
+        out = {
+            r.doc_id: r
+            for r in line_dedup(
+                docs, "content", "doc_id", max_doc_freq=2,
+                min_line_chars=3, hash_fn="exact",
+            ).collect()
+        }
+        # banner+footer occur in 3 docs (> 2) -> dropped from all of them
+        assert out[1].clean_text == "alpha unique text"
+        assert out[2].clean_text == "beta body text"
+        assert out[3].clean_text == "gamma content here"
+        assert out[1].n_lines == 3 and out[1].n_dropped == 2
+
+    def test_short_lines_immune(self, docs):
+        out = {
+            r.doc_id: r
+            for r in line_dedup(
+                docs, "content", "doc_id", max_doc_freq=2,
+                min_line_chars=3, hash_fn="exact",
+            ).collect()
+        }
+        assert out[4].clean_text == "delta standalone doc\nxy"
+        assert out[4].n_dropped == 0
+
+    def test_fully_boilerplate_doc_kept_as_empty(self, docs):
+        out = {
+            r.doc_id: r
+            for r in line_dedup(
+                docs, "content", "doc_id", max_doc_freq=2,
+                min_line_chars=3, hash_fn="exact",
+            ).collect()
+        }
+        # every input doc survives as a row, even when emptied
+        assert set(out) == {1, 2, 3, 4, 5}
+        assert out[5].clean_text == "" and out[5].n_dropped == 1
+
+    def test_freq_threshold_boundary(self, docs):
+        # max_doc_freq=3: the footer appears in exactly 3 docs -> kept;
+        # the banner appears in 4 (docs 1,2,3,5) -> still dropped from all 4
+        out = {
+            r.doc_id: r
+            for r in line_dedup(
+                docs, "content", "doc_id", max_doc_freq=3,
+                min_line_chars=3, hash_fn="exact",
+            ).collect()
+        }
+        assert sum(r.n_dropped for r in out.values()) == 4
+        assert out[1].clean_text == "alpha unique text\nfooter legal line"
+        assert out[5].clean_text == ""
+
+    def test_order_preserved(self, spark):
+        text = "\n".join(f"unique line number {i}" for i in range(20))
+        df = spark.createDataFrame([(1, text)], ["doc_id", "content"])
+        out = line_dedup(
+            df, "content", "doc_id", max_doc_freq=1, hash_fn="exact"
+        ).collect()[0]
+        assert out.clean_text == text  # nothing hot, original order intact
+
+    @pytest.mark.parametrize("hash_fn", ["poly", "xxhash64"])
+    def test_hash_paths_match_exact(self, docs, hash_fn):
+        kw = dict(max_doc_freq=2, min_line_chars=3)
+        exact = line_dedup(docs, "content", "doc_id", hash_fn="exact", **kw)
+        hashed = line_dedup(docs, "content", "doc_id", hash_fn=hash_fn, **kw)
+        assert sorted(map(tuple, exact.collect())) == sorted(
+            map(tuple, hashed.collect())
+        )
+
+
+class TestEnsureMinParallelism:
+    def test_spreads_single_partition(self, spark):
+        df = spark.range(1000).coalesce(1)
+        out = ensure_min_parallelism(df, min_partitions=8)
+        assert out.rdd.getNumPartitions() == 8
+        assert out.count() == 1000
+
+    def test_noop_when_parallel_enough(self, spark):
+        df = spark.range(1000).repartition(8)
+        out = ensure_min_parallelism(df, min_partitions=4)
+        assert out is df  # structurally untouched — no added shuffle

@@ -70,9 +70,9 @@ def extra_queries():
 
     return {
         "q_dedup_corpus": q["q_dedup_corpus"],
-        "q_minhash_lsh_pairs": q["q_minhash_lsh_pairs"],
+        "q_minhash_lsh_pairs": entry_mod._q_minhash_lsh,
         "q_spatial_grid_join": q["q_spatial_grid_join"],
-        "q_ngram_jaccard_pairs": q["q_ngram_jaccard_pairs"],
+        "q_ngram_jaccard_pairs": entry_mod._q_ngram_jaccard,
         "q_ivf_ann_topk": q["q_ivf_ann_topk"],
         "q_geography_join": geography_join,
     }
