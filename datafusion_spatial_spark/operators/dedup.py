@@ -537,3 +537,53 @@ def line_dedup(
         F.count("*").alias("n_lines"),
         F.sum(F.col("__drop").cast("int")).alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_df: DataFrame,
+    bench_text_col: str,
+    ngram_k: int = 13,
+    hash_fn: str = "xxhash64",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Remove documents that share any ``ngram_k``-word shingle with a
+    benchmark/eval corpus (the GPT-3/Llama-style train-test
+    decontamination step; 13-grams is the conventional window).
+
+    Scale shape: the benchmark shingle set is tiny next to the corpus
+    (millions of n-grams vs billions of documents), so it is broadcast
+    and the contamination check is a map-side LEFT SEMI join — the
+    corpus itself never shuffles. Set ``broadcast_bench=False`` to let
+    AQE decide when the benchmark is genuinely large.
+
+    Note: documents (or benchmark rows) shorter than ``ngram_k`` words
+    produce a single whole-text shingle (word_shingles semantics), so a
+    short document is only flagged on an exact whole-text benchmark hit.
+    """
+    def sh(col):
+        return F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(col, ngram_k),
+                    lambda s: _hash_str(s, hash_fn),
+                )
+            )
+        )
+
+    bench_sh = bench_df.select(sh(bench_text_col).alias("__sh")).distinct()
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = ensure_min_parallelism(df).select(
+        F.col(id_col), sh(text_col).alias("__sh")
+    )
+    contaminated = (
+        doc_sh.join(bench_sh, "__sh", "left_semi").select(id_col).distinct()
+    )
+    return df.join(contaminated, id_col, "left_anti")

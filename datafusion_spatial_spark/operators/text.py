@@ -159,3 +159,81 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.round(quality, 6).alias("quality"),
         poly_hash_str(F.array_join(F.col("__wl"), " ")).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pure Catalyst regexp_replace — map-only, zero Python)
+
+
+PII_PATTERNS: dict[str, str] = {
+    # ordered: longer/more-specific first so e.g. an email isn't half-eaten
+    # by the phone pattern after partial redaction
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"(?<!\d)(?:\+?\d{1,2}[\s.\-]?)?(?:\(\d{3}\)|\d{3})[\s.\-]\d{3}[\s.\-]\d{4}(?!\d)",
+    "ssn": r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)",
+}
+
+
+def redact_pii(
+    col: Column | str,
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone", "ssn"),
+    token: str = "[PII]",
+) -> Column:
+    """Replace common PII shapes (email / IPv4 / NANP phone / SSN) with
+    ``token``. Chained ``regexp_replace`` — one codegen'd map stage, no
+    shuffle, no Python; the standard pre-training scrub pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    for k in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[k], token)
+    return c
+
+
+def pii_counts(
+    col: Column | str, kinds: tuple[str, ...] = ("email", "ipv4", "phone", "ssn")
+) -> Column:
+    """struct of per-kind match counts (audit/reporting companion to
+    :func:`redact_pii`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        *[F.regexp_count(c, F.lit(PII_PATTERNS[k])).alias(k) for k in kinds]
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher/MassiveText-style repetition filters)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram_ks: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Per-document repetition fractions used by Gopher/MassiveText-class
+    quality filters: ``dup_line_frac`` (fraction of lines that are exact
+    repeats of an earlier line in the SAME document) and, per k in
+    ``ngram_ks``, ``dup_{k}gram_frac`` (fraction of word k-grams that are
+    repeats within the document). Map-only Catalyst — documents never
+    shuffle; filter downstream with e.g. ``dup_3gram_frac < 0.3``.
+    """
+    from datafusion_spatial_spark.operators.dedup import word_shingles
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            (n - F.size(F.array_distinct(arr))) / n
+        )
+
+    lines = F.split(F.col(text_col), "\n")
+    cols = [
+        F.col(id_col),
+        dup_frac(lines).alias("dup_line_frac"),
+    ]
+    for k in ngram_ks:
+        cols.append(
+            dup_frac(word_shingles(F.col(text_col), k)).alias(
+                f"dup_{k}gram_frac"
+            )
+        )
+    return df.select(*cols)
