@@ -74,6 +74,7 @@ def extra_queries():
         "q_spatial_grid_join": q["q_spatial_grid_join"],
         "q_ngram_jaccard_pairs": entry_mod._q_ngram_jaccard,
         "q_ivf_ann_topk": q["q_ivf_ann_topk"],
+        "q_line_dedup": q["q_line_dedup"],
         "q_geography_join": geography_join,
     }
 
@@ -142,7 +143,13 @@ def main() -> None:
     prior.update(out)
     with open(audit_path, "w") as f:
         json.dump({"factor": FACTOR, "queries": prior}, f, indent=1)
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    # py4j shutdown raced the gateway twice (process slept forever after
+    # all results were written) — results are on disk, force the exit
+    os._exit(0)
 
 
 if __name__ == "__main__":
