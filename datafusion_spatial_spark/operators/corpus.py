@@ -135,3 +135,106 @@ def prepare_training_corpus(
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         kept = kept.join(losers, id_col, "left_anti")
     return hash_split(kept, id_col, weights or {"train": 0.98, "val": 0.01, "test": 0.01})
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic global training shuffle: every row gets a ``shard``
+    in [0, n_shards) and a ``shard_pos`` rank inside its shard, both pure
+    functions of (id, seed) — independent of partitioning, run order and
+    cluster size, so a backfill reproduces the identical shard layout.
+
+    The shard hash doubles as the shuffle: hash-ordering the corpus is
+    the standard pre-training global shuffle (quality-correlated input
+    order — crawl order, domain order — becomes hash order). Write with
+    ``.repartition(n_shards, "shard").sortWithinPartitions("shard_pos")``
+    and ``partitionBy("shard")`` for one file per shard; readers stream
+    shards in ``shard_pos`` order.
+
+    One shuffle (the rank window, partitioned by shard). ``poly`` keys
+    make shard AND position oracle-reproducible cross-engine.
+    """
+    from pyspark.sql import Window
+
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+    if hash_fn == "poly":
+        h = poly_hash_str(key)
+    elif hash_fn == "xxhash64":
+        h = F.pmod(F.xxhash64(key), F.lit(P))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    out = df.withColumn("__h", h).withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return out.withColumn(
+        "shard_pos", (F.row_number().over(w) - 1).cast("long")
+    ).drop("__h")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Exact greedy sequence packing: walk documents in deterministic
+    order (``id_col`` ascending) and cut a new training sequence whenever
+    adding the next document would push the running token total past
+    ``budget`` (documents larger than the budget get a sequence of their
+    own) — the standard construction of fixed-length pretraining
+    sequences. Adds ``seq_id`` (0-based within the shard) and
+    ``seq_offset`` (tokens preceding the doc in its sequence).
+
+    The greedy fold is sequential state (each cut depends on every prior
+    cut), which no window/cumsum expresses exactly — so it runs as an
+    Arrow-batched ``applyInPandas`` per shard: one pass of numpy-backed
+    Python over each shard's (id, n_tokens) pairs — thousands of rows per
+    shard, microseconds each; document payloads stay in the JVM and are
+    joined back by id. With ``shard_col=None`` the whole frame is one
+    group (single-reducer: fine for gate/test scale, compose with
+    :func:`shuffle_shards` for real corpora).
+    """
+    shard = shard_col
+    slim = df.select(
+        *( [F.col(shard)] if shard else [F.lit(0).alias("__g")] ),
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias("__n"),
+    )
+    gcol = shard if shard else "__g"
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seq_ids, offsets = [], []
+        seq, total = -1, 0
+        for n in pdf["__n"]:
+            n = int(n)
+            if seq < 0 or total + n > budget:
+                seq += 1
+                total = 0
+            seq_ids.append(seq)
+            offsets.append(total)
+            total += n
+        pdf["seq_id"] = seq_ids
+        pdf["seq_offset"] = offsets
+        return pdf[[gcol, id_col, "seq_id", "seq_offset"]]
+
+    import pandas as pd  # noqa: F401  (applyInPandas schema resolution)
+
+    gtype = dict(slim.dtypes)[gcol]
+    itype = dict(slim.dtypes)[id_col]
+    assigned = slim.groupBy(gcol).applyInPandas(
+        pack,
+        schema=f"{gcol} {gtype}, {id_col} {itype}, "
+               "seq_id long, seq_offset long",
+    )
+    join_keys = [id_col] if not shard else [shard, id_col]
+    return df.join(
+        assigned.drop(*([] if shard else [gcol])), join_keys, "inner"
+    )

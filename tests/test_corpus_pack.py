@@ -1,0 +1,111 @@
+"""shuffle_shards (deterministic global training shuffle) and
+pack_sequences (exact greedy sequence packing) — r7 corpus ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark.operators.corpus import (
+    pack_sequences,
+    shuffle_shards,
+)
+
+
+class TestShuffleShards:
+    def test_deterministic_and_partition_independent(self, spark):
+        df1 = spark.range(500).withColumnRenamed("id", "doc_id")
+        df2 = (
+            spark.range(500)
+            .withColumnRenamed("id", "doc_id")
+            .repartition(13)
+            .sort(F.desc("doc_id"))
+        )
+        a = sorted(map(tuple, shuffle_shards(df1, "doc_id", 8).collect()))
+        b = sorted(map(tuple, shuffle_shards(df2, "doc_id", 8).collect()))
+        assert a == b  # identical (doc_id, shard, shard_pos) regardless
+
+    def test_shard_range_and_positions(self, spark):
+        df = spark.range(300).withColumnRenamed("id", "doc_id")
+        out = shuffle_shards(df, "doc_id", 4).collect()
+        shards = {}
+        for r in out:
+            assert 0 <= r.shard < 4
+            shards.setdefault(r.shard, []).append(r.shard_pos)
+        for poss in shards.values():
+            assert sorted(poss) == list(range(len(poss)))  # dense 0..n-1
+
+    def test_seed_changes_layout(self, spark):
+        df = spark.range(200).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.shard for r in shuffle_shards(df, "doc_id", 8, seed=1).collect()}
+        b = {r.doc_id: r.shard for r in shuffle_shards(df, "doc_id", 8, seed=2).collect()}
+        assert a != b
+
+    def test_roughly_balanced(self, spark):
+        df = spark.range(4000).withColumnRenamed("id", "doc_id")
+        sizes = (
+            shuffle_shards(df, "doc_id", 8)
+            .groupBy("shard").count().collect()
+        )
+        for r in sizes:
+            assert 350 < r["count"] < 650  # 500 expected
+
+
+def greedy_oracle(pairs, budget):
+    """Reference greedy pack: pairs = [(id, n)] sorted by id."""
+    out, seq, total = {}, -1, 0
+    for i, n in pairs:
+        if seq < 0 or total + n > budget:
+            seq, total = seq + 1, 0
+        out[i] = (seq, total)
+        total += n
+    return out
+
+
+class TestPackSequences:
+    def test_matches_reference_greedy(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, rng.randint(1, 600)) for i in range(400)]
+        df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+        got = {
+            r.doc_id: (r.seq_id, r.seq_offset)
+            for r in pack_sequences(df, "doc_id", "n_tokens", 2048).collect()
+        }
+        assert got == greedy_oracle(sorted(rows), 2048)
+
+    def test_never_overflows_budget(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, rng.randint(1, 900)) for i in range(300)]
+        df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+        out = pack_sequences(df, "doc_id", "n_tokens", 1000)
+        totals = out.groupBy("seq_id").agg(F.sum("n_tokens").alias("t")).collect()
+        assert all(r.t <= 1000 for r in totals)
+
+    def test_oversized_doc_isolated(self, spark):
+        rows = [(1, 100), (2, 5000), (3, 100)]
+        df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+        got = {
+            r.doc_id: (r.seq_id, r.seq_offset)
+            for r in pack_sequences(df, "doc_id", "n_tokens", 1000).collect()
+        }
+        assert got[2] == (1, 0)  # alone in its own sequence
+        assert got[1] == (0, 0) and got[3] == (2, 0)
+
+    def test_sharded_packing(self, spark):
+        rows = [(i, 300, i % 3) for i in range(90)]
+        df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "shard"])
+        out = pack_sequences(df, "doc_id", "n_tokens", 1000, shard_col="shard")
+        # within each shard: 3 docs of 300 per sequence (4th would hit 1200)
+        per = (
+            out.groupBy("shard", "seq_id").count().collect()
+        )
+        assert all(r["count"] == 3 for r in per)
+        assert out.count() == 90
+
+    def test_payload_columns_survive(self, spark):
+        rows = [(1, 10, "hello"), (2, 20, "world")]
+        df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "text"])
+        out = pack_sequences(df, "doc_id", "n_tokens", 64).collect()
+        assert {r.text for r in out} == {"hello", "world"}
