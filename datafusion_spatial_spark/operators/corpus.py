@@ -95,29 +95,51 @@ def prepare_training_corpus(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
     hash_fn: str = "xxhash64",
+    line_max_doc_freq: int | None = None,
+    bench_df: DataFrame | None = None,
+    bench_text_col: str = "text",
+    decontam_ngram_k: int = 13,
 ) -> DataFrame:
     """The standard pre-training corpus pipeline as ONE composition:
 
-      quality/language/length filter  (map-only)
+      boilerplate line removal        (optional; rewrites the text col)
+        → quality/language/length filter  (map-only)
         → exact dedup                 (hash shuffle on (md5, id) only)
         → MinHash-LSH near-dedup      (banded equi-join, min-id survivor)
+        → benchmark decontamination   (optional; broadcast semi join)
         → deterministic split column  (map-only)
 
     Returns the surviving documents with their original columns plus
-    ``split``. Stage order is the cheap-to-expensive discipline: the
+    ``split``. Stage order is the cheap-to-expensive discipline: line
+    cleanup first (it is the only stage that REWRITES text, so every
+    later judgment sees the cleaned document — the C4 ordering), the
     map-only filter shrinks the corpus before any shuffle, exact dedup
-    shrinks it again before the (pricier) banded join, and nothing ever
-    shuffles document payloads except the final survivors' scan.
+    shrinks it again before the (pricier) banded join, decontamination
+    runs over survivors only, and nothing ever shuffles document
+    payloads except the line-cleanup reassembly and the survivors' scan.
 
-    ``near_dup=False`` skips the LSH stage (exact-only dedup).
+    ``near_dup=False`` skips the LSH stage; ``line_max_doc_freq`` set
+    enables :func:`~datafusion_spatial_spark.operators.dedup.line_dedup`
+    with that threshold; ``bench_df`` set enables
+    :func:`~datafusion_spatial_spark.operators.dedup.decontaminate`.
     """
     from datafusion_spatial_spark.operators.dedup import (
+        decontaminate,
         dedup_exact_canonical,
+        line_dedup,
         minhash_lsh_dedup_pairs,
     )
 
+    work = df
+    if line_max_doc_freq is not None:
+        cleaned = line_dedup(
+            work, text_col, id_col, max_doc_freq=line_max_doc_freq,
+            hash_fn=hash_fn,
+        ).select(F.col(id_col), F.col("clean_text").alias(text_col))
+        work = work.drop(text_col).join(cleaned, id_col)
+
     kept = filter_corpus(
-        df, text_col, min_quality=min_quality, langs=langs,
+        work, text_col, min_quality=min_quality, langs=langs,
         min_tokens=min_tokens, max_tokens=max_tokens,
     )
     # dedup_exact_canonical returns surviving ids only (its shuffle moves
@@ -134,6 +156,11 @@ def prepare_training_corpus(
         # the larger member (id_a < id_b by contract)
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         kept = kept.join(losers, id_col, "left_anti")
+    if bench_df is not None:
+        kept = decontaminate(
+            kept, text_col, id_col, bench_df, bench_text_col,
+            ngram_k=decontam_ngram_k, hash_fn=hash_fn,
+        )
     return hash_split(kept, id_col, weights or {"train": 0.98, "val": 0.01, "test": 0.01})
 
 

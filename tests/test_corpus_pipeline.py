@@ -1,0 +1,119 @@
+"""End-to-end corpus pipeline integration (r7): line cleanup →
+filter → dedup → decontaminate → split → shard → pack, plus a
+randomized line_dedup reference-parity battery."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark.operators.corpus import (
+    pack_sequences,
+    prepare_training_corpus,
+    shuffle_shards,
+)
+from datafusion_spatial_spark.operators.dedup import line_dedup
+from datafusion_spatial_spark.operators.text import token_count
+
+
+def _mk_docs(spark):
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY please"
+    uniq = [
+        " ".join(f"w{i}t{j}" for j in range(30)) for i in range(12)
+    ]
+    rows = []
+    for i, u in enumerate(uniq):
+        rows.append((i, banner + "\n" + u))
+    rows.append((100, banner + "\n" + uniq[0]))  # exact dup of doc 0
+    rows.append((101, "tiny"))  # fails min_tokens
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestPreparePipeline:
+    def test_all_stages_compose(self, spark):
+        docs = _mk_docs(spark)
+        bench = spark.createDataFrame(
+            [(" ".join(f"w3t{j}" for j in range(30)),)], ["text"]
+        )  # contaminates doc 3 (whole-line 13-gram overlap)
+        out = prepare_training_corpus(
+            docs, "text", "doc_id",
+            min_quality=0.0, min_tokens=5, near_dup=False,
+            line_max_doc_freq=2,  # banner is in 14 docs -> removed
+            bench_df=bench,
+        )
+        rows = {r.doc_id: r for r in out.collect()}
+        # 101 (tiny) filtered; one of {0,100} deduped; 3 decontaminated
+        assert 101 not in rows and 3 not in rows
+        assert len({0, 100} & set(rows)) == 1
+        # banner stripped from every surviving text
+        assert all("SUBSCRIBE" not in r.text for r in rows.values())
+        assert all(r.split in ("train", "val", "test") for r in rows.values())
+
+    def test_then_shard_and_pack(self, spark):
+        docs = _mk_docs(spark)
+        out = prepare_training_corpus(
+            docs, "text", "doc_id", min_quality=0.0, min_tokens=5,
+            near_dup=False, line_max_doc_freq=2,
+        ).withColumn("n_tokens", token_count("text"))
+        packed = pack_sequences(
+            shuffle_shards(out, "doc_id", 2), "doc_id", "n_tokens", 64,
+            shard_col="shard",
+        )
+        tot = packed.groupBy("shard", "seq_id").agg(
+            F.sum("n_tokens").alias("t"), F.count("*").alias("n")
+        ).collect()
+        assert all(r.t <= 64 or r.n == 1 for r in tot)
+        assert packed.count() == out.count()
+
+
+def _line_dedup_oracle(rows, max_doc_freq, min_line_chars):
+    from collections import defaultdict
+
+    docfreq = defaultdict(set)
+    for i, t in rows:
+        for ln in t.split("\n"):
+            k = ln.strip()
+            if len(k) >= min_line_chars:
+                docfreq[k].add(i)
+    hot = {k for k, ids in docfreq.items() if len(ids) > max_doc_freq}
+    out = {}
+    for i, t in rows:
+        lines = t.split("\n")
+        kept = [
+            ln for ln in lines
+            if not (len(ln.strip()) >= min_line_chars and ln.strip() in hot)
+        ]
+        dropped = len(lines) - len(kept)
+        out[i] = ("\n".join(kept), len(lines), dropped)
+    return out
+
+
+class TestLineDedupRandomized:
+    @pytest.mark.parametrize("seed", [3, 17, 99])
+    def test_reference_parity(self, spark, seed):
+        rng = random.Random(seed)
+        vocab = [f"tok{i}" for i in range(12)]
+        shared = [
+            " ".join(rng.choices(vocab, k=rng.randint(1, 6)))
+            for _ in range(8)
+        ]
+        rows = []
+        for i in range(40):
+            lines = []
+            for _ in range(rng.randint(1, 8)):
+                if rng.random() < 0.4:
+                    lines.append(rng.choice(shared))
+                else:
+                    lines.append(
+                        " ".join(rng.choices(vocab, k=rng.randint(0, 5)))
+                    )
+            rows.append((i, "\n".join(lines)))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.clean_text, r.n_lines, r.n_dropped)
+            for r in line_dedup(
+                df, "text", "doc_id", max_doc_freq=2, min_line_chars=4,
+                hash_fn="exact",
+            ).collect()
+        }
+        assert got == _line_dedup_oracle(rows, 2, 4)
