@@ -28,6 +28,8 @@ def ensure_min_parallelism(
     partition count already exceeds the target and this is a no-op with
     zero added shuffle.
     """
+    if df.isStreaming:  # .rdd is undefined on streaming frames
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -68,7 +68,33 @@ def extra_queries():
             meters=50_000.0,
         )
 
+    def shard_pack(spark, sf_dir):
+        from datafusion_spatial_spark.operators.corpus import (
+            pack_sequences, shuffle_shards,
+        )
+        from datafusion_spatial_spark.operators.text import token_count
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", token_count("text").alias("n_tokens")
+        )
+        packed = pack_sequences(
+            shuffle_shards(docs, "doc_id", 32), "doc_id", "n_tokens",
+            4096, shard_col="shard",
+        )
+        return packed.groupBy("shard").agg(
+            F.max("seq_id").alias("seqs"), F.count("*").alias("docs")
+        )
+
+    def decontam(spark, sf_dir):
+        from datafusion_spatial_spark.operators.dedup import decontaminate
+
+        docs = load_table(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+        return decontaminate(docs, "text", "doc_id", bench, "text").groupBy().count()
+
     return {
+        "q_shard_pack": shard_pack,
+        "q_decontaminate": decontam,
         "q_dedup_corpus": q["q_dedup_corpus"],
         "q_minhash_lsh_pairs": entry_mod._q_minhash_lsh,
         "q_spatial_grid_join": q["q_spatial_grid_join"],
