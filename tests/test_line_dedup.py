@@ -101,3 +101,27 @@ class TestEnsureMinParallelism:
         df = spark.range(1000).repartition(8)
         out = ensure_min_parallelism(df, min_partitions=4)
         assert out is df  # structurally untouched — no added shuffle
+
+
+class TestPlanShape:
+    def test_line_dedup_plan(self, spark):
+        # scale contract: equi-joins only (no cartesian), bounded shuffles
+        rows = [(i, f"line a\nline b{i}\nline c") for i in range(50)]
+        df = spark.createDataFrame(rows, ["doc_id", "content"])
+        out = line_dedup(df, "content", "doc_id", max_doc_freq=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_pack_sequences_payload_stays_jvm_side(self, spark):
+        # only (group, id, n) enter the Python worker: the payload column
+        # must not appear in the ArrowEvalPython/FlatMapGroupsInPandas input
+        from datafusion_spatial_spark.operators.corpus import pack_sequences
+
+        rows = [(i, 10, "p" * 100) for i in range(20)]
+        df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "payload"])
+        out = pack_sequences(df, "doc_id", "n_tokens", 64)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        import re
+        m = re.search(r"FlatMapGroupsInPandas.*", plan)
+        assert m and "payload" not in m.group(0)
