@@ -1541,7 +1541,11 @@ def _q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     planes = random_hyperplanes(EMB_DIMS, NEAR_DUP_PLANES, seed=NEAR_DUP_SEED)
     pairs = cosine_near_dup_pairs(
-        emb, "embedding", "vec_id", threshold=NEAR_DUP_T, planes=planes
+        emb, "embedding", "vec_id", threshold=NEAR_DUP_T, planes=planes,
+        # the DuckDB oracle mirrors the bucketing WITHOUT a bucket-size
+        # cap; disable the operator's default 10k degenerate-bucket guard
+        # so Spark and oracle stay bit-identical at any gate/audit scale
+        max_bucket=None,
     )
     return pairs.orderBy("id_a", "id_b")
 

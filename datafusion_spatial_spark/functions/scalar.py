@@ -327,10 +327,13 @@ def _wkb_bbox_udf(s: pd.Series) -> pd.DataFrame:
         out = np.full((len(s), 4), np.nan)
         if nz.size:
             offs = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
-            out[nz, 0] = np.minimum.reduceat(xs, offs)
-            out[nz, 1] = np.minimum.reduceat(ys, offs)
-            out[nz, 2] = np.maximum.reduceat(xs, offs)
-            out[nz, 3] = np.maximum.reduceat(ys, offs)
+            # fmin/fmax (not minimum/maximum): a NaN vertex (EMPTY member
+            # inside a multi-geometry) must be EXCLUDED, matching the
+            # per-row wkb.bbox slow path — all-NaN rows stay NaN -> null
+            out[nz, 0] = np.fmin.reduceat(xs, offs)
+            out[nz, 1] = np.fmin.reduceat(ys, offs)
+            out[nz, 2] = np.fmax.reduceat(xs, offs)
+            out[nz, 3] = np.fmax.reduceat(ys, offs)
         return pd.DataFrame(out, columns=["xmin", "ymin", "xmax", "ymax"])
     rows = []
     for b in s:

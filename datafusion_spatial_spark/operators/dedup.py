@@ -488,7 +488,8 @@ def line_dedup(
     the (key, id) pre-aggregate) → join lines against the *hot* set only
     (boilerplate is a tiny fraction of distinct lines, so AQE broadcasts
     it at runtime) → one groupBy(id) to reassemble. Documents shuffle
-    once, as their own lines.
+    once, as their own lines (plus the local fat-row-group guard's
+    round-robin when the scan under-parallelizes — a no-op at scale).
 
     ``hash_fn``: ``"xxhash64"`` (fast JVM intrinsic), ``"poly"``
     (oracle-reproducible 30-bit), or ``"exact"`` — key on the trimmed
@@ -501,7 +502,12 @@ def line_dedup(
     key = trimmed if hash_fn == "exact" else _hash_str(trimmed, hash_fn)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+        # coalesce: a NULL text must still yield its row (posexplode of a
+        # null array emits nothing -> the document would silently vanish,
+        # breaking the one-row-per-input contract); NULL cleans to ""
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("__pos", "__line"),
     ).select(
         F.col(id_col),
         "__pos",
@@ -559,9 +565,11 @@ def decontaminate(
 
     Scale shape: the benchmark shingle set is tiny next to the corpus
     (millions of n-grams vs billions of documents), so it is broadcast
-    and the contamination check is a map-side LEFT SEMI join — the
-    corpus itself never shuffles. Set ``broadcast_bench=False`` to let
-    AQE decide when the benchmark is genuinely large.
+    and the contamination check is a map-side LEFT SEMI join — at real
+    scale the corpus itself never shuffles (the under-parallel-scan
+    guard's round-robin applies only to the local fat-row-group case).
+    Set ``broadcast_bench=False`` to let AQE decide when the benchmark
+    is genuinely large.
 
     Note: documents (or benchmark rows) shorter than ``ngram_k`` words
     produce a single whole-text shingle (word_shingles semantics), so a

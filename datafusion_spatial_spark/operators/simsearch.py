@@ -164,7 +164,7 @@ def cosine_near_dup_pairs(
     dims: int | None = None,
     n_planes: int = 8,
     seed: int = 42,
-    max_bucket: int = 10_000,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-based near-duplicate PAIR mining at corpus scale: LSH
     hyperplane bucketing (map-only) → within-bucket self-join (equi-join on
@@ -185,12 +185,16 @@ def cosine_near_dup_pairs(
     bucketed = lsh_bucket(df, vec_col, id_col, planes).select(
         F.col(id_col).alias("__id"), _vec(vec_col).alias("__v"), "bucket"
     )
-    # cap pathological buckets before the self-join
-    counts = bucketed.groupBy("bucket").count()
-    bucketed = bucketed.join(
-        F.broadcast(counts.filter(F.col("count") <= max_bucket).select("bucket")),
-        "bucket",
-    )
+    if max_bucket is not None:
+        # cap pathological buckets before the self-join (None = uncapped,
+        # e.g. when an external oracle mirrors the bucketing without one)
+        counts = bucketed.groupBy("bucket").count()
+        bucketed = bucketed.join(
+            F.broadcast(
+                counts.filter(F.col("count") <= max_bucket).select("bucket")
+            ),
+            "bucket",
+        )
     a = bucketed.select(
         "bucket", F.col("__id").alias("id_a"), F.col("__v").alias("__va")
     )

@@ -30,9 +30,15 @@ def ensure_min_parallelism(
     """
     if df.isStreaming:  # .rdd is undefined on streaming frames
         return df
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        sc = df.sparkSession.sparkContext
+        target = min_partitions or sc.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect (no .rdd / sparkContext) — the guard is a local
+        # fat-row-group mitigation; on a connect cluster just pass through
+        return df
+    if n < target:
         return df.repartition(target)
     return df
 

@@ -592,28 +592,29 @@ def spatial_join_geography(
     # Δλ, so padding lat by that worst-case excess keeps near-threshold
     # pairs in the candidate set (the excess only widens the prefilter —
     # false candidates are removed by the exact refine).
+    # Two distinct quantities (r7 review fix — they differ because the
+    # excess e(φ) peaks at φ* ≈ 43–45°, not at the data's max latitude):
+    #   apex_excess = e(lat): how far past the DATA's max |lat| any arc
+    #     reaches (apex latitude φ + e(φ) is increasing in φ, so the
+    #     global max apex is at lat) — sizes pad_lon and the contract
+    #     check;
+    #   bulge = max e(φ) over φ ≤ lat: the worst bbox-vs-arc latitude
+    #     gap for ANY geometry in the data — pads the prefilter.
+    apex_excess = 0.0
     bulge = 0.0
     if lon_span > 0.0 and lat > 0.0:
-        if lon_span >= 179.0:
+        bulge = _arc_bulge_deg(lat, lon_span)  # raises on span ≥ 179°
+        apex_excess = _arc_excess_at(lat, lon_span)
+        if lat + apex_excess > max_abs_lat + pad_lat:
             raise ValueError(
-                f"a geometry spans {lon_span:.1f}° of longitude — "
-                "great-circle arcs over half the globe make the "
-                "degree-grid prefilter unsound; split segments first"
+                f"arc bulge reaches |lat|≈{lat + apex_excess:.1f}° — "
+                f"beyond the {max_abs_lat}° geography-join contract; "
+                "split long east-west segments or use a polar-cap "
+                "projection"
             )
-        phi = math.radians(lat)
-        half = math.radians(lon_span) / 2.0
-        bulge = math.degrees(
-            math.atan(math.tan(phi) / math.cos(half)) - phi
-        )
-        if lat + bulge > max_abs_lat + pad_lat:
-            raise ValueError(
-                f"arc bulge reaches |lat|≈{lat + bulge:.1f}° — beyond "
-                f"the {max_abs_lat}° geography-join contract; split "
-                "long east-west segments or use a polar-cap projection"
-            )
-    # pad_lon sized at the BULGED max latitude (arcs reach lat + bulge,
-    # where lon degrees are shortest)
-    lat_eff = min(lat + bulge, 89.9)
+    # pad_lon sized at the BULGED max latitude (arcs reach
+    # lat + apex_excess, where lon degrees are shortest)
+    lat_eff = min(lat + apex_excess, 89.9)
     s = math.sin(meters / (2.0 * R)) / math.cos(math.radians(lat_eff))
     pad_lon = math.degrees(2.0 * math.asin(min(1.0, s)))
     pad_deg = (max(pad_lat, pad_lon) + bulge) * (1.0 + 1e-9)
@@ -650,15 +651,19 @@ def _geography_join_with_polar_caps(
       data. Cap rows must stay in their hemisphere (a geometry spanning
       from the equator into a polar cap raises — split it first).
     * mid leg: rows whose bbox touches [−cap_lat, cap_lat]. Rows that
-      straddle the boundary appear in BOTH legs; the mid leg's own guard
-      is relaxed to 88° for them, and duplicate pairs collapse on ids.
+      straddle the boundary appear in BOTH legs (the mid leg's own guard
+      is relaxed to 88° for them), but the legs are PAIR-disjoint: a cap
+      leg keeps only pairs with at least one row entirely inside its cap
+      (``mid_limit``), so the union needs no dedup and id columns need
+      not be unique row keys.
 
     Completeness: a pair within ``meters`` whose two rows' tops are both
     below ``cap_lat − reach`` is all-mid; if one row lies entirely above
     ``cap_lat`` every partner must reach ``cap_lat − reach`` (the pad +
-    bulge bound), so the pair is all-cap; every remaining shape has both
-    rows touching the mid band. Both legs refine with the same exact
-    spherical kernel, so the union is exactly the dwithin set.
+    max-arc-bulge bound), so the pair is all-cap; every remaining shape
+    has both rows touching the mid band — mid territory, dropped by the
+    cap legs' disjointness filter. Both legs refine with the same exact
+    spherical kernel (_refine), so the union is exactly the dwithin set.
     """
     import math
 
@@ -685,6 +690,7 @@ def _geography_join_with_polar_caps(
                 max_abs_lat=88.0, _allow_polar=False,
             )
         )
+    mid_created = bool(legs)
     # north cap
     if min(tops) >= cap_lo and max(tops) > cap_lat:
         legs.append(
@@ -694,6 +700,7 @@ def _geography_join_with_polar_caps(
                 left_geom, right_geom, left_meta, right_meta,
                 left_id, right_id, meters, south=False,
                 with_distance=with_distance,
+                mid_limit=cap_lat if mid_created else None,
             )
         )
     # south cap
@@ -705,6 +712,7 @@ def _geography_join_with_polar_caps(
                 left_geom, right_geom, left_meta, right_meta,
                 left_id, right_id, meters, south=True,
                 with_distance=with_distance,
+                mid_limit=cap_lat if mid_created else None,
             )
         )
     if not legs:
@@ -722,17 +730,37 @@ def _geography_join_with_polar_caps(
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
-    if len(legs) > 1:
-        # straddling rows are members of two legs; the refine is the same
-        # exact kernel in each, so duplicates are identical rows
-        out = out.dropDuplicates([left_id, right_id])
+    # no dedup: the legs are PAIR-DISJOINT by construction — cap legs
+    # drop pairs where both rows touch the mid band (the mid leg's
+    # territory, via mid_limit), so row multiplicity is preserved even
+    # when id columns are not unique keys
     return out
 
 
+def _arc_excess_at(lat: float, lon_span: float) -> float:
+    """Poleward excess (degrees) of an arc whose VERTICES sit at ``lat``°
+    spanning ``lon_span``° of longitude: apex = atan(tan φ / cos(Δλ/2))."""
+    import math
+
+    if lon_span <= 0.0 or lat <= 0.0:
+        return 0.0
+    phi = math.radians(min(lat, 89.9))
+    half = math.radians(lon_span) / 2.0
+    return math.degrees(math.atan(math.tan(phi) / math.cos(half)) - phi)
+
+
 def _arc_bulge_deg(lat: float, lon_span: float) -> float:
-    """Worst-case poleward excess (degrees) of a great-circle arc over its
-    vertex latitudes: a segment spanning ``lon_span``° at ``lat``° reaches
-    atan(tan φ / cos(Δλ/2)). Raises for spans where the bound is useless."""
+    """MAX poleward excess (degrees) of any great-circle arc with vertex
+    latitudes ≤ ``lat`` spanning ``lon_span``° of longitude.
+
+    The excess e(φ) = atan(tan φ / cos(Δλ/2)) − φ is NOT monotone in φ:
+    de/dφ = 0 at tan φ* = √cos(Δλ/2) (φ* ≈ 43–45°), increasing below,
+    decreasing above — so evaluating at the dataset's max |lat| under-
+    covers arcs whose vertices sit nearer φ* (r7 review finding: a 60°-
+    span segment at 43° has a ~4° apex excess while e(60°) ≈ 3.4°, so a
+    within-threshold pair could be pruned whenever higher-latitude data
+    raised the evaluation point). The max over [0, lat] is e(min(lat, φ*)).
+    Raises for spans where the bound is useless."""
     import math
 
     if lon_span <= 0.0 or lat <= 0.0:
@@ -743,9 +771,9 @@ def _arc_bulge_deg(lat: float, lon_span: float) -> float:
             "arcs over half the globe make the grid prefilter unsound; "
             "split segments first"
         )
-    phi = math.radians(min(lat, 89.9))
     half = math.radians(lon_span) / 2.0
-    return math.degrees(math.atan(math.tan(phi) / math.cos(half)) - phi)
+    phi_star = math.degrees(math.atan(math.sqrt(math.cos(half))))
+    return _arc_excess_at(min(lat, phi_star), lon_span)
 
 
 def _stereo_xy_exprs(lon: Column, lat: Column, south: bool):
@@ -853,6 +881,7 @@ def _polar_pbox_udf(meta: GeometryMeta, south: bool):
 def _polar_cap_join(
     left, right, left_geom, right_geom, left_meta, right_meta,
     left_id, right_id, meters, south, with_distance,
+    mid_limit=None,
 ):
     """Planar grid dwithin join inside one polar cap: grid keys and the
     bbox prefilter live in stereographic meters, the refine is the exact
@@ -865,10 +894,17 @@ def _polar_cap_join(
     (a geodesic image point is within k_max·d_sphere/2 of an endpoint and
     d_sphere ≤ the planar chord). All stats are bounded driver-side
     metadata, same as the mid path's latitude scan.
+
+    ``mid_limit`` set (to the cap boundary latitude) makes this leg
+    PAIR-DISJOINT from the coexisting mid leg: pairs where both rows
+    touch the mid band (|bbox| reaching ≤ ``mid_limit``) are the mid
+    leg's territory and are filtered out here, so the leg union needs no
+    dedup — preserving row multiplicity when id columns are not unique
+    keys (r7 review fix: dropDuplicates on ids silently collapsed
+    distinct same-id rows and picked an arbitrary distance).
     """
     import math
 
-    from datafusion_spatial_spark.functions.geodesic import _haversine_expr
     from datafusion_spatial_spark.functions.scalar import st_bbox, st_x, st_y
 
     both_points = (
@@ -887,6 +923,14 @@ def _polar_cap_join(
         else:
             pbox = _polar_pbox_udf(meta, south)(geom)
         bb = st_bbox(geom, meta)
+        # cap-interior flag: row lies ENTIRELY above the mid band, so any
+        # pair it joins cannot also be found by the mid leg
+        if mid_limit is None:
+            capint = F.lit(True)
+        elif south:
+            capint = bb["ymax"] < F.lit(-float(mid_limit))
+        else:
+            capint = bb["ymin"] > F.lit(float(mid_limit))
         return (
             df.select(
                 F.col(out_id).alias("__id"),
@@ -894,6 +938,7 @@ def _polar_cap_join(
                 pbox.alias("__pbox"),
                 bb["ymin"].alias("__latmin") if not south
                 else (-bb["ymax"]).alias("__latmin"),
+                capint.alias("__capint"),
             )
             .filter(F.col("__pbox.xmin").isNotNull())
         )
@@ -951,37 +996,33 @@ def _polar_cap_join(
             & (F.col("r.__pbox.ymin") <= F.col("l.__pbox.ymax") + pad)
         )
         .filter(F.col("l.__cell") == canon_x * F.lit(1 << 32) + canon_y)
+        # leg disjointness: both-mid pairs belong to the mid leg
+        .filter(F.col("l.__capint") | F.col("r.__capint"))
         .select(
             F.col("l.__id").alias("__lid"),
             F.col("r.__id").alias("__rid"),
-            F.col("l.__geom").alias("__lgeom"),
-            F.col("r.__geom").alias("__rgeom"),
+            *(
+                (
+                    F.struct(
+                        F.col("l.__geom.x").alias("xmin"),
+                        F.col("l.__geom.y").alias("ymin"),
+                    ).alias("__lbox"),
+                    F.struct(
+                        F.col("r.__geom.x").alias("xmin"),
+                        F.col("r.__geom.y").alias("ymin"),
+                    ).alias("__rbox"),
+                )
+                if both_points
+                else (
+                    F.col("l.__geom").alias("__lgeom"),
+                    F.col("r.__geom").alias("__rgeom"),
+                )
+            ),
         )
     )
-    if both_points:
-        # pure-Catalyst refine (native point structs carry lon/lat)
-        dcol = _haversine_expr(
-            F.col("__lgeom.x"), F.col("__lgeom.y"),
-            F.col("__rgeom.x"), F.col("__rgeom.y"),
-        )
-    else:
-        from datafusion_spatial_spark.functions.geodesic import (
-            st_distancesphere_geoms,
-        )
-
-        dcol = st_distancesphere_geoms(
-            "__lgeom", "__rgeom", left_meta, right_meta
-        )
-    if with_distance:
-        return (
-            cand.withColumn("__dist", dcol)
-            .filter(F.col("__dist") <= F.lit(float(meters)))
-            .select(
-                F.col("__lid").alias(left_id),
-                F.col("__rid").alias(right_id),
-                F.col("__dist").alias("distance_m"),
-            )
-        )
-    return cand.filter(dcol <= F.lit(float(meters))).select(
-        F.col("__lid").alias(left_id), F.col("__rid").alias(right_id)
+    # same exact spherical refine as the mid leg — shared code, shared
+    # semantics (r7 review fix: this tail was a hand-kept copy of _refine)
+    return _refine(
+        cand, left_meta, right_meta, left_id, right_id,
+        "dwithin_sphere", meters, with_distance, both_points,
     )

@@ -159,3 +159,21 @@ def test_gather_f8_all_phases():
         off = np.array([pad + 8 * i for i in range(16)], dtype=np.int64)
         got = _gather_f8(buf, off)
         assert got.tolist() == vals
+
+
+def test_bbox_fastpath_excludes_nan_vertices():
+    """r7 review fix: the reduceat fast path must EXCLUDE NaN vertices
+    (EMPTY members inside a multi-geometry) exactly like the per-row
+    wkb.bbox slow path — np.minimum propagates NaN, np.fmin skips it."""
+    from datafusion_spatial_spark.functions.scalar import _wkb_bbox_udf
+
+    nan = float("nan")
+    vals = [
+        W.dumps(Geom("MultiPoint", [(nan, nan), (1.0, 1.0)])),
+        W.dumps(Geom("MultiPoint", [(2.0, 3.0)])),
+        W.dumps(Geom("MultiPoint", [(nan, nan)])),  # all-NaN -> null bbox
+    ]
+    out = _wkb_bbox_udf.func(pd.Series(vals, dtype=object))
+    assert tuple(out.iloc[0]) == (1.0, 1.0, 1.0, 1.0)
+    assert tuple(out.iloc[1]) == (2.0, 3.0, 2.0, 3.0)
+    assert out.iloc[2].isna().all()

@@ -80,6 +80,21 @@ class TestLineDedup:
         ).collect()[0]
         assert out.clean_text == text  # nothing hot, original order intact
 
+
+    def test_null_text_row_survives(self, spark):
+        # r7 review fix: posexplode of a null split array emits nothing,
+        # so a NULL-text document silently vanished from the output
+        rows = [(1, "keep me"), (2, None)]
+        df = spark.createDataFrame(rows, "doc_id int, content string")
+        out = {
+            r.doc_id: r
+            for r in line_dedup(
+                df, "content", "doc_id", max_doc_freq=1, hash_fn="exact"
+            ).collect()
+        }
+        assert set(out) == {1, 2}
+        assert out[2].clean_text == "" and out[2].n_dropped == 0
+
     @pytest.mark.parametrize("hash_fn", ["poly", "xxhash64"])
     def test_hash_paths_match_exact(self, docs, hash_fn):
         kw = dict(max_doc_freq=2, min_line_chars=3)

@@ -1085,3 +1085,102 @@ def test_spatial_join_geography_polar_lines(spark):
             if d <= meters:
                 want.add((li, pi))
     assert got == want and len(want) >= 3
+
+
+def test_geography_join_wide_segment_bulge_peaks_off_max_lat(spark):
+    """r7 review fix: the poleward excess e(φ) peaks at φ* ≈ 43–45°
+    (tan φ* = √cos(Δλ/2)), NOT at the data's max |lat| — evaluating the
+    prefilter bulge at the dataset max (here 60°, e=3.43°) under-covered
+    a 60°-span segment at 43° whose apex excess is 4.12°, so this
+    within-threshold pair vanished whenever a higher-latitude bystander
+    row existed. True distance: 1911 m; bbox lat gap 4.10° > old pad
+    ≈3.48°, ≤ new pad ≈4.16°."""
+    from datafusion_spatial_spark import wkb as W
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_geography,
+    )
+
+    wkb_meta = GeometryMeta(encoding="WKB", geometry_types=("LineString",))
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    lines = [
+        (0, [(0.0, 43.0), (60.0, 43.0)]),
+        (1, [(100.0, 60.0), (100.1, 60.0)]),  # bystander raises max |lat|
+    ]
+    ldf = spark.createDataFrame(
+        [(i, bytearray(W.dumps(W.Geom("LineString", cs)))) for i, cs in lines],
+        "lid long, geom binary",
+    )
+    rdf = spark.createDataFrame(
+        [(7, 30.0, 47.10)], "pid long, x double, y double"
+    ).select(
+        "pid",
+        F.struct(F.col("x").alias("x"), F.col("y").alias("y")).alias("geom"),
+    )
+    out = spatial_join_geography(
+        ldf, rdf, "geom", "geom", wkb_meta, pm, "lid", "pid", 5000.0,
+        with_distance=True,
+    ).collect()
+    got = {(r.lid, r.pid) for r in out}
+    assert (0, 7) in got, got
+    d = next(r.distance_m for r in out if r.lid == 0)
+    assert abs(d - 1911.0) < 5.0
+
+
+def test_geography_join_cap_membership_uses_max_excess(spark):
+    """r7 review fix: cap-leg membership used reach = pad + e(cap_lat),
+    but e is DECREASING above φ*, so a segment whose top sits just below
+    cap_lat − reach can still have its arc apex inside the cap (here:
+    top 79.65° < old cap_lo 79.6568°, apex 79.9988°, 620 m from a point
+    at 80.001°). The max-excess bound (cap_lo ≈ 79.0°) keeps it."""
+    from datafusion_spatial_spark import wkb as W
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_geography,
+    )
+
+    wkb_meta = GeometryMeta(encoding="WKB", geometry_types=("LineString",))
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    ldf = spark.createDataFrame(
+        [(0, bytearray(W.dumps(W.Geom(
+            "LineString", [(0.0, 79.65), (30.0, 79.65)]
+        ))))],
+        "lid long, geom binary",
+    )
+    rdf = spark.createDataFrame(
+        [(9, 15.0, 80.001)], "pid long, x double, y double"
+    ).select(
+        "pid",
+        F.struct(F.col("x").alias("x"), F.col("y").alias("y")).alias("geom"),
+    )
+    out = spatial_join_geography(
+        ldf, rdf, "geom", "geom", wkb_meta, pm, "lid", "pid", 1000.0,
+        with_distance=True,
+    ).collect()
+    assert {(r.lid, r.pid) for r in out} == {(0, 9)}, out
+    assert abs(out[0].distance_m - 620.3) < 2.0
+
+
+def test_geography_join_polar_preserves_row_multiplicity(spark):
+    """r7 review fix: the leg union used dropDuplicates on ids, which
+    collapsed legitimately distinct rows sharing an id (and picked an
+    arbitrary distance among them). Legs are now pair-disjoint, so two
+    same-id left rows near a cap-interior point yield two output rows —
+    identical to what the mid-latitude path would do."""
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_geography,
+    )
+
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    mk = lambda x, y: F.struct(F.lit(x).alias("x"), F.lit(y).alias("y"))
+    ldf = spark.range(2).select(
+        F.lit(7).alias("lid"),
+        F.when(F.col("id") == 0, mk(10.0, 85.0)).otherwise(mk(10.04, 85.0)).alias("geom"),
+    )
+    rdf = spark.range(1).select(
+        F.lit(9).alias("pid"), mk(10.01, 85.0).alias("geom")
+    )
+    out = spatial_join_geography(
+        ldf, rdf, "geom", "geom", pm, pm, "lid", "pid", 5000.0,
+        with_distance=True,
+    ).collect()
+    assert len(out) == 2, out
+    assert len({r.distance_m for r in out}) == 2  # both distances kept
