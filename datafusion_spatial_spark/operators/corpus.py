@@ -265,3 +265,59 @@ def pack_sequences(
     return df.join(
         assigned.drop(*([] if shard else [gcol])), join_keys, "inner"
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    target_weights: dict[str, float] | None = None,
+    temperature: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Re-balance a multi-source corpus to a target mixture by per-source
+    Bernoulli down-sampling (the pre-training data-mixture step).
+
+    Two modes:
+
+    * ``target_weights`` — explicit relative weights per source value;
+      the largest feasible output keeps every document of the most
+      over-demanded source and down-samples the rest to match.
+    * ``temperature`` — derive the weights from the observed source
+      counts as count^(1/T) (T > 1 flattens the mixture toward uniform,
+      the multilingual-rebalancing trick; T = 1 keeps proportions).
+
+    One count aggregate driver-side (tiny: one row per source), then a
+    single map-only ``sampleBy`` pass — no shuffle of the corpus.
+    Deterministic under ``seed``. Sources absent from
+    ``target_weights`` are dropped (weight 0).
+    """
+    if (target_weights is None) == (temperature is None):
+        raise ValueError("pass exactly one of target_weights= / temperature=")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    if temperature is not None:
+        if temperature <= 0:
+            raise ValueError("temperature must be > 0")
+        target_weights = {
+            s: float(c) ** (1.0 / temperature) for s, c in counts.items()
+        }
+    total_w = sum(target_weights.values())
+    if total_w <= 0:
+        return df.filter(F.lit(False))
+    # scale so the most over-demanded source keeps fraction 1.0 (largest
+    # feasible corpus honoring the ratios)
+    scale = min(
+        counts[s] / (target_weights[s] / total_w)
+        for s in target_weights
+        if s in counts and target_weights[s] > 0
+    )
+    fractions = {
+        s: min(1.0, (target_weights.get(s, 0.0) / total_w) * scale / counts[s])
+        for s in counts
+    }
+    return df.sampleBy(source_col, fractions, seed=seed)

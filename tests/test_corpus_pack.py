@@ -109,3 +109,59 @@ class TestPackSequences:
         df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "text"])
         out = pack_sequences(df, "doc_id", "n_tokens", 64).collect()
         assert {r.text for r in out} == {"hello", "world"}
+
+
+class TestMixtureSample:
+    def _counts(self, df):
+        from collections import Counter
+        return Counter(r.source for r in df.collect())
+
+    def test_temperature_flattens(self, spark):
+        rows = [(i, "big") for i in range(4000)] + [
+            (10_000 + i, "small") for i in range(250)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        from datafusion_spatial_spark.operators.corpus import mixture_sample
+
+        out = self._counts(mixture_sample(df, "source", temperature=4.0))
+        # T=4: weights 4000^.25 : 250^.25 = 1.59 : 0.79 ≈ 2 : 1.
+        # 'small' is the binding source (kept ~fully); 'big' downsamples
+        # to ~2x small ≈ 500.
+        assert out["small"] > 200
+        assert 350 < out["big"] < 700
+        ratio = out["big"] / out["small"]
+        assert 1.4 < ratio < 2.9  # targets 2.0, Bernoulli noise allowed
+
+    def test_explicit_weights_ratio(self, spark):
+        rows = [(i, "a") for i in range(3000)] + [
+            (10_000 + i, "b") for i in range(3000)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        from datafusion_spatial_spark.operators.corpus import mixture_sample
+
+        out = self._counts(
+            mixture_sample(df, "source", target_weights={"a": 3.0, "b": 1.0})
+        )
+        assert out["a"] == 3000  # over-demanded source kept whole
+        assert 800 < out["b"] < 1200  # ~1000
+
+    def test_missing_source_dropped(self, spark):
+        rows = [(1, "a"), (2, "b")]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        from datafusion_spatial_spark.operators.corpus import mixture_sample
+
+        out = self._counts(
+            mixture_sample(df, "source", target_weights={"a": 1.0})
+        )
+        assert out.get("b", 0) == 0 and out["a"] == 1
+
+    def test_arg_validation(self, spark):
+        import pytest as _pt
+
+        from datafusion_spatial_spark.operators.corpus import mixture_sample
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+        with _pt.raises(ValueError):
+            mixture_sample(df, "source")
+        with _pt.raises(ValueError):
+            mixture_sample(df, "source", target_weights={"a": 1}, temperature=2)
