@@ -146,14 +146,21 @@ def write_spatial(
     # in the dataset or a big geometry centered outside the window could be
     # directory-pruned away while its bbox still overlaps. Record it (one
     # cheap agg over the just-written columns; 0 for points).
-    halves = (
-        df.sparkSession.read.parquet(path)
-        .agg(
-            F.max((F.col("bbox_xmax") - F.col("bbox_xmin")) / 2.0),
-            F.max((F.col("bbox_ymax") - F.col("bbox_ymin")) / 2.0),
+    try:
+        halves = (
+            df.sparkSession.read.parquet(path)
+            .agg(
+                F.max((F.col("bbox_xmax") - F.col("bbox_xmin")) / 2.0),
+                F.max((F.col("bbox_ymax") - F.col("bbox_ymin")) / 2.0),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
+    except Exception:
+        # an EMPTY input writes only _SUCCESS (no part files), so the
+        # read-back cannot infer a schema; the layout is still valid —
+        # zero rows need zero pad (r7 review fix: this used to crash
+        # after the write, leaving the directory without its sidecar)
+        halves = (0.0, 0.0)
     with open(os.path.join(path, _LAYOUT_FILE), "w") as f:
         json.dump(
             {

@@ -27,6 +27,22 @@ from datafusion_spatial_spark.meta import (
 )
 
 
+def _require_local(path: str, what: str) -> None:
+    """Footer harvest / stamping walk the filesystem with driver- or
+    task-side pyarrow, which only sees local (or locally-mounted) paths.
+    A remote scheme used to degrade SILENTLY (glob returns nothing → no
+    metadata, no stamp) — r7 review fix: refuse loudly instead."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme in ("", "file"):
+        return
+    raise NotImplementedError(
+        f"{what} reads parquet footers via local-filesystem pyarrow and "
+        f"does not support the {scheme!r} scheme; read the data with "
+        "spark.read.parquet and attach metadata explicitly "
+        "(meta.with_geo_meta), or run against a locally-mounted path"
+    )
+
+
 def _first_parquet_file(path: str) -> str | None:
     if os.path.isfile(path):
         return path
@@ -40,6 +56,7 @@ def read_geo_footer(path: str) -> dict[str, GeometryMeta]:
     """Harvest {column: GeometryMeta} from a parquet file/directory footer."""
     import pyarrow.parquet as pq
 
+    _require_local(path, "read_geo_footer")
     f = _first_parquet_file(path)
     if f is None:
         return {}
@@ -55,6 +72,7 @@ def read_geo_footer_raw(path: str) -> dict:
     ``covering`` that GeometryMeta doesn't model)."""
     import pyarrow.parquet as pq
 
+    _require_local(path, "read_geo_footer_raw")
     f = _first_parquet_file(path)
     if f is None:
         return {}
@@ -83,29 +101,40 @@ def read_geoparquet(
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(path)
-    for col, meta in read_geo_footer(path).items():
+    # parse the footer ONCE; metas, coverings and primary all derive from
+    # it (this used to re-glob + re-read the footer up to three times)
+    footer = read_geo_footer_raw(path)
+    metas = parse_geo_footer(json.dumps(footer).encode()) if footer else {}
+    for col, meta in metas.items():
         if col in df.columns:
             df = with_geo_meta(df, col, meta)
     if window is not None:
-        raw = read_geoparquet_covering(path)
+        raw = {
+            c: (spec.get("covering") or {}).get("bbox")
+            for c, spec in (footer.get("columns") or {}).items()
+            if (spec.get("covering") or {}).get("bbox")
+        }
         if not raw:
             raise ValueError(
                 "window= requires a GeoParquet covering.bbox declaration "
                 "(write with write_geoparquet(..., covering=True))"
             )
         wxmin, wymin, wxmax, wymax = (float(v) for v in window)
-        # filter on the PRIMARY column's covering — with several geometry
-        # columns declaring coverings, an arbitrary pick would window the
-        # wrong geometry; fall back to a single unambiguous declaration
-        primary = read_geo_footer_raw(path).get("primary_column")
+        # filter on the PRIMARY column's covering — windowing any other
+        # column's bbox would silently drop rows whose primary geometry
+        # intersects the window (r7 review fix: the old single-covering
+        # fallback did exactly that when the primary had no covering)
+        primary = footer.get("primary_column")
         if primary in raw:
             refs = raw[primary]
-        elif len(raw) == 1:
+        elif primary is None and len(raw) == 1:
             refs = next(iter(raw.values()))
         else:
             raise ValueError(
-                "window= is ambiguous: multiple covering declarations "
-                f"({sorted(raw)}) and primary_column={primary!r} has none"
+                "window= needs a covering.bbox on the primary column "
+                f"(primary_column={primary!r}, coverings present on "
+                f"{sorted(raw)}); rewrite with write_geoparquet(..., "
+                "covering=True) or filter explicitly"
             )
         col_of = lambda k: F.col(".".join(refs[k]))  # noqa: E731
         df = df.filter(
@@ -162,6 +191,14 @@ def write_geoparquet(
             if fld.metadata and "geo" in fld.metadata:
                 geo_columns[fld.name] = GeometryMeta.from_dict(fld.metadata["geo"])
     primary = primary_column or (next(iter(geo_columns)) if geo_columns else None)
+    if geo_columns:
+        _require_local(path, "write_geoparquet's geo-footer stamp")
+    if primary is not None and primary not in geo_columns:
+        raise ValueError(
+            f"primary_column {primary!r} has no GeometryMeta: attach it "
+            "with meta.with_geo_meta or pass geo_columns= explicitly "
+            f"(known geometry columns: {sorted(geo_columns)})"
+        )
     covering_decl = {}
     if covering:
         if primary is None:

@@ -18,17 +18,26 @@ _FORMAT_PROBE_TABLE = {
 }
 
 
-def _format_available(spark: SparkSession, fmt: str) -> bool:
+def _format_available(spark: SparkSession, fmt: str) -> bool | None:
+    """True/False from a JVM class probe; ``None`` when the session cannot
+    be probed at all (Spark Connect has no ``_jvm``) — gating must not
+    misreport a fully-configured Connect server as missing jars."""
     cls = _FORMAT_PROBE_TABLE[fmt]
     try:
-        spark._jvm.java.lang.Class.forName(cls)  # noqa: SLF001
+        jvm = spark._jvm  # noqa: SLF001
+    except Exception:
+        return None  # Spark Connect: unknowable from the client
+    if jvm is None:
+        return None
+    try:
+        jvm.java.lang.Class.forName(cls)
         return True
     except Exception:
         return False
 
 
 def _require(spark: SparkSession, fmt: str) -> None:
-    if not _format_available(spark, fmt):
+    if _format_available(spark, fmt) is False:
         raise NotImplementedError(
             f"the {fmt!r} connector jars are not on this cluster's classpath; "
             f"add them via spark.jars.packages (needs {_FORMAT_PROBE_TABLE[fmt]}). "

@@ -48,8 +48,19 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datafusion_spatial_spark.sources.tables import _ensure_session_confs
 
+    import glob as _glob
+    import os as _os
+
     _ensure_session_confs(spark)
-    t = papq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    ev = f"{sf_dir}/events.parquet"
+    if _os.path.isdir(ev):  # directory of part files (Spark's own layout)
+        parts = sorted(_glob.glob(_os.path.join(ev, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {ev}")
+        sniff = parts[0]
+    else:
+        sniff = ev
+    t = papq.read_schema(sniff).field("ts").type
     native_ts = pa.types.is_timestamp(t) and t.unit in ("s", "ms", "us")
     schema = _events_schema(
         T.TimestampType() if native_ts else T.LongType()
@@ -209,14 +220,26 @@ def run_to_memory(
             default=-1,
         )
         deadline = time.monotonic() + flush_timeout
+        flushed = False
         while time.monotonic() < deadline:
             if any(
                 p["numInputRows"] == 0 and p["batchId"] > last_seen
                 for p in q.recentProgress
             ):
                 q.processAllAvailable()  # make sure the flush batch is fully committed
+                flushed = True
                 break
             time.sleep(0.1)
+        if not flushed:
+            q.stop()
+            # r7 review fix: returning silently here hands back a table
+            # missing the final watermark-closed windows — the exact race
+            # this wait exists to prevent
+            raise TimeoutError(
+                f"memory sink {name!r}: no watermark-flush batch committed "
+                f"within {flush_timeout}s (is "
+                "spark.sql.streaming.noDataMicroBatches.enabled false?)"
+            )
     q.stop()
     return name
 
@@ -232,8 +255,6 @@ def windowed_extent(
     point stream — st_extent's min/max composition works unchanged under
     watermarked streaming aggregation (state = 4 doubles per window, the
     same partial/final shape as batch)."""
-    from pyspark.sql import functions as F
-
     from datafusion_spatial_spark.functions.scalar import st_bbox
     from datafusion_spatial_spark.meta import GeometryMeta
 
@@ -310,6 +331,12 @@ def geofence_alerts(
         keep = st_dwithin(point_geom, "__fgeom", float(distance), pmeta, fmeta)
     else:
         keep = st_intersects(point_geom, "__fgeom", pmeta, fmeta)
+    if "fence_id" in points.columns:
+        raise ValueError(
+            "points stream already has a 'fence_id' column — rename it "
+            "before calling geofence_alerts (the output column would "
+            "silently overwrite it)"
+        )
     return (
         cand.filter(keep)
         .withColumn("fence_id", F.col("__fid"))

@@ -328,3 +328,64 @@ class TestHomogeneousCollections:
     def _line_len(a, b):
         import math
         return math.hypot(b[0] - a[0], b[1] - a[1])
+
+
+def test_geoparquet_remote_scheme_refused(spark):
+    # r7 review fix: a remote scheme used to silently skip footer
+    # harvest/stamp (driver-side glob sees nothing) — now refuses loudly
+    import pytest as _pt
+
+    from datafusion_spatial_spark.sources.geoparquet import (
+        read_geo_footer,
+        write_geoparquet,
+    )
+    from datafusion_spatial_spark.meta import GeometryMeta, with_geo_meta
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from pyspark.sql import functions as F
+
+    with _pt.raises(NotImplementedError, match="s3a"):
+        read_geo_footer("s3a://bucket/table")
+    df = with_geo_meta(
+        spark.range(1).select(st_point(F.lit(1.0), F.lit(2.0)).alias("g")),
+        "g", GeometryMeta(encoding="point", geometry_types=("Point",)),
+    )
+    with _pt.raises(NotImplementedError, match="s3a"):
+        write_geoparquet(df, "s3a://bucket/table")
+
+
+def test_geoparquet_primary_without_meta_actionable(spark, tmp_path):
+    import pytest as _pt
+
+    from datafusion_spatial_spark.sources.geoparquet import write_geoparquet
+
+    df = spark.range(3).withColumnRenamed("id", "x")  # no geometry meta
+    with _pt.raises(ValueError, match="no GeometryMeta"):
+        write_geoparquet(df, str(tmp_path / "t"), primary_column="geom",
+                         covering=True)
+
+
+def test_write_spatial_empty_input(spark, tmp_path):
+    # r7 review fix: 0-row input used to crash the post-write half-extent
+    # read-back and leave the layout without its sidecar
+    import json as _json
+    import os as _os
+
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from datafusion_spatial_spark.meta import GeometryMeta
+    from datafusion_spatial_spark.operators.storage import write_spatial
+    from pyspark.sql import functions as F
+
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    df = (
+        spark.range(10)
+        .select(F.col("id"), st_point(
+            F.col("id").cast("double"), F.col("id").cast("double")
+        ).alias("g"))
+        .filter(F.lit(False))
+    )
+    out = str(tmp_path / "layout_empty")
+    write_spatial(df, out, "g", pm, extent=(0, 0, 10, 10))
+    side = [f for f in _os.listdir(out) if f.endswith(".json")]
+    assert side, _os.listdir(out)
+    meta = _json.load(open(_os.path.join(out, side[0])))
+    assert meta["max_half_w"] == 0.0 and meta["max_half_h"] == 0.0
