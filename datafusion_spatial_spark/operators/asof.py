@@ -46,7 +46,13 @@ def asof_join(
 
     lcols = left.columns
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    r = right.select(
+    # ASOF semantics (DuckDB / pd.merge_asof): NULL keys and NULL
+    # timestamps never match — drop such RIGHT rows up front (a NULL-ts
+    # right row would otherwise sort NULLS-FIRST and be carried into
+    # left rows that have no true prior match; r7 review fix)
+    r = right.filter(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -71,25 +77,37 @@ def asof_join(
             "__payload",
         )
     )
+    # final __payload term: deterministic tie-break among right rows at
+    # identical (key, ts) — last() then carries the MAX payload struct
+    # instead of whichever row Spark happened to sort last (r7 review fix)
     if direction == "backward":
         # right rows (side 0) sort before left rows at equal ts -> inclusive
         w = (
             Window.partitionBy(on)
-            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .orderBy(
+                F.col("__ts").asc(), F.col("__side").asc(),
+                F.col("__payload").asc(),
+            )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
         w = (
             Window.partitionBy(on)
-            .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+            .orderBy(
+                F.col("__ts").desc(), F.col("__side").asc(),
+                F.col("__payload").asc(),
+            )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     carried = u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    # a left row with a NULL key or NULL timestamp matches nothing (it
+    # would otherwise adopt a NULL-key partner or, under the descending
+    # forward window, the minimum-ts right row; r7 review fix)
+    match = F.when(
+        F.col(on).isNotNull() & F.col("__ts").isNotNull(), F.col("__match")
+    )
     out = carried.filter(F.col("__side") == 1).select(
         *lcols,
-        *[
-            F.col("__match")[c].alias(f"{c}{suffix}")
-            for c in right_payload
-        ],
+        *[match[c].alias(f"{c}{suffix}") for c in right_payload],
     )
     return out

@@ -47,9 +47,16 @@ def normalize_per_group(
     """Per-group z-score normalization (all original columns + out_col)."""
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         v = pdf[value_col].astype("float64")
         sd = v.std(ddof=0)
-        pdf[out_col] = (v - v.mean()) / sd if sd > 0 else 0.0
+        if sd > 0:
+            pdf[out_col] = (v - v.mean()) / sd
+        else:
+            # constant group: 0.0 for real values, but a null input must
+            # stay null (NaN -> NULL), not become a valid-looking zero
+            pdf[out_col] = np.where(v.isna(), np.nan, 0.0)
         return pdf
 
     schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + f", {out_col} double"

@@ -167,10 +167,20 @@ def with_media_features(
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def safe(b):
+            # null-on-failure, like simsearch.pq_encode: one corrupt
+            # payload (truncated image, bad container) must not kill the
+            # stage once a real codec is plugged in — at corpus scale
+            # corrupt rows are a certainty, not an edge case
+            if b is None:
+                return None
+            try:
+                return decode(bytes(b))
+            except Exception:
+                return None
+
         for pdf in batches:
-            pdf[out_col] = pdf[binary_col].map(
-                lambda b: None if b is None else decode(bytes(b))
-            )
+            pdf[out_col] = pdf[binary_col].map(safe)
             yield pdf
 
     return df.mapInPandas(extract, schema=out_schema)
@@ -197,10 +207,15 @@ def frame_sample_plan(
     """Explode a video row into per-frame-sample rows (timestamps only —
     decode happens downstream in with_media_features). Pure Catalyst
     sequence+explode; the payload column is carried by reference."""
+    # NULL or non-positive duration -> no samples, but the row SURVIVES
+    # with sample_ms NULL (explode would silently delete it; a 0-length
+    # video must not emit a phantom t=0 sample either — r7 review fix)
+    seq = F.when(
+        F.col(duration_col) > 0,
+        F.sequence(F.lit(0), F.col(duration_col) - 1, F.lit(every_ms)),
+    )
     return df.select(
         F.col(id_col),
         F.col(binary_col),
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)), F.lit(every_ms))
-        ).alias("sample_ms"),
+        F.explode_outer(seq).alias("sample_ms"),
     )

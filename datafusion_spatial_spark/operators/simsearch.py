@@ -45,7 +45,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NaN-safe cosine: a NaN-contaminated embedding yields NULL, which
+    sorts LAST under desc and fails every >= threshold — Spark otherwise
+    ranks NaN above every number, so one corrupt vector would occupy a
+    top-k slot and 'near-duplicate' its whole bucket (r7 review fix).
+    Zero-norm vectors already yield NULL via non-ANSI division."""
+    raw = dot(a, b) / (norm(a) * norm(b))
+    return F.when(~F.isnan(raw), raw)
 
 
 def cosine_topk(
@@ -62,8 +68,9 @@ def cosine_topk(
     # into a literal removes one array fold per row
     qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
     v = _vec(vec_col)
+    raw = dot(v, q) / (norm(v) * F.lit(qn))
     scored = df.select(
-        F.col(id_col), (dot(v, q) / (norm(v) * F.lit(qn))).alias("score")
+        F.col(id_col), F.when(~F.isnan(raw), raw).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
@@ -110,12 +117,17 @@ def lsh_bucket(
     """Add a ``bucket`` column: integer whose bit i = sign(v · plane_i).
     Map-only; bucket is then a blocking/partitioning key."""
     v = _vec(vec_col)
+    if len(planes) > 62:
+        raise ValueError("lsh_bucket supports at most 62 hyperplanes")
     bucket = None
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
         bit = F.when(dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("bucket", bucket.cast("int"))
+    # long, not int: with >= 32 planes bit 31 overflows a 32-bit cast to a
+    # negative id that can never match the Python-side probe set, silently
+    # truncating every lsh_topk result (r7 review fix)
+    return df.withColumn("bucket", bucket.cast("long"))
 
 
 def lsh_topk(
@@ -282,6 +294,7 @@ def ivf_index_pivots(
     """
     rows = (
         df.select(F.col(id_col).alias("__i"), _vec(vec_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())  # a null embedding can't pivot
         .orderBy("__i")
         .limit(n_lists)
         .collect()

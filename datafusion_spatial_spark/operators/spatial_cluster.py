@@ -106,7 +106,14 @@ def cluster_dbscan(
     a core neighbor (border points) adopt the smallest adjacent core
     cluster; everything else is noise → NULL ``out_col``."""
     work = _with_ids(df, id_col)
-    pairs = _neighbor_pairs(work, geom_col, meta, eps, cell_size)
+    # materialize the neighbor pairs ONCE: the lazy plan references them
+    # from degree, border adoption and the component edges (~6 subtree
+    # references), and each would re-run the grid self-join + exact
+    # refine — the dominant cost (r7 review fix; same localCheckpoint
+    # pattern as connected_components' edge list)
+    pairs = _neighbor_pairs(work, geom_col, meta, eps, cell_size).localCheckpoint(
+        eager=True
+    )
     # symmetric edge list (both directions) for degree + border adoption
     sym = pairs.union(
         pairs.select(F.col("__idb").alias("__ida"), F.col("__ida").alias("__idb"))

@@ -1,0 +1,168 @@
+"""Pins for the r7 batch-three review fixes: asof NULL semantics +
+determinism, NaN-safe cosine scoring, LSH long buckets, frame-sample
+null handling, constant-group z-score nulls."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestAsofNullSemantics:
+    def test_null_right_ts_never_matches(self, spark):
+        from datafusion_spatial_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 100)], ["k", "lts"])
+        right = spark.createDataFrame(
+            [(1, None, "ghost"), (1, 50, "real")],
+            "k int, rts int, tag string",
+        )
+        out = asof_join(left, right, "k", "lts", "rts", ["tag"]).collect()
+        assert out[0].tag_asof == "real"
+        # with ONLY the null-ts right row there must be NO match at all
+        right2 = spark.createDataFrame(
+            [(1, None, "ghost")], "k int, rts int, tag string"
+        )
+        out2 = asof_join(left, right2, "k", "lts", "rts", ["tag"]).collect()
+        assert out2[0].tag_asof is None
+
+    def test_null_left_ts_matches_nothing(self, spark):
+        from datafusion_spatial_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, None)], "k int, lts int")
+        right = spark.createDataFrame(
+            [(1, 50, "x")], "k int, rts int, tag string"
+        )
+        for d in ("backward", "forward"):
+            out = asof_join(
+                left, right, "k", "lts", "rts", ["tag"], direction=d
+            ).collect()
+            assert out[0].tag_asof is None, d
+
+    def test_null_keys_never_match_each_other(self, spark):
+        from datafusion_spatial_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(None, 100)], "k int, lts int")
+        right = spark.createDataFrame(
+            [(None, 50, "x")], "k int, rts int, tag string"
+        )
+        out = asof_join(left, right, "k", "lts", "rts", ["tag"]).collect()
+        assert out[0].tag_asof is None
+
+    def test_same_ts_duplicates_deterministic(self, spark):
+        from datafusion_spatial_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 100)], ["k", "lts"])
+        right = spark.createDataFrame(
+            [(1, 50, "a"), (1, 50, "b")], "k int, rts int, tag string"
+        )
+        got = {
+            asof_join(
+                left.repartition(p), right.repartition(7 - p),
+                "k", "lts", "rts", ["tag"],
+            ).collect()[0].tag_asof
+            for p in (1, 2, 3)
+        }
+        assert got == {"b"}  # max payload struct, every partitioning
+
+
+class TestNaNCosine:
+    def test_nan_vector_excluded_from_topk(self, spark):
+        from datafusion_spatial_spark.operators.simsearch import cosine_topk
+
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [float("nan"), 1.0]),
+            (3, [0.9, 0.1]),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = cosine_topk(df, "embedding", "vec_id", [1.0, 0.0], k=2).collect()
+        assert [r.vec_id for r in out] == [1, 3]
+        assert all(not math.isnan(r.score) for r in out)
+
+    def test_nan_vector_not_near_dup(self, spark):
+        from datafusion_spatial_spark.operators.simsearch import (
+            cosine_near_dup_pairs,
+            random_hyperplanes,
+        )
+
+        rows = [(i, [1.0, float(i) * 1e-4]) for i in range(5)]
+        rows.append((99, [float("nan"), 1.0]))
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        planes = random_hyperplanes(2, 2, seed=1)
+        out = cosine_near_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.9, planes=planes
+        ).collect()
+        assert all(r.id_a != 99 and r.id_b != 99 for r in out)
+        assert len(out) > 0  # the clean near-dups still pair
+
+    def test_lsh_bucket_long_and_plane_cap(self, spark):
+        from datafusion_spatial_spark.operators.simsearch import (
+            lsh_bucket,
+            random_hyperplanes,
+        )
+
+        df = spark.createDataFrame([(1, [1.0] * 4)], ["vec_id", "embedding"])
+        planes = random_hyperplanes(4, 34, seed=2)
+        out = lsh_bucket(df, "embedding", "vec_id", planes)
+        assert dict(out.dtypes)["bucket"] == "bigint"
+        assert out.collect()[0].bucket >= 0  # no int32 wraparound
+        with pytest.raises(ValueError, match="62"):
+            lsh_bucket(df, "embedding", "vec_id", random_hyperplanes(4, 63))
+
+
+class TestFrameSampleNulls:
+    def test_null_and_zero_duration_rows_survive(self, spark):
+        from datafusion_spatial_spark.operators import multimodal
+
+        rows = [
+            (1, bytearray(b"v1"), 2500),
+            (2, bytearray(b"v2"), 0),
+            (3, bytearray(b"v3"), None),
+        ]
+        df = spark.createDataFrame(
+            rows, "id int, media binary, duration_ms int"
+        )
+        out = multimodal.frame_sample_plan(df, "media", "id", every_ms=1000)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.id, []).append(r.sample_ms)
+        assert sorted(got[1]) == [0, 1000, 2000]
+        assert got[2] == [None] and got[3] == [None]  # no phantom t=0
+
+
+class TestNormalizeConstantGroupNulls:
+    def test_null_value_stays_null(self, spark):
+        from datafusion_spatial_spark.operators.groupedmap import (
+            normalize_per_group,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 5.0), ("g", 5.0), ("g", None)], "grp string, v double"
+        )
+        out = {(
+            r.v, r.zscore) for r in normalize_per_group(df, "grp", "v").collect()}
+        assert (5.0, 0.0) in out
+        assert (None, None) in out
+
+
+class TestMediaDecodeGuard:
+    def test_corrupt_payload_yields_null_not_crash(self, spark):
+        from datafusion_spatial_spark.operators import multimodal
+
+        def decoder(b: bytes):
+            if b == b"bad":
+                raise ValueError("corrupt")
+            return [float(len(b))]
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"okay")), (2, bytearray(b"bad"))],
+            "id int, media binary",
+        )
+        out = {
+            r.id: r.features
+            for r in multimodal.with_media_features(
+                df, "media", decode=decoder, out_col="features"
+            ).collect()
+        }
+        assert out[1] == [4.0] and out[2] is None
