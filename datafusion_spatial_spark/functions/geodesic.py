@@ -309,8 +309,16 @@ def _laea_inv_expr(x: Column, y: Column) -> tuple[Column, Column]:
         F.greatest(F.lit(-1.0), F.least(F.lit(1.0), rho / F.lit(2 * Rq)))
     )
     betap = F.asin(
-        F.cos(ce) * F.lit(math.sin(beta0))
-        + (F.lit(Dc) * yp * F.sin(ce) * F.lit(math.cos(beta0)) / rho)
+        # clamp like beta/ce above: rounding near the pole's projection
+        # pushes the argument to 1 + O(1e-16) and asin would return NaN
+        F.greatest(
+            F.lit(-1.0),
+            F.least(
+                F.lit(1.0),
+                F.cos(ce) * F.lit(math.sin(beta0))
+                + (F.lit(Dc) * yp * F.sin(ce) * F.lit(math.cos(beta0)) / rho),
+            ),
+        )
     )
     lam = F.lit(lam0) + F.atan2(
         xp * F.sin(ce),
@@ -435,7 +443,12 @@ def st_tile(
     yt = F.floor(
         n * (1.0 - F.log(F.tan(latr) + 1.0 / F.cos(latr)) / F.lit(math.pi)) / 2.0
     )
-    clamp = lambda c: F.greatest(F.lit(0), F.least(c, F.lit(2 ** z - 1)))  # noqa: E731
+    # null-propagating clamp: least/greatest skip nulls, so a null point
+    # would otherwise land in the max tile (2^z-1, 2^z-1) and its quadkey
+    # would masquerade as real bottom-right-corner data (r7 review fix)
+    clamp = lambda c: F.when(  # noqa: E731
+        c.isNotNull(), F.greatest(F.lit(0), F.least(c, F.lit(2 ** z - 1)))
+    )
     return F.struct(
         F.lit(z).alias("z"),
         clamp(xt).cast("long").alias("x"),

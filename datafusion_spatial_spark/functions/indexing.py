@@ -100,10 +100,14 @@ def hilbert_cell_expr(cx: Column, cy: Column, level: int) -> Column:
 
 
 def quantize_expr(v: Column, lo: float, hi: float, level: int) -> Column:
-    """Clamped integer cell coordinate of ``v`` on [lo, hi) at 2^level."""
+    """Clamped integer cell coordinate of ``v`` on [lo, hi) at 2^level.
+    NULL-propagating: Spark's least/greatest SKIP null arguments, so a
+    null input would otherwise clamp to cell n-1 — fabricating a
+    top-corner location for null geometries (r7 review fix)."""
     n = 1 << level
     cell = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(n)))
-    return F.greatest(F.lit(0), F.least(cell, F.lit(n - 1))).cast("long")
+    clamped = F.greatest(F.lit(0), F.least(cell, F.lit(n - 1))).cast("long")
+    return F.when(v.isNotNull(), clamped)
 
 
 def st_hilbert(
@@ -128,13 +132,14 @@ def st_hilbert(
 def hilbert_covering_cells(
     window: tuple[float, float, float, float],
     extent: tuple[float, float, float, float],
-    level: int,
     coarse_level: int,
 ) -> list[int]:
     """Driver-side: the coarse-grid Hilbert prefixes (keys shifted down to
     ``coarse_level``) whose cells intersect ``window`` — the IN-list that
     prunes a Hilbert-partitioned layout. coarse_level is small (<= ~10) so
-    the enumeration is at most thousands of cells."""
+    the enumeration is at most thousands of cells. (Computes entirely at
+    coarse resolution; the layout's full ``level`` never enters — it only
+    matters to the key writer's shift, see storage.write_spatial.)"""
     exmin, eymin, exmax, eymax = (float(v) for v in extent)
     wxmin, wymin, wxmax, wymax = (float(v) for v in window)
     n = 1 << coarse_level

@@ -4114,8 +4114,10 @@ def _laea_inv(x: float, y: float, a: float = GRS80_A, f: float = GRS80_F,
         return lon0, lat0
     ce = 2 * math.asin(max(-1.0, min(1.0, rho / (2 * Rq))))
     betap = math.asin(
-        math.cos(ce) * math.sin(beta0)
-        + (D * yp * math.sin(ce) * math.cos(beta0) / rho)
+        # clamp like ce: rounding near the pole's projection can push the
+        # argument to 1 + O(1e-16) (mirrors the Catalyst twin)
+        max(-1.0, min(1.0, math.cos(ce) * math.sin(beta0)
+                     + (D * yp * math.sin(ce) * math.cos(beta0) / rho)))
     )
     lam = lam0 + math.atan2(
         xp * math.sin(ce),

@@ -39,8 +39,28 @@ def dissolve(
     per-key final union. Output column ``out_col`` is WKB (pair with
     ``GeometryMeta("WKB")``).
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datafusion_spatial_spark.functions.aggregates import (
+        _wkb_series_to_geoms,
+    )
+
     key_names = list(keys)
-    tmp = df.select(*key_names, st_asbinary(geom_col, meta).alias("__wkb"))
+    # Keys travel through the pandas partial phase as one JSON string, not
+    # as raw columns: Arrow→pandas turns a nullable int64 key column into
+    # float64, which corrupts sibling ids above 2^53 and merges groups
+    # within one float ulp (r7 review fix). JSON round-trips every key
+    # type losslessly; from_json restores the original columns at the end.
+    key_schema = T.StructType(
+        [df.schema[k] for k in key_names]
+    )
+    tmp = df.select(
+        F.to_json(
+            F.struct(*key_names), {"ignoreNullFields": "false"}
+        ).alias("__k"),
+        st_asbinary(geom_col, meta).alias("__wkb"),
+    )
     schema = tmp.schema
 
     def partial(batches: Iterable[pd.DataFrame]):
@@ -48,17 +68,16 @@ def dissolve(
             if pdf.empty:
                 continue
             rows = []
-            for kv, grp in pdf.groupby(key_names, dropna=False, sort=False):
-                geoms = [
-                    wkb.loads(bytes(v)) for v in grp["__wkb"] if v is not None
-                ]
+            for kv, grp in pdf.groupby("__k", dropna=False, sort=False):
+                geoms = _wkb_series_to_geoms(grp["__wkb"])
                 u = wkb.dumps(geom_ops.union_many(geoms)) if geoms else None
-                if not isinstance(kv, tuple):
-                    kv = (kv,)
-                rows.append((*kv, u))
-            yield pd.DataFrame(rows, columns=key_names + ["__wkb"])
+                rows.append((kv, u))
+            yield pd.DataFrame(rows, columns=["__k", "__wkb"])
 
     partial_df = tmp.mapInPandas(partial, schema)
-    return partial_df.groupBy(*key_names).agg(
+    final = partial_df.groupBy("__k").agg(
         _union_agg_wkb("__wkb").alias(out_col)
     )
+    return final.select(
+        F.from_json("__k", key_schema).alias("__keys"), F.col(out_col)
+    ).select("__keys.*", out_col)

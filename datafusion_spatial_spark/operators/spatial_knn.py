@@ -16,7 +16,10 @@ distributed shape here is radius-doubling over the grid join:
 
 Exact (not approximate) within ``max_rounds`` doublings; rows still
 unresolved after that are returned with their best-so-far neighbors and a
-``resolved = false`` flag rather than silently wrong results.
+``resolved = false`` flag rather than silently wrong results. Left rows
+with NO candidate at all — null geometry, or nothing within the final
+radius — have no rows in the output (there is no neighbor to attach);
+detect them with a left_anti join on the result's ids if needed.
 """
 
 from __future__ import annotations
@@ -49,15 +52,25 @@ def knn_join(
         raise ValueError("k must be >= 1")
     if radius <= 0:
         raise ValueError("radius must be positive")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
 
     # point×point dwithin joins refine on bbox coords JVM-side, so the
-    # candidate pass carries no geometry payload at all
-    lp = left.select(
-        F.col(left_id).alias("__lid"), F.col(left_geom).alias("__lg")
-    ).localCheckpoint(eager=False)
+    # candidate pass carries no geometry payload at all.
+    # Null-geometry left rows can never acquire a candidate: they would
+    # pin `pending` non-empty through every doubling round (forcing
+    # max_rounds full grid joins) and then vanish from the output anyway
+    # — drop them up front (r7 review fix).
+    lp = (
+        left.select(
+            F.col(left_id).alias("__lid"), F.col(left_geom).alias("__lg")
+        )
+        .filter(F.col("__lg").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     rp = right.select(
         F.col(right_id).alias("__rid"), F.col(right_geom).alias("__rg")
-    )
+    ).localCheckpoint(eager=False)
 
     pending = lp
     resolved_parts: list[DataFrame] = []
@@ -79,6 +92,10 @@ def knn_join(
             pairs.withColumnRenamed("distance", "__dist")
             .withColumn("__rank", F.row_number().over(w))
             .filter(F.col("__rank") <= k)
+            # checkpoint: stats/done_ids/resolved_parts all hang off topk;
+            # without this the round's grid join re-executes when the
+            # caller materializes the result (r7 review fix)
+            .localCheckpoint(eager=False)
         )
         stats = topk.groupBy("__lid").agg(
             F.count("*").alias("__n"), F.max("__dist").alias("__kth")
@@ -146,13 +163,19 @@ def knn_join_geography(
         raise ValueError("k must be >= 1")
     if radius_m <= 0:
         raise ValueError("radius_m must be positive")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
 
-    lp = left.select(
-        F.col(left_id).alias("__lid"), F.col(left_geom).alias("__lg")
-    ).localCheckpoint(eager=False)
+    lp = (
+        left.select(
+            F.col(left_id).alias("__lid"), F.col(left_geom).alias("__lg")
+        )
+        .filter(F.col("__lg").isNotNull())  # see knn_join
+        .localCheckpoint(eager=False)
+    )
     rp = right.select(
         F.col(right_id).alias("__rid"), F.col(right_geom).alias("__rg")
-    )
+    ).localCheckpoint(eager=False)
 
     pending = lp
     resolved_parts: list[DataFrame] = []
@@ -171,6 +194,7 @@ def knn_join_geography(
             pairs.withColumnRenamed("distance_m", "__dist")
             .withColumn("__rank", F.row_number().over(w))
             .filter(F.col("__rank") <= k)
+            .localCheckpoint(eager=False)  # see knn_join
         )
         stats = topk.groupBy("__lid").agg(
             F.count("*").alias("__n"), F.max("__dist").alias("__kth")

@@ -202,7 +202,7 @@ def spatial_scan(
     ph = float(layout.get("max_half_h", 0.0))
     cells = hilbert_covering_cells(
         (wxmin - pw, wymin - ph, wxmax + pw, wymax + ph),
-        tuple(layout["extent"]), layout["level"], layout["coarse_level"],
+        tuple(layout["extent"]), layout["coarse_level"],
     )
     df = spark.read.parquet(path)
     out = df.filter(

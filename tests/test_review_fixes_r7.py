@@ -166,3 +166,65 @@ class TestMediaDecodeGuard:
             ).collect()
         }
         assert out[1] == [4.0] and out[2] is None
+
+
+class TestNullSpatialKeys:
+    def test_st_hilbert_null_geometry_is_null(self, spark):
+        from datafusion_spatial_spark.functions.indexing import st_hilbert
+        from datafusion_spatial_spark.functions.scalar import st_point
+        from datafusion_spatial_spark.meta import GeometryMeta
+
+        pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+        df = spark.createDataFrame([(1, 5.0), (2, None)], "id int, x double")
+        g = F.when(F.col("x").isNotNull(), st_point(F.col("x"), F.col("x")))
+        out = {
+            r.id: r.h
+            for r in df.select(
+                "id",
+                st_hilbert(g.alias("g"), pm, (0, 0, 10, 10), 6).alias("h"),
+            ).collect()
+        }
+        assert out[1] is not None
+        assert out[2] is None  # not the fabricated max-corner cell
+
+    def test_st_tile_null_point_is_null(self, spark):
+        from datafusion_spatial_spark.functions.geodesic import st_quadkey, st_tile
+        from datafusion_spatial_spark.functions.scalar import st_point
+
+        df = spark.createDataFrame([(1, 10.0), (2, None)], "id int, x double")
+        g = F.when(F.col("x").isNotNull(), st_point(F.col("x"), F.col("x")))
+        rows = {
+            r.id: (r.t, r.q)
+            for r in df.select(
+                "id",
+                st_tile(g, 5).alias("t"),
+                st_quadkey(g, 5).alias("q"),
+            ).collect()
+        }
+        assert rows[1][0].x is not None and rows[1][1] is not None
+        assert rows[2][0].x is None and rows[2][0].y is None
+        assert rows[2][1] is None  # not the bottom-right '33333'
+
+
+class TestDissolveBigIntKeys:
+    def test_int64_keys_with_nulls_exact(self, spark):
+        # r7 review fix: keys round-tripped through pandas became float64
+        # when the batch contained a null, corrupting ids above 2^53
+        from datafusion_spatial_spark.operators.spatial_agg import dissolve
+        from datafusion_spatial_spark.functions.scalar import st_geomfromtext
+        from datafusion_spatial_spark.meta import GeometryMeta
+
+        big = (1 << 62) + 1
+        rows = [
+            (big, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+            (big + 2048, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+            (None, "POLYGON ((9 9, 10 9, 10 10, 9 10, 9 9))"),
+        ]
+        df = spark.createDataFrame(rows, "k long, w string").select(
+            "k", st_geomfromtext("w").alias("g")
+        ).coalesce(1)  # one batch -> the null forces the old float64 path
+        out = dissolve(df, ["k"], "g", GeometryMeta(encoding="WKB"))
+        keys = sorted(
+            (r.k for r in out.collect()), key=lambda v: (v is None, v)
+        )
+        assert keys == [big, big + 2048, None]  # distinct, bit-exact

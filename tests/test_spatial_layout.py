@@ -63,7 +63,6 @@ def test_covering_cells_clamp_outside_extent():
     cells = hilbert_covering_cells(
         window=(-50.0, -50.0, 5.0, 5.0),
         extent=(0.0, 0.0, 100.0, 100.0),
-        level=15,
         coarse_level=4,
     )
     assert cells == [hilbert_xy2d(4, 0, 0)]
