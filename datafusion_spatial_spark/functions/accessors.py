@@ -59,16 +59,18 @@ def _parts(g: wkb.Geom):
     if t == "GeometryCollection":
         return list(g.coords)
     if t == "MultiPoint":
-        return [wkb.Geom("Point", c, g.has_z) for c in g.coords]
+        return [wkb.Geom("Point", c, g.has_z, has_m=g.has_m) for c in g.coords]
     if t == "MultiLineString":
-        return [wkb.Geom("LineString", line, g.has_z) for line in g.coords]
+        return [wkb.Geom("LineString", line, g.has_z, has_m=g.has_m) for line in g.coords]
     if t == "MultiPolygon":
-        return [wkb.Geom("Polygon", rings, g.has_z) for rings in g.coords]
+        return [wkb.Geom("Polygon", rings, g.has_z, has_m=g.has_m) for rings in g.coords]
     return [g]
 
 
 def _num_geometries(g):
-    return 0 if g.is_empty and g.type_name != "Point" else len(_parts(g))
+    # every EMPTY geometry counts 0 (PostGIS; the old Point carve-out
+    # returned 1 for POINT EMPTY — r7 review fix)
+    return 0 if g.is_empty else len(_parts(g))
 
 
 def _geometry_n(g, n):
@@ -90,7 +92,7 @@ def st_geometryn(col: Column | str, n: int, meta: GeometryMeta) -> Column:
 def _exterior_ring(g):
     if g.type_name != "Polygon" or not g.coords:
         return None
-    return wkb.Geom("LineString", list(g.coords[0]), g.has_z)
+    return wkb.Geom("LineString", list(g.coords[0]), g.has_z, has_m=g.has_m)
 
 
 def _num_interior_rings(g):
@@ -102,7 +104,7 @@ def _num_interior_rings(g):
 def _interior_ring_n(g, n):
     if g.type_name != "Polygon" or not (1 <= n <= len(g.coords) - 1):
         return None
-    return wkb.Geom("LineString", list(g.coords[n]), g.has_z)
+    return wkb.Geom("LineString", list(g.coords[n]), g.has_z, has_m=g.has_m)
 
 
 st_exteriorring = _geom_out(_exterior_ring)
@@ -124,7 +126,7 @@ def _point_n(g, n):
         n = m + 1 + n  # PostGIS negative indexing from the end
     if not (1 <= n <= m):
         return None
-    return wkb.Geom("Point", tuple(g.coords[n - 1]), g.has_z)
+    return wkb.Geom("Point", tuple(g.coords[n - 1]), g.has_z, has_m=g.has_m)
 
 
 def st_pointn(col: Column | str, n: int, meta: GeometryMeta) -> Column:

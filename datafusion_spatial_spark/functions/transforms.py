@@ -25,11 +25,13 @@ def st_makeline(points: Column | str) -> Column:
 
 
 def st_makepolygon(ring: Column | str, holes: Column | str | None = None) -> Column:
-    """Closed ring (array<point>) [+ array of hole rings] -> native Polygon."""
+    """Closed ring (array<point>) [+ array of hole rings] -> native Polygon.
+    A NULL holes value means "no holes" (concat would otherwise null the
+    whole polygon away — r7 review fix)."""
     ring = _c(ring)
     if holes is None:
         return F.array(ring)
-    return F.concat(F.array(ring), _c(holes))
+    return F.concat(F.array(ring), F.coalesce(_c(holes), F.array()))
 
 
 def st_collect_points(point_col: Column | str) -> Column:
@@ -39,12 +41,35 @@ def st_collect_points(point_col: Column | str) -> Column:
     return F.collect_list(_c(point_col))
 
 
-def _map_coords(col: Column, meta: GeometryMeta, fn) -> Column:
-    """Apply fn(point_struct) -> point_struct over every coordinate at the
-    encoding's nesting depth."""
+def _map_coords(col: Column, meta: GeometryMeta, fn_xy) -> Column:
+    """Apply ``fn_xy(point_struct) -> (new_x, new_y)`` over every
+    coordinate at the encoding's nesting depth, rebuilding each point
+    struct with Z/M fields PASSED THROUGH (PostGIS transforms preserve
+    them; the old struct(x,y) rebuild silently destroyed elevation and
+    measures — r7 review fix). Depth-0 (Point) output is null-guarded:
+    ``F.struct`` never returns NULL, so a NULL point would otherwise
+    become a non-null struct of null fields. Interleaved-layout input
+    raises — normalize with ``meta.to_separated`` first (returning a
+    separated struct under the caller's interleaved meta tag would
+    misdecode downstream)."""
+    if meta.is_native and meta.coord_layout != "separated":
+        raise NotImplementedError(
+            "coordinate transforms require the separated native layout; "
+            "normalize first with meta.to_separated(col, meta)"
+        )
+
+    def fn(p):
+        nx, ny = fn_xy(p)
+        fields = [nx.alias("x"), ny.alias("y")]
+        if meta.has_z:
+            fields.append(p["z"].alias("z"))
+        if meta.has_m:
+            fields.append(p["m"].alias("m"))
+        return F.struct(*fields)
+
     depth = NESTING_DEPTH[meta.native_type]
     if depth == 0:
-        return fn(col)
+        return F.when(col.isNotNull(), fn(col))
     if depth == 1:
         return F.transform(col, fn)
     if depth == 2:
@@ -58,10 +83,7 @@ def st_translate(col: Column | str, dx: float, dy: float, meta: GeometryMeta) ->
     col = _c(col)
 
     def move(p):
-        return F.struct(
-            (p["x"] + F.lit(float(dx))).alias("x"),
-            (p["y"] + F.lit(float(dy))).alias("y"),
-        )
+        return p["x"] + F.lit(float(dx)), p["y"] + F.lit(float(dy))
 
     return _map_coords(col, meta, move)
 
@@ -70,10 +92,7 @@ def st_scale(col: Column | str, sx: float, sy: float, meta: GeometryMeta) -> Col
     col = _c(col)
 
     def scale(p):
-        return F.struct(
-            (p["x"] * F.lit(float(sx))).alias("x"),
-            (p["y"] * F.lit(float(sy))).alias("y"),
-        )
+        return p["x"] * F.lit(float(sx)), p["y"] * F.lit(float(sy))
 
     return _map_coords(col, meta, scale)
 
@@ -82,7 +101,7 @@ def st_flipcoordinates(col: Column | str, meta: GeometryMeta) -> Column:
     col = _c(col)
 
     def flip(p):
-        return F.struct(p["y"].alias("x"), p["x"].alias("y"))
+        return p["y"], p["x"]
 
     return _map_coords(col, meta, flip)
 
@@ -93,10 +112,7 @@ def st_snaptogrid(col: Column | str, size: float, meta: GeometryMeta) -> Column:
     s = F.lit(float(size))
 
     def snap(p):
-        return F.struct(
-            (F.round(p["x"] / s, 0) * s).alias("x"),
-            (F.round(p["y"] / s, 0) * s).alias("y"),
-        )
+        return F.round(p["x"] / s, 0) * s, F.round(p["y"] / s, 0) * s
 
     return _map_coords(col, meta, snap)
 
@@ -114,10 +130,7 @@ def st_affine(
     lx, ly = F.lit(float(xoff)), F.lit(float(yoff))
 
     def tx(p):
-        return F.struct(
-            (la * p["x"] + lb * p["y"] + lx).alias("x"),
-            (ld * p["x"] + le * p["y"] + ly).alias("y"),
-        )
+        return la * p["x"] + lb * p["y"] + lx, ld * p["x"] + le * p["y"] + ly
 
     return _map_coords(col, meta, tx)
 

@@ -79,6 +79,10 @@ def read_geojson(
             for b in batches:
                 rows = []
                 for doc in b["value"]:
+                    # empty/whitespace part file (interrupted writer):
+                    # skip like the ndjson branch's blank-line guard
+                    if doc is None or not doc.strip():
+                        continue
                     obj = json.loads(doc)
                     t = obj.get("type")
                     if t == "FeatureCollection":

@@ -26,9 +26,9 @@ def read_wkt_csv(
     """Read a CSV whose ``geometry_col`` holds WKT; returns a DataFrame with
     that column as WKB binary + attached GeometryMeta."""
     df = spark.read.csv(path, header=True, inferSchema=False)
-    for c, t in [("col", "bigint")]:
-        if c in df.columns and c != geometry_col:
-            df = df.withColumn(c, F.col(c).cast(t))
+    if "col" in df.columns and geometry_col != "col":
+        # the reference fixtures' single integer id column
+        df = df.withColumn("col", F.col("col").cast("bigint"))
     df = df.withColumn(geometry_col, st_geomfromtext(F.col(geometry_col)))
     df = with_geo_meta(
         df,

@@ -228,3 +228,79 @@ class TestDissolveBigIntKeys:
             (r.k for r in out.collect()), key=lambda v: (v is None, v)
         )
         assert keys == [big, big + 2048, None]  # distinct, bit-exact
+
+
+class TestTransformZMAndNulls:
+    def test_translate_preserves_zm(self, spark):
+        from datafusion_spatial_spark.functions.transforms import st_translate
+        from datafusion_spatial_spark.meta import GeometryMeta
+
+        meta = GeometryMeta(
+            encoding="linestring", geometry_types=("LineString ZM",)
+        )
+        rows = [([{"x": 0.0, "y": 0.0, "z": 5.0, "m": 9.0},
+                  {"x": 1.0, "y": 1.0, "z": 6.0, "m": 10.0}],)]
+        df = spark.createDataFrame(
+            rows,
+            "g array<struct<x double, y double, z double, m double>>",
+        )
+        out = df.select(st_translate("g", 10.0, 20.0, meta).alias("t")).collect()[0].t
+        assert out[0].x == 10.0 and out[0].y == 20.0
+        assert out[0].z == 5.0 and out[0].m == 9.0  # Z/M pass through
+        assert out[1].z == 6.0 and out[1].m == 10.0
+
+    def test_null_point_stays_null(self, spark):
+        from datafusion_spatial_spark.functions.transforms import st_translate
+        from datafusion_spatial_spark.meta import GeometryMeta
+
+        pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+        df = spark.createDataFrame(
+            [(1, {"x": 1.0, "y": 2.0}), (2, None)],
+            "id int, g struct<x double, y double>",
+        )
+        out = {r.id: r.t for r in df.select(
+            "id", st_translate("g", 1.0, 1.0, pm).alias("t")).collect()}
+        assert out[1].x == 2.0
+        assert out[2] is None  # not a struct of null fields
+
+    def test_makepolygon_null_holes_keeps_shell(self, spark):
+        from datafusion_spatial_spark.functions.transforms import st_makepolygon
+
+        ring = [{"x": 0.0, "y": 0.0}, {"x": 1.0, "y": 0.0},
+                {"x": 1.0, "y": 1.0}, {"x": 0.0, "y": 0.0}]
+        df = spark.createDataFrame(
+            [(ring, None)],
+            "ring array<struct<x double, y double>>, "
+            "holes array<array<struct<x double, y double>>>",
+        )
+        out = df.select(st_makepolygon("ring", "holes").alias("p")).collect()[0].p
+        assert out is not None and len(out) == 1  # shell survives
+
+
+class TestAccessorZM:
+    def test_startpoint_keeps_measure(self, spark):
+        from datafusion_spatial_spark import wkb as W
+        from datafusion_spatial_spark.functions.accessors import st_startpoint
+        from datafusion_spatial_spark.meta import GeometryMeta
+
+        g = W.Geom("LineString", [(0.0, 0.0, 5.0), (1.0, 1.0, 6.0)],
+                   has_z=False, has_m=True)
+        df = spark.createDataFrame([(bytearray(W.dumps(g)),)], "g binary")
+        meta = GeometryMeta(encoding="WKB", geometry_types=("LineString M",))
+        out = df.select(st_startpoint("g", meta).alias("p")).collect()[0].p
+        pt = W.loads(bytes(out))
+        assert pt.has_m and tuple(pt.coords) == (0.0, 0.0, 5.0)
+
+    def test_numgeometries_point_empty_is_zero(self, spark):
+        from datafusion_spatial_spark import wkb as W
+        from datafusion_spatial_spark.functions.accessors import st_numgeometries
+        from datafusion_spatial_spark.meta import GeometryMeta
+
+        df = spark.createDataFrame(
+            [(bytearray(W.dumps(W.from_wkt("POINT EMPTY"))),),
+             (bytearray(W.dumps(W.from_wkt("POINT (1 1)"))),)],
+            "g binary",
+        )
+        meta = GeometryMeta(encoding="WKB")
+        vals = [r.n for r in df.select(st_numgeometries("g", meta).alias("n")).collect()]
+        assert vals == [0, 1]
