@@ -24,6 +24,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+
+def _orderable(dt) -> bool:
+    """Whether a column of this type can appear in a window ORDER BY
+    (mirrors Catalyst's RowOrdering.isOrderable: maps are not orderable,
+    structs/arrays are orderable iff their element types are)."""
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    return True
 
 
 def asof_join(
@@ -78,25 +92,31 @@ def asof_join(
         )
     )
     # final __payload term: deterministic tie-break among right rows at
-    # identical (key, ts) — last() then carries the MAX payload struct
-    # instead of whichever row Spark happened to sort last (r7 review fix)
+    # identical (key, ts) — last() then carries the MAX payload instead of
+    # whichever row Spark happened to sort last (r7 review fix). Order by
+    # the ORDERABLE payload fields only, not the whole struct: a map-typed
+    # payload column would make the struct comparison an AnalysisException
+    # where the join previously ran, and per-field terms keep the sort key
+    # no wider than the orderable data (r8 advice fix). If nothing in the
+    # payload is orderable the ordering falls back to (ts, side) — the
+    # pre-r7, nondeterministic-under-exact-dups behavior.
+    payload_type = r.schema["__payload"].dataType
+    tie = [
+        F.col(f"__payload.{f.name}").asc()
+        for f in payload_type.fields
+        if _orderable(f.dataType)
+    ]
     if direction == "backward":
         # right rows (side 0) sort before left rows at equal ts -> inclusive
         w = (
             Window.partitionBy(on)
-            .orderBy(
-                F.col("__ts").asc(), F.col("__side").asc(),
-                F.col("__payload").asc(),
-            )
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *tie)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
         w = (
             Window.partitionBy(on)
-            .orderBy(
-                F.col("__ts").desc(), F.col("__side").asc(),
-                F.col("__payload").asc(),
-            )
+            .orderBy(F.col("__ts").desc(), F.col("__side").asc(), *tie)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     carried = u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))

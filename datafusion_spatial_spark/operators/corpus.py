@@ -289,7 +289,8 @@ def mixture_sample(
     One count aggregate driver-side (tiny: one row per source), then a
     single map-only ``sampleBy`` pass — no shuffle of the corpus.
     Deterministic under ``seed``. Sources absent from
-    ``target_weights`` are dropped (weight 0).
+    ``target_weights`` are dropped (weight 0), as are rows whose
+    ``source_col`` is NULL (``sampleBy`` assigns them no fraction).
     """
     if (target_weights is None) == (temperature is None):
         raise ValueError("pass exactly one of target_weights= / temperature=")
@@ -311,11 +312,14 @@ def mixture_sample(
         return df.filter(F.lit(False))
     # scale so the most over-demanded source keeps fraction 1.0 (largest
     # feasible corpus honoring the ratios)
-    scale = min(
-        counts[s] / (target_weights[s] / total_w)
-        for s in target_weights
-        if s in counts and target_weights[s] > 0
-    )
+    matched = [s for s in target_weights if s in counts and target_weights[s] > 0]
+    if not matched:
+        raise ValueError(
+            "none of the target_weights sources "
+            f"{sorted(target_weights)} occur in {source_col!r} "
+            f"(observed sources: {sorted(map(str, counts))})"
+        )
+    scale = min(counts[s] / (target_weights[s] / total_w) for s in matched)
     fractions = {
         s: min(1.0, (target_weights.get(s, 0.0) / total_w) * scale / counts[s])
         for s in counts

@@ -146,7 +146,17 @@ def write_spatial(
     # in the dataset or a big geometry centered outside the window could be
     # directory-pruned away while its bbox still overlaps. Record it (one
     # cheap agg over the just-written columns; 0 for points).
-    try:
+    # an EMPTY input writes only _SUCCESS (no part files), so a read-back
+    # could not infer a schema; the layout is still valid — zero rows need
+    # zero pad. Probe for part files explicitly instead of catching the
+    # read's exception: a bare except here would also swallow transient
+    # IO/footer errors on NON-empty data and stamp max_half_* = 0.0, after
+    # which spatial_scan under-pads its covering and silently drops large
+    # geometries (r8 advice fix).
+    import glob as _glob
+
+    part_files = _glob.glob(os.path.join(path, "**", "part-*"), recursive=True)
+    if part_files:
         halves = (
             df.sparkSession.read.parquet(path)
             .agg(
@@ -155,11 +165,7 @@ def write_spatial(
             )
             .collect()[0]
         )
-    except Exception:
-        # an EMPTY input writes only _SUCCESS (no part files), so the
-        # read-back cannot infer a schema; the layout is still valid —
-        # zero rows need zero pad (r7 review fix: this used to crash
-        # after the write, leaving the directory without its sidecar)
+    else:
         halves = (0.0, 0.0)
     with open(os.path.join(path, _LAYOUT_FILE), "w") as f:
         json.dump(

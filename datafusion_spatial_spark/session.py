@@ -44,18 +44,21 @@ def get_spark(
     function only layers confs onto the builder.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    builder = SparkSession.builder.appName(app_name).master(
-        master or f"local[{cpus}]"
-    )
+    resolved_master = master or f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(resolved_master)
     # In local mode every task thread shares the driver JVM heap; Spark's
     # 1g default starves 32 concurrent sort/aggregate tasks (observed:
     # GCLocker retry failures under suite pressure, heap OOM in a 32-task
     # external sort at 10x data). Only layered when the caller/submitter
     # hasn't set it (spark-submit's value wins because the JVM is already
-    # up by the time getOrCreate sees this conf).
-    builder = builder.config(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
-    )
+    # up by the time getOrCreate sees this conf), and only for local
+    # masters — cluster deployments size the driver themselves and a
+    # blanket 12g could over-commit small client hosts (r8 advice fix).
+    if resolved_master.startswith("local"):
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
     n_shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     )

@@ -102,8 +102,27 @@ def read_geoparquet(
 
     df = spark.read.parquet(path)
     # parse the footer ONCE; metas, coverings and primary all derive from
-    # it (this used to re-glob + re-read the footer up to three times)
-    footer = read_geo_footer_raw(path)
+    # it (this used to re-glob + re-read the footer up to three times).
+    # Remote schemes: the driver-side pyarrow footer harvest only sees
+    # local paths. For a plain read that's a degraded-but-working read
+    # (data loads, metadata absent — warn); only window= pruning, which
+    # NEEDS the covering declaration, fails loudly (r8 advice fix — the
+    # unconditional harvest was a hard regression for s3://+window=None).
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        if window is not None:
+            _require_local(path, "read_geoparquet(window=)")
+        import warnings
+
+        warnings.warn(
+            f"read_geoparquet: cannot harvest the geo footer from the "
+            f"{scheme!r} scheme; returning data without geometry metadata "
+            "(attach it explicitly with meta.with_geo_meta)",
+            stacklevel=2,
+        )
+        footer = {}
+    else:
+        footer = read_geo_footer_raw(path)
     metas = parse_geo_footer(json.dumps(footer).encode()) if footer else {}
     for col, meta in metas.items():
         if col in df.columns:

@@ -1,0 +1,114 @@
+"""Pins for the round-8 advice fixes (VERDICT r7 / ADVICE r7).
+
+1. asof_join with an unorderable (map-typed) payload column still runs —
+   the deterministic tie-break orders by orderable payload fields only.
+2. mixture_sample raises a named error when no target_weights source
+   exists in the data (was: opaque ``min() arg is an empty sequence``).
+3. read_geoparquet on a remote scheme with window=None degrades to a
+   warning (metadata absent, data present via a local stand-in assertion
+   of the branch), while window= still refuses loudly.
+4. write_spatial stamps max_half_* = 0.0 only for genuinely empty input
+   (covered in test_spatial_layout); a non-empty write stamps real pads.
+5. get_spark applies the 12g driver-memory default only for local masters.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark.operators.asof import asof_join
+from datafusion_spatial_spark.operators.corpus import mixture_sample
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_map_payload_runs(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01 10:00:00"))], "id int, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01 09:00:00"), {"a": 1}, 100),
+            ("k", _ts("2024-01-01 09:30:00"), {"b": 2}, 200),
+        ],
+        "k string, ts timestamp, props map<string,int>, v int",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_payload=["props", "v"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0].v_asof == 200  # most recent prior row
+    assert out[0].props_asof == {"b": 2}
+
+
+def test_asof_join_tiebreak_still_deterministic(spark):
+    # two right rows at the exact same (key, ts): the max orderable payload
+    # wins, regardless of input order
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01 10:00:00"))], "id int, k string, ts timestamp"
+    )
+    for rows in ([(5,), (9,)], [(9,), (5,)]):
+        right = spark.createDataFrame(
+            [("k", _ts("2024-01-01 09:00:00"), v[0]) for v in rows],
+            "k string, ts timestamp, v int",
+        )
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_payload=["v"],
+        ).collect()
+        assert out[0].v_asof == 9
+
+
+def test_mixture_sample_unmatched_sources_raise(spark):
+    df = spark.createDataFrame([("en", 1), ("fr", 2)], "lang string, x int")
+    with pytest.raises(ValueError, match="none of the target_weights"):
+        mixture_sample(df, "lang", target_weights={"de": 1.0, "ja": 2.0})
+
+
+def test_mixture_sample_null_sources_dropped(spark):
+    df = spark.createDataFrame(
+        [("en", 1), (None, 2), ("en", 3)], "lang string, x int"
+    )
+    out = mixture_sample(df, "lang", target_weights={"en": 1.0})
+    assert out.filter(F.col("lang").isNull()).count() == 0
+
+
+def test_read_geoparquet_remote_plain_read_warns(monkeypatch, spark):
+    """The remote branch must WARN (not raise) for window=None, and raise
+    for window=. spark.read.parquet would fail on a fake s3 bucket, so stub
+    it to observe only the metadata-branch behavior."""
+    from datafusion_spatial_spark.sources import geoparquet as gp
+
+    calls = {}
+
+    class _FakeReader:
+        def parquet(self, p):
+            calls["path"] = p
+            return spark.range(1).select(F.col("id").alias("geom"))
+
+    monkeypatch.setattr(
+        type(spark), "read", property(lambda self: _FakeReader())
+    )
+    with pytest.warns(UserWarning, match="without geometry metadata"):
+        df = gp.read_geoparquet(spark, "s3://bucket/table")
+    assert calls["path"] == "s3://bucket/table"
+    assert df.columns == ["geom"]
+    with pytest.raises(NotImplementedError, match="s3"):
+        gp.read_geoparquet(spark, "s3://bucket/table", window=(0, 0, 1, 1))
+
+
+def test_get_spark_cluster_master_no_memory_conf():
+    """Source-level pin: the 12g default is gated on a local master (the
+    running test JVM can't be restarted to observe a cluster master)."""
+    import inspect
+
+    from datafusion_spatial_spark import session
+
+    src = inspect.getsource(session.get_spark)
+    assert 'resolved_master.startswith("local")' in src
