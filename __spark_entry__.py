@@ -171,20 +171,6 @@ SELECT custkey, orderkey, totalprice, rk FROM (
 ORDER BY custkey, rk
 """
 
-Q_WINDOW_RUNNING_CORE = """
-SELECT custkey, orderkey, running_total, {gap} AS gap_days
-FROM (
-  SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_orderdate,
-         round(sum(o_totalprice) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-         lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate, o_orderkey) AS prev_date
-  FROM orders
-) t
-ORDER BY custkey, orderkey
-"""
-
 Q_DISTINCT_SQL = """
 SELECT l_returnflag,
        cast(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
@@ -385,15 +371,35 @@ WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
 ORDER BY suppkey
 """
 
-Q_WINDOW_SUITE_SQL = """
-SELECT o_orderkey AS orderkey, o_custkey AS custkey,
-       ntile(4)       OVER w AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       first_value(o_totalprice) OVER w AS cheapest,
-       lead(o_totalprice, 1) OVER w AS next_price,
-       cast(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_orders
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+# one pass over orders exercising the full window-function surface:
+# ntile / percent_rank / first_value / lead / partition count (the original
+# suite), row_number ranking + top-3 flag (absorbed q_window_top3_orders)
+# and running sum + lag date gap (absorbed q_window_running_total) — merged
+# round 8 to free gate slots under the 50-query cap. {gap} is the only
+# dialect-split term (Spark datediff vs DuckDB date_diff).
+Q_WINDOW_SUITE_CORE = """
+SELECT orderkey, custkey, quartile, pct_rank, cheapest, next_price,
+       cust_orders, rk_desc, (rk_desc <= 3) AS is_top3, running_total,
+       {gap} AS gap_days
+FROM (
+  SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_orderdate,
+         ntile(4)       OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         first_value(o_totalprice) OVER w AS cheapest,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         cast(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_orders,
+         cast(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey)
+              AS BIGINT) AS rk_desc,
+         round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_total,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_date
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+) t
 ORDER BY custkey, orderkey
 """
 
@@ -861,12 +867,30 @@ WHERE sqrt((c_acctbal - s_acctbal) * (c_acctbal - s_acctbal)
 ORDER BY custkey, suppkey
 """
 
+# composite oracle for q_sql_spatial_join: naive distance cross-join pairs
+# UNION ALL the (dual-dialect) grid equi-join rollup
+_Q_SQL_SPATIAL_ORACLE = f"""
+SELECT 'dwithin' AS part, cast(custkey AS STRING) AS k,
+       cast(suppkey AS BIGINT) AS v
+FROM ({_Q_DWITHIN_ORACLE}) d
+UNION ALL
+SELECT 'grid' AS part, segment AS k, cast(n_customers AS BIGINT) AS v
+FROM ({_Q_GRID_JOIN_SPARK}) g
+ORDER BY part, k, v
+"""
+
 
 def _q_sql_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-view spatial SQL: two registered geometry views joined in ONE
     SQL string via ST_DWithin, routed by plans/sql.py to the grid-bucketed
     spatial join (no UDF join condition reaches Catalyst). Reference analog:
-    the analyzer rule's per-table metadata maps (rules.rs:30-59)."""
+    the analyzer rule's per-table metadata maps (rules.rs:30-59).
+
+    Composite (round 8): UNION ALL with the plain-SQL grid equi-join
+    rollup that used to be its own gate (q_spatial_grid_join) — merged to
+    free a slot under the 50-query cap. Common schema
+    (part, k, v): dwithin pairs as ('dwithin', custkey, suppkey), grid
+    segment counts as ('grid', segment, n_customers)."""
     from datafusion_spatial_spark.functions.scalar import st_point
     from datafusion_spatial_spark.meta import GeometryMeta, with_geo_meta
     from datafusion_spatial_spark.plans.sql import SpatialSQL
@@ -883,11 +907,21 @@ def _q_sql_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssql = SpatialSQL(spark, join_cell_size=200.0)
     ssql.register_view("cust_pts", with_geo_meta(cust, "geom", meta))
     ssql.register_view("supp_pts", with_geo_meta(sup, "geom", meta))
-    return ssql.sql(
+    dwithin = ssql.sql(
         "SELECT c.c_custkey AS custkey, s.s_suppkey AS suppkey "
-        "FROM cust_pts c JOIN supp_pts s ON ST_DWithin(c.geom, s.geom, 100) "
-        "ORDER BY custkey, suppkey"
+        "FROM cust_pts c JOIN supp_pts s ON ST_DWithin(c.geom, s.geom, 100)"
+    ).select(
+        F.lit("dwithin").alias("part"),
+        F.col("custkey").cast("string").alias("k"),
+        F.col("suppkey").cast("long").alias("v"),
     )
+    register_views(spark, sf_dir, "customer", "supplier")
+    grid = spark.sql(_Q_GRID_JOIN_SPARK).select(
+        F.lit("grid").alias("part"),
+        F.col("segment").alias("k"),
+        F.col("n_customers").cast("long").alias("v"),
+    )
+    return dwithin.unionAll(grid).orderBy("part", "k", "v")
 
 
 # degenerate / holed / concave / multi-part polygon pairs with
@@ -1038,6 +1072,421 @@ def _q_st_intersection_area_oracle() -> str:
         f"SELECT pair_id, {casts} FROM (VALUES\n" + ",\n".join(rows) +
         "\n) AS t(pair_id, " + ", ".join(cols) + ") ORDER BY pair_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-8 composite gates: oracle coverage for the previously pytest-only
+# SURVEY §2 routines (VERDICT r7 top item). Geometries are constructed from
+# customer/nation columns so every expected value is computable by DuckDB
+# with plain arithmetic / CASE — the same closed-form-oracle pattern as
+# q_st_intersection_area.
+
+
+def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary predicate battery over data-derived point/box/line pairs:
+    ST_Within / ST_Touches / ST_Contains / ST_Disjoint / ST_Equals /
+    ST_Crosses / ST_Overlaps / ST_Relate (matrix + pattern forms) /
+    ST_IsSimple / ST_Boundary+ST_Length — reference README.md roadmap rows
+    (README.md:20-33), all previously verified by pytest only.
+
+    Constructions per sampled customer (P the customer point, fx=floor(x)):
+    A = unit box [fx,fx+1]x[y-.5,y+.5] around P; B = A shifted +key%3 in x
+    (0 covers P, >=1 disjoint from P); O = A shifted +(key%3)*0.5 (equal /
+    proper overlap / edge touch); L1,L2 diagonal vs anti-diagonal shifted
+    +2*(key%2) (proper crossing / disjoint); LS a simple-vs-bowtie
+    linestring; AB a box of width 1+(key%4)*0.5 (boundary perimeter
+    4+key%4). The oracle reproduces every cell with interval arithmetic on
+    the same columns (half-offsets are exactly representable doubles, so
+    the comparisons are bit-identical across engines)."""
+    from datafusion_spatial_spark.functions.predicates import (
+        st_boundary,
+        st_contains,
+        st_crosses,
+        st_disjoint,
+        st_equals,
+        st_issimple,
+        st_length,
+        st_overlaps,
+        st_relate,
+        st_relate_matrix,
+        st_touches,
+        st_within,
+    )
+    from datafusion_spatial_spark.functions.scalar import st_geomfromtext, st_point
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    P = GeometryMeta(encoding="point", geometry_types=("Point",))
+    W = GeometryMeta(encoding="WKB")
+
+    def s(c: F.Column) -> F.Column:
+        return c.cast("string")
+
+    def pt(x: F.Column, y: F.Column) -> F.Column:
+        return F.concat(F.lit("POINT ("), s(x), F.lit(" "), s(y), F.lit(")"))
+
+    def box(x0, y0, x1, y1) -> F.Column:
+        return F.concat(
+            F.lit("POLYGON (("),
+            s(x0), F.lit(" "), s(y0), F.lit(", "),
+            s(x1), F.lit(" "), s(y0), F.lit(", "),
+            s(x1), F.lit(" "), s(y1), F.lit(", "),
+            s(x0), F.lit(" "), s(y1), F.lit(", "),
+            s(x0), F.lit(" "), s(y0), F.lit("))"),
+        )
+
+    def line(x0, y0, x1, y1) -> F.Column:
+        return F.concat(
+            F.lit("LINESTRING ("),
+            s(x0), F.lit(" "), s(y0), F.lit(", "),
+            s(x1), F.lit(" "), s(y1), F.lit(")"),
+        )
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("x"),
+            F.col("c_custkey").cast("double").alias("y"),
+            F.floor("c_acctbal").cast("double").alias("fx"),
+            (F.col("c_custkey") % 3).cast("double").alias("s3"),
+            (F.col("c_custkey") % 2).cast("double").alias("s2"),
+            (F.col("c_custkey") % 4).cast("double").alias("s4"),
+        )
+    )
+    g = base.select(
+        "custkey",
+        st_point(F.col("x"), F.col("y")).alias("p"),
+        st_point(F.col("fx") + 0.5, F.col("y")).alias("q"),
+        st_geomfromtext(
+            box(F.col("fx"), F.col("y") - 0.5, F.col("fx") + 1, F.col("y") + 0.5)
+        ).alias("a"),
+        st_geomfromtext(
+            box(
+                F.col("fx") + F.col("s3"), F.col("y") - 0.5,
+                F.col("fx") + F.col("s3") + 1, F.col("y") + 0.5,
+            )
+        ).alias("b"),
+        st_geomfromtext(
+            box(
+                F.col("fx") + F.col("s3") * 0.5, F.col("y") - 0.5,
+                F.col("fx") + F.col("s3") * 0.5 + 1, F.col("y") + 0.5,
+            )
+        ).alias("o"),
+        st_geomfromtext(
+            line(F.col("fx"), F.col("y") - 1, F.col("fx") + 1, F.col("y") + 1)
+        ).alias("l1"),
+        st_geomfromtext(
+            line(
+                F.col("fx") + 2 * F.col("s2"), F.col("y") + 1,
+                F.col("fx") + 2 * F.col("s2") + 1, F.col("y") - 1,
+            )
+        ).alias("l2"),
+        st_geomfromtext(
+            F.when(
+                F.col("s2") == 0, F.lit("LINESTRING (0 0, 1 1, 2 0)")
+            ).otherwise(F.lit("LINESTRING (0 0, 2 2, 2 0, 0 2)"))
+        ).alias("ls"),
+        st_geomfromtext(
+            box(
+                F.col("fx"), F.col("y"),
+                F.col("fx") + 1 + F.col("s4") * 0.5, F.col("y") + 1,
+            )
+        ).alias("ab"),
+    )
+    return g.select(
+        "custkey",
+        st_within("p", "a", P, W).alias("within_pa"),
+        st_touches("p", "a", P, W).alias("touches_pa"),
+        st_contains("a", "p", W, P).alias("contains_ap"),
+        st_disjoint("p", "b", P, W).alias("disjoint_pb"),
+        st_equals("p", "q", P, P).alias("equals_pq"),
+        st_crosses("l1", "l2", W, W).alias("crosses_l"),
+        st_overlaps("a", "o", W, W).alias("overlaps_ao"),
+        st_relate_matrix("a", "o", W, W).alias("relate_ao"),
+        st_relate("a", "o", "T********", W, W).alias("relate_hit"),
+        st_issimple("ls", W).alias("simple_ls"),
+        F.round(st_length(st_boundary("ab", W), W), 6).alias("blen"),
+    ).orderBy("custkey")
+
+
+_Q_ST_PREDICATE_ORACLE = """
+WITH b AS (
+  SELECT c_custkey AS custkey, c_acctbal AS x, floor(c_acctbal) AS fx,
+         c_custkey % 3 AS s3, c_custkey % 2 AS s2, c_custkey % 4 AS s4
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT custkey,
+       (x > fx)       AS within_pa,
+       (x = fx)       AS touches_pa,
+       (x > fx)       AS contains_ap,
+       (s3 >= 1)      AS disjoint_pb,
+       (x - fx = 0.5) AS equals_pq,
+       (s2 = 0)       AS crosses_l,
+       (s3 = 1)       AS overlaps_ao,
+       CASE s3 WHEN 0 THEN '2FFF1FFF2' WHEN 1 THEN '212111212'
+               ELSE 'FF2F11212' END AS relate_ao,
+       (s3 <= 1)      AS relate_hit,
+       (s2 = 0)       AS simple_ls,
+       cast(4 + s4 AS DOUBLE) AS blen
+FROM b ORDER BY custkey
+"""
+
+
+def _q_st_construct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unary accessor + constructive suite: ST_GeometryType / ST_Dimension /
+    ST_IsEmpty / ST_SRID / ST_NPoints / ST_AsBinary (WKB length + full
+    text-binary-text round-trip) / ST_ConvexHull / ST_Buffer (flat, square
+    and round endcaps) — the remaining pytest-only SURVEY §2 rows.
+
+    Per nation: a typed geometry cycling point/linestring/polygon/multipoint
+    by key%4, overridden to the typed EMPTY when key%5==0 (so the EMPTY
+    conventions are oracle-checked too); the convex hull of the nation's
+    customer-bbox corners plus the mean point (hull area == bbox area, and
+    the interior mean point proves hull pruning); buffers of a length-
+    (1+key%3) horizontal segment at radius 1.25 (flat: area 2rL exactly;
+    square: 2rL+4r^2) and of a point at radius 2 with quad_segs=8 (round:
+    inscribed 32-gon, area 64*sin(pi/16))."""
+    from datafusion_spatial_spark.functions.predicates import (
+        st_area,
+        st_buffer,
+        st_convexhull,
+    )
+    from datafusion_spatial_spark.functions.scalar import (
+        st_asbinary,
+        st_astext,
+        st_dimension,
+        st_geomfromtext,
+        st_geometrytype,
+        st_isempty,
+        st_npoints,
+        st_srid,
+    )
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    W = GeometryMeta(encoding="WKB")
+
+    def s(c: F.Column) -> F.Column:
+        return c.cast("string")
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_nationkey").cast("double").alias("nx"),
+        (F.col("n_nationkey") % 4).alias("t4"),
+        (F.col("n_nationkey") % 3).cast("double").alias("t3"),
+        (F.col("n_nationkey") % 5 == 0).alias("mk_empty"),
+    )
+    typed_wkt = (
+        F.when(F.col("t4") == 0, F.concat(F.lit("POINT ("), s(F.col("nx")), F.lit(" 1)")))
+        .when(
+            F.col("t4") == 1,
+            F.concat(
+                F.lit("LINESTRING ("), s(F.col("nx")), F.lit(" 0, "),
+                s(F.col("nx") + 2), F.lit(" 0, "), s(F.col("nx") + 2), F.lit(" 3)"),
+            ),
+        )
+        .when(
+            F.col("t4") == 2,
+            F.concat(
+                F.lit("POLYGON (("), s(F.col("nx")), F.lit(" 0, "),
+                s(F.col("nx") + 1 + F.col("t3") * 0.5), F.lit(" 0, "),
+                s(F.col("nx") + 1 + F.col("t3") * 0.5), F.lit(" 1, "),
+                s(F.col("nx")), F.lit(" 1, "), s(F.col("nx")), F.lit(" 0))"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("MULTIPOINT (("), s(F.col("nx")), F.lit(" 0), ("),
+                s(F.col("nx") + 1), F.lit(" 1))"),
+            )
+        )
+    )
+    empty_wkt = (
+        F.when(F.col("t4") == 0, F.lit("POINT EMPTY"))
+        .when(F.col("t4") == 1, F.lit("LINESTRING EMPTY"))
+        .when(F.col("t4") == 2, F.lit("POLYGON EMPTY"))
+        .otherwise(F.lit("MULTIPOINT EMPTY"))
+    )
+    g = nat.select(
+        "nationkey", "t3",
+        st_geomfromtext(
+            F.when(F.col("mk_empty"), empty_wkt).otherwise(typed_wkt)
+        ).alias("g"),
+        st_geomfromtext(
+            F.concat(
+                F.lit("LINESTRING ("), s(F.col("nx") * 10), F.lit(" 0, "),
+                s(F.col("nx") * 10 + 1 + F.col("t3")), F.lit(" 0)"),
+            )
+        ).alias("seg"),
+        st_geomfromtext(
+            F.concat(F.lit("POINT ("), s(F.col("t3")), F.lit(" "),
+                     s(F.col("nationkey") % 7), F.lit(")"))
+        ).alias("bpt"),
+    )
+    unary = g.select(
+        "nationkey",
+        st_geometrytype("g", W).alias("gtype"),
+        st_dimension("g", W).alias("dim"),
+        st_isempty("g", W).alias("emp"),
+        st_srid("g", W).alias("srid"),
+        st_npoints("g", W).alias("npts"),
+        F.length(st_asbinary("g", W)).cast("long").alias("wkb_len"),
+        (st_astext(st_asbinary("g", W), W) == st_astext("g", W)).alias("rt_ok"),
+        F.round(
+            st_area(st_buffer("seg", 1.25, W, params="quad_segs=8 endcap=flat"), W), 6
+        ).alias("buf_flat"),
+        F.round(
+            st_area(st_buffer("seg", 1.25, W, params="quad_segs=8 endcap=square"), W),
+            6,
+        ).alias("buf_square"),
+        F.round(st_area(st_buffer("bpt", 2.0, W, params="quad_segs=8"), W), 6).alias(
+            "buf_round"
+        ),
+    )
+    corners = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.min("c_acctbal").alias("x0"),
+            F.max("c_acctbal").alias("x1"),
+            F.min(F.col("c_custkey").cast("double")).alias("y0"),
+            F.max(F.col("c_custkey").cast("double")).alias("y1"),
+            F.avg("c_acctbal").alias("cx"),
+            F.avg(F.col("c_custkey").cast("double")).alias("cy"),
+        )
+    )
+
+    def s2(c):
+        return c.cast("string")
+
+    mp = corners.select(
+        "nationkey",
+        st_geomfromtext(
+            F.concat(
+                F.lit("MULTIPOINT (("),
+                s2(F.col("x0")), F.lit(" "), s2(F.col("y0")), F.lit("), ("),
+                s2(F.col("x1")), F.lit(" "), s2(F.col("y0")), F.lit("), ("),
+                s2(F.col("x1")), F.lit(" "), s2(F.col("y1")), F.lit("), ("),
+                s2(F.col("x0")), F.lit(" "), s2(F.col("y1")), F.lit("), ("),
+                s2(F.col("cx")), F.lit(" "), s2(F.col("cy")), F.lit("))"),
+            )
+        ).alias("mp"),
+    )
+    hull = mp.select(
+        "nationkey",
+        F.round(st_area(st_convexhull("mp", W), W), 6).alias("hull_area"),
+    )
+    return unary.join(hull, "nationkey").orderBy("nationkey")
+
+
+_Q_ST_CONSTRUCT_ORACLE = """
+WITH n AS (
+  SELECT n_nationkey AS nationkey, n_nationkey % 4 AS t4,
+         cast(n_nationkey % 3 AS DOUBLE) AS t3,
+         (n_nationkey % 5 = 0) AS mk_empty
+  FROM nation
+), hull AS (
+  SELECT c_nationkey AS nationkey,
+         round((max(c_acctbal) - min(c_acctbal))
+               * (max(cast(c_custkey AS DOUBLE))
+                  - min(cast(c_custkey AS DOUBLE))), 6) AS hull_area
+  FROM customer GROUP BY c_nationkey
+)
+SELECT n.nationkey,
+       CASE t4 WHEN 0 THEN 'ST_Point' WHEN 1 THEN 'ST_LineString'
+               WHEN 2 THEN 'ST_Polygon' ELSE 'ST_MultiPoint' END AS gtype,
+       CASE t4 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END AS dim,
+       mk_empty AS emp,
+       0 AS srid,
+       CASE WHEN mk_empty THEN 0
+            ELSE CASE t4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 5 ELSE 2 END
+       END AS npts,
+       cast(CASE WHEN mk_empty THEN CASE t4 WHEN 0 THEN 21 ELSE 9 END
+                 ELSE CASE t4 WHEN 0 THEN 21 WHEN 1 THEN 57
+                              WHEN 2 THEN 93 ELSE 51 END
+            END AS BIGINT) AS wkb_len,
+       TRUE AS rt_ok,
+       round(2.5 * (1 + t3), 6) AS buf_flat,
+       round(2.5 * (1 + t3) + 6.25, 6) AS buf_square,
+       round(64 * sin(pi() / 16), 6) AS buf_round,
+       hull.hull_area
+FROM n JOIN hull ON n.nationkey = hull.nationkey
+ORDER BY n.nationkey
+"""
+
+
+def _q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink gate (VERDICT r7 item 4): write orders directory-partitioned by
+    status (operators/storage.write_partitioned), read it back and
+    aggregate; write customer points as a Hilbert-clustered spatial layout
+    (write_spatial) and window-scan it back (spatial_scan: directory prune
+    + bbox prune, exact for points). Both read-back aggregates must equal
+    DuckDB aggregating the SOURCE tables — any row lost/duplicated/mangled
+    by the write or by layout pruning breaks the hash."""
+    import tempfile
+
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from datafusion_spatial_spark.meta import GeometryMeta
+    from datafusion_spatial_spark.operators.storage import (
+        spatial_scan,
+        write_partitioned,
+        write_spatial,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_gates",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    p_part = os.path.join(base, "orders_by_status")
+    write_partitioned(orders, p_part, ["o_orderstatus"])
+    part = (
+        spark.read.parquet(p_part)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("v"),
+        )
+        .select(
+            F.lit("partitioned").alias("part"),
+            F.col("o_orderstatus").alias("k"),
+            "n",
+            "v",
+        )
+    )
+    point_meta = GeometryMeta(encoding="point", geometry_types=("Point",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        st_point(F.col("c_acctbal"), F.col("c_custkey").cast("double")).alias("geom"),
+    )
+    p_spat = os.path.join(base, "cust_spatial")
+    write_spatial(
+        cust, p_spat, "geom", point_meta,
+        extent=(-1000.0, 0.0, 10000.0, 200000.0),
+        level=12, coarse_level=2, num_files=4,
+    )
+    spat = (
+        spatial_scan(spark, p_spat, (0.0, 0.0, 5000.0, 400.0))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c_custkey").cast("double").alias("v"),
+        )
+        .select(F.lit("spatial").alias("part"), F.lit("window").alias("k"), "n", "v")
+    )
+    return part.unionAll(spat).orderBy("part", "k")
+
+
+_Q_WRITE_ROUNDTRIP_ORACLE = """
+SELECT 'partitioned' AS part, o_orderstatus AS k,
+       count(*) AS n, round(sum(o_totalprice), 2) AS v
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 'spatial' AS part, 'window' AS k,
+       count(*) AS n, cast(sum(c_custkey) AS DOUBLE) AS v
+FROM customer
+WHERE c_acctbal BETWEEN 0 AND 5000 AND c_custkey BETWEEN 0 AND 400
+ORDER BY part, k
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1728,20 +2177,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_cube": _sql_query(
             Q_ROLLUP_CUBE_SQL, ("customer", "orders", "lineitem")
         ),
-        "q_window_suite": _sql_query(Q_WINDOW_SUITE_SQL, ("orders",)),
+        "q_window_suite": _sql_query(
+            Q_WINDOW_SUITE_CORE.format(
+                gap="CASE WHEN prev_date IS NULL THEN NULL "
+                "ELSE cast(datediff(o_orderdate, prev_date) AS BIGINT) END"
+            ),
+            ("orders",),
+        ),
         "q15_top_supplier": _sql_query(
             Q15_TOP_SUPPLIER_SQL, ("lineitem", "supplier")
         ),
         "q_monthly_revenue": _sql_query(
             Q_MONTHLY_CORE.format(month="date_format(o_orderdate, 'yyyy-MM')"),
-            ("orders",),
-        ),
-        "q_window_top3_orders": _sql_query(Q_WINDOW_TOP3_SQL, ("orders",)),
-        "q_window_running_total": _sql_query(
-            Q_WINDOW_RUNNING_CORE.format(
-                gap="CASE WHEN prev_date IS NULL THEN NULL "
-                "ELSE cast(datediff(o_orderdate, prev_date) AS BIGINT) END"
-            ),
             ("orders",),
         ),
         "q_distinct_counts": _sql_query(Q_DISTINCT_SQL, ("lineitem",)),
@@ -1796,14 +2243,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_st_extent_customers": _q_st_extent_customers,
         "q_st_astext_suppliers": _q_st_astext_suppliers,
         "q_st_envelope_by_nation": _q_st_envelope_by_nation,
-        "q_spatial_grid_join": _sql_query(
-            _Q_GRID_JOIN_SPARK, ("customer", "supplier")
-        ),
         "q_st_contains_triangle": _q_st_contains_triangle,
         "q_st_distance_topk": _q_st_distance_topk,
         "q_spatial_dwithin_join": _q_spatial_dwithin_join,
         "q_sql_spatial_join": _q_sql_spatial_join,
         "q_st_intersection_area": _q_st_intersection_area,
+        "q_st_predicate_battery": _q_st_predicate_battery,
+        "q_st_construct_suite": _q_st_construct_suite,
+        "q_write_roundtrip": _q_write_roundtrip,
     }
     def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         """End-to-end near-dup removal (MinHash-LSH pairs → distributed
@@ -1880,15 +2327,13 @@ def oracle_sql() -> dict[str, str]:
         "q_top_customers": Q_TOP_CUSTOMERS_SQL,
         "q_customers_no_orders": Q_NO_ORDERS_SQL,
         "q_rollup_cube": Q_ROLLUP_CUBE_SQL,
-        "q_window_suite": Q_WINDOW_SUITE_SQL,
+        "q_window_suite": Q_WINDOW_SUITE_CORE.format(
+            gap="CASE WHEN prev_date IS NULL THEN NULL "
+            "ELSE cast(date_diff('day', prev_date, o_orderdate) AS BIGINT) END"
+        ),
         "q15_top_supplier": Q15_TOP_SUPPLIER_SQL,
         "q_monthly_revenue": Q_MONTHLY_CORE.format(
             month="strftime(o_orderdate, '%Y-%m')"
-        ),
-        "q_window_top3_orders": Q_WINDOW_TOP3_SQL,
-        "q_window_running_total": Q_WINDOW_RUNNING_CORE.format(
-            gap="CASE WHEN prev_date IS NULL THEN NULL "
-            "ELSE cast(date_diff('day', prev_date, o_orderdate) AS BIGINT) END"
         ),
         "q_distinct_counts": Q_DISTINCT_SQL,
         "q_setop_suppliers": Q_SETOP_SQL,
@@ -1922,12 +2367,14 @@ def oracle_sql() -> dict[str, str]:
         "q_st_extent_customers": _Q_ST_EXTENT_ORACLE,
         "q_st_astext_suppliers": _Q_ST_ASTEXT_ORACLE,
         "q_st_envelope_by_nation": _Q_ST_ENVELOPE_ORACLE,
-        "q_spatial_grid_join": _Q_GRID_JOIN_SPARK,
         "q_st_contains_triangle": _q_st_contains_triangle_oracle(),
         "q_st_distance_topk": _Q_ST_DISTANCE_ORACLE,
         "q_spatial_dwithin_join": _Q_DWITHIN_ORACLE,
-        "q_sql_spatial_join": _Q_DWITHIN_ORACLE,
+        "q_sql_spatial_join": _Q_SQL_SPATIAL_ORACLE,
         "q_st_intersection_area": _q_st_intersection_area_oracle(),
+        "q_st_predicate_battery": _Q_ST_PREDICATE_ORACLE,
+        "q_st_construct_suite": _Q_ST_CONSTRUCT_ORACLE,
+        "q_write_roundtrip": _Q_WRITE_ROUNDTRIP_ORACLE,
         "q_hash_split": _q_hash_split_oracle(),
         "q_dedup_exact": _Q_DEDUP_EXACT_ORACLE,
         "q_near_dup_pairs": _q_near_dup_pairs_oracle(),

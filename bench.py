@@ -60,7 +60,11 @@ def bench_queries():
     return {
         "q01_pricing_summary": q["q01_pricing_summary"],
         "q05_region_revenue": q["q05_region_revenue"],
-        "q_window_top3_orders": q["q_window_top3_orders"],
+        # kept as its own bench series even though the gate entry merged
+        # into q_window_suite (round 8): the timing history stays comparable
+        "q_window_top3_orders": entry_mod._sql_query(
+            entry_mod.Q_WINDOW_TOP3_SQL, ("orders",)
+        ),
         "q_events_sessionize": q["q_events_sessionize"],
         "q_st_envelope_by_nation": q["q_st_envelope_by_nation"],
         "q_st_extent_customers": q["q_st_extent_customers"],
