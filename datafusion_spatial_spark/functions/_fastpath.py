@@ -248,3 +248,315 @@ def _gather_f8(buf: bytes, off: np.ndarray) -> np.ndarray:
             )
             out[m] = view[(off[m] - p) >> 3]
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-8 (VERDICT r7 item 3): vectorized refine kernels. The grid join
+# already confines Python to candidate pairs; these cut the per-candidate
+# constant by evaluating whole Arrow batches in numpy, mirroring the
+# geom_ops scalar kernels EXPRESSION-FOR-EXPRESSION (identical IEEE op
+# order) so results are bit-identical to the fallback loop — the parity
+# contract tests/test_fastpath_vectorized.py pins.
+
+_EPS = 1e-12
+
+
+def native_point_xy(df: pd.DataFrame, has_z: bool, has_m: bool):
+    """x/y/valid/null from a batch of depth-0 flat-offset point structs
+    (the `_prep` native shape: a pd.DataFrame with xs/ys list columns).
+    ``valid`` is False for null AND empty rows; ``null`` marks SQL nulls
+    (struct with null xs, or a null first element — the same rows the
+    row converter maps to None)."""
+    if not isinstance(df, pd.DataFrame) or "xs" not in df or "ys" not in df:
+        return None
+    xs_col = df["xs"].to_numpy(dtype=object)
+    ys_col = df["ys"].to_numpy(dtype=object)
+    n = len(xs_col)
+    x = np.full(n, np.nan)
+    y = np.full(n, np.nan)
+    null = np.zeros(n, dtype=bool)
+    for i in range(n):
+        vx = xs_col[i]
+        if vx is None or len(vx) == 0 or vx[0] is None:
+            null[i] = True
+            continue
+        if len(vx) != 1:
+            return None  # not a point batch after all
+        x[i] = vx[0]
+        y[i] = ys_col[i][0]
+    valid = ~null & ~(np.isnan(x) | np.isnan(y))
+    return x, y, valid, null
+
+
+def wkb_point_xy(s: pd.Series):
+    """point_xy_batch plus an explicit null mask (valid=False conflates
+    null and POINT EMPTY, and predicates must keep them apart: null in ->
+    null out, empty in -> a definite boolean)."""
+    fast = point_xy_batch(s)
+    if fast is None:
+        return None
+    x, y, valid = fast
+    return x, y, valid, s.isna().to_numpy()
+
+
+def _ring_locate(ring: np.ndarray, px: np.ndarray, py: np.ndarray):
+    """Vectorized mirror of geom_ops.ring_contains_point: returns
+    (boundary, inside) bool arrays. Same expression order as the scalar
+    kernel, so every comparison sees the identical double."""
+    inside = np.zeros(px.size, dtype=bool)
+    boundary = np.zeros(px.size, dtype=bool)
+    for i in range(len(ring) - 1):
+        ax, ay = float(ring[i][0]), float(ring[i][1])
+        bx, by = float(ring[i + 1][0]), float(ring[i + 1][1])
+        # _on_segment mirror: |(b-a)x(p-a)| <= EPS and bbox pad
+        orient = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        onseg = (
+            (np.abs(orient) <= _EPS)
+            & (min(ax, bx) - _EPS <= px) & (px <= max(ax, bx) + _EPS)
+            & (min(ay, by) - _EPS <= py) & (py <= max(ay, by) + _EPS)
+        )
+        boundary |= onseg
+        cross = (ay > py) != (by > py)
+        if cross.any():  # cross implies ay != by: the division is safe
+            xint = ax + (py - ay) * (bx - ax) / (by - ay)
+            inside ^= cross & (px < xint)
+    return boundary, inside
+
+
+def _polygon_locate(rings, px, py):
+    """Vectorized geom_ops.polygon_contains_point: int8 2/1/0 per point,
+    shell + holes, same precedence as the scalar kernel."""
+    if not rings:
+        return np.zeros(px.size, dtype=np.int8)
+    b, i = _ring_locate(rings[0], px, py)
+    res = np.where(b, 1, np.where(i, 2, 0)).astype(np.int8)
+    interior = res == 2
+    for hole in rings[1:]:
+        if not interior.any():
+            break
+        hb, hi = _ring_locate(hole, px, py)
+        res = np.where(interior & hi & ~hb, 0, np.where(interior & hb, 1, res)).astype(
+            np.int8
+        )
+        interior = res == 2
+    return res
+
+
+def _geom_polygons(g):
+    """Mirror of geom_ops._polygons for the supported fast-path shapes:
+    list of ring-lists, or None when the geometry isn't purely polygonal
+    (caller falls back to the scalar kernel)."""
+    if g.type_name == "Polygon":
+        return [g.coords]
+    if g.type_name == "MultiPolygon":
+        return list(g.coords)
+    return None
+
+
+def _geom_segments_arr(g):
+    """All boundary/path segments of a line or polygon geometry as float
+    arrays (ax, ay, bx, by) — mirror of geom_ops._segments order."""
+    segs = []
+    t, c = g.type_name, g.coords
+    if t == "LineString":
+        paths = [c]
+    elif t == "MultiLineString":
+        paths = list(c)
+    elif t == "Polygon":
+        paths = list(c)
+    elif t == "MultiPolygon":
+        paths = [ring for poly in c for ring in poly]
+    else:
+        return None
+    for path in paths:
+        for i in range(len(path) - 1):
+            segs.append(
+                (path[i][0], path[i][1], path[i + 1][0], path[i + 1][1])
+            )
+    return segs
+
+
+def _factorized_geoms(s: pd.Series):
+    """Factorize a WKB bytes series into (codes, parsed uniques) for
+    duplicate-heavy candidate batches (a literal query polygon, grid-join
+    replicated geometries). None when uniqueness is too high for the
+    group-evaluate strategy to pay off, or a value fails to parse."""
+    from datafusion_spatial_spark import wkb as _wkb
+
+    codes, uniques = pd.factorize(s, use_na_sentinel=True)
+    n = len(s)
+    if len(uniques) > max(8, n // 4):
+        return None
+    geoms = []
+    for u in uniques:
+        try:
+            geoms.append(_wkb.loads(bytes(u)))
+        except Exception:
+            return None
+    return codes, geoms
+
+
+def predicate_fastpath(sa, sb, mode: str, kind_a: str, kind_b: str):
+    """Batched evaluation of the hot refine predicates. Returns an object
+    Series (None / bool, matching the scalar loop) or None to fall back.
+
+    Supported shapes (kind = 'wkb' | 'point' [native 2-D] | 'other'):
+      * point vs point: equals / intersects / disjoint
+      * point vs WKB polygonal (either orientation for the symmetric
+        predicates; the correctly-oriented side for contains/within) —
+        duplicate-heavy polygon batches only (_factorized_geoms)."""
+
+    def side(s, kind):
+        if kind == "point":
+            return native_point_xy(s, False, False)
+        if kind == "wkb":
+            return wkb_point_xy(s)
+        return None
+
+    pa = side(sa, kind_a)
+    pb = side(sb, kind_b)
+
+    def geom_null(s):
+        return s.isna().to_numpy() if isinstance(s, pd.Series) else None
+
+    # --- point vs point -------------------------------------------------
+    if pa is not None and pb is not None:
+        xa, ya, va, na = pa
+        xb, yb, vb, nb = pb
+        if mode == "equals":
+            # kernel: empty==empty True, one empty False, else exact coords
+            ea, eb = ~va & ~na, ~vb & ~nb
+            res = np.where(
+                ea & eb, True,
+                np.where(ea | eb, False, (xa == xb) & (ya == yb)),
+            )
+        elif mode in ("intersects", "disjoint"):
+            hit = (np.abs(xa - xb) <= _EPS) & (np.abs(ya - yb) <= _EPS)
+            res = np.where(
+                va & vb, hit if mode == "intersects" else ~hit,
+                mode == "disjoint",
+            )
+        else:
+            # contains/within on point pairs: kernel = exact coord match
+            res = np.where(va & vb, (xa == xb) & (ya == yb), False)
+        out = res.astype(object)
+        out[na | nb] = None
+        return pd.Series(out, dtype="object")
+
+    # --- point vs polygonal WKB ----------------------------------------
+    if mode == "equals":
+        return None  # point-point only; polygon equality stays scalar
+    if mode == "contains":
+        pt, geo_s, geo_kind = pb, sa, kind_a  # contains(poly a, point b)
+    elif mode == "within":
+        pt, geo_s, geo_kind = pa, sb, kind_b  # within(point a, poly b)
+    elif pa is not None:
+        pt, geo_s, geo_kind = pa, sb, kind_b
+    else:
+        pt, geo_s, geo_kind = pb, sa, kind_a
+    if pt is None or geo_kind != "wkb" or not isinstance(geo_s, pd.Series):
+        return None
+    fact = _factorized_geoms(geo_s)
+    if fact is None:
+        return None
+    codes, geoms = fact
+    px, py, pv, pn = pt
+    loc = np.zeros(len(geo_s), dtype=np.int8)
+    for gi, g in enumerate(geoms):
+        polys = _geom_polygons(g)
+        if polys is None:
+            return None
+        m = (codes == gi) & pv
+        if not m.any():
+            continue
+        sub = np.zeros(int(m.sum()), dtype=np.int8)
+        for rings in polys:
+            sub = np.maximum(sub, _polygon_locate(rings, px[m], py[m]))
+        loc[m] = sub
+    gnull = codes < 0
+    if mode in ("contains", "within"):
+        res = np.where(pv & ~gnull, loc == 2, False)
+    elif mode == "intersects":
+        res = np.where(pv & ~gnull, loc >= 1, False)
+    else:  # disjoint
+        res = np.where(pv & ~gnull, loc == 0, True)
+    out = res.astype(object)
+    out[pn | gnull] = None
+    return pd.Series(out, dtype="object")
+
+
+def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
+    """Batched st_distance: point vs point (both WKB, both native, or
+    mixed) and point vs duplicate-heavy WKB line/polygon batches. Returns
+    a float64 Series (NaN -> SQL NULL via Arrow) or None to fall back.
+    Expression order mirrors geom_ops.distance / point_seg_dist2."""
+
+    def side(s, kind):
+        if kind == "point":
+            return native_point_xy(s, False, False)
+        if kind == "wkb":
+            return wkb_point_xy(s)
+        return None
+
+    pa = side(sa, kind_a)
+    pb = side(sb, kind_b)
+    if pa is not None and pb is not None:
+        xa, ya, va, _ = pa
+        xb, yb, vb, _ = pb
+        d = np.sqrt((xa - xb) ** 2 + (ya - yb) ** 2)
+        return pd.Series(np.where(va & vb, d, np.nan), dtype="float64")
+    if pa is not None:
+        pt, geo_s, geo_kind = pa, sb, kind_b
+    elif pb is not None:
+        pt, geo_s, geo_kind = pb, sa, kind_a
+    else:
+        return None
+    if geo_kind != "wkb" or not isinstance(geo_s, pd.Series):
+        return None
+    fact = _factorized_geoms(geo_s)
+    if fact is None:
+        return None
+    codes, geoms = fact
+    px, py, pv, _ = pt
+    out = np.full(len(geo_s), np.nan)
+    for gi, g in enumerate(geoms):
+        m = (codes == gi) & pv
+        if not m.any():
+            continue
+        if g.is_empty:
+            continue  # kernel: distance to empty is None
+        segs = _geom_segments_arr(g)
+        if segs is None:
+            return None
+        x, y = px[m], py[m]
+        # touch test first (kernel: intersects -> 0.0): on any segment, or
+        # inside a polygon ring system
+        zero = np.zeros(x.size, dtype=bool)
+        best = np.full(x.size, np.inf)
+        for ax, ay, bx, by in segs:
+            orient = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+            zero |= (
+                (np.abs(orient) <= _EPS)
+                & (min(ax, bx) - _EPS <= x) & (x <= max(ax, bx) + _EPS)
+                & (min(ay, by) - _EPS <= y) & (y <= max(ay, by) + _EPS)
+            )
+            # point_seg_dist2 mirror
+            dx, dy = bx - ax, by - ay
+            L2 = dx * dx + dy * dy
+            if L2 <= _EPS:
+                ex, ey = x - ax, y - ay
+                d2 = ex * ex + ey * ey
+            else:
+                t = np.maximum(0.0, np.minimum(1.0, ((x - ax) * dx + (y - ay) * dy) / L2))
+                cx, cy = ax + t * dx, ay + t * dy
+                ex, ey = x - cx, y - cy
+                d2 = ex * ex + ey * ey
+            best = np.minimum(best, d2)
+        polys = _geom_polygons(g)
+        if polys is not None:
+            inside = np.zeros(x.size, dtype=np.int8)
+            for rings in polys:
+                inside = np.maximum(inside, _polygon_locate(rings, x, y))
+            zero |= inside >= 1
+        out[m] = np.where(zero, 0.0, np.sqrt(best))
+    return pd.Series(out, dtype="float64")

@@ -129,13 +129,36 @@ def _converter(meta: GeometryMeta) -> Callable[[object], wkb.Geom | None]:
     return conv_native
 
 
-def _binary_predicate(fn: Callable[[wkb.Geom, wkb.Geom], bool]):
+def _fast_kind(meta: GeometryMeta) -> str:
+    """Shape hint for the vectorized refine fast paths: 'wkb' (bytes reach
+    the UDF as-is), 'point' (depth-0 2-D native struct), 'other'."""
+    if meta.is_wkb:
+        return "wkb"
+    if (
+        NESTING_DEPTH.get(meta.native_type) == 0
+        and not meta.has_z
+        and not meta.has_m
+    ):
+        return "point"
+    return "other"
+
+
+def _binary_predicate(fn: Callable[[wkb.Geom, wkb.Geom], bool], mode: str | None = None):
     def build(a: Column | str, b: Column | str, meta_a: GeometryMeta, meta_b: GeometryMeta) -> Column:
         ca = _converter(meta_a)
         cb = _converter(meta_b)
+        kind_a, kind_b = _fast_kind(meta_a), _fast_kind(meta_b)
 
         @F.pandas_udf(T.BooleanType())
         def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+            if mode is not None:
+                from datafusion_spatial_spark.functions._fastpath import (
+                    predicate_fastpath,
+                )
+
+                fast = predicate_fastpath(sa, sb, mode, kind_a, kind_b)
+                if fast is not None:
+                    return fast
             out = []
             for va, vb in zip(_as_rows(sa), _as_rows(sb)):
                 ga, gb = ca(va), cb(vb)
@@ -147,36 +170,28 @@ def _binary_predicate(fn: Callable[[wkb.Geom, wkb.Geom], bool]):
     return build
 
 
-st_intersects = _binary_predicate(geom_ops.intersects)
-st_disjoint = _binary_predicate(geom_ops.disjoint)
-st_contains = _binary_predicate(geom_ops.contains)
-st_within = _binary_predicate(geom_ops.within)
-st_equals = _binary_predicate(geom_ops.equals)
+st_intersects = _binary_predicate(geom_ops.intersects, "intersects")
+st_disjoint = _binary_predicate(geom_ops.disjoint, "disjoint")
+st_contains = _binary_predicate(geom_ops.contains, "contains")
+st_within = _binary_predicate(geom_ops.within, "within")
+st_equals = _binary_predicate(geom_ops.equals, "equals")
 
 
 def st_distance(
     a: Column | str, b: Column | str, meta_a: GeometryMeta, meta_b: GeometryMeta
 ) -> Column:
     ca, cb = _converter(meta_a), _converter(meta_b)
-    both_wkb = meta_a.is_wkb and meta_b.is_wkb
+    kind_a, kind_b = _fast_kind(meta_a), _fast_kind(meta_b)
 
     @F.pandas_udf(T.DoubleType())
     def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        if both_wkb:
-            from datafusion_spatial_spark.functions._fastpath import (
-                point_xy_batch,
-            )
+        from datafusion_spatial_spark.functions._fastpath import (
+            distance_fastpath,
+        )
 
-            fa = point_xy_batch(sa)
-            fb = point_xy_batch(sb) if fa is not None else None
-            if fa is not None and fb is not None:
-                import numpy as np
-
-                xa, ya, va = fa
-                xb, yb, vb = fb
-                d = np.sqrt((xa - xb) ** 2 + (ya - yb) ** 2)
-                d = np.where(va & vb, d, np.nan)
-                return pd.Series(d, dtype="float64")
+        fast = distance_fastpath(sa, sb, kind_a, kind_b)
+        if fast is not None:
+            return fast
         out = []
         for va, vb in zip(_as_rows(sa), _as_rows(sb)):
             ga, gb = ca(va), cb(vb)

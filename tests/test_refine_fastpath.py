@@ -1,0 +1,226 @@
+"""Bit-exact parity pins for the round-8 vectorized refine kernels
+(_fastpath.predicate_fastpath / distance_fastpath vs the geom_ops scalar
+kernels). The fast paths mirror ring_contains_point / _on_segment /
+point_seg_dist2 expression-for-expression, so every battery below must
+agree EXACTLY with the scalar loop — including boundary points, EPS-window
+points, holes, multipolygon parts, empties, and nulls."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datafusion_spatial_spark import geom_ops, wkb
+from datafusion_spatial_spark.functions._fastpath import (
+    distance_fastpath,
+    predicate_fastpath,
+)
+
+EPS = 1e-12
+
+
+def _poly(*rings):
+    return wkb.dumps(wkb.Geom("Polygon", [list(r) for r in rings]))
+
+
+def _mpoly(polys):
+    return wkb.dumps(wkb.Geom("MultiPolygon", [[list(r) for r in p] for p in polys]))
+
+
+def _line(pts):
+    return wkb.dumps(wkb.Geom("LineString", list(pts)))
+
+
+def _pt(x, y):
+    return wkb.dumps(wkb.Geom("Point", (x, y)))
+
+
+BOX = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+HOLE = [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)]
+TRI = [(0.0, 0.0), (8.0, 1.0), (1.0, 8.0), (0.0, 0.0)]
+
+# point battery: interior / vertex / edge / just-outside within EPS /
+# just-outside beyond EPS / far outside / hole boundary / inside hole /
+# empty / null
+POINTS = [
+    (2.0, 0.5),              # interior (between hole and shell)
+    (0.0, 0.0),              # shell vertex
+    (2.0, 0.0),              # shell edge midpoint
+    (-EPS / 2, 2.0),         # outside but inside the EPS pad -> boundary
+    (-1e-9, 2.0),            # outside beyond EPS
+    (100.0, 100.0),          # far outside
+    (1.0, 2.0),              # hole boundary
+    (2.0, 2.0),              # inside the hole
+    (float("nan"), float("nan")),  # POINT EMPTY
+    None,
+]
+
+
+def _pt_series(points):
+    return pd.Series(
+        [None if p is None else _pt(*p) for p in points], dtype=object
+    )
+
+
+def _scalar(fn, sa, sb):
+    out = []
+    for va, vb in zip(sa, sb):
+        ga = wkb.loads(bytes(va)) if va is not None else None
+        gb = wkb.loads(bytes(vb)) if vb is not None else None
+        out.append(None if ga is None or gb is None else fn(ga, gb))
+    return out
+
+
+MODES = {
+    "intersects": geom_ops.intersects,
+    "disjoint": geom_ops.disjoint,
+    "contains": geom_ops.contains,
+    "within": geom_ops.within,
+}
+
+
+@pytest.mark.parametrize("poly_bytes", [
+    _poly(BOX),
+    _poly(BOX, HOLE),
+    _mpoly([[BOX], [[(10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 10.0)]]]),
+    _poly(TRI),
+    wkb.dumps(wkb.Geom("Polygon", [])),  # POLYGON EMPTY
+])
+@pytest.mark.parametrize("mode", list(MODES))
+def test_point_vs_polygon_parity(poly_bytes, mode):
+    pts = _pt_series(POINTS)
+    polys = pd.Series([poly_bytes] * len(POINTS), dtype=object)
+    if mode == "contains":
+        sa, sb = polys, pts
+        exp = _scalar(MODES[mode], sa, sb)
+    else:
+        sa, sb = pts, polys
+        exp = _scalar(MODES[mode], sa, sb)
+    got = predicate_fastpath(sa, sb, mode, "wkb", "wkb")
+    assert got is not None, "fast path must engage for a 1-unique batch"
+    assert list(got) == exp
+
+
+@pytest.mark.parametrize("mode", ["intersects", "disjoint"])
+def test_point_vs_polygon_symmetric_orientation(mode):
+    """Symmetric predicates engage with the polygon on either side."""
+    pts = _pt_series(POINTS)
+    polys = pd.Series([_poly(BOX, HOLE)] * len(POINTS), dtype=object)
+    got = predicate_fastpath(polys, pts, mode, "wkb", "wkb")
+    assert got is not None
+    assert list(got) == _scalar(MODES[mode], polys, pts)
+
+
+def test_point_point_modes_parity():
+    a = [(1.0, 2.0), (1.0, 2.0), (1.0, 2.0), (float("nan"), float("nan")),
+         (float("nan"), float("nan")), None, (0.0, 0.0)]
+    b = [(1.0, 2.0), (1.0 + 5e-13, 2.0), (5.0, 5.0),
+         (float("nan"), float("nan")), (1.0, 1.0), (1.0, 1.0), None]
+    sa, sb = _pt_series(a), _pt_series(b)
+    for mode, fn in list(MODES.items()) + [("equals", geom_ops.equals)]:
+        got = predicate_fastpath(sa, sb, mode, "wkb", "wkb")
+        assert got is not None, mode
+        assert list(got) == _scalar(fn, sa, sb), mode
+
+
+def test_native_struct_points_parity():
+    """The _prep native depth-0 shape (DataFrame of xs/ys lists)."""
+    df = pd.DataFrame(
+        {
+            "xs": [[2.0], [0.0], [float("nan")], None],
+            "ys": [[0.5], [0.0], [float("nan")], None],
+        }
+    )
+    polys = pd.Series([_poly(BOX)] * 4, dtype=object)
+    got = predicate_fastpath(df, polys, "within", "point", "wkb")
+    assert got is not None
+    # scalar expectations: interior True, vertex (boundary) False,
+    # empty False, null None
+    assert list(got) == [True, False, False, None]
+
+
+def test_random_battery_all_modes():
+    rng = random.Random(8)
+    pts, polys = [], []
+    shapes = [
+        _poly(BOX), _poly(BOX, HOLE), _poly(TRI),
+        _mpoly([[BOX], [[(6.0, 6.0), (9.0, 6.0), (9.0, 9.0), (6.0, 6.0)]]]),
+    ]
+    for _ in range(400):
+        # half-integer grid hits vertices/edges/interiors exactly
+        pts.append((rng.randint(-2, 10) / 2, rng.randint(-2, 10) / 2))
+        polys.append(shapes[rng.randrange(len(shapes))])
+    sa, sb = _pt_series(pts), pd.Series(polys, dtype=object)
+    for mode, fn in MODES.items():
+        a, b = (sb, sa) if mode == "contains" else (sa, sb)
+        got = predicate_fastpath(a, b, mode, "wkb", "wkb")
+        assert got is not None
+        assert list(got) == _scalar(fn, a, b), mode
+
+
+def test_fallbacks():
+    pts = _pt_series([(1.0, 1.0)] * 12)
+    # high uniqueness: 12 distinct polygons in a 12-row batch exceeds the
+    # max(8, n//4) group-evaluate threshold
+    distinct = pd.Series(
+        [_poly([(float(i), 0.0), (i + 1.0, 0.0), (i + 1.0, 1.0), (float(i), 0.0)])
+         for i in range(0, 120, 10)],
+        dtype=object,
+    )
+    assert predicate_fastpath(pts, distinct, "within", "wkb", "wkb") is None
+    pts4 = _pt_series([(1.0, 1.0)] * 4)
+    # non-polygonal geometry under a polygon-only mode
+    lines = pd.Series([_line([(0.0, 0.0), (5.0, 5.0)])] * 4, dtype=object)
+    assert predicate_fastpath(pts4, lines, "within", "wkb", "wkb") is None
+    # equals never takes the polygon branch
+    polys = pd.Series([_poly(BOX)] * 4, dtype=object)
+    assert predicate_fastpath(pts4, polys, "equals", "wkb", "wkb") is None
+    # 'other' kinds fall back
+    assert predicate_fastpath(pts4, polys, "within", "other", "wkb") is None
+
+
+def _scalar_dist(sa, sb):
+    out = []
+    for va, vb in zip(sa, sb):
+        ga = wkb.loads(bytes(va)) if va is not None else None
+        gb = wkb.loads(bytes(vb)) if vb is not None else None
+        out.append(None if ga is None or gb is None else geom_ops.distance(ga, gb))
+    return out
+
+
+def test_distance_point_line_polygon_parity():
+    pts = _pt_series(POINTS)
+    for geom in [
+        _line([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0)]),
+        _poly(BOX, HOLE),
+        _poly(TRI),
+        wkb.dumps(wkb.Geom("LineString", [])),  # LINESTRING EMPTY
+    ]:
+        gs = pd.Series([geom] * len(POINTS), dtype=object)
+        got = distance_fastpath(pts, gs, "wkb", "wkb")
+        assert got is not None
+        exp = _scalar_dist(pts, gs)
+        for g, e in zip(got, exp):
+            if e is None:
+                assert math.isnan(g)
+            else:
+                assert g == e, (g, e)
+
+
+def test_distance_native_point_pairs():
+    df_a = pd.DataFrame({"xs": [[0.0], [1.0], None], "ys": [[0.0], [1.0], None]})
+    df_b = pd.DataFrame({"xs": [[3.0], [1.0], [2.0]], "ys": [[4.0], [1.0], [2.0]]})
+    got = distance_fastpath(df_a, df_b, "point", "point")
+    assert got is not None
+    assert got[0] == 5.0 and got[1] == 0.0 and math.isnan(got[2])
+
+
+def test_distance_mixed_native_wkb():
+    df_a = pd.DataFrame({"xs": [[0.0]], "ys": [[0.0]]})
+    s_b = _pt_series([(3.0, 4.0)])
+    got = distance_fastpath(df_a, s_b, "point", "wkb")
+    assert got is not None and got[0] == 5.0
