@@ -12,8 +12,15 @@ negligible against a full parse).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
+
+# Ops escape hatch (and A/B lever): set SPARK_GRAFT_NO_FASTPATH=1 in the
+# driver environment before session start (local-mode Python workers
+# inherit it) to force every batch through the generic per-row kernels.
+_DISABLED = os.environ.get("SPARK_GRAFT_NO_FASTPATH", "") not in ("", "0")
 
 
 # accepted little-endian point type words by record length: 2-D (21 B),
@@ -405,6 +412,8 @@ def predicate_fastpath(sa, sb, mode: str, kind_a: str, kind_b: str):
       * point vs WKB polygonal (either orientation for the symmetric
         predicates; the correctly-oriented side for contains/within) —
         duplicate-heavy polygon batches only (_factorized_geoms)."""
+    if _DISABLED:
+        return None
 
     def side(s, kind):
         if kind == "point":
@@ -490,6 +499,8 @@ def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
     mixed) and point vs duplicate-heavy WKB line/polygon batches. Returns
     a float64 Series (NaN -> SQL NULL via Arrow) or None to fall back.
     Expression order mirrors geom_ops.distance / point_seg_dist2."""
+    if _DISABLED:
+        return None
 
     def side(s, kind):
         if kind == "point":
