@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datafusion_spatial_spark.meta import (
     GeometryMeta,
+    _sniff_layout,
     parse_geo_footer,
     with_geo_meta,
 )
@@ -81,6 +82,74 @@ def read_geo_footer_raw(path: str) -> dict:
     return json.loads(raw.decode()) if raw else {}
 
 
+def sniff_interleaved_dims(path: str, column: str) -> int | None:
+    """Structural coord-tuple width (2/3/4) of an interleaved native
+    geometry column, recovered from the parquet file itself.
+
+    The reference sniffs this directly off the Arrow type — a
+    ``FixedSizeList[3]`` leaf is XYZ (src/helpers.rs:49-71) — but Spark
+    erases fixed-size-list lengths to plain ``array<double>``, so the
+    declared schema alone cannot distinguish XY from XYZ. Recover it here:
+    from the arrow footer schema when the leaf is a fixed_size_list (O(1),
+    no data IO), else from the leaf list lengths of the first file's row
+    groups (plain ``list_`` writers; reads the one column, first non-empty
+    row group only — O(row group), driver-side, never at 100 TB scan cost
+    because GeoParquet layouts are uniform across files).
+
+    Returns 2/3/4, or None when the column is missing, not list-leafed
+    floats, empty, or has mixed tuple lengths (caller leaves the declared
+    metadata alone).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _require_local(path, "sniff_interleaved_dims")
+    f = _first_parquet_file(path)
+    if f is None:
+        return None
+
+    def _is_list(t) -> bool:
+        return (
+            pa.types.is_list(t)
+            or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)
+        )
+
+    sch = pq.read_schema(f)
+    if column not in sch.names:
+        return None
+    t = sch.field(column).type
+    if not _is_list(t):
+        return None
+    # walk to the innermost list — the per-coordinate tuple level
+    while _is_list(t.value_type):
+        t = t.value_type
+    if not pa.types.is_floating(t.value_type):
+        return None
+    if pa.types.is_fixed_size_list(t):
+        return int(t.list_size) if t.list_size in (2, 3, 4) else None
+
+    # plain list leaf: probe actual tuple lengths
+    import pyarrow.compute as pc
+
+    pf = pq.ParquetFile(f)
+    for rg in range(pf.metadata.num_row_groups):
+        arr = pf.read_row_group(rg, columns=[column]).column(0).combine_chunks()
+        while _is_list(arr.type) and _is_list(arr.type.value_type):
+            arr = arr.flatten()
+        if not _is_list(arr.type):
+            return None
+        lengths = pc.list_value_length(arr)
+        uniq = {v for v in lengths.to_pylist() if v is not None}
+        if not uniq:
+            continue  # all-null row group — try the next
+        if len(uniq) == 1:
+            d = uniq.pop()
+            return d if d in (2, 3, 4) else None
+        return None  # mixed tuple lengths: not a uniform coord layout
+    return None
+
+
 def read_geoparquet(
     spark: SparkSession,
     path: str,
@@ -125,8 +194,32 @@ def read_geoparquet(
         footer = read_geo_footer_raw(path)
     metas = parse_geo_footer(json.dumps(footer).encode()) if footer else {}
     for col, meta in metas.items():
-        if col in df.columns:
-            df = with_geo_meta(df, col, meta)
+        if col not in df.columns:
+            continue
+        # Structural Z/ZM sniff for interleaved columns whose footer does
+        # not declare a dimension: Spark erases FixedSizeList lengths, so
+        # without this an undeclared XYZ column would silently read as XY
+        # pairs. The reference sees the length structurally
+        # (helpers.rs:49-71); recover it from the file (O(1) when the
+        # writer kept fixed_size_list, one row group otherwise). 3-wide
+        # tuples default to XYZ per the GeoArrow convention — declare
+        # "Point M" in the footer for XYM data.
+        if (
+            meta.is_native
+            and not meta.has_z
+            and not meta.has_m
+            and _sniff_layout(df.schema[col].dataType) == "interleaved"
+        ):
+            dims = sniff_interleaved_dims(path, col)
+            if dims in (3, 4):
+                from dataclasses import replace
+
+                suffix = " Z" if dims == 3 else " ZM"
+                types = tuple(
+                    t + suffix for t in meta.geometry_types
+                ) or (meta.native_type + suffix,)
+                meta = replace(meta, geometry_types=types)
+        df = with_geo_meta(df, col, meta)
     if window is not None:
         raw = {
             c: (spec.get("covering") or {}).get("bbox")

@@ -161,3 +161,135 @@ def test_interleaved_xyz_with_declared_metadata(spark):
     assert rows[1].w == "POINT Z (4 5 6)"
     assert rows[2].w is None
     assert (rows[0].x, rows[0].y) == (1.0, 2.0)
+
+
+def _write_undeclared(path, typ, vals, geom_types=("Point",), encoding="point"):
+    """A parquet file whose footer declares ``encoding`` WITHOUT a
+    dimension suffix, with interleaved coord data of the given arrow
+    type — the shape the reference sniffs structurally (FixedSizeList[3],
+    helpers.rs:49-71) but Spark erases."""
+    import json
+
+    arr = pa.array(vals, type=typ)
+    tbl = pa.table({"id": pa.array(range(len(vals)), pa.int64()), "geometry": arr})
+    geo = {
+        "version": "1.1.0",
+        "primary_column": "geometry",
+        "columns": {
+            "geometry": {"encoding": encoding, "geometry_types": list(geom_types)}
+        },
+    }
+    tbl = tbl.replace_schema_metadata({b"geo": json.dumps(geo).encode()})
+    pq.write_table(tbl, path)
+
+
+class TestStructuralZSniff:
+    """read_geoparquet recovers the interleaved tuple width the footer
+    didn't declare (VERDICT r7 item 5)."""
+
+    def test_fixed_size_list_xyz_schema_only(self, spark, tmp_path):
+        # fixed_size_list survives into the parquet/arrow schema: the
+        # probe needs zero data IO for this writer shape
+        p = str(tmp_path / "fsl_xyz.parquet")
+        _write_undeclared(
+            p,
+            pa.list_(pa.float64(), 3),
+            [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]],
+        )
+        from datafusion_spatial_spark.sources.geoparquet import (
+            sniff_interleaved_dims,
+        )
+
+        assert sniff_interleaved_dims(p, "geometry") == 3
+        df = read_geoparquet(spark, p)
+        m = resolve_meta(df, "geometry")
+        assert m.has_z and not m.has_m
+        w = df.select(st_astext("geometry", m).alias("w")).orderBy("w").collect()
+        assert w[0].w == "POINT Z (1 2 3)"
+
+    def test_plain_list_xyz_data_probe(self, spark, tmp_path):
+        p = str(tmp_path / "list_xyz.parquet")
+        _write_undeclared(
+            p,
+            pa.list_(pa.float64()),
+            [[1.0, 2.0, 3.0], None, [4.0, 5.0, 6.0]],
+        )
+        df = read_geoparquet(spark, p)
+        m = resolve_meta(df, "geometry")
+        assert m.has_z and not m.has_m
+        rows = df.select(st_astext("geometry", m).alias("w")).orderBy("id").collect()
+        assert [r.w for r in rows] == [
+            "POINT Z (1 2 3)", None, "POINT Z (4 5 6)",
+        ]
+
+    def test_zm_four_wide(self, spark, tmp_path):
+        p = str(tmp_path / "fsl_zm.parquet")
+        _write_undeclared(
+            p, pa.list_(pa.float64(), 4), [[1.0, 2.0, 3.0, 4.0]]
+        )
+        df = read_geoparquet(spark, p)
+        m = resolve_meta(df, "geometry")
+        assert m.has_z and m.has_m
+        assert (
+            df.select(st_astext("geometry", m).alias("w")).first().w
+            == "POINT ZM (1 2 3 4)"
+        )
+
+    def test_xy_unchanged(self, spark, tmp_path):
+        p = str(tmp_path / "list_xy.parquet")
+        _write_undeclared(p, pa.list_(pa.float64()), [[1.0, 2.0], [3.0, 4.0]])
+        m = resolve_meta(read_geoparquet(spark, p), "geometry")
+        assert not m.has_z and not m.has_m
+        assert m.geometry_types == ("Point",)
+
+    def test_declared_metadata_wins(self, spark, tmp_path):
+        # footer already says M: 3-wide tuples must NOT be re-tagged Z
+        p = str(tmp_path / "declared_m.parquet")
+        _write_undeclared(
+            p,
+            pa.list_(pa.float64(), 3),
+            [[1.0, 2.0, 9.0]],
+            geom_types=("Point M",),
+        )
+        df = read_geoparquet(spark, p)
+        m = resolve_meta(df, "geometry")
+        assert m.has_m and not m.has_z
+        assert (
+            df.select(st_astext("geometry", m).alias("w")).first().w
+            == "POINT M (1 2 9)"
+        )
+
+    def test_mixed_lengths_left_alone(self, spark, tmp_path):
+        from datafusion_spatial_spark.sources.geoparquet import (
+            sniff_interleaved_dims,
+        )
+
+        p = str(tmp_path / "mixed.parquet")
+        _write_undeclared(
+            p, pa.list_(pa.float64()), [[1.0, 2.0], [1.0, 2.0, 3.0]]
+        )
+        assert sniff_interleaved_dims(p, "geometry") is None
+        m = resolve_meta(read_geoparquet(spark, p), "geometry")
+        assert not m.has_z
+
+    def test_nested_linestring_xyz(self, spark, tmp_path):
+        # depth-1 nesting: list<list<double>> with 3-wide leaf tuples
+        from datafusion_spatial_spark.functions.scalar import st_npoints
+
+        p = str(tmp_path / "ls_xyz.parquet")
+        _write_undeclared(
+            p,
+            pa.list_(pa.list_(pa.float64(), 3)),
+            [[[0.0, 0.0, 1.0], [1.0, 1.0, 2.0]]],
+            geom_types=("LineString",),
+            encoding="linestring",
+        )
+        df = read_geoparquet(spark, p)
+        m = resolve_meta(df, "geometry")
+        assert m.has_z
+        out = df.select(
+            st_astext("geometry", m).alias("w"),
+            st_npoints("geometry", m).alias("n"),
+        ).first()
+        assert out.w == "LINESTRING Z (0 0 1, 1 1 2)"
+        assert out.n == 2
