@@ -97,7 +97,9 @@ def extra_queries():
         "q_decontaminate": decontam,
         "q_dedup_corpus": q["q_dedup_corpus"],
         "q_minhash_lsh_pairs": entry_mod._q_minhash_lsh,
-        "q_spatial_grid_join": q["q_spatial_grid_join"],
+        # r8: the grid equi-join gate merged into q_sql_spatial_join
+        # (50-query cap); audit the composite under the old series name
+        "q_spatial_grid_join": q["q_sql_spatial_join"],
         "q_ngram_jaccard_pairs": entry_mod._q_ngram_jaccard,
         "q_ivf_ann_topk": q["q_ivf_ann_topk"],
         "q_line_dedup": q["q_line_dedup"],
@@ -106,12 +108,20 @@ def extra_queries():
 
 
 def main() -> None:
+    global FACTOR, BIG
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--queries", default="")
     ap.add_argument("--skip-small", action="store_true",
                     help="reuse small-side timings from an existing audit.json")
+    ap.add_argument("--factor", type=float, default=FACTOR,
+                    help="scale factor of --big relative to sf0.1 (alpha base)")
+    ap.add_argument("--big", default=BIG,
+                    help="scaled data dir (tools/scale_data.py output)")
+    ap.add_argument("--audit-json", default=None,
+                    help="output path (default .scale/audit.json)")
     args = ap.parse_args()
+    FACTOR, BIG = args.factor, args.big
 
     sys.path.insert(0, REPO)
     import bench as bench_mod
@@ -124,7 +134,7 @@ def main() -> None:
         keep = set(args.queries.split(","))
         queries = {k: v for k, v in queries.items() if k in keep}
 
-    audit_path = os.path.join(REPO, ".scale", "audit.json")
+    audit_path = args.audit_json or os.path.join(REPO, ".scale", "audit.json")
     plans_dir = os.path.join(REPO, ".scale", "plans")
     os.makedirs(plans_dir, exist_ok=True)
     prior = {}
