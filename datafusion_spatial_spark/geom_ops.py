@@ -4147,7 +4147,8 @@ def _lookup_transform(src_srid: int, dst_srid: int):
         z = utm_zone_of(srid)
         if z:
             return lambda x, y, _z=z: _tm_inv(x, y, utm_lon0(_z[0]), _z[1])
-        return None
+        ent = _CUSTOM_CRS.get(srid)
+        return ent["inv"] if ent else None
 
     def from_4326(srid):
         if srid == 4326:
@@ -4159,12 +4160,85 @@ def _lookup_transform(src_srid: int, dst_srid: int):
         z = utm_zone_of(srid)
         if z:
             return lambda x, y, _z=z: _tm_fwd(x, y, utm_lon0(_z[0]), _z[1])
-        return None
+        ent = _CUSTOM_CRS.get(srid)
+        return ent["fwd"] if ent else None
 
     inv, fwd = to_4326(src_srid), from_4326(dst_srid)
     if inv is None or fwd is None:
         return None
     return lambda x, y: fwd(*inv(x, y))
+
+
+# --------------------------------------------------------------------
+# user-registered CRS (VERDICT r7 item 8): the no-pyproj escape hatch
+# for targets outside the closed-form set. Driver-side registry — the
+# Spark builders resolve the pair function at PLAN BUILD time and
+# capture it in the UDF closure (cloudpickled by value), so workers
+# never consult this dict (their fresh module import would see it
+# empty).
+_CUSTOM_CRS: dict[int, dict] = {}
+
+
+def register_crs(
+    srid: int,
+    to_lonlat=None,
+    from_lonlat=None,
+    affine: tuple | None = None,
+) -> None:
+    """Register a custom CRS under ``srid`` for :func:`transform` /
+    ``st_transform`` pivoting (any pair against the built-ins works).
+
+    Either pass scalar callables ``to_lonlat(x, y) -> (lon, lat)`` and
+    ``from_lonlat(lon, lat) -> (x, y)`` — e.g. closures over a
+    proj-string evaluated by a user-supplied library — or ``affine =
+    (a, b, d, e, xoff, yoff)`` mapping lon/lat -> (a·lon + b·lat + xoff,
+    d·lon + e·lat + yoff) with the exact inverse derived from the 2×2
+    inverse. A 2-D similarity (the planar restriction of the 7-param
+    Helmert: uniform scale s, rotation θ, translation t) is the affine
+    ``(s·cosθ, −s·sinθ, s·sinθ, s·cosθ, tx, ty)`` — see
+    :func:`similarity_affine`. Affine registrations additionally get a
+    pure-Catalyst path in ``st_transform_point``."""
+    if affine is not None:
+        a, b, d, e, xoff, yoff = (float(v) for v in affine)
+        det = a * e - b * d
+        if det == 0.0:
+            raise ValueError("affine matrix is singular (a*e - b*d == 0)")
+        if to_lonlat is not None or from_lonlat is not None:
+            raise ValueError("pass either affine= or the two callables, not both")
+        ia, ib, id_, ie = e / det, -b / det, -d / det, a / det
+
+        def from_lonlat(lon, lat, _c=(a, b, xoff, d, e, yoff)):
+            return (_c[0] * lon + _c[1] * lat + _c[2],
+                    _c[3] * lon + _c[4] * lat + _c[5])
+
+        def to_lonlat(x, y, _c=(ia, ib, id_, ie, xoff, yoff)):
+            u, v = x - _c[4], y - _c[5]
+            return (_c[0] * u + _c[1] * v, _c[2] * u + _c[3] * v)
+
+        _CUSTOM_CRS[int(srid)] = {
+            "fwd": from_lonlat, "inv": to_lonlat,
+            "affine": (a, b, d, e, xoff, yoff),
+        }
+        return
+    if to_lonlat is None or from_lonlat is None:
+        raise ValueError(
+            "register_crs needs both to_lonlat and from_lonlat callables "
+            "(or affine=)"
+        )
+    _CUSTOM_CRS[int(srid)] = {"fwd": from_lonlat, "inv": to_lonlat,
+                              "affine": None}
+
+
+def unregister_crs(srid: int) -> None:
+    _CUSTOM_CRS.pop(int(srid), None)
+
+
+def similarity_affine(scale: float, rotation_deg: float,
+                      tx: float = 0.0, ty: float = 0.0) -> tuple:
+    """The ``affine=`` tuple of a 2-D similarity for :func:`register_crs`."""
+    th = math.radians(rotation_deg)
+    c, s = scale * math.cos(th), scale * math.sin(th)
+    return (c, -s, s, c, tx, ty)
 
 
 _PYPROJ_CACHE: dict = {}
@@ -4271,15 +4345,18 @@ def buffer_geography(
     return _apply(buffed, lambda x, y: _tm_inv(x, y, lon0, south))
 
 
-def transform(g: Geom, src_srid: int, dst_srid: int) -> Geom:
+def transform(g: Geom, src_srid: int, dst_srid: int, fn=None) -> Geom:
     """Reproject coordinates between supported CRS: EPSG:4326, 3857
     (spherical Web Mercator), UTM WGS84 zones (326zz/327zz, Snyder series),
-    and 3035 (ETRS89-LAEA Europe) — any pair, pivoting through lon/lat.
-    Other codes raise — never silently wrong. Z/M passed through
-    untouched."""
+    3035 (ETRS89-LAEA Europe), and any :func:`register_crs` SRID — any
+    pair, pivoting through lon/lat. Other codes raise — never silently
+    wrong. Z/M passed through untouched. ``fn`` is a pre-resolved
+    (x, y) -> (x, y) pair function (the Spark builders resolve it
+    driver-side so register_crs closures reach the workers)."""
     if src_srid == dst_srid:
         return Geom(g.type_name, g.coords, g.has_z, dst_srid, g.has_m)
-    fn = _lookup_transform(src_srid, dst_srid)
+    if fn is None:
+        fn = _lookup_transform(src_srid, dst_srid)
     if fn is None:
         # general-EPSG escape hatch: any pair pyproj knows, when the
         # (public, optional) library is installed — closed-form CRS stay
@@ -4303,7 +4380,7 @@ def transform(g: Geom, src_srid: int, dst_srid: int) -> Geom:
 
     t = g.type_name
     if t == "GeometryCollection":
-        return Geom(t, [transform(m, src_srid, dst_srid) for m in g.coords],
+        return Geom(t, [transform(m, src_srid, dst_srid, fn) for m in g.coords],
                     g.has_z, dst_srid, g.has_m)
     if t == "Point":
         if g.is_empty:

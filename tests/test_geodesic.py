@@ -558,3 +558,148 @@ def test_distance_sphere_geom_fast_parity(spark):
         assert (d1 is None) == (d2 is None)
         if d1 is not None:
             assert abs(d1 - d2) <= 1e-6 * max(1.0, d1), (trial, d1, d2)
+
+
+class TestCustomCRS:
+    """register_crs / custom= escape hatch (VERDICT r7 item 8): arbitrary
+    targets without pyproj — callables pivot through lon/lat, affine
+    registrations additionally get a pure-Catalyst point path. The oracle
+    is the closed-form LAEA twin (4326->3035)."""
+
+    SRID_CB = 990_001   # callable registration (LAEA twins)
+    SRID_AFF = 990_002  # affine registration
+
+    @pytest.fixture(autouse=True)
+    def _registry(self):
+        from datafusion_spatial_spark.functions import (
+            register_crs, similarity_affine, unregister_crs,
+        )
+
+        register_crs(
+            self.SRID_CB, to_lonlat=G._laea_inv, from_lonlat=G._laea_fwd
+        )
+        register_crs(
+            self.SRID_AFF,
+            affine=similarity_affine(2.0, 30.0, tx=100.0, ty=-50.0),
+        )
+        yield
+        unregister_crs(self.SRID_CB)
+        unregister_crs(self.SRID_AFF)
+
+    def _pts(self, spark):
+        rows = [(2.3522, 48.8566), (-0.1276, 51.5072), (24.94, 60.17)]
+        return spark.createDataFrame(rows, "x double, y double").select(
+            st_point("x", "y").alias("g")
+        )
+
+    def test_callable_matches_laea_builtin(self, spark):
+        df = self._pts(spark)
+        m = GeometryMeta(encoding="point", geometry_types=("Point",))
+        out = df.select(
+            st_transform("g", 4326, self.SRID_CB, m).alias("custom"),
+            st_transform("g", 4326, 3035, m).alias("builtin"),
+        ).collect()
+        for r in out:
+            assert r.custom == r.builtin  # bit-identical WKB
+
+    def test_callable_roundtrip(self, spark):
+        df = self._pts(spark)
+        m = GeometryMeta(encoding="point", geometry_types=("Point",))
+        wkb_meta = GeometryMeta(encoding="WKB")
+        back = df.select(
+            F.col("g.x").alias("x0"), F.col("g.y").alias("y0"),
+            st_transform(
+                st_transform("g", 4326, self.SRID_CB, m),
+                self.SRID_CB, 4326, wkb_meta,
+            ).alias("rt"),
+        ).collect()
+        for r in back:
+            g = wkb.loads(bytes(r.rt))
+            # tolerance is the LAEA series inverse's own precision (~1 cm)
+            assert abs(g.coords[0] - r.x0) < 1e-7
+            assert abs(g.coords[1] - r.y0) < 1e-7
+
+    def test_callable_pivots_through_builtin_pair(self, spark):
+        # 3857 -> custom chains web-mercator-inverse then the callable
+        df = self._pts(spark)
+        m = GeometryMeta(encoding="point", geometry_types=("Point",))
+        merc = df.select(st_transform_point("g", 4326, 3857, m).alias("g"))
+        via = merc.select(
+            st_transform("g", 3857, self.SRID_CB, m).alias("w")
+        ).collect()
+        direct = df.select(
+            st_transform("g", 4326, self.SRID_CB, m).alias("w")
+        ).collect()
+        for a, b in zip(via, direct):
+            ga, gb = wkb.loads(bytes(a.w)), wkb.loads(bytes(b.w))
+            assert abs(ga.coords[0] - gb.coords[0]) < 1e-6
+            assert abs(ga.coords[1] - gb.coords[1]) < 1e-6
+
+    def test_affine_point_pure_catalyst_roundtrip(self, spark):
+        df = self._pts(spark)
+        m = GeometryMeta(encoding="point", geometry_types=("Point",))
+        out = df.select(
+            "g",
+            st_transform_point("g", 4326, self.SRID_AFF, m).alias("t"),
+        ).select(
+            "g", "t",
+            st_transform_point("t", self.SRID_AFF, 4326, m).alias("rt"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "ArrowEval" not in plan
+        for r in out.collect():
+            # similarity(2.0, 30deg, 100, -50) applied by hand
+            c, s = 2.0 * math.cos(math.radians(30)), 2.0 * math.sin(
+                math.radians(30)
+            )
+            ex = c * r.g.x - s * r.g.y + 100.0
+            ey = s * r.g.x + c * r.g.y - 50.0
+            assert abs(r.t.x - ex) < 1e-9 and abs(r.t.y - ey) < 1e-9
+            assert abs(r.rt.x - r.g.x) < 1e-9 and abs(r.rt.y - r.g.y) < 1e-9
+
+    def test_affine_wkb_kernel_agrees_with_catalyst(self, spark):
+        df = self._pts(spark)
+        m = GeometryMeta(encoding="point", geometry_types=("Point",))
+        rows = df.select(
+            st_transform("g", 4326, self.SRID_AFF, m).alias("w"),
+            st_transform_point("g", 4326, self.SRID_AFF, m).alias("p"),
+        ).collect()
+        for r in rows:
+            g = wkb.loads(bytes(r.w))
+            assert abs(g.coords[0] - r.p.x) < 1e-12
+            assert abs(g.coords[1] - r.p.y) < 1e-12
+
+    def test_custom_kwarg_direct_pair(self, spark):
+        # custom= bypasses the registry entirely: direct 4326 -> LAEA fn
+        df = self._pts(spark)
+        m = GeometryMeta(encoding="point", geometry_types=("Point",))
+        out = df.select(
+            st_transform("g", 4326, 999_999, m, custom=G._laea_fwd).alias("c"),
+            st_transform("g", 4326, 3035, m).alias("b"),
+        ).collect()
+        for r in out:
+            assert r.c == r.b
+
+    def test_kernel_lines_and_collections(self):
+        ls = wkb.loads(wkb.dumps(G.Geom(
+            "LineString", [(2.3522, 48.8566), (24.94, 60.17)]
+        )))
+        a = G.transform(ls, 4326, self.SRID_CB)
+        b = G.transform(ls, 4326, 3035)
+        assert a.coords == b.coords
+
+    def test_unregistered_still_raises(self, spark):
+        m = GeometryMeta(encoding="point", geometry_types=("Point",))
+        df = self._pts(spark)
+        with pytest.raises(Exception, match="not supported|no pure-Catalyst"):
+            df.select(st_transform("g", 4326, 123_456, m)).collect()
+        with pytest.raises(NotImplementedError, match="register_crs"):
+            df.select(st_transform_point("g", 4326, 123_456, m))
+
+    def test_register_validation(self):
+        from datafusion_spatial_spark.functions import register_crs
+
+        with pytest.raises(ValueError, match="singular"):
+            register_crs(990_009, affine=(1.0, 2.0, 2.0, 4.0, 0.0, 0.0))
+        with pytest.raises(ValueError, match="both"):
+            register_crs(990_009, to_lonlat=lambda x, y: (x, y))
