@@ -55,11 +55,24 @@ def _copies(spark: SparkSession, factor: int) -> DataFrame:
 
 
 def _caesar_maps(copy: int) -> tuple[str, str]:
-    """translate() mapping for a per-copy letter rotation (identity at c=0)."""
+    """translate() mapping for a per-copy letter substitution (identity at
+    c=0). A seeded full permutation, NOT a rotation: the old ``copy % 25``
+    shift made copies c and c+25 identical, so factor>=26 runs carried
+    cross-copy exact duplicates that inflated dedup pair counts (caught by
+    the r8 factor-30 probe, SCALE_AUDIT_r8.json). Length/whitespace
+    statistics are still untouched."""
+    import random
+
     lower = string.ascii_lowercase
     upper = string.ascii_uppercase
-    s = copy % 25 + 1  # never identity for c>0
-    return lower + upper, lower[s:] + lower[:s] + upper[s:] + upper[:s]
+    if copy == 0:
+        return lower + upper, lower + upper
+    perm = list(lower)
+    random.Random(copy).shuffle(perm)
+    # a shuffle can fix points, but two copies colliding on the whole
+    # 26-letter permutation is ~1/26! — no cross-copy dup structure
+    mapped = "".join(perm)
+    return lower + upper, mapped + mapped.upper()
 
 
 def scale(spark: SparkSession, sf_dir: str, out_dir: str, factor: int) -> None:
