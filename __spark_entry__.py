@@ -1433,9 +1433,18 @@ def _q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_spatial,
     )
 
+    # key the scratch dir by the FULL sf_dir and this process: basename
+    # alone collides for same-named datasets, and two concurrent replays
+    # sharing one dir race the overwrite against the read-back scan
+    import hashlib
+
     base = os.path.join(
         tempfile.gettempdir(), "spark_graft_gates",
-        os.path.basename(os.path.normpath(sf_dir)),
+        "%s-%s-%d" % (
+            os.path.basename(os.path.normpath(sf_dir)),
+            hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8],
+            os.getpid(),
+        ),
     )
     orders = load_table(spark, sf_dir, "orders")
     p_part = os.path.join(base, "orders_by_status")

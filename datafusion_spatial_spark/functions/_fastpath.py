@@ -268,7 +268,7 @@ def _gather_f8(buf: bytes, off: np.ndarray) -> np.ndarray:
 _EPS = 1e-12
 
 
-def native_point_xy(df: pd.DataFrame, has_z: bool, has_m: bool):
+def native_point_xy(df: pd.DataFrame):
     """x/y/valid/null from a batch of depth-0 flat-offset point structs
     (the `_prep` native shape: a pd.DataFrame with xs/ys list columns).
     ``valid`` is False for null AND empty rows; ``null`` marks SQL nulls
@@ -417,16 +417,13 @@ def predicate_fastpath(sa, sb, mode: str, kind_a: str, kind_b: str):
 
     def side(s, kind):
         if kind == "point":
-            return native_point_xy(s, False, False)
+            return native_point_xy(s)
         if kind == "wkb":
             return wkb_point_xy(s)
         return None
 
     pa = side(sa, kind_a)
     pb = side(sb, kind_b)
-
-    def geom_null(s):
-        return s.isna().to_numpy() if isinstance(s, pd.Series) else None
 
     # --- point vs point -------------------------------------------------
     if pa is not None and pb is not None:
@@ -504,7 +501,7 @@ def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
 
     def side(s, kind):
         if kind == "point":
-            return native_point_xy(s, False, False)
+            return native_point_xy(s)
         if kind == "wkb":
             return wkb_point_xy(s)
         return None
@@ -515,6 +512,10 @@ def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
         xa, ya, va, _ = pa
         xb, yb, vb, _ = pb
         d = np.sqrt((xa - xb) ** 2 + (ya - yb) ** 2)
+        # kernel mirror: distance() tests intersects() first, and the
+        # point-point intersects kernel snaps EPS-close pairs to 0.0
+        hit = (np.abs(xa - xb) <= _EPS) & (np.abs(ya - yb) <= _EPS)
+        d = np.where(hit, 0.0, d)
         return pd.Series(np.where(va & vb, d, np.nan), dtype="float64")
     if pa is not None:
         pt, geo_s, geo_kind = pa, sb, kind_b
@@ -539,6 +540,10 @@ def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
         segs = _geom_segments_arr(g)
         if segs is None:
             return None
+        if not segs:
+            # segment-less but non-empty (e.g. single-vertex LineString):
+            # the scalar kernel returns None — leave the NaN -> SQL NULL
+            continue
         x, y = px[m], py[m]
         # touch test first (kernel: intersects -> 0.0): on any segment, or
         # inside a polygon ring system

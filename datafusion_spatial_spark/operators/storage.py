@@ -11,9 +11,17 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _spark_glob_escape(path: str) -> str:
+    """Spark/Hadoop treat read paths as globs — backslash-escape the
+    metacharacters so a literal directory like ``run[1]`` reads back
+    instead of matching nothing (writes are literal; only reads glob)."""
+    return _re.sub(r"([*?\[\]{}\\])", r"\\\1", path)
 
 
 def write_partitioned(
@@ -155,10 +163,16 @@ def write_spatial(
     # geometries (r8 advice fix).
     import glob as _glob
 
-    part_files = _glob.glob(os.path.join(path, "**", "part-*"), recursive=True)
+    # glob.escape: a path containing glob metacharacters ('run[1]') must
+    # not be treated as a pattern — an unescaped miss here would stamp
+    # zero pads on non-empty data, the exact silent-wrongness this probe
+    # exists to prevent
+    part_files = _glob.glob(
+        os.path.join(_glob.escape(path), "**", "part-*"), recursive=True
+    )
     if part_files:
         halves = (
-            df.sparkSession.read.parquet(path)
+            df.sparkSession.read.parquet(_spark_glob_escape(path))
             .agg(
                 F.max((F.col("bbox_xmax") - F.col("bbox_xmin")) / 2.0),
                 F.max((F.col("bbox_ymax") - F.col("bbox_ymin")) / 2.0),
@@ -210,7 +224,7 @@ def spatial_scan(
         (wxmin - pw, wymin - ph, wxmax + pw, wymax + ph),
         tuple(layout["extent"]), layout["coarse_level"],
     )
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(_spark_glob_escape(path))
     out = df.filter(
         F.col("hcell").isin(cells)
         & (F.col("bbox_xmin") <= wxmax)

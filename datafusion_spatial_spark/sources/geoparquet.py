@@ -44,11 +44,27 @@ def _require_local(path: str, what: str) -> None:
     )
 
 
+def _local_path(path: str) -> str:
+    """A ``file:`` URI as the plain filesystem path (Spark accepts both
+    spellings; the driver-side pyarrow footer harvest needs the latter —
+    the raw URI used to glob nothing and silently drop all metadata)."""
+    if path.startswith("file://"):
+        from urllib.parse import unquote, urlparse
+
+        u = urlparse(path)
+        return unquote(u.path)
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
 def _first_parquet_file(path: str) -> str | None:
+    path = _local_path(path)
     if os.path.isfile(path):
         return path
-    hits = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
-        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    esc = glob.escape(path)  # literal dirs may contain glob metachars
+    hits = sorted(glob.glob(os.path.join(esc, "*.parquet"))) or sorted(
+        glob.glob(os.path.join(esc, "**", "*.parquet"), recursive=True)
     )
     return hits[0] if hits else None
 
@@ -98,15 +114,31 @@ def sniff_interleaved_dims(path: str, column: str) -> int | None:
 
     Returns 2/3/4, or None when the column is missing, not list-leafed
     floats, empty, or has mixed tuple lengths (caller leaves the declared
-    metadata alone).
+    metadata alone). Results are cached per (file, mtime, size, column) —
+    the plain-list data probe reads a whole column chunk, and a re-read
+    of the same path must not pay it twice.
     """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     _require_local(path, "sniff_interleaved_dims")
     f = _first_parquet_file(path)
     if f is None:
         return None
+    st = os.stat(f)
+    ck = (f, st.st_mtime_ns, st.st_size, column)
+    if ck in _SNIFF_DIMS_CACHE:
+        return _SNIFF_DIMS_CACHE[ck]
+    d = _sniff_interleaved_dims_impl(f, column)
+    if len(_SNIFF_DIMS_CACHE) > 1024:
+        _SNIFF_DIMS_CACHE.clear()
+    _SNIFF_DIMS_CACHE[ck] = d
+    return d
+
+
+_SNIFF_DIMS_CACHE: dict = {}
+
+
+def _sniff_interleaved_dims_impl(f: str, column: str) -> int | None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     def _is_list(t) -> bool:
         return (
@@ -341,7 +373,9 @@ def write_geoparquet(
             },
         }
     )
-    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    files = sorted(
+        glob.glob(os.path.join(glob.escape(_local_path(path)), "*.parquet"))
+    )
     if not files:
         return
     geo_bytes = geo_json.encode()

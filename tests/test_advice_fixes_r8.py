@@ -112,3 +112,60 @@ def test_get_spark_cluster_master_no_memory_conf():
 
     src = inspect.getsource(session.get_spark)
     assert 'resolved_master.startswith("local")' in src
+
+
+class TestReviewFixesR8:
+    """Round-8 code-review fixes: file:// URIs keep their geo metadata,
+    glob-metachar paths don't zero the spatial-layout pads."""
+
+    def test_file_uri_keeps_metadata(self, spark):
+        from datafusion_spatial_spark import read_geoparquet, resolve_meta
+
+        src = "/root/reference/data/data-point-encoding_wkb.parquet"
+        plain = read_geoparquet(spark, src)
+        uri = read_geoparquet(spark, "file://" + src)
+        m_plain = resolve_meta(plain, "geometry")
+        m_uri = resolve_meta(uri, "geometry")
+        assert m_uri == m_plain
+        assert m_uri.is_wkb and m_uri.geometry_types == ("Point",)
+
+    def test_write_spatial_glob_metachar_path(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from datafusion_spatial_spark.functions.scalar import st_point
+        from datafusion_spatial_spark.meta import GeometryMeta
+        from datafusion_spatial_spark.operators.storage import write_spatial
+
+        # '[1]' is a glob character class — an unescaped probe would see
+        # zero part files and stamp max_half_* = 0.0 on non-empty data
+        dest = str(tmp_path / "run[1]" / "layout")
+        pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+        df = spark.range(100).select(
+            st_point(
+                F.col("id").cast("double"), (F.col("id") * 2).cast("double")
+            ).alias("geom")
+        )
+        write_spatial(
+            df, dest, "geom", pm, extent=(0.0, 0.0, 100.0, 200.0),
+            level=8, coarse_level=2, num_files=2,
+        )
+        with open(_os.path.join(dest, "_spatial_layout.json")) as f:
+            layout = _json.load(f)
+        # points have zero extent but the probe must have SEEN the files:
+        # the agg ran, so the recorded halves are real numbers from data
+        assert layout["max_half_w"] == 0.0 and layout["max_half_h"] == 0.0
+        assert layout["extent"] == [0.0, 0.0, 100.0, 200.0]
+        # and a directory listing confirms part files exist (probe target)
+        found = False
+        for _root, _dirs, files in _os.walk(dest):
+            if any(fn.startswith("part-") for fn in files):
+                found = True
+        assert found
+        # the scan side escapes the Hadoop glob too: full window sees all
+        from datafusion_spatial_spark.operators.storage import spatial_scan
+
+        n = spatial_scan(spark, dest, (0.0, 0.0, 100.0, 200.0)).count()
+        assert n == 100

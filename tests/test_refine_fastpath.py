@@ -224,3 +224,43 @@ def test_distance_mixed_native_wkb():
     s_b = _pt_series([(3.0, 4.0)])
     got = distance_fastpath(df_a, s_b, "point", "wkb")
     assert got is not None and got[0] == 5.0
+
+
+def test_distance_eps_close_points_snap_to_zero():
+    """Review fix (r8): the scalar kernel routes through intersects()
+    first, which snaps EPS-close point pairs to 0.0 — the vectorized path
+    must agree exactly."""
+    pairs = [
+        ((0.0, 0.0), (1e-13, 0.0)),        # inside EPS -> 0.0
+        ((0.0, 0.0), (EPS, 0.0)),          # exactly EPS -> 0.0
+        ((0.0, 0.0), (2e-12, 0.0)),        # beyond EPS -> true distance
+        ((1.0, 1.0), (1.0, 1.0)),          # identical
+    ]
+    sa = _pt_series([p[0] for p in pairs])
+    sb = _pt_series([p[1] for p in pairs])
+    got = distance_fastpath(sa, sb, "wkb", "wkb")
+    assert got is not None
+    exp = _scalar_dist(sa, sb)
+    for g, e in zip(got, exp):
+        assert g == e, (g, e)
+    assert got[0] == 0.0 and got[1] == 0.0 and got[2] == 2e-12
+
+    # native shape takes the same snap
+    df_a = pd.DataFrame({"xs": [[0.0]], "ys": [[0.0]]})
+    df_b = pd.DataFrame({"xs": [[1e-13]], "ys": [[0.0]]})
+    got_n = distance_fastpath(df_a, df_b, "point", "point")
+    assert got_n is not None and got_n[0] == 0.0
+
+
+def test_distance_segmentless_geometry_is_null():
+    """Review fix (r8): a non-empty but segment-less geometry (single-
+    vertex LineString) must yield SQL NULL like the scalar kernel, not
+    +Infinity."""
+    one_vertex = wkb.dumps(wkb.Geom("LineString", [(1.0, 1.0)]))
+    pts = _pt_series([(0.0, 0.0), (5.0, 5.0)])
+    gs = pd.Series([one_vertex] * 2, dtype=object)
+    got = distance_fastpath(pts, gs, "wkb", "wkb")
+    assert got is not None
+    exp = _scalar_dist(pts, gs)
+    assert exp[0] is None and exp[1] is None
+    assert math.isnan(got[0]) and math.isnan(got[1])
