@@ -264,3 +264,42 @@ def test_distance_segmentless_geometry_is_null():
     exp = _scalar_dist(pts, gs)
     assert exp[0] is None and exp[1] is None
     assert math.isnan(got[0]) and math.isnan(got[1])
+
+
+def test_random_distance_battery():
+    """Randomized differential battery for distance_fastpath: random
+    points (half-integer grid for exact vertex/edge hits, plus irrational
+    offsets) against random line/polygon shapes — bit-identical to the
+    scalar kernel everywhere."""
+    rng = random.Random(88)
+    shapes = [
+        _poly(BOX), _poly(BOX, HOLE), _poly(TRI),
+        _mpoly([[BOX], [[(6.0, 6.0), (9.0, 6.0), (9.0, 9.0), (6.0, 6.0)]]]),
+        _line([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0)]),
+        _line([(0.0, 0.0), (3.0, 3.0)]),
+        wkb.dumps(wkb.Geom(
+            "MultiLineString",
+            [[(0.0, 0.0), (1.0, 0.0)], [(2.0, 2.0), (5.0, 2.0), (5.0, 5.0)]],
+        )),
+        wkb.dumps(wkb.Geom("LineString", [])),
+    ]
+    pts, geoms = [], []
+    for i in range(600):
+        if i % 3 == 0:
+            pts.append((rng.randint(-4, 12) / 2, rng.randint(-4, 12) / 2))
+        else:
+            pts.append(
+                (rng.uniform(-2, 10) * math.sqrt(2) / math.sqrt(2),
+                 rng.uniform(-2, 10))
+            )
+        geoms.append(shapes[rng.randrange(len(shapes))])
+    sa = _pt_series(pts)
+    sb = pd.Series(geoms, dtype=object)
+    got = distance_fastpath(sa, sb, "wkb", "wkb")
+    assert got is not None
+    exp = _scalar_dist(sa, sb)
+    for i, (g, e) in enumerate(zip(got, exp)):
+        if e is None:
+            assert math.isnan(g), (i, g)
+        else:
+            assert g == e, (i, g, e)
