@@ -867,8 +867,38 @@ WHERE sqrt((c_acctbal - s_acctbal) * (c_acctbal - s_acctbal)
 ORDER BY custkey, suppkey
 """
 
+# hexbin oracle: the axial cube-rounding closed form re-expressed in
+# DuckDB SQL, IEEE-op-for-op identical to functions/binning.st_hexcell
+# (sqrt(3)/3 and 2/3 are the same doubles; round() is HALF_UP away from
+# zero in both engines; the irrational scale factors make exact .5
+# rounding ties unreachable from the decimal source data)
+_Q_HEXBIN_ORACLE = """
+WITH h AS (
+  SELECT (sqrt(3)/3) * (c_acctbal / 500.0)
+           - (cast(c_custkey AS DOUBLE) / 500.0) / 3.0 AS qf,
+         (cast(c_custkey AS DOUBLE) / 500.0) * (2.0/3.0) AS rf
+  FROM customer
+), rr AS (
+  SELECT qf, rf, -qf - rf AS yf,
+         round(qf) AS rx, round(-qf - rf) AS ry, round(rf) AS rz
+  FROM h
+), fixed AS (
+  SELECT
+    cast(CASE WHEN abs(rx - qf) > abs(ry - yf) AND abs(rx - qf) > abs(rz - rf)
+              THEN -ry - rz ELSE rx END AS BIGINT) AS q,
+    cast(CASE WHEN abs(rx - qf) > abs(ry - yf) AND abs(rx - qf) > abs(rz - rf)
+              THEN rz
+              WHEN abs(ry - yf) > abs(rz - rf) THEN rz
+              ELSE -rx - ry END AS BIGINT) AS r
+  FROM rr
+)
+SELECT concat(cast(q AS VARCHAR), ',', cast(r AS VARCHAR)) AS k,
+       cast(count(*) AS BIGINT) AS v
+FROM fixed GROUP BY 1
+"""
+
 # composite oracle for q_sql_spatial_join: naive distance cross-join pairs
-# UNION ALL the (dual-dialect) grid equi-join rollup
+# UNION ALL the (dual-dialect) grid equi-join rollup UNION ALL the hexbin
 _Q_SQL_SPATIAL_ORACLE = f"""
 SELECT 'dwithin' AS part, cast(custkey AS STRING) AS k,
        cast(suppkey AS BIGINT) AS v
@@ -876,6 +906,8 @@ FROM ({_Q_DWITHIN_ORACLE}) d
 UNION ALL
 SELECT 'grid' AS part, segment AS k, cast(n_customers AS BIGINT) AS v
 FROM ({_Q_GRID_JOIN_SPARK}) g
+UNION ALL
+SELECT 'hex' AS part, k, v FROM ({_Q_HEXBIN_ORACLE}) x
 ORDER BY part, k, v
 """
 
@@ -921,7 +953,23 @@ def _q_sql_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("segment").alias("k"),
         F.col("n_customers").cast("long").alias("v"),
     )
-    return dwithin.unionAll(grid).orderBy("part", "k", "v")
+    # hexbin rollup (r8): pure-Catalyst axial hex assignment + one
+    # groupBy on the small (q, r) pair — the 100 TB map-aggregation
+    # shape (functions/binning.py), oracle = the same cube-rounding
+    # closed form in DuckDB SQL
+    from datafusion_spatial_spark.functions.binning import st_hexcell
+
+    hexbin = (
+        cust.select(st_hexcell("geom", meta, 500.0).alias("c"))
+        .groupBy("c")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("hex").alias("part"),
+            F.concat_ws(",", F.col("c.q"), F.col("c.r")).alias("k"),
+            F.col("n").cast("long").alias("v"),
+        )
+    )
+    return dwithin.unionAll(grid).unionAll(hexbin).orderBy("part", "k", "v")
 
 
 # degenerate / holed / concave / multi-part polygon pairs with
