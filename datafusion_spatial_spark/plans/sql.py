@@ -30,6 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from datafusion_spatial_spark.functions import accessors as _ac
+from datafusion_spatial_spark.functions import binning as _bn
 from datafusion_spatial_spark.functions import geodesic as _gd
 from datafusion_spatial_spark.functions import predicates as _pr
 from datafusion_spatial_spark.functions import scalar as _sc
@@ -149,6 +150,15 @@ _FUNCTIONS_2 = {
 # geometry + numeric-literal arg
 _FUNCTIONS_GEOM_NUM = {
     "ST_BUFFER": (lambda col, r, meta: _pr.st_buffer(col, r, meta), _WKB),
+    "ST_SUBDIVIDE": (
+        lambda col, n, meta: _ac.st_subdivide(col, meta, int(n)), None
+    ),
+    "ST_SQUARECELL": (
+        lambda col, s, meta: _bn.st_squarecell(col, meta, float(s)), None
+    ),
+    "ST_HEXCELL": (
+        lambda col, s, meta: _bn.st_hexcell(col, meta, float(s)), None
+    ),
     "ST_OFFSETCURVE": (
         lambda col, r, meta: _pr.st_offsetcurve(col, r, meta), _WKB
     ),

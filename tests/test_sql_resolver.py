@@ -430,3 +430,31 @@ def test_largest_empty_circle_boundary_sql(ssql, spark):
     )
     assert [r.r for r in rows] == [w.r for w in want]
     assert any(r.r is not None and r.r > 0 for r in rows)
+
+
+def test_binning_and_subdivide_sql_registered(ssql, spark):
+    """r8 additions resolve from SQL strings: ST_SubDivide explodes via
+    LATERAL-style wrapping (array out), ST_SquareCell/ST_HexCell emit
+    struct keys usable in GROUP BY."""
+    rows = ssql.sql(
+        "SELECT ST_SquareCell(geometry, 10) AS sc, "
+        "ST_HexCell(geometry, 10) AS hc, "
+        "size(ST_Subdivide(geometry, 8)) AS np "
+        "FROM point_native WHERE geometry IS NOT NULL"
+    ).collect()
+    # real points pass through as one piece with a cell; POINT EMPTY
+    # (NaN coords, present in the fixture) gets NULL cells and no pieces
+    assert rows
+    for r in rows:
+        if r.sc is None:
+            assert r.hc is None and r.np == 0  # the EMPTY row
+        else:
+            assert r.np == 1
+            assert hasattr(r.sc, "i") and hasattr(r.hc, "q")
+    assert sum(1 for r in rows if r.sc is not None) >= 2
+    # group-by-cell rollup parses and aggregates
+    agg = ssql.sql(
+        "SELECT ST_HexCell(geometry, 10) AS c, count(*) AS n "
+        "FROM point_native WHERE geometry IS NOT NULL GROUP BY c"
+    ).collect()
+    assert sum(r.n for r in agg) == len(rows)
