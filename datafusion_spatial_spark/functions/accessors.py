@@ -264,20 +264,6 @@ def st_dump(col: Column | str, meta: GeometryMeta) -> Column:
     )(col, meta)
 
 
-def st_subdivide(
-    col: Column | str, meta: GeometryMeta, max_vertices: int = 256
-) -> Column:
-    """PostGIS ST_Subdivide as an array of WKB pieces (pair with
-    ``F.explode`` for the row-per-piece form). The scale pattern: explode
-    big polygons BEFORE a grid spatial join so each candidate refine sees
-    a bounded vertex count and each bbox covers few cells —
-    ``df.select(k, F.explode(st_subdivide(g, m, 128)).alias("g"))``."""
-    return _unary(
-        lambda g: [wkb.dumps(p) for p in geom_ops.subdivide(g, max_vertices)],
-        T.ArrayType(T.BinaryType()),
-    )(col, meta)
-
-
 def st_dumppoints(col: Column | str, meta: GeometryMeta) -> Column:
     """Every vertex as WKB points (array; explode for rows)."""
     return _unary(

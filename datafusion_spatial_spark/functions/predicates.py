@@ -40,7 +40,15 @@ def _prep(col: Column | str, meta: GeometryMeta) -> Column:
     col, meta = to_separated(col, meta)
     depth = NESTING_DEPTH[meta.native_type]
     if depth == 0:
-        leaves = F.array(col)
+        # NULL-guard the wrap: F.array(null_struct) is [NULL], which the
+        # Arrow->pandas bridge renders as [nan] — indistinguishable from
+        # POINT EMPTY (nan, nan), so a NULL point silently adopted EMPTY
+        # semantics in every conv-backed function (ST_Intersects(NULL,x)
+        # = False, ST_Equals(NULL,NULL) = True, ST_Area(NULL) = 0.0).
+        # With the guard, NULL -> null xs -> converter None -> SQL NULL,
+        # the PostGIS strict-function contract. Depth>=1 already
+        # propagates (transform(NULL) is NULL).
+        leaves = F.when(col.isNotNull(), F.array(col))
     elif depth == 1:
         leaves = col
     elif depth == 2:

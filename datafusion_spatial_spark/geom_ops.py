@@ -1287,11 +1287,36 @@ def subdivide(geom: Geom, max_vertices: int = 128) -> list[Geom]:
     its bbox's longer axis (overlay intersection with half-rectangles)
     until every part has ≤ ``max_vertices`` vertices. The standard prep
     for spatial joins over huge polygons — smaller parts mean tighter
-    bboxes, fewer grid cells per geometry, and cheaper refine tests."""
+    bboxes, fewer grid cells per geometry, and cheaper refine tests.
+
+    r8: lines subdivide too (vertex-sequence chunks with shared
+    endpoints — exact, length-preserving, no overlay needed); points pass
+    through; collections recurse per member; EMPTY yields no pieces."""
     from datafusion_spatial_spark.overlay import overlay_multi
 
     if max_vertices < 8:
         raise ValueError("max_vertices must be >= 8")
+    t = geom.type_name
+    if geom.is_empty:
+        return []
+    if t == "Point":
+        return [geom]
+    if t == "MultiPoint":
+        return [Geom("Point", p, geom.has_z, geom.srid, geom.has_m)
+                for p in geom.coords]
+    if t in ("LineString", "MultiLineString"):
+        pieces = []
+        for path in _line_parts(geom):
+            for i in range(0, max(1, len(path) - 1), max_vertices - 1):
+                chunk = path[i:i + max_vertices]
+                if len(chunk) >= 2:
+                    pieces.append(Geom("LineString", chunk))
+        return pieces
+    if t == "GeometryCollection":
+        out_gc: list[Geom] = []
+        for m in geom.coords:
+            out_gc.extend(subdivide(m, max_vertices))
+        return out_gc
     out: list[list] = []
 
     def nverts(polys) -> int:
@@ -2132,65 +2157,6 @@ def _mixed_setop(a: Geom, b: Geom, op: str) -> Geom:
                     pt = None
         return _assemble_dims(poly, line, pt)
     raise ValueError(f"unknown set op {op!r}")
-
-
-def subdivide(g: Geom, max_vertices: int = 256) -> list:
-    """PostGIS ST_Subdivide: recursively halve a geometry along its
-    bbox's wider axis until every piece has at most ``max_vertices``
-    vertices. The 100 TB join pattern: huge polygons (coastlines, admin
-    boundaries) make grid-join refine candidates expensive and their
-    bboxes explode into thousands of cells — subdividing first bounds
-    BOTH costs, and the pieces union back to the input (boundary cuts are
-    measure-zero). Polygons and lines; points and empties pass through.
-    Returns the list of single-part pieces."""
-    if max_vertices < 8:
-        raise ValueError("max_vertices must be at least 8")
-    out: list = []
-
-    def rec(p: Geom, depth: int) -> None:
-        parts = dump_parts(p)
-        if len(parts) > 1:
-            for q in parts:
-                rec(q, depth)
-            return
-        if p.is_empty:
-            return
-        n = sum(1 for _ in _all_coords(p))
-        bb = _bbox(p)
-        if n <= max_vertices or depth >= 32 or bb is None:
-            out.append(p)
-            return
-        x0, y0, x1, y1 = bb
-        if (x1 - x0) <= 0 and (y1 - y0) <= 0:
-            out.append(p)  # degenerate extent: nothing to halve
-            return
-        pad = max(x1 - x0, y1 - y0) * 1e-9 + 1e-12
-        if (x1 - x0) >= (y1 - y0):
-            mid = (x0 + x1) / 2.0
-            boxes = ((x0 - pad, y0 - pad, mid, y1 + pad),
-                     (mid, y0 - pad, x1 + pad, y1 + pad))
-        else:
-            mid = (y0 + y1) / 2.0
-            boxes = ((x0 - pad, y0 - pad, x1 + pad, mid),
-                     (x0 - pad, mid, x1 + pad, y1 + pad))
-        for bx0, by0, bx1, by1 in boxes:
-            rect = Geom("Polygon", [[(bx0, by0), (bx1, by0), (bx1, by1),
-                                     (bx0, by1), (bx0, by0)]])
-            piece = intersection(p, rect)
-            if piece.is_empty:
-                continue
-            for q in dump_parts(piece):
-                # drop lower-dimension slivers the clip can produce on
-                # the cut line (e.g. a boundary segment of a polygon)
-                if _geom_dim(q) == _geom_dim(p) and not q.is_empty:
-                    rec(q, depth + 1)
-
-    if g.type_name == "Point" or (
-        g.type_name == "MultiPoint" and len(g.coords) <= max_vertices
-    ):
-        return [g] if not g.is_empty else []
-    rec(g, 0)
-    return out
 
 
 def union_many(geoms) -> Geom:

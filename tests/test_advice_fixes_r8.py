@@ -169,3 +169,47 @@ class TestReviewFixesR8:
 
         n = spatial_scan(spark, dest, (0.0, 0.0, 100.0, 200.0)).count()
         assert n == 100
+
+
+def test_null_native_point_is_null_not_empty(spark):
+    """r8 review follow-up: a NULL native point reached UDFs as [nan] —
+    indistinguishable from POINT EMPTY — so every conv-backed function
+    gave it EMPTY semantics (ST_Intersects(NULL,x)=False,
+    ST_Equals(NULL,NULL)=True, ST_Area(NULL)=0.0). The depth-0 _prep wrap
+    is now null-guarded: NULL in -> SQL NULL out, while EMPTY keeps its
+    EMPTY semantics."""
+    from pyspark.sql import functions as F
+
+    from datafusion_spatial_spark import read_geoparquet, resolve_meta
+    from datafusion_spatial_spark.functions.accessors import st_dump
+    from datafusion_spatial_spark.functions.predicates import (
+        st_area,
+        st_distance,
+        st_equals,
+        st_intersects,
+    )
+
+    df = read_geoparquet(
+        spark, "/root/reference/data/data-point-encoding_native.parquet"
+    )
+    m = resolve_meta(df, "geometry")
+    rows = df.select(
+        F.col("geometry").isNull().alias("gn"),
+        st_intersects("geometry", "geometry", m, m).alias("ii"),
+        st_equals("geometry", "geometry", m, m).alias("eq"),
+        st_area("geometry", m).alias("a"),
+        st_distance("geometry", "geometry", m, m).alias("d"),
+        st_dump("geometry", m).alias("p"),
+    ).collect()
+    null_rows = [r for r in rows if r.gn]
+    real_rows = [r for r in rows if not r.gn]
+    assert null_rows, "fixture must contain a NULL geometry row"
+    for r in null_rows:
+        assert r.ii is None and r.eq is None
+        assert r.a is None and r.d is None and r.p is None
+    # non-null rows keep their semantics (incl. the EMPTY row: equals
+    # itself, area 0, dumps to no parts)
+    for r in real_rows:
+        assert r.eq is True
+        assert r.a == 0.0
+        assert r.p is not None

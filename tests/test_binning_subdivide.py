@@ -209,7 +209,7 @@ class TestSubdivide:
             [(1, bytearray(wkb.dumps(poly)))], "id long, g binary"
         )
         parts = df.select(
-            "id", F.explode(st_subdivide("g", wm, 64)).alias("p")
+            "id", F.explode(st_subdivide("g", 64, wm)).alias("p")
         )
         out = parts.select(
             "id", st_area("p", wm).alias("a")
