@@ -28,6 +28,17 @@ from datafusion_spatial_spark.meta import GeometryMeta
 _SQRT3 = math.sqrt(3.0)
 
 
+def _check_size(size: float) -> float:
+    size = float(size)
+    if not size > 0.0:
+        raise ValueError(f"cell size must be > 0, got {size!r}")
+    return size
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
 def _center_xy(col: Column | str, meta: GeometryMeta) -> tuple[Column, Column]:
     """bbox-center x/y (pure Catalyst for native encodings; the exact
     point for point columns)."""
@@ -43,9 +54,10 @@ def st_squarecell(
 ) -> Column:
     """struct{i, j} (LongType) square-grid cell of the geometry's bbox
     center. NULL geometry -> NULL cell."""
+    size = _check_size(size)
     x, y = _center_xy(col, meta)
-    i = F.floor((x - F.lit(float(origin[0]))) / F.lit(float(size))).cast("long")
-    j = F.floor((y - F.lit(float(origin[1]))) / F.lit(float(size))).cast("long")
+    i = F.floor((x - F.lit(float(origin[0]))) / F.lit(size)).cast("long")
+    j = F.floor((y - F.lit(float(origin[1]))) / F.lit(size)).cast("long")
     return F.when(x.isNotNull() & y.isNotNull(), F.struct(i.alias("i"), j.alias("j")))
 
 
@@ -56,9 +68,9 @@ def st_squarecellenvelope(
     origin: tuple[float, float] = (0.0, 0.0),
 ) -> Column:
     """Native Polygon of square cell (i, j) — the ST_SquareGrid generator
-    inverted to a per-key expression."""
-    i, j = F.col(i) if isinstance(i, str) else i, F.col(j) if isinstance(j, str) else j
-    s, ox, oy = float(size), float(origin[0]), float(origin[1])
+    inverted to a per-key expression. NULL key -> NULL polygon."""
+    i, j = _as_col(i), _as_col(j)
+    s, ox, oy = _check_size(size), float(origin[0]), float(origin[1])
     x0 = i.cast("double") * F.lit(s) + F.lit(ox)
     y0 = j.cast("double") * F.lit(s) + F.lit(oy)
     x1, y1 = x0 + F.lit(s), y0 + F.lit(s)
@@ -66,8 +78,11 @@ def st_squarecellenvelope(
     def pt(px, py):
         return F.struct(px.alias("x"), py.alias("y"))
 
-    return F.array(
-        F.array(pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1), pt(x0, y0))
+    return F.when(
+        i.isNotNull() & j.isNotNull(),
+        F.array(
+            F.array(pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1), pt(x0, y0))
+        ),
     )
 
 
@@ -93,6 +108,7 @@ def st_hexcell(
 ) -> Column:
     """struct{q, r} (LongType) pointy-top hexagon cell (axial coords,
     circumradius ``size``) of the geometry's bbox center."""
+    size = _check_size(size)
     x, y = _center_xy(col, meta)
     px = (x - F.lit(float(origin[0]))) / F.lit(float(size))
     py = (y - F.lit(float(origin[1]))) / F.lit(float(size))
@@ -108,10 +124,10 @@ def st_hexcellpolygon(
     size: float,
     origin: tuple[float, float] = (0.0, 0.0),
 ) -> Column:
-    """Native Polygon (7 points, closed) of axial hex cell (q, r)."""
-    q = F.col(q) if isinstance(q, str) else q
-    r = F.col(r) if isinstance(r, str) else r
-    s, ox, oy = float(size), float(origin[0]), float(origin[1])
+    """Native Polygon (7 points, closed) of axial hex cell (q, r).
+    NULL key -> NULL polygon."""
+    q, r = _as_col(q), _as_col(r)
+    s, ox, oy = _check_size(size), float(origin[0]), float(origin[1])
     cx = F.lit(s * _SQRT3) * (q.cast("double") + r.cast("double") / 2.0) + F.lit(ox)
     cy = F.lit(s * 1.5) * r.cast("double") + F.lit(oy)
 
@@ -122,7 +138,10 @@ def st_hexcellpolygon(
             (cy + F.lit(s * math.sin(a))).alias("y"),
         )
 
-    return F.array(F.array(pt(0), pt(1), pt(2), pt(3), pt(4), pt(5), pt(0)))
+    return F.when(
+        q.isNotNull() & r.isNotNull(),
+        F.array(F.array(pt(0), pt(1), pt(2), pt(3), pt(4), pt(5), pt(0))),
+    )
 
 
 def st_hexcenter(
@@ -131,12 +150,15 @@ def st_hexcenter(
     size: float,
     origin: tuple[float, float] = (0.0, 0.0),
 ) -> Column:
-    """Native point at the center of axial hex cell (q, r)."""
-    q = F.col(q) if isinstance(q, str) else q
-    r = F.col(r) if isinstance(r, str) else r
-    s = float(size)
-    return st_point(
-        F.lit(s * _SQRT3) * (q.cast("double") + r.cast("double") / 2.0)
-        + F.lit(float(origin[0])),
-        F.lit(s * 1.5) * r.cast("double") + F.lit(float(origin[1])),
+    """Native point at the center of axial hex cell (q, r).
+    NULL key -> NULL point."""
+    q, r = _as_col(q), _as_col(r)
+    s = _check_size(size)
+    return F.when(
+        q.isNotNull() & r.isNotNull(),
+        st_point(
+            F.lit(s * _SQRT3) * (q.cast("double") + r.cast("double") / 2.0)
+            + F.lit(float(origin[0])),
+            F.lit(s * 1.5) * r.cast("double") + F.lit(float(origin[1])),
+        ),
     )

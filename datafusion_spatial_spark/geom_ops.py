@@ -1310,7 +1310,8 @@ def subdivide(geom: Geom, max_vertices: int = 128) -> list[Geom]:
             for i in range(0, max(1, len(path) - 1), max_vertices - 1):
                 chunk = path[i:i + max_vertices]
                 if len(chunk) >= 2:
-                    pieces.append(Geom("LineString", chunk))
+                    pieces.append(Geom("LineString", chunk,
+                                       geom.has_z, geom.srid, geom.has_m))
         return pieces
     if t == "GeometryCollection":
         out_gc: list[Geom] = []

@@ -150,9 +150,6 @@ _FUNCTIONS_2 = {
 # geometry + numeric-literal arg
 _FUNCTIONS_GEOM_NUM = {
     "ST_BUFFER": (lambda col, r, meta: _pr.st_buffer(col, r, meta), _WKB),
-    "ST_SUBDIVIDE": (
-        lambda col, n, meta: _pr.st_subdivide(col, int(n), meta), None
-    ),
     "ST_SQUARECELL": (
         lambda col, s, meta: _bn.st_squarecell(col, meta, float(s)), None
     ),

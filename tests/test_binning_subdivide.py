@@ -218,3 +218,45 @@ class TestSubdivide:
         ).first()
         assert out.n > 1
         assert abs(out.total - G.area(poly)) < 1e-6
+
+
+class TestReviewFixes:
+    def test_subdivide_line_preserves_z_m_srid(self):
+        line = G.Geom(
+            "LineString",
+            [(float(i), 0.0, float(i) * 10) for i in range(20)],
+            has_z=True, srid=4326,
+        )
+        parts = G.subdivide(line, 8)
+        assert len(parts) > 1
+        for p in parts:
+            assert p.has_z and p.srid == 4326 and not p.has_m
+        # z survives a WKB roundtrip of each piece
+        rt = wkb.loads(wkb.dumps(parts[0]))
+        assert rt.has_z and rt.coords[0][2] == 0.0 and rt.coords[1][2] == 10.0
+
+    def test_generators_propagate_null_keys(self, spark):
+        df = spark.createDataFrame(
+            [(None, None), (1, 2)], "q int, r int"
+        )
+        rows = df.select(
+            st_hexcellpolygon("q", "r", 2.0).alias("hx"),
+            st_hexcenter("q", "r", 2.0).alias("c"),
+            st_squarecellenvelope("q", "r", 2.0).alias("sq"),
+        ).collect()
+        null_row = [r for r in rows if r.c is None]
+        real_row = [r for r in rows if r.c is not None]
+        assert len(null_row) == 1 and len(real_row) == 1
+        assert null_row[0].hx is None and null_row[0].sq is None
+        assert real_row[0].hx is not None and real_row[0].sq is not None
+
+    def test_nonpositive_size_rejected_upfront(self, spark):
+        df = _pts_df(spark, [(1.0, 1.0)])
+        for bad in (0.0, -3.0):
+            with pytest.raises(ValueError, match="size must be > 0"):
+                st_squarecell("g", PM, bad)
+            with pytest.raises(ValueError, match="size must be > 0"):
+                st_hexcell("g", PM, bad)
+            with pytest.raises(ValueError, match="size must be > 0"):
+                st_hexcenter(F.lit(1), F.lit(1), bad)
+        del df

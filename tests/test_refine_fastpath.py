@@ -288,9 +288,9 @@ def test_random_distance_battery():
         if i % 3 == 0:
             pts.append((rng.randint(-4, 12) / 2, rng.randint(-4, 12) / 2))
         else:
+            # genuinely irrational x offsets (scaled by sqrt(2), range kept)
             pts.append(
-                (rng.uniform(-2, 10) * math.sqrt(2) / math.sqrt(2),
-                 rng.uniform(-2, 10))
+                (rng.uniform(-1.5, 7.0) * math.sqrt(2), rng.uniform(-2, 10))
             )
         geoms.append(shapes[rng.randrange(len(shapes))])
     sa = _pt_series(pts)
