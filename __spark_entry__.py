@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -1530,7 +1531,39 @@ def _q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("spatial").alias("part"), F.lit("window").alias("k"), "n", "v")
     )
-    return part.unionAll(spat).orderBy("part", "k")
+    out = part.unionAll(spat).orderBy("part", "k")
+    # materialize the (tiny, O(#statuses)) aggregate now so the scratch
+    # data can be deleted before returning — repeated gate/bench replays
+    # previously accumulated unbounded pid-keyed copies under /tmp (r9
+    # advice fix). The caller still gets a lazy DataFrame, but one backed
+    # by local rows instead of the on-disk write.
+    rows = out.collect()
+    result = spark.createDataFrame(rows, out.schema).orderBy("part", "k")
+    shutil.rmtree(base, ignore_errors=True)
+    _sweep_dead_scratch(os.path.dirname(base))
+    return result
+
+
+def _sweep_dead_scratch(root: str) -> None:
+    """Remove sibling scratch dirs whose creating process is gone (crashed
+    or interrupted replays — their success-path cleanup never ran)."""
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for name in entries:
+        pid_s = name.rsplit("-", 1)[-1]
+        if not pid_s.isdigit():
+            continue
+        pid = int(pid_s)
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # alive (or not ours) -> leave it
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        except OSError:
+            pass
 
 
 _Q_WRITE_ROUNDTRIP_ORACLE = """

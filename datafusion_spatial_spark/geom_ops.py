@@ -1307,6 +1307,16 @@ def subdivide(geom: Geom, max_vertices: int = 128) -> list[Geom]:
     if t in ("LineString", "MultiLineString"):
         pieces = []
         for path in _line_parts(geom):
+            if len(path) < 2:
+                # degenerate part (0/1 vertices): unsplittable — pass it
+                # through unchanged like Point does (PostGIS ST_Subdivide
+                # returns unsplittable inputs as-is); previously the
+                # len>=2 chunk filter dropped the row from a
+                # subdivide-then-explode pipeline entirely
+                if path:
+                    pieces.append(Geom("LineString", list(path),
+                                       geom.has_z, geom.srid, geom.has_m))
+                continue
             for i in range(0, max(1, len(path) - 1), max_vertices - 1):
                 chunk = path[i:i + max_vertices]
                 if len(chunk) >= 2:

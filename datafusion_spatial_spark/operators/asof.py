@@ -97,15 +97,25 @@ def asof_join(
     # the ORDERABLE payload fields only, not the whole struct: a map-typed
     # payload column would make the struct comparison an AnalysisException
     # where the join previously ran, and per-field terms keep the sort key
-    # no wider than the orderable data (r8 advice fix). If nothing in the
-    # payload is orderable the ordering falls back to (ts, side) — the
-    # pre-r7, nondeterministic-under-exact-dups behavior.
+    # no wider than the orderable data (r8 advice fix). Unorderable fields
+    # (maps, or structs/arrays containing them) still participate via a
+    # final surrogate term: xxhash64 of their to_json rendering — so two
+    # right rows at identical (key, ts) that tie on every orderable field
+    # but differ in a map column are carried deterministically too (r9
+    # advice fix; previously that partial tie was left to Spark's sort).
     payload_type = r.schema["__payload"].dataType
     tie = [
         F.col(f"__payload.{f.name}").asc()
         for f in payload_type.fields
         if _orderable(f.dataType)
     ]
+    unorderable = [f.name for f in payload_type.fields if not _orderable(f.dataType)]
+    if unorderable:
+        tie.append(
+            F.xxhash64(
+                *[F.to_json(F.col(f"__payload.{n}")) for n in unorderable]
+            ).asc()
+        )
     if direction == "backward":
         # right rows (side 0) sort before left rows at equal ts -> inclusive
         w = (
