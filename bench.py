@@ -96,6 +96,19 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
     spark.stop()
 
+    # drift normalization (VERDICT r8 #1): q01_pricing_summary is pure
+    # TPC-H SQL frozen since round 1, so host "weather" (thermal/
+    # co-tenant drift) moves it identically to everything else while a
+    # plan regression moves only the regressed query. Reporting each
+    # query's ratio to the control alongside the absolute time lets a
+    # cross-round comparison separate the two: flat normalized series +
+    # elevated absolutes = drift; a normalized outlier = real regression.
+    control = "q01_pricing_summary"
+    ctrl_t = timings.get(control) or 1.0
+    normalized = {
+        name: round(t / ctrl_t, 3) for name, t in timings.items() if name != control
+    }
+
     print(
         json.dumps(
             {
@@ -103,6 +116,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "control": control,
+                "control_sec": timings.get(control),
+                "normalized": normalized,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
