@@ -30,6 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datafusion_spatial_spark.operators.dedup import word_shingles_duckdb
 from datafusion_spatial_spark.operators.hashing import (
     P,
     minhash_affine_params,
@@ -1841,10 +1842,21 @@ WITH RECURSIVE {_minhash_pair_ctes()}, pairs AS (
   SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
 ), losers AS (
   SELECT id FROM comp WHERE component <> id
+), doc_sh AS (
+  SELECT doc_id, unnest(list_distinct({word_shingles_duckdb('text', 13)})) AS sh
+  FROM documents
+), bench_sh AS (
+  SELECT DISTINCT unnest(list_distinct({word_shingles_duckdb('text', 13)})) AS sh
+  FROM documents WHERE doc_id % 97 = 0
+), contaminated AS (
+  SELECT DISTINCT d.doc_id FROM doc_sh d JOIN bench_sh b ON d.sh = b.sh
 )
-SELECT doc_id FROM documents
+SELECT 'cc' AS part, doc_id FROM documents
 WHERE doc_id NOT IN (SELECT id FROM losers)
-ORDER BY doc_id
+UNION ALL
+SELECT 'decon' AS part, doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+ORDER BY part, doc_id
 """
 
 
@@ -1939,32 +1951,102 @@ FROM documents ORDER BY doc_id
 """
 
 
+# mixture gate weights: four sources get distinct non-trivial keep
+# fractions (src0 1.0, src1 2/3, src2 1/3, src3 1/6 at the uniform
+# 25-per-source gate corpus), every other source weight-0-drops
+MIX_WEIGHTS = {"src0": 3.0, "src1": 2.0, "src2": 1.0, "src3": 0.5}
+MIX_SEED = 7
+
+
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test assignment (operators/corpus.py):
-    split sizes by language; the oracle replicates the polynomial hash."""
-    from datafusion_spatial_spark.operators.corpus import hash_split
+    """Corpus-pipeline composite (r9 folds the mixture gate in):
+    part 'split' = deterministic train/val/test counts by language
+    (operators/corpus.hash_split); part 'mixture' = per-source kept
+    counts of mixture_sample in its deterministic hash mode — membership
+    is a closed-form poly-hash threshold against driver-computed
+    per-source fractions, so the oracle reproduces the exact kept SET
+    (not just expected counts), gating the fraction arithmetic and the
+    sampling pass together."""
+    from datafusion_spatial_spark.operators.corpus import hash_split, mixture_sample
 
     docs = load_table(spark, sf_dir, "documents")
     out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
-    return (
+    split_part = (
         out.groupBy("lang", "split")
         .agg(F.count("*").alias("n"))
-        .orderBy("lang", "split")
+        .select(
+            F.lit("split").alias("part"),
+            F.col("lang").alias("k1"),
+            F.col("split").alias("k2"),
+            "n",
+        )
     )
+    mixed = mixture_sample(
+        docs, "source", target_weights=MIX_WEIGHTS, seed=MIX_SEED,
+        method="hash", id_col="doc_id",
+    )
+    mix_part = (
+        mixed.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("mixture").alias("part"),
+            F.col("source").alias("k1"),
+            F.lit("all").alias("k2"),
+            "n",
+        )
+    )
+    return split_part.unionAll(mix_part).orderBy("part", "k1", "k2")
 
 
 def _q_hash_split_oracle() -> str:
     ph = poly_hash_str_duckdb("concat(cast(doc_id AS VARCHAR), ':split')")
+    # mixture mirror: same weight literals, same arithmetic shape as
+    # mixture_sample (scale = min over matched sources of
+    # cnt/(w/total_w); frac = least(1, (w/total_w)*scale/cnt)) — every
+    # step is IEEE division/multiplication in the same order, so the
+    # fractions are bit-identical to the Spark driver's
+    # DuckDB parses bare 3.0 as DECIMAL — whose arithmetic rounds
+    # differently from IEEE doubles — so every weight literal is cast;
+    # the total is embedded as the Python-computed double (exact here)
+    wsum = f"CAST({sum(MIX_WEIGHTS.values())!r} AS DOUBLE)"
+    wvalues = ", ".join(
+        f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in MIX_WEIGHTS.items()
+    )
+    mph = poly_hash_str_duckdb(
+        f"concat(source, ':', cast(doc_id AS VARCHAR), ':mix:{MIX_SEED}')"
+    )
     return f"""
 WITH h AS (
   SELECT lang, {ph} / {float(P)} AS u FROM documents
+), split_part AS (
+  SELECT 'split' AS part, lang AS k1,
+         CASE WHEN u < 0.8 THEN 'train'
+              WHEN u < 0.9 THEN 'val'
+              ELSE 'test' END AS k2,
+         count(*) AS n
+  FROM h GROUP BY 1, 2, 3
+), w(src, wt) AS (
+  VALUES {wvalues}
+), cnts AS (
+  SELECT source, cast(count(*) AS DOUBLE) AS cnt FROM documents
+  WHERE source IS NOT NULL GROUP BY source
+), scale AS (
+  SELECT min(cnt / (wt / ({wsum}))) AS sc
+  FROM cnts JOIN w ON cnts.source = w.src WHERE wt > 0
+), fracs AS (
+  SELECT cnts.source AS fsrc,
+         least(1.0, (coalesce(wt, 0.0) / ({wsum})) * sc / cnt) AS frac
+  FROM cnts LEFT JOIN w ON cnts.source = w.src CROSS JOIN scale
+), mix_part AS (
+  SELECT 'mixture' AS part, d.source AS k1, 'all' AS k2, count(*) AS n
+  FROM documents d JOIN fracs f ON d.source = f.fsrc
+  WHERE {mph} / {float(P)} < f.frac
+  GROUP BY d.source
 )
-SELECT lang,
-       CASE WHEN u < 0.8 THEN 'train'
-            WHEN u < 0.9 THEN 'val'
-            ELSE 'test' END AS split,
-       count(*) AS n
-FROM h GROUP BY 1, 2 ORDER BY lang, split
+SELECT part, k1, k2, n FROM split_part
+UNION ALL
+SELECT part, k1, k2, n FROM mix_part
+ORDER BY part, k1, k2
 """
 
 
@@ -2124,18 +2206,34 @@ N_IVF_LISTS = 8
 N_IVF_PROBE = 3
 
 
+N_PQ_M = 8          # subspaces (64-dim embeddings -> 8-dim subvectors)
+N_PQ_CODES = 16     # codewords per subspace (nbits = 4)
+N_PQ_RERANK = 4     # ADC shortlist = k * factor before exact rerank
+
+
 def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with the deterministic pivot coarse quantizer
+    """ANN composite (r9 folds the PQ gate in).
+
+    Part 'ivf': deterministic pivot coarse quantizer
     (operators/simsearch.ivf_index_pivots): pivots = first N_IVF_LISTS
-    embeddings, pure-Catalyst argmin assignment, driver-side nprobe ranking,
-    exact cosine rerank over the probed lists only. Every step is
-    sequential-sum arithmetic, so the DuckDB oracle reproduces it
-    value-exact (the Spark-ML k-means IVF variant stays in tests — centroid
-    means are not bit-stable across engines)."""
+    embeddings, pure-Catalyst argmin assignment, driver-side nprobe
+    ranking, exact cosine rerank over the probed lists only.
+
+    Part 'pq': the full PQ-then-rerank chain (pq_encode pandas-UDF
+    encoding → pure-Catalyst ADC shortlist via the per-query LUT fold →
+    exact cosine rerank of the top k·N_PQ_RERANK). The codebook is
+    closed-form — codeword c of subspace j is the j-th subvector of the
+    L2-normalized c-th embedding (same pivot convention as IVF) — so the
+    oracle re-derives codebook, codes, ADC scores, shortlist, and rerank
+    from the raw table. Every fold on both sides is sequential-sum
+    arithmetic (k-means codebooks stay in tests: their centroid means
+    are not bit-stable across engines)."""
     from datafusion_spatial_spark.operators.simsearch import (
         _vec,
         cosine,
         ivf_index_pivots,
+        pq_encode,
+        pq_topk,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2155,7 +2253,7 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = sorted(range(len(pivots)), key=lambda i: -cos(qvec, pivots[i]))
     probes = ranked[:N_IVF_PROBE]
     q = F.array(*[F.lit(float(x)) for x in qvec])
-    return (
+    ivf = (
         assigned.filter(F.col("list_id").isin(probes))
         .select(
             "vec_id",
@@ -2163,7 +2261,35 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score"), F.col("vec_id"))
         .limit(10)
+        .select(F.lit("ivf").alias("part"), "vec_id", "score")
     )
+
+    # pivot codebook: sequential-sum normalization (mirrors the oracle's
+    # list_reduce fold bit-for-bit; numpy's pairwise sums would not)
+    sub = EMB_DIMS // N_PQ_M
+    piv_rows = (
+        emb.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .limit(N_PQ_CODES)
+        .collect()
+    )
+    normed = []
+    for r in piv_rows:
+        v = [float(x) for x in r.embedding]
+        n = math.sqrt(sum(x * x for x in v))
+        n = n if n != 0 else 1.0
+        normed.append([x / n for x in v])
+    books = [
+        [nv[j * sub : (j + 1) * sub] for nv in normed] for j in range(N_PQ_M)
+    ]
+    enc = pq_encode(emb, "embedding", books)
+    pq = pq_topk(
+        enc, books, "vec_id", qvec, k=10,
+        rerank=emb, vec_col="embedding", rerank_factor=N_PQ_RERANK,
+    ).select(
+        F.lit("pq").alias("part"), "vec_id", F.round("score", 6).alias("score")
+    )
+    return ivf.unionAll(pq).orderBy("part", F.desc("score"), "vec_id")
 
 
 def _duckdb_sqdist(a: str, b: str) -> str:
@@ -2186,6 +2312,29 @@ def _q_ivf_ann_oracle() -> str:
         f" / (sqrt({_duckdb_dot('a.embedding', 'a.embedding')})"
         f" * sqrt({_duckdb_dot('q.qe', 'q.qe')}))"
     )
+    cos_e = (
+        f"{_duckdb_dot('e.embedding', 'q.qe')}"
+        f" / (sqrt({_duckdb_dot('e.embedding', 'e.embedding')})"
+        f" * sqrt({_duckdb_dot('q.qe', 'q.qe')}))"
+    )
+    sub = EMB_DIMS // N_PQ_M
+    nq = f"sqrt({_duckdb_dot('qe', 'qe')})"
+    ne_nrm = f"sqrt({_duckdb_dot('embedding', 'embedding')})"
+    unit = (
+        f"list_transform(range(1, {EMB_DIMS} + 1), "
+        f"i -> cast(embedding[i] AS DOUBLE) / "
+        f"(CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END))"
+    )
+    seq_fold = "(a, x) -> a + x"
+    d2_terms = (
+        f"list_transform(range(1, {sub} + 1), "
+        f"t -> (nv[js.j * {sub} + t] - pv[js.j * {sub} + t])"
+        f" * (nv[js.j * {sub} + t] - pv[js.j * {sub} + t]))"
+    )
+    lut_terms = (
+        f"list_transform(range(1, {sub} + 1), "
+        f"t -> qv[js.j * {sub} + t] * pv[js.j * {sub} + t])"
+    )
     return f"""
 WITH q AS (
   SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
@@ -2201,12 +2350,55 @@ WITH q AS (
              ORDER BY {_duckdb_sqdist('e.embedding', 'p.pv')}, p.pid
          ) AS rn
   FROM embeddings e CROSS JOIN piv p
+), ivf_part AS (
+  SELECT a.vec_id, round({cos_eq}, 6) AS score
+  FROM assigned a CROSS JOIN q
+  WHERE a.rn = 1 AND a.pid IN (SELECT pid FROM probes)
+  ORDER BY score DESC, a.vec_id
+  LIMIT 10
+), qn AS (
+  SELECT list_transform(range(1, {EMB_DIMS} + 1),
+         i -> cast(qe[i] AS DOUBLE) /
+              (CASE WHEN {nq} = 0 THEN 1.0 ELSE {nq} END)) AS qv
+  FROM q
+), pq_piv AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, {unit} AS pv
+  FROM (SELECT vec_id, embedding, {ne_nrm} AS nrm FROM embeddings
+        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {N_PQ_CODES})
+), ne AS (
+  SELECT vec_id, {unit} AS nv
+  FROM (SELECT vec_id, embedding, {ne_nrm} AS nrm FROM embeddings
+        WHERE embedding IS NOT NULL)
+), codes AS (
+  SELECT vec_id, j, cid, lutval,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+  FROM (
+    SELECT ne.vec_id, js.j, p.cid,
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {d2_terms}), {seq_fold}) AS d2,
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {lut_terms}), {seq_fold}) AS lutval
+    FROM ne
+    CROSS JOIN (SELECT unnest(range(0, {N_PQ_M})) AS j) js
+    CROSS JOIN pq_piv p
+    CROSS JOIN qn
+  )
+), approx AS (
+  SELECT vec_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lutval ORDER BY j)),
+                {seq_fold}) AS a_score
+  FROM codes WHERE rn = 1 GROUP BY vec_id
+), shortlist AS (
+  SELECT vec_id FROM approx ORDER BY a_score DESC, vec_id
+  LIMIT {10 * N_PQ_RERANK}
+), pq_part AS (
+  SELECT e.vec_id, round({cos_e}, 6) AS score
+  FROM embeddings e JOIN shortlist s ON e.vec_id = s.vec_id CROSS JOIN q
+  ORDER BY {cos_e} DESC, e.vec_id
+  LIMIT 10
 )
-SELECT a.vec_id, round({cos_eq}, 6) AS score
-FROM assigned a CROSS JOIN q
-WHERE a.rn = 1 AND a.pid IN (SELECT pid FROM probes)
-ORDER BY score DESC, a.vec_id
-LIMIT 10
+SELECT 'ivf' AS part, vec_id, score FROM ivf_part
+UNION ALL
+SELECT 'pq' AS part, vec_id, score FROM pq_part
+ORDER BY part, score DESC, vec_id
 """
 
 
@@ -2343,12 +2535,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_write_roundtrip": _q_write_roundtrip,
     }
     def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """End-to-end near-dup removal (MinHash-LSH pairs → distributed
-        min-label-propagation connected components → min-id survivors).
-        The iterative CC algorithm IS oracle-checked: the DuckDB twin
-        computes the same components with a recursive reachability CTE,
-        so the survivor doc_id set must match value-exact."""
-        from datafusion_spatial_spark.operators.dedup import dedup_corpus
+        """Corpus-hygiene composite (r9 folds the decontamination gate in).
+        Part 'cc': end-to-end near-dup removal (MinHash-LSH pairs →
+        distributed min-label-propagation connected components → min-id
+        survivors); the iterative CC algorithm IS oracle-checked — the
+        DuckDB twin computes the same components with a recursive
+        reachability CTE, so the survivor doc_id set must match
+        value-exact. Part 'decon': GPT-3-style 13-gram train/test
+        decontamination against a deterministic benchmark sample
+        (doc_id % 97 == 0) — the oracle re-derives the contaminated set
+        with a shingle semi-join on the raw strings (the Spark side joins
+        on xxhash64 of the same strings; equality is preserved), so the
+        surviving doc_id set is value-checked too."""
+        from datafusion_spatial_spark.operators.dedup import (
+            decontaminate,
+            dedup_corpus,
+        )
 
         docs = load_table(spark, sf_dir, "documents")
         out = dedup_corpus(
@@ -2356,7 +2558,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             num_hashes=N_MINHASH, bands=N_BANDS, shingle_k=SHINGLE_K,
             jaccard_threshold=JACCARD_T, hash_fn="poly",
         )
-        return out.select("doc_id").orderBy("doc_id")
+        cc = out.select(F.lit("cc").alias("part"), "doc_id")
+        bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+        decon = decontaminate(docs, "text", "doc_id", bench, "text").select(
+            F.lit("decon").alias("part"), "doc_id"
+        )
+        return cc.unionAll(decon).orderBy("part", "doc_id")
 
     def _q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Streaming hourly rollup driven to a COMPLETE-mode memory sink:

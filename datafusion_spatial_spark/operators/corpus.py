@@ -273,11 +273,13 @@ def mixture_sample(
     target_weights: dict[str, float] | None = None,
     temperature: float | None = None,
     seed: int = 42,
+    method: str = "bernoulli",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Re-balance a multi-source corpus to a target mixture by per-source
-    Bernoulli down-sampling (the pre-training data-mixture step).
+    down-sampling (the pre-training data-mixture step).
 
-    Two modes:
+    Two weighting modes:
 
     * ``target_weights`` — explicit relative weights per source value;
       the largest feasible output keeps every document of the most
@@ -286,14 +288,31 @@ def mixture_sample(
       counts as count^(1/T) (T > 1 flattens the mixture toward uniform,
       the multilingual-rebalancing trick; T = 1 keeps proportions).
 
+    Two sampling methods:
+
+    * ``method="bernoulli"`` (default) — seeded ``sampleBy``. Fast
+      (JVM XORShift), but the draw depends on partition layout, so a
+      repartition or a speculative re-run can change WHICH rows are
+      kept (the kept fraction is stable).
+    * ``method="hash"`` (requires ``id_col``) — keep a row iff
+      poly_hash(source:id:mix:seed)/P < fraction. Fully deterministic in
+      the row VALUES: membership survives repartitioning, retries, and
+      backfills, and any engine can reproduce it (it is the hash_split
+      convention applied per-source) — the property a 100 TB pipeline
+      wants for auditable mixtures, at the cost of the slower
+      pure-Catalyst hash fold.
+
     One count aggregate driver-side (tiny: one row per source), then a
-    single map-only ``sampleBy`` pass — no shuffle of the corpus.
-    Deterministic under ``seed``. Sources absent from
+    single map-only pass — no shuffle of the corpus. Sources absent from
     ``target_weights`` are dropped (weight 0), as are rows whose
-    ``source_col`` is NULL (``sampleBy`` assigns them no fraction).
+    ``source_col`` is NULL.
     """
     if (target_weights is None) == (temperature is None):
         raise ValueError("pass exactly one of target_weights= / temperature=")
+    if method not in ("bernoulli", "hash"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "hash" and id_col is None:
+        raise ValueError("method='hash' requires id_col=")
     counts = {
         r[0]: r[1]
         for r in df.groupBy(source_col).count().collect()
@@ -324,4 +343,17 @@ def mixture_sample(
         s: min(1.0, (target_weights.get(s, 0.0) / total_w) * scale / counts[s])
         for s in counts
     }
-    return df.sampleBy(source_col, fractions, seed=seed)
+    if method == "bernoulli":
+        return df.sampleBy(source_col, fractions, seed=seed)
+    # hash: u in [0,1) from the row's own values; per-source threshold via
+    # a map literal (NULL source -> NULL fraction -> comparison NULL ->
+    # dropped, matching sampleBy's no-fraction behavior)
+    key = F.concat(
+        F.col(source_col), F.lit(":"),
+        F.col(id_col).cast("string"), F.lit(f":mix:{int(seed)}"),
+    )
+    u = poly_hash_str(key) / F.lit(float(P))
+    frac_map = F.create_map(
+        *[F.lit(v) for kv in fractions.items() for v in (kv[0], float(kv[1]))]
+    )
+    return df.filter(u < frac_map[F.col(source_col)])

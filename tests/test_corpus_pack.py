@@ -165,3 +165,47 @@ class TestMixtureSample:
             mixture_sample(df, "source")
         with _pt.raises(ValueError):
             mixture_sample(df, "source", target_weights={"a": 1}, temperature=2)
+        with _pt.raises(ValueError):
+            mixture_sample(df, "source", target_weights={"a": 1}, method="bogus")
+        with _pt.raises(ValueError):
+            mixture_sample(df, "source", target_weights={"a": 1}, method="hash")
+
+    def test_hash_mode_partition_invariant(self, spark):
+        """hash-mode membership depends only on row VALUES: repartitioning
+        must keep the exact same kept set (sampleBy's Bernoulli draw does
+        not have this property — its RNG is seeded per partition)."""
+        rows = [(i, "a") for i in range(600)] + [
+            (10_000 + i, "b") for i in range(600)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        from datafusion_spatial_spark.operators.corpus import mixture_sample
+
+        kept = [
+            {
+                r.doc_id
+                for r in mixture_sample(
+                    df.repartition(parts), "source",
+                    target_weights={"a": 2.0, "b": 1.0},
+                    method="hash", id_col="doc_id",
+                ).collect()
+            }
+            for parts in (1, 7, 32)
+        ]
+        assert kept[0] == kept[1] == kept[2]
+        # the binding source is kept whole; the other downsampled to ~half
+        a = sum(1 for i in kept[0] if i < 10_000)
+        b = len(kept[0]) - a
+        assert a == 600
+        assert 220 < b < 380
+
+    def test_hash_mode_null_source_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a")], ["doc_id", "source"]
+        )
+        from datafusion_spatial_spark.operators.corpus import mixture_sample
+
+        out = mixture_sample(
+            df, "source", target_weights={"a": 1.0},
+            method="hash", id_col="doc_id",
+        ).collect()
+        assert {r.doc_id for r in out} == {1, 3}
