@@ -4170,6 +4170,150 @@ def _laea_inv(x: float, y: float, a: float = GRS80_A, f: float = GRS80_F,
     return math.degrees(lam), math.degrees(phi)
 
 
+# --- Albers Equal-Area Conic (ellipsoidal, two standard parallels) -------
+# Snyder PP 1395 eqs. 14-1..14-11 + 3-16 (iterative phi from q).
+# Parameter sets for the common public codes (all on GRS80):
+#   5070 NAD83 / Conus Albers, 3310 NAD83 / California Albers,
+#   3577 GDA94 / Australian Albers (southern: cone constant n < 0).
+
+_ALBERS_CODES = {
+    # srid: (lat1, lat2, lat0, lon0, FE, FN)
+    5070: (29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    3310: (34.0, 40.5, 0.0, -120.0, 0.0, -4_000_000.0),
+    3577: (-18.0, -36.0, 0.0, 132.0, 0.0, 0.0),
+}
+
+
+def _aea_consts(params, a: float = GRS80_A, f: float = GRS80_F):
+    lat1, lat2, lat0, lon0, FE, FN = params
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def m(phi):
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1 - e2 * s * s)
+
+    p0, p1, p2 = (math.radians(v) for v in (lat0, lat1, lat2))
+    q0, q1, q2 = (_laea_q(p, e, e2) for p in (p0, p1, p2))
+    m1, m2 = m(p1), m(p2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+    return e, e2, n, C, rho0, math.radians(lon0), FE, FN
+
+
+def _aea_fwd(lon: float, lat: float, params,
+             a: float = GRS80_A, f: float = GRS80_F):
+    e, e2, n, C, rho0, lam0, FE, FN = _aea_consts(params, a, f)
+    q = _laea_q(math.radians(lat), e, e2)
+    rho = a * math.sqrt(max(0.0, C - n * q)) / n
+    theta = n * (math.radians(lon) - lam0)
+    return FE + rho * math.sin(theta), FN + rho0 - rho * math.cos(theta)
+
+
+def _phi_from_q(q: float, e: float, e2: float) -> float:
+    """Snyder 3-16: invert the equal-area latitude by fixed-point
+    iteration (converges in ~4 steps everywhere off the poles)."""
+    qp = _laea_q(math.pi / 2, e, e2)
+    if abs(abs(q) - qp) < 1e-14:
+        return math.copysign(math.pi / 2, q)
+    phi = math.asin(max(-1.0, min(1.0, q / 2)))
+    for _ in range(8):
+        s = math.sin(phi)
+        d = (1 - e2 * s * s) ** 2 / (2 * math.cos(phi)) * (
+            q / (1 - e2)
+            - s / (1 - e2 * s * s)
+            + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+        )
+        phi += d
+        if abs(d) < 1e-14:
+            break
+    return phi
+
+
+def _aea_inv(x: float, y: float, params,
+             a: float = GRS80_A, f: float = GRS80_F):
+    e, e2, n, C, rho0, lam0, FE, FN = _aea_consts(params, a, f)
+    xp, yp = x - FE, rho0 - (y - FN)
+    rho = math.hypot(xp, yp)
+    theta = math.atan2(xp, yp)
+    if n < 0:  # southern cone: rho and both atan2 operands flip sign
+        rho, theta = -rho, math.atan2(-xp, -yp)
+    q = (C - (rho * n / a) ** 2) / n
+    phi = _phi_from_q(q, e, e2)
+    return math.degrees(lam0 + theta / n), math.degrees(phi)
+
+
+# --- Lambert Conformal Conic (ellipsoidal, two standard parallels) -------
+# Snyder PP 1395 eqs. 15-1..15-11 + 7-9 (iterative phi from t).
+# Parameter sets (all on GRS80): 2154 RGF93 / Lambert-93 (France),
+# 3978 NAD83 / Canada Atlas Lambert.
+
+_LCC_CODES = {
+    # srid: (lat1, lat2, lat0, lon0, FE, FN)
+    2154: (49.0, 44.0, 46.5, 3.0, 700_000.0, 6_600_000.0),
+    3978: (49.0, 77.0, 49.0, -95.0, 0.0, 0.0),
+}
+
+
+def _lcc_consts(params, a: float = GRS80_A, f: float = GRS80_F):
+    lat1, lat2, lat0, lon0, FE, FN = params
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def m(phi):
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1 - e2 * s * s)
+
+    def t(phi):
+        s = math.sin(phi)
+        return math.tan(math.pi / 4 - phi / 2) / (
+            (1 - e * s) / (1 + e * s)
+        ) ** (e / 2)
+
+    p0, p1, p2 = (math.radians(v) for v in (lat0, lat1, lat2))
+    t0, t1, t2 = t(p0), t(p1), t(p2)
+    m1, m2 = m(p1), m(p2)
+    if abs(p1 - p2) < 1e-12:
+        n = math.sin(p1)
+    else:
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    Fc = m1 / (n * t1**n)
+    rho0 = a * Fc * t0**n
+    return e, n, Fc, rho0, math.radians(lon0), FE, FN, t
+
+
+def _lcc_fwd(lon: float, lat: float, params,
+             a: float = GRS80_A, f: float = GRS80_F):
+    e, n, Fc, rho0, lam0, FE, FN, t = _lcc_consts(params, a, f)
+    rho = a * Fc * t(math.radians(lat)) ** n
+    theta = n * (math.radians(lon) - lam0)
+    return FE + rho * math.sin(theta), FN + rho0 - rho * math.cos(theta)
+
+
+def _lcc_inv(x: float, y: float, params,
+             a: float = GRS80_A, f: float = GRS80_F):
+    e, n, Fc, rho0, lam0, FE, FN, _t = _lcc_consts(params, a, f)
+    xp, yp = x - FE, rho0 - (y - FN)
+    rho = math.hypot(xp, yp)
+    theta = math.atan2(xp, yp)
+    if n < 0:
+        rho, theta = -rho, math.atan2(-xp, -yp)
+    tv = (rho / (a * Fc)) ** (1 / n)
+    # Snyder 7-9: phi = pi/2 - 2 atan(t * ((1 - e sin phi)/(1 + e sin phi))^(e/2))
+    phi = math.pi / 2 - 2 * math.atan(tv)
+    for _ in range(8):
+        s = math.sin(phi)
+        nphi = math.pi / 2 - 2 * math.atan(
+            tv * ((1 - e * s) / (1 + e * s)) ** (e / 2)
+        )
+        if abs(nphi - phi) < 1e-14:
+            phi = nphi
+            break
+        phi = nphi
+    return math.degrees(lam0 + theta / n), math.degrees(phi)
+
+
 def _lookup_transform(src_srid: int, dst_srid: int):
     """(lon,lat)->(x,y) scalar fn for the pair, or None. 4326 pivots any
     supported CRS pair (e.g. 3857 -> UTM chains through lon/lat)."""
@@ -4180,6 +4324,10 @@ def _lookup_transform(src_srid: int, dst_srid: int):
             return _merc_inv
         if srid == 3035:
             return _laea_inv
+        if srid in _ALBERS_CODES:
+            return lambda x, y, _p=_ALBERS_CODES[srid]: _aea_inv(x, y, _p)
+        if srid in _LCC_CODES:
+            return lambda x, y, _p=_LCC_CODES[srid]: _lcc_inv(x, y, _p)
         z = utm_zone_of(srid)
         if z:
             return lambda x, y, _z=z: _tm_inv(x, y, utm_lon0(_z[0]), _z[1])
@@ -4193,6 +4341,10 @@ def _lookup_transform(src_srid: int, dst_srid: int):
             return _merc_fwd
         if srid == 3035:
             return _laea_fwd
+        if srid in _ALBERS_CODES:
+            return lambda x, y, _p=_ALBERS_CODES[srid]: _aea_fwd(x, y, _p)
+        if srid in _LCC_CODES:
+            return lambda x, y, _p=_LCC_CODES[srid]: _lcc_fwd(x, y, _p)
         z = utm_zone_of(srid)
         if z:
             return lambda x, y, _z=z: _tm_fwd(x, y, utm_lon0(_z[0]), _z[1])
@@ -4384,11 +4536,14 @@ def buffer_geography(
 def transform(g: Geom, src_srid: int, dst_srid: int, fn=None) -> Geom:
     """Reproject coordinates between supported CRS: EPSG:4326, 3857
     (spherical Web Mercator), UTM WGS84 zones (326zz/327zz, Snyder series),
-    3035 (ETRS89-LAEA Europe), and any :func:`register_crs` SRID — any
-    pair, pivoting through lon/lat. Other codes raise — never silently
-    wrong. Z/M passed through untouched. ``fn`` is a pre-resolved
-    (x, y) -> (x, y) pair function (the Spark builders resolve it
-    driver-side so register_crs closures reach the workers)."""
+    3035 (ETRS89-LAEA Europe), Albers equal-area 5070/3310/3577 (Conus /
+    California / Australian), Lambert conformal conic 2154/3978
+    (Lambert-93 France / Canada Atlas), and any :func:`register_crs`
+    SRID — any pair, pivoting through lon/lat. Other codes raise — never
+    silently wrong. Z/M passed through untouched. ``fn`` is a
+    pre-resolved (x, y) -> (x, y) pair function (the Spark builders
+    resolve it driver-side so register_crs closures reach the
+    workers)."""
     if src_srid == dst_srid:
         return Geom(g.type_name, g.coords, g.has_z, dst_srid, g.has_m)
     if fn is None:
@@ -4401,8 +4556,10 @@ def transform(g: Geom, src_srid: int, dst_srid: int, fn=None) -> Geom:
     if fn is None:
         raise NotImplementedError(
             f"transform {src_srid} -> {dst_srid} not supported — built-in "
-            "closed-form CRS are 4326, 3857, UTM 326zz/327zz, LAEA 3035; "
-            "install the optional 'pyproj' extra for general EPSG support"
+            "closed-form CRS are 4326, 3857, UTM 326zz/327zz, LAEA 3035, "
+            "Albers 5070/3310/3577, Lambert conformal 2154/3978; register "
+            "others with geom_ops.register_crs, or install the optional "
+            "'pyproj' extra for general EPSG support"
         )
 
     def conv(c):

@@ -703,3 +703,133 @@ class TestCustomCRS:
             register_crs(990_009, affine=(1.0, 2.0, 2.0, 4.0, 0.0, 0.0))
         with pytest.raises(ValueError, match="both"):
             register_crs(990_009, to_lonlat=lambda x, y: (x, y))
+
+
+class TestConicProjections:
+    """Albers equal-area (5070/3310/3577) + Lambert conformal conic
+    (2154/3978) closed forms (VERDICT r8 item 4). Truth checks: exact
+    false-origin identity, sub-1e-9-degree round trips across each
+    projection's service area, unit scale on the first standard parallel
+    against ellipsoidal reference distances, the defining property of
+    each family (area preservation / conformality), and the SQL surface."""
+
+    AREAS = {
+        5070: (-124, -67, 25, 49), 3310: (-124, -114, 32, 42),
+        3577: (113, 154, -44, -10), 2154: (-5, 9, 41, 51),
+        3978: (-140, -50, 40, 84),
+    }
+
+    @staticmethod
+    def _ellipsoid_ew(lon, lat, dlon):
+        e2 = G.GRS80_F * (2 - G.GRS80_F)
+        phi = math.radians(lat)
+        N = G.GRS80_A / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        return N * math.cos(phi) * math.radians(dlon)
+
+    def test_false_origin_identity(self):
+        for srid, p in G._ALBERS_CODES.items():
+            x, y = G._aea_fwd(p[3], p[2], p)
+            assert abs(x - p[4]) < 1e-6 and abs(y - p[5]) < 1e-6, srid
+        for srid, p in G._LCC_CODES.items():
+            x, y = G._lcc_fwd(p[3], p[2], p)
+            assert abs(x - p[4]) < 1e-6 and abs(y - p[5]) < 1e-6, srid
+
+    def test_roundtrip_service_areas(self):
+        import random
+
+        rng = random.Random(9)
+        for srid, (lo1, lo2, la1, la2) in self.AREAS.items():
+            fwd = G._lookup_transform(4326, srid)
+            inv = G._lookup_transform(srid, 4326)
+            for _ in range(120):
+                lon, lat = rng.uniform(lo1, lo2), rng.uniform(la1, la2)
+                x, y = fwd(lon, lat)
+                lon2, lat2 = inv(x, y)
+                assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9, srid
+
+    def test_unit_scale_on_standard_parallel(self):
+        sp1 = {5070: (-96, 29.5), 3310: (-120, 34.0), 3577: (132, -18.0),
+               2154: (3, 49.0), 3978: (-95, 49.0)}
+        for srid, (lon, lat) in sp1.items():
+            fwd = G._lookup_transform(4326, srid)
+            x1, y1 = fwd(lon, lat)
+            x2, y2 = fwd(lon + 0.01, lat)
+            r = math.hypot(x2 - x1, y2 - y1) / self._ellipsoid_ew(lon, lat, 0.01)
+            assert abs(r - 1) < 2e-5, (srid, r)
+
+    def test_albers_preserves_area(self):
+        # planar shoelace area of a projected graticule cell equals the
+        # exact ellipsoidal area a^2 * dlam * (q2 - q1) / 2 (same identity
+        # the LAEA test uses — it defines "equal-area")
+        e2 = G.GRS80_F * (2 - G.GRS80_F)
+        e = math.sqrt(e2)
+        for srid, (lon0, lat0) in {5070: (-100.0, 38.0), 3577: (140.0, -30.0)}.items():
+            p = G._ALBERS_CODES[srid]
+            lon1, lon2, lat1, lat2 = lon0, lon0 + 4.0, lat0, lat0 + 4.0
+            n = 200
+            ring = (
+                [(lon1 + (lon2 - lon1) * i / n, lat1) for i in range(n)]
+                + [(lon2, lat1 + (lat2 - lat1) * i / n) for i in range(n)]
+                + [(lon2 - (lon2 - lon1) * i / n, lat2) for i in range(n)]
+                + [(lon1, lat2 - (lat2 - lat1) * i / n) for i in range(n)]
+            )
+            proj = [G._aea_fwd(lo, la, p) for lo, la in ring]
+            s = 0.0
+            for (x1, y1), (x2, y2) in zip(proj, proj[1:] + proj[:1]):
+                s += x1 * y2 - x2 * y1
+            planar = abs(s) / 2
+            q1 = G._laea_q(math.radians(lat1), e, e2)
+            q2 = G._laea_q(math.radians(lat2), e, e2)
+            exact = G.GRS80_A**2 * math.radians(lon2 - lon1) * abs(q2 - q1) / 2
+            assert abs(planar - exact) / exact < 1e-6, srid
+
+    def test_lcc_is_conformal(self):
+        # conformal: at any point the E-W and N-S scale factors agree
+        e2 = G.GRS80_F * (2 - G.GRS80_F)
+        for srid, (lon, lat) in {2154: (5.0, 44.5), 3978: (-110.0, 62.0)}.items():
+            fwd = G._lookup_transform(4326, srid)
+            x0, y0 = fwd(lon, lat)
+            xe, ye = fwd(lon + 1e-4, lat)
+            xn, yn = fwd(lon, lat + 1e-4)
+            phi = math.radians(lat)
+            N = G.GRS80_A / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+            M = G.GRS80_A * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+            k_ew = math.hypot(xe - x0, ye - y0) / (
+                N * math.cos(phi) * math.radians(1e-4))
+            k_ns = math.hypot(xn - x0, yn - y0) / (M * math.radians(1e-4))
+            assert abs(k_ew / k_ns - 1) < 1e-6, srid
+
+    def test_known_city_coordinates(self):
+        # generous boxes around published values (EPSG-registry-style
+        # sanity, not mm assertions): Paris in Lambert-93, Denver in
+        # Conus Albers
+        x, y = G._lookup_transform(4326, 2154)(2.3522, 48.8566)
+        assert 650_000 < x < 656_000 and 6_859_000 < y < 6_866_000
+        x, y = G._lookup_transform(4326, 5070)(-104.99, 39.74)
+        assert -800_000 < x < -750_000 and 1_850_000 < y < 1_990_000
+
+    def test_spark_and_sql_surface(self, spark):
+        from datafusion_spatial_spark.meta import with_geo_meta
+        from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+        m = GeometryMeta(encoding="point", geometry_types=("Point",))
+        df = spark.createDataFrame(
+            [(2.3522, 48.8566)], "lon double, lat double"
+        ).select(st_point("lon", "lat").alias("geometry"))
+        out = df.select(st_transform("geometry", 4326, 2154, m).alias("g"))
+        got = wkb.loads(bytes(out.collect()[0].g))
+        kx, ky = G._lcc_fwd(2.3522, 48.8566, G._LCC_CODES[2154])
+        assert abs(got.coords[0] - kx) < 1e-6 and abs(got.coords[1] - ky) < 1e-6
+        ssql = SpatialSQL(spark)
+        ssql.register_view("t_conic", with_geo_meta(df, "geometry", m))
+        g2 = ssql.sql(
+            "SELECT ST_Transform(geometry, 4326, 5070) AS g FROM t_conic"
+        ).collect()[0].g
+        got2 = wkb.loads(bytes(g2))
+        ax, ay = G._aea_fwd(2.3522, 48.8566, G._ALBERS_CODES[5070])
+        assert abs(got2.coords[0] - ax) < 1e-6 and abs(got2.coords[1] - ay) < 1e-6
+
+    def test_error_message_lists_conics(self):
+        g = G.Geom("Point", (1.0, 2.0))
+        with pytest.raises(NotImplementedError, match="5070.*2154|Albers"):
+            G.transform(g, 4326, 123_456)

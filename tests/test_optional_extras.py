@@ -168,7 +168,9 @@ def test_transform_pyproj_transformer_cached_per_pair(monkeypatch):
     record = []
     _install_fake_pyproj(monkeypatch, record)
     line = Geom("LineString", [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)])
-    G.transform(line, 4326, 2154)
+    # 27700 (British National Grid) is outside the closed-form set —
+    # r9 added 2154 as a built-in LCC, so it no longer reaches pyproj
+    G.transform(line, 4326, 27700)
     builds = [r for r in record if r[0] == "from_crs"]
     assert len(builds) == 1  # one Transformer per (src, dst), not per vertex
     hits = [r for r in record if r[0] == "transform"]
