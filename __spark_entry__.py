@@ -197,6 +197,29 @@ GROUP BY {hour}, event_type
 ORDER BY hour, event_type
 """
 
+# streaming gate: 'complete' = full batch rollup; 'append' = windows the
+# final watermark (max ts - 10 min) closed; 'append_suppressed' = the rest
+_Q_STREAM_HOURLY_ORACLE = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type,
+         count(*) AS n, round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1, 2
+), wm AS (
+  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events
+)
+SELECT part, strftime(ws, '%Y-%m-%d %H:%M') AS hour, event_type, n, total_value
+FROM (
+  SELECT 'complete' AS part, ws, event_type, n, total_value FROM b
+  UNION ALL
+  SELECT 'append' AS part, ws, event_type, n, total_value
+  FROM b, wm WHERE ws + INTERVAL 1 HOUR <= wm.w
+  UNION ALL
+  SELECT 'append_suppressed' AS part, ws, event_type, n, total_value
+  FROM b, wm WHERE ws + INTERVAL 1 HOUR > wm.w
+)
+ORDER BY part, hour, event_type
+"""
+
 Q_EVENTS_JSON_CORE = """
 SELECT event_type,
        round(avg(cast({k} AS BIGINT)), 6) AS avg_k,
@@ -2566,14 +2589,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cc.unionAll(decon).orderBy("part", "doc_id")
 
     def _q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Streaming hourly rollup driven to a COMPLETE-mode memory sink:
-        complete mode emits the full windowed state, so the stream result
-        must equal the batch hourly aggregation row-for-row — which is
-        exactly what the DuckDB oracle checks (a real equivalence proof,
-        not a rows-only count). The bounded-state append+watermark path —
-        where late rows are dropped by design and so can never be
-        batch-equal — is batch-equivalence-tested with the drop accounting
-        in tests/test_streaming.py."""
+        """Streaming composite (r9 folds the append+watermark leg in).
+
+        Part 'complete': hourly rollup driven to a COMPLETE-mode memory
+        sink — complete mode emits the full windowed state, so the stream
+        result must equal the batch hourly aggregation row-for-row.
+
+        Part 'append': the same query under append mode + 10-minute
+        watermark — the bounded-state production shape. Append emits a
+        window only once the final watermark (max event time − delay)
+        passes its end, so the oracle's closed form is `window_end <=
+        max(ts) − 10 min`: the emitted SET is deterministic for a finite
+        one-batch file source and value-checked exactly.
+
+        Part 'append_suppressed': the explicit drop accounting — batch
+        hourly rows the stream did NOT emit, derived by anti-joining the
+        observed stream output against the batch aggregate (not predicted
+        from the watermark), so `append ∪ append_suppressed = complete`
+        holds BY OBSERVATION on the Spark side while the oracle pins both
+        sets in closed form. A stream that silently dropped a finalizable
+        window or emitted a phantom one breaks the hash."""
         from datafusion_spatial_spark.streaming import ops as stream_ops
 
         s = stream_ops.stream_events(spark, sf_dir)
@@ -2582,11 +2617,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_stream_hourly_out",
             output_mode="complete",
         )
-        out = spark.table(name)
-        return out.select(
+        comp = spark.table(name).select(
+            F.lit("complete").alias("part"),
             F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("hour"),
             "event_type", "n", "total_value",
-        ).orderBy("hour", "event_type")
+        )
+        s2 = stream_ops.stream_events(spark, sf_dir)
+        name2 = stream_ops.run_to_memory(
+            stream_ops.windowed_counts(s2, window="1 hour"),
+            "q_stream_hourly_append",
+            output_mode="append",
+        )
+        emitted = spark.table(name2)
+        app = emitted.select(
+            F.lit("append").alias("part"),
+            F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type", "n", "total_value",
+        )
+        suppressed = (
+            spark.table(name)
+            .join(
+                emitted.select("window_start", "event_type"),
+                ["window_start", "event_type"],
+                "left_anti",
+            )
+            .select(
+                F.lit("append_suppressed").alias("part"),
+                F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("hour"),
+                "event_type", "n", "total_value",
+            )
+        )
+        return comp.unionAll(app).unionAll(suppressed).orderBy(
+            "part", "hour", "event_type"
+        )
 
     # Oracle-backed extension queries come BEFORE the rows-only tail: the
     # driver gate records at most 50 rows in registration order, so every
@@ -2683,10 +2746,9 @@ def oracle_sql() -> dict[str, str]:
         "q_cosine_near_dup": _q_cosine_near_dup_oracle(),
         "q_ivf_ann_topk": _q_ivf_ann_oracle(),
         "q_dedup_corpus": _q_dedup_corpus_oracle(),
-        # the stream result is checked against the BATCH hourly rollup —
-        # complete-mode equivalence makes the streaming query fully
-        # oracle-backed (same oracle text as q_events_hourly by design)
-        "q_stream_hourly": Q_EVENTS_HOURLY_CORE.format(
-            hour="strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')"
-        ),
+        # complete-mode leg == the BATCH hourly rollup; append-mode leg ==
+        # the watermark closed form (window_end <= max ts - 10 min);
+        # suppressed leg == its complement — streaming semantics checked
+        # value-exact, not rows-only
+        "q_stream_hourly": _Q_STREAM_HOURLY_ORACLE,
     }
