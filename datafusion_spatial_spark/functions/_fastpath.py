@@ -461,10 +461,11 @@ def predicate_fastpath(sa, sb, mode: str, kind_a: str, kind_b: str):
     else:
         pt, geo_s, geo_kind = pb, sa, kind_a
     if pt is None or geo_kind != "wkb" or not isinstance(geo_s, pd.Series):
-        return None
+        # no point side: try the r9 line-batch sweep (segment-heavy refine)
+        return _line_predicate_fastpath(sa, sb, mode, kind_a, kind_b)
     fact = _factorized_geoms(geo_s)
     if fact is None:
-        return None
+        return _line_predicate_fastpath(sa, sb, mode, kind_a, kind_b)
     codes, geoms = fact
     px, py, pv, pn = pt
     loc = np.zeros(len(geo_s), dtype=np.int8)
@@ -522,12 +523,13 @@ def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
     elif pb is not None:
         pt, geo_s, geo_kind = pb, sa, kind_a
     else:
-        return None
+        # no point side: try the r9 line-batch sweep (segment-heavy refine)
+        return _line_distance_fastpath(sa, sb, kind_a, kind_b)
     if geo_kind != "wkb" or not isinstance(geo_s, pd.Series):
         return None
     fact = _factorized_geoms(geo_s)
     if fact is None:
-        return None
+        return _line_distance_fastpath(sa, sb, kind_a, kind_b)
     codes, geoms = fact
     px, py, pv, _ = pt
     out = np.full(len(geo_s), np.nan)
@@ -576,3 +578,255 @@ def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
             zero |= inside >= 1
         out[m] = np.where(zero, 0.0, np.sqrt(best))
     return pd.Series(out, dtype="float64")
+
+
+# ---------------------------------------------------------------------------
+# round-9 (VERDICT r8 item 3): segment-heavy refine. Line-operand batches
+# are the next-largest refine CPU class after points: a uniform WKB
+# LineString batch is decoded vectorized (flat_coords_batch) into one flat
+# segment table, and each segment of the factorized side's few unique
+# geometries is swept across ALL batch segments as one numpy expression
+# (the cross-product sweep). Expression order mirrors geom_ops
+# seg_intersects / point_seg_dist2 / distance exactly; parity is pinned by
+# tests/test_refine_fastpath.py's randomized line batteries. seg_intersects
+# and the min-of-4 seg-seg distance are argument-order symmetric (the same
+# four orient values / four point-seg terms are computed either way), so
+# one orientation of the sweep serves both operand orders bit-exactly.
+
+_LINESTRING_WORD = b"\x02\x00\x00\x00"
+
+
+def _linestring_batch(s: pd.Series):
+    """Decode a uniform 2-D LE WKB LineString batch into a flat segment
+    table. Returns (null_mask, counts, xs, ys, vstart, seg coords (ax, ay,
+    bx, by), nsegs, sstart) or None (non-LineString / NaN vertices /
+    non-conforming: caller falls back to the scalar loop)."""
+    isna = s.isna().to_numpy()
+    ii = np.flatnonzero(~isna)
+    if ii.size == 0:
+        return None
+    first = s.to_numpy(dtype=object)[ii[0]]
+    try:
+        if bytes(first[1:5]) != _LINESTRING_WORD:
+            return None
+    except TypeError:
+        return None
+    fc = flat_coords_batch(s)
+    if fc is None:
+        return None
+    xs, ys, counts = fc
+    if np.isnan(xs).any() or np.isnan(ys).any():
+        return None  # NaN-vertex parity decisions stay in the scalar kernel
+    nsegs = np.maximum(counts - 1, 0)
+    vstart = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    base = _multi_arange(vstart, nsegs)
+    sax, say = xs[base], ys[base]
+    sbx, sby = xs[base + 1], ys[base + 1]
+    sstart = np.concatenate(([0], np.cumsum(nsegs)[:-1]))
+    return isna, counts, xs, ys, vstart, sax, say, sbx, sby, nsegs, sstart
+
+
+_LINE_FACT_TYPES = ("LineString", "MultiLineString", "Polygon", "MultiPolygon")
+
+
+def _fact_line_geoms(s: pd.Series):
+    """_factorized_geoms restricted to pure line/polygon uniques with
+    finite coordinates (no point components, so the intersects kernel
+    reduces to segment sweeps + the polygon containment probe)."""
+    fact = _factorized_geoms(s)
+    if fact is None:
+        return None
+    codes, geoms = fact
+    for g in geoms:
+        if g.type_name not in _LINE_FACT_TYPES:
+            return None
+        if any(
+            p[0] != p[0] or p[1] != p[1] for p in _geom_all_coords(g)
+        ):
+            return None
+    return codes, geoms
+
+
+def _geom_all_coords(g):
+    from datafusion_spatial_spark import geom_ops as _go
+
+    return _go._all_coords(g)
+
+
+def _pts_seg_d2(px, py, ax, ay, bx, by):
+    """point_seg_dist2 mirror: vector points vs one scalar segment."""
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 <= _EPS:
+        ex, ey = px - ax, py - ay
+        return ex * ex + ey * ey
+    t = np.maximum(0.0, np.minimum(1.0, ((px - ax) * dx + (py - ay) * dy) / L2))
+    cx, cy = ax + t * dx, ay + t * dy
+    ex, ey = px - cx, py - cy
+    return ex * ex + ey * ey
+
+
+def _pt_segs_d2(px, py, AX, AY, BX, BY):
+    """point_seg_dist2 mirror: one scalar point vs vector segments."""
+    DX, DY = BX - AX, BY - AY
+    L2 = DX * DX + DY * DY
+    exa, eya = px - AX, py - AY
+    d2a = exa * exa + eya * eya  # degenerate-segment branch
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.maximum(0.0, np.minimum(1.0, (exa * DX + eya * DY) / L2))
+        cx, cy = AX + t * DX, AY + t * DY
+        exb, eyb = px - cx, py - cy
+        d2b = exb * exb + eyb * eyb
+    return np.where(L2 <= _EPS, d2a, d2b)
+
+
+def _line_fact_eval(lb, codes, geoms, want_distance: bool):
+    """Shared sweep: batch LineStrings vs factorized line/polygon uniques.
+    Returns (hit, evaluated) bool arrays for predicates, or a float64
+    distance array (NaN = SQL NULL) when ``want_distance``."""
+    isna, counts, xs, ys, vstart, sax, say, sbx, sby, nsegs, sstart = lb
+    n = counts.size
+    hit_all = np.zeros(n, dtype=bool)
+    dist_all = np.full(n, np.nan)
+    for gi, g in enumerate(geoms):
+        m = (codes == gi) & ~isna
+        if not m.any() or g.is_empty:
+            continue  # kernel: empty operand -> intersects False / dist None
+        rows = np.flatnonzero(m & (counts > 0))
+        if rows.size == 0:
+            continue
+        sidx = _multi_arange(sstart[rows], nsegs[rows])
+        A1x, A1y = sax[sidx], say[sidx]
+        A2x, A2y = sbx[sidx], sby[sidx]
+        gsegs = _geom_segments_arr(g)
+        seg_hit = np.zeros(sidx.size, dtype=bool)
+        seg_best = np.full(sidx.size, np.inf)
+        bxlo = np.minimum(A1x, A2x) - _EPS
+        bxhi = np.maximum(A1x, A2x) + _EPS
+        bylo = np.minimum(A1y, A2y) - _EPS
+        byhi = np.maximum(A1y, A2y) + _EPS
+        for cx, cy, dx_, dy_ in gsegs or ():
+            # seg_intersects mirror (orientation-symmetric, see header)
+            d1 = (dx_ - cx) * (A1y - cy) - (dy_ - cy) * (A1x - cx)
+            d2 = (dx_ - cx) * (A2y - cy) - (dy_ - cy) * (A2x - cx)
+            d3 = (A2x - A1x) * (cy - A1y) - (A2y - A1y) * (cx - A1x)
+            d4 = (A2x - A1x) * (dy_ - A1y) - (A2y - A1y) * (dx_ - A1x)
+            strict = (
+                ((d1 > _EPS) & (d2 < -_EPS)) | ((d1 < -_EPS) & (d2 > _EPS))
+            ) & (
+                ((d3 > _EPS) & (d4 < -_EPS)) | ((d3 < -_EPS) & (d4 > _EPS))
+            )
+            lox, hix = min(cx, dx_) - _EPS, max(cx, dx_) + _EPS
+            loy, hiy = min(cy, dy_) - _EPS, max(cy, dy_) + _EPS
+            on_a1 = (
+                (np.abs(d1) <= _EPS)
+                & (lox <= A1x) & (A1x <= hix) & (loy <= A1y) & (A1y <= hiy)
+            )
+            on_a2 = (
+                (np.abs(d2) <= _EPS)
+                & (lox <= A2x) & (A2x <= hix) & (loy <= A2y) & (A2y <= hiy)
+            )
+            on_c = (
+                (np.abs(d3) <= _EPS)
+                & (bxlo <= cx) & (cx <= bxhi) & (bylo <= cy) & (cy <= byhi)
+            )
+            on_d = (
+                (np.abs(d4) <= _EPS)
+                & (bxlo <= dx_) & (dx_ <= bxhi) & (bylo <= dy_) & (dy_ <= byhi)
+            )
+            seg_hit |= strict | on_a1 | on_a2 | on_c | on_d
+            if want_distance:
+                t12 = np.minimum(
+                    _pts_seg_d2(A1x, A1y, cx, cy, dx_, dy_),
+                    _pts_seg_d2(A2x, A2y, cx, cy, dx_, dy_),
+                )
+                t34 = np.minimum(
+                    _pt_segs_d2(cx, cy, A1x, A1y, A2x, A2y),
+                    _pt_segs_d2(dx_, dy_, A1x, A1y, A2x, A2y),
+                )
+                seg_best = np.minimum(seg_best, np.minimum(t12, t34))
+        has = nsegs[rows] > 0
+        row_hit = np.zeros(rows.size, dtype=bool)
+        loc_start = np.concatenate(([0], np.cumsum(nsegs[rows])[:-1]))
+        if seg_hit.size and has.any():
+            row_hit[has] = np.bitwise_or.reduceat(seg_hit, loc_start[has])
+        # containment without edge crossing: the kernel probes ONE
+        # representative coordinate (the line's first vertex) against the
+        # polygon ring systems
+        polys = _geom_polygons(g)
+        if polys is not None:
+            need = ~row_hit
+            if need.any():
+                fx = xs[vstart[rows[need]]]
+                fy = ys[vstart[rows[need]]]
+                loc = np.zeros(fx.size, dtype=np.int8)
+                for rings in polys:
+                    loc = np.maximum(loc, _polygon_locate(rings, fx, fy))
+                row_hit[need] |= loc >= 1
+        hit_all[rows] = row_hit
+        if want_distance:
+            d_rows = np.full(rows.size, np.nan)
+            if seg_best.size and has.any():
+                d_rows[has] = np.sqrt(
+                    np.minimum.reduceat(seg_best, loc_start[has])
+                )
+            # kernel: intersects -> 0.0 (checked FIRST, so it wins over
+            # the sweep value); segment-less non-hit rows stay NULL
+            d_rows[row_hit] = 0.0
+            dist_all[rows] = d_rows
+    if want_distance:
+        return dist_all
+    return hit_all
+
+
+def _line_predicate_fastpath(sa, sb, mode, kind_a, kind_b):
+    """intersects/disjoint for line batches vs duplicate-heavy WKB
+    line/polygon sides, either orientation. None to fall back."""
+    if mode not in ("intersects", "disjoint"):
+        return None
+    if kind_a != "wkb" or kind_b != "wkb":
+        return None
+    for batch_s, fact_s in ((sa, sb), (sb, sa)):
+        if not isinstance(batch_s, pd.Series) or not isinstance(fact_s, pd.Series):
+            continue
+        lb = _linestring_batch(batch_s)
+        if lb is None:
+            continue
+        fact = _fact_line_geoms(fact_s)
+        if fact is None:
+            continue
+        codes, geoms = fact
+        hit = _line_fact_eval(lb, codes, geoms, want_distance=False)
+        isna = lb[0]
+        gnull = codes < 0
+        res = np.where(
+            ~isna & ~gnull,
+            hit if mode == "intersects" else ~hit,
+            mode == "disjoint",
+        )
+        out = res.astype(object)
+        out[isna | gnull] = None
+        return pd.Series(out, dtype="object")
+    return None
+
+
+def _line_distance_fastpath(sa, sb, kind_a, kind_b):
+    """st_distance for line batches vs duplicate-heavy WKB line/polygon
+    sides, either orientation. None to fall back."""
+    if kind_a != "wkb" or kind_b != "wkb":
+        return None
+    for batch_s, fact_s in ((sa, sb), (sb, sa)):
+        if not isinstance(batch_s, pd.Series) or not isinstance(fact_s, pd.Series):
+            continue
+        lb = _linestring_batch(batch_s)
+        if lb is None:
+            continue
+        fact = _fact_line_geoms(fact_s)
+        if fact is None:
+            continue
+        codes, geoms = fact
+        dist = _line_fact_eval(lb, codes, geoms, want_distance=True)
+        dist = dist.copy()
+        dist[lb[0] | (codes < 0)] = np.nan  # NULL operand -> NULL
+        return pd.Series(dist, dtype="float64")
+    return None
