@@ -767,9 +767,12 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
         if want_distance:
             d_rows = np.full(rows.size, np.nan)
             if seg_best.size and has.any():
-                d_rows[has] = np.sqrt(
-                    np.minimum.reduceat(seg_best, loc_start[has])
-                )
+                d = np.sqrt(np.minimum.reduceat(seg_best, loc_start[has]))
+                # a segment-less factorized geometry (1-vertex line,
+                # degenerate ring) leaves inf best: the scalar kernel
+                # returns None there, not infinity
+                d[~np.isfinite(d)] = np.nan
+                d_rows[has] = d
             # kernel: intersects -> 0.0 (checked FIRST, so it wins over
             # the sweep value); segment-less non-hit rows stay NULL
             d_rows[row_hit] = 0.0

@@ -349,7 +349,7 @@ def mixture_sample(
     # a map literal (NULL source -> NULL fraction -> comparison NULL ->
     # dropped, matching sampleBy's no-fraction behavior)
     key = F.concat(
-        F.col(source_col), F.lit(":"),
+        F.col(source_col).cast("string"), F.lit(":"),
         F.col(id_col).cast("string"), F.lit(f":mix:{int(seed)}"),
     )
     u = poly_hash_str(key) / F.lit(float(P))

@@ -209,3 +209,18 @@ class TestMixtureSample:
             method="hash", id_col="doc_id",
         ).collect()
         assert {r.doc_id for r in out} == {1, 3}
+
+    def test_hash_mode_numeric_source_column(self, spark):
+        """hash mode keys on cast(source AS STRING), so a numeric source
+        column works (r9 self-review fix — bare concat on an int column
+        was an AnalysisException)."""
+        rows = [(i, i % 3) for i in range(300)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        from datafusion_spatial_spark.operators.corpus import mixture_sample
+
+        out = mixture_sample(
+            df, "source", target_weights={0: 2.0, 1: 1.0},
+            method="hash", id_col="doc_id",
+        ).collect()
+        srcs = {r.source for r in out}
+        assert srcs <= {0, 1} and len(out) > 0

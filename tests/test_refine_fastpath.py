@@ -453,3 +453,31 @@ def test_line_fastpath_fallbacks():
         [_line([(float("nan"), 0.0), (1.0, 1.0)])] * 12, dtype=object
     )
     assert predicate_fastpath(nanline, box, "intersects", "wkb", "wkb") is None
+
+
+def test_line_distance_segmentless_factorized_side_is_null():
+    """Factorized geometries with no segments (1-vertex line, degenerate
+    1-vertex ring): the scalar kernel returns None (best stays inf) — the
+    sweep must emit NULL, not infinity (r9 self-review fix)."""
+    lines = pd.Series(
+        [_line([(0.0, 0.0), (1.0, 1.0)]), _line([(5.0, 5.0), (6.0, 5.0)])] * 6,
+        dtype=object,
+    )
+    for degenerate in (
+        _line([(2.0, 2.0)]),
+        wkb.dumps(wkb.Geom("Polygon", [[(1.0, 1.0)]])),
+    ):
+        geoms = pd.Series([degenerate] * 12, dtype=object)
+        got = distance_fastpath(lines, geoms, "wkb", "wkb")
+        assert got is not None
+        exp = _scalar_dist(lines, geoms)
+        for i, (g, e) in enumerate(zip(got, exp)):
+            if e is None:
+                assert math.isnan(g), (i, g)
+            else:
+                assert g == e, (i, g, e)
+        # predicates agree too (False/True, never an error)
+        for mode in ("intersects", "disjoint"):
+            gotp = predicate_fastpath(lines, geoms, mode, "wkb", "wkb")
+            assert gotp is not None
+            assert list(gotp) == _scalar(MODES[mode], lines, geoms)
