@@ -93,7 +93,7 @@ def _multi_arange(starts, lengths):
     )
 
 
-def flat_coords_batch(s: pd.Series):
+def flat_coords_batch(s: pd.Series, with_rings: bool = False):
     """Vectorized coordinate extraction for a batch of uniform-type 2-D
     little-endian WKB **LineString (2), Polygon (3), or MultiPoint (4)**
     records — the VERDICT-r6 #7 extension of the point fast path: the
@@ -105,7 +105,11 @@ def flat_coords_batch(s: pd.Series):
     non-null rows in row order, plus an int64 per-row vertex count aligned
     with the full batch (0 for null AND empty rows) — or ``None`` when the
     batch isn't a uniform conforming shape (caller falls back to the
-    per-row codec). Decode is one byte-gather per header level: record
+    per-row codec). With ``with_rings=True`` a fourth element is appended:
+    for Polygon batches ``(ring_rows, ring_vcounts)`` — the full-batch row
+    index and vertex count of every ring, in (row, ring-ordinal) order
+    matching the vertex stream — else ``None`` (r9: the polygon sweep
+    needs per-ring segments so ring boundaries are never bridged). Decode is one byte-gather per header level: record
     payloads are sliced out with a vectorized multi-arange, and Polygon's
     nested per-ring headers are walked ring-ordinal-at-a-time (vectorized
     across records each step, so cost scales with max ring count, not
@@ -196,6 +200,7 @@ def flat_coords_batch(s: pd.Series):
             cur = nxt
         if ((cur - rec_starts) != lens).any():
             return None  # trailing bytes (Z/M or corrupt)
+        ring_rows = np.empty(0, np.int64)
         if ring_starts_l:
             # interleave back into record order: each append above is one
             # ring ordinal across records — reassemble with argsort on
@@ -212,6 +217,7 @@ def flat_coords_batch(s: pd.Series):
             perm = np.lexsort((order_ord, order_rec))
             coord_starts = np.concatenate(ring_starts_l)[perm]
             coord_counts = np.concatenate(ring_counts_l)[perm]
+            ring_rows = ii[order_rec[perm]]
         else:
             coord_starts = np.empty(0, np.int64)
             coord_counts = np.empty(0, np.int64)
@@ -236,6 +242,9 @@ def flat_coords_batch(s: pd.Series):
         xs = np.empty(0, np.float64)
         ys = np.empty(0, np.float64)
     counts[ii] = row_counts
+    if with_rings:
+        rings = (ring_rows, coord_counts.copy()) if gtype == 3 else None
+        return xs, ys, counts, rings
     return xs, ys, counts
 
 
@@ -593,37 +602,62 @@ def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
 # four orient values / four point-seg terms are computed either way), so
 # one orientation of the sweep serves both operand orders bit-exactly.
 
-_LINESTRING_WORD = b"\x02\x00\x00\x00"
+_SWEEP_WORDS = {b"\x02\x00\x00\x00", b"\x03\x00\x00\x00"}
 
 
-def _linestring_batch(s: pd.Series):
-    """Decode a uniform 2-D LE WKB LineString batch into a flat segment
-    table. Returns (null_mask, counts, xs, ys, vstart, seg coords (ax, ay,
-    bx, by), nsegs, sstart) or None (non-LineString / NaN vertices /
-    non-conforming: caller falls back to the scalar loop)."""
+def _sweep_batch(s: pd.Series):
+    """Decode a uniform 2-D LE WKB LineString OR Polygon batch into a flat
+    segment table. Returns (null_mask, counts, xs, ys, vstart, seg coords
+    (ax, ay, bx, by), nsegs, sstart, ringinfo) or None (other types / NaN
+    vertices / non-conforming: caller falls back to the scalar loop).
+
+    Polygon batches build segments PER RING (never bridging ring
+    boundaries) and carry ringinfo = (ring_row, ring_ord, ring_seg_start,
+    ring_nsegs) for the containment probes; LineString batches have
+    ringinfo None."""
     isna = s.isna().to_numpy()
     ii = np.flatnonzero(~isna)
     if ii.size == 0:
         return None
     first = s.to_numpy(dtype=object)[ii[0]]
     try:
-        if bytes(first[1:5]) != _LINESTRING_WORD:
+        if bytes(first[1:5]) not in _SWEEP_WORDS:
             return None
     except TypeError:
         return None
-    fc = flat_coords_batch(s)
+    fc = flat_coords_batch(s, with_rings=True)
     if fc is None:
         return None
-    xs, ys, counts = fc
+    xs, ys, counts, rings = fc
     if np.isnan(xs).any() or np.isnan(ys).any():
         return None  # NaN-vertex parity decisions stay in the scalar kernel
-    nsegs = np.maximum(counts - 1, 0)
     vstart = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    base = _multi_arange(vstart, nsegs)
+    if rings is None:  # LineString: one open path per row
+        nsegs = np.maximum(counts - 1, 0)
+        base = _multi_arange(vstart, nsegs)
+        ringinfo = None
+    else:  # Polygon: segments within each ring
+        ring_row, ring_vcounts = rings
+        ring_nsegs = np.maximum(ring_vcounts - 1, 0)
+        ring_vstart = np.concatenate(([0], np.cumsum(ring_vcounts)[:-1]))
+        base = _multi_arange(ring_vstart, ring_nsegs)
+        nsegs = np.zeros(counts.size, np.int64)
+        np.add.at(nsegs, ring_row, ring_nsegs)
+        # ring ordinal within its row (rings arrive (row, ordinal)-sorted)
+        ring_first = np.concatenate(
+            ([True], ring_row[1:] != ring_row[:-1])
+        ) if ring_row.size else np.empty(0, bool)
+        ring_ord = np.arange(ring_row.size, dtype=np.int64)
+        if ring_row.size:
+            ring_ord -= np.maximum.accumulate(
+                np.where(ring_first, np.arange(ring_row.size, dtype=np.int64), 0)
+            )
+        ring_seg_start = np.concatenate(([0], np.cumsum(ring_nsegs)[:-1]))
+        ringinfo = (ring_row, ring_ord, ring_seg_start, ring_nsegs)
     sax, say = xs[base], ys[base]
     sbx, sby = xs[base + 1], ys[base + 1]
     sstart = np.concatenate(([0], np.cumsum(nsegs)[:-1]))
-    return isna, counts, xs, ys, vstart, sax, say, sbx, sby, nsegs, sstart
+    return isna, counts, xs, ys, vstart, sax, say, sbx, sby, nsegs, sstart, ringinfo
 
 
 _LINE_FACT_TYPES = ("LineString", "MultiLineString", "Polygon", "MultiPolygon")
@@ -681,10 +715,10 @@ def _pt_segs_d2(px, py, AX, AY, BX, BY):
 
 
 def _line_fact_eval(lb, codes, geoms, want_distance: bool):
-    """Shared sweep: batch LineStrings vs factorized line/polygon uniques.
-    Returns (hit, evaluated) bool arrays for predicates, or a float64
+    """Shared sweep: batch LineStrings/Polygons vs factorized line/polygon
+    uniques. Returns a hit bool array for predicates, or a float64
     distance array (NaN = SQL NULL) when ``want_distance``."""
-    isna, counts, xs, ys, vstart, sax, say, sbx, sby, nsegs, sstart = lb
+    isna, counts, xs, ys, vstart, sax, say, sbx, sby, nsegs, sstart, ringinfo = lb
     n = counts.size
     hit_all = np.zeros(n, dtype=bool)
     dist_all = np.full(n, np.nan)
@@ -750,9 +784,9 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
         loc_start = np.concatenate(([0], np.cumsum(nsegs[rows])[:-1]))
         if seg_hit.size and has.any():
             row_hit[has] = np.bitwise_or.reduceat(seg_hit, loc_start[has])
-        # containment without edge crossing: the kernel probes ONE
-        # representative coordinate (the line's first vertex) against the
-        # polygon ring systems
+        # containment without edge crossing, probe 1: the kernel tests ONE
+        # representative coordinate of each batch row (first vertex — the
+        # line's start / the shell's first vertex) against g's ring systems
         polys = _geom_polygons(g)
         if polys is not None:
             need = ~row_hit
@@ -763,6 +797,15 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
                 for rings in polys:
                     loc = np.maximum(loc, _polygon_locate(rings, fx, fy))
                 row_hit[need] |= loc >= 1
+        # probe 2 (polygon batches only): g's representative component
+        # coordinates against each ROW's ring system — mirrors
+        # `for rings in _polygons(a): for q in _component_coords(b)` with
+        # polygon_contains_point's shell/hole precedence, including the
+        # first-hole-in-ring-order rule for (invalid) overlapping holes
+        if ringinfo is not None:
+            row_hit |= _rows_contain_probe(
+                ringinfo, rows, sax, say, sbx, sby, g
+            )
         hit_all[rows] = row_hit
         if want_distance:
             d_rows = np.full(rows.size, np.nan)
@@ -782,8 +825,76 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
     return hit_all
 
 
+def _rows_contain_probe(ringinfo, rows, sax, say, sbx, sby, g):
+    """Probe 2 of the intersects kernel for polygon batch rows: is any
+    representative component coordinate of ``g`` inside (or on) the row's
+    own ring system? Vectorized ray cast per ring with XOR/OR reduceat,
+    then polygon_contains_point's shell/hole precedence per row."""
+    from datafusion_spatial_spark import geom_ops as _go
+
+    ring_row, ring_ord, ring_seg_start, ring_nsegs = ringinfo
+    out = np.zeros(rows.size, dtype=bool)
+    qpts = list(_go._component_coords(g))
+    if not qpts:
+        return out
+    lo = np.searchsorted(ring_row, rows, "left")
+    hi = np.searchsorted(ring_row, rows, "right")
+    nr = hi - lo
+    ridx = _multi_arange(lo, nr)
+    if ridx.size == 0:
+        return out
+    r_nsegs = ring_nsegs[ridx]
+    sidx = _multi_arange(ring_seg_start[ridx], r_nsegs)
+    AX, AY = sax[sidx], say[sidx]
+    BX, BY = sbx[sidx], sby[sidx]
+    has_seg = r_nsegs > 0
+    loc_start = np.concatenate(([0], np.cumsum(r_nsegs)[:-1]))
+    ords = ring_ord[ridx]
+    row_ring_start = np.concatenate(([0], np.cumsum(nr)[:-1]))
+    BIG = np.int64(1) << 60
+    for q in qpts:
+        qx, qy = float(q[0]), float(q[1])
+        # ring_contains_point mirror: boundary via _on_segment, interior
+        # via ray-cast crossing parity (XOR order is immaterial)
+        d = (BX - AX) * (qy - AY) - (BY - AY) * (qx - AX)
+        on = (
+            (np.abs(d) <= _EPS)
+            & (np.minimum(AX, BX) - _EPS <= qx)
+            & (qx <= np.maximum(AX, BX) + _EPS)
+            & (np.minimum(AY, BY) - _EPS <= qy)
+            & (qy <= np.maximum(AY, BY) + _EPS)
+        )
+        cross = (AY > qy) != (BY > qy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = AX + (qy - AY) * (BX - AX) / (BY - AY)
+        cnt = cross & (qx < xint)
+        bnd = np.zeros(ridx.size, dtype=bool)
+        par = np.zeros(ridx.size, dtype=bool)
+        if sidx.size and has_seg.any():
+            bnd[has_seg] = np.bitwise_or.reduceat(on, loc_start[has_seg])
+            par[has_seg] = np.bitwise_xor.reduceat(cnt, loc_start[has_seg])
+        h = np.where(bnd, 1, np.where(par, 2, 0)).astype(np.int64)
+        shell_h = h[row_ring_start]  # rings are (row, ordinal)-sorted
+        hole_key = np.where((ords > 0) & (h > 0), ords * 4 + h, BIG)
+        first_hole = np.minimum.reduceat(hole_key, row_ring_start)
+        hole_h = np.where(first_hole == BIG, 0, first_hole & 3)
+        res = np.where(
+            shell_h == 1,
+            1,
+            np.where(
+                shell_h == 0,
+                0,
+                np.where(hole_h == 0, 2, np.where(hole_h == 2, 0, 1)),
+            ),
+        )
+        out |= res > 0
+        if out.all():
+            break
+    return out
+
+
 def _line_predicate_fastpath(sa, sb, mode, kind_a, kind_b):
-    """intersects/disjoint for line batches vs duplicate-heavy WKB
+    """intersects/disjoint for line/polygon batches vs duplicate-heavy WKB
     line/polygon sides, either orientation. None to fall back."""
     if mode not in ("intersects", "disjoint"):
         return None
@@ -792,11 +903,13 @@ def _line_predicate_fastpath(sa, sb, mode, kind_a, kind_b):
     for batch_s, fact_s in ((sa, sb), (sb, sa)):
         if not isinstance(batch_s, pd.Series) or not isinstance(fact_s, pd.Series):
             continue
-        lb = _linestring_batch(batch_s)
-        if lb is None:
-            continue
+        # factorize gate first: it is the more selective test, and failing
+        # it skips the (heavier) vectorized batch decode entirely
         fact = _fact_line_geoms(fact_s)
         if fact is None:
+            continue
+        lb = _sweep_batch(batch_s)
+        if lb is None:
             continue
         codes, geoms = fact
         hit = _line_fact_eval(lb, codes, geoms, want_distance=False)
@@ -814,18 +927,20 @@ def _line_predicate_fastpath(sa, sb, mode, kind_a, kind_b):
 
 
 def _line_distance_fastpath(sa, sb, kind_a, kind_b):
-    """st_distance for line batches vs duplicate-heavy WKB line/polygon
-    sides, either orientation. None to fall back."""
+    """st_distance for line/polygon batches vs duplicate-heavy WKB
+    line/polygon sides, either orientation. None to fall back."""
     if kind_a != "wkb" or kind_b != "wkb":
         return None
     for batch_s, fact_s in ((sa, sb), (sb, sa)):
         if not isinstance(batch_s, pd.Series) or not isinstance(fact_s, pd.Series):
             continue
-        lb = _linestring_batch(batch_s)
-        if lb is None:
-            continue
+        # factorize gate first: it is the more selective test, and failing
+        # it skips the (heavier) vectorized batch decode entirely
         fact = _fact_line_geoms(fact_s)
         if fact is None:
+            continue
+        lb = _sweep_batch(batch_s)
+        if lb is None:
             continue
         codes, geoms = fact
         dist = _line_fact_eval(lb, codes, geoms, want_distance=True)

@@ -481,3 +481,111 @@ def test_line_distance_segmentless_factorized_side_is_null():
             gotp = predicate_fastpath(lines, geoms, mode, "wkb", "wkb")
             assert gotp is not None
             assert list(gotp) == _scalar(MODES[mode], lines, geoms)
+
+
+# ---------------------------------------------------------------------------
+# round-9b: polygon-batch sweep parity (the batch side is Polygon WKB;
+# per-ring segments + both containment probes incl. shell/hole precedence)
+
+
+def _rand_polys(rng, n):
+    """Polygon batch: boxes/triangles on the half-integer grid (exact
+    vertex/edge coincidences) and irrational offsets, some with holes,
+    degenerate 1-vertex rings, empties, nulls."""
+    out = []
+    for i in range(n):
+        r = i % 12
+        if r == 0:
+            out.append(None)
+        elif r == 1:
+            out.append(_poly())  # POLYGON EMPTY
+        elif r == 2:
+            out.append(wkb.dumps(wkb.Geom("Polygon", [[(2.0, 2.0)]])))
+        else:
+            if rng.random() < 0.5:
+                x0 = rng.randint(-4, 12) / 2
+                y0 = rng.randint(-4, 12) / 2
+            else:
+                x0 = rng.uniform(-2.0, 6.0) * math.sqrt(2)
+                y0 = rng.uniform(-2.0, 8.0)
+            w = rng.randint(1, 8) / 2
+            h = rng.randint(1, 8) / 2
+            shell = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                     (x0, y0 + h), (x0, y0)]
+            rings = [shell]
+            if r % 3 == 0 and w >= 1.0 and h >= 1.0:
+                rings.append([
+                    (x0 + w / 4, y0 + h / 4), (x0 + 3 * w / 4, y0 + h / 4),
+                    (x0 + 3 * w / 4, y0 + 3 * h / 4),
+                    (x0 + w / 4, y0 + 3 * h / 4), (x0 + w / 4, y0 + h / 4),
+                ])
+            out.append(_poly(*rings))
+    return pd.Series(out, dtype=object)
+
+
+def test_polygon_batch_predicates_parity():
+    rng = random.Random(55)
+    polys = _rand_polys(rng, 400)
+    geoms = pd.Series(
+        [LINE_FACT_SHAPES[rng.randrange(len(LINE_FACT_SHAPES))] for _ in range(400)],
+        dtype=object,
+    )
+    for mode in ("intersects", "disjoint"):
+        fn = MODES[mode]
+        for a, b in ((polys, geoms), (geoms, polys)):
+            got = predicate_fastpath(a, b, mode, "wkb", "wkb")
+            assert got is not None, (mode, "fastpath did not engage")
+            assert list(got) == _scalar(fn, a, b), mode
+
+
+def test_polygon_batch_distance_parity():
+    rng = random.Random(66)
+    polys = _rand_polys(rng, 400)
+    geoms = pd.Series(
+        [LINE_FACT_SHAPES[rng.randrange(len(LINE_FACT_SHAPES))] for _ in range(400)],
+        dtype=object,
+    )
+    for a, b in ((polys, geoms), (geoms, polys)):
+        got = distance_fastpath(a, b, "wkb", "wkb")
+        assert got is not None, "fastpath did not engage"
+        exp = _scalar_dist(a, b)
+        for i, (g, e) in enumerate(zip(got, exp)):
+            if e is None:
+                assert math.isnan(g), (i, g)
+            else:
+                assert g == e, (i, g, e)
+
+
+def test_polygon_batch_containment_topologies():
+    """The cases only probe 2 can decide: the factorized geometry entirely
+    INSIDE a batch polygon (no edge crossing), inside its hole, a small
+    line in the hole, plus a tiny factorized polygon CONTAINING a batch
+    polygon (probe 1 direction)."""
+    rows = [
+        _poly(BOX),                       # g inside -> probe 2
+        _poly(BOX, HOLE),                 # g inside the hole -> disjoint
+        _poly([(1.9, 1.9), (2.1, 1.9), (2.1, 2.1), (1.9, 2.1), (1.9, 1.9)]),
+        # tiny polygon inside g's interior -> probe 1
+        _poly([(100.0, 100.0), (101.0, 100.0), (101.0, 101.0), (100.0, 100.0)]),
+        None,
+        _poly(),
+    ]
+    inner_line = _line([(1.8, 1.8), (2.2, 2.2)])     # crosses HOLE boundary rgn
+    inner_poly = _poly([(1.5, 1.5), (2.5, 1.5), (2.5, 2.5), (1.5, 2.5), (1.5, 1.5)])
+    big_poly = _poly([(-10.0, -10.0), (110.0, -10.0), (110.0, 110.0),
+                      (-10.0, 110.0), (-10.0, -10.0)])
+    for fact in (inner_line, inner_poly, big_poly):
+        a = pd.Series(rows, dtype=object)
+        b = pd.Series([fact] * len(rows), dtype=object)
+        for mode in ("intersects", "disjoint"):
+            got = predicate_fastpath(a, b, mode, "wkb", "wkb")
+            assert got is not None
+            assert list(got) == _scalar(MODES[mode], a, b), (mode, fact[:20])
+        got = distance_fastpath(a, b, "wkb", "wkb")
+        assert got is not None
+        exp = _scalar_dist(a, b)
+        for i, (g, e) in enumerate(zip(got, exp)):
+            if e is None:
+                assert math.isnan(g), (i, g)
+            else:
+                assert g == e, (i, g, e)
