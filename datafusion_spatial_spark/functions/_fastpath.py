@@ -893,9 +893,127 @@ def _rows_contain_probe(ringinfo, rows, sax, say, sbx, sby, g):
     return out
 
 
+def _containment_eval(lb, codes, geoms, batch_s):
+    """contains(g, batch_row) for each row, mirroring geom_ops.contains for
+    a FACTORIZED container: polygonal g — every batch vertex AND every
+    batch segment midpoint locates >= 1 in g's ring systems, with at least
+    one strictly-interior probe (the rare all-boundary rows are decided by
+    the scalar kernel itself, row-at-a-time, so the corner case keeps
+    bit-exact parity); linear g — every vertex and midpoint lies on one of
+    g's segments. Returns a bool array (False default)."""
+    from datafusion_spatial_spark import geom_ops as _go
+    from datafusion_spatial_spark import wkb as _wkb
+
+    isna, counts, xs, ys, vstart, sax, say, sbx, sby, nsegs, sstart, _ri = lb
+    n = counts.size
+    out = np.zeros(n, dtype=bool)
+    vals = None
+    for gi, g in enumerate(geoms):
+        m = (codes == gi) & ~isna
+        if not m.any() or g.is_empty:
+            continue  # kernel: empty container contains nothing
+        rows = np.flatnonzero(m & (counts > 0))  # empty b -> False default
+        if rows.size == 0:
+            continue
+        # vertex probes
+        vidx = _multi_arange(vstart[rows], counts[rows])
+        vx, vy = xs[vidx], ys[vidx]
+        # midpoint probes (kernel: ((x1+x2)/2, (y1+y2)/2) per b segment)
+        sidx = _multi_arange(sstart[rows], nsegs[rows])
+        mx = (sax[sidx] + sbx[sidx]) / 2
+        my = (say[sidx] + sby[sidx]) / 2
+        has = nsegs[rows] > 0
+        v_start = np.concatenate(([0], np.cumsum(counts[rows])[:-1]))
+        s_start = np.concatenate(([0], np.cumsum(nsegs[rows])[:-1]))
+        gpolys = _geom_polygons(g)
+        if gpolys is not None:
+            vloc = np.zeros(vx.size, dtype=np.int8)
+            mloc = np.zeros(mx.size, dtype=np.int8)
+            for rings in gpolys:  # kernel: max over the container's polys
+                vloc = np.maximum(vloc, _polygon_locate(rings, vx, vy))
+                if mx.size:
+                    mloc = np.maximum(mloc, _polygon_locate(rings, mx, my))
+            vmin = np.minimum.reduceat(vloc, v_start)
+            vmax = np.maximum.reduceat(vloc, v_start)
+            ok = vmin >= 1
+            interior = vmax == 2
+            if mx.size and has.any():
+                ok[has] &= np.minimum.reduceat(mloc, s_start[has]) >= 1
+                interior[has] |= np.maximum.reduceat(mloc, s_start[has]) == 2
+            res = ok & interior
+            # all probes on the boundary: the kernel consults polygonal
+            # b's representative point — decide those rows with the
+            # scalar kernel itself (rare; bounded Python)
+            edge = np.flatnonzero(ok & ~interior)
+            if edge.size:
+                if vals is None:
+                    vals = batch_s.to_numpy(dtype=object)
+                for j in edge:
+                    gb = _wkb.loads(bytes(vals[rows[j]]))
+                    res[j] = _go.contains(g, gb)
+            out[rows] = res
+        elif g.type_name in ("LineString", "MultiLineString"):
+            von = np.zeros(vx.size, dtype=bool)
+            mon = np.zeros(mx.size, dtype=bool)
+            for cx, cy, dx_, dy_ in _geom_segments_arr(g) or ():
+                lox, hix = min(cx, dx_) - _EPS, max(cx, dx_) + _EPS
+                loy, hiy = min(cy, dy_) - _EPS, max(cy, dy_) + _EPS
+                dv = (dx_ - cx) * (vy - cy) - (dy_ - cy) * (vx - cx)
+                von |= (
+                    (np.abs(dv) <= _EPS)
+                    & (lox <= vx) & (vx <= hix) & (loy <= vy) & (vy <= hiy)
+                )
+                if mx.size:
+                    dm = (dx_ - cx) * (my - cy) - (dy_ - cy) * (mx - cx)
+                    mon |= (
+                        (np.abs(dm) <= _EPS)
+                        & (lox <= mx) & (mx <= hix) & (loy <= my) & (my <= hiy)
+                    )
+            ok = np.bitwise_and.reduceat(von, v_start)
+            if mx.size and has.any():
+                ok[has] &= np.bitwise_and.reduceat(mon, s_start[has])
+            out[rows] = ok
+        # point/multipoint containers can never contain a line/polygon
+        # batch row (kernel: False) — the False default already says so
+    return out
+
+
+def _line_containment_fastpath(sa, sb, mode, kind_a, kind_b):
+    """contains/within where the CONTAINER is the duplicate-heavy
+    factorized side and the containee is a line/polygon batch (the
+    'parcels within query region' shape). None to fall back."""
+    if kind_a != "wkb" or kind_b != "wkb":
+        return None
+    if mode == "contains":
+        container_s, batch_s = sa, sb
+    elif mode == "within":
+        container_s, batch_s = sb, sa
+    else:
+        return None
+    if not isinstance(container_s, pd.Series) or not isinstance(batch_s, pd.Series):
+        return None
+    fact = _fact_line_geoms(container_s)
+    if fact is None:
+        return None
+    lb = _sweep_batch(batch_s)
+    if lb is None:
+        return None
+    codes, geoms = fact
+    hit = _containment_eval(lb, codes, geoms, batch_s)
+    isna = lb[0]
+    gnull = codes < 0
+    res = np.where(~isna & ~gnull, hit, False)
+    out = res.astype(object)
+    out[isna | gnull] = None
+    return pd.Series(out, dtype="object")
+
+
 def _line_predicate_fastpath(sa, sb, mode, kind_a, kind_b):
     """intersects/disjoint for line/polygon batches vs duplicate-heavy WKB
-    line/polygon sides, either orientation. None to fall back."""
+    line/polygon sides, either orientation — plus contains/within with the
+    factorized side as container. None to fall back."""
+    if mode in ("contains", "within"):
+        return _line_containment_fastpath(sa, sb, mode, kind_a, kind_b)
     if mode not in ("intersects", "disjoint"):
         return None
     if kind_a != "wkb" or kind_b != "wkb":

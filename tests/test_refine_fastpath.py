@@ -445,9 +445,20 @@ def test_line_fastpath_fallbacks():
         dtype=object,
     )
     assert predicate_fastpath(lines, gc, "intersects", "wkb", "wkb") is None
-    # contains/within keep the scalar path for line operands
+    # contains/within now engage when the factorized side is the
+    # container (r9c) — and must match the scalar kernel
     box = pd.Series([_poly(BOX)] * 12, dtype=object)
-    assert predicate_fastpath(lines, box, "within", "wkb", "wkb") is None
+    got = predicate_fastpath(lines, box, "within", "wkb", "wkb")
+    assert got is not None
+    assert list(got) == _scalar(geom_ops.within, lines, box)
+    # ...but NOT when the container side is high-uniqueness (per-row
+    # distinct containers don't factorize) — falls back to scalar
+    distinct_containers = pd.Series(
+        [_poly([(float(i), 0.0), (i + 4.0, 0.0), (i + 4.0, 4.0),
+                (float(i), 4.0), (float(i), 0.0)]) for i in range(12)],
+        dtype=object,
+    )
+    assert predicate_fastpath(lines, distinct_containers, "within", "wkb", "wkb") is None
     # NaN-vertex batch -> scalar kernel decides
     nanline = pd.Series(
         [_line([(float("nan"), 0.0), (1.0, 1.0)])] * 12, dtype=object
@@ -589,3 +600,71 @@ def test_polygon_batch_containment_topologies():
                 assert math.isnan(g), (i, g)
             else:
                 assert g == e, (i, g, e)
+
+
+# ---------------------------------------------------------------------------
+# round-9c: contains/within with the factorized side as container
+
+
+def test_containment_line_and_polygon_batches_parity():
+    rng = random.Random(44)
+    lines = _rand_lines(rng, 300)
+    polys = _rand_polys(rng, 300)
+    containers = [
+        _poly(BOX),
+        _poly(BOX, HOLE),
+        _poly(TRI),
+        _mpoly([[BOX], [[(6.0, 6.0), (9.0, 6.0), (9.0, 9.0), (6.0, 6.0)]]]),
+        _line([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0)]),
+        _mline([[(0.0, 0.0), (4.0, 4.0)], [(0.0, 4.0), (4.0, 0.0)]]),
+        wkb.dumps(wkb.Geom("Polygon", [])),
+    ]
+    for batch in (lines, polys):
+        cont = pd.Series(
+            [containers[rng.randrange(len(containers))] for _ in range(300)],
+            dtype=object,
+        )
+        # contains(container, batch) and within(batch, container)
+        got = predicate_fastpath(cont, batch, "contains", "wkb", "wkb")
+        assert got is not None, "containment sweep did not engage"
+        assert list(got) == _scalar(geom_ops.contains, cont, batch)
+        got = predicate_fastpath(batch, cont, "within", "wkb", "wkb")
+        assert got is not None
+        assert list(got) == _scalar(geom_ops.within, batch, cont)
+
+
+def test_containment_targeted_topologies():
+    """Interior, boundary-riding (all-boundary fallback), crossing out,
+    inside-the-hole, line-on-line, line-off-line — vs the scalar kernel."""
+    box = _poly(BOX)
+    boxhole = _poly(BOX, HOLE)
+    diag = _line([(0.0, 0.0), (4.0, 4.0)])
+    line_cases = [
+        # (container, containee) — batch side all LineStrings (the sweep
+        # requires a uniform-gtype batch)
+        (box, _line([(0.5, 0.5), (1.5, 0.5)])),        # strictly inside
+        (box, _line([(0.0, 0.0), (4.0, 0.0)])),        # rides the boundary
+        (box, _line([(2.0, 2.0), (6.0, 2.0)])),        # crosses out
+        (boxhole, _line([(1.5, 1.5), (2.5, 2.5)])),    # inside the hole
+        (boxhole, _line([(0.5, 0.5), (0.5, 3.5)])),    # in the ring area
+        (diag, _line([(1.0, 1.0), (2.0, 2.0)])),       # sub-line of a line
+        (diag, _line([(1.0, 1.0), (2.0, 2.5)])),       # leaves the line
+        (box, _line([])),                               # empty containee
+        (box, None),                                    # null containee
+    ]
+    poly_cases = [
+        (box, _poly([(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)])),
+        (box, box),                                     # equal polygons
+        (boxhole, _poly(HOLE)),                         # b == the hole ring
+        (boxhole, boxhole),                             # holed self-containment
+        (box, _poly()),                                 # empty containee
+    ]
+    for cases in (line_cases, poly_cases):
+        cont = pd.Series([c for c, _ in cases], dtype=object)
+        batch = pd.Series([b for _, b in cases], dtype=object)
+        got = predicate_fastpath(cont, batch, "contains", "wkb", "wkb")
+        assert got is not None
+        assert list(got) == _scalar(geom_ops.contains, cont, batch)
+        got = predicate_fastpath(batch, cont, "within", "wkb", "wkb")
+        assert got is not None
+        assert list(got) == _scalar(geom_ops.within, batch, cont)
