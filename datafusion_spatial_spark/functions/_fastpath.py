@@ -139,7 +139,7 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
         .view(np.uint32)
     )
     gtype = int(words[0])
-    if gtype not in (2, 3, 4) or not (words == gtype).all():
+    if gtype not in (2, 3, 4, 5, 6) or not (words == gtype).all():
         return None
     nitems = (
         arr[(rec_starts[:, None] + np.arange(5, 9)[None, :]).ravel()]
@@ -148,11 +148,22 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
         .astype(np.int64)
     )
     counts = np.zeros(n, np.int64)
+    info = None
+
+    def _u32_at(offsets):
+        return (
+            arr[(offsets[:, None] + np.arange(4)[None, :]).ravel()]
+            .copy()
+            .view(np.uint32)
+            .astype(np.int64)
+        )
+
     if gtype == 2:  # LineString: 9-byte header + npts×16
         if ((lens - 9) != nitems * 16).any():
             return None
         coord_starts, coord_counts = rec_starts + 9, nitems
         row_counts = nitems
+        info = {"kind": "paths", "rows": ii.copy(), "vcounts": nitems.copy()}
     elif gtype == 4:  # MultiPoint: parts are full 21-byte 2-D WKB points
         if ((lens - 9) != nitems * 21).any():
             return None
@@ -174,7 +185,7 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
             part_starts.size, np.int64
         )
         row_counts = nitems
-    else:  # Polygon: nrings, then per ring npts + npts×16
+    elif gtype == 3:  # Polygon: nrings, then per ring npts + npts×16
         max_rings = int(nitems.max()) if m else 0
         cur = rec_starts + 9
         ring_starts_l, ring_counts_l = [], []
@@ -185,12 +196,7 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
             cs = cur[live]
             if ((cs + 4) > (rec_starts + lens)[live]).any():
                 return None
-            npts = (
-                arr[(cs[:, None] + np.arange(4)[None, :]).ravel()]
-                .copy()
-                .view(np.uint32)
-                .astype(np.int64)
-            )
+            npts = _u32_at(cs)
             if ((cs + 4 + npts * 16) > (rec_starts + lens)[live]).any():
                 return None
             ring_starts_l.append(cs + 4)
@@ -200,7 +206,6 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
             cur = nxt
         if ((cur - rec_starts) != lens).any():
             return None  # trailing bytes (Z/M or corrupt)
-        ring_rows = np.empty(0, np.int64)
         if ring_starts_l:
             # interleave back into record order: each append above is one
             # ring ordinal across records — reassemble with argsort on
@@ -217,14 +222,151 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
             perm = np.lexsort((order_ord, order_rec))
             coord_starts = np.concatenate(ring_starts_l)[perm]
             coord_counts = np.concatenate(ring_counts_l)[perm]
-            ring_rows = ii[order_rec[perm]]
+            info = {
+                "kind": "polys",
+                "rows": ii[order_rec[perm]],
+                "vcounts": coord_counts.copy(),
+                "part": np.zeros(perm.size, np.int64),
+                "ord": np.concatenate([order_ord])[perm],
+            }
         else:
             coord_starts = np.empty(0, np.int64)
             coord_counts = np.empty(0, np.int64)
+            info = {
+                "kind": "polys",
+                "rows": np.empty(0, np.int64),
+                "vcounts": np.empty(0, np.int64),
+                "part": np.empty(0, np.int64),
+                "ord": np.empty(0, np.int64),
+            }
         # per-row vertex totals (all rings)
         row_counts = np.zeros(m, np.int64)
         for r, cnts in enumerate(ring_counts_l):
             row_counts[nitems > r] += cnts
+    elif gtype == 5:  # MultiLineString: parts are full LineString WKBs
+        max_parts = int(nitems.max()) if m else 0
+        rec_end = rec_starts + lens
+        cur = rec_starts + 9
+        part_starts_l, part_counts_l = [], []
+        for p in range(max_parts):
+            live = nitems > p
+            if not live.any():
+                break
+            cs = cur[live]
+            if ((cs + 9) > rec_end[live]).any():
+                return None
+            if (arr[cs] != 1).any():
+                return None  # big-endian part
+            if (_u32_at(cs + 1) != 2).any():
+                return None  # part is not a 2-D LineString (Z/M etc.)
+            npts = _u32_at(cs + 5)
+            if ((cs + 9 + npts * 16) > rec_end[live]).any():
+                return None
+            part_starts_l.append(cs + 9)
+            part_counts_l.append(npts)
+            nxt = cur.copy()
+            nxt[live] = cs + 9 + npts * 16
+            cur = nxt
+        if ((cur - rec_starts) != lens).any():
+            return None
+        if part_starts_l:
+            order_rec = np.concatenate(
+                [np.flatnonzero(nitems > p) for p in range(len(part_starts_l))]
+            )
+            order_ord = np.concatenate(
+                [
+                    np.full(int((nitems > p).sum()), p, np.int64)
+                    for p in range(len(part_starts_l))
+                ]
+            )
+            perm = np.lexsort((order_ord, order_rec))
+            coord_starts = np.concatenate(part_starts_l)[perm]
+            coord_counts = np.concatenate(part_counts_l)[perm]
+            info = {
+                "kind": "paths",
+                "rows": ii[order_rec[perm]],
+                "vcounts": coord_counts.copy(),
+            }
+        else:
+            coord_starts = np.empty(0, np.int64)
+            coord_counts = np.empty(0, np.int64)
+            info = {
+                "kind": "paths",
+                "rows": np.empty(0, np.int64),
+                "vcounts": np.empty(0, np.int64),
+            }
+        row_counts = np.zeros(m, np.int64)
+        for p, cnts in enumerate(part_counts_l):
+            row_counts[nitems > p] += cnts
+    else:  # MultiPolygon (6): parts are full Polygon WKBs with rings
+        rec_end = rec_starts + lens
+        cur = rec_starts + 9
+        max_parts = int(nitems.max()) if m else 0
+        ent_rec, ent_part, ent_ord = [], [], []
+        ent_start, ent_npts = [], []
+        for p in range(max_parts):
+            live = nitems > p
+            if not live.any():
+                break
+            idx = np.flatnonzero(live)
+            cs = cur[idx]
+            if ((cs + 9) > rec_end[idx]).any():
+                return None
+            if (arr[cs] != 1).any():
+                return None
+            if (_u32_at(cs + 1) != 3).any():
+                return None  # part is not a 2-D Polygon
+            nrings = _u32_at(cs + 5)
+            inner = cs + 9
+            max_r = int(nrings.max()) if nrings.size else 0
+            for r in range(max_r):
+                l2 = nrings > r
+                if not l2.any():
+                    break
+                cs2 = inner[l2]
+                if ((cs2 + 4) > rec_end[idx][l2]).any():
+                    return None
+                npts = _u32_at(cs2)
+                if ((cs2 + 4 + npts * 16) > rec_end[idx][l2]).any():
+                    return None
+                ent_rec.append(idx[l2])
+                ent_part.append(np.full(int(l2.sum()), p, np.int64))
+                ent_ord.append(np.full(int(l2.sum()), r, np.int64))
+                ent_start.append(cs2 + 4)
+                ent_npts.append(npts)
+                nxt = inner.copy()
+                nxt[l2] = cs2 + 4 + npts * 16
+                inner = nxt
+            cur[idx] = inner
+        if ((cur - rec_starts) != lens).any():
+            return None
+        if ent_rec:
+            e_rec = np.concatenate(ent_rec)
+            e_part = np.concatenate(ent_part)
+            e_ord = np.concatenate(ent_ord)
+            perm = np.lexsort((e_ord, e_part, e_rec))
+            coord_starts = np.concatenate(ent_start)[perm]
+            coord_counts = np.concatenate(ent_npts)[perm]
+            info = {
+                "kind": "polys",
+                "rows": ii[e_rec[perm]],
+                "vcounts": coord_counts.copy(),
+                "part": e_part[perm],
+                "ord": e_ord[perm],
+            }
+        else:
+            coord_starts = np.empty(0, np.int64)
+            coord_counts = np.empty(0, np.int64)
+            info = {
+                "kind": "polys",
+                "rows": np.empty(0, np.int64),
+                "vcounts": np.empty(0, np.int64),
+                "part": np.empty(0, np.int64),
+                "ord": np.empty(0, np.int64),
+            }
+        row_counts = np.zeros(m, np.int64)
+        np.add.at(row_counts, e_rec if ent_rec else np.empty(0, np.int64),
+                  np.concatenate(ent_npts) if ent_npts else np.empty(0, np.int64))
     # vertex-level gather: byte offset of each vertex's x word, then two
     # phase-view gathers — never a byte-granularity index (16× smaller
     # working set than gathering the raw coordinate bytes)
@@ -243,8 +385,7 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
         ys = np.empty(0, np.float64)
     counts[ii] = row_counts
     if with_rings:
-        rings = (ring_rows, coord_counts.copy()) if gtype == 3 else None
-        return xs, ys, counts, rings
+        return xs, ys, counts, info
     return xs, ys, counts
 
 
@@ -602,19 +743,28 @@ def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
 # four orient values / four point-seg terms are computed either way), so
 # one orientation of the sweep serves both operand orders bit-exactly.
 
-_SWEEP_WORDS = {b"\x02\x00\x00\x00", b"\x03\x00\x00\x00"}
+_SWEEP_WORDS = {
+    b"\x02\x00\x00\x00",  # LineString
+    b"\x03\x00\x00\x00",  # Polygon
+    b"\x05\x00\x00\x00",  # MultiLineString (r9c)
+    b"\x06\x00\x00\x00",  # MultiPolygon (r9c)
+}
 
 
 def _sweep_batch(s: pd.Series):
-    """Decode a uniform 2-D LE WKB LineString OR Polygon batch into a flat
-    segment table. Returns (null_mask, counts, xs, ys, vstart, seg coords
-    (ax, ay, bx, by), nsegs, sstart, ringinfo) or None (other types / NaN
-    vertices / non-conforming: caller falls back to the scalar loop).
+    """Decode a uniform 2-D LE WKB LineString / Polygon / MultiLineString /
+    MultiPolygon batch into a flat segment table. Returns (null_mask,
+    counts, xs, ys, vstart, seg coords (ax, ay, bx, by), nsegs, sstart,
+    reps, polyinfo) or None (other types / NaN vertices / non-conforming:
+    caller falls back to the scalar loop).
 
-    Polygon batches build segments PER RING (never bridging ring
-    boundaries) and carry ringinfo = (ring_row, ring_ord, ring_seg_start,
-    ring_nsegs) for the containment probes; LineString batches have
-    ringinfo None."""
+    Segments are built per path/ring — never bridging parts or rings.
+    ``reps`` = (rep_row, rep_x, rep_y): the kernel's component
+    representative coordinates — first vertex of every non-empty path /
+    every non-empty shell (mirrors geom_ops._component_coords).
+    ``polyinfo`` (polygonal batches only) = (poly_row, poly_ring_start,
+    poly_nrings, ring_ord, ring_seg_start, ring_nsegs): each polygon
+    instance's ring block for the vectorized containment probes."""
     isna = s.isna().to_numpy()
     ii = np.flatnonzero(~isna)
     if ii.size == 0:
@@ -628,36 +778,45 @@ def _sweep_batch(s: pd.Series):
     fc = flat_coords_batch(s, with_rings=True)
     if fc is None:
         return None
-    xs, ys, counts, rings = fc
+    xs, ys, counts, info = fc
+    if info is None:
+        return None
     if np.isnan(xs).any() or np.isnan(ys).any():
         return None  # NaN-vertex parity decisions stay in the scalar kernel
     vstart = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    if rings is None:  # LineString: one open path per row
-        nsegs = np.maximum(counts - 1, 0)
-        base = _multi_arange(vstart, nsegs)
-        ringinfo = None
-    else:  # Polygon: segments within each ring
-        ring_row, ring_vcounts = rings
-        ring_nsegs = np.maximum(ring_vcounts - 1, 0)
-        ring_vstart = np.concatenate(([0], np.cumsum(ring_vcounts)[:-1]))
-        base = _multi_arange(ring_vstart, ring_nsegs)
-        nsegs = np.zeros(counts.size, np.int64)
-        np.add.at(nsegs, ring_row, ring_nsegs)
-        # ring ordinal within its row (rings arrive (row, ordinal)-sorted)
-        ring_first = np.concatenate(
-            ([True], ring_row[1:] != ring_row[:-1])
-        ) if ring_row.size else np.empty(0, bool)
-        ring_ord = np.arange(ring_row.size, dtype=np.int64)
-        if ring_row.size:
-            ring_ord -= np.maximum.accumulate(
-                np.where(ring_first, np.arange(ring_row.size, dtype=np.int64), 0)
-            )
-        ring_seg_start = np.concatenate(([0], np.cumsum(ring_nsegs)[:-1]))
-        ringinfo = (ring_row, ring_ord, ring_seg_start, ring_nsegs)
+    g_rows = info["rows"]
+    g_vc = info["vcounts"]
+    g_nsegs = np.maximum(g_vc - 1, 0)
+    g_vstart = np.concatenate(([0], np.cumsum(g_vc)[:-1]))
+    base = _multi_arange(g_vstart, g_nsegs)
+    nsegs = np.zeros(counts.size, np.int64)
+    np.add.at(nsegs, g_rows, g_nsegs)
     sax, say = xs[base], ys[base]
     sbx, sby = xs[base + 1], ys[base + 1]
     sstart = np.concatenate(([0], np.cumsum(nsegs)[:-1]))
-    return isna, counts, xs, ys, vstart, sax, say, sbx, sby, nsegs, sstart, ringinfo
+    if info["kind"] == "paths":
+        rep_m = g_vc > 0  # every non-empty path contributes its start
+    else:
+        rep_m = (info["ord"] == 0) & (g_vc > 0)  # every non-empty shell
+    reps = (g_rows[rep_m], xs[g_vstart[rep_m]], ys[g_vstart[rep_m]])
+    polyinfo = None
+    if info["kind"] == "polys":
+        g_seg_start = np.concatenate(([0], np.cumsum(g_nsegs)[:-1]))
+        # polygon instance = maximal run of rings with the same (row,
+        # part); rings arrive (row, part, ordinal)-sorted so ordinal==0
+        # marks each instance's first ring
+        poly_first = np.flatnonzero(info["ord"] == 0)
+        poly_ring_start = poly_first
+        poly_nrings = np.diff(np.concatenate((poly_first, [g_rows.size])))
+        poly_row = g_rows[poly_first] if poly_first.size else np.empty(0, np.int64)
+        polyinfo = (
+            poly_row, poly_ring_start, poly_nrings,
+            info["ord"], g_seg_start, g_nsegs,
+        )
+    return (
+        isna, counts, xs, ys, vstart,
+        sax, say, sbx, sby, nsegs, sstart, reps, polyinfo,
+    )
 
 
 _LINE_FACT_TYPES = ("LineString", "MultiLineString", "Polygon", "MultiPolygon")
@@ -715,10 +874,11 @@ def _pt_segs_d2(px, py, AX, AY, BX, BY):
 
 
 def _line_fact_eval(lb, codes, geoms, want_distance: bool):
-    """Shared sweep: batch LineStrings/Polygons vs factorized line/polygon
-    uniques. Returns a hit bool array for predicates, or a float64
-    distance array (NaN = SQL NULL) when ``want_distance``."""
-    isna, counts, xs, ys, vstart, sax, say, sbx, sby, nsegs, sstart, ringinfo = lb
+    """Shared sweep: batch (multi)lines/(multi)polygons vs factorized
+    line/polygon uniques. Returns a hit bool array for predicates, or a
+    float64 distance array (NaN = SQL NULL) when ``want_distance``."""
+    (isna, counts, xs, ys, vstart,
+     sax, say, sbx, sby, nsegs, sstart, reps, polyinfo) = lb
     n = counts.size
     hit_all = np.zeros(n, dtype=bool)
     dist_all = np.full(n, np.nan)
@@ -784,27 +944,35 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
         loc_start = np.concatenate(([0], np.cumsum(nsegs[rows])[:-1]))
         if seg_hit.size and has.any():
             row_hit[has] = np.bitwise_or.reduceat(seg_hit, loc_start[has])
-        # containment without edge crossing, probe 1: the kernel tests ONE
-        # representative coordinate of each batch row (first vertex — the
-        # line's start / the shell's first vertex) against g's ring systems
+        # containment without edge crossing, probe 1: the kernel tests one
+        # representative coordinate PER COMPONENT of each batch row (each
+        # path's start / each shell's first vertex) against g's rings
         polys = _geom_polygons(g)
         if polys is not None:
-            need = ~row_hit
-            if need.any():
-                fx = xs[vstart[rows[need]]]
-                fy = ys[vstart[rows[need]]]
-                loc = np.zeros(fx.size, dtype=np.int8)
+            rep_row, rep_x, rep_y = reps
+            lo = np.searchsorted(rep_row, rows, "left")
+            hi = np.searchsorted(rep_row, rows, "right")
+            nrep = hi - lo
+            if nrep.sum():
+                ridx = _multi_arange(lo, nrep)
+                loc = np.zeros(ridx.size, dtype=np.int8)
                 for rings in polys:
-                    loc = np.maximum(loc, _polygon_locate(rings, fx, fy))
-                row_hit[need] |= loc >= 1
-        # probe 2 (polygon batches only): g's representative component
-        # coordinates against each ROW's ring system — mirrors
+                    loc = np.maximum(
+                        loc, _polygon_locate(rings, rep_x[ridx], rep_y[ridx])
+                    )
+                has_rep = nrep > 0
+                rep_start = np.concatenate(([0], np.cumsum(nrep)[:-1]))
+                row_hit[has_rep] |= (
+                    np.maximum.reduceat(loc, rep_start[has_rep]) >= 1
+                )
+        # probe 2 (polygonal batches only): g's representative component
+        # coordinates against each polygon INSTANCE's ring system — mirrors
         # `for rings in _polygons(a): for q in _component_coords(b)` with
         # polygon_contains_point's shell/hole precedence, including the
         # first-hole-in-ring-order rule for (invalid) overlapping holes
-        if ringinfo is not None:
+        if polyinfo is not None:
             row_hit |= _rows_contain_probe(
-                ringinfo, rows, sax, say, sbx, sby, g
+                polyinfo, rows, sax, say, sbx, sby, g
             )
         hit_all[rows] = row_hit
         if want_distance:
@@ -825,32 +993,41 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
     return hit_all
 
 
-def _rows_contain_probe(ringinfo, rows, sax, say, sbx, sby, g):
-    """Probe 2 of the intersects kernel for polygon batch rows: is any
-    representative component coordinate of ``g`` inside (or on) the row's
-    own ring system? Vectorized ray cast per ring with XOR/OR reduceat,
-    then polygon_contains_point's shell/hole precedence per row."""
+def _rows_contain_probe(polyinfo, rows, sax, say, sbx, sby, g):
+    """Probe 2 of the intersects kernel for polygonal batch rows: is any
+    representative component coordinate of ``g`` inside (or on) one of the
+    row's polygon instances? Vectorized ray cast per ring with XOR/OR
+    reduceat, polygon_contains_point's shell/hole precedence per polygon
+    instance, then any-instance OR per row (a MultiPolygon row hits when
+    ANY of its member polygons contains the probe — kernel: truthy in the
+    per-ring-system loop)."""
     from datafusion_spatial_spark import geom_ops as _go
 
-    ring_row, ring_ord, ring_seg_start, ring_nsegs = ringinfo
+    poly_row, poly_ring_start, poly_nrings, ring_ord, ring_seg_start, ring_nsegs = polyinfo
     out = np.zeros(rows.size, dtype=bool)
     qpts = list(_go._component_coords(g))
     if not qpts:
         return out
-    lo = np.searchsorted(ring_row, rows, "left")
-    hi = np.searchsorted(ring_row, rows, "right")
-    nr = hi - lo
-    ridx = _multi_arange(lo, nr)
-    if ridx.size == 0:
+    # polygon instances of the selected rows (poly_row ascending)
+    plo = np.searchsorted(poly_row, rows, "left")
+    phi = np.searchsorted(poly_row, rows, "right")
+    npoly = phi - plo
+    pidx = _multi_arange(plo, npoly)
+    if pidx.size == 0:
         return out
+    # rings of those instances, instance-major
+    p_nrings = poly_nrings[pidx]
+    ridx = _multi_arange(poly_ring_start[pidx], p_nrings)
     r_nsegs = ring_nsegs[ridx]
     sidx = _multi_arange(ring_seg_start[ridx], r_nsegs)
     AX, AY = sax[sidx], say[sidx]
     BX, BY = sbx[sidx], sby[sidx]
     has_seg = r_nsegs > 0
-    loc_start = np.concatenate(([0], np.cumsum(r_nsegs)[:-1]))
+    seg_loc_start = np.concatenate(([0], np.cumsum(r_nsegs)[:-1]))
     ords = ring_ord[ridx]
-    row_ring_start = np.concatenate(([0], np.cumsum(nr)[:-1]))
+    poly_ring_loc = np.concatenate(([0], np.cumsum(p_nrings)[:-1]))
+    has_row = npoly > 0
+    row_poly_loc = np.concatenate(([0], np.cumsum(npoly)[:-1]))
     BIG = np.int64(1) << 60
     for q in qpts:
         qx, qy = float(q[0]), float(q[1])
@@ -871,12 +1048,12 @@ def _rows_contain_probe(ringinfo, rows, sax, say, sbx, sby, g):
         bnd = np.zeros(ridx.size, dtype=bool)
         par = np.zeros(ridx.size, dtype=bool)
         if sidx.size and has_seg.any():
-            bnd[has_seg] = np.bitwise_or.reduceat(on, loc_start[has_seg])
-            par[has_seg] = np.bitwise_xor.reduceat(cnt, loc_start[has_seg])
+            bnd[has_seg] = np.bitwise_or.reduceat(on, seg_loc_start[has_seg])
+            par[has_seg] = np.bitwise_xor.reduceat(cnt, seg_loc_start[has_seg])
         h = np.where(bnd, 1, np.where(par, 2, 0)).astype(np.int64)
-        shell_h = h[row_ring_start]  # rings are (row, ordinal)-sorted
+        shell_h = h[poly_ring_loc]  # instance's first ring is its shell
         hole_key = np.where((ords > 0) & (h > 0), ords * 4 + h, BIG)
-        first_hole = np.minimum.reduceat(hole_key, row_ring_start)
+        first_hole = np.minimum.reduceat(hole_key, poly_ring_loc)
         hole_h = np.where(first_hole == BIG, 0, first_hole & 3)
         res = np.where(
             shell_h == 1,
@@ -887,7 +1064,11 @@ def _rows_contain_probe(ringinfo, rows, sax, say, sbx, sby, g):
                 np.where(hole_h == 0, 2, np.where(hole_h == 2, 0, 1)),
             ),
         )
-        out |= res > 0
+        hit_poly = res > 0
+        if has_row.any():
+            out[has_row] |= np.bitwise_or.reduceat(
+                hit_poly, row_poly_loc[has_row]
+            )
         if out.all():
             break
     return out
@@ -904,7 +1085,8 @@ def _containment_eval(lb, codes, geoms, batch_s):
     from datafusion_spatial_spark import geom_ops as _go
     from datafusion_spatial_spark import wkb as _wkb
 
-    isna, counts, xs, ys, vstart, sax, say, sbx, sby, nsegs, sstart, _ri = lb
+    (isna, counts, xs, ys, vstart,
+     sax, say, sbx, sby, nsegs, sstart, _reps, _pi) = lb
     n = counts.size
     out = np.zeros(n, dtype=bool)
     vals = None

@@ -177,3 +177,81 @@ def test_bbox_fastpath_excludes_nan_vertices():
     assert tuple(out.iloc[0]) == (1.0, 1.0, 1.0, 1.0)
     assert tuple(out.iloc[1]) == (2.0, 3.0, 2.0, 3.0)
     assert out.iloc[2].isna().all()
+
+
+def _flatten_any(g):
+    if g.type_name == "Polygon":
+        return [p for ring in g.coords for p in ring]
+    if g.type_name == "MultiLineString":
+        return [p for part in g.coords for p in part]
+    if g.type_name == "MultiPolygon":
+        return [p for poly in g.coords for ring in poly for p in ring]
+    return list(g.coords)
+
+
+def _check_parity_any(vals):
+    s = pd.Series(vals, dtype=object)
+    out = flat_coords_batch(s)
+    assert out is not None
+    xs, ys, counts = out
+    pos = 0
+    for v, c in zip(vals, counts):
+        if v is None:
+            assert c == 0
+            continue
+        exp = _flatten_any(W.loads(bytes(v)))
+        assert c == len(exp)
+        for ex, ey in exp:
+            assert xs[pos] == ex and ys[pos] == ey
+            pos += 1
+    assert pos == len(xs)
+
+
+def test_flat_multilinestring_parity():
+    """r9d: gtype 5 vertex streams — multi parts, degenerate 1-vertex
+    part, EMPTY, null."""
+    vals = [
+        W.dumps(Geom("MultiLineString",
+                     [[(0.0, 0.0), (1.0, 1.0)], [(5.0, 5.0), (6.0, 5.0), (7.0, 8.0)]])),
+        W.dumps(Geom("MultiLineString", [[(2.5, -1.5)]])),
+        W.dumps(Geom("MultiLineString", [])),
+        None,
+        W.dumps(Geom("MultiLineString", [[(9.0, 9.0), (10.0, 10.0)]])),
+    ]
+    _check_parity_any(vals)
+
+
+def test_flat_multipolygon_parity_incl_holes():
+    """r9d: gtype 6 vertex streams — members with holes, EMPTY, null."""
+    shell = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    hole = [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)]
+    far = [(10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 10.0)]
+    vals = [
+        W.dumps(Geom("MultiPolygon", [[shell, hole], [far]])),
+        W.dumps(Geom("MultiPolygon", [[far]])),
+        W.dumps(Geom("MultiPolygon", [])),
+        None,
+    ]
+    _check_parity_any(vals)
+
+
+def test_bbox_udf_multi_batches(spark):
+    """st_bbox rides the new gtype 5/6 flat streams — parity with the
+    per-row wkb.bbox slow path."""
+    from datafusion_spatial_spark.functions.scalar import st_bbox
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    geoms = [
+        Geom("MultiLineString", [[(0.0, 0.0), (1.0, 2.0)], [(-3.0, 5.0), (4.0, -1.0)]]),
+        Geom("MultiPolygon", [[[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0)]],
+                              [[(5.0, 5.0), (7.0, 5.0), (7.0, 9.0), (5.0, 5.0)]]]),
+    ]
+    m = GeometryMeta(encoding="WKB", geometry_types=("MultiLineString",))
+    for g in geoms:
+        df = spark.createDataFrame(
+            [(bytearray(W.dumps(g)),)] * 3, "geom binary"
+        )
+        row = df.select(st_bbox("geom", m).alias("b")).collect()[0].b
+        from datafusion_spatial_spark import wkb as _w
+        exp = _w.bbox(g)
+        assert (row.xmin, row.ymin, row.xmax, row.ymax) == exp

@@ -668,3 +668,135 @@ def test_containment_targeted_topologies():
         got = predicate_fastpath(batch, cont, "within", "wkb", "wkb")
         assert got is not None
         assert list(got) == _scalar(geom_ops.within, batch, cont)
+
+
+# ---------------------------------------------------------------------------
+# round-9d: MultiLineString / MultiPolygon BATCHES take the sweep too
+
+
+def _rand_mlines(rng, n):
+    out = []
+    for i in range(n):
+        r = i % 10
+        if r == 0:
+            out.append(None)
+        elif r == 1:
+            out.append(_mline([]))  # MULTILINESTRING EMPTY
+        elif r == 2:
+            # degenerate single-vertex part next to a real part
+            out.append(_mline([[(1.0, 1.0)], [(0.0, 0.0), (2.0, 2.0)]]))
+        else:
+            parts = []
+            for _ in range(rng.randint(1, 3)):
+                k = rng.randint(2, 4)
+                parts.append([
+                    (rng.randint(-4, 12) / 2, rng.randint(-4, 12) / 2)
+                    if rng.random() < 0.5
+                    else (rng.uniform(-1.5, 7.0) * math.sqrt(2),
+                          rng.uniform(-2.0, 10.0))
+                    for _ in range(k)
+                ])
+            out.append(_mline(parts))
+    return pd.Series(out, dtype=object)
+
+
+def _rand_mpolys(rng, n):
+    out = []
+    for i in range(n):
+        r = i % 10
+        if r == 0:
+            out.append(None)
+        elif r == 1:
+            out.append(_mpoly([]))  # MULTIPOLYGON EMPTY
+        else:
+            polys = []
+            for _ in range(rng.randint(1, 3)):
+                if rng.random() < 0.5:
+                    x0 = rng.randint(-4, 12) / 2
+                    y0 = rng.randint(-4, 12) / 2
+                else:
+                    x0 = rng.uniform(-2.0, 6.0) * math.sqrt(2)
+                    y0 = rng.uniform(-2.0, 8.0)
+                w = rng.randint(1, 6) / 2
+                h = rng.randint(1, 6) / 2
+                shell = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                         (x0, y0 + h), (x0, y0)]
+                rings = [shell]
+                if r % 4 == 0 and w >= 1.0 and h >= 1.0:
+                    rings.append([
+                        (x0 + w / 4, y0 + h / 4),
+                        (x0 + 3 * w / 4, y0 + h / 4),
+                        (x0 + 3 * w / 4, y0 + 3 * h / 4),
+                        (x0 + w / 4, y0 + 3 * h / 4),
+                        (x0 + w / 4, y0 + h / 4),
+                    ])
+                polys.append(rings)
+            out.append(_mpoly(polys))
+    return pd.Series(out, dtype=object)
+
+
+@pytest.mark.parametrize("maker", [_rand_mlines, _rand_mpolys])
+def test_multi_batch_predicates_and_distance_parity(maker):
+    rng = random.Random(hash(maker.__name__) % 1000)
+    batch = maker(rng, 300)
+    geoms = pd.Series(
+        [LINE_FACT_SHAPES[rng.randrange(len(LINE_FACT_SHAPES))] for _ in range(300)],
+        dtype=object,
+    )
+    for mode in ("intersects", "disjoint"):
+        for a, b in ((batch, geoms), (geoms, batch)):
+            got = predicate_fastpath(a, b, mode, "wkb", "wkb")
+            assert got is not None, (mode, "did not engage")
+            assert list(got) == _scalar(MODES[mode], a, b), mode
+    for a, b in ((batch, geoms), (geoms, batch)):
+        got = distance_fastpath(a, b, "wkb", "wkb")
+        assert got is not None
+        exp = _scalar_dist(a, b)
+        for i, (g, e) in enumerate(zip(got, exp)):
+            if e is None:
+                assert math.isnan(g), (i, g)
+            else:
+                assert g == e, (i, g, e)
+
+
+@pytest.mark.parametrize("maker", [_rand_mlines, _rand_mpolys])
+def test_multi_batch_containment_parity(maker):
+    rng = random.Random(13)
+    batch = maker(rng, 200)
+    for cont_bytes in (_poly(BOX), _poly(BOX, HOLE),
+                       _line([(0.0, 0.0), (4.0, 4.0)])):
+        cont = pd.Series([cont_bytes] * 200, dtype=object)
+        got = predicate_fastpath(cont, batch, "contains", "wkb", "wkb")
+        assert got is not None
+        assert list(got) == _scalar(geom_ops.contains, cont, batch)
+        got = predicate_fastpath(batch, cont, "within", "wkb", "wkb")
+        assert got is not None
+        assert list(got) == _scalar(geom_ops.within, batch, cont)
+
+
+def test_multi_batch_component_probes():
+    """The cases only per-COMPONENT representatives get right: a
+    MultiLineString whose SECOND part is inside the polygon (first part
+    far away → crossing-free), and a MultiPolygon whose second member
+    contains the factorized geometry."""
+    mls = _mline([[(100.0, 100.0), (101.0, 101.0)], [(1.0, 1.0), (1.5, 1.5)]])
+    box_wkb = _poly([(0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (0.0, 3.0), (0.0, 0.0)])
+    a = pd.Series([mls] * 6, dtype=object)
+    b = pd.Series([box_wkb] * 6, dtype=object)
+    got = predicate_fastpath(a, b, "intersects", "wkb", "wkb")
+    assert got is not None and list(got) == [True] * 6
+    assert _scalar(geom_ops.intersects, a, b) == [True] * 6
+
+    mp = _mpoly([
+        [[(50.0, 50.0), (51.0, 50.0), (51.0, 51.0), (50.0, 50.0)]],
+        [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]],
+    ])
+    tiny = _line([(4.0, 4.0), (5.0, 5.0)])  # inside the SECOND member
+    a = pd.Series([mp] * 6, dtype=object)
+    b = pd.Series([tiny] * 6, dtype=object)
+    for mode in ("intersects", "disjoint"):
+        got = predicate_fastpath(a, b, mode, "wkb", "wkb")
+        assert got is not None
+        assert list(got) == _scalar(MODES[mode], a, b)
+    got = distance_fastpath(a, b, "wkb", "wkb")
+    assert got is not None and list(got) == [0.0] * 6
