@@ -185,6 +185,14 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
             part_starts.size, np.int64
         )
         row_counts = nitems
+        # r9e: each member point is a 1-vertex "path" — no segments, one
+        # component representative per point (kernel _points/_component
+        # semantics for MultiPoint)
+        info = {
+            "kind": "points",
+            "rows": np.repeat(ii, nitems),
+            "vcounts": coord_counts.copy(),
+        }
     elif gtype == 3:  # Polygon: nrings, then per ring npts + npts×16
         max_rings = int(nitems.max()) if m else 0
         cur = rec_starts + 9
@@ -746,6 +754,7 @@ def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
 _SWEEP_WORDS = {
     b"\x02\x00\x00\x00",  # LineString
     b"\x03\x00\x00\x00",  # Polygon
+    b"\x04\x00\x00\x00",  # MultiPoint (r9e)
     b"\x05\x00\x00\x00",  # MultiLineString (r9c)
     b"\x06\x00\x00\x00",  # MultiPolygon (r9c)
 }
@@ -794,8 +803,8 @@ def _sweep_batch(s: pd.Series):
     sax, say = xs[base], ys[base]
     sbx, sby = xs[base + 1], ys[base + 1]
     sstart = np.concatenate(([0], np.cumsum(nsegs)[:-1]))
-    if info["kind"] == "paths":
-        rep_m = g_vc > 0  # every non-empty path contributes its start
+    if info["kind"] in ("paths", "points"):
+        rep_m = g_vc > 0  # every non-empty path / every member point
     else:
         rep_m = (info["ord"] == 0) & (g_vc > 0)  # every non-empty shell
     reps = (g_rows[rep_m], xs[g_vstart[rep_m]], ys[g_vstart[rep_m]])
@@ -815,7 +824,7 @@ def _sweep_batch(s: pd.Series):
         )
     return (
         isna, counts, xs, ys, vstart,
-        sax, say, sbx, sby, nsegs, sstart, reps, polyinfo,
+        sax, say, sbx, sby, nsegs, sstart, reps, polyinfo, info["kind"],
     )
 
 
@@ -878,7 +887,7 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
     line/polygon uniques. Returns a hit bool array for predicates, or a
     float64 distance array (NaN = SQL NULL) when ``want_distance``."""
     (isna, counts, xs, ys, vstart,
-     sax, say, sbx, sby, nsegs, sstart, reps, polyinfo) = lb
+     sax, say, sbx, sby, nsegs, sstart, reps, polyinfo, kind) = lb
     n = counts.size
     hit_all = np.zeros(n, dtype=bool)
     dist_all = np.full(n, np.nan)
@@ -944,6 +953,28 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
         loc_start = np.concatenate(([0], np.cumsum(nsegs[rows])[:-1]))
         if seg_hit.size and has.any():
             row_hit[has] = np.bitwise_or.reduceat(seg_hit, loc_start[has])
+        pt_best = None
+        if kind == "points":
+            # isolated member points (MultiPoint rows): the kernel tests
+            # each point against g's segments (_point_intersects) and, for
+            # distance, folds point_seg_dist2 over the same pairs
+            vidx = _multi_arange(vstart[rows], counts[rows])
+            vx, vy = xs[vidx], ys[vidx]
+            pt_on = np.zeros(vx.size, dtype=bool)
+            pt_best = np.full(vx.size, np.inf)
+            for cx, cy, dx_, dy_ in gsegs or ():
+                dv = (dx_ - cx) * (vy - cy) - (dy_ - cy) * (vx - cx)
+                pt_on |= (
+                    (np.abs(dv) <= _EPS)
+                    & (min(cx, dx_) - _EPS <= vx) & (vx <= max(cx, dx_) + _EPS)
+                    & (min(cy, dy_) - _EPS <= vy) & (vy <= max(cy, dy_) + _EPS)
+                )
+                if want_distance:
+                    pt_best = np.minimum(
+                        pt_best, _pts_seg_d2(vx, vy, cx, cy, dx_, dy_)
+                    )
+            v_loc = np.concatenate(([0], np.cumsum(counts[rows])[:-1]))
+            row_hit |= np.bitwise_or.reduceat(pt_on, v_loc)
         # containment without edge crossing, probe 1: the kernel tests one
         # representative coordinate PER COMPONENT of each batch row (each
         # path's start / each shell's first vertex) against g's rings
@@ -984,6 +1015,10 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
                 # returns None there, not infinity
                 d[~np.isfinite(d)] = np.nan
                 d_rows[has] = d
+            if pt_best is not None and pt_best.size:
+                d = np.sqrt(np.minimum.reduceat(pt_best, v_loc))
+                d[~np.isfinite(d)] = np.nan
+                d_rows = d  # rows with counts>0 all have >=1 member point
             # kernel: intersects -> 0.0 (checked FIRST, so it wins over
             # the sweep value); segment-less non-hit rows stay NULL
             d_rows[row_hit] = 0.0
@@ -1086,7 +1121,7 @@ def _containment_eval(lb, codes, geoms, batch_s):
     from datafusion_spatial_spark import wkb as _wkb
 
     (isna, counts, xs, ys, vstart,
-     sax, say, sbx, sby, nsegs, sstart, _reps, _pi) = lb
+     sax, say, sbx, sby, nsegs, sstart, _reps, _pi, _kind) = lb
     n = counts.size
     out = np.zeros(n, dtype=bool)
     vals = None

@@ -800,3 +800,71 @@ def test_multi_batch_component_probes():
         assert list(got) == _scalar(MODES[mode], a, b)
     got = distance_fastpath(a, b, "wkb", "wkb")
     assert got is not None and list(got) == [0.0] * 6
+
+
+# ---------------------------------------------------------------------------
+# round-9e: MultiPoint batches (isolated member points: on-segment + locate
+# probes, point_seg_dist2 distance fold)
+
+
+def _mpt(pts):
+    return wkb.dumps(wkb.Geom("MultiPoint", [tuple(p) for p in pts]))
+
+
+def _rand_mpts(rng, n):
+    out = []
+    for i in range(n):
+        r = i % 10
+        if r == 0:
+            out.append(None)
+        elif r == 1:
+            out.append(_mpt([]))  # MULTIPOINT EMPTY
+        elif r == 2:
+            # a member exactly on the BOX edge + one inside the HOLE
+            out.append(_mpt([(2.0, 0.0), (2.0, 2.0)]))
+        else:
+            out.append(_mpt([
+                (rng.randint(-4, 12) / 2, rng.randint(-4, 12) / 2)
+                if rng.random() < 0.5
+                else (rng.uniform(-1.5, 7.0) * math.sqrt(2),
+                      rng.uniform(-2.0, 10.0))
+                for _ in range(rng.randint(1, 4))
+            ]))
+    return pd.Series(out, dtype=object)
+
+
+def test_multipoint_batch_predicates_and_distance_parity():
+    rng = random.Random(21)
+    batch = _rand_mpts(rng, 300)
+    geoms = pd.Series(
+        [LINE_FACT_SHAPES[rng.randrange(len(LINE_FACT_SHAPES))] for _ in range(300)],
+        dtype=object,
+    )
+    for mode in ("intersects", "disjoint"):
+        for a, b in ((batch, geoms), (geoms, batch)):
+            got = predicate_fastpath(a, b, mode, "wkb", "wkb")
+            assert got is not None, (mode, "did not engage")
+            assert list(got) == _scalar(MODES[mode], a, b), mode
+    for a, b in ((batch, geoms), (geoms, batch)):
+        got = distance_fastpath(a, b, "wkb", "wkb")
+        assert got is not None
+        exp = _scalar_dist(a, b)
+        for i, (g, e) in enumerate(zip(got, exp)):
+            if e is None:
+                assert math.isnan(g), (i, g)
+            else:
+                assert g == e, (i, g, e)
+
+
+def test_multipoint_batch_containment_parity():
+    rng = random.Random(23)
+    batch = _rand_mpts(rng, 200)
+    for cont_bytes in (_poly(BOX), _poly(BOX, HOLE),
+                       _line([(0.0, 0.0), (4.0, 4.0)])):
+        cont = pd.Series([cont_bytes] * 200, dtype=object)
+        got = predicate_fastpath(cont, batch, "contains", "wkb", "wkb")
+        assert got is not None
+        assert list(got) == _scalar(geom_ops.contains, cont, batch)
+        got = predicate_fastpath(batch, cont, "within", "wkb", "wkb")
+        assert got is not None
+        assert list(got) == _scalar(geom_ops.within, batch, cont)
