@@ -1283,3 +1283,84 @@ def _line_distance_fastpath(sa, sb, kind_a, kind_b):
         dist[lb[0] | (codes < 0)] = np.nan  # NULL operand -> NULL
         return pd.Series(dist, dtype="float64")
     return None
+
+
+# ---------------------------------------------------------------------------
+# round-9f: vectorized unary measures (st_area / st_length) over the same
+# decoded batches. Float SUMS must accumulate in the scalar kernels' exact
+# sequential order — np.add.reduce(at)'s pairwise summation is NOT
+# bit-identical — so groups fold by ordinal: step k adds every group's
+# k-th term at once (vectorized across groups, O(max group length) steps).
+
+
+def _seq_fold_groups(terms, group_start, group_len):
+    """Per-group sequential left-fold sum of ``terms`` slices, starting at
+    0.0 — bit-identical to a Python ``sum()`` over the same slice."""
+    ng = group_start.size
+    acc = np.zeros(ng, dtype=np.float64)
+    if ng == 0 or terms.size == 0:
+        return acc
+    maxlen = int(group_len.max()) if group_len.size else 0
+    for k in range(maxlen):
+        live = group_len > k
+        if not live.any():
+            break
+        acc[live] = acc[live] + terms[group_start[live] + k]
+    return acc
+
+
+def measure_fastpath(s, mode: str):
+    """Batched st_area / st_length over uniform WKB line/polygon/multi
+    batches. Returns a float64 Series (NaN -> SQL NULL for null rows) or
+    None to fall back. Mirrors geom_ops.area / geom_ops.length exactly:
+    length folds hypot over path segments in order (0.0 for polygonal and
+    point input); area folds signed abs(ring_area2)/2 per ring in ring
+    order (0.0 for linear input), where ring_area2 itself folds the
+    shoelace terms sequentially."""
+    if _DISABLED:
+        return None
+    if not isinstance(s, pd.Series):
+        return None
+    lb = _sweep_batch(s)
+    if lb is None:
+        return None
+    (isna, counts, xs, ys, vstart,
+     sax, say, sbx, sby, nsegs, sstart, _reps, polyinfo, kind) = lb
+    n = counts.size
+    out = np.zeros(n, dtype=np.float64)
+    if mode == "length":
+        if kind == "paths" and sax.size:
+            # math.hypot, not np.hypot: Python's is correctly rounded
+            # (Borges algorithm) while numpy delegates to the C library —
+            # they differ by 1 ulp on ~0.1% of inputs, which would break
+            # the bit-exact contract. The per-term Python loop is the
+            # price; decode and the fold stay vectorized.
+            import math as _m
+
+            dx = (sbx - sax).tolist()
+            dy = (sby - say).tolist()
+            terms = np.array(
+                [_m.hypot(a, b) for a, b in zip(dx, dy)], dtype=np.float64
+            )
+            out = _seq_fold_groups(terms, sstart, nsegs)
+    elif mode == "area":
+        if polyinfo is not None:
+            (poly_row, poly_ring_start, poly_nrings,
+             ring_ord, ring_seg_start, ring_nsegs) = polyinfo
+            terms = sax * sby - sbx * say  # shoelace per segment
+            ring2 = _seq_fold_groups(terms, ring_seg_start, ring_nsegs)
+            signed = np.where(
+                ring_ord == 0, np.abs(ring2) / 2.0, -(np.abs(ring2) / 2.0)
+            )
+            # row fold over rings in (part, ordinal) order — the kernel's
+            # total += shell / total -= hole accumulation order
+            ring_row = np.repeat(poly_row, poly_nrings)
+            row_nrings = np.zeros(n, np.int64)
+            np.add.at(row_nrings, ring_row, 1)
+            row_ring_start = np.concatenate(([0], np.cumsum(row_nrings)[:-1]))
+            out = _seq_fold_groups(signed, row_ring_start, row_nrings)
+    else:
+        return None
+    out = out.copy()
+    out[isna] = np.nan  # NULL in -> NULL out
+    return pd.Series(out, dtype="float64")

@@ -219,12 +219,21 @@ def st_dwithin(
     return st_distance(a, b, meta_a, meta_b) <= F.lit(float(d))
 
 
-def _unary_measure(fn, dtype=T.DoubleType()):
+def _unary_measure(fn, dtype=T.DoubleType(), fast_mode: str | None = None):
     def build(col: Column | str, meta: GeometryMeta) -> Column:
         conv = _converter(meta)
+        kind = _fast_kind(meta)
 
         @F.pandas_udf(dtype)
         def udf(s: pd.Series) -> pd.Series:
+            if fast_mode is not None and kind == "wkb":
+                from datafusion_spatial_spark.functions._fastpath import (
+                    measure_fastpath,
+                )
+
+                fast = measure_fastpath(s, fast_mode)
+                if fast is not None:
+                    return fast
             out = []
             for v in _as_rows(s):
                 g = conv(v)
@@ -236,8 +245,8 @@ def _unary_measure(fn, dtype=T.DoubleType()):
     return build
 
 
-st_area = _unary_measure(geom_ops.area)
-st_length = _unary_measure(geom_ops.length)
+st_area = _unary_measure(geom_ops.area, fast_mode="area")
+st_length = _unary_measure(geom_ops.length, fast_mode="length")
 st_issimple = _unary_measure(geom_ops.is_simple, T.BooleanType())
 st_isvalid = _unary_measure(geom_ops.is_valid, T.BooleanType())
 st_isvalidreason = _unary_measure(

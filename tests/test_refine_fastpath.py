@@ -868,3 +868,72 @@ def test_multipoint_batch_containment_parity():
         got = predicate_fastpath(batch, cont, "within", "wkb", "wkb")
         assert got is not None
         assert list(got) == _scalar(geom_ops.within, batch, cont)
+
+
+# ---------------------------------------------------------------------------
+# round-9f: vectorized st_area / st_length (sequential-order folds)
+
+from datafusion_spatial_spark.functions._fastpath import measure_fastpath
+
+
+@pytest.mark.parametrize("maker", [
+    _rand_lines, _rand_polys, _rand_mlines, _rand_mpolys, _rand_mpts,
+])
+def test_measure_fastpath_parity(maker):
+    rng = random.Random(hash(maker.__name__) % 500)
+    batch = maker(rng, 300)
+    for mode, fn in (("area", geom_ops.area), ("length", geom_ops.length)):
+        got = measure_fastpath(batch, mode)
+        assert got is not None, (maker.__name__, mode, "did not engage")
+        exp = [
+            None if v is None else fn(wkb.loads(bytes(v))) for v in batch
+        ]
+        for i, (g, e) in enumerate(zip(got, exp)):
+            if e is None:
+                assert math.isnan(g), (mode, i, g)
+            else:
+                assert g == e, (mode, i, g, e)  # BIT-exact, not approx
+
+
+def test_measure_fastpath_known_values():
+    vals = pd.Series([
+        _poly(BOX),                      # area 16, length 0
+        _poly(BOX, HOLE),                # area 16-4=12
+        _line([(0.0, 0.0), (3.0, 4.0)]),
+    ], dtype=object)
+    # mixed types don't engage; per-type batches do
+    a = measure_fastpath(pd.Series([_poly(BOX), _poly(BOX, HOLE)], dtype=object), "area")
+    assert list(a) == [16.0, 12.0]
+    ln = measure_fastpath(
+        pd.Series([_line([(0.0, 0.0), (3.0, 4.0)])] * 2, dtype=object), "length"
+    )
+    assert list(ln) == [5.0, 5.0]
+    # polygons have zero ST_Length; lines zero ST_Area (PostGIS contract)
+    z = measure_fastpath(pd.Series([_poly(BOX)] * 2, dtype=object), "length")
+    assert list(z) == [0.0, 0.0]
+    z = measure_fastpath(
+        pd.Series([_line([(0.0, 0.0), (3.0, 4.0)])] * 2, dtype=object), "area"
+    )
+    assert list(z) == [0.0, 0.0]
+
+
+def test_measure_spark_path(spark):
+    """st_area/st_length through the real pandas-UDF path on a
+    MultiPolygon column — equal to the kernel row-by-row."""
+    from datafusion_spatial_spark.functions.predicates import st_area, st_length
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(200):
+        g = wkb.loads(bytes(_rand_mpolys(rng, 1)[0] or _mpoly([])))
+        rows.append((i, bytearray(wkb.dumps(g)),
+                     float(geom_ops.area(g)), float(geom_ops.length(g))))
+    m = GeometryMeta(encoding="WKB", geometry_types=("MultiPolygon",))
+    df = spark.createDataFrame(rows, "id int, geom binary, ea double, el double")
+    out = df.select(
+        "id", "ea", "el",
+        st_area("geom", m).alias("a"), st_length("geom", m).alias("l"),
+    ).collect()
+    for r in out:
+        assert r.a == r.ea and r.l == r.el, r.id
