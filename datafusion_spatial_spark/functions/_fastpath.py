@@ -95,25 +95,33 @@ def _multi_arange(starts, lengths):
 
 def flat_coords_batch(s: pd.Series, with_rings: bool = False):
     """Vectorized coordinate extraction for a batch of uniform-type 2-D
-    little-endian WKB **LineString (2), Polygon (3), or MultiPoint (4)**
-    records — the VERDICT-r6 #7 extension of the point fast path: the
-    per-row Python ``wkb.loads`` parse is the dominant cost of
-    geometry-heavy pandas-UDF stages, and coordinate-fold kernels (bbox /
-    extent / grid keys) only need the flat vertex stream, not a Geom tree.
+    little-endian WKB **LineString (2), Polygon (3), MultiPoint (4),
+    MultiLineString (5), or MultiPolygon (6)** records — the VERDICT-r6 #7
+    extension of the point fast path: the per-row Python ``wkb.loads``
+    parse is the dominant cost of geometry-heavy pandas-UDF stages, and
+    coordinate-fold kernels (bbox / extent / grid keys) only need the flat
+    vertex stream, not a Geom tree.
 
     Returns ``(xs, ys, counts)`` — the concatenated vertex doubles of all
     non-null rows in row order, plus an int64 per-row vertex count aligned
     with the full batch (0 for null AND empty rows) — or ``None`` when the
     batch isn't a uniform conforming shape (caller falls back to the
-    per-row codec). With ``with_rings=True`` a fourth element is appended:
-    for Polygon batches ``(ring_rows, ring_vcounts)`` — the full-batch row
-    index and vertex count of every ring, in (row, ring-ordinal) order
-    matching the vertex stream — else ``None`` (r9: the polygon sweep
-    needs per-ring segments so ring boundaries are never bridged). Decode is one byte-gather per header level: record
-    payloads are sliced out with a vectorized multi-arange, and Polygon's
-    nested per-ring headers are walked ring-ordinal-at-a-time (vectorized
-    across records each step, so cost scales with max ring count, not
-    vertex count).
+    per-row codec).
+
+    With ``with_rings=True`` a fourth element is appended — the structure
+    descriptor the refine sweep consumes (r9): a dict with ``kind``
+    ('paths' for LineString/MultiLineString parts, 'points' for MultiPoint
+    members, 'polys' for Polygon/MultiPolygon rings), ``rows`` (full-batch
+    row index per group) and ``vcounts`` (vertices per group), plus
+    ``part``/``ord`` ordinals for 'polys'; groups arrive in (row, part,
+    ordinal) order matching the vertex stream, so per-group segments never
+    bridge parts or rings; every supported gtype gets a descriptor.
+
+    Decode is one byte-gather per header level: record payloads are sliced
+    out with a vectorized multi-arange; Polygon rings and MultiLineString
+    parts are walked ordinal-at-a-time and MultiPolygon part×ring two
+    levels deep (vectorized across records each step, so cost scales with
+    max nesting counts, not vertex count).
     """
     n = len(s)
     isna = s.isna().to_numpy()
