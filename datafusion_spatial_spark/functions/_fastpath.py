@@ -1372,3 +1372,79 @@ def measure_fastpath(s, mode: str):
     out = out.copy()
     out[isna] = np.nan  # NULL in -> NULL out
     return pd.Series(out, dtype="float64")
+
+
+def centroid_fastpath(s):
+    """Batched geom_ops.centroid over uniform WKB batches: area centroid
+    for polygonal rows (ring folds + shell/hole weights, with the kernel's
+    fall-through to the length centroid when the weighted area vanishes),
+    length centroid for lines, member mean for MultiPoint. Returns a
+    pandas DataFrame {x, y} (NaN -> NULL) or None to fall back. Every fold
+    is sequential-order (see _seq_fold_groups); degenerate rings the
+    kernel skips contribute exact +0.0 terms instead."""
+    if _DISABLED or not isinstance(s, pd.Series):
+        return None
+    lb = _sweep_batch(s)
+    if lb is None:
+        return None
+    import math as _m
+
+    (isna, counts, xs, ys, vstart,
+     sax, say, sbx, sby, nsegs, sstart, _reps, polyinfo, kind) = lb
+    n = counts.size
+    outx = np.full(n, np.nan)
+    outy = np.full(n, np.nan)
+    done = np.zeros(n, dtype=bool)
+    if polyinfo is not None:
+        (poly_row, poly_ring_start, poly_nrings,
+         ring_ord, ring_seg_start, ring_nsegs) = polyinfo
+        cross = sax * sby - sbx * say
+        ring_a2 = _seq_fold_groups(cross, ring_seg_start, ring_nsegs)
+        ring_cx = _seq_fold_groups((sax + sbx) * cross, ring_seg_start, ring_nsegs)
+        ring_cy = _seq_fold_groups((say + sby) * cross, ring_seg_start, ring_nsegs)
+        live = np.abs(ring_a2) > _EPS
+        w = np.where(ring_ord == 0, np.abs(ring_a2), -np.abs(ring_a2))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tx = (ring_cx / (3.0 * ring_a2)) * w
+            ty = (ring_cy / (3.0 * ring_a2)) * w
+        tx = np.where(live, tx, 0.0)
+        ty = np.where(live, ty, 0.0)
+        tw = np.where(live, w, 0.0)
+        ring_row = np.repeat(poly_row, poly_nrings)
+        row_nr = np.zeros(n, np.int64)
+        np.add.at(row_nr, ring_row, 1)
+        row_rs = np.concatenate(([0], np.cumsum(row_nr)[:-1]))
+        ax = _seq_fold_groups(tx, row_rs, row_nr)
+        ay = _seq_fold_groups(ty, row_rs, row_nr)
+        asum = _seq_fold_groups(tw, row_rs, row_nr)
+        ok = np.abs(asum) > _EPS
+        with np.errstate(divide="ignore", invalid="ignore"):
+            outx = np.where(ok, ax / asum, outx)
+            outy = np.where(ok, ay / asum, outy)
+        done |= ok
+    if sax.size and not done.all():
+        # length centroid (kernel stage 2 — also the fall-through for
+        # zero-area polygonal rows): terms use math.hypot like the kernel
+        dx = (sbx - sax).tolist()
+        dy = (sby - say).tolist()
+        L = np.array([_m.hypot(a, b) for a, b in zip(dx, dy)], dtype=np.float64)
+        sx = _seq_fold_groups((sax + sbx) / 2 * L, sstart, nsegs)
+        sy = _seq_fold_groups((say + sby) / 2 * L, sstart, nsegs)
+        sl = _seq_fold_groups(L, sstart, nsegs)
+        ok2 = ~done & (sl > _EPS)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            outx = np.where(ok2, sx / sl, outx)
+            outy = np.where(ok2, sy / sl, outy)
+        done |= ok2
+    if kind == "points" and not done.all():
+        px = _seq_fold_groups(xs, vstart, counts)
+        py = _seq_fold_groups(ys, vstart, counts)
+        ok3 = ~done & (counts > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            outx = np.where(ok3, px / counts, outx)
+            outy = np.where(ok3, py / counts, outy)
+    outx = outx.copy()
+    outy = outy.copy()
+    outx[isna] = np.nan
+    outy[isna] = np.nan
+    return pd.DataFrame({"x": outx, "y": outy})

@@ -361,8 +361,18 @@ def st_centroid(col: Column | str, meta: GeometryMeta) -> Column:
         T.StructField("y", T.DoubleType()),
     ])
 
+    kind = _fast_kind(meta)
+
     @F.pandas_udf(_pt_type)
     def udf(s: pd.Series) -> pd.DataFrame:
+        if kind == "wkb":
+            from datafusion_spatial_spark.functions._fastpath import (
+                centroid_fastpath,
+            )
+
+            fast = centroid_fastpath(s)
+            if fast is not None:
+                return fast
         nan = float("nan")
         xs, ys = [], []
         for v in _as_rows(s):

@@ -937,3 +937,66 @@ def test_measure_spark_path(spark):
     ).collect()
     for r in out:
         assert r.a == r.ea and r.l == r.el, r.id
+
+
+# ---------------------------------------------------------------------------
+# round-9g: vectorized st_centroid
+
+from datafusion_spatial_spark.functions._fastpath import centroid_fastpath
+
+
+@pytest.mark.parametrize("maker", [
+    _rand_lines, _rand_polys, _rand_mlines, _rand_mpolys, _rand_mpts,
+])
+def test_centroid_fastpath_parity(maker):
+    rng = random.Random(hash(maker.__name__) % 300)
+    batch = maker(rng, 300)
+    got = centroid_fastpath(batch)
+    assert got is not None, (maker.__name__, "did not engage")
+    for i, v in enumerate(batch):
+        gx, gy = got["x"].iloc[i], got["y"].iloc[i]
+        if v is None:
+            assert math.isnan(gx) and math.isnan(gy), i
+            continue
+        c = geom_ops.centroid(wkb.loads(bytes(v)))
+        if c is None:
+            assert math.isnan(gx) and math.isnan(gy), i
+        else:
+            assert gx == c[0] and gy == c[1], (i, (gx, gy), c)
+
+
+def test_centroid_fastpath_fallthrough_and_known():
+    # zero-area polygon falls through to the LENGTH centroid (kernel
+    # stage 2), exactly like the scalar kernel
+    sliver = _poly([(0.0, 0.0), (4.0, 0.0), (0.0, 0.0)])
+    box = _poly(BOX)
+    holed = _poly(BOX, HOLE)
+    for g_bytes in (sliver, box, holed):
+        s = pd.Series([g_bytes] * 3, dtype=object)
+        got = centroid_fastpath(s)
+        exp = geom_ops.centroid(wkb.loads(bytes(g_bytes)))
+        assert (got["x"].iloc[0], got["y"].iloc[0]) == exp, g_bytes[:9]
+    assert geom_ops.centroid(wkb.loads(bytes(box))) == (2.0, 2.0)
+
+
+def test_centroid_spark_path(spark):
+    from datafusion_spatial_spark.functions.predicates import st_centroid
+    from datafusion_spatial_spark.meta import GeometryMeta
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(150):
+        v = _rand_mpolys(rng, 1)[0]
+        if v is None:
+            continue
+        c = geom_ops.centroid(wkb.loads(bytes(v)))
+        rows.append((i, bytearray(v), None if c is None else c[0],
+                     None if c is None else c[1]))
+    m = GeometryMeta(encoding="WKB", geometry_types=("MultiPolygon",))
+    df = spark.createDataFrame(rows, "id int, geom binary, ex double, ey double")
+    out = df.select("id", "ex", "ey", st_centroid("geom", m).alias("c")).collect()
+    for r in out:
+        if r.ex is None:
+            assert r.c is None, r.id
+        else:
+            assert r.c.x == r.ex and r.c.y == r.ey, r.id
