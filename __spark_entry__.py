@@ -22,6 +22,7 @@ import math
 import os
 import shutil
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -1568,13 +1569,21 @@ def _q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-def _sweep_dead_scratch(root: str) -> None:
+def _sweep_dead_scratch(root: str, max_age_sec: float = 86400.0) -> None:
     """Remove sibling scratch dirs whose creating process is gone (crashed
-    or interrupted replays — their success-path cleanup never ran)."""
+    or interrupted replays — their success-path cleanup never ran).
+
+    Two signals (r10 advice fix): a dead PID sweeps immediately, and any
+    dir older than ``max_age_sec`` sweeps even if its PID probe reads
+    alive — a recycled PID owned by an unrelated process would otherwise
+    keep a crashed replay's scratch around forever. No live replay holds
+    its scratch for a day (the write-roundtrip gate deletes on success
+    within seconds), so the age signal cannot race a legitimate owner."""
     try:
         entries = os.listdir(root)
     except OSError:
         return
+    now = time.time()
     for name in entries:
         pid_s = name.rsplit("-", 1)[-1]
         if not pid_s.isdigit():
@@ -1582,10 +1591,18 @@ def _sweep_dead_scratch(root: str) -> None:
         pid = int(pid_s)
         if pid == os.getpid():
             continue
+        path = os.path.join(root, name)
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            age = 0.0
+        if age > max_age_sec:
+            shutil.rmtree(path, ignore_errors=True)
+            continue
         try:
             os.kill(pid, 0)  # alive (or not ours) -> leave it
         except ProcessLookupError:
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            shutil.rmtree(path, ignore_errors=True)
         except OSError:
             pass
 
@@ -2035,8 +2052,11 @@ def _q_hash_split_oracle() -> str:
     wvalues = ", ".join(
         f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in MIX_WEIGHTS.items()
     )
+    # length-prefixed source mirrors the injective key in
+    # corpus.mixture_sample (r10 advice fix)
     mph = poly_hash_str_duckdb(
-        f"concat(source, ':', cast(doc_id AS VARCHAR), ':mix:{MIX_SEED}')"
+        "concat(cast(length(source) AS VARCHAR), ':', source, ':', "
+        f"cast(doc_id AS VARCHAR), ':mix:{MIX_SEED}')"
     )
     return f"""
 WITH h AS (

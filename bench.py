@@ -103,10 +103,39 @@ def main() -> None:
     # query's ratio to the control alongside the absolute time lets a
     # cross-round comparison separate the two: flat normalized series +
     # elevated absolutes = drift; a normalized outlier = real regression.
+    #
+    # Second control (VERDICT r9 #2): q01 is CPU/scan-bound, so its ratio
+    # is blind to shuffle/IO weather — the r9 minhash "level shift" was
+    # exactly this (CPU recovered, shuffle side didn't; bisect showed zero
+    # code change on the minhash path across r8+r9). q05_region_revenue —
+    # also frozen since round 1, a 6-table join whose cost is the fact-side
+    # sort-merge shuffle — is the shuffle-bound control; shuffle-heavy
+    # queries should be compared on normalized_shuffle, CPU-bound ones on
+    # normalized. control_of records the appropriate control per query.
     control = "q01_pricing_summary"
+    control_shuffle = "q05_region_revenue"
+    control_of = {
+        "q05_region_revenue": "shuffle",
+        "q_window_top3_orders": "shuffle",
+        "q_events_sessionize": "shuffle",
+        "q_st_envelope_by_nation": "cpu",
+        "q_st_extent_customers": "cpu",
+        "q_minhash_lsh_dedup": "shuffle",
+        "q_cosine_topk": "cpu",
+        "q_text_stats": "cpu",
+        "q_spatial_dwithin_join": "shuffle",
+        "q_asof_join": "shuffle",
+        "q_media_features": "cpu",
+    }
     ctrl_t = timings.get(control) or 1.0
+    ctrl_s = timings.get(control_shuffle) or 1.0
     normalized = {
         name: round(t / ctrl_t, 3) for name, t in timings.items() if name != control
+    }
+    normalized_shuffle = {
+        name: round(t / ctrl_s, 3)
+        for name, t in timings.items()
+        if name != control_shuffle
     }
 
     print(
@@ -119,6 +148,10 @@ def main() -> None:
                 "control": control,
                 "control_sec": timings.get(control),
                 "normalized": normalized,
+                "control_shuffle": control_shuffle,
+                "control_shuffle_sec": timings.get(control_shuffle),
+                "normalized_shuffle": normalized_shuffle,
+                "control_of": control_of,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

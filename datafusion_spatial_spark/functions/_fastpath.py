@@ -1303,17 +1303,37 @@ def _line_distance_fastpath(sa, sb, kind_a, kind_b):
 
 def _seq_fold_groups(terms, group_start, group_len):
     """Per-group sequential left-fold sum of ``terms`` slices, starting at
-    0.0 — bit-identical to a Python ``sum()`` over the same slice."""
+    0.0 — bit-identical to a Python ``sum()`` over the same slice.
+
+    Skew guard (r10 advice fix): each vectorized ordinal step costs O(ng)
+    boolean-mask work regardless of how many groups are still live, so a
+    batch with one very long geometry among many short rows would pay
+    O(maxlen * ng) instead of O(total terms). When that blow-up is real,
+    the vectorized fold stops at the 90th-percentile group length and the
+    few long groups finish per-group in Python — the adds stay sequential
+    per group on both paths, so the result is bit-identical either way."""
     ng = group_start.size
     acc = np.zeros(ng, dtype=np.float64)
     if ng == 0 or terms.size == 0:
         return acc
     maxlen = int(group_len.max()) if group_len.size else 0
-    for k in range(maxlen):
+    cutoff = maxlen
+    if ng > 4 and maxlen * ng > 4 * terms.size + 4096:
+        # smallest step count covering >= 90% of groups: beyond it fewer
+        # than 10% of mask slots are live, pure overhead per step
+        cutoff = int(np.sort(group_len)[max(0, int(ng * 0.9) - 1)])
+    for k in range(cutoff):
         live = group_len > k
         if not live.any():
             break
         acc[live] = acc[live] + terms[group_start[live] + k]
+    if cutoff < maxlen:
+        for g in np.flatnonzero(group_len > cutoff):
+            a = acc[g]
+            s = int(group_start[g]) + cutoff
+            for t in terms[s : int(group_start[g]) + int(group_len[g])]:
+                a = a + t
+            acc[g] = a
     return acc
 
 

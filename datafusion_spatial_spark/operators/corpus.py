@@ -347,9 +347,13 @@ def mixture_sample(
         return df.sampleBy(source_col, fractions, seed=seed)
     # hash: u in [0,1) from the row's own values; per-source threshold via
     # a map literal (NULL source -> NULL fraction -> comparison NULL ->
-    # dropped, matching sampleBy's no-fraction behavior)
+    # dropped, matching sampleBy's no-fraction behavior). The source is
+    # length-prefixed so the key is injective even when source values
+    # contain ':' (r10 advice fix: source 'a:1'/id '2' must not collide
+    # with source 'a'/id '1:2' — correlated keep-draws across sources).
+    src_s = F.col(source_col).cast("string")
     key = F.concat(
-        F.col(source_col).cast("string"), F.lit(":"),
+        F.length(src_s).cast("string"), F.lit(":"), src_s, F.lit(":"),
         F.col(id_col).cast("string"), F.lit(f":mix:{int(seed)}"),
     )
     u = poly_hash_str(key) / F.lit(float(P))
