@@ -96,11 +96,11 @@ def _multi_arange(starts, lengths):
 def flat_coords_batch(s: pd.Series, with_rings: bool = False):
     """Vectorized coordinate extraction for a batch of uniform-type 2-D
     little-endian WKB **LineString (2), Polygon (3), MultiPoint (4),
-    MultiLineString (5), or MultiPolygon (6)** records — the VERDICT-r6 #7
-    extension of the point fast path: the per-row Python ``wkb.loads``
-    parse is the dominant cost of geometry-heavy pandas-UDF stages, and
-    coordinate-fold kernels (bbox / extent / grid keys) only need the flat
-    vertex stream, not a Geom tree.
+    MultiLineString (5), MultiPolygon (6), or GeometryCollection (7)**
+    records — the VERDICT-r6 #7 extension of the point fast path: the
+    per-row Python ``wkb.loads`` parse is the dominant cost of
+    geometry-heavy pandas-UDF stages, and coordinate-fold kernels (bbox /
+    extent / grid keys) only need the flat vertex stream, not a Geom tree.
 
     Returns ``(xs, ys, counts)`` — the concatenated vertex doubles of all
     non-null rows in row order, plus an int64 per-row vertex count aligned
@@ -111,9 +111,12 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
     With ``with_rings=True`` a fourth element is appended — the structure
     descriptor the refine sweep consumes (r9): a dict with ``kind``
     ('paths' for LineString/MultiLineString parts, 'points' for MultiPoint
-    members, 'polys' for Polygon/MultiPolygon rings), ``rows`` (full-batch
-    row index per group) and ``vcounts`` (vertices per group), plus
-    ``part``/``ord`` ordinals for 'polys'; groups arrive in (row, part,
+    members, 'polys' for Polygon/MultiPolygon rings, 'mixed' for
+    GeometryCollection), ``rows`` (full-batch row index per group) and
+    ``vcounts`` (vertices per group), plus ``part``/``ord`` ordinals for
+    'polys'; 'mixed' instead carries per-group ``cls`` tags (0 = path,
+    1 = isolated point, 2 = polygon ring), ``ord`` ring ordinals, and a
+    flattened leaf-member ``mem`` ordinal. Groups arrive in (row, part,
     ordinal) order matching the vertex stream, so per-group segments never
     bridge parts or rings; every supported gtype gets a descriptor.
 
@@ -147,7 +150,7 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
         .view(np.uint32)
     )
     gtype = int(words[0])
-    if gtype not in (2, 3, 4, 5, 6) or not (words == gtype).all():
+    if gtype not in (2, 3, 4, 5, 6, 7) or not (words == gtype).all():
         return None
     nitems = (
         arr[(rec_starts[:, None] + np.arange(5, 9)[None, :]).ravel()]
@@ -314,6 +317,159 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
         row_counts = np.zeros(m, np.int64)
         for p, cnts in enumerate(part_counts_l):
             row_counts[nitems > p] += cnts
+    elif gtype == 7:  # GeometryCollection (r10): heterogeneous members —
+        # walk the headers per record in Python (O(members + rings), cheap
+        # next to the per-vertex work, and GC is heterogeneous by nature so
+        # an ordinal-vectorized walk would branch per type anyway) while
+        # the vertex gather below stays fully vectorized. The descriptor
+        # carries per-group CLASS tags (0 = path, 1 = isolated point,
+        # 2 = polygon ring) plus a flattened leaf-member ordinal, so the
+        # sweep routes everything through one unified structure table
+        # mirroring the scalar kernels' _segments/_points/_polygons/
+        # _component_coords recursion.
+        rec_end_l = (rec_starts + lens).tolist()
+        rec_start_l = rec_starts.tolist()
+        g_row_l: list = []
+        g_cls_l: list = []
+        g_ord_l: list = []
+        g_mem_l: list = []
+        g_start_l: list = []
+        g_vc_l: list = []
+        mem = 0  # flattened leaf-member counter. Nested collections
+        # flatten EXACTLY: the kernel's per-member folds are left-nested
+        # sums starting at 0, so a left fold over the flattened leaf
+        # partials reproduces the nested grouping bit-for-bit.
+
+        def _u32(p):
+            return int.from_bytes(joined[p : p + 4], "little")
+
+        def _member(pos, end, rec):
+            nonlocal mem
+            if pos + 5 > end or arr[pos] != 1:
+                raise ValueError
+            t = _u32(pos + 1)
+            if t == 1:  # Point: 21-byte 2-D record
+                if pos + 21 > end:
+                    raise ValueError
+                g_row_l.append(rec); g_cls_l.append(1); g_ord_l.append(0)
+                g_mem_l.append(mem); g_start_l.append(pos + 5); g_vc_l.append(1)
+                mem += 1
+                return pos + 21
+            if t == 2:  # LineString
+                if pos + 9 > end:
+                    raise ValueError
+                npts = _u32(pos + 5)
+                nxt = pos + 9 + npts * 16
+                if nxt > end:
+                    raise ValueError
+                g_row_l.append(rec); g_cls_l.append(0); g_ord_l.append(0)
+                g_mem_l.append(mem); g_start_l.append(pos + 9)
+                g_vc_l.append(npts)
+                mem += 1
+                return nxt
+            if t == 3:  # Polygon: one instance, ord per ring
+                if pos + 9 > end:
+                    raise ValueError
+                nrings = _u32(pos + 5)
+                cur_p = pos + 9
+                for r in range(nrings):
+                    if cur_p + 4 > end:
+                        raise ValueError
+                    npts = _u32(cur_p)
+                    if cur_p + 4 + npts * 16 > end:
+                        raise ValueError
+                    g_row_l.append(rec); g_cls_l.append(2); g_ord_l.append(r)
+                    g_mem_l.append(mem); g_start_l.append(cur_p + 4)
+                    g_vc_l.append(npts)
+                    cur_p += 4 + npts * 16
+                mem += 1
+                return cur_p
+            if t == 4:  # MultiPoint: full point WKBs, one leaf member
+                if pos + 9 > end:
+                    raise ValueError
+                nm = _u32(pos + 5)
+                cur_p = pos + 9
+                for _ in range(nm):
+                    if cur_p + 21 > end or arr[cur_p] != 1 or _u32(cur_p + 1) != 1:
+                        raise ValueError
+                    g_row_l.append(rec); g_cls_l.append(1); g_ord_l.append(0)
+                    g_mem_l.append(mem); g_start_l.append(cur_p + 5)
+                    g_vc_l.append(1)
+                    cur_p += 21
+                mem += 1
+                return cur_p
+            if t == 5:  # MultiLineString: one leaf member, path per part
+                if pos + 9 > end:
+                    raise ValueError
+                nparts = _u32(pos + 5)
+                cur_p = pos + 9
+                for _ in range(nparts):
+                    if cur_p + 9 > end or arr[cur_p] != 1 or _u32(cur_p + 1) != 2:
+                        raise ValueError
+                    npts = _u32(cur_p + 5)
+                    if cur_p + 9 + npts * 16 > end:
+                        raise ValueError
+                    g_row_l.append(rec); g_cls_l.append(0); g_ord_l.append(0)
+                    g_mem_l.append(mem); g_start_l.append(cur_p + 9)
+                    g_vc_l.append(npts)
+                    cur_p += 9 + npts * 16
+                mem += 1
+                return cur_p
+            if t == 6:  # MultiPolygon: each part a NEW polygon instance
+                if pos + 9 > end:
+                    raise ValueError
+                nparts = _u32(pos + 5)
+                cur_p = pos + 9
+                for _ in range(nparts):
+                    if cur_p + 9 > end or arr[cur_p] != 1 or _u32(cur_p + 1) != 3:
+                        raise ValueError
+                    nrings = _u32(cur_p + 5)
+                    cur_p += 9
+                    for r in range(nrings):
+                        if cur_p + 4 > end:
+                            raise ValueError
+                        npts = _u32(cur_p)
+                        if cur_p + 4 + npts * 16 > end:
+                            raise ValueError
+                        g_row_l.append(rec); g_cls_l.append(2)
+                        g_ord_l.append(r); g_mem_l.append(mem)
+                        g_start_l.append(cur_p + 4); g_vc_l.append(npts)
+                        cur_p += 4 + npts * 16
+                mem += 1
+                return cur_p
+            if t == 7:  # nested collection: flatten (exact — see mem note)
+                if pos + 9 > end:
+                    raise ValueError
+                nm = _u32(pos + 5)
+                cur_p = pos + 9
+                for _ in range(nm):
+                    cur_p = _member(cur_p, end, rec)
+                return cur_p
+            raise ValueError  # Z/M member, big-endian member, or junk
+
+        try:
+            for r in range(m):
+                pos = rec_start_l[r] + 9
+                end = rec_end_l[r]
+                for _ in range(int(nitems[r])):
+                    pos = _member(pos, end, r)
+                if pos != end:
+                    return None
+        except ValueError:
+            return None
+        coord_starts = np.array(g_start_l, np.int64)
+        coord_counts = np.array(g_vc_l, np.int64)
+        g_rec = np.array(g_row_l, np.int64)
+        row_counts = np.zeros(m, np.int64)
+        np.add.at(row_counts, g_rec, coord_counts)
+        info = {
+            "kind": "mixed",
+            "rows": ii[g_rec] if g_rec.size else np.empty(0, np.int64),
+            "vcounts": coord_counts.copy(),
+            "cls": np.array(g_cls_l, np.int8),
+            "ord": np.array(g_ord_l, np.int64),
+            "mem": np.array(g_mem_l, np.int64),
+        }
     else:  # MultiPolygon (6): parts are full Polygon WKBs with rings
         rec_end = rec_starts + lens
         cur = rec_starts + 9
@@ -765,23 +921,35 @@ _SWEEP_WORDS = {
     b"\x04\x00\x00\x00",  # MultiPoint (r9e)
     b"\x05\x00\x00\x00",  # MultiLineString (r9c)
     b"\x06\x00\x00\x00",  # MultiPolygon (r9c)
+    b"\x07\x00\x00\x00",  # GeometryCollection (r10)
 }
 
 
 def _sweep_batch(s: pd.Series):
     """Decode a uniform 2-D LE WKB LineString / Polygon / MultiLineString /
-    MultiPolygon batch into a flat segment table. Returns (null_mask,
-    counts, xs, ys, vstart, seg coords (ax, ay, bx, by), nsegs, sstart,
-    reps, polyinfo) or None (other types / NaN vertices / non-conforming:
-    caller falls back to the scalar loop).
+    MultiPolygon / MultiPoint / GeometryCollection batch into a flat
+    segment table. Returns (null_mask, counts, xs, ys, vstart, seg coords
+    (ax, ay, bx, by), nsegs, sstart, reps, polyinfo, ptinfo, lininfo,
+    kind) or None (other types / NaN vertices / non-conforming: caller
+    falls back to the scalar loop).
 
-    Segments are built per path/ring — never bridging parts or rings.
+    Segments are built per path/ring — never bridging parts or rings; for
+    ``mixed`` (GeometryCollection) batches they cover paths AND rings in
+    member order, mirroring the kernel's flat ``_segments`` recursion.
     ``reps`` = (rep_row, rep_x, rep_y): the kernel's component
-    representative coordinates — first vertex of every non-empty path /
-    every non-empty shell (mirrors geom_ops._component_coords).
-    ``polyinfo`` (polygonal batches only) = (poly_row, poly_ring_start,
-    poly_nrings, ring_ord, ring_seg_start, ring_nsegs): each polygon
-    instance's ring block for the vectorized containment probes."""
+    representative coordinates — first vertex of every non-empty path,
+    every member point, every non-empty shell (_component_coords).
+    ``polyinfo`` = (poly_row, poly_ring_start, poly_nrings, ring_ord,
+    ring_seg_start, ring_nsegs): each polygon instance's ring block for
+    the vectorized containment probes (ring tables are the cls==2
+    subtable for mixed batches; seg starts index the GLOBAL seg stream).
+    ``ptinfo`` = (pt_counts, pt_vstart, pt_xs, pt_ys): the isolated-point
+    vertices per row (the kernel's ``_points``), present for MultiPoint
+    and mixed batches. ``lininfo`` (mixed only) = (lin_counts, lin_start,
+    lin_seg_start, lin_nsegs): per-row LINEAR leaf members with their
+    contiguous global segment spans — st_length folds each member's
+    hypot terms first and then the member partials per row, matching the
+    kernel's sum-of-member-lengths grouping bit-for-bit."""
     isna = s.isna().to_numpy()
     ii = np.flatnonzero(~isna)
     if ii.size == 0:
@@ -803,6 +971,7 @@ def _sweep_batch(s: pd.Series):
     vstart = np.concatenate(([0], np.cumsum(counts)[:-1]))
     g_rows = info["rows"]
     g_vc = info["vcounts"]
+    kind = info["kind"]
     g_nsegs = np.maximum(g_vc - 1, 0)
     g_vstart = np.concatenate(([0], np.cumsum(g_vc)[:-1]))
     base = _multi_arange(g_vstart, g_nsegs)
@@ -811,28 +980,82 @@ def _sweep_batch(s: pd.Series):
     sax, say = xs[base], ys[base]
     sbx, sby = xs[base + 1], ys[base + 1]
     sstart = np.concatenate(([0], np.cumsum(nsegs)[:-1]))
-    if info["kind"] in ("paths", "points"):
+    g_seg_start = np.concatenate(([0], np.cumsum(g_nsegs)[:-1]))
+    if kind in ("paths", "points"):
         rep_m = g_vc > 0  # every non-empty path / every member point
-    else:
+    elif kind == "polys":
         rep_m = (info["ord"] == 0) & (g_vc > 0)  # every non-empty shell
+    else:  # mixed: paths + points + shells, in member order
+        cls = info["cls"]
+        rep_m = (g_vc > 0) & ((cls != 2) | (info["ord"] == 0))
     reps = (g_rows[rep_m], xs[g_vstart[rep_m]], ys[g_vstart[rep_m]])
     polyinfo = None
-    if info["kind"] == "polys":
-        g_seg_start = np.concatenate(([0], np.cumsum(g_nsegs)[:-1]))
+    ptinfo = None
+    lininfo = None
+    if kind == "polys" or kind == "mixed":
         # polygon instance = maximal run of rings with the same (row,
         # part); rings arrive (row, part, ordinal)-sorted so ordinal==0
-        # marks each instance's first ring
-        poly_first = np.flatnonzero(info["ord"] == 0)
-        poly_ring_start = poly_first
-        poly_nrings = np.diff(np.concatenate((poly_first, [g_rows.size])))
-        poly_row = g_rows[poly_first] if poly_first.size else np.empty(0, np.int64)
-        polyinfo = (
-            poly_row, poly_ring_start, poly_nrings,
-            info["ord"], g_seg_start, g_nsegs,
-        )
+        # marks each instance's first ring. For mixed batches the ring
+        # tables are the cls==2 subtable (instance rings stay contiguous
+        # within it); seg starts always index the GLOBAL segment stream.
+        if kind == "polys":
+            r2 = np.arange(g_rows.size)
+            ords2 = info["ord"]
+        else:
+            r2 = np.flatnonzero(info["cls"] == 2)
+            ords2 = info["ord"][r2]
+        if r2.size:
+            ring_rows2 = g_rows[r2]
+            poly_first = np.flatnonzero(ords2 == 0)
+            poly_nrings = np.diff(np.concatenate((poly_first, [r2.size])))
+            poly_row = (
+                ring_rows2[poly_first] if poly_first.size else np.empty(0, np.int64)
+            )
+            polyinfo = (
+                poly_row, poly_first, poly_nrings,
+                ords2, g_seg_start[r2], g_nsegs[r2],
+            )
+        elif kind == "polys":
+            polyinfo = (
+                np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64), np.empty(0, np.int64),
+            )
+    if kind == "points":
+        ptinfo = (counts, vstart, xs, ys)
+    elif kind == "mixed":
+        p1 = np.flatnonzero(info["cls"] == 1)
+        if p1.size:
+            pt_rows = g_rows[p1]
+            pt_counts = np.zeros(counts.size, np.int64)
+            np.add.at(pt_counts, pt_rows, 1)  # cls-1 groups have 1 vertex
+            ptinfo = (
+                pt_counts,
+                np.concatenate(([0], np.cumsum(pt_counts)[:-1])),
+                xs[g_vstart[p1]],
+                ys[g_vstart[p1]],
+            )
+        c0 = np.flatnonzero(info["cls"] == 0)
+        if c0.size:
+            mems = info["mem"][c0]
+            lfirst = np.flatnonzero(
+                np.concatenate(([True], mems[1:] != mems[:-1]))
+            )
+            lin_rows = g_rows[c0][lfirst]
+            lin_seg_start = g_seg_start[c0][lfirst]
+            lin_nsegs = np.add.reduceat(g_nsegs[c0], lfirst)
+            lin_counts = np.zeros(counts.size, np.int64)
+            np.add.at(lin_counts, lin_rows, 1)
+            lininfo = (
+                lin_counts,
+                np.concatenate(([0], np.cumsum(lin_counts)[:-1])),
+                lin_seg_start,
+                lin_nsegs,
+            )
     return (
         isna, counts, xs, ys, vstart,
-        sax, say, sbx, sby, nsegs, sstart, reps, polyinfo, info["kind"],
+        sax, say, sbx, sby, nsegs, sstart, reps, polyinfo, ptinfo,
+        lininfo, kind,
     )
 
 
@@ -891,11 +1114,13 @@ def _pt_segs_d2(px, py, AX, AY, BX, BY):
 
 
 def _line_fact_eval(lb, codes, geoms, want_distance: bool):
-    """Shared sweep: batch (multi)lines/(multi)polygons vs factorized
-    line/polygon uniques. Returns a hit bool array for predicates, or a
-    float64 distance array (NaN = SQL NULL) when ``want_distance``."""
+    """Shared sweep: batch (multi)lines/(multi)polygons/collections vs
+    factorized line/polygon uniques. Returns a hit bool array for
+    predicates, or a float64 distance array (NaN = SQL NULL) when
+    ``want_distance``."""
     (isna, counts, xs, ys, vstart,
-     sax, say, sbx, sby, nsegs, sstart, reps, polyinfo, kind) = lb
+     sax, say, sbx, sby, nsegs, sstart, reps, polyinfo, ptinfo,
+     _lininfo, kind) = lb
     n = counts.size
     hit_all = np.zeros(n, dtype=bool)
     dist_all = np.full(n, np.nan)
@@ -962,27 +1187,34 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
         if seg_hit.size and has.any():
             row_hit[has] = np.bitwise_or.reduceat(seg_hit, loc_start[has])
         pt_best = None
-        if kind == "points":
-            # isolated member points (MultiPoint rows): the kernel tests
-            # each point against g's segments (_point_intersects) and, for
-            # distance, folds point_seg_dist2 over the same pairs
-            vidx = _multi_arange(vstart[rows], counts[rows])
-            vx, vy = xs[vidx], ys[vidx]
-            pt_on = np.zeros(vx.size, dtype=bool)
-            pt_best = np.full(vx.size, np.inf)
-            for cx, cy, dx_, dy_ in gsegs or ():
-                dv = (dx_ - cx) * (vy - cy) - (dy_ - cy) * (vx - cx)
-                pt_on |= (
-                    (np.abs(dv) <= _EPS)
-                    & (min(cx, dx_) - _EPS <= vx) & (vx <= max(cx, dx_) + _EPS)
-                    & (min(cy, dy_) - _EPS <= vy) & (vy <= max(cy, dy_) + _EPS)
-                )
-                if want_distance:
-                    pt_best = np.minimum(
-                        pt_best, _pts_seg_d2(vx, vy, cx, cy, dx_, dy_)
+        pt_has = None
+        v_loc = None
+        if ptinfo is not None:
+            # isolated member points (MultiPoint rows / point members of a
+            # collection): the kernel tests each point against g's
+            # segments (_point_intersects) and, for distance, folds
+            # point_seg_dist2 over the same pairs
+            pt_counts, pt_vstart, pxs, pys = ptinfo
+            pt_has = pt_counts[rows] > 0
+            prows = rows[pt_has]
+            if prows.size:
+                vidx = _multi_arange(pt_vstart[prows], pt_counts[prows])
+                vx, vy = pxs[vidx], pys[vidx]
+                pt_on = np.zeros(vx.size, dtype=bool)
+                pt_best = np.full(vx.size, np.inf)
+                for cx, cy, dx_, dy_ in gsegs or ():
+                    dv = (dx_ - cx) * (vy - cy) - (dy_ - cy) * (vx - cx)
+                    pt_on |= (
+                        (np.abs(dv) <= _EPS)
+                        & (min(cx, dx_) - _EPS <= vx) & (vx <= max(cx, dx_) + _EPS)
+                        & (min(cy, dy_) - _EPS <= vy) & (vy <= max(cy, dy_) + _EPS)
                     )
-            v_loc = np.concatenate(([0], np.cumsum(counts[rows])[:-1]))
-            row_hit |= np.bitwise_or.reduceat(pt_on, v_loc)
+                    if want_distance:
+                        pt_best = np.minimum(
+                            pt_best, _pts_seg_d2(vx, vy, cx, cy, dx_, dy_)
+                        )
+                v_loc = np.concatenate(([0], np.cumsum(pt_counts[prows])[:-1]))
+                row_hit[pt_has] |= np.bitwise_or.reduceat(pt_on, v_loc)
         # containment without edge crossing, probe 1: the kernel tests one
         # representative coordinate PER COMPONENT of each batch row (each
         # path's start / each shell's first vertex) against g's rings
@@ -1015,18 +1247,22 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
             )
         hit_all[rows] = row_hit
         if want_distance:
-            d_rows = np.full(rows.size, np.nan)
+            # min over the squared terms first, sqrt once — the scalar
+            # kernel's structure (and sqrt is monotone, so merging the
+            # segment-sweep and isolated-point minima before the root is
+            # bit-identical to either pure path)
+            best2 = np.full(rows.size, np.inf)
             if seg_best.size and has.any():
-                d = np.sqrt(np.minimum.reduceat(seg_best, loc_start[has]))
-                # a segment-less factorized geometry (1-vertex line,
-                # degenerate ring) leaves inf best: the scalar kernel
-                # returns None there, not infinity
-                d[~np.isfinite(d)] = np.nan
-                d_rows[has] = d
+                best2[has] = np.minimum.reduceat(seg_best, loc_start[has])
             if pt_best is not None and pt_best.size:
-                d = np.sqrt(np.minimum.reduceat(pt_best, v_loc))
-                d[~np.isfinite(d)] = np.nan
-                d_rows = d  # rows with counts>0 all have >=1 member point
+                best2[pt_has] = np.minimum(
+                    best2[pt_has], np.minimum.reduceat(pt_best, v_loc)
+                )
+            d_rows = np.sqrt(best2)
+            # a segment-less factorized geometry (1-vertex line,
+            # degenerate ring) leaves inf best: the scalar kernel
+            # returns None there, not infinity
+            d_rows[~np.isfinite(d_rows)] = np.nan
             # kernel: intersects -> 0.0 (checked FIRST, so it wins over
             # the sweep value); segment-less non-hit rows stay NULL
             d_rows[row_hit] = 0.0
@@ -1129,7 +1365,7 @@ def _containment_eval(lb, codes, geoms, batch_s):
     from datafusion_spatial_spark import wkb as _wkb
 
     (isna, counts, xs, ys, vstart,
-     sax, say, sbx, sby, nsegs, sstart, _reps, _pi, _kind) = lb
+     sax, say, sbx, sby, nsegs, sstart, _reps, _pi, _pt, _lin, _kind) = lb
     n = counts.size
     out = np.zeros(n, dtype=bool)
     vals = None
@@ -1353,7 +1589,8 @@ def measure_fastpath(s, mode: str):
     if lb is None:
         return None
     (isna, counts, xs, ys, vstart,
-     sax, say, sbx, sby, nsegs, sstart, _reps, polyinfo, kind) = lb
+     sax, say, sbx, sby, nsegs, sstart, _reps, polyinfo, ptinfo,
+     lininfo, kind) = lb
     n = counts.size
     out = np.zeros(n, dtype=np.float64)
     if mode == "length":
@@ -1371,6 +1608,25 @@ def measure_fastpath(s, mode: str):
                 [_m.hypot(a, b) for a, b in zip(dx, dy)], dtype=np.float64
             )
             out = _seq_fold_groups(terms, sstart, nsegs)
+        elif kind == "mixed" and lininfo is not None:
+            # GC length = sum of the LINEAR members' lengths (the kernel
+            # recurses member-by-member): fold each linear member's hypot
+            # terms sequentially, then fold the member PARTIALS per row —
+            # bit-identical to the kernel's nested sums (each starts at
+            # 0.0, so left-folding the flattened partials reproduces the
+            # grouping exactly). Ring/point segments never contribute.
+            import math as _m
+
+            lin_counts, lin_start, lin_seg_start, lin_nsegs = lininfo
+            sidx = _multi_arange(lin_seg_start, lin_nsegs)
+            dx = (sbx[sidx] - sax[sidx]).tolist()
+            dy = (sby[sidx] - say[sidx]).tolist()
+            terms = np.array(
+                [_m.hypot(a, b) for a, b in zip(dx, dy)], dtype=np.float64
+            )
+            local_start = np.concatenate(([0], np.cumsum(lin_nsegs)[:-1]))
+            partials = _seq_fold_groups(terms, local_start, lin_nsegs)
+            out = _seq_fold_groups(partials, lin_start, lin_counts)
     elif mode == "area":
         if polyinfo is not None:
             (poly_row, poly_ring_start, poly_nrings,
@@ -1410,7 +1666,8 @@ def centroid_fastpath(s):
     import math as _m
 
     (isna, counts, xs, ys, vstart,
-     sax, say, sbx, sby, nsegs, sstart, _reps, polyinfo, kind) = lb
+     sax, say, sbx, sby, nsegs, sstart, _reps, polyinfo, ptinfo,
+     _lininfo, kind) = lb
     n = counts.size
     outx = np.full(n, np.nan)
     outy = np.full(n, np.nan)
@@ -1456,13 +1713,17 @@ def centroid_fastpath(s):
             outx = np.where(ok2, sx / sl, outx)
             outy = np.where(ok2, sy / sl, outy)
         done |= ok2
-    if kind == "points" and not done.all():
-        px = _seq_fold_groups(xs, vstart, counts)
-        py = _seq_fold_groups(ys, vstart, counts)
-        ok3 = ~done & (counts > 0)
+    if ptinfo is not None and not done.all():
+        # stage 3: mean of the isolated points (kernel's _points — the
+        # full vertex stream for MultiPoint batches, the cls-1 subset for
+        # collections)
+        pt_counts, pt_vstart, pxs, pys = ptinfo
+        px = _seq_fold_groups(pxs, pt_vstart, pt_counts)
+        py = _seq_fold_groups(pys, pt_vstart, pt_counts)
+        ok3 = ~done & (pt_counts > 0)
         with np.errstate(divide="ignore", invalid="ignore"):
-            outx = np.where(ok3, px / counts, outx)
-            outy = np.where(ok3, py / counts, outy)
+            outx = np.where(ok3, px / pt_counts, outx)
+            outy = np.where(ok3, py / pt_counts, outy)
     outx = outx.copy()
     outy = outy.copy()
     outx[isna] = np.nan

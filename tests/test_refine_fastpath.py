@@ -438,13 +438,29 @@ def test_line_fastpath_fallbacks():
     )
     assert predicate_fastpath(distinct_a, distinct_b, "intersects", "wkb", "wkb") is None
     assert distance_fastpath(distinct_a, distinct_b, "wkb", "wkb") is None
-    # GeometryCollection uniques (point components) -> scalar kernel
+    # GeometryCollection uniques never FACTORIZE (not a _LINE_FACT_TYPES
+    # member) — but since the lines side here is duplicate-heavy, the
+    # orientation flips and the GC column engages the r10 mixed BATCH
+    # sweep instead, matching the scalar kernel exactly
     gc = pd.Series(
         [wkb.dumps(wkb.Geom("GeometryCollection",
                             [wkb.Geom("Point", (1.0, 1.0))]))] * 12,
         dtype=object,
     )
-    assert predicate_fastpath(lines, gc, "intersects", "wkb", "wkb") is None
+    got = predicate_fastpath(lines, gc, "intersects", "wkb", "wkb")
+    assert got is not None
+    assert list(got) == _scalar(geom_ops.intersects, lines, gc)
+    # ...and with BOTH sides high-uniqueness GC batches still fall back
+    distinct_gc = pd.Series(
+        [wkb.dumps(wkb.Geom("GeometryCollection",
+                            [wkb.Geom("Point", (float(i), 1.0))]))
+         for i in range(12)],
+        dtype=object,
+    )
+    assert (
+        predicate_fastpath(distinct_a, distinct_gc, "intersects", "wkb", "wkb")
+        is None
+    )
     # contains/within now engage when the factorized side is the
     # container (r9c) — and must match the scalar kernel
     box = pd.Series([_poly(BOX)] * 12, dtype=object)
@@ -871,6 +887,189 @@ def test_multipoint_batch_containment_parity():
 
 
 # ---------------------------------------------------------------------------
+# round-10: GeometryCollection batch sides complete the sweep's type matrix
+
+
+def _gc(members):
+    return wkb.dumps(wkb.Geom("GeometryCollection", list(members)))
+
+
+def _rand_gcs(rng, n):
+    """Uniform GeometryCollection batches with heterogeneous members —
+    points, lines, polygons (with holes), all three multi types, NESTED
+    collections, empty members, GEOMETRYCOLLECTION EMPTY, and nulls."""
+
+    def rand_coord():
+        return (
+            (rng.randint(-4, 12) / 2, rng.randint(-4, 12) / 2)
+            if rng.random() < 0.5
+            else (rng.uniform(-1.5, 7.0) * math.sqrt(2), rng.uniform(-2.0, 10.0))
+        )
+
+    def rand_pt():
+        return wkb.Geom("Point", rand_coord())
+
+    def rand_line():
+        return wkb.Geom(
+            "LineString", [rand_coord() for _ in range(rng.randint(1, 4))]
+        )
+
+    def rand_poly():
+        x0, y0 = rand_coord()
+        w, h = rng.randint(1, 6) / 2, rng.randint(1, 6) / 2
+        rings = [[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                  (x0, y0 + h), (x0, y0)]]
+        if rng.random() < 0.3 and w >= 1.0 and h >= 1.0:
+            rings.append([
+                (x0 + w / 4, y0 + h / 4), (x0 + 3 * w / 4, y0 + h / 4),
+                (x0 + 3 * w / 4, y0 + 3 * h / 4), (x0 + w / 4, y0 + 3 * h / 4),
+                (x0 + w / 4, y0 + h / 4),
+            ])
+        return wkb.Geom("Polygon", rings)
+
+    def rand_multi():
+        k = rng.randint(1, 2)
+        t = rng.randrange(3)
+        if t == 0:
+            return wkb.Geom("MultiPoint", [rand_coord() for _ in range(k + 1)])
+        if t == 1:
+            return wkb.Geom(
+                "MultiLineString", [rand_line().coords for _ in range(k)]
+            )
+        return wkb.Geom("MultiPolygon", [rand_poly().coords for _ in range(k)])
+
+    def rand_member():
+        r = rng.random()
+        if r < 0.25:
+            return rand_pt()
+        if r < 0.5:
+            return rand_line()
+        if r < 0.75:
+            return rand_poly()
+        return rand_multi()
+
+    out = []
+    for i in range(n):
+        r = i % 12
+        if r == 0:
+            out.append(None)
+        elif r == 1:
+            out.append(_gc([]))  # GEOMETRYCOLLECTION EMPTY
+        elif r == 2:
+            # empty members only (no coordinates at all)
+            out.append(_gc([wkb.Geom("LineString", []),
+                            wkb.Geom("Polygon", []),
+                            wkb.Geom("MultiPoint", [])]))
+        elif r == 3:
+            # nested collection + a sibling: flattening must be exact
+            out.append(_gc([
+                wkb.Geom("GeometryCollection", [rand_member(), rand_pt()]),
+                rand_line(),
+            ]))
+        elif r == 4:
+            # degenerate 1-vertex line member next to a real polygon
+            out.append(_gc([
+                wkb.Geom("LineString", [rand_coord()]), rand_poly(),
+            ]))
+        else:
+            out.append(_gc([rand_member() for _ in range(rng.randint(1, 3))]))
+    return pd.Series(out, dtype=object)
+
+
+def test_gc_batch_predicates_and_distance_parity():
+    rng = random.Random(29)
+    batch = _rand_gcs(rng, 300)
+    geoms = pd.Series(
+        [LINE_FACT_SHAPES[rng.randrange(len(LINE_FACT_SHAPES))] for _ in range(300)],
+        dtype=object,
+    )
+    for mode in ("intersects", "disjoint"):
+        for a, b in ((batch, geoms), (geoms, batch)):
+            got = predicate_fastpath(a, b, mode, "wkb", "wkb")
+            assert got is not None, (mode, "did not engage")
+            assert list(got) == _scalar(MODES[mode], a, b), mode
+    for a, b in ((batch, geoms), (geoms, batch)):
+        got = distance_fastpath(a, b, "wkb", "wkb")
+        assert got is not None
+        exp = _scalar_dist(a, b)
+        for i, (g, e) in enumerate(zip(got, exp)):
+            if e is None:
+                assert math.isnan(g), (i, g)
+            else:
+                assert g == e, (i, g, e)
+
+
+def test_gc_batch_containment_parity():
+    rng = random.Random(31)
+    batch = _rand_gcs(rng, 200)
+    for cont_bytes in (_poly(BOX), _poly(BOX, HOLE),
+                       _line([(0.0, 0.0), (4.0, 4.0)])):
+        cont = pd.Series([cont_bytes] * 200, dtype=object)
+        got = predicate_fastpath(cont, batch, "contains", "wkb", "wkb")
+        assert got is not None
+        assert list(got) == _scalar(geom_ops.contains, cont, batch)
+        got = predicate_fastpath(batch, cont, "within", "wkb", "wkb")
+        assert got is not None
+        assert list(got) == _scalar(geom_ops.within, batch, cont)
+
+
+def test_gc_targeted_topologies():
+    """The decisions only specific probe classes get right: an isolated
+    point member ON the factorized line / INSIDE the polygon (no segment
+    crossing), a second member wholly inside the region, a GC polygon
+    member CONTAINING the factorized geometry, and a point-only GC."""
+    box_wkb = _poly(BOX)
+    cases = [
+        _gc([wkb.Geom("Point", (2.0, 2.0))]),             # pt inside box
+        _gc([wkb.Geom("Point", (2.0, 0.0))]),             # pt on box edge
+        _gc([wkb.Geom("Point", (50.0, 50.0))]),           # far pt
+        _gc([wkb.Geom("LineString", [(50.0, 50.0), (51.0, 51.0)]),
+             wkb.Geom("Point", (1.0, 1.0))]),             # 2nd member inside
+        _gc([wkb.Geom("Polygon", [[(-10.0, -10.0), (20.0, -10.0),
+                                   (20.0, 20.0), (-10.0, 20.0),
+                                   (-10.0, -10.0)]])]),   # member engulfs box
+        _gc([wkb.Geom("MultiPoint", [(0.5, 0.5), (60.0, 60.0)])]),
+    ]
+    n = 6
+    for case in cases:
+        a = pd.Series([case] * n, dtype=object)
+        b = pd.Series([box_wkb] * n, dtype=object)
+        for mode in ("intersects", "disjoint"):
+            for x, y in ((a, b), (b, a)):
+                got = predicate_fastpath(x, y, mode, "wkb", "wkb")
+                assert got is not None
+                assert list(got) == _scalar(MODES[mode], x, y), (mode, case[:20])
+        got = distance_fastpath(a, b, "wkb", "wkb")
+        assert got is not None
+        exp = _scalar_dist(a, b)
+        for g, e in zip(got, exp):
+            assert (e is None and math.isnan(g)) or g == e, (case[:20], g, e)
+
+
+def test_gc_flat_coords_and_bbox_parity():
+    """flat_coords_batch on a GC batch: the vertex stream/counts match the
+    per-row codec, and the st_bbox consumer path gives the kernel bbox."""
+    from datafusion_spatial_spark.functions._fastpath import flat_coords_batch
+
+    rng = random.Random(37)
+    batch = _rand_gcs(rng, 200)
+    flat = flat_coords_batch(batch)
+    assert flat is not None
+    xs, ys, counts = flat
+    pos = 0
+    for i, v in enumerate(batch):
+        if v is None:
+            assert counts[i] == 0
+            continue
+        g = wkb.loads(bytes(v))
+        exp = [(p[0], p[1]) for p in geom_ops._all_coords(g)]
+        assert counts[i] == len(exp), i
+        got = list(zip(xs[pos : pos + counts[i]], ys[pos : pos + counts[i]]))
+        assert got == exp, i
+        pos += counts[i]
+
+
+# ---------------------------------------------------------------------------
 # round-9f: vectorized st_area / st_length (sequential-order folds)
 
 from datafusion_spatial_spark.functions._fastpath import measure_fastpath
@@ -878,6 +1077,7 @@ from datafusion_spatial_spark.functions._fastpath import measure_fastpath
 
 @pytest.mark.parametrize("maker", [
     _rand_lines, _rand_polys, _rand_mlines, _rand_mpolys, _rand_mpts,
+    _rand_gcs,
 ])
 def test_measure_fastpath_parity(maker):
     rng = random.Random(hash(maker.__name__) % 500)
@@ -947,6 +1147,7 @@ from datafusion_spatial_spark.functions._fastpath import centroid_fastpath
 
 @pytest.mark.parametrize("maker", [
     _rand_lines, _rand_polys, _rand_mlines, _rand_mpolys, _rand_mpts,
+    _rand_gcs,
 ])
 def test_centroid_fastpath_parity(maker):
     rng = random.Random(hash(maker.__name__) % 300)
