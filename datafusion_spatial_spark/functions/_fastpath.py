@@ -966,6 +966,13 @@ def _sweep_batch(s: pd.Series):
     xs, ys, counts, info = fc
     if info is None:
         return None
+    return _sweep_from_flat(isna, xs, ys, counts, info)
+
+
+def _sweep_from_flat(isna, xs, ys, counts, info):
+    """Shared structure-table builder behind _sweep_batch: consumes the
+    flat vertex stream + group descriptor regardless of whether they came
+    from a WKB decode or a native flat-offsets struct batch (r10)."""
     if np.isnan(xs).any() or np.isnan(ys).any():
         return None  # NaN-vertex parity decisions stay in the scalar kernel
     vstart = np.concatenate(([0], np.cumsum(counts)[:-1]))
@@ -1057,6 +1064,138 @@ def _sweep_batch(s: pd.Series):
         sax, say, sbx, sby, nsegs, sstart, reps, polyinfo, ptinfo,
         lininfo, kind,
     )
+
+
+_NATIVE_DEPTH = {
+    "LineString": 1, "MultiPoint": 1,
+    "Polygon": 2, "MultiLineString": 2, "MultiPolygon": 3,
+}
+
+
+def _native_sweep_batch(df, tname: str):
+    """_sweep_batch for a NATIVE flat-offsets struct batch (the `_prep`
+    shape: xs/ys list columns + ring_counts/part_counts): the struct
+    fields are already coordinate arrays, so the structure tables build
+    straight from them — no WKB decode at all (r10, VERDICT r9 #4).
+    2-D only (zs/ms present -> scalar path); None to fall back."""
+    if tname not in _NATIVE_DEPTH:
+        return None
+    if not isinstance(df, pd.DataFrame) or "xs" not in df or "ys" not in df:
+        return None
+    if "zs" in df.columns or "ms" in df.columns:
+        return None
+    depth = _NATIVE_DEPTH[tname]
+    xs_col = df["xs"].to_numpy(dtype=object)
+    ys_col = df["ys"].to_numpy(dtype=object)
+    n = len(xs_col)
+    isna = np.array([v is None for v in xs_col], dtype=bool)
+    ii = np.flatnonzero(~isna)
+    if ii.size == 0:
+        return None
+    counts = np.zeros(n, np.int64)
+    try:
+        xparts = [np.asarray(xs_col[i], np.float64) for i in ii]
+        yparts = [np.asarray(ys_col[i], np.float64) for i in ii]
+    except (TypeError, ValueError):
+        return None  # null vertex elements -> scalar path decides
+    for k, i in enumerate(ii):
+        if xparts[k].ndim != 1 or xparts[k].size != yparts[k].size:
+            return None
+        counts[i] = xparts[k].size
+    xs = np.concatenate(xparts) if xparts else np.empty(0, np.float64)
+    ys = np.concatenate(yparts) if yparts else np.empty(0, np.float64)
+
+    if depth == 1 and tname == "LineString":
+        info = {"kind": "paths", "rows": ii.copy(), "vcounts": counts[ii].copy()}
+    elif tname == "MultiPoint":
+        vc = counts[ii]
+        info = {
+            "kind": "points",
+            "rows": np.repeat(ii, vc),
+            "vcounts": np.ones(int(vc.sum()), np.int64),
+        }
+    else:
+        rc_col = df["ring_counts"].to_numpy(dtype=object)
+        g_rows_l, g_vc_l, g_ord_l = [], [], []
+        if depth == 3:
+            pc_col = df["part_counts"].to_numpy(dtype=object)
+        try:
+            for i in ii:
+                rc = rc_col[i]
+                rcs = [int(v) for v in rc] if rc is not None else []
+                if sum(rcs) != counts[i]:
+                    return None
+                if depth == 2:
+                    ords = range(len(rcs))
+                else:  # MultiPolygon: ring ordinal within its part
+                    ords = []
+                    pcs = [int(v) for v in pc_col[i]] if pc_col[i] is not None else []
+                    if sum(pcs) != len(rcs):
+                        return None
+                    for nr in pcs:
+                        ords.extend(range(nr))
+                for o, m_ in zip(ords, rcs):
+                    g_rows_l.append(i)
+                    g_vc_l.append(m_)
+                    g_ord_l.append(o)
+        except (TypeError, ValueError):
+            return None
+        kind = "paths" if tname == "MultiLineString" else "polys"
+        info = {
+            "kind": kind,
+            "rows": np.array(g_rows_l, np.int64),
+            "vcounts": np.array(g_vc_l, np.int64),
+        }
+        if kind == "polys":
+            info["ord"] = np.array(g_ord_l, np.int64)
+            info["part"] = np.zeros(len(g_rows_l), np.int64)
+    return _sweep_from_flat(isna, xs, ys, counts, info)
+
+
+def _batch_decode(s, kind: str):
+    """Route a batch side into the sweep by its _fast_kind hint: WKB bytes
+    through the vectorized decode, native structs straight from their
+    coordinate arrays. None when the shape can't engage."""
+    if kind == "wkb" and isinstance(s, pd.Series):
+        return _sweep_batch(s)
+    if kind.startswith("native:"):
+        return _native_sweep_batch(s, kind[7:])
+    return None
+
+
+def _row_geom_fn(s, kind: str):
+    """Row index -> Geom for the rare scalar edge-case fallback inside
+    _containment_eval (all probes on the container boundary)."""
+    from datafusion_spatial_spark import wkb as _wkb
+
+    if kind == "wkb":
+        vals = s.to_numpy(dtype=object)
+        return lambda i: _wkb.loads(bytes(vals[i]))
+    tname = kind[7:]
+    depth = _NATIVE_DEPTH[tname]
+    xs_col = s["xs"].to_numpy(dtype=object)
+    ys_col = s["ys"].to_numpy(dtype=object)
+    rc_col = s["ring_counts"].to_numpy(dtype=object) if "ring_counts" in s else None
+    pc_col = s["part_counts"].to_numpy(dtype=object) if "part_counts" in s else None
+
+    def get(i):
+        # mirrors predicates._converter's conv_native for the 2-D case
+        pts = list(zip(xs_col[i], ys_col[i]))
+        if depth == 1:
+            return _wkb.Geom(tname, pts)
+        rings, k = [], 0
+        for m_ in rc_col[i]:
+            rings.append(pts[k : k + int(m_)])
+            k += int(m_)
+        if depth == 2:
+            return _wkb.Geom(tname, rings)
+        parts, j = [], 0
+        for m_ in pc_col[i]:
+            parts.append(rings[j : j + int(m_)])
+            j += int(m_)
+        return _wkb.Geom(tname, parts)
+
+    return get
 
 
 _LINE_FACT_TYPES = ("LineString", "MultiLineString", "Polygon", "MultiPolygon")
@@ -1353,7 +1492,7 @@ def _rows_contain_probe(polyinfo, rows, sax, say, sbx, sby, g):
     return out
 
 
-def _containment_eval(lb, codes, geoms, batch_s):
+def _containment_eval(lb, codes, geoms, row_geom):
     """contains(g, batch_row) for each row, mirroring geom_ops.contains for
     a FACTORIZED container: polygonal g — every batch vertex AND every
     batch segment midpoint locates >= 1 in g's ring systems, with at least
@@ -1362,13 +1501,11 @@ def _containment_eval(lb, codes, geoms, batch_s):
     bit-exact parity); linear g — every vertex and midpoint lies on one of
     g's segments. Returns a bool array (False default)."""
     from datafusion_spatial_spark import geom_ops as _go
-    from datafusion_spatial_spark import wkb as _wkb
 
     (isna, counts, xs, ys, vstart,
      sax, say, sbx, sby, nsegs, sstart, _reps, _pi, _pt, _lin, _kind) = lb
     n = counts.size
     out = np.zeros(n, dtype=bool)
-    vals = None
     for gi, g in enumerate(geoms):
         m = (codes == gi) & ~isna
         if not m.any() or g.is_empty:
@@ -1406,12 +1543,8 @@ def _containment_eval(lb, codes, geoms, batch_s):
             # b's representative point — decide those rows with the
             # scalar kernel itself (rare; bounded Python)
             edge = np.flatnonzero(ok & ~interior)
-            if edge.size:
-                if vals is None:
-                    vals = batch_s.to_numpy(dtype=object)
-                for j in edge:
-                    gb = _wkb.loads(bytes(vals[rows[j]]))
-                    res[j] = _go.contains(g, gb)
+            for j in edge:
+                res[j] = _go.contains(g, row_geom(int(rows[j])))
             out[rows] = res
         elif g.type_name in ("LineString", "MultiLineString"):
             von = np.zeros(vx.size, dtype=bool)
@@ -1441,26 +1574,25 @@ def _containment_eval(lb, codes, geoms, batch_s):
 
 def _line_containment_fastpath(sa, sb, mode, kind_a, kind_b):
     """contains/within where the CONTAINER is the duplicate-heavy
-    factorized side and the containee is a line/polygon batch (the
-    'parcels within query region' shape). None to fall back."""
-    if kind_a != "wkb" or kind_b != "wkb":
-        return None
+    factorized side and the containee is a line/polygon/collection batch
+    (WKB or native flat-offsets — the 'parcels within query region'
+    shape). None to fall back."""
     if mode == "contains":
-        container_s, batch_s = sa, sb
+        container_s, ck, batch_s, bk = sa, kind_a, sb, kind_b
     elif mode == "within":
-        container_s, batch_s = sb, sa
+        container_s, ck, batch_s, bk = sb, kind_b, sa, kind_a
     else:
         return None
-    if not isinstance(container_s, pd.Series) or not isinstance(batch_s, pd.Series):
+    if ck != "wkb" or not isinstance(container_s, pd.Series):
         return None
     fact = _fact_line_geoms(container_s)
     if fact is None:
         return None
-    lb = _sweep_batch(batch_s)
+    lb = _batch_decode(batch_s, bk)
     if lb is None:
         return None
     codes, geoms = fact
-    hit = _containment_eval(lb, codes, geoms, batch_s)
+    hit = _containment_eval(lb, codes, geoms, _row_geom_fn(batch_s, bk))
     isna = lb[0]
     gnull = codes < 0
     res = np.where(~isna & ~gnull, hit, False)
@@ -1477,17 +1609,18 @@ def _line_predicate_fastpath(sa, sb, mode, kind_a, kind_b):
         return _line_containment_fastpath(sa, sb, mode, kind_a, kind_b)
     if mode not in ("intersects", "disjoint"):
         return None
-    if kind_a != "wkb" or kind_b != "wkb":
-        return None
-    for batch_s, fact_s in ((sa, sb), (sb, sa)):
-        if not isinstance(batch_s, pd.Series) or not isinstance(fact_s, pd.Series):
+    for (batch_s, bk), (fact_s, fk) in (
+        ((sa, kind_a), (sb, kind_b)),
+        ((sb, kind_b), (sa, kind_a)),
+    ):
+        if fk != "wkb" or not isinstance(fact_s, pd.Series):
             continue
         # factorize gate first: it is the more selective test, and failing
         # it skips the (heavier) vectorized batch decode entirely
         fact = _fact_line_geoms(fact_s)
         if fact is None:
             continue
-        lb = _sweep_batch(batch_s)
+        lb = _batch_decode(batch_s, bk)
         if lb is None:
             continue
         codes, geoms = fact
@@ -1506,19 +1639,21 @@ def _line_predicate_fastpath(sa, sb, mode, kind_a, kind_b):
 
 
 def _line_distance_fastpath(sa, sb, kind_a, kind_b):
-    """st_distance for line/polygon batches vs duplicate-heavy WKB
-    line/polygon sides, either orientation. None to fall back."""
-    if kind_a != "wkb" or kind_b != "wkb":
-        return None
-    for batch_s, fact_s in ((sa, sb), (sb, sa)):
-        if not isinstance(batch_s, pd.Series) or not isinstance(fact_s, pd.Series):
+    """st_distance for line/polygon/collection batches (WKB or native
+    flat-offsets) vs duplicate-heavy WKB line/polygon sides, either
+    orientation. None to fall back."""
+    for (batch_s, bk), (fact_s, fk) in (
+        ((sa, kind_a), (sb, kind_b)),
+        ((sb, kind_b), (sa, kind_a)),
+    ):
+        if fk != "wkb" or not isinstance(fact_s, pd.Series):
             continue
         # factorize gate first: it is the more selective test, and failing
         # it skips the (heavier) vectorized batch decode entirely
         fact = _fact_line_geoms(fact_s)
         if fact is None:
             continue
-        lb = _sweep_batch(batch_s)
+        lb = _batch_decode(batch_s, bk)
         if lb is None:
             continue
         codes, geoms = fact
@@ -1573,19 +1708,18 @@ def _seq_fold_groups(terms, group_start, group_len):
     return acc
 
 
-def measure_fastpath(s, mode: str):
-    """Batched st_area / st_length over uniform WKB line/polygon/multi
-    batches. Returns a float64 Series (NaN -> SQL NULL for null rows) or
-    None to fall back. Mirrors geom_ops.area / geom_ops.length exactly:
-    length folds hypot over path segments in order (0.0 for polygonal and
-    point input); area folds signed abs(ring_area2)/2 per ring in ring
-    order (0.0 for linear input), where ring_area2 itself folds the
-    shoelace terms sequentially."""
+def measure_fastpath(s, mode: str, src_kind: str = "wkb"):
+    """Batched st_area / st_length over uniform WKB line/polygon/multi/
+    collection batches or native flat-offsets struct batches. Returns a
+    float64 Series (NaN -> SQL NULL for null rows) or None to fall back.
+    Mirrors geom_ops.area / geom_ops.length exactly: length folds hypot
+    over path segments in order (0.0 for polygonal and point input); area
+    folds signed abs(ring_area2)/2 per ring in ring order (0.0 for linear
+    input), where ring_area2 itself folds the shoelace terms
+    sequentially."""
     if _DISABLED:
         return None
-    if not isinstance(s, pd.Series):
-        return None
-    lb = _sweep_batch(s)
+    lb = _batch_decode(s, src_kind)
     if lb is None:
         return None
     (isna, counts, xs, ys, vstart,
@@ -1650,17 +1784,18 @@ def measure_fastpath(s, mode: str):
     return pd.Series(out, dtype="float64")
 
 
-def centroid_fastpath(s):
-    """Batched geom_ops.centroid over uniform WKB batches: area centroid
-    for polygonal rows (ring folds + shell/hole weights, with the kernel's
-    fall-through to the length centroid when the weighted area vanishes),
-    length centroid for lines, member mean for MultiPoint. Returns a
-    pandas DataFrame {x, y} (NaN -> NULL) or None to fall back. Every fold
-    is sequential-order (see _seq_fold_groups); degenerate rings the
-    kernel skips contribute exact +0.0 terms instead."""
-    if _DISABLED or not isinstance(s, pd.Series):
+def centroid_fastpath(s, src_kind: str = "wkb"):
+    """Batched geom_ops.centroid over uniform WKB or native flat-offsets
+    batches: area centroid for polygonal rows (ring folds + shell/hole
+    weights, with the kernel's fall-through to the length centroid when
+    the weighted area vanishes), length centroid for lines, member mean
+    for MultiPoint. Returns a pandas DataFrame {x, y} (NaN -> NULL) or
+    None to fall back. Every fold is sequential-order (see
+    _seq_fold_groups); degenerate rings the kernel skips contribute exact
+    +0.0 terms instead."""
+    if _DISABLED:
         return None
-    lb = _sweep_batch(s)
+    lb = _batch_decode(s, src_kind)
     if lb is None:
         return None
     import math as _m

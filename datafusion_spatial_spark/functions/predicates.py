@@ -139,15 +139,15 @@ def _converter(meta: GeometryMeta) -> Callable[[object], wkb.Geom | None]:
 
 def _fast_kind(meta: GeometryMeta) -> str:
     """Shape hint for the vectorized refine fast paths: 'wkb' (bytes reach
-    the UDF as-is), 'point' (depth-0 2-D native struct), 'other'."""
+    the UDF as-is), 'point' (depth-0 2-D native struct),
+    'native:<TypeName>' (deeper 2-D native struct — the flat-offsets
+    fields are coordinate arrays the sweep can consume directly, r10), or
+    'other' (Z/M or unknown: the scalar kernels decide)."""
     if meta.is_wkb:
         return "wkb"
-    if (
-        NESTING_DEPTH.get(meta.native_type) == 0
-        and not meta.has_z
-        and not meta.has_m
-    ):
-        return "point"
+    t = meta.native_type
+    if t in NESTING_DEPTH and not meta.has_z and not meta.has_m:
+        return "point" if NESTING_DEPTH[t] == 0 else f"native:{t}"
     return "other"
 
 
@@ -226,12 +226,14 @@ def _unary_measure(fn, dtype=T.DoubleType(), fast_mode: str | None = None):
 
         @F.pandas_udf(dtype)
         def udf(s: pd.Series) -> pd.Series:
-            if fast_mode is not None and kind == "wkb":
+            if fast_mode is not None and (
+                kind == "wkb" or kind.startswith("native:")
+            ):
                 from datafusion_spatial_spark.functions._fastpath import (
                     measure_fastpath,
                 )
 
-                fast = measure_fastpath(s, fast_mode)
+                fast = measure_fastpath(s, fast_mode, kind)
                 if fast is not None:
                     return fast
             out = []
@@ -365,12 +367,12 @@ def st_centroid(col: Column | str, meta: GeometryMeta) -> Column:
 
     @F.pandas_udf(_pt_type)
     def udf(s: pd.Series) -> pd.DataFrame:
-        if kind == "wkb":
+        if kind == "wkb" or kind.startswith("native:"):
             from datafusion_spatial_spark.functions._fastpath import (
                 centroid_fastpath,
             )
 
-            fast = centroid_fastpath(s)
+            fast = centroid_fastpath(s, kind)
             if fast is not None:
                 return fast
         nan = float("nan")
