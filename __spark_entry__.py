@@ -199,7 +199,9 @@ ORDER BY hour, event_type
 """
 
 # streaming gate: 'complete' = full batch rollup; 'append' = windows the
-# final watermark (max ts - 10 min) closed; 'append_suppressed' = the rest
+# final watermark (max ts - 10 min) closed; 'append_suppressed' = the rest;
+# 'join' = the stream-stream interval self-join's eager inner emissions,
+# whose closed form for a finite one-batch source is the batch join (r10)
 _Q_STREAM_HOURLY_ORACLE = """
 WITH b AS (
   SELECT date_trunc('hour', ts) AS ws, event_type,
@@ -207,6 +209,13 @@ WITH b AS (
   FROM events GROUP BY 1, 2
 ), wm AS (
   SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events
+), j AS (
+  SELECT date_trunc('hour', a.ts) AS ws, a.event_type,
+         count(*) AS n, round(sum(b2.value), 2) AS total_value
+  FROM events a JOIN events b2
+    ON a.user_id = b2.user_id
+   AND b2.ts >= a.ts AND b2.ts <= a.ts + INTERVAL 15 MINUTE
+  GROUP BY 1, 2
 )
 SELECT part, strftime(ws, '%Y-%m-%d %H:%M') AS hour, event_type, n, total_value
 FROM (
@@ -217,6 +226,8 @@ FROM (
   UNION ALL
   SELECT 'append_suppressed' AS part, ws, event_type, n, total_value
   FROM b, wm WHERE ws + INTERVAL 1 HOUR > wm.w
+  UNION ALL
+  SELECT 'join' AS part, ws, event_type, n, total_value FROM j
 )
 ORDER BY part, hour, event_type
 """
@@ -857,10 +868,13 @@ LIMIT 10
 """
 
 
-def _q_spatial_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grid-bucketed distance join (operators/spatial_join.py): customer
-    points within 100 units of any supplier point; oracle is the naive
-    cross-join + distance filter."""
+CLUSTER_DIST = 500.0
+
+
+def _dwithin_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original dwithin-join pair query — shared by the gate's 'pairs'
+    part and bench.py (which keeps timing exactly this frame so the
+    cross-round series stays comparable after the r10 composite fold)."""
     from datafusion_spatial_spark.functions.scalar import st_point
     from datafusion_spatial_spark.meta import GeometryMeta
     from datafusion_spatial_spark.operators.spatial_join import spatial_join
@@ -884,6 +898,42 @@ def _q_spatial_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("custkey", "suppkey")
 
 
+def _q_spatial_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite (r10 folds spatial clustering in, VERDICT r9 #5):
+    part 'pairs' = the grid-bucketed distance join (customer points within
+    100 units of any supplier point; oracle = naive cross-join + distance
+    filter); part 'cluster' = operators/spatial_cluster.cluster_within
+    over the supplier points (PostGIS ST_ClusterWithin: chains of hops
+    <= CLUSTER_DIST share the component's min id) — the oracle recomputes
+    the naive pair list and resolves components with the same
+    reachability recursive CTE the corpus-dedup gate uses."""
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from datafusion_spatial_spark.meta import GeometryMeta
+    from datafusion_spatial_spark.operators.spatial_cluster import cluster_within
+
+    pairs = _dwithin_pairs_df(spark, sf_dir)
+    pair_part = pairs.select(
+        F.lit("pairs").alias("part"),
+        F.col("custkey").cast("long").alias("k1"),
+        F.col("suppkey").cast("long").alias("k2"),
+    )
+    point_meta = GeometryMeta(encoding="point", geometry_types=("Point",))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"),
+        st_point(F.col("s_acctbal"), F.col("s_suppkey").cast("double")).alias("geom"),
+    )
+    clustered = cluster_within(
+        sup, "geom", point_meta, distance=CLUSTER_DIST,
+        cell_size=2.0 * CLUSTER_DIST, id_col="s_suppkey",
+    )
+    clus_part = clustered.select(
+        F.lit("cluster").alias("part"),
+        F.col("s_suppkey").cast("long").alias("k1"),
+        F.col("cluster_id").cast("long").alias("k2"),
+    )
+    return pair_part.unionAll(clus_part).orderBy("part", "k1", "k2")
+
+
 _Q_DWITHIN_ORACLE = """
 SELECT c_custkey AS custkey, s_suppkey AS suppkey
 FROM customer, supplier
@@ -891,6 +941,40 @@ WHERE sqrt((c_acctbal - s_acctbal) * (c_acctbal - s_acctbal)
            + (cast(c_custkey AS DOUBLE) - cast(s_suppkey AS DOUBLE))
              * (cast(c_custkey AS DOUBLE) - cast(s_suppkey AS DOUBLE))) <= 100.0
 ORDER BY custkey, suppkey
+"""
+
+# cluster part mirror: naive supplier self-join dwithin pair list (same
+# sqrt form as the pair oracle), full-reachability recursive CTE (the
+# q_dedup_corpus pattern), component = min reachable id, singletons keep
+# their own id
+_Q_DWITHIN_COMPOSITE_ORACLE = f"""
+WITH RECURSIVE spairs AS (
+  SELECT a.s_suppkey AS ida, b.s_suppkey AS idb
+  FROM supplier a, supplier b
+  WHERE a.s_suppkey < b.s_suppkey
+    AND sqrt((a.s_acctbal - b.s_acctbal) * (a.s_acctbal - b.s_acctbal)
+             + (cast(a.s_suppkey AS DOUBLE) - cast(b.s_suppkey AS DOUBLE))
+               * (cast(a.s_suppkey AS DOUBLE) - cast(b.s_suppkey AS DOUBLE)))
+        <= {CLUSTER_DIST!r}
+), edges AS (
+  SELECT ida AS a, idb AS b FROM spairs
+  UNION ALL
+  SELECT idb AS a, ida AS b FROM spairs
+), reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+)
+SELECT 'pairs' AS part, cast(custkey AS BIGINT) AS k1,
+       cast(suppkey AS BIGINT) AS k2
+FROM ({_Q_DWITHIN_ORACLE}) p
+UNION ALL
+SELECT 'cluster' AS part, cast(s.s_suppkey AS BIGINT) AS k1,
+       cast(coalesce(c.component, s.s_suppkey) AS BIGINT) AS k2
+FROM supplier s LEFT JOIN comp c ON c.id = s.s_suppkey
+ORDER BY part, k1, k2
 """
 
 # hexbin oracle: the axial cube-rounding closed form re-expressed in
@@ -1930,10 +2014,24 @@ FROM votes GROUP BY doc_id ORDER BY doc_id
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datafusion_spatial_spark.operators.text import text_stats
+    """r10 folds the PII counters and Gopher-style repetition stats in
+    (VERDICT r9 #5): email/ipv4 match counts from operators/text.pii_counts
+    (the phone/ssn patterns need Java-regex lookaround that DuckDB's RE2
+    cannot express — those stay pinned by the closed-form pytest units)
+    and dup_line/2gram/3gram fractions from repetition_stats."""
+    from datafusion_spatial_spark.operators.text import (
+        pii_counts,
+        repetition_stats,
+        text_stats,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     out = text_stats(docs, "text", "doc_id")
+    pii = docs.select(
+        "doc_id", pii_counts("text", ("email", "ipv4")).alias("__pii")
+    )
+    rep = repetition_stats(docs, "text", "doc_id", ngram_ks=(2, 3))
+    out = out.join(pii, "doc_id").join(rep, "doc_id")
     return out.select(
         "doc_id",
         F.col("n_chars_computed").cast("long").alias("n_chars_computed"),
@@ -1944,6 +2042,11 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_guess",
         "quality",
         "fingerprint",
+        F.col("__pii.email").cast("long").alias("pii_email"),
+        F.col("__pii.ipv4").cast("long").alias("pii_ipv4"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+        F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
     ).orderBy("doc_id")
 
 
@@ -1977,6 +2080,26 @@ def _q_text_stats_oracle() -> str:
     norm = f"array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')"
     fp = poly_hash_str_duckdb(norm)
     bpe = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+    # PII mirrors (r10): identical pattern strings — both are plain
+    # character-class regexes valid in Java regex AND RE2 with the same
+    # semantics (\b word boundary, ASCII \d, non-capturing groups)
+    from datafusion_spatial_spark.operators.dedup import word_shingles_duckdb
+    from datafusion_spatial_spark.operators.text import PII_PATTERNS
+
+    email = PII_PATTERNS["email"].replace("'", "''")
+    ipv4 = PII_PATTERNS["ipv4"].replace("'", "''")
+    # repetition mirrors: dup fraction over newline-split lines / word
+    # k-gram shingles — (len - len(list_distinct)) / len, double division
+    # in both engines
+    lines = "string_split(text, chr(10))"
+
+    def dup(arr):
+        return (
+            f"CASE WHEN len({arr}) <= 0 THEN 0.0 "
+            f"ELSE (len({arr}) - len(list_distinct({arr}))) "
+            f"/ cast(len({arr}) AS DOUBLE) END"
+        )
+
     return f"""
 SELECT doc_id,
        cast(length(text) AS BIGINT) AS n_chars_computed,
@@ -1986,7 +2109,12 @@ SELECT doc_id,
        round({hits['en']} / {n}, 6) AS stopword_ratio_en,
        {lang_case} AS lang_guess,
        round({quality}, 6) AS quality,
-       {fp} AS fingerprint
+       {fp} AS fingerprint,
+       cast(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS pii_email,
+       cast(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS pii_ipv4,
+       round({dup(lines)}, 6) AS dup_line_frac,
+       round({dup(word_shingles_duckdb('text', 2))}, 6) AS dup_2gram_frac,
+       round({dup(word_shingles_duckdb('text', 3))}, 6) AS dup_3gram_frac
 FROM documents ORDER BY doc_id
 """
 
@@ -1998,16 +2126,32 @@ MIX_WEIGHTS = {"src0": 3.0, "src1": 2.0, "src2": 1.0, "src3": 0.5}
 MIX_SEED = 7
 
 
+SHARD_SEED = 11
+N_SHARDS = 4
+PACK_BUDGET = 1024
+
+
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-pipeline composite (r9 folds the mixture gate in):
+    """Corpus-pipeline composite (r9 folds the mixture gate in; r10 folds
+    shuffle_shards + pack_sequences in, VERDICT r9 #5):
     part 'split' = deterministic train/val/test counts by language
     (operators/corpus.hash_split); part 'mixture' = per-source kept
     counts of mixture_sample in its deterministic hash mode — membership
     is a closed-form poly-hash threshold against driver-computed
-    per-source fractions, so the oracle reproduces the exact kept SET
-    (not just expected counts), gating the fraction arithmetic and the
-    sampling pass together."""
-    from datafusion_spatial_spark.operators.corpus import hash_split, mixture_sample
+    per-source fractions, so the oracle reproduces the exact kept SET;
+    part 'shards' = shuffle_shards in poly mode, pinned per shard by the
+    row count AND the exact-integer checksum sum(shard_pos * doc_id) —
+    any transposition of two documents' positions changes it (the oracle
+    replays the hash-order window); part 'pack' = pack_sequences' greedy
+    fold over the sharded corpus (budget PACK_BUDGET on n_chars), pinned
+    per shard by max(seq_id)+1 and sum(seq_id * doc_id + seq_offset) —
+    the oracle replays the sequential fold with a recursive CTE."""
+    from datafusion_spatial_spark.operators.corpus import (
+        hash_split,
+        mixture_sample,
+        pack_sequences,
+        shuffle_shards,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
@@ -2035,7 +2179,55 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return split_part.unionAll(mix_part).orderBy("part", "k1", "k2")
+    sharded = shuffle_shards(
+        docs.select("doc_id", "n_chars"), "doc_id", N_SHARDS,
+        seed=SHARD_SEED, hash_fn="poly",
+    )
+    sh = sharded.groupBy("shard").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.col("shard_pos") * F.col("doc_id")).cast("long").alias("chk"),
+    )
+    shard_part = sh.select(
+        F.lit("shards").alias("part"),
+        F.col("shard").cast("string").alias("k1"),
+        F.lit("count").alias("k2"),
+        F.col("cnt").alias("n"),
+    ).unionAll(
+        sh.select(
+            F.lit("shards").alias("part"),
+            F.col("shard").cast("string").alias("k1"),
+            F.lit("poschk").alias("k2"),
+            F.col("chk").alias("n"),
+        )
+    )
+    packed = pack_sequences(
+        sharded, "doc_id", "n_chars", budget=PACK_BUDGET, shard_col="shard"
+    )
+    pk = packed.groupBy("shard").agg(
+        (F.max("seq_id") + 1).cast("long").alias("nseq"),
+        F.sum(
+            F.col("seq_id") * F.col("doc_id") + F.col("seq_offset")
+        ).cast("long").alias("chk"),
+    )
+    pack_part = pk.select(
+        F.lit("pack").alias("part"),
+        F.col("shard").cast("string").alias("k1"),
+        F.lit("nseq").alias("k2"),
+        F.col("nseq").alias("n"),
+    ).unionAll(
+        pk.select(
+            F.lit("pack").alias("part"),
+            F.col("shard").cast("string").alias("k1"),
+            F.lit("packchk").alias("k2"),
+            F.col("chk").alias("n"),
+        )
+    )
+    return (
+        split_part.unionAll(mix_part)
+        .unionAll(shard_part)
+        .unionAll(pack_part)
+        .orderBy("part", "k1", "k2")
+    )
 
 
 def _q_hash_split_oracle() -> str:
@@ -2058,8 +2250,13 @@ def _q_hash_split_oracle() -> str:
         "concat(cast(length(source) AS VARCHAR), ':', source, ':', "
         f"cast(doc_id AS VARCHAR), ':mix:{MIX_SEED}')"
     )
+    # shuffle_shards mirror (r10): h = poly(concat(id, '#seed')) in [0, P),
+    # shard = h % n, shard_pos = hash-order rank (ties by id)
+    shh = poly_hash_str_duckdb(
+        f"concat(cast(doc_id AS VARCHAR), '#{SHARD_SEED}')"
+    )
     return f"""
-WITH h AS (
+WITH RECURSIVE h AS (
   SELECT lang, {ph} / {float(P)} AS u FROM documents
 ), split_part AS (
   SELECT 'split' AS part, lang AS k1,
@@ -2085,10 +2282,56 @@ WITH h AS (
   FROM documents d JOIN fracs f ON d.source = f.fsrc
   WHERE {mph} / {float(P)} < f.frac
   GROUP BY d.source
+), positioned AS (
+  SELECT doc_id, n_chars,
+         CAST(sh_h % {N_SHARDS} AS INT) AS shard,
+         row_number() OVER (
+           PARTITION BY CAST(sh_h % {N_SHARDS} AS INT)
+           ORDER BY sh_h, doc_id
+         ) - 1 AS pos
+  FROM (SELECT doc_id, n_chars, {shh} AS sh_h FROM documents) s
+), shard_part AS (
+  SELECT 'shards' AS part, cast(shard AS VARCHAR) AS k1, 'count' AS k2,
+         count(*) AS n
+  FROM positioned GROUP BY shard
+  UNION ALL
+  SELECT 'shards', cast(shard AS VARCHAR), 'poschk',
+         cast(sum(pos * doc_id) AS BIGINT)
+  FROM positioned GROUP BY shard
+), pk_ordered AS (
+  SELECT shard, doc_id, n_chars,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM positioned
+), pk_walk AS (
+  SELECT shard, doc_id, rn, 0 AS seq, CAST(0 AS BIGINT) AS off,
+         CAST(n_chars AS BIGINT) AS total
+  FROM pk_ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.doc_id, o.rn,
+         CASE WHEN w.total + o.n_chars > {PACK_BUDGET}
+              THEN w.seq + 1 ELSE w.seq END,
+         CASE WHEN w.total + o.n_chars > {PACK_BUDGET}
+              THEN CAST(0 AS BIGINT) ELSE w.total END,
+         CASE WHEN w.total + o.n_chars > {PACK_BUDGET}
+              THEN CAST(o.n_chars AS BIGINT) ELSE w.total + o.n_chars END
+  FROM pk_walk w JOIN pk_ordered o
+    ON o.shard = w.shard AND o.rn = w.rn + 1
+), pack_part AS (
+  SELECT 'pack' AS part, cast(shard AS VARCHAR) AS k1, 'nseq' AS k2,
+         cast(max(seq) + 1 AS BIGINT) AS n
+  FROM pk_walk GROUP BY shard
+  UNION ALL
+  SELECT 'pack', cast(shard AS VARCHAR), 'packchk',
+         cast(sum(seq * doc_id + off) AS BIGINT)
+  FROM pk_walk GROUP BY shard
 )
 SELECT part, k1, k2, n FROM split_part
 UNION ALL
 SELECT part, k1, k2, n FROM mix_part
+UNION ALL
+SELECT part, k1, k2, n FROM shard_part
+UNION ALL
+SELECT part, k1, k2, n FROM pack_part
 ORDER BY part, k1, k2
 """
 
@@ -2667,7 +2910,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "event_type", "n", "total_value",
             )
         )
-        return comp.unionAll(app).unionAll(suppressed).orderBy(
+        # part 'join' (r10, VERDICT r9 #7): the watermarked stream-stream
+        # interval self-join — right events of the same user within
+        # [left_ts, left_ts + 15 min]. INNER matches emit eagerly (the
+        # watermark bounds join STATE, which a finite one-batch source
+        # cannot observe in the output), so the emitted pair set has the
+        # batch join as its exact closed form; the watermark-driven
+        # outer-emission behavior is pinned in tests/test_streaming.py.
+        # Rolled up per left-event hour x type to the gate's row shape.
+        sl = stream_ops.stream_events(spark, sf_dir).select(
+            "user_id", "ts", "event_type"
+        )
+        sr = stream_ops.stream_events(spark, sf_dir).select(
+            "user_id", "ts", "value"
+        )
+        joined = stream_ops.stream_stream_join(
+            sl, sr, "user_id", interval="15 minutes", watermark="1 hour"
+        ).select(
+            F.col("l.ts").alias("lts"),
+            F.col("l.event_type").alias("etype"),
+            F.col("r.value").alias("rvalue"),
+        )
+        name3 = stream_ops.run_to_memory(
+            joined, "q_stream_hourly_join", output_mode="append"
+        )
+        join_part = (
+            spark.table(name3)
+            .groupBy(
+                F.date_format(
+                    F.date_trunc("hour", "lts"), "yyyy-MM-dd HH:mm"
+                ).alias("hour"),
+                F.col("etype").alias("event_type"),
+            )
+            .agg(F.count("*").alias("n"), F.round(F.sum("rvalue"), 2).alias("total_value"))
+            .select(F.lit("join").alias("part"), "hour", "event_type", "n", "total_value")
+        )
+        return comp.unionAll(app).unionAll(suppressed).unionAll(join_part).orderBy(
             "part", "hour", "event_type"
         )
 
@@ -2749,7 +3027,7 @@ def oracle_sql() -> dict[str, str]:
         "q_st_envelope_by_nation": _Q_ST_ENVELOPE_ORACLE,
         "q_st_contains_triangle": _q_st_contains_triangle_oracle(),
         "q_st_distance_topk": _Q_ST_DISTANCE_ORACLE,
-        "q_spatial_dwithin_join": _Q_DWITHIN_ORACLE,
+        "q_spatial_dwithin_join": _Q_DWITHIN_COMPOSITE_ORACLE,
         "q_sql_spatial_join": _Q_SQL_SPATIAL_ORACLE,
         "q_st_intersection_area": _q_st_intersection_area_oracle(),
         "q_st_predicate_battery": _Q_ST_PREDICATE_ORACLE,
