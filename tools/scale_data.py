@@ -75,7 +75,11 @@ def _caesar_maps(copy: int) -> tuple[str, str]:
     return lower + upper, mapped + mapped.upper()
 
 
-def scale(spark: SparkSession, sf_dir: str, out_dir: str, factor: int) -> None:
+def scale(spark: SparkSession, sf_dir: str, out_dir: str, factor: int,
+          tables: set | None = None) -> None:
+    """``tables`` restricts generation (probe runs that only touch a few
+    tables skip the heavy lineitem/orders copies); None = all."""
+    want = (lambda t: True) if tables is None else (lambda t: t in tables)
     os.makedirs(out_dir, exist_ok=True)
     read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
     pk = {"customer": "c_custkey", "supplier": "s_suppkey",
@@ -105,82 +109,91 @@ def scale(spark: SparkSession, sf_dir: str, out_dir: str, factor: int) -> None:
         print(f"  wrote {name} x{factor}")
 
     for t in TABLES_FIXED:
-        write(read(t), t, 1)
+        if want(t):
+            write(read(t), t, 1)
 
-    cust = read("customer").crossJoin(copies)
-    write(
-        cust.select(off("c_custkey", "customer"), "c_name", "c_nationkey",
-                    "c_acctbal", "c_mktsegment"),
-        "customer", 1,
-    )
-    sup = read("supplier").crossJoin(copies)
-    write(
-        sup.select(off("s_suppkey", "supplier"), "s_name", "s_nationkey",
-                   "s_acctbal"),
-        "supplier", 1,
-    )
-    part = read("part").crossJoin(copies)
-    write(
-        part.select(off("p_partkey", "part"), "p_name", "p_brand", "p_type",
-                    "p_size", "p_retailprice"),
-        "part", 1,
-    )
-    orders = read("orders").crossJoin(copies)
-    write(
-        orders.select(off("o_orderkey", "orders"), off("o_custkey", "customer"),
-                      "o_orderstatus", "o_totalprice", "o_orderdate",
-                      "o_orderpriority"),
-        "orders", 2,
-    )
-    li = read("lineitem").crossJoin(copies)
-    write(
-        li.select(off("l_orderkey", "orders"), off("l_partkey", "part"),
-                  off("l_suppkey", "supplier"), "l_linenumber", "l_quantity",
-                  "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
-                  "l_linestatus", "l_shipdate"),
-        "lineitem", 8,
-    )
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").crossJoin(copies)
-    ev_span_e = int(ev.agg(F.max("event_id")).first()[0]) + 1
-    ev_span_u = int(ev.agg(F.max("user_id")).first()[0]) + 1
-    write(
-        ev.select(
-            (F.col("event_id") + F.col("_copy") * F.lit(ev_span_e)).alias("event_id"),
-            "ts",
-            (F.col("user_id") + F.col("_copy") * F.lit(ev_span_u)).alias("user_id"),
-            "event_type", "value", "props",
-        ),
-        "events", 2,
-    )
-
-    docs = read("documents")
-    doc_span = int(docs.agg(F.max("doc_id")).first()[0]) + 1
-    shifted = None
-    for c in range(factor):
-        src, dst = _caesar_maps(c)
-        piece = docs.select(
-            (F.col("doc_id") + F.lit(c * doc_span)).alias("doc_id"),
-            (F.col("text") if c == 0 else F.translate("text", src, dst)).alias("text"),
-            "lang", "source", "n_chars",
+    if want('customer'):
+        cust = read("customer").crossJoin(copies)
+        write(
+            cust.select(off("c_custkey", "customer"), "c_name", "c_nationkey",
+                        "c_acctbal", "c_mktsegment"),
+            "customer", 1,
         )
-        shifted = piece if shifted is None else shifted.unionAll(piece)
-    write(shifted, "documents", 1)
+    if want('supplier'):
+        sup = read("supplier").crossJoin(copies)
+        write(
+            sup.select(off("s_suppkey", "supplier"), "s_name", "s_nationkey",
+                       "s_acctbal"),
+            "supplier", 1,
+        )
+    if want('part'):
+        part = read("part").crossJoin(copies)
+        write(
+            part.select(off("p_partkey", "part"), "p_name", "p_brand", "p_type",
+                        "p_size", "p_retailprice"),
+            "part", 1,
+        )
+    if want('orders'):
+        orders = read("orders").crossJoin(copies)
+        write(
+            orders.select(off("o_orderkey", "orders"), off("o_custkey", "customer"),
+                          "o_orderstatus", "o_totalprice", "o_orderdate",
+                          "o_orderpriority"),
+            "orders", 2,
+        )
+    if want('lineitem'):
+        li = read("lineitem").crossJoin(copies)
+        write(
+            li.select(off("l_orderkey", "orders"), off("l_partkey", "part"),
+                      off("l_suppkey", "supplier"), "l_linenumber", "l_quantity",
+                      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+                      "l_linestatus", "l_shipdate"),
+            "lineitem", 8,
+        )
 
-    emb = read("embeddings")
-    emb_span = int(emb.agg(F.max("vec_id")).first()[0]) + 1
-    emb10 = emb.crossJoin(copies).select(
-        (F.col("vec_id") + F.col("_copy") * F.lit(emb_span)).alias("vec_id"),
-        F.when(F.col("_copy") == 0, F.col("embedding")).otherwise(
-            F.expr(
-                "transform(embedding, (x, i) -> cast(x * (1.0d + "
-                "(pmod(xxhash64(vec_id, _copy, i), 2001) - 1000) * 1.0e-6) as float))"
+    if want('events'):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").crossJoin(copies)
+        ev_span_e = int(ev.agg(F.max("event_id")).first()[0]) + 1
+        ev_span_u = int(ev.agg(F.max("user_id")).first()[0]) + 1
+        write(
+            ev.select(
+                (F.col("event_id") + F.col("_copy") * F.lit(ev_span_e)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.col("_copy") * F.lit(ev_span_u)).alias("user_id"),
+                "event_type", "value", "props",
+            ),
+            "events", 2,
+        )
+
+    if want('documents'):
+        docs = read("documents")
+        doc_span = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+        shifted = None
+        for c in range(factor):
+            src, dst = _caesar_maps(c)
+            piece = docs.select(
+                (F.col("doc_id") + F.lit(c * doc_span)).alias("doc_id"),
+                (F.col("text") if c == 0 else F.translate("text", src, dst)).alias("text"),
+                "lang", "source", "n_chars",
             )
-        ).alias("embedding"),
-        "label",
-    )
-    write(emb10, "embeddings", 1)
+            shifted = piece if shifted is None else shifted.unionAll(piece)
+        write(shifted, "documents", 1)
+
+    if want('embeddings'):
+        emb = read("embeddings")
+        emb_span = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+        emb10 = emb.crossJoin(copies).select(
+            (F.col("vec_id") + F.col("_copy") * F.lit(emb_span)).alias("vec_id"),
+            F.when(F.col("_copy") == 0, F.col("embedding")).otherwise(
+                F.expr(
+                    "transform(embedding, (x, i) -> cast(x * (1.0d + "
+                    "(pmod(xxhash64(vec_id, _copy, i), 2001) - 1000) * 1.0e-6) as float))"
+                )
+            ).alias("embedding"),
+            "label",
+        )
+        write(emb10, "embeddings", 1)
 
 
 def main() -> None:
@@ -188,12 +201,15 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(REPO, ".scale", "sf1"))
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--tables", default="",
+                    help="comma list to restrict generation (default: all)")
     args = ap.parse_args()
 
     from datafusion_spatial_spark.session import get_spark
 
     spark = get_spark(app_name="scale_data")
-    scale(spark, args.sf_dir, args.out, args.factor)
+    scale(spark, args.sf_dir, args.out, args.factor,
+          tables=set(args.tables.split(",")) if args.tables else None)
     spark.stop()
 
 
