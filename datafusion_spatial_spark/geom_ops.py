@@ -4009,11 +4009,24 @@ def _merid_coeffs(e2: float):
     )
 
 
+def _tm_merid(phi: float, a: float, e2: float) -> float:
+    c0, c2, c4, c6 = _merid_coeffs(e2)
+    return a * (c0 * phi - c2 * math.sin(2 * phi) + c4 * math.sin(4 * phi)
+                - c6 * math.sin(6 * phi))
+
+
 def _tm_fwd(lon: float, lat: float, lon0_deg: float, south: bool,
-            a: float = WGS84_A, f: float = WGS84_F):
+            a: float = WGS84_A, f: float = WGS84_F,
+            k0: float = _UTM_K0, fe: float = _UTM_FE,
+            fn: float | None = None, lat0_deg: float = 0.0):
+    """Ellipsoidal transverse Mercator (Snyder 8-9..8-15). UTM defaults;
+    r10 generalizes k0/FE/FN/lat0 for named non-UTM codes (the default
+    arithmetic is bit-identical: lat0 = 0 yields M0 = 0.0 exactly and the
+    conditional skips the subtraction)."""
+    if fn is None:
+        fn = _UTM_FN_S if south else 0.0
     e2 = f * (2 - f)
     ep2 = e2 / (1 - e2)
-    c0, c2, c4, c6 = _merid_coeffs(e2)
     phi = math.radians(lat)
     lam = math.radians(lon)
     lam0 = math.radians(lon0_deg)
@@ -4022,15 +4035,16 @@ def _tm_fwd(lon: float, lat: float, lon0_deg: float, south: bool,
     T = tphi * tphi
     C = ep2 * cphi * cphi
     A = (lam - lam0) * cphi
-    M = a * (c0 * phi - c2 * math.sin(2 * phi) + c4 * math.sin(4 * phi)
-             - c6 * math.sin(6 * phi))
+    M = _tm_merid(phi, a, e2)
+    M0 = _tm_merid(math.radians(lat0_deg), a, e2) if lat0_deg else 0.0
+    Md = M - M0 if M0 else M
     A2, A3 = A * A, A * A * A
-    x = _UTM_FE + _UTM_K0 * N * (
+    x = fe + k0 * N * (
         A + (1 - T + C) * A3 / 6
         + (5 - 18 * T + T * T + 72 * C - 58 * ep2) * A3 * A2 / 120
     )
-    y = (_UTM_FN_S if south else 0.0) + _UTM_K0 * (
-        M + N * tphi * (
+    y = fn + k0 * (
+        Md + N * tphi * (
             A2 / 2 + (5 - T + 9 * C + 4 * C * C) * A2 * A2 / 24
             + (61 - 58 * T + T * T + 600 * C - 330 * ep2) * A3 * A3 / 720
         )
@@ -4039,12 +4053,18 @@ def _tm_fwd(lon: float, lat: float, lon0_deg: float, south: bool,
 
 
 def _tm_inv(x: float, y: float, lon0_deg: float, south: bool,
-            a: float = WGS84_A, f: float = WGS84_F):
+            a: float = WGS84_A, f: float = WGS84_F,
+            k0: float = _UTM_K0, fe: float = _UTM_FE,
+            fn: float | None = None, lat0_deg: float = 0.0):
+    if fn is None:
+        fn = _UTM_FN_S if south else 0.0
     e2 = f * (2 - f)
     ep2 = e2 / (1 - e2)
     c0, _, _, _ = _merid_coeffs(e2)
     e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
-    M = (y - (_UTM_FN_S if south else 0.0)) / _UTM_K0
+    M = (y - fn) / k0
+    if lat0_deg:
+        M = M + _tm_merid(math.radians(lat0_deg), a, e2)
     mu = M / (a * c0)
     phi1 = (
         mu
@@ -4058,7 +4078,7 @@ def _tm_inv(x: float, y: float, lon0_deg: float, south: bool,
     T1 = t1 * t1
     N1 = a / math.sqrt(1 - e2 * s1 * s1)
     R1 = a * (1 - e2) / (1 - e2 * s1 * s1) ** 1.5
-    D = (x - _UTM_FE) / (N1 * _UTM_K0)
+    D = (x - fe) / (N1 * k0)
     D2 = D * D
     phi = phi1 - (N1 * t1 / R1) * (
         D2 / 2
@@ -4314,6 +4334,201 @@ def _lcc_inv(x: float, y: float, params,
     return math.degrees(lam0 + theta / n), math.degrees(phi)
 
 
+# --- 7-parameter Helmert datum shift (position-vector convention) --------
+# geodetic(h=0) -> geocentric XYZ -> T + (1+s)·R·X -> geodetic, dropping
+# the residual height (the standard 2-D datum-transformation practice).
+# The inverse solves the exact 3x3 linear system (Cramer), so round trips
+# are exact to float precision rather than relying on the negated-params
+# small-angle approximation.
+
+ARCSEC = math.pi / (180.0 * 3600.0)
+
+
+def _geodetic_to_xyz(lon: float, lat: float, a: float, f: float):
+    e2 = f * (2 - f)
+    phi, lam = math.radians(lat), math.radians(lon)
+    s, c = math.sin(phi), math.cos(phi)
+    N = a / math.sqrt(1 - e2 * s * s)
+    return N * c * math.cos(lam), N * c * math.sin(lam), N * (1 - e2) * s
+
+
+def _xyz_to_geodetic(X: float, Y: float, Z: float, a: float, f: float):
+    e2 = f * (2 - f)
+    lam = math.atan2(Y, X)
+    p = math.hypot(X, Y)
+    if p == 0.0:
+        return math.degrees(lam), math.copysign(90.0, Z)
+    phi = math.atan2(Z, p * (1 - e2))
+    for _ in range(10):
+        s = math.sin(phi)
+        N = a / math.sqrt(1 - e2 * s * s)
+        nphi = math.atan2(Z + e2 * N * s, p)
+        if abs(nphi - phi) < 1e-15:
+            phi = nphi
+            break
+        phi = nphi
+    return math.degrees(lam), math.degrees(phi)
+
+
+def _helmert_apply(X, Y, Z, prm):
+    """prm = (tx, ty, tz, rx, ry, rz, s_ppm), position-vector sign
+    convention: X' = T + (1+s)·R·X with R the small-angle matrix."""
+    tx, ty, tz, rx, ry, rz, s_ppm = prm
+    rx, ry, rz = rx * ARCSEC, ry * ARCSEC, rz * ARCSEC
+    m = 1.0 + s_ppm * 1e-6
+    return (
+        tx + m * (X - rz * Y + ry * Z),
+        ty + m * (rz * X + Y - rx * Z),
+        tz + m * (-ry * X + rx * Y + Z),
+    )
+
+
+def _helmert_invert(X, Y, Z, prm):
+    """Exact inverse of _helmert_apply: solve (1+s)·R·v = X' − T for v
+    (Cramer's rule on the exact small-angle matrix — NOT the negated-
+    parameter approximation, so fwd∘inv is identity to float precision)."""
+    tx, ty, tz, rx, ry, rz, s_ppm = prm
+    rx, ry, rz = rx * ARCSEC, ry * ARCSEC, rz * ARCSEC
+    m = 1.0 + s_ppm * 1e-6
+    bx, by, bz = (X - tx) / m, (Y - ty) / m, (Z - tz) / m
+    # R = [[1,-rz,ry],[rz,1,-rx],[-ry,rx,1]]
+    det = 1 + rx * rx + ry * ry + rz * rz  # exact expansion for this form
+    vx = (bx * (1 + rx * rx) + by * (rz + rx * ry) + bz * (rx * rz - ry)) / det
+    vy = (bx * (rx * ry - rz) + by * (1 + ry * ry) + bz * (rx + ry * rz)) / det
+    vz = (bx * (ry + rx * rz) + by * (ry * rz - rx) + bz * (1 + rz * rz)) / det
+    return vx, vy, vz
+
+
+def _datum_to_wgs84(lon, lat, a, f, prm_wgs84_to_local):
+    """Local-datum geographic -> WGS84 geographic (prm is the PUBLISHED
+    WGS84->local direction; this runs its exact inverse)."""
+    X, Y, Z = _geodetic_to_xyz(lon, lat, a, f)
+    X, Y, Z = _helmert_invert(X, Y, Z, prm_wgs84_to_local)
+    return _xyz_to_geodetic(X, Y, Z, WGS84_A, WGS84_F)
+
+
+def _datum_from_wgs84(lon, lat, a, f, prm_wgs84_to_local):
+    X, Y, Z = _geodetic_to_xyz(lon, lat, WGS84_A, WGS84_F)
+    X, Y, Z = _helmert_apply(X, Y, Z, prm_wgs84_to_local)
+    return _xyz_to_geodetic(X, Y, Z, a, f)
+
+
+# --- named transverse Mercator codes (non-UTM) ----------------------------
+# r10: the generalized _tm_fwd/_tm_inv core with per-code (lat0, lon0, k0,
+# FE, FN, ellipsoid, datum). 27700 OSGB36 / British National Grid is the
+# one family member on a non-WGS84 datum: the OS-published single Helmert
+# (WGS84 -> OSGB36; ~2 m national accuracy vs the OSTN grid, which is the
+# documented accuracy bound of ANY 7-parameter GB shift) bridges it.
+
+AIRY_A = 6377563.396
+AIRY_F = 1.0 / 299.3249646
+# OS "A guide to coordinate systems in Great Britain": WGS84 -> OSGB36
+_WGS84_TO_OSGB36 = (-446.448, 125.157, -542.060,
+                    -0.1502, -0.2470, -0.8421, 20.4894)
+
+_TM_CODES = {
+    # srid: (lat0, lon0, k0, FE, FN, a, f, wgs84_to_local_helmert | None)
+    27700: (49.0, -2.0, 0.9996012717, 400_000.0, -100_000.0,
+            AIRY_A, AIRY_F, _WGS84_TO_OSGB36),
+    2180: (0.0, 19.0, 0.9993, 500_000.0, -5_300_000.0,
+           GRS80_A, GRS80_F, None),  # ETRS89 / Poland CS92
+}
+
+
+def _tm_named_fwd(lon: float, lat: float, params):
+    lat0, lon0, k0, fe, fn, a, f, datum = params
+    if datum is not None:
+        lon, lat = _datum_from_wgs84(lon, lat, a, f, datum)
+    return _tm_fwd(lon, lat, lon0, False, a, f, k0, fe, fn, lat0)
+
+
+def _tm_named_inv(x: float, y: float, params):
+    lat0, lon0, k0, fe, fn, a, f, datum = params
+    lon, lat = _tm_inv(x, y, lon0, False, a, f, k0, fe, fn, lat0)
+    if datum is not None:
+        lon, lat = _datum_to_wgs84(lon, lat, a, f, datum)
+    return lon, lat
+
+
+# --- Polar Stereographic (ellipsoidal; variants A and B) -------------------
+# Snyder PP 1395 eqs. 21-33..21-34, 15-9, and the 7-9 iterative phi.
+# Variant B (standard parallel lat_ts): 3031 WGS84 Antarctic, 3413 NSIDC
+# Sea Ice North, 3976 NSIDC Sea Ice South. Variant A (scale k0 at the
+# pole): 5041/5042 WGS84 UPS North/South. All WGS84.
+
+_PSTEREO_CODES = {
+    # srid: (lat_ts | None, k0 | None, lon0, FE, FN, south)
+    3031: (-71.0, None, 0.0, 0.0, 0.0, True),
+    3413: (70.0, None, -45.0, 0.0, 0.0, False),
+    3976: (-70.0, None, 0.0, 0.0, 0.0, True),
+    5041: (None, 0.994, 0.0, 2_000_000.0, 2_000_000.0, False),
+    5042: (None, 0.994, 0.0, 2_000_000.0, 2_000_000.0, True),
+}
+
+
+def _pst_t(phi: float, e: float) -> float:
+    s = math.sin(phi)
+    return math.tan(math.pi / 4 - phi / 2) / (
+        (1 - e * s) / (1 + e * s)
+    ) ** (e / 2)
+
+
+def _pst_consts(params, a: float = WGS84_A, f: float = WGS84_F):
+    lat_ts, k0, lon0, FE, FN, south = params
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    if lat_ts is not None:
+        pts = math.radians(abs(lat_ts))
+        mc = math.cos(pts) / math.sqrt(1 - e2 * math.sin(pts) ** 2)
+        tc = _pst_t(pts, e)
+        rho_of_t = lambda t: a * mc * t / tc  # Snyder 21-34
+    else:
+        den = math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        rho_of_t = lambda t: 2 * a * k0 * t / den  # Snyder 21-33
+    return e, rho_of_t, math.radians(lon0), FE, FN, south
+
+
+def _pst_fwd(lon: float, lat: float, params,
+             a: float = WGS84_A, f: float = WGS84_F):
+    e, rho_of_t, lam0, FE, FN, south = _pst_consts(params, a, f)
+    if south:  # Snyder: south aspect = negate phi, lambda, lambda0, x, y
+        phi, dl = math.radians(-lat), -(math.radians(lon) - lam0)
+    else:
+        phi, dl = math.radians(lat), math.radians(lon) - lam0
+    rho = rho_of_t(_pst_t(phi, e))
+    xh, yh = rho * math.sin(dl), -rho * math.cos(dl)
+    if south:
+        xh, yh = -xh, -yh
+    return FE + xh, FN + yh
+
+
+def _pst_inv(x: float, y: float, params,
+             a: float = WGS84_A, f: float = WGS84_F):
+    e, rho_of_t, lam0, FE, FN, south = _pst_consts(params, a, f)
+    xh, yh = x - FE, y - FN
+    if south:
+        xh, yh = -xh, -yh
+    rho = math.hypot(xh, yh)
+    if rho == 0.0:
+        return math.degrees(lam0), -90.0 if south else 90.0
+    # invert rho(t): both variants are linear in t
+    t = rho / rho_of_t(1.0)
+    phi = math.pi / 2 - 2 * math.atan(t)
+    for _ in range(10):
+        s = math.sin(phi)
+        nphi = math.pi / 2 - 2 * math.atan(
+            t * ((1 - e * s) / (1 + e * s)) ** (e / 2)
+        )
+        if abs(nphi - phi) < 1e-14:
+            phi = nphi
+            break
+        phi = nphi
+    dl = math.atan2(xh, -yh)
+    if south:
+        return math.degrees(lam0 - dl), math.degrees(-phi)
+    return math.degrees(lam0 + dl), math.degrees(phi)
+
+
 def _lookup_transform(src_srid: int, dst_srid: int):
     """(lon,lat)->(x,y) scalar fn for the pair, or None. 4326 pivots any
     supported CRS pair (e.g. 3857 -> UTM chains through lon/lat)."""
@@ -4328,6 +4543,10 @@ def _lookup_transform(src_srid: int, dst_srid: int):
             return lambda x, y, _p=_ALBERS_CODES[srid]: _aea_inv(x, y, _p)
         if srid in _LCC_CODES:
             return lambda x, y, _p=_LCC_CODES[srid]: _lcc_inv(x, y, _p)
+        if srid in _PSTEREO_CODES:
+            return lambda x, y, _p=_PSTEREO_CODES[srid]: _pst_inv(x, y, _p)
+        if srid in _TM_CODES:
+            return lambda x, y, _p=_TM_CODES[srid]: _tm_named_inv(x, y, _p)
         z = utm_zone_of(srid)
         if z:
             return lambda x, y, _z=z: _tm_inv(x, y, utm_lon0(_z[0]), _z[1])
@@ -4345,6 +4564,10 @@ def _lookup_transform(src_srid: int, dst_srid: int):
             return lambda x, y, _p=_ALBERS_CODES[srid]: _aea_fwd(x, y, _p)
         if srid in _LCC_CODES:
             return lambda x, y, _p=_LCC_CODES[srid]: _lcc_fwd(x, y, _p)
+        if srid in _PSTEREO_CODES:
+            return lambda x, y, _p=_PSTEREO_CODES[srid]: _pst_fwd(x, y, _p)
+        if srid in _TM_CODES:
+            return lambda x, y, _p=_TM_CODES[srid]: _tm_named_fwd(x, y, _p)
         z = utm_zone_of(srid)
         if z:
             return lambda x, y, _z=z: _tm_fwd(x, y, utm_lon0(_z[0]), _z[1])
@@ -4538,12 +4761,15 @@ def transform(g: Geom, src_srid: int, dst_srid: int, fn=None) -> Geom:
     (spherical Web Mercator), UTM WGS84 zones (326zz/327zz, Snyder series),
     3035 (ETRS89-LAEA Europe), Albers equal-area 5070/3310/3577 (Conus /
     California / Australian), Lambert conformal conic 2154/3978
-    (Lambert-93 France / Canada Atlas), and any :func:`register_crs`
-    SRID — any pair, pivoting through lon/lat. Other codes raise — never
-    silently wrong. Z/M passed through untouched. ``fn`` is a
-    pre-resolved (x, y) -> (x, y) pair function (the Spark builders
-    resolve it driver-side so register_crs closures reach the
-    workers)."""
+    (Lambert-93 France / Canada Atlas), polar stereographic
+    3031/3413/3976/5041/5042 (Antarctic / NSIDC N+S / UPS N+S), named
+    transverse Mercator 27700 (OSGB British National Grid, incl. the OS
+    7-param WGS84↔OSGB36 Helmert datum shift) and 2180 (Poland CS92), and
+    any :func:`register_crs` SRID — any pair, pivoting through lon/lat.
+    Other codes raise — never silently wrong. Z/M passed through
+    untouched. ``fn`` is a pre-resolved (x, y) -> (x, y) pair function
+    (the Spark builders resolve it driver-side so register_crs closures
+    reach the workers)."""
     if src_srid == dst_srid:
         return Geom(g.type_name, g.coords, g.has_z, dst_srid, g.has_m)
     if fn is None:
@@ -4557,9 +4783,10 @@ def transform(g: Geom, src_srid: int, dst_srid: int, fn=None) -> Geom:
         raise NotImplementedError(
             f"transform {src_srid} -> {dst_srid} not supported — built-in "
             "closed-form CRS are 4326, 3857, UTM 326zz/327zz, LAEA 3035, "
-            "Albers 5070/3310/3577, Lambert conformal 2154/3978; register "
-            "others with geom_ops.register_crs, or install the optional "
-            "'pyproj' extra for general EPSG support"
+            "Albers 5070/3310/3577, Lambert conformal 2154/3978, polar "
+            "stereographic 3031/3413/3976/5041/5042, transverse Mercator "
+            "27700/2180; register others with geom_ops.register_crs, or "
+            "install the optional 'pyproj' extra for general EPSG support"
         )
 
     def conv(c):

@@ -110,7 +110,7 @@ def test_transform_geom_kernel_roundtrip():
     for (x0, y0), (x1, y1) in zip(g.coords[0], back.coords[0]):
         assert abs(x0 - x1) < 1e-9 and abs(y0 - y1) < 1e-9
     with pytest.raises(NotImplementedError):
-        G.transform(g, 4326, 27700)
+        G.transform(g, 4326, 2056)
 
 
 def test_transform_spark_wkb(spark):
@@ -832,4 +832,178 @@ class TestConicProjections:
     def test_error_message_lists_conics(self):
         g = G.Geom("Point", (1.0, 2.0))
         with pytest.raises(NotImplementedError, match="5070.*2154|Albers"):
+            G.transform(g, 4326, 123_456)
+
+
+class TestPolarStereoAndNamedTM:
+    """r10 closed-form additions: ellipsoidal polar stereographic
+    (3031/3413/3976 variant B, 5041/5042 UPS variant A) and named
+    transverse Mercator codes (27700 OSGB incl. the OS 7-param Helmert
+    datum shift, 2180 Poland CS92). Same truth standards as the conic
+    class: exact pole/false-origin identities, sub-1e-9-degree round
+    trips across service areas, the family-defining properties
+    (conformality; unit scale on the standard parallel; k0 at the pole),
+    a published worked example pinned to the millimeter, and the SQL
+    surface."""
+
+    PST_AREAS = {
+        3031: (-180, 180, -88, -60), 3413: (-180, 180, 60, 88),
+        3976: (-180, 180, -88, -60), 5041: (-180, 180, 60, 88),
+        5042: (-180, 180, -88, -60),
+    }
+
+    def test_pole_maps_to_false_origin_exactly(self):
+        for srid, p in G._PSTEREO_CODES.items():
+            pole = -90.0 if p[5] else 90.0
+            for lon in (-135.0, 0.0, 77.0):
+                x, y = G._pst_fwd(lon, pole, p)
+                assert x == p[3] and y == p[4], (srid, lon)
+
+    def test_pst_roundtrip_service_areas(self):
+        import random
+
+        rng = random.Random(11)
+        for srid, (lo1, lo2, la1, la2) in self.PST_AREAS.items():
+            fwd = G._lookup_transform(4326, srid)
+            inv = G._lookup_transform(srid, 4326)
+            for _ in range(120):
+                lon, lat = rng.uniform(lo1, lo2), rng.uniform(la1, la2)
+                x, y = fwd(lon, lat)
+                lon2, lat2 = inv(x, y)
+                dl = abs((lon2 - lon + 180.0) % 360.0 - 180.0)
+                assert dl < 1e-9 and abs(lat2 - lat) < 1e-9, srid
+
+    @staticmethod
+    def _wgs_parallel_radius(lat):
+        e2 = G.WGS84_F * (2 - G.WGS84_F)
+        phi = math.radians(lat)
+        N = G.WGS84_A / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        return N * math.cos(phi)
+
+    def test_unit_scale_on_standard_parallel(self):
+        # variant B's defining property: k = 1 exactly at lat_ts
+        for srid in (3031, 3413, 3976):
+            p = G._PSTEREO_CODES[srid]
+            lat = p[0]
+            fwd = G._lookup_transform(4326, srid)
+            x1, y1 = fwd(20.0, lat)
+            x2, y2 = fwd(20.01, lat)
+            true = self._wgs_parallel_radius(lat) * math.radians(0.01)
+            k = math.hypot(x2 - x1, y2 - y1) / true
+            assert abs(k - 1) < 1e-6, (srid, k)
+
+    def test_ups_scale_at_pole_is_k0(self):
+        # variant A's defining property: k -> 0.994 at the pole (measure
+        # just off the pole where the limit is already taken to 1e-6)
+        for srid, pole in ((5041, 90.0), (5042, -90.0)):
+            fwd = G._lookup_transform(4326, srid)
+            lat = pole - math.copysign(0.01, pole)
+            x1, y1 = fwd(0.0, lat)
+            x2, y2 = fwd(0.01, lat)
+            true = self._wgs_parallel_radius(lat) * math.radians(0.01)
+            k = math.hypot(x2 - x1, y2 - y1) / true
+            assert abs(k - 0.994) < 1e-6, (srid, k)
+
+    def test_pst_is_conformal(self):
+        e2 = G.WGS84_F * (2 - G.WGS84_F)
+        for srid, (lon, lat) in {3031: (45.0, -75.0), 3413: (-100.0, 72.0),
+                                 5041: (30.0, 80.0)}.items():
+            fwd = G._lookup_transform(4326, srid)
+            x0, y0 = fwd(lon, lat)
+            xe, ye = fwd(lon + 1e-4, lat)
+            xn, yn = fwd(lon, lat + 1e-4)
+            phi = math.radians(lat)
+            N = G.WGS84_A / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+            M = G.WGS84_A * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+            k_ew = math.hypot(xe - x0, ye - y0) / (
+                N * math.cos(phi) * math.radians(1e-4))
+            k_ns = math.hypot(xn - x0, yn - y0) / (M * math.radians(1e-4))
+            assert abs(k_ew / k_ns - 1) < 1e-6, srid
+
+    def test_pst_azimuthal_symmetry(self):
+        # equal |rho| for equal latitude at any longitude
+        for srid, p in G._PSTEREO_CODES.items():
+            fwd = G._lookup_transform(4326, srid)
+            lat = -75.0 if p[5] else 75.0
+            rhos = set()
+            for lon in (-120.0, -30.0, 0.0, 64.0, 177.0):
+                x, y = fwd(lon, lat)
+                rhos.add(round(math.hypot(x - p[3], y - p[4]), 6))
+            assert len(rhos) == 1, (srid, rhos)
+
+    def test_osgb_published_worked_example_projection(self):
+        # the Ordnance Survey guide's worked example (OSGB36-native
+        # coordinates, so the PROJECTION alone is exercised — no datum
+        # shift): 52°39'27.2531"N 1°43'4.5177"E -> E 651409.903 N 313177.270
+        lat = 52 + 39 / 60 + 27.2531 / 3600
+        lon = 1 + 43 / 60 + 4.5177 / 3600
+        x, y = G._tm_fwd(lon, lat, -2.0, False, G.AIRY_A, G.AIRY_F,
+                         0.9996012717, 400_000.0, -100_000.0, 49.0)
+        assert abs(x - 651409.903) < 1e-3 and abs(y - 313177.270) < 1e-3
+
+    def test_named_tm_false_origin_identity(self):
+        for srid, p in G._TM_CODES.items():
+            lat0, lon0, k0, fe, fn, a, f, _ = p
+            x, y = G._tm_fwd(lon0, lat0, lon0, False, a, f, k0, fe, fn, lat0)
+            assert abs(x - fe) < 1e-6 and abs(y - fn) < 1e-6, srid
+
+    def test_named_tm_roundtrips(self):
+        import random
+
+        rng = random.Random(13)
+        areas = {27700: (-7.5, 1.8, 50.0, 60.8), 2180: (14.1, 24.2, 49.0, 54.9)}
+        for srid, (lo1, lo2, la1, la2) in areas.items():
+            fwd = G._lookup_transform(4326, srid)
+            inv = G._lookup_transform(srid, 4326)
+            for _ in range(120):
+                lon, lat = rng.uniform(lo1, lo2), rng.uniform(la1, la2)
+                x, y = fwd(lon, lat)
+                lon2, lat2 = inv(x, y)
+                # the Snyder TM series truncates at (dlon·cosφ)^6: ~1e-7 deg
+                # at the service-area edges, far below the datum accuracy
+                assert abs(lon2 - lon) < 1e-6 and abs(lat2 - lat) < 1e-6, srid
+
+    def test_helmert_exact_inverse_and_shift_magnitude(self):
+        # the Cramer-rule inverse makes fwd∘inv exact to float precision
+        for X, Y, Z in ((3980000.0, -10000.0, 4970000.0),
+                        (3875000.0, 116000.0, 5047000.0)):
+            x2, y2, z2 = G._helmert_invert(
+                *G._helmert_apply(X, Y, Z, G._WGS84_TO_OSGB36),
+                G._WGS84_TO_OSGB36,
+            )
+            assert abs(x2 - X) < 1e-7 and abs(y2 - Y) < 1e-7 and abs(z2 - Z) < 1e-7
+        # WGS84->OSGB36 moves a London point by the well-known ~120 m
+        fwd = G._lookup_transform(4326, 27700)
+        x, y = fwd(-0.1278, 51.5074)
+        xn, yn = G._tm_fwd(-0.1278, 51.5074, -2.0, False, G.AIRY_A, G.AIRY_F,
+                           0.9996012717, 400_000.0, -100_000.0, 49.0)
+        shift = math.hypot(x - xn, y - yn)
+        assert 80.0 < shift < 180.0, shift
+        # and the WGS84 London point lands in the published BNG box
+        assert 528_000 < x < 532_000 and 178_000 < y < 182_500, (x, y)
+
+    def test_spark_and_sql_surface(self, spark):
+        from datafusion_spatial_spark.meta import with_geo_meta
+        from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+        m = GeometryMeta(encoding="point", geometry_types=("Point",))
+        df = spark.createDataFrame(
+            [(-0.1278, 51.5074)], "lon double, lat double"
+        ).select(st_point("lon", "lat").alias("geometry"))
+        out = df.select(st_transform("geometry", 4326, 27700, m).alias("g"))
+        got = wkb.loads(bytes(out.collect()[0].g))
+        kx, ky = G._tm_named_fwd(-0.1278, 51.5074, G._TM_CODES[27700])
+        assert abs(got.coords[0] - kx) < 1e-6 and abs(got.coords[1] - ky) < 1e-6
+        ssql = SpatialSQL(spark)
+        ssql.register_view("t_pst", with_geo_meta(df, "geometry", m))
+        g2 = ssql.sql(
+            "SELECT ST_Transform(geometry, 4326, 3413) AS g FROM t_pst"
+        ).collect()[0].g
+        got2 = wkb.loads(bytes(g2))
+        px, py = G._pst_fwd(-0.1278, 51.5074, G._PSTEREO_CODES[3413])
+        assert abs(got2.coords[0] - px) < 1e-6 and abs(got2.coords[1] - py) < 1e-6
+
+    def test_error_message_lists_new_families(self):
+        g = G.Geom("Point", (1.0, 2.0))
+        with pytest.raises(NotImplementedError, match="3031|stereographic"):
             G.transform(g, 4326, 123_456)

@@ -124,7 +124,7 @@ def test_transform_unknown_epsg_names_pyproj_extra():
         sys.modules.get("pyproj"), "Transformer"
     )
     with pytest.raises(NotImplementedError) as ei:
-        G.transform(PT, 4326, 27700)
+        G.transform(PT, 4326, 2056)
     assert "pyproj" in str(ei.value)
 
 
@@ -158,19 +158,20 @@ def _install_fake_pyproj(monkeypatch, record):
 def test_transform_routes_through_pyproj_when_present(monkeypatch):
     record = []
     _install_fake_pyproj(monkeypatch, record)
-    out = G.transform(PT, 4326, 27700)
+    out = G.transform(PT, 4326, 2056)
     assert out.coords == (130.0, 210.0)
-    assert out.srid == 27700
-    assert ("from_crs", "EPSG:4326", "EPSG:27700", True) in record
+    assert out.srid == 2056
+    assert ("from_crs", "EPSG:4326", "EPSG:2056", True) in record
 
 
 def test_transform_pyproj_transformer_cached_per_pair(monkeypatch):
     record = []
     _install_fake_pyproj(monkeypatch, record)
     line = Geom("LineString", [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)])
-    # 27700 (British National Grid) is outside the closed-form set —
-    # r9 added 2154 as a built-in LCC, so it no longer reaches pyproj
-    G.transform(line, 4326, 27700)
+    # 2056 (Swiss LV95, oblique Mercator) is outside the closed-form
+    # set — r10 added 27700 as a built-in TM, so it no longer reaches
+    # pyproj; the Swiss oblique Mercator family stays the fallback case
+    G.transform(line, 4326, 2056)
     builds = [r for r in record if r[0] == "from_crs"]
     assert len(builds) == 1  # one Transformer per (src, dst), not per vertex
     hits = [r for r in record if r[0] == "transform"]
