@@ -674,17 +674,31 @@ def _polygon_locate(rings, px, py):
 def _geom_polygons(g):
     """Mirror of geom_ops._polygons for the supported fast-path shapes:
     list of ring-lists, or None when the geometry isn't purely polygonal
-    (caller falls back to the scalar kernel)."""
+    (caller falls back to the scalar kernel). A GeometryCollection
+    qualifies only when EVERY leaf is polygonal (r10) — the point-vs-
+    geometry paths that gate on this would otherwise miss the segment /
+    point-member hits the kernel's _point_intersects also tests."""
     if g.type_name == "Polygon":
         return [g.coords]
     if g.type_name == "MultiPolygon":
         return list(g.coords)
+    if g.type_name == "GeometryCollection":
+        out = []
+        for m in g.coords:
+            sub = _geom_polygons(m)
+            if sub is None:
+                return None
+            out.extend(sub)
+        return out
     return None
 
 
 def _geom_segments_arr(g):
-    """All boundary/path segments of a line or polygon geometry as float
-    arrays (ax, ay, bx, by) — mirror of geom_ops._segments order."""
+    """All boundary/path segments of a line/polygon/collection geometry as
+    float tuples (ax, ay, bx, by) — mirror of geom_ops._segments order.
+    None when a (nested) member is point-typed: the segment sweep alone
+    cannot reproduce the kernel's point-member tests, so callers fall
+    back."""
     segs = []
     t, c = g.type_name, g.coords
     if t == "LineString":
@@ -695,6 +709,13 @@ def _geom_segments_arr(g):
         paths = list(c)
     elif t == "MultiPolygon":
         paths = [ring for poly in c for ring in poly]
+    elif t == "GeometryCollection":
+        for m in c:
+            sub = _geom_segments_arr(m)
+            if sub is None:
+                return None
+            segs.extend(sub)
+        return segs
     else:
         return None
     for path in paths:
@@ -892,8 +913,11 @@ def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
                 ex, ey = x - cx, y - cy
                 d2 = ex * ex + ey * ey
             best = np.minimum(best, d2)
-        polys = _geom_polygons(g)
-        if polys is not None:
+        # kernel _polygons recursion (partial): a collection's polygon
+        # members must zero the distance for interior points even when
+        # the collection also carries line members (r10)
+        polys = list(_go_polygons(g))
+        if polys:
             inside = np.zeros(x.size, dtype=np.int8)
             for rings in polys:
                 inside = np.maximum(inside, _polygon_locate(rings, x, y))
@@ -1202,16 +1226,23 @@ _LINE_FACT_TYPES = ("LineString", "MultiLineString", "Polygon", "MultiPolygon")
 
 
 def _fact_line_geoms(s: pd.Series):
-    """_factorized_geoms restricted to pure line/polygon uniques with
-    finite coordinates (no point components, so the intersects kernel
-    reduces to segment sweeps + the polygon containment probe)."""
+    """_factorized_geoms restricted to line/polygon uniques with finite
+    coordinates (no point components, so the intersects kernel reduces to
+    segment sweeps + the polygon containment probes). r10: a
+    GeometryCollection unique qualifies when every leaf is line/polygon —
+    its segments and ring systems recurse exactly like the kernel's
+    _segments/_polygons; point leaves reject the whole batch (their
+    point-vs-batch tests stay scalar)."""
     fact = _factorized_geoms(s)
     if fact is None:
         return None
     codes, geoms = fact
     for g in geoms:
         if g.type_name not in _LINE_FACT_TYPES:
-            return None
+            if g.type_name != "GeometryCollection":
+                return None
+            if _geom_segments_arr(g) is None:
+                return None  # point-typed leaf
         if any(
             p[0] != p[0] or p[1] != p[1] for p in _geom_all_coords(g)
         ):
@@ -1223,6 +1254,15 @@ def _geom_all_coords(g):
     from datafusion_spatial_spark import geom_ops as _go
 
     return _go._all_coords(g)
+
+
+def _go_polygons(g):
+    """The kernel's own (partial) _polygons recursion: every polygonal
+    ring system of g, including polygon members of a collection that also
+    carries lines — unlike the strict :func:`_geom_polygons` gate."""
+    from datafusion_spatial_spark import geom_ops as _go
+
+    return _go._polygons(g)
 
 
 def _pts_seg_d2(px, py, ax, ay, bx, by):
@@ -1356,9 +1396,11 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
                 row_hit[pt_has] |= np.bitwise_or.reduceat(pt_on, v_loc)
         # containment without edge crossing, probe 1: the kernel tests one
         # representative coordinate PER COMPONENT of each batch row (each
-        # path's start / each shell's first vertex) against g's rings
-        polys = _geom_polygons(g)
-        if polys is not None:
+        # path's start / each shell's first vertex) against g's rings —
+        # the kernel's own (partial) _polygons recursion, so a collection
+        # unique contributes its polygon members even alongside lines
+        polys = list(_go_polygons(g))
+        if polys:
             rep_row, rep_x, rep_y = reps
             lo = np.searchsorted(rep_row, rows, "left")
             hi = np.searchsorted(rep_row, rows, "right")
@@ -1523,7 +1565,10 @@ def _containment_eval(lb, codes, geoms, row_geom):
         has = nsegs[rows] > 0
         v_start = np.concatenate(([0], np.cumsum(counts[rows])[:-1]))
         s_start = np.concatenate(([0], np.cumsum(nsegs[rows])[:-1]))
-        gpolys = _geom_polygons(g)
+        # kernel contains(): ANY polygonal ring system selects the
+        # polygonal branch (a collection's line members are ignored by
+        # the kernel there); no polys + non-line type -> default False
+        gpolys = list(_go_polygons(g)) or None
         if gpolys is not None:
             vloc = np.zeros(vx.size, dtype=np.int8)
             mloc = np.zeros(mx.size, dtype=np.int8)

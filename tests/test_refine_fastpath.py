@@ -1046,6 +1046,108 @@ def test_gc_targeted_topologies():
             assert (e is None and math.isnan(g)) or g == e, (case[:20], g, e)
 
 
+GC_FACT_SHAPES = [
+    # line/poly-only collections: legal factorized-side uniques (r10)
+    _gc([wkb.Geom("Polygon", [BOX]), wkb.Geom("LineString", [(6.0, 6.0), (9.0, 9.0)])]),
+    _gc([wkb.Geom("Polygon", [BOX, HOLE])]),
+    _gc([wkb.Geom("MultiLineString", [[(0.0, 0.0), (4.0, 0.0)], [(1.0, 5.0), (5.0, 5.0)]]),
+         wkb.Geom("GeometryCollection", [wkb.Geom("Polygon", [TRI])])]),  # nested
+    _gc([]),  # GEOMETRYCOLLECTION EMPTY
+]
+
+
+def test_gc_factorized_side_predicates_and_distance_parity():
+    """r10: line/poly-only GeometryCollection UNIQUES on the factorized
+    side engage the sweep (segments + the kernel's partial _polygons
+    recursion for both probes); point-leaf collections still fall back."""
+    rng = random.Random(43)
+    for maker in (_rand_lines, _rand_polys, _rand_gcs, _rand_mpts):
+        batch = maker(rng, 200)
+        fact = pd.Series(
+            [GC_FACT_SHAPES[rng.randrange(len(GC_FACT_SHAPES))] for _ in range(200)],
+            dtype=object,
+        )
+        for mode in ("intersects", "disjoint"):
+            for a, b in ((batch, fact), (fact, batch)):
+                got = predicate_fastpath(a, b, mode, "wkb", "wkb")
+                assert got is not None, (maker.__name__, mode, "did not engage")
+                assert list(got) == _scalar(MODES[mode], a, b), (maker.__name__, mode)
+        for a, b in ((batch, fact), (fact, batch)):
+            got = distance_fastpath(a, b, "wkb", "wkb")
+            assert got is not None, maker.__name__
+            exp = _scalar_dist(a, b)
+            for i, (g, e) in enumerate(zip(got, exp)):
+                if e is None:
+                    assert math.isnan(g), (maker.__name__, i, g)
+                else:
+                    assert g == e, (maker.__name__, i, g, e)
+
+
+def test_gc_factorized_container_containment_parity():
+    rng = random.Random(47)
+    # container: GC with a polygon member (kernel's polygonal branch) AND
+    # a line member the kernel's contains() ignores
+    cont_bytes = _gc([
+        wkb.Geom("Polygon", [[(-.5, -.5), (4.5, -.5), (4.5, 4.5), (-.5, 4.5), (-.5, -.5)]]),
+        wkb.Geom("LineString", [(50.0, 50.0), (60.0, 60.0)]),
+    ])
+    for maker in (_rand_lines, _rand_polys, _rand_gcs):
+        batch = maker(rng, 150)
+        cont = pd.Series([cont_bytes] * 150, dtype=object)
+        got = predicate_fastpath(cont, batch, "contains", "wkb", "wkb")
+        assert got is not None, maker.__name__
+        assert list(got) == _scalar(geom_ops.contains, cont, batch), maker.__name__
+        got = predicate_fastpath(batch, cont, "within", "wkb", "wkb")
+        assert got is not None, maker.__name__
+        assert list(got) == _scalar(geom_ops.within, batch, cont), maker.__name__
+    # line-only GC container: kernel contains() returns False for the GC
+    # type — the sweep's default-False path must agree
+    line_gc = _gc([wkb.Geom("LineString", [(0.0, 0.0), (4.0, 4.0)])])
+    batch = _rand_lines(rng, 60)
+    cont = pd.Series([line_gc] * 60, dtype=object)
+    got = predicate_fastpath(cont, batch, "contains", "wkb", "wkb")
+    assert got is not None
+    assert list(got) == _scalar(geom_ops.contains, cont, batch)
+
+
+def test_point_batch_vs_gc_factorized_parity_and_gates():
+    pts = _pt_series([(2.0, 2.0), (2.0, 0.0), (50.0, 50.0), (2.5, 2.5),
+                      (1.0, 1.0), None] * 20)
+    # all-polygonal GC: the point predicate AND distance paths engage
+    poly_gc = _gc([wkb.Geom("Polygon", [BOX, HOLE]),
+                   wkb.Geom("MultiPolygon", [[TRI]])])
+    fact = pd.Series([poly_gc] * 120, dtype=object)
+    for mode in ("intersects", "disjoint", "within"):
+        sa, sb = (pts, fact) if mode != "contains" else (fact, pts)
+        got = predicate_fastpath(sa, sb, mode, "wkb", "wkb")
+        assert got is not None, mode
+        assert list(got) == _scalar(MODES[mode], sa, sb), mode
+    got = distance_fastpath(pts, fact, "wkb", "wkb")
+    assert got is not None
+    exp = _scalar_dist(pts, fact)
+    for g, e in zip(got, exp):
+        assert (e is None and math.isnan(g)) or g == e
+    # MIXED line+poly GC: distance engages (segments + partial polys,
+    # incl. zeroing for points INSIDE the polygon member) ...
+    mixed_gc = _gc([wkb.Geom("Polygon", [BOX]),
+                    wkb.Geom("LineString", [(10.0, 10.0), (20.0, 20.0)])])
+    factm = pd.Series([mixed_gc] * 120, dtype=object)
+    got = distance_fastpath(pts, factm, "wkb", "wkb")
+    assert got is not None
+    exp = _scalar_dist(pts, factm)
+    for g, e in zip(got, exp):
+        assert (e is None and math.isnan(g)) or g == e
+    # ...but the point PREDICATE path stays scalar (its polys-only gate
+    # would miss segment hits)
+    assert predicate_fastpath(pts, factm, "intersects", "wkb", "wkb") is None
+    # point-leaf GC on the factorized side: full fallback everywhere
+    pt_gc = _gc([wkb.Geom("Polygon", [BOX]), wkb.Geom("Point", (1.0, 1.0))])
+    factp = pd.Series([pt_gc] * 120, dtype=object)
+    lines = _rand_lines(random.Random(3), 120)
+    assert predicate_fastpath(lines, factp, "intersects", "wkb", "wkb") is None
+    assert distance_fastpath(pts, factp, "wkb", "wkb") is None
+
+
 def test_gc_flat_coords_and_bbox_parity():
     """flat_coords_batch on a GC batch: the vertex stream/counts match the
     per-row codec, and the st_bbox consumer path gives the kernel bbox."""
