@@ -27,7 +27,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CONTROL = "q01_pricing_summary"
+CONTROL = "q01_pricing_summary"          # CPU/scan-bound (frozen since r1)
+CONTROL_SHUFFLE = "q05_region_revenue"   # shuffle-bound (frozen since r1)
 
 
 def child_main(query: str, sf_dir: str) -> None:
@@ -58,11 +59,17 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--json", default=None)
     ap.add_argument("--no-control", action="store_true")
+    ap.add_argument("--shuffle-control", action="store_true",
+                    help="also interleave the shuffle-bound q05 control "
+                    "(r10: q01 is CPU-bound and blind to shuffle/IO "
+                    "weather — compare shuffle-heavy queries to this one)")
     args = ap.parse_args()
 
     queries = [q for q in args.queries.split(",") if q]
     if CONTROL not in queries and not args.no_control:
         queries.append(CONTROL)
+    if args.shuffle_control and CONTROL_SHUFFLE not in queries:
+        queries.append(CONTROL_SHUFFLE)
 
     series: dict[str, list[dict]] = {q: [] for q in queries}
     for rnd in range(args.rounds):
@@ -87,6 +94,11 @@ def main() -> None:
     ctrl_med = None
     if CONTROL in series and series[CONTROL]:
         ctrl_med = statistics.median(r["median"] for r in series[CONTROL])
+    shuf_med = None
+    if CONTROL_SHUFFLE in series and series[CONTROL_SHUFFLE]:
+        shuf_med = statistics.median(
+            r["median"] for r in series[CONTROL_SHUFFLE]
+        )
     for q, recs in series.items():
         if not recs:
             out[q] = {"error": "all children failed"}
@@ -98,8 +110,11 @@ def main() -> None:
             "per_jvm_medians": [r["median"] for r in recs],
             "vs_control": round(med / ctrl_med, 3) if ctrl_med else None,
         }
+        if shuf_med:
+            out[q]["vs_shuffle_control"] = round(med / shuf_med, 3)
     result = {"sf_dir": args.sf_dir, "rounds": args.rounds,
-              "control": CONTROL, "queries": out}
+              "control": CONTROL, "control_shuffle": CONTROL_SHUFFLE,
+              "queries": out}
     print(json.dumps(result, indent=1))
     if args.json:
         with open(args.json, "w") as f:
