@@ -201,9 +201,25 @@ ORDER BY hour, event_type
 # streaming gate: 'complete' = full batch rollup; 'append' = windows the
 # final watermark (max ts - 10 min) closed; 'append_suppressed' = the rest;
 # 'join' = the stream-stream interval self-join's eager inner emissions,
-# whose closed form for a finite one-batch source is the batch join (r10)
-_Q_STREAM_HOURLY_ORACLE = """
-WITH b AS (
+# whose closed form for a finite one-batch source is the batch join (r10);
+# 'fence' = the stream-static geofence broadcast join (stateless), whose
+# closed form is the batch point-in-box join
+GEOFENCE_A = (50.005, 200.005, -0.5, 60.5)    # x1, x2, y1, y2
+GEOFENCE_B = (150.005, 400.005, 40.5, 149.5)  # overlaps A: multi-fence hits
+
+_Q_STREAM_HOURLY_ORACLE = f"""
+WITH fences(fid, x1, x2, y1, y2) AS (
+  VALUES ('A', {GEOFENCE_A[0]!r}, {GEOFENCE_A[1]!r},
+               {GEOFENCE_A[2]!r}, {GEOFENCE_A[3]!r}),
+         ('B', {GEOFENCE_B[0]!r}, {GEOFENCE_B[1]!r},
+               {GEOFENCE_B[2]!r}, {GEOFENCE_B[3]!r})
+), fence_hits AS (
+  SELECT fid, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+  FROM events e JOIN fences f
+    ON e.value BETWEEN f.x1 AND f.x2
+   AND cast(e.user_id AS DOUBLE) BETWEEN f.y1 AND f.y2
+  GROUP BY fid, event_type
+), b AS (
   SELECT date_trunc('hour', ts) AS ws, event_type,
          count(*) AS n, round(sum(value), 2) AS total_value
   FROM events GROUP BY 1, 2
@@ -229,6 +245,9 @@ FROM (
   UNION ALL
   SELECT 'join' AS part, ws, event_type, n, total_value FROM j
 )
+UNION ALL
+SELECT 'fence' AS part, fid AS hour, event_type, n, total_value
+FROM fence_hits
 ORDER BY part, hour, event_type
 """
 
@@ -2945,8 +2964,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n"), F.round(F.sum("rvalue"), 2).alias("total_value"))
             .select(F.lit("join").alias("part"), "hour", "event_type", "n", "total_value")
         )
-        return comp.unionAll(app).unionAll(suppressed).unionAll(join_part).orderBy(
-            "part", "hour", "event_type"
+        # part 'fence' (r10): the stream-static geofence broadcast join —
+        # event points (value, user_id) against two fence polygons, one
+        # alert row per (point, fence) hit, entirely stateless. The batch
+        # join is the exact closed form; fence bounds sit at .005/.5
+        # offsets so the kernel's 1e-12 boundary tolerance can never
+        # disagree with the oracle's inclusive BETWEEN on 2-decimal data.
+        from datafusion_spatial_spark import wkb as _wkb
+        from datafusion_spatial_spark.functions.scalar import st_point
+
+        def _fence_wkb(x1, x2, y1, y2):
+            return bytearray(_wkb.dumps(_wkb.Geom(
+                "Polygon",
+                [[(x1, y1), (x2, y1), (x2, y2), (x1, y2), (x1, y1)]],
+            )))
+
+        fences = spark.createDataFrame(
+            [("A", _fence_wkb(*GEOFENCE_A)), ("B", _fence_wkb(*GEOFENCE_B))],
+            "fid string, fgeom binary",
+        )
+        spts = stream_ops.stream_events(spark, sf_dir).select(
+            "event_type", "value",
+            st_point(F.col("value"), F.col("user_id").cast("double")).alias(
+                "geom"
+            ),
+        )
+        alerts = stream_ops.geofence_alerts(spts, fences, "geom", "fgeom", "fid")
+        name4 = stream_ops.run_to_memory(
+            alerts.select("fence_id", "event_type", "value"),
+            "q_stream_hourly_fence", output_mode="append",
+        )
+        fence_part = (
+            spark.table(name4)
+            .groupBy(F.col("fence_id").alias("hour"),
+                     F.col("event_type"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.lit("fence").alias("part"), "hour", "event_type",
+                    "n", "total_value")
+        )
+        return (
+            comp.unionAll(app).unionAll(suppressed).unionAll(join_part)
+            .unionAll(fence_part)
+            .orderBy("part", "hour", "event_type")
         )
 
     # Oracle-backed extension queries come BEFORE the rows-only tail: the
