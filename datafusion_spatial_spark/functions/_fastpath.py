@@ -969,11 +969,13 @@ def _sweep_batch(s: pd.Series):
     subtable for mixed batches; seg starts index the GLOBAL seg stream).
     ``ptinfo`` = (pt_counts, pt_vstart, pt_xs, pt_ys): the isolated-point
     vertices per row (the kernel's ``_points``), present for MultiPoint
-    and mixed batches. ``lininfo`` (mixed only) = (lin_counts, lin_start,
-    lin_seg_start, lin_nsegs): per-row LINEAR leaf members with their
-    contiguous global segment spans — st_length folds each member's
-    hypot terms first and then the member partials per row, matching the
-    kernel's sum-of-member-lengths grouping bit-for-bit."""
+    and mixed batches. ``lininfo`` (mixed only) = {'lin': spans, 'ring':
+    spans} where spans = (m_counts, m_start, m_seg_start, m_nsegs):
+    per-row leaf members of that class with their contiguous global
+    segment spans — st_length folds each LINEAR member's hypot terms
+    first and then the member partials per row (st_perimeter likewise
+    over the RING spans), matching the kernel's sum-of-member-values
+    grouping bit-for-bit."""
     isna = s.isna().to_numpy()
     ii = np.flatnonzero(~isna)
     if ii.size == 0:
@@ -1066,23 +1068,34 @@ def _sweep_from_flat(isna, xs, ys, counts, info):
                 xs[g_vstart[p1]],
                 ys[g_vstart[p1]],
             )
-        c0 = np.flatnonzero(info["cls"] == 0)
-        if c0.size:
-            mems = info["mem"][c0]
-            lfirst = np.flatnonzero(
+        # per-LEAF-MEMBER contiguous segment spans, by class: 'lin' (cls 0,
+        # st_length's member partials) and 'ring' (cls 2, st_perimeter's).
+        # A leaf member's groups are contiguous in the stream, so its
+        # segments are contiguous in the global segment table.
+        def _member_spans(cls_val):
+            ci = np.flatnonzero(info["cls"] == cls_val)
+            if not ci.size:
+                return None
+            mems = info["mem"][ci]
+            mfirst = np.flatnonzero(
                 np.concatenate(([True], mems[1:] != mems[:-1]))
             )
-            lin_rows = g_rows[c0][lfirst]
-            lin_seg_start = g_seg_start[c0][lfirst]
-            lin_nsegs = np.add.reduceat(g_nsegs[c0], lfirst)
-            lin_counts = np.zeros(counts.size, np.int64)
-            np.add.at(lin_counts, lin_rows, 1)
-            lininfo = (
-                lin_counts,
-                np.concatenate(([0], np.cumsum(lin_counts)[:-1])),
-                lin_seg_start,
-                lin_nsegs,
+            m_rows = g_rows[ci][mfirst]
+            m_seg_start = g_seg_start[ci][mfirst]
+            m_nsegs = np.add.reduceat(g_nsegs[ci], mfirst)
+            m_counts = np.zeros(counts.size, np.int64)
+            np.add.at(m_counts, m_rows, 1)
+            return (
+                m_counts,
+                np.concatenate(([0], np.cumsum(m_counts)[:-1])),
+                m_seg_start,
+                m_nsegs,
             )
+
+        lin = _member_spans(0)
+        ring = _member_spans(2)
+        if lin is not None or ring is not None:
+            lininfo = {"lin": lin, "ring": ring}
     return (
         isna, counts, xs, ys, vstart,
         sax, say, sbx, sby, nsegs, sstart, reps, polyinfo, ptinfo,
@@ -1753,15 +1766,35 @@ def _seq_fold_groups(terms, group_start, group_len):
     return acc
 
 
+def _member_hypot_fold(spans, sax, say, sbx, sby):
+    """Per-leaf-member sequential hypot fold, then the member PARTIALS
+    folded per row — the kernel's sum-of-member-values grouping for
+    collection rows (each sub-sum starts at 0, so left-folding the
+    flattened partials is bit-identical)."""
+    import math as _m
+
+    m_counts, m_start, m_seg_start, m_nsegs = spans
+    sidx = _multi_arange(m_seg_start, m_nsegs)
+    dx = (sbx[sidx] - sax[sidx]).tolist()
+    dy = (sby[sidx] - say[sidx]).tolist()
+    terms = np.array(
+        [_m.hypot(a, b) for a, b in zip(dx, dy)], dtype=np.float64
+    )
+    local_start = np.concatenate(([0], np.cumsum(m_nsegs)[:-1]))
+    partials = _seq_fold_groups(terms, local_start, m_nsegs)
+    return _seq_fold_groups(partials, m_start, m_counts)
+
+
 def measure_fastpath(s, mode: str, src_kind: str = "wkb"):
-    """Batched st_area / st_length over uniform WKB line/polygon/multi/
-    collection batches or native flat-offsets struct batches. Returns a
-    float64 Series (NaN -> SQL NULL for null rows) or None to fall back.
-    Mirrors geom_ops.area / geom_ops.length exactly: length folds hypot
-    over path segments in order (0.0 for polygonal and point input); area
-    folds signed abs(ring_area2)/2 per ring in ring order (0.0 for linear
-    input), where ring_area2 itself folds the shoelace terms
-    sequentially."""
+    """Batched st_area / st_length / st_perimeter over uniform WKB
+    line/polygon/multi/collection batches or native flat-offsets struct
+    batches. Returns a float64 Series (NaN -> SQL NULL for null rows) or
+    None to fall back. Mirrors geom_ops.area / length / perimeter
+    exactly: length folds hypot over path segments in order (0.0 for
+    polygonal and point input); perimeter folds hypot over RING segments
+    (0.0 for non-areal input); area folds signed abs(ring_area2)/2 per
+    ring in ring order (0.0 for linear input), where ring_area2 itself
+    folds the shoelace terms sequentially."""
     if _DISABLED:
         return None
     lb = _batch_decode(s, src_kind)
@@ -1787,25 +1820,43 @@ def measure_fastpath(s, mode: str, src_kind: str = "wkb"):
                 [_m.hypot(a, b) for a, b in zip(dx, dy)], dtype=np.float64
             )
             out = _seq_fold_groups(terms, sstart, nsegs)
-        elif kind == "mixed" and lininfo is not None:
+        elif (
+            kind == "mixed"
+            and lininfo is not None
+            and lininfo.get("lin") is not None
+        ):
             # GC length = sum of the LINEAR members' lengths (the kernel
             # recurses member-by-member): fold each linear member's hypot
             # terms sequentially, then fold the member PARTIALS per row —
             # bit-identical to the kernel's nested sums (each starts at
             # 0.0, so left-folding the flattened partials reproduces the
             # grouping exactly). Ring/point segments never contribute.
+            out = _member_hypot_fold(
+                lininfo["lin"], sax, say, sbx, sby
+            )
+    elif mode == "perimeter":
+        # scalar contract: sum of polygon RING lengths (shells + holes),
+        # 0 for non-areal input. Non-GC polygonal batches fold FLAT over
+        # all (ring) segments in stream order — exactly the kernel's
+        # flat zip over _polygons; collections fold per-polygonal-member
+        # partials first (the kernel's sum-of-member-perimeters).
+        if kind == "polys" and sax.size:
             import math as _m
 
-            lin_counts, lin_start, lin_seg_start, lin_nsegs = lininfo
-            sidx = _multi_arange(lin_seg_start, lin_nsegs)
-            dx = (sbx[sidx] - sax[sidx]).tolist()
-            dy = (sby[sidx] - say[sidx]).tolist()
+            dx = (sbx - sax).tolist()
+            dy = (sby - say).tolist()
             terms = np.array(
                 [_m.hypot(a, b) for a, b in zip(dx, dy)], dtype=np.float64
             )
-            local_start = np.concatenate(([0], np.cumsum(lin_nsegs)[:-1]))
-            partials = _seq_fold_groups(terms, local_start, lin_nsegs)
-            out = _seq_fold_groups(partials, lin_start, lin_counts)
+            out = _seq_fold_groups(terms, sstart, nsegs)
+        elif (
+            kind == "mixed"
+            and lininfo is not None
+            and lininfo.get("ring") is not None
+        ):
+            out = _member_hypot_fold(
+                lininfo["ring"], sax, say, sbx, sby
+            )
     elif mode == "area":
         if polyinfo is not None:
             (poly_row, poly_ring_start, poly_nrings,

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datafusion_spatial_spark import geom_ops, wkb
-from datafusion_spatial_spark.functions.predicates import _as_rows, _converter, _prep
+from datafusion_spatial_spark.functions.predicates import (
+    _as_rows,
+    _converter,
+    _prep,
+    _unary_measure,
+)
 from datafusion_spatial_spark.meta import GeometryMeta
 
 
@@ -163,7 +168,10 @@ def _reverse(g):
 st_reverse = _geom_out(_reverse)
 
 
-st_perimeter = _unary(geom_ops.perimeter, T.DoubleType())
+# r10: routed through the measure wrapper so uniform WKB/native batches
+# take the vectorized sweep (mode 'perimeter': flat ring-segment hypot
+# fold for polygonal batches, per-member partials for collections)
+st_perimeter = _unary_measure(geom_ops.perimeter, fast_mode="perimeter")
 
 
 def st_azimuth(

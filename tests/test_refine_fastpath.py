@@ -1316,7 +1316,8 @@ from datafusion_spatial_spark.functions._fastpath import measure_fastpath
 def test_measure_fastpath_parity(maker):
     rng = random.Random(hash(maker.__name__) % 500)
     batch = maker(rng, 300)
-    for mode, fn in (("area", geom_ops.area), ("length", geom_ops.length)):
+    for mode, fn in (("area", geom_ops.area), ("length", geom_ops.length),
+                     ("perimeter", geom_ops.perimeter)):
         got = measure_fastpath(batch, mode)
         assert got is not None, (maker.__name__, mode, "did not engage")
         exp = [
@@ -1347,6 +1348,16 @@ def test_measure_fastpath_known_values():
     assert list(z) == [0.0, 0.0]
     z = measure_fastpath(
         pd.Series([_line([(0.0, 0.0), (3.0, 4.0)])] * 2, dtype=object), "area"
+    )
+    assert list(z) == [0.0, 0.0]
+    # perimeter: ring lengths (shell + hole); 0 for lines (r10)
+    pm = measure_fastpath(
+        pd.Series([_poly(BOX), _poly(BOX, HOLE)], dtype=object), "perimeter"
+    )
+    assert list(pm) == [16.0, 24.0]
+    z = measure_fastpath(
+        pd.Series([_line([(0.0, 0.0), (3.0, 4.0)])] * 2, dtype=object),
+        "perimeter",
     )
     assert list(z) == [0.0, 0.0]
 
@@ -1451,7 +1462,8 @@ def test_native_measure_and_centroid_parity(tname, maker):
     wkb_batch = maker(rng, 250)
     native = _native_df(wkb_batch, tname)
     nk = f"native:{tname}"
-    for mode, fn in (("area", geom_ops.area), ("length", geom_ops.length)):
+    for mode, fn in (("area", geom_ops.area), ("length", geom_ops.length),
+                     ("perimeter", geom_ops.perimeter)):
         got = measure_fastpath(native, mode, nk)
         assert got is not None, (tname, mode, "did not engage")
         for i, v in enumerate(wkb_batch):
