@@ -1547,3 +1547,41 @@ def test_native_polygon_spark_path(spark):
             assert r.c is None, r.id
         else:
             assert r.c.x == r.ecx, r.id
+
+
+def test_gc_empty_and_hollow_through_every_consumer():
+    """r10 self-review pins: GEOMETRYCOLLECTION EMPTY (is_empty True) and a
+    'hollow' collection of empty members (is_empty FALSE but zero
+    coordinates) must match the kernel through every fastpath consumer —
+    the counts==0 skip paths carry the kernel-matching defaults."""
+    gc_empty = _gc([])
+    gc_hollow = _gc([wkb.Geom("LineString", []), wkb.Geom("Polygon", [])])
+    assert wkb.loads(gc_empty).is_empty
+    assert not wkb.loads(gc_hollow).is_empty
+    batch = pd.Series([gc_empty, gc_hollow, None], dtype=object)
+    fact = pd.Series([_poly(BOX)] * 3, dtype=object)
+    for mode in ("intersects", "disjoint", "within"):
+        got = predicate_fastpath(batch, fact, mode, "wkb", "wkb")
+        assert got is not None, mode
+        assert list(got) == _scalar(MODES[mode], batch, fact), mode
+    got = distance_fastpath(batch, fact, "wkb", "wkb")
+    assert got is not None
+    for g, e in zip(got, _scalar_dist(batch, fact)):
+        assert (e is None and math.isnan(g)) or g == e
+    for m in ("area", "length", "perimeter"):
+        got = measure_fastpath(batch, m)
+        assert got is not None, m
+        for g, v in zip(got, batch):
+            e = None if v is None else getattr(geom_ops, m)(wkb.loads(bytes(v)))
+            assert (e is None and math.isnan(g)) or g == e, m
+    c = centroid_fastpath(batch)
+    assert c is not None and all(math.isnan(v) for v in list(c["x"]))
+    # an EMPTY collection unique mixed among real ones on the factorized
+    # side: per-unique skip, other uniques still evaluated
+    fact2 = pd.Series(
+        [gc_empty, _gc([wkb.Geom("Polygon", [BOX])])] * 30, dtype=object
+    )
+    lines = pd.Series([_line([(1.0, 1.0), (2.0, 2.0)])] * 60, dtype=object)
+    got = predicate_fastpath(lines, fact2, "intersects", "wkb", "wkb")
+    assert got is not None
+    assert list(got) == _scalar(geom_ops.intersects, lines, fact2)
