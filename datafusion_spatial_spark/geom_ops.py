@@ -4276,7 +4276,12 @@ _LCC_CODES = {
 }
 
 
-def _lcc_consts(params, a: float = GRS80_A, f: float = GRS80_F):
+def _lcc_consts(params, a: float = GRS80_A, f: float = GRS80_F,
+                k0: float = 1.0):
+    """Two-standard-parallel LCC constants; the one-standard-parallel
+    variant (French legacy zones, r10) is lat1 == lat2 == lat0 with a
+    ``k0`` scale multiplier — the default k0 = 1.0 multiplies exactly, so
+    the 2-SP codes' arithmetic is bit-identical to the pre-r10 form."""
     lat1, lat2, lat0, lon0, FE, FN = params
     e2 = f * (2 - f)
     e = math.sqrt(e2)
@@ -4299,27 +4304,28 @@ def _lcc_consts(params, a: float = GRS80_A, f: float = GRS80_F):
     else:
         n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
     Fc = m1 / (n * t1**n)
-    rho0 = a * Fc * t0**n
-    return e, n, Fc, rho0, math.radians(lon0), FE, FN, t
+    ak = a * k0
+    rho0 = ak * Fc * t0**n
+    return e, n, Fc, rho0, math.radians(lon0), FE, FN, t, ak
 
 
 def _lcc_fwd(lon: float, lat: float, params,
-             a: float = GRS80_A, f: float = GRS80_F):
-    e, n, Fc, rho0, lam0, FE, FN, t = _lcc_consts(params, a, f)
-    rho = a * Fc * t(math.radians(lat)) ** n
+             a: float = GRS80_A, f: float = GRS80_F, k0: float = 1.0):
+    e, n, Fc, rho0, lam0, FE, FN, t, ak = _lcc_consts(params, a, f, k0)
+    rho = ak * Fc * t(math.radians(lat)) ** n
     theta = n * (math.radians(lon) - lam0)
     return FE + rho * math.sin(theta), FN + rho0 - rho * math.cos(theta)
 
 
 def _lcc_inv(x: float, y: float, params,
-             a: float = GRS80_A, f: float = GRS80_F):
-    e, n, Fc, rho0, lam0, FE, FN, _t = _lcc_consts(params, a, f)
+             a: float = GRS80_A, f: float = GRS80_F, k0: float = 1.0):
+    e, n, Fc, rho0, lam0, FE, FN, _t, ak = _lcc_consts(params, a, f, k0)
     xp, yp = x - FE, rho0 - (y - FN)
     rho = math.hypot(xp, yp)
     theta = math.atan2(xp, yp)
     if n < 0:
         rho, theta = -rho, math.atan2(-xp, -yp)
-    tv = (rho / (a * Fc)) ** (1 / n)
+    tv = (rho / (ak * Fc)) ** (1 / n)
     # Snyder 7-9: phi = pi/2 - 2 atan(t * ((1 - e sin phi)/(1 + e sin phi))^(e/2))
     phi = math.pi / 2 - 2 * math.atan(tv)
     for _ in range(8):
@@ -4450,6 +4456,50 @@ def _tm_named_inv(x: float, y: float, params):
     return lon, lat
 
 
+# --- French legacy Lambert zones (NTF datum, 1-SP conic) ------------------
+# EPSG 27571/27572/27573: NTF (Paris) / Lambert zones I-III — the CRS of a
+# large share of public French legacy datasets (zone II étendu especially).
+# One-standard-parallel LCC (lat1 = lat2 = lat0 with scale k0) on Clarke
+# 1880 IGN; the published EPSG 3-parameter NTF->WGS84 shift bridges the
+# datum through the r10 Helmert machinery. The Paris prime meridian is
+# folded into the Greenwich-referenced central meridian (2°20'14.025" E),
+# the standard proj-equivalent formulation.
+
+CLARKE1880IGN_A = 6378249.2
+CLARKE1880IGN_F = 1.0 - 6356515.0 / 6378249.2
+_WGS84_TO_NTF = (168.0, 60.0, -320.0, 0.0, 0.0, 0.0, 0.0)
+_PARIS_LON0 = 2.0 + 20.0 / 60.0 + 14.025 / 3600.0
+
+_NTF_LAMBERT_CODES = {
+    # srid: (lat0_deg, k0, FN)   [FE = 600 km; FN = zone·1e6 + 200 km]
+    27571: (49.5, 0.999877341, 1_200_000.0),  # zone I (Nord)
+    27572: (46.8, 0.99987742, 2_200_000.0),   # zone II (Centre / étendu)
+    27573: (44.1, 0.999877499, 3_200_000.0),  # zone III (Sud)
+}
+
+
+def _ntf_lambert_fwd(lon: float, lat: float, zp):
+    lat0, k0, fn = zp
+    lon, lat = _datum_from_wgs84(
+        lon, lat, CLARKE1880IGN_A, CLARKE1880IGN_F, _WGS84_TO_NTF
+    )
+    return _lcc_fwd(
+        lon, lat, (lat0, lat0, lat0, _PARIS_LON0, 600_000.0, fn),
+        CLARKE1880IGN_A, CLARKE1880IGN_F, k0,
+    )
+
+
+def _ntf_lambert_inv(x: float, y: float, zp):
+    lat0, k0, fn = zp
+    lon, lat = _lcc_inv(
+        x, y, (lat0, lat0, lat0, _PARIS_LON0, 600_000.0, fn),
+        CLARKE1880IGN_A, CLARKE1880IGN_F, k0,
+    )
+    return _datum_to_wgs84(
+        lon, lat, CLARKE1880IGN_A, CLARKE1880IGN_F, _WGS84_TO_NTF
+    )
+
+
 # --- Polar Stereographic (ellipsoidal; variants A and B) -------------------
 # Snyder PP 1395 eqs. 21-33..21-34, 15-9, and the 7-9 iterative phi.
 # Variant B (standard parallel lat_ts): 3031 WGS84 Antarctic, 3413 NSIDC
@@ -4547,6 +4597,8 @@ def _lookup_transform(src_srid: int, dst_srid: int):
             return lambda x, y, _p=_PSTEREO_CODES[srid]: _pst_inv(x, y, _p)
         if srid in _TM_CODES:
             return lambda x, y, _p=_TM_CODES[srid]: _tm_named_inv(x, y, _p)
+        if srid in _NTF_LAMBERT_CODES:
+            return lambda x, y, _p=_NTF_LAMBERT_CODES[srid]: _ntf_lambert_inv(x, y, _p)
         z = utm_zone_of(srid)
         if z:
             return lambda x, y, _z=z: _tm_inv(x, y, utm_lon0(_z[0]), _z[1])
@@ -4568,6 +4620,8 @@ def _lookup_transform(src_srid: int, dst_srid: int):
             return lambda x, y, _p=_PSTEREO_CODES[srid]: _pst_fwd(x, y, _p)
         if srid in _TM_CODES:
             return lambda x, y, _p=_TM_CODES[srid]: _tm_named_fwd(x, y, _p)
+        if srid in _NTF_LAMBERT_CODES:
+            return lambda x, y, _p=_NTF_LAMBERT_CODES[srid]: _ntf_lambert_fwd(x, y, _p)
         z = utm_zone_of(srid)
         if z:
             return lambda x, y, _z=z: _tm_fwd(x, y, utm_lon0(_z[0]), _z[1])
@@ -4764,7 +4818,9 @@ def transform(g: Geom, src_srid: int, dst_srid: int, fn=None) -> Geom:
     (Lambert-93 France / Canada Atlas), polar stereographic
     3031/3413/3976/5041/5042 (Antarctic / NSIDC N+S / UPS N+S), named
     transverse Mercator 27700 (OSGB British National Grid, incl. the OS
-    7-param WGS84↔OSGB36 Helmert datum shift) and 2180 (Poland CS92), and
+    7-param WGS84↔OSGB36 Helmert datum shift) and 2180 (Poland CS92),
+    French legacy NTF Lambert zones 27571/27572/27573 (1-SP conic on
+    Clarke 1880 IGN, EPSG 3-param NTF datum shift), and
     any :func:`register_crs` SRID — any pair, pivoting through lon/lat.
     Other codes raise — never silently wrong. Z/M passed through
     untouched. ``fn`` is a pre-resolved (x, y) -> (x, y) pair function
@@ -4785,7 +4841,8 @@ def transform(g: Geom, src_srid: int, dst_srid: int, fn=None) -> Geom:
             "closed-form CRS are 4326, 3857, UTM 326zz/327zz, LAEA 3035, "
             "Albers 5070/3310/3577, Lambert conformal 2154/3978, polar "
             "stereographic 3031/3413/3976/5041/5042, transverse Mercator "
-            "27700/2180; register others with geom_ops.register_crs, or "
+            "27700/2180, NTF Lambert 27571-27573; register others with "
+            "geom_ops.register_crs, or "
             "install the optional 'pyproj' extra for general EPSG support"
         )
 

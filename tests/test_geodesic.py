@@ -1007,3 +1007,84 @@ class TestPolarStereoAndNamedTM:
         g = G.Geom("Point", (1.0, 2.0))
         with pytest.raises(NotImplementedError, match="3031|stereographic"):
             G.transform(g, 4326, 123_456)
+
+
+class TestFrenchLegacyLambert:
+    """r10: NTF (Paris) / Lambert zones I-III (EPSG 27571/27572/27573) —
+    the one-standard-parallel conic variant (lat1 = lat2 = lat0 with a k0
+    multiplier) on Clarke 1880 IGN, bridged to WGS84 by the published
+    EPSG 3-parameter NTF shift (the exact inverse of proj's
+    ``+towgs84=-168,-60,320``). The Paris prime meridian folds into the
+    Greenwich-referenced central meridian 2°20'14.025\" E."""
+
+    def _proj_only(self, lon, lat, srid):
+        lat0, k0, fn = G._NTF_LAMBERT_CODES[srid]
+        return G._lcc_fwd(
+            lon, lat, (lat0, lat0, lat0, G._PARIS_LON0, 600_000.0, fn),
+            G.CLARKE1880IGN_A, G.CLARKE1880IGN_F, k0,
+        )
+
+    def test_false_origin_identity(self):
+        for srid, (lat0, k0, fn) in G._NTF_LAMBERT_CODES.items():
+            x, y = self._proj_only(G._PARIS_LON0, lat0, srid)
+            assert abs(x - 600_000.0) < 1e-6 and abs(y - fn) < 1e-6, srid
+
+    def test_k0_scale_on_standard_parallel(self):
+        e2 = G.CLARKE1880IGN_F * (2 - G.CLARKE1880IGN_F)
+        for srid, (lat0, k0, fn) in G._NTF_LAMBERT_CODES.items():
+            x1, y1 = self._proj_only(3.0, lat0, srid)
+            x2, y2 = self._proj_only(3.01, lat0, srid)
+            N = G.CLARKE1880IGN_A / math.sqrt(
+                1 - e2 * math.sin(math.radians(lat0)) ** 2)
+            true = N * math.cos(math.radians(lat0)) * math.radians(0.01)
+            got = math.hypot(x2 - x1, y2 - y1) / true
+            assert abs(got - k0) < 1e-6, (srid, got, k0)
+
+    def test_roundtrips_full_path(self):
+        import random
+
+        rng = random.Random(17)
+        bands = {27571: (48.15, 51.1), 27572: (45.45, 48.15),
+                 27573: (42.3, 45.45)}
+        for srid, (la1, la2) in bands.items():
+            fwd = G._lookup_transform(4326, srid)
+            inv = G._lookup_transform(srid, 4326)
+            for _ in range(100):
+                lon, lat = rng.uniform(-4.5, 8.2), rng.uniform(la1, la2)
+                x, y = fwd(lon, lat)
+                lo, la = inv(x, y)
+                assert abs(lo - lon) < 1e-8 and abs(la - lat) < 1e-8, srid
+
+    def test_conformal(self):
+        e2 = G.CLARKE1880IGN_F * (2 - G.CLARKE1880IGN_F)
+        x0, y0 = self._proj_only(4.0, 47.3, 27572)
+        xe, ye = self._proj_only(4.0 + 1e-4, 47.3, 27572)
+        xn, yn = self._proj_only(4.0, 47.3 + 1e-4, 27572)
+        phi = math.radians(47.3)
+        N = G.CLARKE1880IGN_A / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        M = G.CLARKE1880IGN_A * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+        k_ew = math.hypot(xe - x0, ye - y0) / (N * math.cos(phi) * math.radians(1e-4))
+        k_ns = math.hypot(xn - x0, yn - y0) / (M * math.radians(1e-4))
+        assert abs(k_ew / k_ns - 1) < 1e-6
+
+    def test_datum_shift_and_paris_box(self):
+        fwd = G._lookup_transform(4326, 27572)
+        x, y = fwd(2.3522, 48.8566)
+        # the full path (with the NTF datum) differs from the
+        # projection-only result by the Paris-area NTF<->WGS84 ground
+        # shift (tens of metres, not zero and not hundreds)
+        xn, yn = self._proj_only(2.3522, 48.8566, 27572)
+        shift = math.hypot(x - xn, y - yn)
+        assert 20.0 < shift < 150.0, shift
+        # Paris center in Lambert II étendu: the well-known coordinate
+        # neighbourhood (X ~600-606 km, Y ~2.425-2.433 Mm)
+        assert 598_000 < x < 606_000 and 2_424_000 < y < 2_433_000, (x, y)
+
+    def test_helmert_translation_only_is_exact_inverse(self):
+        for pt in ((4_200_000.0, 170_000.0, 4_780_000.0),
+                   (4_300_000.0, -50_000.0, 4_690_000.0)):
+            out = G._helmert_invert(
+                *G._helmert_apply(*pt, G._WGS84_TO_NTF), G._WGS84_TO_NTF
+            )
+            for a, b in zip(out, pt):
+                assert abs(a - b) < 1e-9
