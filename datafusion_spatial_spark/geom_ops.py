@@ -4105,6 +4105,16 @@ def utm_zone_of(srid: int):
     return None
 
 
+def etrs89_utm_zone_of(srid: int):
+    """Zone for the ETRS89 / UTM codes 25828-25838 (r10) — the standard
+    CRS of most European national open data. Identical TM math on GRS80
+    (ETRS89's ellipsoid); no datum shift (ETRS89 ≡ WGS84 at this model's
+    accuracy, the conventional treatment)."""
+    if 25828 <= srid <= 25838:
+        return srid - 25800
+    return None
+
+
 def utm_lon0(zone: int) -> float:
     return -183.0 + 6.0 * zone
 
@@ -4602,6 +4612,11 @@ def _lookup_transform(src_srid: int, dst_srid: int):
         z = utm_zone_of(srid)
         if z:
             return lambda x, y, _z=z: _tm_inv(x, y, utm_lon0(_z[0]), _z[1])
+        ez = etrs89_utm_zone_of(srid)
+        if ez:
+            return lambda x, y, _z=ez: _tm_inv(
+                x, y, utm_lon0(_z), False, GRS80_A, GRS80_F
+            )
         ent = _CUSTOM_CRS.get(srid)
         return ent["inv"] if ent else None
 
@@ -4625,6 +4640,11 @@ def _lookup_transform(src_srid: int, dst_srid: int):
         z = utm_zone_of(srid)
         if z:
             return lambda x, y, _z=z: _tm_fwd(x, y, utm_lon0(_z[0]), _z[1])
+        ez = etrs89_utm_zone_of(srid)
+        if ez:
+            return lambda x, y, _z=ez: _tm_fwd(
+                x, y, utm_lon0(_z), False, GRS80_A, GRS80_F
+            )
         ent = _CUSTOM_CRS.get(srid)
         return ent["fwd"] if ent else None
 

@@ -187,7 +187,7 @@ def run_to_memory(
     stream: DataFrame,
     name: str,
     output_mode: str = "append",
-    flush_timeout: float = 30.0,
+    flush_timeout: float = 60.0,
 ):
     """Drive a (finite file-source) stream to completion into a memory sink;
     returns the bound table name. Caller: ``spark.table(name)``.

@@ -1088,3 +1088,33 @@ class TestFrenchLegacyLambert:
             )
             for a, b in zip(out, pt):
                 assert abs(a - b) < 1e-9
+
+
+def test_etrs89_utm_codes():
+    """r10: EPSG 25828-25838 (ETRS89 / UTM) — same TM core on GRS80.
+    Round trips across each zone band; values agree with the WGS84 UTM
+    twin to well under the ellipsoid-difference scale (sub-mm: GRS80 and
+    WGS84 flattenings differ in the 9th decimal); code bounds honored."""
+    import random
+
+    rng = random.Random(19)
+    for srid in (25828, 25832, 25838):
+        zone = srid - 25800
+        lon0 = G.utm_lon0(zone)
+        fwd = G._lookup_transform(4326, srid)
+        inv = G._lookup_transform(srid, 4326)
+        for _ in range(60):
+            lon = rng.uniform(lon0 - 2.8, lon0 + 2.8)
+            lat = rng.uniform(35.0, 70.0)
+            x, y = fwd(lon, lat)
+            lo, la = inv(x, y)
+            # Snyder series truncation reaches ~6e-9 deg (sub-mm) at the
+            # zone edge x high latitude; 1e-7 is still ~1 cm
+            assert abs(lo - lon) < 1e-7 and abs(la - lat) < 1e-7, srid
+            wx, wy = G._tm_fwd(lon, lat, lon0, False)  # WGS84 twin
+            assert abs(x - wx) < 1e-3 and abs(y - wy) < 1e-3, srid
+    assert G.etrs89_utm_zone_of(25827) is None
+    assert G.etrs89_utm_zone_of(25839) is None
+    g = G.Geom("Point", (9.0, 48.0))
+    out = G.transform(g, 4326, 25832)
+    assert out.srid == 25832 and 400_000 < out.coords[0] < 600_000
