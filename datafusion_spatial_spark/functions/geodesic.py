@@ -214,23 +214,32 @@ def st_buffergeography(
 
 
 def _tm_fwd_expr(
-    lon: Column, lat: Column, lon0_deg: float, south: bool
+    lon: Column, lat: Column, lon0_deg: float, south: bool,
+    a: float = WGS84_A, f: float = WGS84_F,
+    k0: float | None = None, fe: float | None = None,
+    fn: float | None = None, lat0_deg: float = 0.0,
 ) -> tuple[Column, Column]:
-    """Catalyst Transverse-Mercator forward (Snyder series, WGS84) — the
+    """Catalyst Transverse-Mercator forward (Snyder series) — the
     expression twin of geom_ops._tm_fwd; shared constants computed in
-    Python so both paths (and any SQL mirror) agree to the literal."""
-    e2 = WGS84_F * (2 - WGS84_F)
+    Python so both paths (and any SQL mirror) agree to the literal.
+    Defaults are the WGS84 UTM constants; r10 parameterizes the named
+    datum-free TM codes and the ETRS89/UTM zones."""
+    e2 = f * (2 - f)
     ep2 = e2 / (1 - e2)
     c0, c2, c4, c6 = geom_ops._merid_coeffs(e2)
-    k0, fe = geom_ops._UTM_K0, geom_ops._UTM_FE
-    fn = geom_ops._UTM_FN_S if south else 0.0
+    k0 = geom_ops._UTM_K0 if k0 is None else k0
+    fe = geom_ops._UTM_FE if fe is None else fe
+    if fn is None:
+        fn = geom_ops._UTM_FN_S if south else 0.0
+    m0 = geom_ops._tm_merid(math.radians(lat0_deg), a, e2) if lat0_deg else 0.0
+    fn = fn - k0 * m0  # fold M0 into the false northing (exact when m0=0)
     phi, lam = F.radians(lat), F.radians(lon)
     sphi, cphi, tphi = F.sin(phi), F.cos(phi), F.tan(phi)
-    N = F.lit(WGS84_A) / F.sqrt(1 - F.lit(e2) * sphi * sphi)
+    N = F.lit(a) / F.sqrt(1 - F.lit(e2) * sphi * sphi)
     T = tphi * tphi
     C = F.lit(ep2) * cphi * cphi
     A = (lam - F.lit(math.radians(lon0_deg))) * cphi
-    M = F.lit(WGS84_A) * (
+    M = F.lit(a) * (
         F.lit(c0) * phi - F.lit(c2) * F.sin(2 * phi)
         + F.lit(c4) * F.sin(4 * phi) - F.lit(c6) * F.sin(6 * phi)
     )
@@ -249,16 +258,24 @@ def _tm_fwd_expr(
 
 
 def _tm_inv_expr(
-    x: Column, y: Column, lon0_deg: float, south: bool
+    x: Column, y: Column, lon0_deg: float, south: bool,
+    a: float = WGS84_A, f: float = WGS84_F,
+    k0: float | None = None, fe: float | None = None,
+    fn: float | None = None, lat0_deg: float = 0.0,
 ) -> tuple[Column, Column]:
-    """Catalyst Transverse-Mercator inverse (Snyder series, WGS84)."""
-    e2 = WGS84_F * (2 - WGS84_F)
+    """Catalyst Transverse-Mercator inverse (Snyder series); defaults =
+    WGS84 UTM, parameterized like the forward twin (r10)."""
+    e2 = f * (2 - f)
     ep2 = e2 / (1 - e2)
     c0, _, _, _ = geom_ops._merid_coeffs(e2)
     e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
-    k0, fe = geom_ops._UTM_K0, geom_ops._UTM_FE
-    fn = geom_ops._UTM_FN_S if south else 0.0
-    mu = (y - F.lit(fn)) / F.lit(k0 * WGS84_A * c0)
+    k0 = geom_ops._UTM_K0 if k0 is None else k0
+    fe = geom_ops._UTM_FE if fe is None else fe
+    if fn is None:
+        fn = geom_ops._UTM_FN_S if south else 0.0
+    m0 = geom_ops._tm_merid(math.radians(lat0_deg), a, e2) if lat0_deg else 0.0
+    fn = fn - k0 * m0  # fold M0 into the false northing (exact when m0=0)
+    mu = (y - F.lit(fn)) / F.lit(k0 * a * c0)
     phi1 = (
         mu
         + F.lit(3 * e1 / 2 - 27 * e1**3 / 32) * F.sin(2 * mu)
@@ -269,8 +286,8 @@ def _tm_inv_expr(
     s1, c1_, t1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
     C1 = F.lit(ep2) * c1_ * c1_
     T1 = t1 * t1
-    N1 = F.lit(WGS84_A) / F.sqrt(1 - F.lit(e2) * s1 * s1)
-    R1 = F.lit(WGS84_A * (1 - e2)) / F.pow(1 - F.lit(e2) * s1 * s1, 1.5)
+    N1 = F.lit(a) / F.sqrt(1 - F.lit(e2) * s1 * s1)
+    R1 = F.lit(a * (1 - e2)) / F.pow(1 - F.lit(e2) * s1 * s1, 1.5)
     D = (x - F.lit(fe)) / (N1 * F.lit(k0))
     D2 = D * D
     phi = phi1 - (N1 * t1 / R1) * (
@@ -354,6 +371,189 @@ def _laea_inv_expr(x: Column, y: Column) -> tuple[Column, Column]:
     )
 
 
+# ---- r10 Catalyst twins: conic + polar stereographic families ----------
+# The same Snyder math as the geom_ops scalars, as codegen'd expressions.
+# The scalars' ITERATIVE latitude inverses are replaced by the standard
+# authalic/conformal SERIES (Snyder 3-18 / 3-5): Catalyst inlines every
+# subexpression reference, so an unrolled fixed-point's tree grows
+# exponentially with the iteration count (an 8-step Albers unroll
+# generated >16k lines of Java — Janino refused and the codegen cache
+# blew the heap); the series agree with the iterated kernels to ~1e-10
+# rad, far inside the 1e-6 m twin-parity bound the tests pin.
+
+
+def _q_of_expr(phi: Column, e: float, e2: float) -> Column:
+    """Snyder 3-12 equal-area q as an expression (LAEA/Albers shared)."""
+    s = F.sin(phi)
+    return F.lit(1 - e2) * (
+        s / (1 - F.lit(e2) * s * s)
+        - F.lit(1 / (2 * e)) * F.log((1 - F.lit(e) * s) / (1 + F.lit(e) * s))
+    )
+
+
+def _t_of_expr(phi: Column, e: float) -> Column:
+    """Snyder 15-9 conformal t as an expression (LCC/PST shared)."""
+    s = F.sin(phi)
+    return F.tan(F.lit(math.pi / 4) - phi / 2) / F.pow(
+        (1 - F.lit(e) * s) / (1 + F.lit(e) * s), F.lit(e / 2)
+    )
+
+
+def _aea_fwd_expr(lon: Column, lat: Column, srid: int):
+    e, e2, n, C, rho0, lam0, FE, FN = geom_ops._aea_consts(
+        geom_ops._ALBERS_CODES[srid]
+    )
+    q = _q_of_expr(F.radians(lat), e, e2)
+    rho = (
+        F.lit(geom_ops.GRS80_A)
+        * F.sqrt(F.greatest(F.lit(0.0), F.lit(C) - F.lit(n) * q))
+        / F.lit(n)
+    )
+    theta = F.lit(n) * (F.radians(lon) - F.lit(lam0))
+    return (
+        F.lit(FE) + rho * F.sin(theta),
+        F.lit(FN) + F.lit(rho0) - rho * F.cos(theta),
+    )
+
+
+def _authalic_phi_expr(beta: Column, e2: float) -> Column:
+    """Snyder 3-18: authalic latitude -> geodetic latitude series (the
+    same expansion the LAEA inverse twin uses) — a SERIES, not the scalar
+    kernels' fixed-point iteration: Catalyst inlines every subexpression
+    reference, so an unrolled iteration's tree grows exponentially (an
+    8-step Albers unroll generated 16k+ lines of Java and broke Janino);
+    the series stays within ~1e-10 rad of the iterated value, far below
+    the 1e-6 m twin-parity bound."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return (
+        beta
+        + F.lit(e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * F.sin(2 * beta)
+        + F.lit(23 * e4 / 360 + 251 * e6 / 3780) * F.sin(4 * beta)
+        + F.lit(761 * e6 / 45360) * F.sin(6 * beta)
+    )
+
+
+def _conformal_phi_expr(chi: Column, e2: float) -> Column:
+    """Snyder 3-5: conformal latitude -> geodetic latitude series (the
+    expression-safe replacement for the LCC/PST scalar kernels' 7-9
+    iteration; same tree-size rationale as :func:`_authalic_phi_expr`)."""
+    e4, e6, e8 = e2 * e2, e2 ** 3, e2 ** 4
+    return (
+        chi
+        + F.lit(e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * F.sin(2 * chi)
+        + F.lit(7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * F.sin(4 * chi)
+        + F.lit(7 * e6 / 120 + 81 * e8 / 1120) * F.sin(6 * chi)
+        + F.lit(4279 * e8 / 161280) * F.sin(8 * chi)
+    )
+
+
+def _aea_inv_expr(x: Column, y: Column, srid: int):
+    e, e2, n, C, rho0, lam0, FE, FN = geom_ops._aea_consts(
+        geom_ops._ALBERS_CODES[srid]
+    )
+    xp, yp = x - F.lit(FE), F.lit(rho0) - (y - F.lit(FN))
+    rho = F.sqrt(xp * xp + yp * yp)
+    if n < 0:  # static: the cone constant is a Python float
+        rho = -rho
+        theta = F.atan2(-xp, -yp)
+    else:
+        theta = F.atan2(xp, yp)
+    q = (F.lit(C) - F.pow(rho * F.lit(n / geom_ops.GRS80_A), F.lit(2.0))) / F.lit(n)
+    qp = geom_ops._laea_q(math.pi / 2, e, e2)
+    beta = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), q / F.lit(qp))))
+    return (
+        F.degrees(F.lit(lam0) + theta / F.lit(n)),
+        F.degrees(_authalic_phi_expr(beta, e2)),
+    )
+
+
+def _lcc_fwd_expr(lon: Column, lat: Column, srid: int):
+    e, n, Fc, rho0, lam0, FE, FN, _t, ak = geom_ops._lcc_consts(
+        geom_ops._LCC_CODES[srid]
+    )
+    rho = F.lit(ak * Fc) * F.pow(_t_of_expr(F.radians(lat), e), F.lit(n))
+    theta = F.lit(n) * (F.radians(lon) - F.lit(lam0))
+    return (
+        F.lit(FE) + rho * F.sin(theta),
+        F.lit(FN) + F.lit(rho0) - rho * F.cos(theta),
+    )
+
+
+def _lcc_inv_expr(x: Column, y: Column, srid: int):
+    e, n, Fc, rho0, lam0, FE, FN, _t, ak = geom_ops._lcc_consts(
+        geom_ops._LCC_CODES[srid]
+    )
+    xp, yp = x - F.lit(FE), F.lit(rho0) - (y - F.lit(FN))
+    rho = F.sqrt(xp * xp + yp * yp)
+    if n < 0:
+        rho = -rho
+        theta = F.atan2(-xp, -yp)
+    else:
+        theta = F.atan2(xp, yp)
+    tv = F.pow(rho / F.lit(ak * Fc), F.lit(1 / n))
+    chi = F.lit(math.pi / 2) - 2 * F.atan(tv)
+    phi = _conformal_phi_expr(chi, e * e)
+    return F.degrees(F.lit(lam0) + theta / F.lit(n)), F.degrees(phi)
+
+
+def _pst_fwd_expr(lon: Column, lat: Column, srid: int):
+    params = geom_ops._PSTEREO_CODES[srid]
+    e, rho_of_t, lam0, FE, FN, south = geom_ops._pst_consts(params)
+    rho1 = rho_of_t(1.0)  # both variants are linear in t
+    if south:
+        phi = F.radians(-lat)
+        dl = -(F.radians(lon) - F.lit(lam0))
+    else:
+        phi = F.radians(lat)
+        dl = F.radians(lon) - F.lit(lam0)
+    rho = F.lit(rho1) * _t_of_expr(phi, e)
+    xh, yh = rho * F.sin(dl), -rho * F.cos(dl)
+    if south:
+        xh, yh = -xh, -yh
+    return F.lit(FE) + xh, F.lit(FN) + yh
+
+
+def _pst_inv_expr(x: Column, y: Column, srid: int):
+    params = geom_ops._PSTEREO_CODES[srid]
+    e, rho_of_t, lam0, FE, FN, south = geom_ops._pst_consts(params)
+    rho1 = rho_of_t(1.0)
+    xh, yh = x - F.lit(FE), y - F.lit(FN)
+    if south:
+        xh, yh = -xh, -yh
+    rho = F.sqrt(xh * xh + yh * yh)
+    tv = rho / F.lit(rho1)
+    chi = F.lit(math.pi / 2) - 2 * F.atan(tv)
+    phi = _conformal_phi_expr(chi, e * e)
+    dl = F.atan2(xh, -yh)
+    at_pole = rho < F.lit(1e-12)
+    if south:
+        lam = F.when(at_pole, F.lit(math.degrees(lam0))).otherwise(
+            F.degrees(F.lit(lam0) - dl)
+        )
+        latd = F.when(at_pole, F.lit(-90.0)).otherwise(F.degrees(-phi))
+    else:
+        lam = F.when(at_pole, F.lit(math.degrees(lam0))).otherwise(
+            F.degrees(F.lit(lam0) + dl)
+        )
+        latd = F.when(at_pole, F.lit(90.0)).otherwise(F.degrees(phi))
+    return lam, latd
+
+
+def _named_tm_expr_params(srid: int):
+    """(lat0, lon0, k0, FE, FN, a, f) for datum-free named TM codes and
+    the ETRS89/UTM zones; None when the code needs a datum shift (27700)
+    or isn't TM."""
+    p = geom_ops._TM_CODES.get(srid)
+    if p is not None:
+        lat0, lon0, k0, fe, fn, a, f, datum = p
+        return None if datum is not None else (lat0, lon0, k0, fe, fn, a, f)
+    ez = geom_ops.etrs89_utm_zone_of(srid)
+    if ez:
+        return (0.0, geom_ops.utm_lon0(ez), geom_ops._UTM_K0,
+                geom_ops._UTM_FE, 0.0, geom_ops.GRS80_A, geom_ops.GRS80_F)
+    return None
+
+
 def _to_lonlat_expr(x: Column, y: Column, srid: int):
     if srid == 4326:
         return x, y
@@ -364,9 +564,19 @@ def _to_lonlat_expr(x: Column, y: Column, srid: int):
         )
     if srid == 3035:
         return _laea_inv_expr(x, y)
+    if srid in geom_ops._ALBERS_CODES:
+        return _aea_inv_expr(x, y, srid)
+    if srid in geom_ops._LCC_CODES:
+        return _lcc_inv_expr(x, y, srid)
+    if srid in geom_ops._PSTEREO_CODES:
+        return _pst_inv_expr(x, y, srid)
     z = geom_ops.utm_zone_of(srid)
     if z:
         return _tm_inv_expr(x, y, geom_ops.utm_lon0(z[0]), z[1])
+    ntm = _named_tm_expr_params(srid)
+    if ntm:
+        lat0, lon0, k0, fe, fn, a, f = ntm
+        return _tm_inv_expr(x, y, lon0, False, a, f, k0, fe, fn, lat0)
     aff = (geom_ops._CUSTOM_CRS.get(srid) or {}).get("affine")
     if aff:
         a, b, d, e, xoff, yoff = aff
@@ -390,9 +600,19 @@ def _from_lonlat_expr(lon: Column, lat: Column, srid: int):
         )
     if srid == 3035:
         return _laea_fwd_expr(lon, lat)
+    if srid in geom_ops._ALBERS_CODES:
+        return _aea_fwd_expr(lon, lat, srid)
+    if srid in geom_ops._LCC_CODES:
+        return _lcc_fwd_expr(lon, lat, srid)
+    if srid in geom_ops._PSTEREO_CODES:
+        return _pst_fwd_expr(lon, lat, srid)
     z = geom_ops.utm_zone_of(srid)
     if z:
         return _tm_fwd_expr(lon, lat, geom_ops.utm_lon0(z[0]), z[1])
+    ntm = _named_tm_expr_params(srid)
+    if ntm:
+        lat0, lon0, k0, fe, fn, a, f = ntm
+        return _tm_fwd_expr(lon, lat, lon0, False, a, f, k0, fe, fn, lat0)
     aff = (geom_ops._CUSTOM_CRS.get(srid) or {}).get("affine")
     if aff:
         a, b, d, e, xoff, yoff = aff
@@ -413,10 +633,16 @@ def st_transform_point(
 
     Supported CRS (any pair, pivoting through lon/lat): EPSG:4326,
     EPSG:3857 (closed-form spherical Web Mercator), WGS84 UTM zones
-    EPSG:326zz/327zz (Snyder Transverse-Mercator series, <1 mm in-zone),
-    EPSG:3035 (ETRS89-LAEA Europe, ellipsoidal). Everything stays in
-    whole-stage codegen — trig expressions only, usable inside join
-    conditions at scale."""
+    EPSG:326zz/327zz and ETRS89/UTM 25828-25838 (Snyder
+    Transverse-Mercator series, <1 mm in-zone), EPSG:3035 (ETRS89-LAEA
+    Europe, ellipsoidal), and — r10 — Albers 5070/3310/3577, Lambert
+    conformal 2154/3978, polar stereographic 3031/3413/3976/5041/5042,
+    and TM 2180 (datum-free named codes; 27700 needs the OSGB Helmert and
+    stays kernel-only). Forward twins are expression-for-expression with
+    the geom_ops kernels; the iterative latitude inverses are replaced by
+    the standard authalic/conformal series (~1e-10 rad of the iterated
+    values). Everything stays in whole-stage codegen — trig expressions
+    only, usable inside join conditions at scale."""
     x, y = st_x(col, meta), st_y(col, meta)
     if src_srid == dst_srid:
         return st_point(x, y)
@@ -425,11 +651,13 @@ def st_transform_point(
     if out is None:
         raise NotImplementedError(
             f"transform {src_srid} -> {dst_srid} has no pure-Catalyst "
-            "closed form (built-ins: 4326, 3857, UTM 326zz/327zz, LAEA "
-            "3035, plus geom_ops.register_crs(affine=...) SRIDs) — use "
-            "st_transform, which also takes callable register_crs SRIDs, "
-            "a custom= pair function, or any EPSG pair via the optional "
-            "'pyproj' extra"
+            "closed form (built-ins: 4326, 3857, UTM 326zz/327zz + "
+            "25828-25838, LAEA 3035, Albers 5070/3310/3577, LCC "
+            "2154/3978, polar stereographic 3031/3413/3976/5041/5042, "
+            "TM 2180, plus geom_ops.register_crs(affine=...) SRIDs) — "
+            "use st_transform, which also takes callable register_crs "
+            "SRIDs, a custom= pair function, or any EPSG pair via the "
+            "optional 'pyproj' extra"
         )
     return st_point(out[0], out[1])
 

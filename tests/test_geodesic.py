@@ -1118,3 +1118,44 @@ def test_etrs89_utm_codes():
     g = G.Geom("Point", (9.0, 48.0))
     out = G.transform(g, 4326, 25832)
     assert out.srid == 25832 and 400_000 < out.coords[0] < 600_000
+
+
+def test_transform_point_catalyst_twins_all_families(spark):
+    """r10: st_transform_point covers the conic/stereographic/named-TM
+    families pure-Catalyst. Forward twins are expression-for-expression
+    with the kernels (exact agreement at these magnitudes); inverse twins
+    use the authalic/conformal SERIES in place of the kernels' iteration
+    (an unrolled fixed-point explodes Catalyst codegen — the 8-step
+    Albers unroll generated >16k lines of Java), so round trips are
+    pinned instead. Plans must stay Python-free."""
+    pts = {
+        5070: (-104.99, 39.74), 3310: (-118.2, 36.7), 3577: (140.0, -25.0),
+        2154: (2.35, 48.85), 3978: (-110.0, 62.0),
+        3031: (45.0, -75.0), 3413: (-100.0, 72.0), 3976: (10.0, -70.0),
+        5041: (30.0, 80.0), 5042: (-120.0, -80.0),
+        2180: (19.5, 52.2), 25832: (9.0, 48.0),
+    }
+    df = spark.createDataFrame(
+        [(lon, lat, srid) for srid, (lon, lat) in pts.items()],
+        "lon double, lat double, srid int",
+    )
+    for srid, (lon, lat) in pts.items():
+        one = df.filter(f"srid = {srid}").select(
+            st_point("lon", "lat").alias("g"), "lon", "lat"
+        )
+        out = one.select(st_transform_point("g", 4326, srid).alias("p"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "ArrowEval" not in plan, srid
+        r = out.collect()[0]
+        kx, ky = G._lookup_transform(4326, srid)(lon, lat)
+        assert abs(r.p.x - kx) < 1e-6 and abs(r.p.y - ky) < 1e-6, srid
+        back = one.select(
+            st_transform_point(
+                st_transform_point("g", 4326, srid), srid, 4326
+            ).alias("b")
+        ).collect()[0]
+        assert abs(back.b.x - lon) < 1e-6 and abs(back.b.y - lat) < 1e-6, srid
+    # the datum-bearing named TM code stays kernel-only
+    one = df.limit(1).select(st_point("lon", "lat").alias("g"))
+    with pytest.raises(NotImplementedError, match="27700|register_crs"):
+        one.select(st_transform_point("g", 4326, 27700))
