@@ -1585,3 +1585,28 @@ def test_gc_empty_and_hollow_through_every_consumer():
     got = predicate_fastpath(lines, fact2, "intersects", "wkb", "wkb")
     assert got is not None
     assert list(got) == _scalar(geom_ops.intersects, lines, fact2)
+
+
+def test_skew_guard_through_public_measure_api():
+    """r10 advice-fix integration pin: a skewed batch (one 30k-vertex ring
+    among thousands of small ones) through the PUBLIC measure fastpath —
+    the guard must keep it fast (pre-fix: O(maxlen x rows) masked steps,
+    minutes) and bit-exact."""
+    import time
+
+    big_ring = [(math.cos(i / 5000.0) * 100.0, math.sin(i / 5000.0) * 100.0)
+                for i in range(30_000)]
+    big_ring.append(big_ring[0])
+    rows = [wkb.dumps(wkb.Geom("Polygon", [big_ring]))]
+    for i in range(3000):
+        x = float(i % 50)
+        rows.append(_poly([(x, 0.0), (x + 1.0, 0.0), (x + 1.0, 1.0),
+                           (x, 1.0), (x, 0.0)]))
+    s = pd.Series(rows, dtype=object)
+    t0 = time.perf_counter()
+    got = measure_fastpath(s, "area")
+    elapsed = time.perf_counter() - t0
+    assert got is not None
+    assert elapsed < 10.0, elapsed  # pre-fix this shape ran for minutes
+    assert got.iloc[0] == geom_ops.area(wkb.loads(bytes(rows[0])))
+    assert got.iloc[1] == 1.0
