@@ -1676,12 +1676,14 @@ def _sweep_dead_scratch(root: str, max_age_sec: float = 86400.0) -> None:
     """Remove sibling scratch dirs whose creating process is gone (crashed
     or interrupted replays — their success-path cleanup never ran).
 
-    Two signals (r10 advice fix): a dead PID sweeps immediately, and any
-    dir older than ``max_age_sec`` sweeps even if its PID probe reads
-    alive — a recycled PID owned by an unrelated process would otherwise
-    keep a crashed replay's scratch around forever. No live replay holds
-    its scratch for a day (the write-roundtrip gate deletes on success
-    within seconds), so the age signal cannot race a legitimate owner."""
+    Signals (r11 advice fix — the age sweep must never fire on a
+    verifiably-alive owner): a dead PID sweeps immediately; an old dir
+    (> ``max_age_sec``) sweeps ONLY when the PID probe is inconclusive —
+    ``os.kill`` raised EPERM (exists, not ours) or ``/proc/<pid>``'s
+    creation time postdates the scratch dir (the PID was recycled by an
+    unrelated process). A PID that is alive AND started before the dir
+    existed is treated as the legitimate owner and its scratch is kept,
+    however old — a >24h replay keeps its scratch for its whole run."""
     try:
         entries = os.listdir(root)
     except OSError:
@@ -1696,18 +1698,31 @@ def _sweep_dead_scratch(root: str, max_age_sec: float = 86400.0) -> None:
             continue
         path = os.path.join(root, name)
         try:
-            age = now - os.path.getmtime(path)
-        except OSError:
-            age = 0.0
-        if age > max_age_sec:
-            shutil.rmtree(path, ignore_errors=True)
-            continue
-        try:
-            os.kill(pid, 0)  # alive (or not ours) -> leave it
+            os.kill(pid, 0)
+            verifiable = True  # alive and signalable (same uid)
         except ProcessLookupError:
             shutil.rmtree(path, ignore_errors=True)
+            continue
         except OSError:
-            pass
+            verifiable = False  # EPERM: some process exists, not ours
+        try:
+            st = os.stat(path)
+            age = now - max(st.st_mtime, st.st_ctime)
+        except OSError:
+            continue  # raced away
+        if age <= max_age_sec:
+            continue
+        if verifiable:
+            # PID-recycling check: /proc/<pid> is created at process
+            # start; a start time AFTER the dir's creation means the
+            # original owner died and the PID was reused.
+            try:
+                proc_start = os.stat("/proc/%d" % pid).st_ctime
+            except OSError:
+                proc_start = None  # no /proc: unverifiable ownership
+            if proc_start is not None and proc_start <= st.st_ctime + 5.0:
+                continue  # plausibly the real owner, however old: keep
+        shutil.rmtree(path, ignore_errors=True)
 
 
 _Q_WRITE_ROUNDTRIP_ORACLE = """

@@ -335,10 +335,17 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
         g_mem_l: list = []
         g_start_l: list = []
         g_vc_l: list = []
-        mem = 0  # flattened leaf-member counter. Nested collections
-        # flatten EXACTLY: the kernel's per-member folds are left-nested
-        # sums starting at 0, so a left fold over the flattened leaf
-        # partials reproduces the nested grouping bit-for-bit.
+        mem = 0  # flattened leaf-member counter. For NESTED collections
+        # flat left-folding the leaf partials is NOT bit-identical to the
+        # kernel (kernel: la + (lb + lc); flat: (la + lb) + lc — r10
+        # advice reproduced a 1-ULP mismatch), so the walker also records
+        # each nested row's member TREE of leaf ordinals; the measure
+        # folds replay that tree per nested row (zero-valued members are
+        # transparent: x + 0.0 == x exactly for the non-negative hypot
+        # partials, so pruning other-class leaves keeps the grouping).
+        tree_map: dict = {}  # full-batch row -> nested list of leaf mems
+        stack: list = []
+        had_nested = [False]
 
         def _u32(p):
             return int.from_bytes(joined[p : p + 4], "little")
@@ -353,6 +360,7 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                     raise ValueError
                 g_row_l.append(rec); g_cls_l.append(1); g_ord_l.append(0)
                 g_mem_l.append(mem); g_start_l.append(pos + 5); g_vc_l.append(1)
+                stack[-1].append(mem)
                 mem += 1
                 return pos + 21
             if t == 2:  # LineString
@@ -365,6 +373,7 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                 g_row_l.append(rec); g_cls_l.append(0); g_ord_l.append(0)
                 g_mem_l.append(mem); g_start_l.append(pos + 9)
                 g_vc_l.append(npts)
+                stack[-1].append(mem)
                 mem += 1
                 return nxt
             if t == 3:  # Polygon: one instance, ord per ring
@@ -382,6 +391,7 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                     g_mem_l.append(mem); g_start_l.append(cur_p + 4)
                     g_vc_l.append(npts)
                     cur_p += 4 + npts * 16
+                stack[-1].append(mem)
                 mem += 1
                 return cur_p
             if t == 4:  # MultiPoint: full point WKBs, one leaf member
@@ -396,6 +406,7 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                     g_mem_l.append(mem); g_start_l.append(cur_p + 5)
                     g_vc_l.append(1)
                     cur_p += 21
+                stack[-1].append(mem)
                 mem += 1
                 return cur_p
             if t == 5:  # MultiLineString: one leaf member, path per part
@@ -413,6 +424,7 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                     g_mem_l.append(mem); g_start_l.append(cur_p + 9)
                     g_vc_l.append(npts)
                     cur_p += 9 + npts * 16
+                stack[-1].append(mem)
                 mem += 1
                 return cur_p
             if t == 6:  # MultiPolygon: each part a NEW polygon instance
@@ -435,15 +447,22 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                         g_ord_l.append(r); g_mem_l.append(mem)
                         g_start_l.append(cur_p + 4); g_vc_l.append(npts)
                         cur_p += 4 + npts * 16
+                stack[-1].append(mem)
                 mem += 1
                 return cur_p
-            if t == 7:  # nested collection: flatten (exact — see mem note)
+            if t == 7:  # nested collection: record the member tree so the
+                # measure folds can replay the kernel's nested grouping
                 if pos + 9 > end:
                     raise ValueError
                 nm = _u32(pos + 5)
                 cur_p = pos + 9
+                sub: list = []
+                stack.append(sub)
                 for _ in range(nm):
                     cur_p = _member(cur_p, end, rec)
+                stack.pop()
+                stack[-1].append(sub)
+                had_nested[0] = True
                 return cur_p
             raise ValueError  # Z/M member, big-endian member, or junk
 
@@ -451,10 +470,15 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
             for r in range(m):
                 pos = rec_start_l[r] + 9
                 end = rec_end_l[r]
+                root: list = []
+                stack[:] = [root]
+                had_nested[0] = False
                 for _ in range(int(nitems[r])):
                     pos = _member(pos, end, r)
                 if pos != end:
                     return None
+                if had_nested[0]:
+                    tree_map[int(ii[r])] = root
         except ValueError:
             return None
         coord_starts = np.array(g_start_l, np.int64)
@@ -469,6 +493,7 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
             "cls": np.array(g_cls_l, np.int8),
             "ord": np.array(g_ord_l, np.int64),
             "mem": np.array(g_mem_l, np.int64),
+            "tree": tree_map if tree_map else None,
         }
     else:  # MultiPolygon (6): parts are full Polygon WKBs with rings
         rec_end = rec_starts + lens
@@ -970,7 +995,7 @@ def _sweep_batch(s: pd.Series):
     ``ptinfo`` = (pt_counts, pt_vstart, pt_xs, pt_ys): the isolated-point
     vertices per row (the kernel's ``_points``), present for MultiPoint
     and mixed batches. ``lininfo`` (mixed only) = {'lin': spans, 'ring':
-    spans} where spans = (m_counts, m_start, m_seg_start, m_nsegs):
+    spans} where spans = (m_counts, m_start, m_seg_start, m_nsegs, m_mem):
     per-row leaf members of that class with their contiguous global
     segment spans — st_length folds each LINEAR member's hypot terms
     first and then the member partials per row (st_perimeter likewise
@@ -1090,12 +1115,14 @@ def _sweep_from_flat(isna, xs, ys, counts, info):
                 np.concatenate(([0], np.cumsum(m_counts)[:-1])),
                 m_seg_start,
                 m_nsegs,
+                mems[mfirst],  # global leaf ordinal (nested-tree replay)
             )
 
         lin = _member_spans(0)
         ring = _member_spans(2)
         if lin is not None or ring is not None:
-            lininfo = {"lin": lin, "ring": ring}
+            lininfo = {"lin": lin, "ring": ring,
+                       "tree": info.get("tree")}
     return (
         isna, counts, xs, ys, vstart,
         sax, say, sbx, sby, nsegs, sstart, reps, polyinfo, ptinfo,
@@ -1766,14 +1793,18 @@ def _seq_fold_groups(terms, group_start, group_len):
     return acc
 
 
-def _member_hypot_fold(spans, sax, say, sbx, sby):
+def _member_hypot_fold(spans, sax, say, sbx, sby, tree=None):
     """Per-leaf-member sequential hypot fold, then the member PARTIALS
-    folded per row — the kernel's sum-of-member-values grouping for
-    collection rows (each sub-sum starts at 0, so left-folding the
-    flattened partials is bit-identical)."""
+    folded per row — the kernel's sum-of-member-values grouping. Flat
+    top-level collections left-fold the flattened partials (bit-identical:
+    each sub-sum starts at 0). Rows containing NESTED collections replay
+    the recorded member tree instead, because the kernel groups per level
+    (la + (lb + lc), not (la + lb) + lc — the r11 advice fix); leaves of
+    the other class are pruned exactly (their partial is +0.0 and
+    x + 0.0 == x for the non-negative partials)."""
     import math as _m
 
-    m_counts, m_start, m_seg_start, m_nsegs = spans
+    m_counts, m_start, m_seg_start, m_nsegs, m_mem = spans
     sidx = _multi_arange(m_seg_start, m_nsegs)
     dx = (sbx[sidx] - sax[sidx]).tolist()
     dy = (sby[sidx] - say[sidx]).tolist()
@@ -1782,7 +1813,25 @@ def _member_hypot_fold(spans, sax, say, sbx, sby):
     )
     local_start = np.concatenate(([0], np.cumsum(m_nsegs)[:-1]))
     partials = _seq_fold_groups(terms, local_start, m_nsegs)
-    return _seq_fold_groups(partials, m_start, m_counts)
+    out = _seq_fold_groups(partials, m_start, m_counts)
+    if tree:
+        def _fold(node, pmap):
+            tot = 0.0
+            for ch in node:
+                if isinstance(ch, list):
+                    tot = tot + _fold(ch, pmap)
+                elif ch in pmap:
+                    tot = tot + pmap[ch]
+            return tot
+
+        for r, root in tree.items():
+            a = int(m_start[r])
+            b = a + int(m_counts[r])
+            if a == b:
+                continue  # no members of this class in the nested row
+            pmap = dict(zip(m_mem[a:b].tolist(), partials[a:b].tolist()))
+            out[r] = _fold(root, pmap)
+    return out
 
 
 def measure_fastpath(s, mode: str, src_kind: str = "wkb"):
@@ -1832,7 +1881,8 @@ def measure_fastpath(s, mode: str, src_kind: str = "wkb"):
             # 0.0, so left-folding the flattened partials reproduces the
             # grouping exactly). Ring/point segments never contribute.
             out = _member_hypot_fold(
-                lininfo["lin"], sax, say, sbx, sby
+                lininfo["lin"], sax, say, sbx, sby,
+                tree=lininfo.get("tree"),
             )
     elif mode == "perimeter":
         # scalar contract: sum of polygon RING lengths (shells + holes),
@@ -1855,7 +1905,8 @@ def measure_fastpath(s, mode: str, src_kind: str = "wkb"):
             and lininfo.get("ring") is not None
         ):
             out = _member_hypot_fold(
-                lininfo["ring"], sax, say, sbx, sby
+                lininfo["ring"], sax, say, sbx, sby,
+                tree=lininfo.get("tree"),
             )
     elif mode == "area":
         if polyinfo is not None:

@@ -163,11 +163,16 @@ def test_mixture_hash_oracle_mirror_matches_spark(spark, tmp_path):
 
 
 def test_sweep_dead_scratch_age_signal(tmp_path):
+    """r11 advice revision: an old dir whose PID is verifiably alive AND
+    started before the dir existed is the legitimate owner — KEPT (a >24h
+    replay must not lose its scratch mid-run). The age signal only sweeps
+    when ownership is unverifiable; see test_advice_fixes_r11 for the
+    recycled-PID and EPERM branches."""
     import __spark_entry__ as entry_mod
 
     root = str(tmp_path)
-    # dir named with a LIVE pid (our parent: alive, not ours) but ancient
-    # mtime -> swept by the age signal (the recycled-PID leak scenario)
+    # dir named with a LIVE pid (our parent, started long before the dir)
+    # and ancient mtime -> KEPT: the owner is alive and verifiable
     live_pid = os.getppid()
     old_live = os.path.join(root, f"gate-{live_pid}")
     os.makedirs(old_live)
@@ -185,7 +190,7 @@ def test_sweep_dead_scratch_age_signal(tmp_path):
     os.utime(plain, (past, past))
 
     entry_mod._sweep_dead_scratch(root)
-    assert not os.path.isdir(old_live)
+    assert os.path.isdir(old_live)
     assert os.path.isdir(fresh_live)
     assert not os.path.isdir(dead)
     assert os.path.isdir(plain)
