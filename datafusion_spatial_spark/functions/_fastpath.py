@@ -149,9 +149,22 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
         .copy()
         .view(np.uint32)
     )
-    gtype = int(words[0])
-    if gtype not in (2, 3, 4, 5, 6, 7) or not (words == gtype).all():
+    graw = int(words[0])
+    # r11: ISO Z (1000+t, 24-byte vertices), M (2000+t, 24), ZM (3000+t,
+    # 32) batches decode with the same walk at a wider stride; x,y are
+    # always the leading two doubles of a vertex, which is all the 2-D
+    # sweep consumes (the scalar kernels project Z/M away identically).
+    toff, vsize = 0, 16
+    if 1001 <= graw <= 1007:
+        toff, vsize = 1000, 24
+    elif 2001 <= graw <= 2007:
+        toff, vsize = 2000, 24
+    elif 3001 <= graw <= 3007:
+        toff, vsize = 3000, 32
+    gtype = graw - toff
+    if gtype not in (2, 3, 4, 5, 6, 7) or not (words == graw).all():
         return None
+    psize = 5 + vsize  # full point-record size at this dimension
     nitems = (
         arr[(rec_starts[:, None] + np.arange(5, 9)[None, :]).ravel()]
         .copy()
@@ -169,26 +182,26 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
             .astype(np.int64)
         )
 
-    if gtype == 2:  # LineString: 9-byte header + npts×16
-        if ((lens - 9) != nitems * 16).any():
+    if gtype == 2:  # LineString: 9-byte header + npts×vsize
+        if ((lens - 9) != nitems * vsize).any():
             return None
         coord_starts, coord_counts = rec_starts + 9, nitems
         row_counts = nitems
         info = {"kind": "paths", "rows": ii.copy(), "vcounts": nitems.copy()}
-    elif gtype == 4:  # MultiPoint: parts are full 21-byte 2-D WKB points
-        if ((lens - 9) != nitems * 21).any():
+    elif gtype == 4:  # MultiPoint: parts are full same-dim WKB points
+        if ((lens - 9) != nitems * psize).any():
             return None
-        # part p of record r starts at rec_start + 9 + 21*p
+        # part p of record r starts at rec_start + 9 + psize*p
         first = np.repeat(rec_starts + 9, nitems)
         within = _multi_arange(np.zeros(len(nitems), np.int64), nitems)
-        part_starts = first + 21 * within
+        part_starts = first + psize * within
         if part_starts.size and (
             (arr[part_starts] != 1).any()
             or (
                 arr[(part_starts[:, None] + np.arange(1, 5)[None, :]).ravel()]
                 .copy()
                 .view(np.uint32)
-                != 1
+                != 1 + toff
             ).any()
         ):
             return None
@@ -216,12 +229,12 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
             if ((cs + 4) > (rec_starts + lens)[live]).any():
                 return None
             npts = _u32_at(cs)
-            if ((cs + 4 + npts * 16) > (rec_starts + lens)[live]).any():
+            if ((cs + 4 + npts * vsize) > (rec_starts + lens)[live]).any():
                 return None
             ring_starts_l.append(cs + 4)
             ring_counts_l.append(npts)
             nxt = cur.copy()
-            nxt[live] = cs + 4 + npts * 16
+            nxt[live] = cs + 4 + npts * vsize
             cur = nxt
         if ((cur - rec_starts) != lens).any():
             return None  # trailing bytes (Z/M or corrupt)
@@ -276,15 +289,15 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                 return None
             if (arr[cs] != 1).any():
                 return None  # big-endian part
-            if (_u32_at(cs + 1) != 2).any():
-                return None  # part is not a 2-D LineString (Z/M etc.)
+            if (_u32_at(cs + 1) != 2 + toff).any():
+                return None  # part dimension differs from the record's
             npts = _u32_at(cs + 5)
-            if ((cs + 9 + npts * 16) > rec_end[live]).any():
+            if ((cs + 9 + npts * vsize) > rec_end[live]).any():
                 return None
             part_starts_l.append(cs + 9)
             part_counts_l.append(npts)
             nxt = cur.copy()
-            nxt[live] = cs + 9 + npts * 16
+            nxt[live] = cs + 9 + npts * vsize
             cur = nxt
         if ((cur - rec_starts) != lens).any():
             return None
@@ -354,20 +367,20 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
             nonlocal mem
             if pos + 5 > end or arr[pos] != 1:
                 raise ValueError
-            t = _u32(pos + 1)
-            if t == 1:  # Point: 21-byte 2-D record
-                if pos + 21 > end:
+            t = _u32(pos + 1) - toff  # members share the record's dim
+            if t == 1:  # Point: full same-dim record
+                if pos + psize > end:
                     raise ValueError
                 g_row_l.append(rec); g_cls_l.append(1); g_ord_l.append(0)
                 g_mem_l.append(mem); g_start_l.append(pos + 5); g_vc_l.append(1)
                 stack[-1].append(mem)
                 mem += 1
-                return pos + 21
+                return pos + psize
             if t == 2:  # LineString
                 if pos + 9 > end:
                     raise ValueError
                 npts = _u32(pos + 5)
-                nxt = pos + 9 + npts * 16
+                nxt = pos + 9 + npts * vsize
                 if nxt > end:
                     raise ValueError
                 g_row_l.append(rec); g_cls_l.append(0); g_ord_l.append(0)
@@ -385,12 +398,12 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                     if cur_p + 4 > end:
                         raise ValueError
                     npts = _u32(cur_p)
-                    if cur_p + 4 + npts * 16 > end:
+                    if cur_p + 4 + npts * vsize > end:
                         raise ValueError
                     g_row_l.append(rec); g_cls_l.append(2); g_ord_l.append(r)
                     g_mem_l.append(mem); g_start_l.append(cur_p + 4)
                     g_vc_l.append(npts)
-                    cur_p += 4 + npts * 16
+                    cur_p += 4 + npts * vsize
                 stack[-1].append(mem)
                 mem += 1
                 return cur_p
@@ -400,12 +413,13 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                 nm = _u32(pos + 5)
                 cur_p = pos + 9
                 for _ in range(nm):
-                    if cur_p + 21 > end or arr[cur_p] != 1 or _u32(cur_p + 1) != 1:
+                    if (cur_p + psize > end or arr[cur_p] != 1
+                            or _u32(cur_p + 1) != 1 + toff):
                         raise ValueError
                     g_row_l.append(rec); g_cls_l.append(1); g_ord_l.append(0)
                     g_mem_l.append(mem); g_start_l.append(cur_p + 5)
                     g_vc_l.append(1)
-                    cur_p += 21
+                    cur_p += psize
                 stack[-1].append(mem)
                 mem += 1
                 return cur_p
@@ -415,15 +429,16 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                 nparts = _u32(pos + 5)
                 cur_p = pos + 9
                 for _ in range(nparts):
-                    if cur_p + 9 > end or arr[cur_p] != 1 or _u32(cur_p + 1) != 2:
+                    if (cur_p + 9 > end or arr[cur_p] != 1
+                            or _u32(cur_p + 1) != 2 + toff):
                         raise ValueError
                     npts = _u32(cur_p + 5)
-                    if cur_p + 9 + npts * 16 > end:
+                    if cur_p + 9 + npts * vsize > end:
                         raise ValueError
                     g_row_l.append(rec); g_cls_l.append(0); g_ord_l.append(0)
                     g_mem_l.append(mem); g_start_l.append(cur_p + 9)
                     g_vc_l.append(npts)
-                    cur_p += 9 + npts * 16
+                    cur_p += 9 + npts * vsize
                 stack[-1].append(mem)
                 mem += 1
                 return cur_p
@@ -433,7 +448,8 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                 nparts = _u32(pos + 5)
                 cur_p = pos + 9
                 for _ in range(nparts):
-                    if cur_p + 9 > end or arr[cur_p] != 1 or _u32(cur_p + 1) != 3:
+                    if (cur_p + 9 > end or arr[cur_p] != 1
+                            or _u32(cur_p + 1) != 3 + toff):
                         raise ValueError
                     nrings = _u32(cur_p + 5)
                     cur_p += 9
@@ -441,12 +457,12 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                         if cur_p + 4 > end:
                             raise ValueError
                         npts = _u32(cur_p)
-                        if cur_p + 4 + npts * 16 > end:
+                        if cur_p + 4 + npts * vsize > end:
                             raise ValueError
                         g_row_l.append(rec); g_cls_l.append(2)
                         g_ord_l.append(r); g_mem_l.append(mem)
                         g_start_l.append(cur_p + 4); g_vc_l.append(npts)
-                        cur_p += 4 + npts * 16
+                        cur_p += 4 + npts * vsize
                 stack[-1].append(mem)
                 mem += 1
                 return cur_p
@@ -511,8 +527,8 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                 return None
             if (arr[cs] != 1).any():
                 return None
-            if (_u32_at(cs + 1) != 3).any():
-                return None  # part is not a 2-D Polygon
+            if (_u32_at(cs + 1) != 3 + toff).any():
+                return None  # part dimension differs from the record's
             nrings = _u32_at(cs + 5)
             inner = cs + 9
             max_r = int(nrings.max()) if nrings.size else 0
@@ -524,7 +540,7 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                 if ((cs2 + 4) > rec_end[idx][l2]).any():
                     return None
                 npts = _u32_at(cs2)
-                if ((cs2 + 4 + npts * 16) > rec_end[idx][l2]).any():
+                if ((cs2 + 4 + npts * vsize) > rec_end[idx][l2]).any():
                     return None
                 ent_rec.append(idx[l2])
                 ent_part.append(np.full(int(l2.sum()), p, np.int64))
@@ -532,7 +548,7 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
                 ent_start.append(cs2 + 4)
                 ent_npts.append(npts)
                 nxt = inner.copy()
-                nxt[l2] = cs2 + 4 + npts * 16
+                nxt[l2] = cs2 + 4 + npts * vsize
                 inner = nxt
             cur[idx] = inner
         if ((cur - rec_starts) != lens).any():
@@ -574,7 +590,7 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
             np.arange(total_v, dtype=np.int64)
             - np.repeat(out_start, coord_counts)
         )
-        vx = np.repeat(coord_starts, coord_counts) + 16 * rel
+        vx = np.repeat(coord_starts, coord_counts) + vsize * rel
         xs = _gather_f8(joined, vx)
         ys = _gather_f8(joined, vx + 8)
     else:
@@ -964,13 +980,14 @@ def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
 # four orient values / four point-seg terms are computed either way), so
 # one orientation of the sweep serves both operand orders bit-exactly.
 
+# LineString(2) Polygon(3) MultiPoint(4) MultiLineString(5)
+# MultiPolygon(6) GeometryCollection(7), each in the 2-D, ISO Z (+1000),
+# M (+2000) and ZM (+3000) forms (r11: the sweep gathers x,y at the
+# dimension's stride — the 2-D kernels it mirrors project Z/M away).
 _SWEEP_WORDS = {
-    b"\x02\x00\x00\x00",  # LineString
-    b"\x03\x00\x00\x00",  # Polygon
-    b"\x04\x00\x00\x00",  # MultiPoint (r9e)
-    b"\x05\x00\x00\x00",  # MultiLineString (r9c)
-    b"\x06\x00\x00\x00",  # MultiPolygon (r9c)
-    b"\x07\x00\x00\x00",  # GeometryCollection (r10)
+    (t + off).to_bytes(4, "little")
+    for t in (2, 3, 4, 5, 6, 7)
+    for off in (0, 1000, 2000, 3000)
 }
 
 
@@ -1141,12 +1158,11 @@ def _native_sweep_batch(df, tname: str):
     shape: xs/ys list columns + ring_counts/part_counts): the struct
     fields are already coordinate arrays, so the structure tables build
     straight from them — no WKB decode at all (r10, VERDICT r9 #4).
-    2-D only (zs/ms present -> scalar path); None to fall back."""
+    Z/M columns participate too (r11): only xs/ys are consumed, exactly
+    the projection the 2-D scalar kernels apply. None to fall back."""
     if tname not in _NATIVE_DEPTH:
         return None
     if not isinstance(df, pd.DataFrame) or "xs" not in df or "ys" not in df:
-        return None
-    if "zs" in df.columns or "ms" in df.columns:
         return None
     depth = _NATIVE_DEPTH[tname]
     xs_col = df["xs"].to_numpy(dtype=object)

@@ -27,11 +27,13 @@ from datafusion_spatial_spark.functions.predicates import (
 from datafusion_spatial_spark.meta import GeometryMeta
 
 
-def _unary(fn, dtype):
-    """(Geom -> value|None) lifted to a Column function."""
+def _unary(fn, dtype, force2d: bool = False):
+    """(Geom -> value|None) lifted to a Column function. ``force2d``
+    projects Z/M away for kernels defined on the XY plane (see
+    predicates._converter); structural accessors keep dims."""
 
     def build(col: Column | str, meta: GeometryMeta) -> Column:
-        conv = _converter(meta)
+        conv = _converter(meta, force2d=force2d)
 
         @F.pandas_udf(dtype)
         def udf(s: pd.Series) -> pd.Series:
@@ -46,14 +48,14 @@ def _unary(fn, dtype):
     return build
 
 
-def _geom_out(fn):
+def _geom_out(fn, force2d: bool = False):
     """(Geom -> Geom|None) lifted to a WKB-emitting Column function."""
 
     def inner(g):
         r = fn(g)
         return None if r is None else wkb.dumps(r)
 
-    return _unary(inner, T.BinaryType())
+    return _unary(inner, T.BinaryType(), force2d=force2d)
 
 
 # -- cardinality / members ---------------------------------------------------
@@ -179,7 +181,8 @@ def st_azimuth(
 ) -> Column:
     """North-based clockwise azimuth (radians) from point a to point b;
     NULL for coincident points or non-point input (PostGIS ST_Azimuth)."""
-    ca, cb = _converter(meta_a), _converter(meta_b)
+    ca = _converter(meta_a, force2d=True)
+    cb = _converter(meta_b, force2d=True)
 
     @F.pandas_udf(T.DoubleType())
     def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
@@ -207,10 +210,10 @@ def st_azimuth(
 # -- dump / merge / densify / canonical (round-3 constructive extras) --------
 
 
-st_linemerge = _geom_out(geom_ops.line_merge)
+st_linemerge = _geom_out(geom_ops.line_merge, force2d=True)  # stitch is XY
 st_normalize = _geom_out(geom_ops.normalize)
 st_force2d = _geom_out(geom_ops.force_2d)
-st_orientedenvelope = _geom_out(geom_ops.oriented_envelope)
+st_orientedenvelope = _geom_out(geom_ops.oriented_envelope, force2d=True)
 
 
 def _pos_point(g):
@@ -218,7 +221,7 @@ def _pos_point(g):
     return None if p is None else wkb.Geom("Point", (p[0], p[1]))
 
 
-st_pointonsurface = _geom_out(_pos_point)
+st_pointonsurface = _geom_out(_pos_point, force2d=True)
 
 
 def st_force3d(col: Column | str, meta: GeometryMeta, z: float = 0.0) -> Column:
@@ -259,7 +262,7 @@ def st_minimumboundingcircle(
             return wkb.Geom("Point", (cx, cy))
         return geom_ops.buffer_point((cx, cy), r, segments)
 
-    return _geom_out(mbc)(col, meta)
+    return _geom_out(mbc, force2d=True)(col, meta)
 
 
 def st_dump(col: Column | str, meta: GeometryMeta) -> Column:
@@ -286,7 +289,8 @@ def st_linelocatepoint(
 ) -> Column:
     """Fraction [0,1] along ``line`` of the projection of ``point`` —
     PostGIS ST_LineLocatePoint."""
-    cl, cp = _converter(meta_line), _converter(meta_point)
+    cl = _converter(meta_line, force2d=True)
+    cp = _converter(meta_point, force2d=True)
 
     @F.pandas_udf(T.DoubleType())
     def udf(sl: pd.Series, sp: pd.Series) -> pd.Series:
@@ -304,7 +308,7 @@ def st_linelocatepoint(
 
 def st_expand(col: Column | str, dx: float, meta: GeometryMeta, dy: float | None = None) -> Column:
     """Bounding box grown by dx/dy as a polygon (PostGIS ST_Expand)."""
-    return _geom_out(lambda g: geom_ops.expand(g, dx, dy))(col, meta)
+    return _geom_out(lambda g: geom_ops.expand(g, dx, dy), force2d=True)(col, meta)
 
 
 def st_split(col: Column | str, blade_wkt: str, meta: GeometryMeta) -> Column:
@@ -314,7 +318,7 @@ def st_split(col: Column | str, blade_wkt: str, meta: GeometryMeta) -> Column:
     blade = wkb.from_wkt(blade_wkt)
     return _unary(
         lambda g: [wkb.dumps(p) for p in geom_ops.split(g, blade)],
-        T.ArrayType(T.BinaryType()),
+        T.ArrayType(T.BinaryType()), force2d=True,
     )(col, meta)
 
 
@@ -325,7 +329,8 @@ def st_snap(
 ) -> Column:
     """Snap vertices of ``a`` onto nearby vertices/edges of ``b``
     (PostGIS ST_Snap); WKB out."""
-    ca, cb = _converter(meta_a), _converter(meta_b)
+    ca = _converter(meta_a, force2d=True)
+    cb = _converter(meta_b, force2d=True)
 
     @F.pandas_udf(T.BinaryType())
     def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
@@ -363,14 +368,14 @@ def st_polygonize(col: Column | str, meta: GeometryMeta) -> Column:
     polygonize the collection."""
     return _unary(
         lambda g: [wkb.dumps(p) for p in geom_ops.polygonize(g)],
-        T.ArrayType(T.BinaryType()),
+        T.ArrayType(T.BinaryType()), force2d=True,
     )(col, meta)
 
 
 def st_node(col: Column | str, meta: GeometryMeta) -> Column:
     """PostGIS ST_Node: fully node the linework (split at every crossing /
     touch, dissolve duplicate segments); MultiLineString WKB out."""
-    return _geom_out(geom_ops.node_lines)(col, meta)
+    return _geom_out(geom_ops.node_lines, force2d=True)(col, meta)
 
 
 def st_delaunaytriangles(col: Column | str, meta: GeometryMeta) -> Column:
@@ -379,7 +384,7 @@ def st_delaunaytriangles(col: Column | str, meta: GeometryMeta) -> Column:
     place (PostGIS ST_DelaunayTriangles analog)."""
     return _unary(
         lambda g: [wkb.dumps(t) for t in geom_ops.delaunay_triangles(g)],
-        T.ArrayType(T.BinaryType()),
+        T.ArrayType(T.BinaryType()), force2d=True,
     )(col, meta)
 
 
@@ -391,7 +396,7 @@ def st_voronoipolygons(
     env = wkb.from_wkt(envelope_wkt) if envelope_wkt else None
     return _unary(
         lambda g: [wkb.dumps(c) for c in geom_ops.voronoi_polygons(g, env)],
-        T.ArrayType(T.BinaryType()),
+        T.ArrayType(T.BinaryType()), force2d=True,
     )(col, meta)
 
 
@@ -403,7 +408,8 @@ def st_concavehull(
     Delaunay triangulation by target edge length — ratio 1 = convex hull,
     ratio→0 = maximally concave; polygon WKB out."""
     return _geom_out(
-        lambda g: geom_ops.concave_hull(g, float(ratio), allow_holes)
+        lambda g: geom_ops.concave_hull(g, float(ratio), allow_holes),
+        force2d=True,
     )(col, meta)
 
 
@@ -423,7 +429,7 @@ def st_maximuminscribedcircle(
     (multi)polygon, as struct{center WKB point, nearest WKB boundary
     point, radius} (polylabel-style branch and bound, exact within
     ``tolerance`` — default 1e-6 of the bbox span)."""
-    conv = _converter(meta)
+    conv = _converter(meta, force2d=True)
 
     @F.pandas_udf(_MIC_SCHEMA)
     def udf(s: pd.Series) -> pd.DataFrame:
@@ -463,7 +469,7 @@ def st_largestemptycircle(
     struct{center WKB point, nearest WKB obstacle point, radius} — same
     branch-and-bound as ST_MaximumInscribedCircle with the distance sign
     flipped to empty space."""
-    conv = _converter(meta)
+    conv = _converter(meta, force2d=True)
     bnd = None if boundary_wkt is None else wkb.from_wkt(boundary_wkt)
 
     @F.pandas_udf(_MIC_SCHEMA)
@@ -498,15 +504,17 @@ def st_generatepoints(
     """PostGIS ST_GeneratePoints: ``n`` seeded-deterministic points inside
     a (multi)polygon; MultiPoint WKB out."""
     return _geom_out(
-        lambda g: geom_ops.generate_points(g, int(n), int(seed))
+        lambda g: geom_ops.generate_points(g, int(n), int(seed)),
+        force2d=True,
     )(col, meta)
 
 
-def _binary_geom_fn(fn, dtype):
+def _binary_geom_fn(fn, dtype, force2d: bool = False):
     """(Geom, Geom -> value|None) lifted to a 2-column function."""
 
     def build(a, b, meta_a, meta_b):
-        ca, cb = _converter(meta_a), _converter(meta_b)
+        ca = _converter(meta_a, force2d=force2d)
+        cb = _converter(meta_b, force2d=force2d)
 
         @F.pandas_udf(dtype)
         def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
@@ -526,9 +534,9 @@ def _shortest_line_wkb(ga, gb):
     return None if r is None else wkb.dumps(r)
 
 
-st_shortestline = _binary_geom_fn(_shortest_line_wkb, T.BinaryType())
+st_shortestline = _binary_geom_fn(_shortest_line_wkb, T.BinaryType(), force2d=True)
 st_hausdorffdistance = _binary_geom_fn(
-    geom_ops.hausdorff_distance, T.DoubleType()
+    geom_ops.hausdorff_distance, T.DoubleType(), force2d=True
 )
 st_3ddistance = _binary_geom_fn(geom_ops.distance_3d, T.DoubleType())
 
@@ -546,7 +554,9 @@ def st_angle(
     """
     m2 = meta2 if meta2 is not None else meta
     m3 = meta3 if meta3 is not None else meta
-    c1, c2, c3 = _converter(meta), _converter(m2), _converter(m3)
+    c1, c2, c3 = (_converter(meta, force2d=True),
+                  _converter(m2, force2d=True),
+                  _converter(m3, force2d=True))
 
     @F.pandas_udf(T.DoubleType())
     def udf(s1: pd.Series, s2: pd.Series, s3: pd.Series) -> pd.Series:

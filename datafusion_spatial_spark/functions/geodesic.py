@@ -87,8 +87,8 @@ def st_distancesphere_geoms(
         _prep,
     )
 
-    conv_a = _converter(meta_a)
-    conv_b = _converter(meta_b)
+    conv_a = _converter(meta_a, force2d=True)
+    conv_b = _converter(meta_b, force2d=True)
 
     @F.pandas_udf(T.DoubleType())
     def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:

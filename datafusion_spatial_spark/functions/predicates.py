@@ -84,9 +84,32 @@ def _as_rows(s):
     return s.to_dict("records") if isinstance(s, pd.DataFrame) else s
 
 
-def _converter(meta: GeometryMeta) -> Callable[[object], wkb.Geom | None]:
-    """UDF-side value (WKB bytes or flat-offsets struct) -> Geom."""
+def _converter(
+    meta: GeometryMeta, force2d: bool = False
+) -> Callable[[object], wkb.Geom | None]:
+    """UDF-side value (WKB bytes or flat-offsets struct) -> Geom.
+
+    ``force2d=True`` projects Z/M away before the kernel sees the Geom —
+    the 2-D analysis operations (predicates, measures, overlay,
+    ST_Distance) are defined on the XY projection (PostGIS semantics),
+    and the scalar kernels assume 2-tuples in several places (r11:
+    ``contains`` crashed outright on XYZ input). Dim-preserving consumers
+    (st_asbinary/st_asgeojson/st_3ddistance, the structural accessors)
+    keep the default."""
     if meta.is_wkb:
+        if force2d:
+            def conv_wkb_2d(v):
+                if v is None:
+                    return None
+                g = wkb.loads(bytes(v))
+                # meta rarely knows WKB dims — decide per row (two attr
+                # reads; force_2d returns the same object for 2-D input)
+                if g.has_z or g.has_m or g.type_name == "GeometryCollection":
+                    g = geom_ops.force_2d(g)
+                return g
+
+            return conv_wkb_2d
+
         def conv_wkb(v):
             if v is None:
                 return None
@@ -97,6 +120,8 @@ def _converter(meta: GeometryMeta) -> Callable[[object], wkb.Geom | None]:
     tname = meta.native_type
     depth = NESTING_DEPTH[tname]
     has_z, has_m = meta.has_z, meta.has_m
+    if force2d:
+        has_z = has_m = False  # conv reads xs/ys only: projection for free
 
     def mk(coords):
         return wkb.Geom(tname, coords, has_z, None, has_m)
@@ -139,22 +164,24 @@ def _converter(meta: GeometryMeta) -> Callable[[object], wkb.Geom | None]:
 
 def _fast_kind(meta: GeometryMeta) -> str:
     """Shape hint for the vectorized refine fast paths: 'wkb' (bytes reach
-    the UDF as-is), 'point' (depth-0 2-D native struct),
-    'native:<TypeName>' (deeper 2-D native struct — the flat-offsets
-    fields are coordinate arrays the sweep can consume directly, r10), or
-    'other' (Z/M or unknown: the scalar kernels decide)."""
+    the UDF as-is), 'point' (depth-0 native struct),
+    'native:<TypeName>' (deeper native struct — the flat-offsets fields
+    are coordinate arrays the sweep can consume directly, r10), or
+    'other' (unknown type: the scalar kernels decide). Z/M native columns
+    participate since r11 — the sweep reads xs/ys only, the projection
+    the 2-D kernels apply via force2d."""
     if meta.is_wkb:
         return "wkb"
     t = meta.native_type
-    if t in NESTING_DEPTH and not meta.has_z and not meta.has_m:
+    if t in NESTING_DEPTH:
         return "point" if NESTING_DEPTH[t] == 0 else f"native:{t}"
     return "other"
 
 
 def _binary_predicate(fn: Callable[[wkb.Geom, wkb.Geom], bool], mode: str | None = None):
     def build(a: Column | str, b: Column | str, meta_a: GeometryMeta, meta_b: GeometryMeta) -> Column:
-        ca = _converter(meta_a)
-        cb = _converter(meta_b)
+        ca = _converter(meta_a, force2d=True)
+        cb = _converter(meta_b, force2d=True)
         kind_a, kind_b = _fast_kind(meta_a), _fast_kind(meta_b)
 
         @F.pandas_udf(T.BooleanType())
@@ -188,7 +215,7 @@ st_equals = _binary_predicate(geom_ops.equals, "equals")
 def st_distance(
     a: Column | str, b: Column | str, meta_a: GeometryMeta, meta_b: GeometryMeta
 ) -> Column:
-    ca, cb = _converter(meta_a), _converter(meta_b)
+    ca, cb = _converter(meta_a, force2d=True), _converter(meta_b, force2d=True)
     kind_a, kind_b = _fast_kind(meta_a), _fast_kind(meta_b)
 
     @F.pandas_udf(T.DoubleType())
@@ -221,7 +248,7 @@ def st_dwithin(
 
 def _unary_measure(fn, dtype=T.DoubleType(), fast_mode: str | None = None):
     def build(col: Column | str, meta: GeometryMeta) -> Column:
-        conv = _converter(meta)
+        conv = _converter(meta, force2d=True)
         kind = _fast_kind(meta)
 
         @F.pandas_udf(dtype)
@@ -260,7 +287,7 @@ def _unary_constructive(fn):
     """geometry -> geometry op, emitted as WKB (pair with GeometryMeta('WKB'))."""
 
     def build(col: Column | str, meta: GeometryMeta, **kw) -> Column:
-        conv = _converter(meta)
+        conv = _converter(meta, force2d=True)
 
         @F.pandas_udf(T.BinaryType())
         def udf(s: pd.Series) -> pd.Series:
@@ -356,7 +383,7 @@ def st_centroid(col: Column | str, meta: GeometryMeta) -> Column:
     """Centroid as a native Point struct; NULL or EMPTY geometry → NULL
     (the pandas→Arrow bridge coerces NaN to null, so EMPTY cannot round-trip
     the NaN empty-point convention through this UDF)."""
-    conv = _converter(meta)
+    conv = _converter(meta, force2d=True)
 
     _pt_type = T.StructType([
         T.StructField("x", T.DoubleType()),
@@ -399,7 +426,7 @@ def _binary_constructive(fn):
     def build(
         a: Column | str, b: Column | str, meta_a: GeometryMeta, meta_b: GeometryMeta
     ) -> Column:
-        ca, cb = _converter(meta_a), _converter(meta_b)
+        ca, cb = _converter(meta_a, force2d=True), _converter(meta_b, force2d=True)
 
         @F.pandas_udf(T.BinaryType())
         def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
@@ -435,7 +462,7 @@ def st_relate_matrix(
 ) -> Column:
     """Dimension-true DE-9IM matrix string (e.g. '212101212') — the
     PostGIS 2-argument ST_Relate form (geom_ops.relate_matrix)."""
-    ca, cb = _converter(meta_a), _converter(meta_b)
+    ca, cb = _converter(meta_a, force2d=True), _converter(meta_b, force2d=True)
 
     @F.pandas_udf(T.StringType())
     def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
@@ -461,7 +488,7 @@ def st_relate(
 ) -> Column:
     """DE-9IM pattern match: T/F/* cells and explicit dimensions 0/1/2
     (dimension cells use geom_ops.relate_matrix)."""
-    ca, cb = _converter(meta_a), _converter(meta_b)
+    ca, cb = _converter(meta_a, force2d=True), _converter(meta_b, force2d=True)
 
     @F.pandas_udf(T.BooleanType())
     def udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
@@ -485,7 +512,7 @@ def st_subdivide(
     parts — ``F.explode`` it to get the set-returning form). Use before
     grid spatial joins on huge polygons: parts have tighter bboxes and
     bounded refine cost."""
-    conv = _converter(meta)
+    conv = _converter(meta, force2d=True)
 
     @F.pandas_udf(T.ArrayType(T.BinaryType()))
     def udf(s: pd.Series) -> pd.Series:
@@ -515,7 +542,7 @@ def st_lineinterpolatepoint(
 ) -> Column:
     """Point at ``fraction`` of a LineString's length, as a native Point
     struct (NULL for non-lines)."""
-    conv = _converter(meta)
+    conv = _converter(meta, force2d=True)
     _pt = T.StructType([
         T.StructField("x", T.DoubleType()),
         T.StructField("y", T.DoubleType()),
@@ -539,7 +566,7 @@ def st_geohash(col: Column | str, precision: int, meta: GeometryMeta) -> Column:
     """Geohash of a point geometry's (x=lon, y=lat) at ``precision`` chars."""
     from datafusion_spatial_spark import geohash as _gh
 
-    conv = _converter(meta)
+    conv = _converter(meta, force2d=True)
 
     @F.pandas_udf(T.StringType())
     def udf(s: pd.Series) -> pd.Series:
@@ -586,7 +613,7 @@ def st_closestpoint(
     a: Column | str, b: Column | str, meta_a: GeometryMeta, meta_b: GeometryMeta
 ) -> Column:
     """The point on ``a`` closest to ``b`` as a native Point struct."""
-    ca, cb = _converter(meta_a), _converter(meta_b)
+    ca, cb = _converter(meta_a, force2d=True), _converter(meta_b, force2d=True)
     _pt = T.StructType([
         T.StructField("x", T.DoubleType()),
         T.StructField("y", T.DoubleType()),

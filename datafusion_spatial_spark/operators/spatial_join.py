@@ -804,7 +804,7 @@ def _polar_pbox_udf(meta: GeometryMeta, south: bool):
         _prep,
     )
 
-    conv = _converter(meta)
+    conv = _converter(meta, force2d=True)
     sgn = -1.0 if south else 1.0
     k2r = 2.0 * _R_SPHERE
 

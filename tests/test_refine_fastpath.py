@@ -1280,12 +1280,13 @@ def test_native_batch_fallback_gates():
         _native_sweep_batch,
     )
 
-    # Z column present -> scalar path
+    # Z column present -> participates since r11 (xs/ys-only projection,
+    # matching the scalar kernels' force2d)
     df = pd.DataFrame({
         "xs": [np.array([0.0, 1.0])], "ys": [np.array([0.0, 1.0])],
         "zs": [np.array([0.0, 0.0])],
     })
-    assert _native_sweep_batch(df, "LineString") is None
+    assert _native_sweep_batch(df, "LineString") is not None
     # NaN vertex -> scalar path decides parity
     df = pd.DataFrame({
         "xs": [np.array([float("nan"), 1.0])], "ys": [np.array([0.0, 1.0])],
