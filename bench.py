@@ -89,8 +89,22 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
+    shuffle_plan: dict[str, int] = {}
     for name, fn in bench_queries().items():
-        fn(spark, sf_dir).collect()  # warmup: JIT, file listing, broadcast
+        df = fn(spark, sf_dir)
+        df.collect()  # warmup: JIT, file listing, broadcast
+        if name == "q05_region_revenue":
+            # r11 (VERDICT r10 #7): fingerprint the shuffle control's
+            # EXECUTED join shape in the JSON every round, so an AQE /
+            # conf / statistics change that alters what "shuffle-bound"
+            # means is visible in the series instead of silently
+            # re-baselining every normalized_shuffle ratio.
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            shuffle_plan = {
+                k: plan.count(k)
+                for k in ("SortMergeJoin", "BroadcastHashJoin",
+                          "ShuffledHashJoin", "Exchange")
+            }
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -153,6 +167,7 @@ def main() -> None:
                 "normalized": normalized,
                 "control_shuffle": control_shuffle,
                 "control_shuffle_sec": timings.get(control_shuffle),
+                "control_shuffle_plan": shuffle_plan,
                 "normalized_shuffle": normalized_shuffle,
                 "control_of": control_of,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

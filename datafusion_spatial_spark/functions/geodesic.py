@@ -541,8 +541,8 @@ def _pst_inv_expr(x: Column, y: Column, srid: int):
 
 def _named_tm_expr_params(srid: int):
     """(lat0, lon0, k0, FE, FN, a, f) for datum-free named TM codes and
-    the ETRS89/UTM zones; None when the code needs a datum shift (27700)
-    or isn't TM."""
+    the ETRS89/UTM zones; None when the code needs a datum shift (27700
+    routes through the Helmert expressions instead) or isn't TM."""
     p = geom_ops._TM_CODES.get(srid)
     if p is not None:
         lat0, lon0, k0, fe, fn, a, f, datum = p
@@ -551,6 +551,152 @@ def _named_tm_expr_params(srid: int):
     if ez:
         return (0.0, geom_ops.utm_lon0(ez), geom_ops._UTM_K0,
                 geom_ops._UTM_FE, 0.0, geom_ops.GRS80_A, geom_ops.GRS80_F)
+    return None
+
+
+# --- Catalyst Helmert datum bridge (r11, VERDICT r10 #4) -------------------
+# The OSGB bridge is closed-form algebra end-to-end: geodetic -> geocentric
+# XYZ (trig), the 7-parameter position-vector transform (linear), and
+# XYZ -> geodetic via BOWRING's non-iterative latitude formula — the
+# geodetic twin of the conformal/authalic series trick that keeps the
+# conic inverses codegen-safe (an unrolled fixed-point like the kernel's
+# _xyz_to_geodetic loop would explode the expression tree). For |h| under
+# a few km (datum shifts put points ~0-500 m off the target ellipsoid)
+# Bowring agrees with the iterated latitude to ~1e-12 rad (< 10 um on the
+# ground, 6 orders below the ~2 m national accuracy of ANY single GB
+# Helmert); tests pin the bound at the OS worked example.
+
+
+def _let(bindings: dict, body):
+    """Genuine let-binding for Column expressions: ``bindings`` are
+    evaluated ONCE and referenced as lambda VARIABLES inside ``body`` —
+    ``F.transform`` over a one-element array of a struct binds its
+    element to a Catalyst lambda variable, so a bound expression appears
+    once in the tree regardless of how many times the body references it.
+    Without this, chaining the datum-bridge stages multiplies the input
+    tree per reference and the Column→Expression conversion itself blows
+    the driver heap (the r10 Albers-unroll failure mode, one level
+    earlier). ``body`` takes the variable struct and returns a dict of
+    named output Columns; the result is a struct Column (extract each
+    field once)."""
+    bound = F.array(F.struct(*[c.alias(k) for k, c in bindings.items()]))
+    return F.element_at(
+        F.transform(
+            bound,
+            lambda v: F.struct(
+                *[c.alias(k) for k, c in body(v).items()]
+            ),
+        ),
+        1,
+    )
+
+
+def _geodetic_to_xyz_expr(lon: Column, lat: Column, a: float, f: float):
+    e2 = f * (2 - f)
+    phi, lam = F.radians(lat), F.radians(lon)
+    s, c = F.sin(phi), F.cos(phi)
+    N = F.lit(a) / F.sqrt(1 - F.lit(e2) * s * s)
+    return N * c * F.cos(lam), N * c * F.sin(lam), N * F.lit(1 - e2) * s
+
+
+def _xyz_to_geodetic_expr(X: Column, Y: Column, Z: Column, a: float, f: float):
+    e2 = f * (2 - f)
+    b = a * (1 - f)
+    ep2 = e2 / (1 - e2)
+    p = F.sqrt(X * X + Y * Y)
+    lam = F.atan2(Y, X)
+    u = F.atan2(Z * F.lit(a), p * F.lit(b))
+    su, cu = F.sin(u), F.cos(u)
+    phi = F.atan2(
+        Z + F.lit(ep2 * b) * su * su * su,
+        p - F.lit(e2 * a) * cu * cu * cu,
+    )
+    return F.degrees(lam), F.degrees(phi)
+
+
+def _helmert_apply_expr(X, Y, Z, prm):
+    tx, ty, tz, rx, ry, rz, s_ppm = prm
+    rx, ry, rz = (v * geom_ops.ARCSEC for v in (rx, ry, rz))
+    m = 1.0 + s_ppm * 1e-6
+    return (
+        F.lit(tx) + F.lit(m) * (X - F.lit(rz) * Y + F.lit(ry) * Z),
+        F.lit(ty) + F.lit(m) * (F.lit(rz) * X + Y - F.lit(rx) * Z),
+        F.lit(tz) + F.lit(m) * (-F.lit(ry) * X + F.lit(rx) * Y + Z),
+    )
+
+
+def _helmert_invert_expr(X, Y, Z, prm):
+    tx, ty, tz, rx, ry, rz, s_ppm = prm
+    rx, ry, rz = (v * geom_ops.ARCSEC for v in (rx, ry, rz))
+    m = 1.0 + s_ppm * 1e-6
+    bx, by, bz = (X - F.lit(tx)) / F.lit(m), (Y - F.lit(ty)) / F.lit(m), (
+        Z - F.lit(tz)
+    ) / F.lit(m)
+    det = 1 + rx * rx + ry * ry + rz * rz
+    vx = (bx * F.lit((1 + rx * rx) / det) + by * F.lit((rz + rx * ry) / det)
+          + bz * F.lit((rx * rz - ry) / det))
+    vy = (bx * F.lit((rx * ry - rz) / det) + by * F.lit((1 + ry * ry) / det)
+          + bz * F.lit((rx + ry * rz) / det))
+    vz = (bx * F.lit((ry + rx * rz) / det) + by * F.lit((ry * rz - rx) / det)
+          + bz * F.lit((1 + rz * rz) / det))
+    return vx, vy, vz
+
+
+def _datum_bridge_expr(lon, lat, a_src, f_src, a_dst, f_dst, hel):
+    """Geographic (a_src,f_src) -> geographic (a_dst,f_dst) through the
+    Helmert `hel` (a callable applying the geocentric transform). Every
+    stage is _let-bound: inputs once, XYZ once, so the tree stays LINEAR
+    however deep the surrounding expression is."""
+    out = _let(
+        {"lon": lon, "lat": lat},
+        lambda v: (lambda xyz: {
+            "s": _let(
+                dict(zip("XYZ", xyz)),
+                lambda w: (lambda ll: {"lon": ll[0], "lat": ll[1]})(
+                    _xyz_to_geodetic_expr(
+                        *hel(w["X"], w["Y"], w["Z"]), a_dst, f_dst
+                    )
+                ),
+            )
+        })(_geodetic_to_xyz_expr(v["lon"], v["lat"], a_src, f_src)),
+    )
+    inner = out["s"]
+    return inner["lon"], inner["lat"]
+
+
+def _datum_from_wgs84_expr(lon, lat, a, f, prm):
+    return _datum_bridge_expr(
+        lon, lat, geom_ops.WGS84_A, geom_ops.WGS84_F, a, f,
+        lambda X, Y, Z: _helmert_apply_expr(X, Y, Z, prm),
+    )
+
+
+def _datum_to_wgs84_expr(lon, lat, a, f, prm):
+    return _datum_bridge_expr(
+        lon, lat, a, f, geom_ops.WGS84_A, geom_ops.WGS84_F,
+        lambda X, Y, Z: _helmert_invert_expr(X, Y, Z, prm),
+    )
+
+
+def _datum_tm_params(srid: int):
+    """Full _TM_CODES-shaped row for datum-BEARING TM codes: the built-in
+    27700 plus any register_datum(projection='tm') registration."""
+    p = geom_ops._TM_CODES.get(srid)
+    if p is not None and p[7] is not None:
+        return p
+    ent = geom_ops._CUSTOM_DATUM_CRS.get(srid)
+    if ent and ent["proj"] == "tm":
+        return ent["row"]
+    return None
+
+
+def _datum_geographic_params(srid: int):
+    """(a, f, helmert) for register_datum(projection='geographic') codes
+    (the local datum's own lon/lat grid, e.g. NAD27 / OSGB36 geographic)."""
+    ent = geom_ops._CUSTOM_DATUM_CRS.get(srid)
+    if ent and ent["proj"] == "geographic":
+        a, f = ent["ellipsoid"]
+        return a, f, ent["helmert"]
     return None
 
 
@@ -577,6 +723,25 @@ def _to_lonlat_expr(x: Column, y: Column, srid: int):
     if ntm:
         lat0, lon0, k0, fe, fn, a, f = ntm
         return _tm_inv_expr(x, y, lon0, False, a, f, k0, fe, fn, lat0)
+    dtm = _datum_tm_params(srid)
+    if dtm:  # 27700: TM inverse on the local ellipsoid, then the Helmert.
+        # _let-bound stages: the TM inverse references x/y several times
+        # and the bridge references its inputs several times — binding at
+        # each seam keeps the total tree linear (nesting these twins,
+        # e.g. a round trip, otherwise OOMs the driver at tree build).
+        lat0, lon0, k0, fe, fn, a, f, datum = dtm
+        tm = _let(
+            {"x": x, "y": y},
+            lambda v: (lambda ll: {"lo": ll[0], "la": ll[1]})(
+                _tm_inv_expr(v["x"], v["y"], lon0, False, a, f, k0, fe,
+                             fn, lat0)
+            ),
+        )
+        return _datum_to_wgs84_expr(tm["lo"], tm["la"], a, f, datum)
+    dg = _datum_geographic_params(srid)
+    if dg:  # registered local-datum geographic grid: the bridge alone
+        a, f, datum = dg
+        return _datum_to_wgs84_expr(x, y, a, f, datum)
     aff = (geom_ops._CUSTOM_CRS.get(srid) or {}).get("affine")
     if aff:
         a, b, d, e, xoff, yoff = aff
@@ -613,6 +778,23 @@ def _from_lonlat_expr(lon: Column, lat: Column, srid: int):
     if ntm:
         lat0, lon0, k0, fe, fn, a, f = ntm
         return _tm_fwd_expr(lon, lat, lon0, False, a, f, k0, fe, fn, lat0)
+    dtm = _datum_tm_params(srid)
+    if dtm:  # 27700: Helmert to the local datum, then the TM forward
+        # (_let-bound at the seam — see the inverse branch note)
+        lat0, lon0, k0, fe, fn, a, f, datum = dtm
+        llon, llat = _datum_from_wgs84_expr(lon, lat, a, f, datum)
+        out = _let(
+            {"lo": llon, "la": llat},
+            lambda v: (lambda xy: {"x": xy[0], "y": xy[1]})(
+                _tm_fwd_expr(v["lo"], v["la"], lon0, False, a, f, k0, fe,
+                             fn, lat0)
+            ),
+        )
+        return out["x"], out["y"]
+    dg = _datum_geographic_params(srid)
+    if dg:  # registered local-datum geographic grid: the bridge alone
+        a, f, datum = dg
+        return _datum_from_wgs84_expr(lon, lat, a, f, datum)
     aff = (geom_ops._CUSTOM_CRS.get(srid) or {}).get("affine")
     if aff:
         a, b, d, e, xoff, yoff = aff
@@ -635,14 +817,18 @@ def st_transform_point(
     EPSG:3857 (closed-form spherical Web Mercator), WGS84 UTM zones
     EPSG:326zz/327zz and ETRS89/UTM 25828-25838 (Snyder
     Transverse-Mercator series, <1 mm in-zone), EPSG:3035 (ETRS89-LAEA
-    Europe, ellipsoidal), and — r10 — Albers 5070/3310/3577, Lambert
+    Europe, ellipsoidal), r10's Albers 5070/3310/3577, Lambert
     conformal 2154/3978, polar stereographic 3031/3413/3976/5041/5042,
-    and TM 2180 (datum-free named codes; 27700 needs the OSGB Helmert and
-    stays kernel-only). Forward twins are expression-for-expression with
-    the geom_ops kernels; the iterative latitude inverses are replaced by
+    TM 2180, and — r11 — EPSG:27700 (OSGB British National Grid: the OS
+    7-parameter WGS84↔OSGB36 Helmert runs in Catalyst through geocentric
+    XYZ, with Bowring's closed-form latitude replacing the kernel's
+    fixed-point XYZ→geodetic — the codegen-safe analog of the series
+    inverses). Forward twins are expression-for-expression with the
+    geom_ops kernels; the iterative latitude inverses are replaced by
     the standard authalic/conformal series (~1e-10 rad of the iterated
-    values). Everything stays in whole-stage codegen — trig expressions
-    only, usable inside join conditions at scale."""
+    values; Bowring ~1e-12 rad for near-ellipsoid heights). Everything
+    stays in whole-stage codegen — trig expressions only, usable inside
+    join conditions at scale."""
     x, y = st_x(col, meta), st_y(col, meta)
     if src_srid == dst_srid:
         return st_point(x, y)
@@ -654,7 +840,8 @@ def st_transform_point(
             "closed form (built-ins: 4326, 3857, UTM 326zz/327zz + "
             "25828-25838, LAEA 3035, Albers 5070/3310/3577, LCC "
             "2154/3978, polar stereographic 3031/3413/3976/5041/5042, "
-            "TM 2180, plus geom_ops.register_crs(affine=...) SRIDs) — "
+            "TM 2180/27700, plus geom_ops.register_crs(affine=...) "
+            "SRIDs) — "
             "use st_transform, which also takes callable register_crs "
             "SRIDs, a custom= pair function, or any EPSG pair via the "
             "optional 'pyproj' extra"
