@@ -767,6 +767,60 @@ def _geom_segments_arr(g):
     return segs
 
 
+def _geom_segs_and_points(g):
+    """(segments, point leaves) of any supported geometry — ``_segments``
+    order for the segs (ring segments included) and the kernel's
+    ``_points`` pass for the leaves. Unlike :func:`_geom_segments_arr`,
+    point-typed members do NOT reject the geometry: the callers mirror
+    the kernel's point-member tests (r11, VERDICT r10 #3). Non-finite
+    leaves are dropped — the kernel's EPS / min folds ignore NaN points
+    identically (NaN comparisons are all False; Python ``min(best, nan)``
+    keeps ``best``)."""
+    from datafusion_spatial_spark import geom_ops as _go
+
+    if g.type_name not in (
+        "Point", "MultiPoint", "LineString", "MultiLineString",
+        "Polygon", "MultiPolygon", "GeometryCollection",
+    ):
+        return None, None
+    segs = [
+        (float(a[0]), float(a[1]), float(b[0]), float(b[1]))
+        for a, b in _go._segments(g)
+    ]
+    pts = [
+        (float(p[0]), float(p[1]))
+        for p in _go._points(g)
+        if p[0] == p[0] and p[1] == p[1]
+    ]
+    return segs, pts
+
+
+def _gc_line_segments(g):
+    """Segments of the LINE-typed members only (recursive) — the part of
+    the kernel's ``_segments`` pass not already subsumed by the polygon
+    locate boundary in the point-vs-geometry intersects mirror."""
+    segs: list = []
+
+    def walk(m):
+        t = m.type_name
+        if t == "LineString":
+            c = m.coords
+            for i in range(len(c) - 1):
+                segs.append((float(c[i][0]), float(c[i][1]),
+                             float(c[i + 1][0]), float(c[i + 1][1])))
+        elif t == "MultiLineString":
+            for line in m.coords:
+                for i in range(len(line) - 1):
+                    segs.append((float(line[i][0]), float(line[i][1]),
+                                 float(line[i + 1][0]), float(line[i + 1][1])))
+        elif t == "GeometryCollection":
+            for mm in m.coords:
+                walk(mm)
+
+    walk(g)
+    return segs
+
+
 def _factorized_geoms(s: pd.Series):
     """Factorize a WKB bytes series into (codes, parsed uniques) for
     duplicate-heavy candidate batches (a literal query polygon, grid-join
@@ -852,25 +906,66 @@ def predicate_fastpath(sa, sb, mode: str, kind_a: str, kind_b: str):
         return _line_predicate_fastpath(sa, sb, mode, kind_a, kind_b)
     codes, geoms = fact
     px, py, pv, pn = pt
-    loc = np.zeros(len(geo_s), dtype=np.int8)
+    hit = np.zeros(len(geo_s), dtype=bool)
     for gi, g in enumerate(geoms):
-        polys = _geom_polygons(g)
-        if polys is None:
-            return None
         m = (codes == gi) & pv
-        if not m.any():
-            continue
-        sub = np.zeros(int(m.sum()), dtype=np.int8)
-        for rings in polys:
-            sub = np.maximum(sub, _polygon_locate(rings, px[m], py[m]))
-        loc[m] = sub
+        if not m.any() or g.is_empty:
+            continue  # kernel: empty operand -> False (disjoint True)
+        x, y = px[m], py[m]
+        polys = list(_go_polygons(g))  # the kernel's PARTIAL recursion
+        if mode in ("contains", "within"):
+            # kernel contains(): ANY polygonal ring system selects the
+            # polygonal branch (line/point members of a collection are
+            # ignored there); else the line branch for pure line types;
+            # else EXACT coord-set membership for point containers
+            if polys:
+                sub = np.zeros(x.size, dtype=np.int8)
+                for rings in polys:
+                    sub = np.maximum(sub, _polygon_locate(rings, x, y))
+                hit[m] = sub == 2
+            elif g.type_name in ("LineString", "MultiLineString"):
+                segs, _ = _geom_segs_and_points(g)
+                on = np.zeros(x.size, dtype=bool)
+                for ax, ay, bx, by in segs:
+                    orient = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+                    on |= (
+                        (np.abs(orient) <= _EPS)
+                        & (min(ax, bx) - _EPS <= x) & (x <= max(ax, bx) + _EPS)
+                        & (min(ay, by) - _EPS <= y) & (y <= max(ay, by) + _EPS)
+                    )
+                hit[m] = on
+            elif g.type_name in ("Point", "MultiPoint"):
+                ok = np.zeros(x.size, dtype=bool)
+                _, gpts = _geom_segs_and_points(g)
+                for qx, qy in gpts:
+                    ok |= (x == qx) & (y == qy)  # kernel: exact set member
+                hit[m] = ok
+            # collection without polygons: kernel returns False — default
+        else:  # intersects / disjoint: the kernel's _point_intersects
+            sub = np.zeros(x.size, dtype=np.int8)
+            for rings in polys:
+                sub = np.maximum(sub, _polygon_locate(rings, x, y))
+            on = sub >= 1
+            # line-member segments (ring segments are subsumed by the
+            # locate boundary — same _on_segment expression) ...
+            for ax, ay, bx, by in _gc_line_segments(g):
+                orient = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+                on |= (
+                    (np.abs(orient) <= _EPS)
+                    & (min(ax, bx) - _EPS <= x) & (x <= max(ax, bx) + _EPS)
+                    & (min(ay, by) - _EPS <= y) & (y <= max(ay, by) + _EPS)
+                )
+            # ... and point leaves (kernel: EPS window, both directions
+            # of the symmetric point-point test)
+            _, gpts = _geom_segs_and_points(g)
+            for qx, qy in gpts:
+                on |= (np.abs(x - qx) <= _EPS) & (np.abs(y - qy) <= _EPS)
+            hit[m] = on
     gnull = codes < 0
-    if mode in ("contains", "within"):
-        res = np.where(pv & ~gnull, loc == 2, False)
-    elif mode == "intersects":
-        res = np.where(pv & ~gnull, loc >= 1, False)
+    if mode in ("contains", "within", "intersects"):
+        res = np.where(pv & ~gnull, hit, False)
     else:  # disjoint
-        res = np.where(pv & ~gnull, loc == 0, True)
+        res = np.where(pv & ~gnull, ~hit, True)
     out = res.astype(object)
     out[pn | gnull] = None
     return pd.Series(out, dtype="object")
@@ -923,10 +1018,10 @@ def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
             continue
         if g.is_empty:
             continue  # kernel: distance to empty is None
-        segs = _geom_segments_arr(g)
+        segs, gpts = _geom_segs_and_points(g)
         if segs is None:
             return None
-        if not segs:
+        if not segs and not gpts:
             # segment-less but non-empty (e.g. single-vertex LineString):
             # the scalar kernel returns None — leave the NaN -> SQL NULL
             continue
@@ -954,6 +1049,13 @@ def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
                 ex, ey = x - cx, y - cy
                 d2 = ex * ex + ey * ey
             best = np.minimum(best, d2)
+        # point leaves of g (r11): the kernel's point-point tests — EPS
+        # window for the intersects-first zero, squared distance for the
+        # min fold (min order is immaterial: exact comparison)
+        for qx, qy in gpts:
+            zero |= (np.abs(x - qx) <= _EPS) & (np.abs(y - qy) <= _EPS)
+            ex, ey = x - qx, y - qy
+            best = np.minimum(best, ex * ex + ey * ey)
         # kernel _polygons recursion (partial): a collection's polygon
         # members must zero the distance for interior points even when
         # the collection also carries line members (r10)
@@ -1282,23 +1384,21 @@ _LINE_FACT_TYPES = ("LineString", "MultiLineString", "Polygon", "MultiPolygon")
 
 
 def _fact_line_geoms(s: pd.Series):
-    """_factorized_geoms restricted to line/polygon uniques with finite
-    coordinates (no point components, so the intersects kernel reduces to
-    segment sweeps + the polygon containment probes). r10: a
-    GeometryCollection unique qualifies when every leaf is line/polygon —
-    its segments and ring systems recurse exactly like the kernel's
-    _segments/_polygons; point leaves reject the whole batch (their
-    point-vs-batch tests stay scalar)."""
+    """_factorized_geoms restricted to finite-coordinate uniques of the
+    sweep-supported types. r10 admitted all-line/polygon collections;
+    r11 (VERDICT r10 #3) removes the point-leaf gate: collection point
+    members (and MultiPoint uniques) get the kernel's point-vs-batch
+    tests in _line_fact_eval — EPS point-point, on-segment against the
+    batch, containment via the probe-2 component coordinates."""
     fact = _factorized_geoms(s)
     if fact is None:
         return None
     codes, geoms = fact
     for g in geoms:
-        if g.type_name not in _LINE_FACT_TYPES:
-            if g.type_name != "GeometryCollection":
-                return None
-            if _geom_segments_arr(g) is None:
-                return None  # point-typed leaf
+        if g.type_name not in _LINE_FACT_TYPES and g.type_name not in (
+            "GeometryCollection", "MultiPoint", "Point"
+        ):
+            return None
         if any(
             p[0] != p[0] or p[1] != p[1] for p in _geom_all_coords(g)
         ):
@@ -1369,7 +1469,7 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
         sidx = _multi_arange(sstart[rows], nsegs[rows])
         A1x, A1y = sax[sidx], say[sidx]
         A2x, A2y = sbx[sidx], sby[sidx]
-        gsegs = _geom_segments_arr(g)
+        gsegs, gpts = _geom_segs_and_points(g)
         seg_hit = np.zeros(sidx.size, dtype=bool)
         seg_best = np.full(sidx.size, np.inf)
         bxlo = np.minimum(A1x, A2x) - _EPS
@@ -1416,6 +1516,19 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
                     _pt_segs_d2(dx_, dy_, A1x, A1y, A2x, A2y),
                 )
                 seg_best = np.minimum(seg_best, np.minimum(t12, t34))
+        # g's POINT leaves vs the batch segments (r11): _point_intersects'
+        # on-segment test and, for distance, point_seg_dist2 — same pair
+        # set as the kernel's pts_b x segs_a fold
+        for qx, qy in gpts or ():
+            dq = (A2x - A1x) * (qy - A1y) - (A2y - A1y) * (qx - A1x)
+            seg_hit |= (
+                (np.abs(dq) <= _EPS)
+                & (bxlo <= qx) & (qx <= bxhi) & (bylo <= qy) & (qy <= byhi)
+            )
+            if want_distance:
+                seg_best = np.minimum(
+                    seg_best, _pt_segs_d2(qx, qy, A1x, A1y, A2x, A2y)
+                )
         has = nsegs[rows] > 0
         row_hit = np.zeros(rows.size, dtype=bool)
         loc_start = np.concatenate(([0], np.cumsum(nsegs[rows])[:-1]))
@@ -1448,6 +1561,15 @@ def _line_fact_eval(lb, codes, geoms, want_distance: bool):
                         pt_best = np.minimum(
                             pt_best, _pts_seg_d2(vx, vy, cx, cy, dx_, dy_)
                         )
+                # batch points vs g's POINT leaves (r11): the kernel's
+                # symmetric EPS point-point test + squared distance
+                for qx, qy in gpts or ():
+                    pt_on |= (
+                        (np.abs(vx - qx) <= _EPS) & (np.abs(vy - qy) <= _EPS)
+                    )
+                    if want_distance:
+                        ex, ey = vx - qx, vy - qy
+                        pt_best = np.minimum(pt_best, ex * ex + ey * ey)
                 v_loc = np.concatenate(([0], np.cumsum(pt_counts[prows])[:-1]))
                 row_hit[pt_has] |= np.bitwise_or.reduceat(pt_on, v_loc)
         # containment without edge crossing, probe 1: the kernel tests one

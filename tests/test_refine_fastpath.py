@@ -173,9 +173,12 @@ def test_fallbacks():
     )
     assert predicate_fastpath(pts, distinct, "within", "wkb", "wkb") is None
     pts4 = _pt_series([(1.0, 1.0)] * 4)
-    # non-polygonal geometry under a polygon-only mode
+    # r11: a LINE container engages the kernel's line branch instead of
+    # falling back (point on the line -> within True)
     lines = pd.Series([_line([(0.0, 0.0), (5.0, 5.0)])] * 4, dtype=object)
-    assert predicate_fastpath(pts4, lines, "within", "wkb", "wkb") is None
+    got = predicate_fastpath(pts4, lines, "within", "wkb", "wkb")
+    assert got is not None
+    assert list(got) == _scalar(MODES["within"], pts4, lines) == [True] * 4
     # equals never takes the polygon branch
     polys = pd.Series([_poly(BOX)] * 4, dtype=object)
     assert predicate_fastpath(pts4, polys, "equals", "wkb", "wkb") is None
@@ -1053,13 +1056,22 @@ GC_FACT_SHAPES = [
     _gc([wkb.Geom("MultiLineString", [[(0.0, 0.0), (4.0, 0.0)], [(1.0, 5.0), (5.0, 5.0)]]),
          wkb.Geom("GeometryCollection", [wkb.Geom("Polygon", [TRI])])]),  # nested
     _gc([]),  # GEOMETRYCOLLECTION EMPTY
+    # r11 (VERDICT r10 #3): point-leaf collections engage too — the
+    # kernel's point-member tests ride the sweep (EPS point-point,
+    # on-segment vs the batch, probe-2 containment)
+    _gc([wkb.Geom("Polygon", [BOX]), wkb.Geom("Point", (2.0, 2.0))]),
+    _gc([wkb.Geom("MultiPoint", [(0.0, 0.0), (6.0, 6.0)]),
+         wkb.Geom("LineString", [(1.0, 5.0), (5.0, 5.0)])]),
+    _gc([wkb.Geom("Point", (2.0, 0.0)),
+         wkb.Geom("GeometryCollection", [wkb.Geom("Point", (3.5, 3.5))])]),
 ]
 
 
 def test_gc_factorized_side_predicates_and_distance_parity():
     """r10: line/poly-only GeometryCollection UNIQUES on the factorized
     side engage the sweep (segments + the kernel's partial _polygons
-    recursion for both probes); point-leaf collections still fall back."""
+    recursion for both probes); r11 removes the last gate — point-leaf
+    collections (three GC_FACT_SHAPES entries) ride the same battery."""
     rng = random.Random(43)
     for maker in (_rand_lines, _rand_polys, _rand_gcs, _rand_mpts):
         batch = maker(rng, 200)
@@ -1108,6 +1120,17 @@ def test_gc_factorized_container_containment_parity():
     got = predicate_fastpath(cont, batch, "contains", "wkb", "wkb")
     assert got is not None
     assert list(got) == _scalar(geom_ops.contains, cont, batch)
+    # r11: a container with POINT leaves alongside its polygon — the
+    # kernel's polygonal branch ignores them; the sweep must too
+    pt_cont = pd.Series([_gc([
+        wkb.Geom("Polygon", [[(-.5, -.5), (4.5, -.5), (4.5, 4.5), (-.5, 4.5), (-.5, -.5)]]),
+        wkb.Geom("Point", (100.0, 100.0)),
+    ])] * 60, dtype=object)
+    for maker in (_rand_lines, _rand_polys):
+        b2 = maker(rng, 60)
+        got = predicate_fastpath(pt_cont, b2, "contains", "wkb", "wkb")
+        assert got is not None, maker.__name__
+        assert list(got) == _scalar(geom_ops.contains, pt_cont, b2)
 
 
 def test_point_batch_vs_gc_factorized_parity_and_gates():
@@ -1137,15 +1160,26 @@ def test_point_batch_vs_gc_factorized_parity_and_gates():
     exp = _scalar_dist(pts, factm)
     for g, e in zip(got, exp):
         assert (e is None and math.isnan(g)) or g == e
-    # ...but the point PREDICATE path stays scalar (its polys-only gate
-    # would miss segment hits)
-    assert predicate_fastpath(pts, factm, "intersects", "wkb", "wkb") is None
-    # point-leaf GC on the factorized side: full fallback everywhere
+    # r11 (VERDICT r10 #3): the point PREDICATE path now engages for
+    # mixed collections too — line-member segments get the kernel's
+    # _on_segment test, point leaves the EPS point-point window
+    for mode in ("intersects", "disjoint", "within"):
+        sa, sb = (pts, factm) if mode != "contains" else (factm, pts)
+        got = predicate_fastpath(sa, sb, mode, "wkb", "wkb")
+        assert got is not None, mode
+        assert list(got) == _scalar(MODES[mode], sa, sb), mode
+    # point-leaf GC on the factorized side: ALL paths engage (r11)
     pt_gc = _gc([wkb.Geom("Polygon", [BOX]), wkb.Geom("Point", (1.0, 1.0))])
     factp = pd.Series([pt_gc] * 120, dtype=object)
     lines = _rand_lines(random.Random(3), 120)
-    assert predicate_fastpath(lines, factp, "intersects", "wkb", "wkb") is None
-    assert distance_fastpath(pts, factp, "wkb", "wkb") is None
+    got = predicate_fastpath(lines, factp, "intersects", "wkb", "wkb")
+    assert got is not None
+    assert list(got) == _scalar(MODES["intersects"], lines, factp)
+    got = distance_fastpath(pts, factp, "wkb", "wkb")
+    assert got is not None
+    exp = _scalar_dist(pts, factp)
+    for g, e in zip(got, exp):
+        assert (e is None and math.isnan(g)) or g == e
 
 
 def test_gc_flat_coords_and_bbox_parity():
