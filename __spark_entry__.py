@@ -2049,10 +2049,11 @@ FROM votes GROUP BY doc_id ORDER BY doc_id
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10 folds the PII counters and Gopher-style repetition stats in
-    (VERDICT r9 #5): email/ipv4 match counts from operators/text.pii_counts
-    (the phone/ssn patterns need Java-regex lookaround that DuckDB's RE2
-    cannot express — those stay pinned by the closed-form pytest units)
-    and dup_line/2gram/3gram fractions from repetition_stats."""
+    (VERDICT r9 #5); r11 adds phone/ssn (VERDICT r10 #6) via the
+    lookaround-free split-boundary construction (operators/text.
+    _boundary_count) that RE2 can mirror — the old lookaround patterns
+    DuckDB rejected are now only used by redact_pii. Plus
+    dup_line/2gram/3gram fractions from repetition_stats."""
     from datafusion_spatial_spark.operators.text import (
         pii_counts,
         repetition_stats,
@@ -2062,7 +2063,8 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = text_stats(docs, "text", "doc_id")
     pii = docs.select(
-        "doc_id", pii_counts("text", ("email", "ipv4")).alias("__pii")
+        "doc_id",
+        pii_counts("text", ("email", "ipv4", "phone", "ssn")).alias("__pii"),
     )
     rep = repetition_stats(docs, "text", "doc_id", ngram_ks=(2, 3))
     out = out.join(pii, "doc_id").join(rep, "doc_id")
@@ -2078,6 +2080,8 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fingerprint",
         F.col("__pii.email").cast("long").alias("pii_email"),
         F.col("__pii.ipv4").cast("long").alias("pii_ipv4"),
+        F.col("__pii.phone").cast("long").alias("pii_phone"),
+        F.col("__pii.ssn").cast("long").alias("pii_ssn"),
         F.round("dup_line_frac", 6).alias("dup_line_frac"),
         F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
         F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
@@ -2116,12 +2120,27 @@ def _q_text_stats_oracle() -> str:
     bpe = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
     # PII mirrors (r10): identical pattern strings — both are plain
     # character-class regexes valid in Java regex AND RE2 with the same
-    # semantics (\b word boundary, ASCII \d, non-capturing groups)
+    # semantics (\b word boundary, ASCII \d, non-capturing groups).
+    # phone/ssn (r11): the split-boundary construction — segments between
+    # raw-core matches, a match is valid when the previous segment does
+    # not end and the next does not start with a digit (the lookaround
+    # guards, without lookaround)
     from datafusion_spatial_spark.operators.dedup import word_shingles_duckdb
-    from datafusion_spatial_spark.operators.text import PII_PATTERNS
+    from datafusion_spatial_spark.operators.text import PII_CORES, PII_PATTERNS
 
     email = PII_PATTERNS["email"].replace("'", "''")
     ipv4 = PII_PATTERNS["ipv4"].replace("'", "''")
+
+    def bcount(kind: str) -> str:
+        core = PII_CORES[kind].replace("'", "''")
+        segs = f"regexp_split_to_array(text, '{core}')"
+        return (
+            f"(SELECT CASE WHEN len(s) <= 1 THEN 0 ELSE "
+            f"len(list_filter(range(1, len(s)), i -> "
+            f"NOT regexp_matches(s[i], '[0-9]$') "
+            f"AND NOT regexp_matches(s[i+1], '^[0-9]'))) END "
+            f"FROM (SELECT {segs} AS s))"
+        )
     # repetition mirrors: dup fraction over newline-split lines / word
     # k-gram shingles — (len - len(list_distinct)) / len, double division
     # in both engines
@@ -2146,6 +2165,8 @@ SELECT doc_id,
        {fp} AS fingerprint,
        cast(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS pii_email,
        cast(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS pii_ipv4,
+       cast({bcount('phone')} AS BIGINT) AS pii_phone,
+       cast({bcount('ssn')} AS BIGINT) AS pii_ssn,
        round({dup(lines)}, 6) AS dup_line_frac,
        round({dup(word_shingles_duckdb('text', 2))}, 6) AS dup_2gram_frac,
        round({dup(word_shingles_duckdb('text', 3))}, 6) AS dup_3gram_frac

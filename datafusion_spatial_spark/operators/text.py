@@ -174,6 +174,34 @@ PII_PATTERNS: dict[str, str] = {
     "ssn": r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)",
 }
 
+# lookaround-free CORES of the digit-boundary-guarded patterns (r11,
+# VERDICT r10 #6): the cores consume exactly the PII span — no boundary
+# characters — so `split(text, core)` yields the between-match segments
+# and the (?<!\d)/(?!\d) guards become plain checks on the last/first
+# character of the adjacent segments. Valid in Java regex AND RE2 with
+# identical scan semantics, which is what lets DuckDB mirror the counts.
+PII_CORES: dict[str, str] = {
+    "phone": r"(?:\+?\d{1,2}[\s.\-]?)?(?:\(\d{3}\)|\d{3})[\s.\-]\d{3}[\s.\-]\d{4}",
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+}
+
+
+def _boundary_count(c: Column, core: str) -> Column:
+    """Matches of ``core`` whose neighbors are not digits — the
+    lookaround semantics, expressed as split + segment-edge checks (pure
+    Catalyst; the same construction mirrors 1:1 into DuckDB SQL). The
+    raw-scan difference from a true lookaround scan (an invalid match
+    hiding an overlapping later candidate inside its own span) requires
+    adversarial digit soup and is pinned by cross-engine fixtures."""
+    segs = F.split(c, core, -1)
+    n = F.size(segs)
+    ok = F.filter(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: (~F.element_at(segs, i).rlike("[0-9]$"))
+        & (~F.element_at(segs, i + 1).rlike("^[0-9]")),
+    )
+    return F.when(n <= 1, F.lit(0)).otherwise(F.size(ok))
+
 
 def redact_pii(
     col: Column | str,
@@ -193,10 +221,19 @@ def pii_counts(
     col: Column | str, kinds: tuple[str, ...] = ("email", "ipv4", "phone", "ssn")
 ) -> Column:
     """struct of per-kind match counts (audit/reporting companion to
-    :func:`redact_pii`)."""
+    :func:`redact_pii`). phone/ssn count via the lookaround-free
+    split-boundary construction (r11) so the DuckDB oracle can compute
+    the identical numbers; email/ipv4 stay plain ``regexp_count``."""
     c = F.col(col) if isinstance(col, str) else col
     return F.struct(
-        *[F.regexp_count(c, F.lit(PII_PATTERNS[k])).alias(k) for k in kinds]
+        *[
+            (
+                _boundary_count(c, PII_CORES[k])
+                if k in PII_CORES
+                else F.regexp_count(c, F.lit(PII_PATTERNS[k]))
+            ).alias(k)
+            for k in kinds
+        ]
     )
 
 

@@ -59,19 +59,40 @@ def test_pii_counts_spark_matches_duckdb_mirror(spark, tmp_path):
         assert (e, p) == got[i], (i, FIXTURE[i][0], (e, p), got[i])
 
 
-def test_phone_ssn_stay_spark_only_because_re2_rejects_lookaround(spark):
-    """Documents WHY the phone/ssn counters aren't oracle-gated: DuckDB's
-    RE2 rejects the lookaround the patterns need — and Spark still counts
-    them correctly (the closed-form behavior the pytest units pin)."""
+def test_phone_ssn_cross_engine_without_lookaround(spark):
+    """r11 (VERDICT r10 #6): phone/ssn counters are oracle-gated via the
+    split-boundary construction — RE2 still rejects the LOOKAROUND
+    patterns (pinned, so redact_pii's patterns can never silently leak
+    into the oracle), but the counts use the lookaround-free cores and
+    BOTH engines agree on every adversarial digit-run fixture. Semantics
+    note: a digit-soup run that decomposes exactly into adjacent PII
+    spans ('555-12-3456777-88-9999') counts them (raw non-overlapping
+    scan + digit-edge filter), where a pure-lookaround scan would reject
+    both — counts and redact_pii may differ on that class by design."""
     con = duckdb.connect()
     for kind in ("phone", "ssn"):
         pat = PII_PATTERNS[kind].replace("'", "''")
         with pytest.raises(duckdb.Error):
             con.execute(f"SELECT regexp_extract_all('x', '{pat}')")
+
+    from datafusion_spatial_spark.operators.text import PII_CORES
+
+    FIXTURE = [
+        ("call 415-555-2671 or SSN 123-45-6789", 1, 1),
+        ("digits 1123-45-67890 must NOT match ssn", 0, 0),  # r10 \b class
+        ("123-45-6789", 0, 1),
+        ("123-45-6789 123-45-6789", 0, 2),          # adjacent, 1-char gap
+        ("x123-45-6789-1y", 0, 1),                  # dash edges are fine
+        ("1234.5.6.7", 0, 0),                       # the r10 digit-run class
+        ("+1 415 555 2671 and (415) 555-2671 and 14155552671", 2, 0),
+        ("9415-555-2671 trailing 415-555-26715", 1, 0),  # cc eats the 9
+        ("+12 (415) 555.2671ok? +12(415) 555.2671", 2, 0),
+        ("", 0, 0),
+        ("no pii here", 0, 0),
+        ("555-12-3456777-88-9999", 0, 2),           # digit-soup class
+    ]
     df = spark.createDataFrame(
-        [(1, "call 415-555-2671 or SSN 123-45-6789"),
-         (2, "digits 1123-45-67890 must NOT match ssn")],
-        "id int, text string",
+        [(i, t) for i, (t, _, _) in enumerate(FIXTURE)], "id int, text string"
     )
     got = {
         r.id: (r.c.phone, r.c.ssn)
@@ -79,8 +100,24 @@ def test_phone_ssn_stay_spark_only_because_re2_rejects_lookaround(spark):
             "id", pii_counts("text", ("phone", "ssn")).alias("c")
         ).collect()
     }
-    assert got[1] == (1, 1)
-    assert got[2][1] == 0
+    for i, (t, np_, ns) in enumerate(FIXTURE):
+        assert got[i] == (np_, ns), (i, t, got[i])
+
+    def bcount(t, core):
+        return con.execute(
+            """
+            SELECT CASE WHEN len(s) <= 1 THEN 0 ELSE
+              len(list_filter(range(1, len(s)), i ->
+                NOT regexp_matches(s[i], '[0-9]$')
+                AND NOT regexp_matches(s[i+1], '^[0-9]'))) END
+            FROM (SELECT regexp_split_to_array(?, ?) AS s)
+            """,
+            [t, core],
+        ).fetchone()[0]
+
+    for i, (t, _, _) in enumerate(FIXTURE):
+        duck = (bcount(t, PII_CORES["phone"]), bcount(t, PII_CORES["ssn"]))
+        assert duck == got[i], (i, t, duck, got[i])
 
 
 def test_repetition_gate_columns_signal(spark):
