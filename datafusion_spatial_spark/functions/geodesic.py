@@ -468,9 +468,13 @@ def _aea_inv_expr(x: Column, y: Column, srid: int):
 
 
 def _lcc_fwd_expr(lon: Column, lat: Column, srid: int):
-    e, n, Fc, rho0, lam0, FE, FN, _t, ak = geom_ops._lcc_consts(
-        geom_ops._LCC_CODES[srid]
+    return _lcc_fwd_expr_c(
+        lon, lat, geom_ops._lcc_consts(geom_ops._LCC_CODES[srid])
     )
+
+
+def _lcc_fwd_expr_c(lon: Column, lat: Column, consts):
+    e, n, Fc, rho0, lam0, FE, FN, _t, ak = consts
     rho = F.lit(ak * Fc) * F.pow(_t_of_expr(F.radians(lat), e), F.lit(n))
     theta = F.lit(n) * (F.radians(lon) - F.lit(lam0))
     return (
@@ -480,9 +484,13 @@ def _lcc_fwd_expr(lon: Column, lat: Column, srid: int):
 
 
 def _lcc_inv_expr(x: Column, y: Column, srid: int):
-    e, n, Fc, rho0, lam0, FE, FN, _t, ak = geom_ops._lcc_consts(
-        geom_ops._LCC_CODES[srid]
+    return _lcc_inv_expr_c(
+        x, y, geom_ops._lcc_consts(geom_ops._LCC_CODES[srid])
     )
+
+
+def _lcc_inv_expr_c(x: Column, y: Column, consts):
+    e, n, Fc, rho0, lam0, FE, FN, _t, ak = consts
     xp, yp = x - F.lit(FE), F.lit(rho0) - (y - F.lit(FN))
     rho = F.sqrt(xp * xp + yp * yp)
     if n < 0:
@@ -700,6 +708,25 @@ def _datum_geographic_params(srid: int):
     return None
 
 
+def _datum_lcc_params(srid: int):
+    """(lcc params, a, f, k0, helmert) for datum-bearing LCC codes: the
+    built-in NTF Lambert zones 27571-27573 and register_datum('lcc')
+    registrations (r11 — the twin coverage gap the first r11 cut left)."""
+    zp = geom_ops._NTF_LAMBERT_CODES.get(srid)
+    if zp is not None:
+        lat0, k0, fn = zp
+        return (
+            (lat0, lat0, lat0, geom_ops._PARIS_LON0, 600_000.0, fn),
+            geom_ops.CLARKE1880IGN_A, geom_ops.CLARKE1880IGN_F,
+            k0, geom_ops._WGS84_TO_NTF,
+        )
+    ent = geom_ops._CUSTOM_DATUM_CRS.get(srid)
+    if ent and ent["proj"] == "lcc":
+        a, f = ent["ellipsoid"]
+        return ent["params"], a, f, ent["k0"], ent["helmert"]
+    return None
+
+
 def _to_lonlat_expr(x: Column, y: Column, srid: int):
     if srid == 4326:
         return x, y
@@ -742,6 +769,18 @@ def _to_lonlat_expr(x: Column, y: Column, srid: int):
     if dg:  # registered local-datum geographic grid: the bridge alone
         a, f, datum = dg
         return _datum_to_wgs84_expr(x, y, a, f, datum)
+    dlc = _datum_lcc_params(srid)
+    if dlc:  # NTF zones / registered datum LCC: conic inverse, then the
+        # Helmert — _let-bound at the seam like the TM twin
+        p, a, f, k0, datum = dlc
+        consts = geom_ops._lcc_consts(p, a, f, k0)
+        cc = _let(
+            {"x": x, "y": y},
+            lambda v: (lambda ll: {"lo": ll[0], "la": ll[1]})(
+                _lcc_inv_expr_c(v["x"], v["y"], consts)
+            ),
+        )
+        return _datum_to_wgs84_expr(cc["lo"], cc["la"], a, f, datum)
     aff = (geom_ops._CUSTOM_CRS.get(srid) or {}).get("affine")
     if aff:
         a, b, d, e, xoff, yoff = aff
@@ -795,6 +834,18 @@ def _from_lonlat_expr(lon: Column, lat: Column, srid: int):
     if dg:  # registered local-datum geographic grid: the bridge alone
         a, f, datum = dg
         return _datum_from_wgs84_expr(lon, lat, a, f, datum)
+    dlc = _datum_lcc_params(srid)
+    if dlc:  # NTF zones / registered datum LCC: Helmert, then the conic
+        p, a, f, k0, datum = dlc
+        consts = geom_ops._lcc_consts(p, a, f, k0)
+        llon, llat = _datum_from_wgs84_expr(lon, lat, a, f, datum)
+        out = _let(
+            {"lo": llon, "la": llat},
+            lambda v: (lambda xy: {"x": xy[0], "y": xy[1]})(
+                _lcc_fwd_expr_c(v["lo"], v["la"], consts)
+            ),
+        )
+        return out["x"], out["y"]
     aff = (geom_ops._CUSTOM_CRS.get(srid) or {}).get("affine")
     if aff:
         a, b, d, e, xoff, yoff = aff
@@ -819,7 +870,9 @@ def st_transform_point(
     Transverse-Mercator series, <1 mm in-zone), EPSG:3035 (ETRS89-LAEA
     Europe, ellipsoidal), r10's Albers 5070/3310/3577, Lambert
     conformal 2154/3978, polar stereographic 3031/3413/3976/5041/5042,
-    TM 2180, and — r11 — EPSG:27700 (OSGB British National Grid: the OS
+    TM 2180, and — r11 — the datum-bearing codes: EPSG:27700 (OSGB), the
+    NTF Lambert zones 27571-27573, and every register_datum('tm'/'lcc'/
+    'geographic') registration (the OS
     7-parameter WGS84↔OSGB36 Helmert runs in Catalyst through geocentric
     XYZ, with Bowring's closed-form latitude replacing the kernel's
     fixed-point XYZ→geodetic — the codegen-safe analog of the series
@@ -840,7 +893,8 @@ def st_transform_point(
             "closed form (built-ins: 4326, 3857, UTM 326zz/327zz + "
             "25828-25838, LAEA 3035, Albers 5070/3310/3577, LCC "
             "2154/3978, polar stereographic 3031/3413/3976/5041/5042, "
-            "TM 2180/27700, plus geom_ops.register_crs(affine=...) "
+            "TM 2180/27700, NTF Lambert 27571-27573, plus "
+            "geom_ops.register_crs(affine=...) and register_datum "
             "SRIDs) — "
             "use st_transform, which also takes callable register_crs "
             "SRIDs, a custom= pair function, or any EPSG pair via the "

@@ -4754,9 +4754,9 @@ def register_datum(
         (e.g. EPSG:4267 NAD27, EPSG:4277 OSGB36): no projection, the
         grid IS local lon/lat degrees.
 
-    ``"tm"`` and ``"geographic"`` registrations also get the
-    pure-Catalyst ``st_transform_point`` path (the r11 Helmert + Bowring
-    expressions); ``"lcc"`` stays kernel/UDF-side.
+    Every registration also gets the pure-Catalyst
+    ``st_transform_point`` path (the r11 Helmert + Bowring expressions;
+    the LCC inverse uses the conformal-latitude series twin).
 
     Accuracy is the published shift's (a single national Helmert is
     typically 1-5 m vs grid transformations — same bound as any non-grid

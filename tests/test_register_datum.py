@@ -119,9 +119,10 @@ def test_st_transform_udf_path_uses_registration(spark, irish_grid):
     assert abs(g.coords[0] - kx) < 1e-6 and abs(g.coords[1] - ky) < 1e-6
 
 
-def test_lcc_datum_kernel_only():
-    # NTF-style LCC registration: kernel path round-trips; the Catalyst
-    # point twin declines (documented: lcc stays kernel-side)
+def test_lcc_datum_kernel_and_catalyst_twin(spark):
+    # NTF-style LCC registration: kernel path round-trips AND the
+    # Catalyst point twin matches it (r11 — the conformal-series LCC
+    # inverse + the Helmert/Bowring bridge, _let-bound)
     G.register_datum(
         99101, (-168.0, -60.0, 320.0), (6378249.2, 1 / 293.466),
         "lcc", lat1=46.8, lat0=46.8, lon0=2.337229, fe=600_000.0,
@@ -133,14 +134,48 @@ def test_lcc_datum_kernel_only():
         x, y = fwd(2.35, 48.85)
         lon2, lat2 = inv(x, y)
         assert abs(lon2 - 2.35) < 1e-6 and abs(lat2 - 48.85) < 1e-6
-        from datafusion_spatial_spark.functions.geodesic import (
-            _from_lonlat_expr,
+        df = spark.createDataFrame(
+            [(2.35, 48.85), (5.4, 43.3)], "lon double, lat double"
+        ).select(st_point("lon", "lat").alias("g"), "lon", "lat")
+        out = df.select(
+            st_transform_point("g", 4326, 99101).alias("p"), "lon", "lat"
         )
-        from pyspark.sql import functions as F
-
-        assert _from_lonlat_expr(F.lit(2.35), F.lit(48.85), 99101) is None
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+        for r in out.collect():
+            kx, ky = fwd(r.lon, r.lat)
+            assert abs(r.p.x - kx) < 1e-6 and abs(r.p.y - ky) < 1e-6
+        back = df.select(
+            st_transform_point(
+                st_transform_point("g", 4326, 99101), 99101, 4326
+            ).alias("b"), "lon", "lat",
+        )
+        for r in back.collect():
+            assert abs(r.b.x - r.lon) < 1e-6 and abs(r.b.y - r.lat) < 1e-6
     finally:
         G.unregister_crs(99101)
+
+
+def test_ntf_zone_catalyst_twin(spark):
+    """The built-in NTF Lambert zones (27571-3) get the datum-LCC twin."""
+    fwd = G._lookup_transform(4326, 27572)
+    df = spark.createDataFrame(
+        [(2.35, 48.85), (-1.55, 47.2)], "lon double, lat double"
+    ).select(st_point("lon", "lat").alias("g"), "lon", "lat")
+    out = df.select(st_transform_point("g", 4326, 27572).alias("p"),
+                    "lon", "lat")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    for r in out.collect():
+        kx, ky = fwd(r.lon, r.lat)
+        assert abs(r.p.x - kx) < 1e-6 and abs(r.p.y - ky) < 1e-6
+    back = df.select(
+        st_transform_point(
+            st_transform_point("g", 4326, 27572), 27572, 4326
+        ).alias("b"), "lon", "lat",
+    )
+    for r in back.collect():
+        assert abs(r.b.x - r.lon) < 1e-6 and abs(r.b.y - r.lat) < 1e-6
 
 
 def test_register_datum_validation():
