@@ -571,3 +571,150 @@ def st_angle(
         return pd.Series(out, dtype="object")
 
     return udf(_prep(p1, meta), _prep(p2, m2), _prep(p3, m3))
+
+
+# -- r11 parity-plus: extremal metrics, shared paths, fast box clip,
+#    precision reduction, smoothing, collection casts, longitude shifts,
+#    polygon triangulation, and the remaining structural metadata.
+
+
+def _longest_line_wkb(ga, gb):
+    r = geom_ops.longest_line(ga, gb)
+    return None if r is None else wkb.dumps(r)
+
+
+st_longestline = _binary_geom_fn(_longest_line_wkb, T.BinaryType(), force2d=True)
+st_maxdistance = _binary_geom_fn(geom_ops.max_distance, T.DoubleType(), force2d=True)
+
+
+def st_frechetdistance(
+    a: Column | str, b: Column | str,
+    meta_a: GeometryMeta, meta_b: GeometryMeta,
+    densify_frac: float | None = None,
+) -> Column:
+    """Discrete Fréchet distance over vertex sequences (PostGIS
+    ST_FrechetDistance; optional GEOS-style densify fraction)."""
+    return _binary_geom_fn(
+        lambda ga, gb: geom_ops.frechet_distance(ga, gb, densify_frac),
+        T.DoubleType(), force2d=True,
+    )(a, b, meta_a, meta_b)
+
+
+def _shared_paths_wkb(ga, gb):
+    r = geom_ops.shared_paths(ga, gb)
+    return None if r is None else wkb.dumps(r)
+
+
+st_sharedpaths = _binary_geom_fn(_shared_paths_wkb, T.BinaryType(), force2d=True)
+
+
+def st_clipbybox2d(
+    col: Column | str,
+    xmin: float, ymin: float, xmax: float, ymax: float,
+    meta: GeometryMeta,
+) -> Column:
+    """PostGIS ST_ClipByBox2D: fast rectangle clip (convex-box primitives
+    only, no general overlay)."""
+    return _geom_out(
+        lambda g: geom_ops.clip_by_box2d(
+            g, float(xmin), float(ymin), float(xmax), float(ymax)
+        ),
+        force2d=True,
+    )(col, meta)
+
+
+def st_reduceprecision(
+    col: Column | str, gridsize: float, meta: GeometryMeta
+) -> Column:
+    """PostGIS ST_ReducePrecision: grid snap + collapse cleanup + polygonal
+    re-validation (geom_ops.reduce_precision)."""
+    return _geom_out(
+        lambda g: geom_ops.reduce_precision(g, float(gridsize)), force2d=True
+    )(col, meta)
+
+
+def st_chaikinsmoothing(
+    col: Column | str,
+    meta: GeometryMeta,
+    n_iterations: int = 1,
+    preserve_end_points: bool = False,
+) -> Column:
+    """PostGIS ST_ChaikinSmoothing (corner cutting; iterations capped at 5)."""
+    return _geom_out(
+        lambda g: geom_ops.chaikin_smoothing(
+            g, int(n_iterations), bool(preserve_end_points)
+        ),
+        force2d=True,
+    )(col, meta)
+
+
+def st_wrapx(
+    col: Column | str, wrap: float, move: float, meta: GeometryMeta
+) -> Column:
+    """PostGIS ST_WrapX: split at x=wrap and translate the vacated side by
+    ``move`` (geom_ops.wrap_x)."""
+    return _geom_out(
+        lambda g: geom_ops.wrap_x(g, float(wrap), float(move)), force2d=True
+    )(col, meta)
+
+
+# coordinate-wise ops preserve Z/M (geom_ops._map_xy keeps the tail)
+st_shiftlongitude = _geom_out(geom_ops.shift_longitude)
+st_multi = _geom_out(geom_ops.multi)
+st_collectionhomogenize = _geom_out(geom_ops.collection_homogenize)
+st_triangulatepolygon = _geom_out(geom_ops.triangulate_polygon, force2d=True)
+
+
+def st_collectionextract(
+    col: Column | str, dim: int, meta: GeometryMeta
+) -> Column:
+    """PostGIS ST_CollectionExtract(geom, type): 1 points / 2 lines /
+    3 polygons, as a MULTI* (EMPTY multi when absent)."""
+    return _geom_out(lambda g: geom_ops.collection_extract(g, int(dim)))(col, meta)
+
+
+def _num_points(g):
+    # PostGIS ST_NumPoints: LineString vertex count, NULL otherwise
+    return len(g.coords) if g.type_name == "LineString" else None
+
+
+st_numpoints = _unary(_num_points, T.IntegerType())
+
+
+def _is_closed(g):
+    """PostGIS ST_IsClosed. Points/MultiPoints are closed by convention;
+    a LineString is closed when first == last vertex (ALL dims compared,
+    PostGIS lwline_is_closed); a MultiLineString when every member is.
+    EMPTY inputs are false (JTS convention; PostGIS is inconsistent here)."""
+    t = g.type_name
+    if t in ("Point", "MultiPoint"):
+        return not g.is_empty
+    if t == "LineString":
+        return bool(g.coords) and tuple(g.coords[0]) == tuple(g.coords[-1])
+    if t == "MultiLineString":
+        return bool(g.coords) and all(
+            line and tuple(line[0]) == tuple(line[-1]) for line in g.coords
+        )
+    return None
+
+
+st_isclosed = _unary(_is_closed, T.BooleanType())
+
+
+def _is_ring(g):
+    if g.type_name != "LineString":
+        return None
+    return bool(_is_closed(g)) and geom_ops.is_simple(g)
+
+
+st_isring = _unary(_is_ring, T.BooleanType())
+
+# PostGIS ST_Zmflag: 0 = 2-D, 1 = 3-D M, 2 = 3-D Z, 3 = 4-D
+st_zmflag = _unary(
+    lambda g: (2 if g.has_z else 0) + (1 if g.has_m else 0), T.IntegerType()
+)
+st_ndims = _unary(
+    lambda g: 2 + (1 if g.has_z else 0) + (1 if g.has_m else 0), T.IntegerType()
+)
+# ST_CoordDim is the SQL-MM alias of ST_NDims for linear geometries
+st_coorddim = st_ndims

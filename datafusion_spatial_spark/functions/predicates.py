@@ -631,3 +631,10 @@ def st_closestpoint(
 
     out = udf(_prep(a, meta_a), _prep(b, meta_b))
     return F.when(out["x"].isNull(), F.lit(None).cast(_pt)).otherwise(out)
+
+
+# r11 parity-plus: the covers family (PostGIS ST_Covers/ST_CoveredBy —
+# containment that admits boundary contact; geom_ops.covers is the 4-way
+# 'T' DE-9IM pattern union with EI = EB = F)
+st_covers = _binary_predicate(geom_ops.covers)
+st_coveredby = _binary_predicate(geom_ops.covered_by)

@@ -5989,3 +5989,650 @@ def distance_3d(a: Geom, b: Geom) -> float | None:
                 if best == 0.0:
                     return 0.0
     return None if best is math.inf else best
+
+
+# ---------------------------------------------------------------------------
+# parity-plus (r11): covers family, extremal metrics, fast box clip,
+# shared paths, precision/smoothing, collection casts, longitude shifts,
+# polygon triangulation. The reference implements none of these (its
+# roadmap stops at predicates/measures, README.md); the surface mirrors
+# PostGIS/GEOS so a DuckDB-spatial/PostGIS user can switch engines.
+
+
+def covers(a: Geom, b: Geom) -> bool:
+    """PostGIS ST_Covers: no point of ``b`` lies in the exterior of ``a``
+    (the union of the four 'T' DE-9IM covers patterns: at least one of
+    II/IB/BI/BB intersects, and EI = EB = F)."""
+    if a.is_empty or b.is_empty:
+        return False
+    ba, bb = _bbox(a), _bbox(b)
+    if ba is None or bb is None:
+        return False
+    if (
+        bb[0] < ba[0] - EPS or bb[1] < ba[1] - EPS
+        or bb[2] > ba[2] + EPS or bb[3] > ba[3] + EPS
+    ):
+        return False
+    m = relate_matrix(a, b)
+    return (
+        m[6] == "F" and m[7] == "F"
+        and any(m[i] != "F" for i in (0, 1, 3, 4))
+    )
+
+
+def covered_by(a: Geom, b: Geom) -> bool:
+    """PostGIS ST_CoveredBy: every point of ``a`` lies in ``b``."""
+    return covers(b, a)
+
+
+def _extreme_candidates(g: Geom) -> list:
+    """Vertex set on which the max of the distance function is attained.
+    |a - b| is convex along any segment, so over linear geometries the
+    maximum sits at a vertex pair; for big inputs the convex hull's
+    vertices (the extreme points) suffice."""
+    pts = [
+        (float(p[0]), float(p[1]))
+        for p in _all_coords(g)
+        if p[0] == p[0] and p[1] == p[1]
+    ]
+    if len(pts) <= 32:
+        return pts
+    h = convex_hull(g)
+    if h.type_name == "Polygon" and h.coords:
+        return [(float(x), float(y)) for x, y in h.coords[0][:-1]]
+    return pts
+
+
+def _max_distance_pair(a: Geom, b: Geom):
+    if a.is_empty or b.is_empty:
+        return None
+    pa, pb = _extreme_candidates(a), _extreme_candidates(b)
+    if not pa or not pb:
+        return None
+    best = None
+    for p in pa:
+        for q in pb:
+            d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+            if best is None or d2 > best[0]:
+                best = (d2, p, q)
+    return best
+
+
+def max_distance(a: Geom, b: Geom) -> float | None:
+    """PostGIS ST_MaxDistance (2-D)."""
+    best = _max_distance_pair(a, b)
+    return None if best is None else math.sqrt(best[0])
+
+
+def longest_line(a: Geom, b: Geom) -> Geom | None:
+    """PostGIS ST_LongestLine: the 2-point line realizing max_distance,
+    directed from ``a`` to ``b`` (first found among ties, like GEOS)."""
+    best = _max_distance_pair(a, b)
+    if best is None:
+        return None
+    return Geom("LineString", [best[1], best[2]])
+
+
+def _frechet_seq(g: Geom) -> list:
+    """Vertex sequence in traversal order (GEOS discrete Fréchet operates
+    on vertices)."""
+    return [
+        (float(p[0]), float(p[1]))
+        for p in _all_coords(g)
+        if p[0] == p[0] and p[1] == p[1]
+    ]
+
+
+def frechet_distance(a: Geom, b: Geom, densify_frac: float | None = None) -> float | None:
+    """Discrete Fréchet distance over the vertex sequences (PostGIS
+    ST_FrechetDistance; GEOS DiscreteFrechetDistance). ``densify_frac``
+    in (0, 1] splits every segment into ceil(1/frac) parts first, which
+    tightens the discrete approximation toward the continuous metric."""
+    if a.is_empty or b.is_empty:
+        return None
+
+    def densify(g: Geom) -> list:
+        seq = _frechet_seq(g)
+        if densify_frac is None or not (0.0 < densify_frac <= 1.0):
+            return seq
+        n = int(math.ceil(1.0 / densify_frac))
+        out = []
+        segs = list(_segments(g))
+        if not segs:
+            return seq
+        for (x0, y0), (x1, y1) in ((s[0][:2], s[1][:2]) for s in segs):
+            for k in range(n):
+                t = k / n
+                out.append((x0 + (x1 - x0) * t, y0 + (y1 - y0) * t))
+        out.append(segs[-1][1][:2])
+        return out
+
+    ca, cb = densify(a), densify(b)
+    if not ca or not cb:
+        return None
+    n, m = len(ca), len(cb)
+    # DP with a rolling row: F[i][j] = max(d(i,j), min(F[i-1][j],
+    # F[i-1][j-1], F[i][j-1]))
+    prev = [0.0] * m
+    for j in range(m):
+        d = math.hypot(ca[0][0] - cb[j][0], ca[0][1] - cb[j][1])
+        prev[j] = d if j == 0 else max(prev[j - 1], d)
+    for i in range(1, n):
+        cur = [0.0] * m
+        d0 = math.hypot(ca[i][0] - cb[0][0], ca[i][1] - cb[0][1])
+        cur[0] = max(prev[0], d0)
+        for j in range(1, m):
+            d = math.hypot(ca[i][0] - cb[j][0], ca[i][1] - cb[j][1])
+            cur[j] = max(min(prev[j], prev[j - 1], cur[j - 1]), d)
+        prev = cur
+    return prev[m - 1]
+
+
+def shared_paths(a: Geom, b: Geom) -> Geom | None:
+    """PostGIS/GEOS ST_SharedPaths: GEOMETRYCOLLECTION(MULTILINESTRING
+    same-direction, MULTILINESTRING opposite-direction) of the linear
+    paths shared by two (multi)linestrings; None for non-line input."""
+    for g in (a, b):
+        if g.type_name not in ("LineString", "MultiLineString"):
+            return None
+    sa, sb = _line_segs(a), _line_segs(b)
+    same, opp = [], []
+    for s in sa:
+        for piece in _split_segment(s, sb):
+            if not _seg_on_geom(piece, b):
+                continue
+            d = _seg_direction_on(piece, b)
+            if d > 0:
+                same.append(piece)
+            elif d < 0:
+                opp.append(piece)
+    mls_same = Geom("MultiLineString", _stitch_segments(same) if same else [])
+    mls_opp = Geom("MultiLineString", _stitch_segments(opp) if opp else [])
+    return Geom("GeometryCollection", [mls_same, mls_opp])
+
+
+def _seg_direction_on(seg, g: Geom) -> int:
+    """+1 if the (noded, on-``g``) segment runs with ``g``'s traversal
+    direction at that location, -1 against, 0 if not found."""
+    (x0, y0), (x1, y1) = seg
+    mx, my = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+    for q0, q1 in _segments(g):
+        if (
+            _on_segment(mx, my, q0[0], q0[1], q1[0], q1[1])
+            and _on_segment(x0, y0, q0[0], q0[1], q1[0], q1[1])
+            and _on_segment(x1, y1, q0[0], q0[1], q1[0], q1[1])
+        ):
+            dot = (x1 - x0) * (q1[0] - q0[0]) + (y1 - y0) * (q1[1] - q0[1])
+            if dot > EPS:
+                return 1
+            if dot < -EPS:
+                return -1
+    return 0
+
+
+def clip_by_box2d(g: Geom, xmin: float, ymin: float, xmax: float, ymax: float) -> Geom:
+    """PostGIS ST_ClipByBox2D: fast rectangle clip. Points filter by
+    bounds, lines split at the box edges (:func:`_clip_line_by_polygon`),
+    polygon rings Sutherland–Hodgman against the (convex) box — the same
+    primitives the convex branch of :func:`intersection` uses, minus the
+    general overlay fallbacks."""
+    if xmin > xmax or ymin > ymax or g.is_empty:
+        return Geom("GeometryCollection", [])
+    ring = [(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)]
+    box = Geom("Polygon", [ring])
+    t = g.type_name
+    if t == "GeometryCollection":
+        parts = [clip_by_box2d(m, xmin, ymin, xmax, ymax) for m in g.coords]
+        keep = [p for p in parts if p is not None and not p.is_empty]
+        return Geom("GeometryCollection", keep)
+    if t in ("Point", "MultiPoint"):
+        pts = [
+            p for p in _points(g)
+            if xmin - EPS <= p[0] <= xmax + EPS and ymin - EPS <= p[1] <= ymax + EPS
+        ]
+        return _points_geom(pts)
+    if t in ("LineString", "MultiLineString"):
+        lines = [g.coords] if t == "LineString" else g.coords
+        parts = []
+        for line in lines:
+            parts.extend(_clip_line_by_polygon(line, box, keep_inside=True))
+        return _lines_geom(parts)
+    out_polys = []
+    for rings in _polygons(g):
+        shell = _sh_clip(_ensure_ccw(rings[0]), ring)
+        if not shell:
+            continue
+        holes = []
+        for h in rings[1:]:
+            hc = _sh_clip(_ensure_ccw(h), ring)
+            if hc:
+                holes.append(hc)
+        out_polys.append([shell] + holes)
+    if not out_polys:
+        return Geom("GeometryCollection", [])
+    if len(out_polys) == 1:
+        return Geom("Polygon", out_polys[0])
+    return Geom("MultiPolygon", out_polys)
+
+
+def _map_xy(g: Geom, fn) -> Geom:
+    """Apply ``(x, y) -> (x', y')`` to every coordinate, preserving the
+    Z/M tail and structure."""
+
+    def one(c):
+        x, y = fn(c[0], c[1])
+        return (x, y) + tuple(c[2:])
+
+    t, c = g.type_name, g.coords
+    if t == "Point":
+        return Geom(t, c if g.is_empty else one(c), g.has_z, g.srid, g.has_m)
+    if t in ("LineString", "MultiPoint"):
+        return Geom(t, [one(p) for p in c], g.has_z, g.srid, g.has_m)
+    if t in ("Polygon", "MultiLineString"):
+        return Geom(t, [[one(p) for p in part] for part in c], g.has_z, g.srid, g.has_m)
+    if t == "MultiPolygon":
+        return Geom(
+            t,
+            [[[one(p) for p in ring] for ring in poly] for poly in c],
+            g.has_z, g.srid, g.has_m,
+        )
+    return Geom(t, [_map_xy(m, fn) for m in c], g.has_z, g.srid, g.has_m)
+
+
+def shift_longitude(g: Geom) -> Geom:
+    """PostGIS ST_ShiftLongitude: coordinate-wise, x in [-180, 0) maps to
+    x + 360 (so -180..180 data becomes 0..360 and round-trips back)."""
+    return _map_xy(g, lambda x, y: (x + 360.0 if x < 0.0 else x, y))
+
+
+def wrap_x(g: Geom, wrap: float, move: float) -> Geom:
+    """PostGIS ST_WrapX: split the geometry at the vertical line
+    ``x = wrap`` and translate by ``move`` the components on the side the
+    move direction vacates — with ``move > 0`` the parts left of the line
+    move right, with ``move < 0`` the parts right of the line move left.
+    Splitting reuses :func:`clip_by_box2d` half-plane clips."""
+    if move == 0.0 or g.is_empty:
+        return g
+    if g.type_name in ("Point", "MultiPoint"):
+        def shift_pt(x, y):
+            if (move > 0.0 and x < wrap) or (move < 0.0 and x > wrap):
+                return x + move, y
+            return x, y
+        return _map_xy(g, shift_pt)
+    bb = _bbox(g)
+    if bb is None:
+        return g
+    pad = abs(move) + (bb[2] - bb[0]) + (bb[3] - bb[1]) + 1.0
+    x_lo, x_hi = min(bb[0], wrap) - pad, max(bb[2], wrap) + pad
+    y_lo, y_hi = bb[1] - pad, bb[3] + pad
+    left = clip_by_box2d(g, x_lo, y_lo, wrap, y_hi)
+    right = clip_by_box2d(g, wrap, y_lo, x_hi, y_hi)
+    if move > 0.0:
+        left = _map_xy(left, lambda x, y: (x + move, y))
+    else:
+        right = _map_xy(right, lambda x, y: (x + move, y))
+    parts = [p for p in (left, right) if not p.is_empty]
+    if not parts:
+        return Geom("GeometryCollection", [])
+    if len(parts) == 1:
+        return parts[0]
+    return union_many(parts)
+
+
+_MULTI_OF = {
+    "Point": "MultiPoint",
+    "LineString": "MultiLineString",
+    "Polygon": "MultiPolygon",
+}
+_EXTRACT_TYPES = {
+    1: ("Point", "MultiPoint"),
+    2: ("LineString", "MultiLineString"),
+    3: ("Polygon", "MultiPolygon"),
+}
+
+
+def multi(g: Geom) -> Geom:
+    """PostGIS ST_Multi: wrap a single geometry in its Multi type (already
+    multi/collection input is returned unchanged)."""
+    m = _MULTI_OF.get(g.type_name)
+    if m is None:
+        return g
+    if g.is_empty:
+        return Geom(m, [], g.has_z, g.srid, g.has_m)
+    return Geom(m, [g.coords], g.has_z, g.srid, g.has_m)
+
+
+def _atomic_members(g: Geom):
+    """Yield atomic (Point/LineString/Polygon) members, unwrapping multis
+    and nested collections; EMPTY atoms are skipped."""
+    t, c = g.type_name, g.coords
+    if t == "GeometryCollection":
+        for m in c:
+            yield from _atomic_members(m)
+    elif t == "MultiPoint":
+        for p in c:
+            yield Geom("Point", p, g.has_z, g.srid, g.has_m)
+    elif t == "MultiLineString":
+        for line in c:
+            yield Geom("LineString", line, g.has_z, g.srid, g.has_m)
+    elif t == "MultiPolygon":
+        for rings in c:
+            yield Geom("Polygon", rings, g.has_z, g.srid, g.has_m)
+    elif not g.is_empty:
+        yield g
+
+
+def collection_extract(g: Geom, dim: int) -> Geom:
+    """PostGIS ST_CollectionExtract(geom, type): the members of the
+    requested dimension (1 points / 2 lines / 3 polygons) as a MULTI*
+    (EMPTY multi when none). Non-collection input returns itself when it
+    matches, the EMPTY multi otherwise."""
+    if dim not in _EXTRACT_TYPES:
+        raise ValueError(f"collection_extract type must be 1, 2 or 3, got {dim}")
+    single, multi_t = _EXTRACT_TYPES[dim]
+    if g.type_name not in ("GeometryCollection",):
+        if g.type_name in (single, multi_t):
+            return g
+        return Geom(multi_t, [], g.has_z, g.srid, g.has_m)
+    parts = [m.coords for m in _atomic_members(g) if m.type_name == single]
+    return Geom(multi_t, parts, g.has_z, g.srid, g.has_m)
+
+
+def collection_homogenize(g: Geom) -> Geom:
+    """PostGIS ST_CollectionHomogenize: the simplest representation of the
+    collection's contents — the single member alone, a MULTI* when all
+    members share a type, a flat GEOMETRYCOLLECTION otherwise."""
+    atoms = list(_atomic_members(g))
+    if not atoms:
+        return Geom("GeometryCollection", [], g.has_z, g.srid, g.has_m)
+    if len(atoms) == 1:
+        return atoms[0]
+    types = {a.type_name for a in atoms}
+    if len(types) == 1:
+        t = atoms[0].type_name
+        return Geom(_MULTI_OF[t], [a.coords for a in atoms], g.has_z, g.srid, g.has_m)
+    return Geom("GeometryCollection", atoms, g.has_z, g.srid, g.has_m)
+
+
+def reduce_precision(g: Geom, gridsize: float) -> Geom:
+    """PostGIS ST_ReducePrecision (GEOS precision reducer): snap every
+    coordinate to a multiple of ``gridsize``, then clean the collapses —
+    repeated vertices merge, fully-collapsed lines/rings drop, and
+    polygonal output is re-validated (snapping can fold a ring onto
+    itself) through :func:`make_valid`."""
+    if gridsize <= 0.0:
+        raise ValueError("gridsize must be > 0")
+
+    def snap(v: float) -> float:
+        r = round(v / gridsize) * gridsize
+        return 0.0 + r  # normalize -0.0
+
+    snapped = _map_xy(g, lambda x, y: (snap(x), snap(y)))
+
+    def clean(gg: Geom) -> Geom:
+        t, c = gg.type_name, gg.coords
+        if t in ("Point", "MultiPoint"):
+            return gg
+        if t in ("LineString", "MultiLineString"):
+            lines = [c] if t == "LineString" else c
+            keep = []
+            for line in lines:
+                r = remove_repeated_points(Geom("LineString", line), 0.0)
+                if len(r.coords) >= 2:
+                    keep.append(r.coords)
+            return _lines_geom(keep)
+        if t in ("Polygon", "MultiPolygon"):
+            out = []
+            for rings in _polygons(gg):
+                rr = []
+                for j, ring in enumerate(rings):
+                    r = remove_repeated_points(Geom("LineString", ring), 0.0).coords
+                    if r[0] != r[-1]:
+                        r = list(r) + [r[0]]
+                    if len(r) >= 4 and abs(_ring_area2(r)) > 0.0:
+                        rr.append(r)
+                    elif j == 0:
+                        rr = None
+                        break
+                if rr:
+                    out.append(rr)
+            if not out:
+                return Geom("Polygon", [])
+            poly = Geom("Polygon", out[0]) if len(out) == 1 else Geom("MultiPolygon", out)
+            return make_valid(poly)
+        return Geom(t, [clean(m) for m in c], gg.has_z, gg.srid, gg.has_m)
+
+    return clean(snapped)
+
+
+def chaikin_smoothing(g: Geom, n_iterations: int = 1, preserve_end_points: bool = False) -> Geom:
+    """PostGIS ST_ChaikinSmoothing: iterated corner cutting (each vertex
+    pair p,q yields 3/4·p+1/4·q and 1/4·p+3/4·q). Closed rings smooth
+    cyclically; open lines keep their endpoints when
+    ``preserve_end_points`` (PostGIS always preserves ring closure)."""
+    n_iterations = max(0, min(int(n_iterations), 5))  # PostGIS caps at 5
+
+    def smooth_open(path):
+        pts = [tuple(p[:2]) for p in path]
+        for _ in range(n_iterations):
+            if len(pts) < 3:
+                break
+            out = []
+            for i in range(len(pts) - 1):
+                p, q = pts[i], pts[i + 1]
+                out.append((0.75 * p[0] + 0.25 * q[0], 0.75 * p[1] + 0.25 * q[1]))
+                out.append((0.25 * p[0] + 0.75 * q[0], 0.25 * p[1] + 0.75 * q[1]))
+            if preserve_end_points:
+                out = [pts[0]] + out + [pts[-1]]
+            pts = out
+        return pts
+
+    def smooth_ring(ring):
+        pts = [tuple(p[:2]) for p in (ring[:-1] if ring[0] == ring[-1] else ring)]
+        for _ in range(n_iterations):
+            if len(pts) < 3:
+                break
+            out = []
+            m = len(pts)
+            for i in range(m):
+                p, q = pts[i], pts[(i + 1) % m]
+                out.append((0.75 * p[0] + 0.25 * q[0], 0.75 * p[1] + 0.25 * q[1]))
+                out.append((0.25 * p[0] + 0.75 * q[0], 0.25 * p[1] + 0.75 * q[1]))
+            pts = out
+        return pts + [pts[0]]
+
+    t, c = g.type_name, g.coords
+    if t in ("Point", "MultiPoint") or g.is_empty or n_iterations == 0:
+        return g
+    if t == "LineString":
+        closed = len(c) >= 3 and tuple(c[0][:2]) == tuple(c[-1][:2])
+        return Geom(t, smooth_ring(c) if closed else smooth_open(c))
+    if t == "MultiLineString":
+        return Geom(t, [
+            smooth_ring(x) if (len(x) >= 3 and tuple(x[0][:2]) == tuple(x[-1][:2]))
+            else smooth_open(x)
+            for x in c
+        ])
+    if t == "Polygon":
+        return Geom(t, [smooth_ring(r) for r in c])
+    if t == "MultiPolygon":
+        return Geom(t, [[smooth_ring(r) for r in rings] for rings in c])
+    return Geom(t, [chaikin_smoothing(m, n_iterations, preserve_end_points) for m in c])
+
+
+# -- polygon triangulation (ear clipping with hole bridging) -----------------
+
+
+def _pt_in_tri_blocks(p, a, b, c) -> bool:
+    """True when ``p`` blocks the ear (a,b,c): strictly inside, or on an
+    edge without coinciding with a corner (bridge-duplicate vertices that
+    equal a corner never block — the keyhole construction relies on it)."""
+    if p == a or p == b or p == c:
+        return False
+    d1 = _orient(*a, *b, *p)
+    d2 = _orient(*b, *c, *p)
+    d3 = _orient(*c, *a, *p)
+    if d1 < -EPS or d2 < -EPS or d3 < -EPS:
+        return False  # outside the CCW triangle
+    return True
+
+
+def _pt_in_tri_any(p, a, b, c) -> bool:
+    """Point inside-or-on a triangle of EITHER winding (the bridge search
+    can't assume the (M, I, P) visibility triangle is CCW)."""
+    d1 = _orient(*a, *b, *p)
+    d2 = _orient(*b, *c, *p)
+    d3 = _orient(*c, *a, *p)
+    has_neg = d1 < -EPS or d2 < -EPS or d3 < -EPS
+    has_pos = d1 > EPS or d2 > EPS or d3 > EPS
+    return not (has_neg and has_pos)
+
+
+def _bridge_hole(outer: list, hole: list) -> list:
+    """Merge one hole (vertex list, no closing dup, CW) into the outer
+    ring (CCW) via a zero-width corridor at a mutually visible pair —
+    the classic eliminate-holes step (Eberly's report / Mapbox earcut):
+    from the hole's max-x vertex M cast a ray in +x, take the nearest
+    edge hit; connect to the hit edge's best visible endpoint, preferring
+    a reflex vertex inside the (M, I, P) triangle with the smallest angle
+    to the ray when the direct connection is occluded."""
+    j = max(range(len(hole)), key=lambda k: (hole[k][0], hole[k][1]))
+    mx, my = hole[j]
+    n = len(outer)
+    best_t = math.inf
+    hit_i = None
+    hit_pt = None
+    for i in range(n):
+        a, b = outer[i], outer[(i + 1) % n]
+        if (a[1] > my + EPS) == (b[1] > my + EPS) and (a[1] > my - EPS) == (b[1] > my - EPS):
+            # edge does not straddle the ray's y (tolerant double test to
+            # keep endpoint-on-ray cases)
+            if not (min(a[1], b[1]) - EPS <= my <= max(a[1], b[1]) + EPS):
+                continue
+        if abs(b[1] - a[1]) <= EPS:
+            # horizontal edge on the ray line: take its nearer-x endpoint
+            for q in (a, b):
+                if abs(q[1] - my) <= EPS and q[0] >= mx - EPS:
+                    t = q[0] - mx
+                    if t < best_t:
+                        best_t, hit_i, hit_pt = t, i, q
+            continue
+        tt = (my - a[1]) / (b[1] - a[1])
+        if -EPS <= tt <= 1.0 + EPS:
+            x = a[0] + tt * (b[0] - a[0])
+            if x >= mx - EPS and (x - mx) < best_t:
+                best_t, hit_i, hit_pt = x - mx, i, (x, my)
+    if hit_i is None:
+        # degenerate (hole outside shell); connect to the max-x outer vertex
+        hit_i = max(range(n), key=lambda k: outer[k][0])
+        p_idx = hit_i
+    else:
+        a, b = outer[hit_i], outer[(hit_i + 1) % n]
+        # candidate connection vertex: the hit edge's endpoint with max x
+        # (the endpoint past the hit in the ray direction, earcut's choice)
+        p_idx = hit_i if a[0] > b[0] else (hit_i + 1) % n
+        ix, iy = hit_pt
+        # if any reflex outer vertex lies inside triangle (M, I, P), the
+        # direct segment M->P may be occluded: connect to the occluder
+        # with the smallest angle from the +x ray (ties: nearest)
+        p = outer[p_idx]
+        tri = ((mx, my), (ix, iy), p)
+        best = None
+        for k in range(n):
+            q = outer[k]
+            if k == p_idx or q == (mx, my) or q == p:
+                continue
+            prev_q, next_q = outer[k - 1], outer[(k + 1) % n]
+            reflex = _orient(*prev_q, *q, *next_q) < -EPS
+            if not reflex:
+                continue
+            if _pt_in_tri_any(q, *tri):
+                dx, dy = q[0] - mx, q[1] - my
+                ang = abs(dy) / (math.hypot(dx, dy) + EPS)
+                key = (ang, dx * dx + dy * dy)
+                if best is None or key < best[0]:
+                    best = (key, k)
+        if best is not None:
+            p_idx = best[1]
+    # corridor: outer[0..p_idx] + hole[j..] wrap + hole[j] + outer[p_idx..]
+    hole_seq = hole[j:] + hole[:j] + [hole[j]]
+    return outer[: p_idx + 1] + hole_seq + outer[p_idx:]
+
+
+def _ear_clip(ring: list) -> list:
+    """Triangulate a (weakly) simple CCW ring (no closing dup; bridge
+    duplicates allowed). Returns [(a, b, c), ...] CCW triangles. O(n^2)
+    candidate scans — a parity/utility routine, not a join-path kernel."""
+    n = len(ring)
+    idx = list(range(n))
+    tris = []
+    stall = 0
+    while len(idx) > 3:
+        m = len(idx)
+        clipped = False
+        for ii in range(m):
+            i0, i1, i2 = idx[ii - 1], idx[ii], idx[(ii + 1) % m]
+            a, b, c = ring[i0], ring[i1], ring[i2]
+            cross = _orient(*a, *b, *c)
+            if cross <= EPS:
+                continue
+            if any(
+                _pt_in_tri_blocks(ring[jj], a, b, c)
+                for jj in idx
+                if jj not in (i0, i1, i2)
+            ):
+                continue
+            tris.append((a, b, c))
+            del idx[ii]
+            clipped = True
+            break
+        if not clipped:
+            # degenerate residue (collinear spikes / corridor slivers):
+            # drop the flattest vertex and keep going
+            ii = min(
+                range(m),
+                key=lambda k: abs(
+                    _orient(*ring[idx[k - 1]], *ring[idx[k]], *ring[idx[(k + 1) % m]])
+                ),
+            )
+            del idx[ii]
+            stall += 1
+            if stall > n:
+                break
+    if len(idx) == 3:
+        a, b, c = ring[idx[0]], ring[idx[1]], ring[idx[2]]
+        if _orient(*a, *b, *c) > EPS:
+            tris.append((a, b, c))
+    return tris
+
+
+def triangulate_polygon(g: Geom) -> Geom:
+    """PostGIS ST_TriangulatePolygon-shaped: a GEOMETRYCOLLECTION of
+    triangular POLYGONs tiling the polygonal input (holes honored via
+    bridge corridors + ear clipping). NOTE: a valid triangulation, not
+    the constrained-Delaunay one GEOS computes — triangle SHAPES may
+    differ; the tiled region (union/total area) matches. Non-areal
+    members are ignored, like PostGIS."""
+    tris = []
+    for rings in _polygons(g):
+        shell = [tuple(p[:2]) for p in _ensure_ccw(rings[0])][:-1]
+        if len(shell) < 3:
+            continue
+        holes = []
+        for h in rings[1:]:
+            hh = [tuple(p[:2]) for p in h]
+            if hh[0] == hh[-1]:
+                hh = hh[:-1]
+            if len(hh) < 3:
+                continue
+            if _ring_area2(hh + [hh[0]]) > 0:
+                hh = hh[::-1]  # holes traverse CW
+            holes.append(hh)
+        merged = shell
+        for hh in sorted(holes, key=lambda h: -max(p[0] for p in h)):
+            merged = _bridge_hole(merged, hh)
+        tris.extend(_ear_clip(merged))
+    return Geom(
+        "GeometryCollection",
+        [Geom("Polygon", [[a, b, c, a]]) for a, b, c in tris],
+    )

@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 
 from datafusion_spatial_spark.functions.predicates import (
     st_contains,
+    st_coveredby,
+    st_covers,
     st_distance,
     st_intersects,
     st_within,
@@ -44,6 +46,10 @@ _PREDICATES = {
     "intersects": st_intersects,
     "contains": st_contains,
     "within": st_within,
+    # r11: the covers family — candidate generation is identical to
+    # contains/within (cell-intersection superset), only the refine differs
+    "covers": st_covers,
+    "coveredby": st_coveredby,
 }
 
 

@@ -118,6 +118,20 @@ _FUNCTIONS = {
         ),
         _SAME,
     ),
+    # r11 parity-plus
+    "ST_MULTI": (_ac.st_multi, _WKB),
+    "ST_COLLECTIONHOMOGENIZE": (_ac.st_collectionhomogenize, _WKB),
+    "ST_TRIANGULATEPOLYGON": (_ac.st_triangulatepolygon, _WKB),
+    "ST_SHIFTLONGITUDE": (_ac.st_shiftlongitude, _WKB),
+    "ST_NUMPOINTS": (_ac.st_numpoints, None),
+    "ST_ISCLOSED": (_ac.st_isclosed, None),
+    "ST_ISRING": (_ac.st_isring, None),
+    "ST_ZMFLAG": (_ac.st_zmflag, None),
+    "ST_NDIMS": (_ac.st_ndims, None),
+    "ST_COORDDIM": (_ac.st_coorddim, None),
+    "ST_CHAIKINSMOOTHING": (
+        lambda col, meta: _ac.st_chaikinsmoothing(col, meta), _WKB
+    ),
 }
 
 # 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)
@@ -145,6 +159,13 @@ _FUNCTIONS_2 = {
     "ST_LINELOCATEPOINT": (_ac.st_linelocatepoint, None),
     # 2-arg PostGIS form: the full DE-9IM matrix string
     "ST_RELATE": (_pr.st_relate_matrix, None),
+    # r11 parity-plus
+    "ST_COVERS": (_pr.st_covers, None),
+    "ST_COVEREDBY": (_pr.st_coveredby, None),
+    "ST_LONGESTLINE": (_ac.st_longestline, _WKB),
+    "ST_MAXDISTANCE": (_ac.st_maxdistance, None),
+    "ST_FRECHETDISTANCE": (_ac.st_frechetdistance, None),
+    "ST_SHAREDPATHS": (_ac.st_sharedpaths, _WKB),
 }
 
 # geometry + numeric-literal arg
@@ -219,12 +240,32 @@ _FUNCTIONS_GEOM_NUM = {
         ),
         _SAME,
     ),
+    # r11 parity-plus
+    "ST_REDUCEPRECISION": (
+        lambda col, s, meta: _ac.st_reduceprecision(col, float(s), meta), _WKB
+    ),
+    "ST_COLLECTIONEXTRACT": (
+        lambda col, d, meta: _ac.st_collectionextract(col, int(d), meta), _WKB
+    ),
+    "ST_CHAIKINSMOOTHING": (
+        lambda col, n, meta: _ac.st_chaikinsmoothing(col, meta, int(n)), _WKB
+    ),
 }
 
 # geometry + two numeric-literal args
 _FUNCTIONS_GEOM_NUM2 = {
     "ST_TRANSFORM": (
         lambda col, s, d, meta: _gd.st_transform(col, int(s), int(d), meta),
+        _WKB,
+    ),
+    "ST_WRAPX": (
+        lambda col, w, m_, meta: _ac.st_wrapx(col, float(w), float(m_), meta),
+        _WKB,
+    ),
+    "ST_CHAIKINSMOOTHING": (
+        lambda col, n, p_, meta: _ac.st_chaikinsmoothing(
+            col, meta, int(n), bool(int(p_))
+        ),
         _WKB,
     ),
     "ST_LINESUBSTRING": (
@@ -284,6 +325,12 @@ _FUNCTIONS_2_NUM = {
     "ST_SNAP": (
         lambda a, b, t, ma, mb: _ac.st_snap(a, b, float(t), ma, mb), _WKB
     ),
+    "ST_FRECHETDISTANCE": (
+        lambda a, b, f_, ma, mb: _ac.st_frechetdistance(
+            a, b, ma, mb, float(f_)
+        ),
+        None,
+    ),
 }
 
 # three geometries
@@ -332,6 +379,13 @@ _FUNCTIONS_LIT = {
             (p[1], p[2], p[3], p[4]), int(p[5]),
         ),
         None,
+    ),
+    "ST_CLIPBYBOX2D": (
+        ("g", "n", "n", "n", "n"),
+        lambda p: _ac.st_clipbybox2d(
+            p[0][0], p[1], p[2], p[3], p[4], p[0][1]
+        ),
+        _WKB,
     ),
     "ST_AFFINE": (
         ("g", "n", "n", "n", "n", "n", "n"),
@@ -465,6 +519,8 @@ _JOIN_PREDICATES = {
     "ST_CONTAINS": ("contains", 2),
     "ST_WITHIN": ("within", 2),
     "ST_DWITHIN": ("dwithin", 3),
+    "ST_COVERS": ("covers", 2),
+    "ST_COVEREDBY": ("coveredby", 2),
 }
 
 

@@ -1,0 +1,552 @@
+"""Round-11 parity-plus surface: covers family, extremal metrics
+(LongestLine/MaxDistance/Fréchet), SharedPaths, ClipByBox2D,
+ReducePrecision, ChaikinSmoothing, WrapX/ShiftLongitude, collection
+casts (Multi/CollectionExtract/CollectionHomogenize),
+TriangulatePolygon, and the structural metadata family
+(NumPoints/IsClosed/IsRing/Zmflag/NDims/CoordDim).
+
+The reference implements none of these (its roadmap stops at
+predicates/measures, README.md); semantics mirror PostGIS/GEOS so a
+DuckDB-spatial/PostGIS user can switch engines. Kernel batteries run
+pure-Python; the Spark layer is exercised through the WKB metadata path
+and the SQL resolver.
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_spatial_spark import geom_ops as G
+from datafusion_spatial_spark import wkb
+from datafusion_spatial_spark.functions.accessors import (
+    st_chaikinsmoothing,
+    st_clipbybox2d,
+    st_collectionextract,
+    st_collectionhomogenize,
+    st_coorddim,
+    st_frechetdistance,
+    st_isclosed,
+    st_isring,
+    st_longestline,
+    st_maxdistance,
+    st_multi,
+    st_ndims,
+    st_numpoints,
+    st_reduceprecision,
+    st_sharedpaths,
+    st_shiftlongitude,
+    st_triangulatepolygon,
+    st_wrapx,
+    st_zmflag,
+)
+from datafusion_spatial_spark.functions.predicates import st_coveredby, st_covers
+from datafusion_spatial_spark.functions.scalar import st_geomfromtext
+from datafusion_spatial_spark.meta import GeometryMeta
+from datafusion_spatial_spark.wkb import Geom
+
+W = GeometryMeta(encoding="WKB")
+
+
+def _wkt(b):
+    return None if b is None else wkb.to_wkt(wkb.loads(bytes(b)))
+
+
+# ---------------------------------------------------------------------------
+# covers / coveredby
+
+
+SQ = Geom("Polygon", [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]])
+
+
+def test_covers_admits_boundary_contact():
+    edge = Geom("Polygon", [[(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]])
+    assert G.covers(SQ, edge)
+    assert G.covered_by(edge, SQ)
+    # boundary point: covered but NOT contained (the defining difference)
+    p = Geom("Point", (0.0, 2.0))
+    assert G.covers(SQ, p)
+    assert not G.contains(SQ, p)
+    # boundary line along the edge
+    l = Geom("LineString", [(0, 0), (0, 3)])
+    assert G.covers(SQ, l)
+    assert not G.contains(SQ, l)
+
+
+def test_covers_rejects_exterior_reach():
+    assert not G.covers(SQ, Geom("Point", (5.0, 5.0)))
+    assert not G.covers(SQ, Geom("LineString", [(1, 1), (9, 1)]))
+    assert not G.covers(SQ, Geom("Polygon", [[(2, 2), (6, 2), (6, 6), (2, 6), (2, 2)]]))
+    # empty operands are never covered / covering
+    assert not G.covers(SQ, Geom("Point", None))
+    assert not G.covers(Geom("Polygon", []), SQ)
+
+
+def test_covers_implied_by_contains_battery():
+    """contains ⇒ covers, and for points covers ≡ intersects (a point has
+    no part that could hang outside without leaving the closure)."""
+    rng = random.Random(411)
+    poly = Geom(
+        "Polygon",
+        [[(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+         [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]],
+    )
+    for _ in range(200):
+        p = Geom("Point", (rng.uniform(-2, 12), rng.uniform(-2, 12)))
+        assert G.covers(poly, p) == G.intersects(poly, p)
+        if G.contains(poly, p):
+            assert G.covers(poly, p)
+
+
+# ---------------------------------------------------------------------------
+# longest line / max distance / Fréchet / shared paths
+
+
+def test_max_distance_and_longest_line():
+    a = Geom("LineString", [(0, 0), (1, 1)])
+    b = Geom("LineString", [(3, 0), (5, 2)])
+    assert G.max_distance(a, b) == pytest.approx(math.hypot(5, 2))
+    ll = G.longest_line(a, b)
+    assert ll.coords == [(0.0, 0.0), (5.0, 2.0)]
+    # polygons: the max is attained at hull vertices
+    assert G.max_distance(SQ, SQ) == pytest.approx(math.hypot(4, 4))
+    assert G.max_distance(SQ, Geom("Point", None)) is None
+
+
+def test_max_distance_hull_reduction_parity():
+    """>32-vertex operands route through the convex hull; the reduced scan
+    must agree with the brute-force vertex scan."""
+    rng = random.Random(1107)
+    pts_a = [(rng.uniform(0, 10), rng.uniform(0, 10)) for _ in range(60)]
+    pts_b = [(rng.uniform(20, 35), rng.uniform(-5, 5)) for _ in range(60)]
+    a, b = Geom("MultiPoint", pts_a), Geom("MultiPoint", pts_b)
+    brute = max(
+        math.hypot(p[0] - q[0], p[1] - q[1]) for p in pts_a for q in pts_b
+    )
+    assert G.max_distance(a, b) == pytest.approx(brute)
+
+
+def test_frechet_distance():
+    l1 = Geom("LineString", [(0, 0), (100, 0)])
+    l2 = Geom("LineString", [(0, 0), (50, 50), (100, 0)])
+    # vertex-only: the apex must pair with an endpoint of l1
+    assert G.frechet_distance(l1, l2) == pytest.approx(math.hypot(50, 50))
+    # densified: the apex pairs with (50, 0)
+    assert G.frechet_distance(l1, l2, 0.1) == pytest.approx(50.0)
+    # symmetric, and >= the straight-line start/end displacement
+    l3 = Geom("LineString", [(0, 10), (100, 10)])
+    assert G.frechet_distance(l1, l3) == G.frechet_distance(l3, l1) == pytest.approx(10.0)
+    assert G.frechet_distance(l1, Geom("LineString", [])) is None
+
+
+def test_shared_paths_direction_split():
+    s1 = Geom("LineString", [(0, 0), (10, 0), (10, 5)])
+    s2_opp = Geom("LineString", [(12, 0), (4, 0), (2, 0)])
+    gc = G.shared_paths(s1, s2_opp)
+    assert gc.type_name == "GeometryCollection" and len(gc.coords) == 2
+    same, opp = gc.coords
+    assert same.is_empty
+    (seg,) = opp.coords
+    assert seg[0] == (2.0, 0.0) and seg[-1] == (10.0, 0.0)
+    s2_same = Geom("LineString", [(2, 0), (4, 0), (12, 0)])
+    gc2 = G.shared_paths(s1, s2_same)
+    assert not gc2.coords[0].is_empty and gc2.coords[1].is_empty
+    # disjoint lines: two EMPTY multilinestrings
+    gc3 = G.shared_paths(s1, Geom("LineString", [(0, 9), (9, 9)]))
+    assert gc3.coords[0].is_empty and gc3.coords[1].is_empty
+    # non-line input → None (PostGIS raises; NULL at the column layer)
+    assert G.shared_paths(s1, SQ) is None
+
+
+# ---------------------------------------------------------------------------
+# clip by box
+
+
+def test_clip_by_box2d_types():
+    assert G.clip_by_box2d(
+        Geom("LineString", [(-5, 1), (5, 1)]), 0, 0, 10, 10
+    ).coords == [(0.0, 1.0), (5.0, 1.0)]
+    got = G.clip_by_box2d(SQ, 2, 2, 10, 10)
+    assert got.type_name == "Polygon"
+    assert abs(G._ring_area2(got.coords[0])) / 2 == pytest.approx(4.0)
+    pts = G.clip_by_box2d(Geom("MultiPoint", [(1, 1), (9, 9)]), 0, 0, 4, 4)
+    assert pts.type_name == "Point" and pts.coords == (1, 1)
+    # fully outside → empty
+    assert G.clip_by_box2d(SQ, 100, 100, 110, 110).is_empty
+    # hole survives the clip when inside the box
+    holed = Geom(
+        "Polygon",
+        [[(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+         [(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)]],
+    )
+    got2 = G.clip_by_box2d(holed, 0, 0, 6, 6)
+    assert len(got2.coords) == 2
+    assert G.area(got2) == pytest.approx(36.0 - 4.0)
+
+
+def test_clip_by_box2d_agrees_with_intersection():
+    rng = random.Random(42)
+    for _ in range(50):
+        x0, y0 = rng.uniform(-5, 5), rng.uniform(-5, 5)
+        box = (x0, y0, x0 + rng.uniform(1, 8), y0 + rng.uniform(1, 8))
+        clipped = G.clip_by_box2d(SQ, *box)
+        ref = G.intersection(
+            SQ,
+            Geom("Polygon", [[(box[0], box[1]), (box[2], box[1]),
+                              (box[2], box[3]), (box[0], box[3]),
+                              (box[0], box[1])]]),
+        )
+        assert G.area(clipped) == pytest.approx(G.area(ref), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# precision / smoothing
+
+
+def test_reduce_precision():
+    line = Geom("LineString", [(0.014, 0), (0.018, 0), (1.02, 0)])
+    assert G.reduce_precision(line, 0.01).coords == [
+        (0.01, 0.0), (0.02, 0.0), (1.02, 0.0)
+    ]
+    # collapse: both vertices snap together → empty line
+    got = G.reduce_precision(Geom("LineString", [(0.001, 0), (0.004, 0)]), 0.01)
+    assert got.is_empty
+    # polygon collapse → POLYGON EMPTY
+    tiny = Geom("Polygon", [[(0, 0), (0.004, 0), (0.004, 0.004), (0, 0.004), (0, 0)]])
+    assert G.reduce_precision(tiny, 0.01).is_empty
+    # a surviving polygon stays valid and keeps its snapped area
+    got2 = G.reduce_precision(SQ, 0.5)
+    assert G.is_valid(got2) and G.area(got2) == pytest.approx(16.0)
+    with pytest.raises(ValueError):
+        G.reduce_precision(SQ, 0.0)
+
+
+def test_chaikin_smoothing():
+    ch = G.chaikin_smoothing(Geom("LineString", [(0, 0), (4, 4), (8, 0)]), 1, True)
+    assert ch.coords[0] == (0, 0) and ch.coords[-1] == (8, 0)
+    assert (3.0, 3.0) in ch.coords and (5.0, 3.0) in ch.coords
+    # ring smoothing keeps closure and stays inside the hull
+    sm = G.chaikin_smoothing(SQ, 2)
+    ring = sm.coords[0]
+    assert ring[0] == ring[-1]
+    assert 0 < G.area(sm) < 16.0
+    assert G.covers(SQ, sm)
+    # iteration cap (PostGIS): n > 5 behaves as 5
+    a5 = G.chaikin_smoothing(SQ, 5)
+    a9 = G.chaikin_smoothing(SQ, 9)
+    assert G.area(a5) == pytest.approx(G.area(a9))
+
+
+# ---------------------------------------------------------------------------
+# longitude shifts
+
+
+def test_shift_longitude_roundtrip():
+    g = Geom("LineString", [(-170, 10), (170, 10)])
+    shifted = G.shift_longitude(g)
+    assert shifted.coords == [(190.0, 10), (170, 10)]
+    # idempotent once shifted: no negative x remains
+    assert G.shift_longitude(shifted).coords == shifted.coords
+    # Z/M tails survive (coordinate-wise map)
+    gz = Geom("LineString", [(-170, 10, 5.0), (170, 10, 6.0)], has_z=True)
+    assert G.shift_longitude(gz).coords == [(190.0, 10, 5.0), (170, 10, 6.0)]
+
+
+def test_wrap_x_splits_and_moves():
+    g = Geom("LineString", [(-10, 0), (10, 0)])
+    w = G.wrap_x(g, 0.0, 360.0)
+    assert w.type_name == "MultiLineString"
+    parts = sorted(tuple(p) for p in w.coords)
+    assert parts[0] == ((0.0, 0.0), (10.0, 0.0))
+    assert parts[1] == ((350.0, 0.0), (360.0, 0.0))
+    # length is preserved by the split+translate
+    assert G.length(w) == pytest.approx(G.length(g))
+    # move < 0: the right side moves left
+    w2 = G.wrap_x(g, 0.0, -360.0)
+    parts2 = sorted(tuple(p) for p in w2.coords)
+    assert parts2[0] == ((-360.0, 0.0), (-350.0, 0.0))
+    # points never split
+    wp = G.wrap_x(Geom("Point", (-10.0, 1.0)), 0.0, 360.0)
+    assert wp.coords == (350.0, 1.0)
+    # geometry entirely on the stay side is unchanged
+    assert G.wrap_x(Geom("Point", (10.0, 1.0)), 0.0, 360.0).coords == (10.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# collection casts
+
+
+def test_multi_and_homogenize_and_extract():
+    p = Geom("Point", (1, 2))
+    assert G.multi(p).type_name == "MultiPoint" and G.multi(p).coords == [(1, 2)]
+    assert G.multi(G.multi(p)).type_name == "MultiPoint"
+    assert G.multi(Geom("Point", None)).is_empty
+    gc = Geom(
+        "GeometryCollection",
+        [p, Geom("MultiPoint", [(2, 2), (3, 3)]),
+         Geom("LineString", [(0, 0), (1, 1)]), SQ],
+    )
+    assert G.collection_extract(gc, 1).coords == [(1, 2), (2, 2), (3, 3)]
+    assert G.collection_extract(gc, 2).type_name == "MultiLineString"
+    assert G.collection_extract(gc, 3).type_name == "MultiPolygon"
+    # non-collection passthrough / EMPTY-multi miss
+    assert G.collection_extract(SQ, 3) is SQ
+    assert G.collection_extract(SQ, 1).type_name == "MultiPoint"
+    assert G.collection_extract(SQ, 1).is_empty
+    with pytest.raises(ValueError):
+        G.collection_extract(SQ, 4)
+    # homogenize: nested single → atom; same-type → multi; mixed → flat GC
+    nested = Geom("GeometryCollection", [Geom("GeometryCollection", [p])])
+    assert G.collection_homogenize(nested).type_name == "Point"
+    same = Geom("GeometryCollection", [p, Geom("GeometryCollection", [Geom("Point", (9, 9))])])
+    assert G.collection_homogenize(same).type_name == "MultiPoint"
+    assert G.collection_homogenize(gc).type_name == "GeometryCollection"
+    assert all(
+        m.type_name in ("Point", "LineString", "Polygon")
+        for m in G.collection_homogenize(gc).coords
+    )
+
+
+# ---------------------------------------------------------------------------
+# triangulation
+
+
+def _tri_area_sum(gc):
+    return sum(abs(G._ring_area2(m.coords[0])) / 2 for m in gc.coords)
+
+
+def test_triangulate_polygon_fixtures():
+    t = G.triangulate_polygon(SQ)
+    assert len(t.coords) == 2 and _tri_area_sum(t) == pytest.approx(16.0)
+    L = Geom("Polygon", [[(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4), (0, 0)]])
+    tl = G.triangulate_polygon(L)
+    assert _tri_area_sum(tl) == pytest.approx(12.0)
+    holed = Geom(
+        "Polygon",
+        [[(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+         [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]],
+    )
+    th = G.triangulate_polygon(holed)
+    assert _tri_area_sum(th) == pytest.approx(96.0)
+    # every triangle must lie inside the (closed) polygon
+    for m in th.coords:
+        cx = sum(p[0] for p in m.coords[0][:-1]) / 3
+        cy = sum(p[1] for p in m.coords[0][:-1]) / 3
+        assert G._point_intersects((cx, cy), holed)
+    # non-areal input → empty collection
+    assert G.triangulate_polygon(Geom("LineString", [(0, 0), (1, 1)])).is_empty
+
+
+def test_triangulate_polygon_random_battery():
+    """Random star polygons (simple by construction), with and without a
+    scaled-down hole: the triangle areas must sum to the polygon area and
+    triangle centroids must fall inside."""
+    rng = random.Random(2026)
+    for k in range(25):
+        n = rng.randint(5, 14)
+        angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+        if angles[-1] - angles[0] < 1e-3:
+            continue
+        ring = [
+            (math.cos(a) * rng.uniform(5, 10), math.sin(a) * rng.uniform(5, 10))
+            for a in angles
+        ]
+        ring.append(ring[0])
+        rings = [ring]
+        if k % 2:
+            hole = [(x * 0.2, y * 0.2) for x, y in ring]
+            rings.append(hole)
+        poly = Geom("Polygon", [list(r) for r in rings])
+        if not G.is_valid(poly):
+            continue
+        t = G.triangulate_polygon(poly)
+        assert _tri_area_sum(t) == pytest.approx(G.area(poly), rel=1e-6), k
+        for m in t.coords:
+            cx = sum(p[0] for p in m.coords[0][:-1]) / 3
+            cy = sum(p[1] for p in m.coords[0][:-1]) / 3
+            assert G._point_intersects((cx, cy), poly), k
+
+
+# ---------------------------------------------------------------------------
+# Spark layer (WKB metadata path) + structural metadata
+
+
+@pytest.fixture(scope="module")
+def gdf(spark):
+    rows = [
+        (1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        (2, "LINESTRING (0 0, 2 0, 2 2, 0 0)"),
+        (3, "LINESTRING (0 0, 5 0)"),
+        (4, "POINT (0 2)"),
+        (5, "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1))"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, w string")
+    return df.select("id", st_geomfromtext("w").alias("g")).cache()
+
+
+def test_spark_structural_metadata(gdf):
+    out = {
+        r.id: r
+        for r in gdf.select(
+            "id",
+            st_numpoints("g", W).alias("np"),
+            st_isclosed("g", W).alias("closed"),
+            st_isring("g", W).alias("ring"),
+            st_zmflag("g", W).alias("zm"),
+            st_ndims("g", W).alias("nd"),
+            st_coorddim("g", W).alias("cd"),
+        ).collect()
+    }
+    assert out[3].np == 2 and out[1].np is None
+    assert out[2].closed is True and out[3].closed is False
+    assert out[4].closed is True  # points are closed
+    assert out[2].ring is True and out[3].ring is False and out[1].ring is None
+    assert out[1].zm == 0 and out[1].nd == 2 and out[1].cd == 2
+    assert out[6].np is None and out[6].closed is None
+
+
+def test_spark_zm_metadata(spark):
+    df = spark.createDataFrame([(1, "POINT ZM (1 2 3 4)"), (2, "POINT Z (1 2 3)"),
+                                (3, "POINT M (1 2 3)")], "id long, w string")
+    g = df.select("id", st_geomfromtext("w").alias("g"))
+    out = {r.id: (r.zm, r.nd) for r in g.select(
+        "id", st_zmflag("g", W).alias("zm"), st_ndims("g", W).alias("nd")
+    ).collect()}
+    assert out[1] == (3, 4) and out[2] == (2, 3) and out[3] == (1, 3)
+
+
+def test_spark_covers_and_metrics(gdf):
+    a = gdf.filter("id = 1").select(F.col("g").alias("a"))
+    b = gdf.filter("id = 4").select(F.col("g").alias("b"))
+    j = a.crossJoin(b)  # 1×1 test rows only
+    row = j.select(
+        st_covers("a", "b", W, W).alias("cov"),
+        st_coveredby("b", "a", W, W).alias("cby"),
+        st_maxdistance("a", "b", W, W).alias("md"),
+        F.expr("1"),
+    ).collect()[0]
+    assert row.cov is True and row.cby is True
+    assert row.md == pytest.approx(math.hypot(4, 2))
+
+
+def test_spark_geom_outputs(gdf):
+    out = {r.id: r for r in gdf.select(
+        "id",
+        st_multi("g", W).alias("m"),
+        st_collectionextract("g", 1, W).alias("cx"),
+        st_collectionhomogenize("g", W).alias("ch"),
+        st_triangulatepolygon("g", W).alias("tr"),
+        st_clipbybox2d("g", 0, 0, 2, 2, W).alias("cl"),
+        st_reduceprecision("g", 0.5, W).alias("rp"),
+        st_chaikinsmoothing("g", W).alias("cs"),
+        st_shiftlongitude("g", W).alias("sl"),
+        st_wrapx("g", 2.0, 100.0, W).alias("wx"),
+    ).collect()}
+    assert _wkt(out[1].m).startswith("MULTIPOLYGON")
+    assert _wkt(out[5].cx) == "MULTIPOINT ((1 1))"
+    assert _wkt(out[4].ch) == "POINT (0 2)"
+    tri = wkb.loads(bytes(out[1].tr))
+    assert tri.type_name == "GeometryCollection" and len(tri.coords) == 2
+    clipped = wkb.loads(bytes(out[1].cl))
+    assert G.area(clipped) == pytest.approx(4.0)
+    assert _wkt(out[3].rp) == "LINESTRING (0 0, 5 0)"
+    assert wkb.loads(bytes(out[2].cs)).type_name == "LineString"
+    assert _wkt(out[4].sl) == "POINT (0 2)"
+    wx = wkb.loads(bytes(out[3].wx))
+    assert G.length(wx) == pytest.approx(5.0)
+    assert out[6].m is None and out[6].tr is None
+
+
+def test_spark_frechet_and_sharedpaths(spark):
+    df = spark.createDataFrame(
+        [("LINESTRING (0 0, 100 0)", "LINESTRING (0 0, 50 50, 100 0)")],
+        "wa string, wb string",
+    )
+    g = df.select(
+        st_geomfromtext("wa").alias("a"), st_geomfromtext("wb").alias("b")
+    )
+    row = g.select(
+        st_frechetdistance("a", "b", W, W).alias("f"),
+        st_frechetdistance("a", "b", W, W, densify_frac=0.1).alias("fd"),
+        st_longestline("a", "b", W, W).alias("ll"),
+        st_sharedpaths("a", "b", W, W).alias("sp"),
+    ).collect()[0]
+    assert row.f == pytest.approx(math.hypot(50, 50))
+    assert row.fd == pytest.approx(50.0)
+    ll = wkb.loads(bytes(row.ll))
+    assert ll.type_name == "LineString"
+    sp = wkb.loads(bytes(row.sp))
+    assert sp.type_name == "GeometryCollection" and len(sp.coords) == 2
+
+
+# ---------------------------------------------------------------------------
+# SQL resolver
+
+
+def test_sql_resolver_new_names(spark):
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    rows = [
+        (1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        (2, "POINT (0 2)"),
+        (3, "LINESTRING (0 0, 2 0, 2 2, 0 0)"),
+    ]
+    df = spark.createDataFrame(rows, "id long, w string")
+    gdf = df.select("id", st_geomfromtext("w").alias("geometry"))
+    s = SpatialSQL(spark)
+    s.register_view("t11", with_geo_meta(gdf, "geometry", W))
+
+    got = {
+        r.id: r
+        for r in s.sql(
+            "SELECT id, ST_Zmflag(geometry) AS zm, ST_NDims(geometry) AS nd, "
+            "ST_IsClosed(geometry) AS cl, ST_NumPoints(geometry) AS np, "
+            "ST_AsText(ST_Multi(geometry)) AS mw, "
+            "ST_AsText(ST_ClipByBox2D(geometry, 0, 0, 2, 2)) AS cb "
+            "FROM t11"
+        ).collect()
+    }
+    assert got[1].zm == 0 and got[1].nd == 2
+    assert got[3].cl is True and got[3].np == 4
+    assert got[1].mw.startswith("MULTIPOLYGON")
+    assert got[2].cb == "POINT (0 2)"
+
+    # covers in a WHERE via a self-join shape
+    n = s.sql(
+        "SELECT count(*) AS n FROM t11 a JOIN t11 b "
+        "ON ST_Covers(a.geometry, b.geometry) WHERE a.id = 1"
+    ).collect()[0].n
+    assert n == 3  # the polygon covers itself, the boundary point, the triangle
+
+
+def test_sql_resolver_metric_names(spark):
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    df = spark.createDataFrame(
+        [(1, "LINESTRING (0 0, 100 0)", "LINESTRING (0 0, 50 50, 100 0)")],
+        "id long, wa string, wb string",
+    )
+    gdf = df.select(
+        "id",
+        st_geomfromtext("wa").alias("ga"),
+        st_geomfromtext("wb").alias("gb"),
+    )
+    gdf = with_geo_meta(with_geo_meta(gdf, "ga", W), "gb", W)
+    s = SpatialSQL(spark)
+    s.register_view("t12", gdf)
+    row = s.sql(
+        "SELECT ST_MaxDistance(ga, gb) AS md, "
+        "ST_FrechetDistance(ga, gb) AS f, "
+        "ST_FrechetDistance(ga, gb, 0.1) AS fd, "
+        "ST_AsText(ST_ChaikinSmoothing(gb, 1, 1)) AS cs "
+        "FROM t12"
+    ).collect()[0]
+    # max over any vertex pair: both share (0,0) and (100,0) → 100
+    assert row.md == pytest.approx(100.0)
+    assert row.f == pytest.approx(math.hypot(50, 50))
+    assert row.fd == pytest.approx(50.0)
+    assert row.cs.startswith("LINESTRING (0 0,")
