@@ -1275,9 +1275,25 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     4+key%4). The oracle reproduces every cell with interval arithmetic on
     the same columns (half-offsets are exactly representable doubles, so
     the comparisons are bit-identical across engines)."""
+    from datafusion_spatial_spark.functions.accessors import (
+        st_chaikinsmoothing,
+        st_clipbybox2d,
+        st_frechetdistance,
+        st_isclosed,
+        st_isring,
+        st_maxdistance,
+        st_ndims,
+        st_numpoints,
+        st_reduceprecision,
+        st_triangulatepolygon,
+        st_zmflag,
+    )
     from datafusion_spatial_spark.functions.predicates import (
+        st_area,
         st_boundary,
         st_contains,
+        st_coveredby,
+        st_covers,
         st_crosses,
         st_disjoint,
         st_equals,
@@ -1370,6 +1386,56 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("fx") + 1 + F.col("s4") * 0.5, F.col("y") + 1,
             )
         ).alias("ab"),
+        # r11 rows: a closed-vs-open triangle line, an optionally-Z point,
+        # an origin-anchored box (for the constant-bounds clip), an
+        # L-shaped path with a varying leg (smoothing), and a 2.3-long
+        # horizontal line off the raw acctbal (precision reduction)
+        st_geomfromtext(
+            F.when(
+                F.col("s2") == 0,
+                F.concat(
+                    F.lit("LINESTRING ("),
+                    s(F.col("fx")), F.lit(" "), s(F.col("y")), F.lit(", "),
+                    s(F.col("fx") + 1), F.lit(" "), s(F.col("y")), F.lit(", "),
+                    s(F.col("fx")), F.lit(" "), s(F.col("y") + 1), F.lit(", "),
+                    s(F.col("fx")), F.lit(" "), s(F.col("y")), F.lit(")"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("LINESTRING ("),
+                    s(F.col("fx")), F.lit(" "), s(F.col("y")), F.lit(", "),
+                    s(F.col("fx") + 1), F.lit(" "), s(F.col("y")), F.lit(", "),
+                    s(F.col("fx")), F.lit(" "), s(F.col("y") + 1), F.lit(")"),
+                )
+            )
+        ).alias("lc"),
+        st_geomfromtext(
+            F.when(
+                F.col("s2") == 0,
+                F.concat(
+                    F.lit("POINT Z ("), s(F.col("x")), F.lit(" "),
+                    s(F.col("y")), F.lit(" 1)"),
+                ),
+            ).otherwise(pt(F.col("x"), F.col("y")))
+        ).alias("pz"),
+        st_geomfromtext(
+            box(
+                F.col("s3") * 0.5, F.lit(-0.5),
+                F.col("s3") * 0.5 + 1, F.lit(0.5),
+            )
+        ).alias("a0"),
+        st_geomfromtext(
+            F.concat(
+                F.lit("LINESTRING (0 0, 1 0, 1 "), s(F.col("s4") + 1),
+                F.lit(")"),
+            )
+        ).alias("lr"),
+        st_geomfromtext(
+            F.concat(
+                F.lit("LINESTRING ("), s(F.col("x")), F.lit(" 0, "),
+                s(F.col("x") + 2.3), F.lit(" 0)"),
+            )
+        ).alias("lp"),
     )
     return g.select(
         "custkey",
@@ -1384,6 +1450,23 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relate("a", "o", "T********", W, W).alias("relate_hit"),
         st_issimple("ls", W).alias("simple_ls"),
         F.round(st_length(st_boundary("ab", W), W), 6).alias("blen"),
+        # r11 family (each with a closed-form oracle mirror):
+        # covers admits boundary contact (x = fx rows) where contains won't
+        st_covers("b", "p", W, P).alias("covers_bp"),
+        st_coveredby("a", "o", W, W).alias("cby_ao"),
+        F.round(st_maxdistance("a", "b", W, W), 6).alias("maxd_ab"),
+        F.round(st_frechetdistance("l1", "l2", W, W), 6).alias("frechet_l"),
+        st_isclosed("lc", W).alias("closed_lc"),
+        st_isring("lc", W).alias("ring_lc"),
+        st_numpoints("lc", W).alias("npts_lc"),
+        st_zmflag("pz", W).alias("zm_pz"),
+        st_ndims("pz", W).alias("nd_pz"),
+        F.round(
+            st_area(st_clipbybox2d("a0", 0.75, -0.25, 10.0, 10.0, W), W), 6
+        ).alias("clip_area"),
+        F.round(st_area(st_triangulatepolygon("ab", W), W), 6).alias("tri_area"),
+        F.round(st_length(st_chaikinsmoothing("lr", W), W), 6).alias("chk_len"),
+        F.round(st_length(st_reduceprecision("lp", 1.0, W), W), 6).alias("rp_len"),
     ).orderBy("custkey")
 
 
@@ -1405,7 +1488,23 @@ SELECT custkey,
                ELSE 'FF2F11212' END AS relate_ao,
        (s3 <= 1)      AS relate_hit,
        (s2 = 0)       AS simple_ls,
-       cast(4 + s4 AS DOUBLE) AS blen
+       cast(4 + s4 AS DOUBLE) AS blen,
+       -- r11 family mirrors (same interval arithmetic; all half-offsets
+       -- and the sqrt operands are exactly representable doubles)
+       (s3 = 0)       AS covers_bp,
+       (s3 = 0)       AS cby_ao,
+       round(sqrt((s3 + 1) * (s3 + 1) + 1.0), 6) AS maxd_ab,
+       round(sqrt(4.0 * s2 * s2 + 4.0), 6)       AS frechet_l,
+       (s2 = 0)       AS closed_lc,
+       (s2 = 0)       AS ring_lc,
+       CAST(4 - s2 AS INTEGER)     AS npts_lc,
+       CAST(2 - 2 * s2 AS INTEGER) AS zm_pz,
+       CAST(3 - s2 AS INTEGER)     AS nd_pz,
+       round(0.75 * (s3 * 0.5 + 1 - greatest(s3 * 0.5, 0.75)), 6) AS clip_area,
+       round(1.0 + s4 * 0.5, 6)    AS tri_area,
+       round(0.5 + sqrt(0.0625 + 0.0625 * (s4 + 1) * (s4 + 1))
+             + 0.5 * (s4 + 1), 6)  AS chk_len,
+       round(abs(floor(x + 2.3 + 0.5) - floor(x + 0.5)), 6) AS rp_len
 FROM b ORDER BY custkey
 """
 

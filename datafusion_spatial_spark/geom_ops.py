@@ -6364,7 +6364,10 @@ def reduce_precision(g: Geom, gridsize: float) -> Geom:
         raise ValueError("gridsize must be > 0")
 
     def snap(v: float) -> float:
-        r = round(v / gridsize) * gridsize
+        # half-UP (JTS PrecisionModel.makePrecise: Math.round = floor(x+.5)),
+        # not Python round()'s half-even — keeps parity with PostGIS and with
+        # SQL floor() mirrors in cross-engine oracles
+        r = math.floor(v / gridsize + 0.5) * gridsize
         return 0.0 + r  # normalize -0.0
 
     snapped = _map_xy(g, lambda x, y: (snap(x), snap(y)))
