@@ -718,3 +718,144 @@ st_ndims = _unary(
 )
 # ST_CoordDim is the SQL-MM alias of ST_NDims for linear geometries
 st_coorddim = st_ndims
+
+
+# -- r11 wave 2: line editing, bounding diagonal, multi-point interpolation,
+#    envelope constructor, and the ST_MinimumRotatedRectangle alias.
+
+
+# PostGIS ST_MinimumRotatedRectangle is the GEOS name for the oriented
+# envelope — same rotating-calipers result
+st_minimumrotatedrectangle = st_orientedenvelope
+
+
+def _line_edit(fn):
+    """LineString-editing kernel lift: non-line / empty input -> NULL
+    (PostGIS raises; NULL is the column-layer convention here)."""
+
+    def inner(g):
+        if g.type_name != "LineString" or len(g.coords) < 2:
+            return None
+        out = fn(list(g.coords))
+        if out is None or len(out) < 2:
+            return None
+        return wkb.Geom("LineString", out, g.has_z, None, g.has_m)
+
+    return _geom_out(inner)
+
+
+def st_addpoint(
+    col: Column | str, x: float, y: float, meta: GeometryMeta,
+    position: int = -1,
+) -> Column:
+    """PostGIS ST_AddPoint: insert (x, y) before 0-based ``position``
+    (-1 = append)."""
+    p = (float(x), float(y))
+
+    def ed(coords):
+        pos = int(position)
+        if pos == -1 or pos >= len(coords):
+            coords.append(p)
+        elif 0 <= pos:
+            coords.insert(pos, p)
+        else:
+            return None
+        return coords
+
+    return _line_edit(ed)(col, meta)
+
+
+def st_setpoint(
+    col: Column | str, position: int, x: float, y: float, meta: GeometryMeta
+) -> Column:
+    """PostGIS ST_SetPoint: replace the 0-based vertex (negative counts
+    from the end, -1 = last)."""
+    p = (float(x), float(y))
+
+    def ed(coords):
+        pos = int(position)
+        if pos < 0:
+            pos += len(coords)
+        if not (0 <= pos < len(coords)):
+            return None
+        coords[pos] = p
+        return coords
+
+    return _line_edit(ed)(col, meta)
+
+
+def st_removepoint(
+    col: Column | str, position: int, meta: GeometryMeta
+) -> Column:
+    """PostGIS ST_RemovePoint: drop the 0-based vertex."""
+
+    def ed(coords):
+        pos = int(position)
+        if not (0 <= pos < len(coords)):
+            return None
+        del coords[pos]
+        return coords
+
+    return _line_edit(ed)(col, meta)
+
+
+def _scroll(g, px: float, py: float):
+    """PostGIS ST_Scroll: rotate a CLOSED LineString to start at the vertex
+    equal to (px, py); None when not closed or the vertex is absent."""
+    if g.type_name != "LineString" or len(g.coords) < 3:
+        return None
+    c = list(g.coords)
+    if tuple(c[0][:2]) != tuple(c[-1][:2]):
+        return None
+    body = c[:-1]
+    for k, v in enumerate(body):
+        if v[0] == px and v[1] == py:
+            rolled = body[k:] + body[:k]
+            return wkb.Geom(
+                "LineString", rolled + [rolled[0]], g.has_z, None, g.has_m
+            )
+    return None
+
+
+def st_scroll(
+    col: Column | str, x: float, y: float, meta: GeometryMeta
+) -> Column:
+    return _geom_out(lambda g: _scroll(g, float(x), float(y)))(col, meta)
+
+
+def _bounding_diagonal(g):
+    bb = geom_ops._bbox(g)
+    if bb is None:
+        return wkb.Geom("LineString", [])
+    return wkb.Geom("LineString", [(bb[0], bb[1]), (bb[2], bb[3])])
+
+
+st_boundingdiagonal = _geom_out(_bounding_diagonal, force2d=True)
+
+
+def st_lineinterpolatepoints(
+    col: Column | str, fraction: float, meta: GeometryMeta,
+    repeat: bool = True,
+) -> Column:
+    """PostGIS ST_LineInterpolatePoints: points at fraction, 2·fraction, …
+    along the line as a MultiPoint (``repeat=False`` degenerates to the
+    single-point form)."""
+    f = float(fraction)
+
+    def fn(g):
+        if not (0.0 < f <= 1.0):
+            return None
+        if not repeat:
+            p = geom_ops.line_interpolate_point(g, f)
+            return None if p is None else wkb.Geom("Point", p)
+        pts = []
+        k = 1
+        while k * f <= 1.0 + 1e-12:
+            p = geom_ops.line_interpolate_point(g, min(1.0, k * f))
+            if p is None:
+                return None
+            pts.append(p)
+            k += 1
+        return wkb.Geom("MultiPoint", pts)
+
+    return _geom_out(fn)(col, meta)

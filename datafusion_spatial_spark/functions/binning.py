@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -161,4 +162,168 @@ def st_hexcenter(
             + F.lit(float(origin[0])),
             F.lit(s * 1.5) * r.cast("double") + F.lit(float(origin[1])),
         ),
+    )
+
+
+def _sq_cells_py(bb, size, ox, oy, max_cells):
+    """Python mirror of the Catalyst square-grid enumeration (same floor
+    arithmetic, same over-cap NULL contract)."""
+    i0 = math.floor((bb[0] - ox) / size)
+    i1 = math.floor((bb[2] - ox) / size)
+    j0 = math.floor((bb[1] - oy) / size)
+    j1 = math.floor((bb[3] - oy) / size)
+    n = (i1 - i0 + 1) * (j1 - j0 + 1)
+    if n <= 0 or n > max_cells:
+        return None
+    return [
+        {"i": i, "j": j}
+        for i in range(i0, i1 + 1)
+        for j in range(j0, j1 + 1)
+    ]
+
+
+def _hex_cells_py(bb, size, ox, oy, max_cells):
+    """Python mirror of the Catalyst hex-grid enumeration."""
+    s = size
+    xmin, xmax = bb[0] - ox - s, bb[2] - ox + s
+    ymin, ymax = bb[1] - oy - s, bb[3] - oy + s
+    r0 = math.ceil(ymin / (1.5 * s))
+    r1 = math.floor(ymax / (1.5 * s))
+    if r1 < r0:
+        return None
+    w = _SQRT3 * s
+    nmax = (r1 - r0 + 1) * (math.floor((xmax - xmin) / w) + 2)
+    if nmax > max_cells:
+        return None
+    out = []
+    for r in range(r0, r1 + 1):
+        q0 = math.ceil(xmin / w - r / 2.0)
+        q1 = math.floor(xmax / w - r / 2.0)
+        out.extend({"q": q, "r": r} for q in range(q0, q1 + 1))
+    return out
+
+
+def _grid_wkb_udf(col: Column | str, meta: GeometryMeta, cells_fn, fields):
+    """Array-of-cells over a WKB/non-Catalyst-bbox column in ONE
+    Arrow-batched UDF — Spark rejects Python-UDF-derived columns inside
+    higher-order-function lambdas (UNSUPPORTED_FEATURE.
+    LAMBDA_FUNCTION_WITH_PYTHON_UDF), so the Catalyst sequence/transform
+    form is reserved for native encodings."""
+    from pyspark.sql import types as T
+
+    from datafusion_spatial_spark import geom_ops
+    from datafusion_spatial_spark.functions.predicates import (
+        _as_rows,
+        _converter,
+        _prep,
+    )
+
+    conv = _converter(meta, force2d=True)
+    dtype = T.ArrayType(T.StructType(
+        [T.StructField(f, T.LongType()) for f in fields]
+    ))
+
+    @F.pandas_udf(dtype)
+    def udf(s: pd.Series) -> pd.Series:
+        out = []
+        for v in _as_rows(s):
+            g = conv(v)
+            bb = None if g is None else geom_ops._bbox(g)
+            out.append(None if bb is None else cells_fn(bb))
+        return pd.Series(out, dtype="object")
+
+    return udf(_prep(col, meta))
+
+
+def st_squaregrid(
+    col: Column | str,
+    meta: GeometryMeta,
+    size: float,
+    origin: tuple[float, float] = (0.0, 0.0),
+    max_cells: int = 65536,
+) -> Column:
+    """PostGIS ST_SquareGrid as an ``array<struct{i, j}>`` of the square
+    cells overlapping the geometry's bbox — ``F.explode`` it for the
+    set-returning form, then :func:`st_squarecellenvelope` for polygons.
+    Pure Catalyst (nested ``sequence``/``transform``) for native
+    encodings; WKB routes through one Arrow-batched UDF with identical
+    arithmetic. A bbox spanning more than ``max_cells`` cells yields NULL
+    instead of materializing an unbounded array (at scale, tile huge
+    geometries with st_subdivide first). NULL geometry -> NULL."""
+    size = _check_size(size)
+    ox, oy = float(origin[0]), float(origin[1])
+    if meta.is_wkb:
+        return _grid_wkb_udf(
+            col, meta,
+            lambda bb: _sq_cells_py(bb, size, ox, oy, int(max_cells)),
+            ("i", "j"),
+        )
+    b = st_bbox(col, meta)
+    i0 = F.floor((b["xmin"] - F.lit(ox)) / F.lit(size)).cast("long")
+    i1 = F.floor((b["xmax"] - F.lit(ox)) / F.lit(size)).cast("long")
+    j0 = F.floor((b["ymin"] - F.lit(oy)) / F.lit(size)).cast("long")
+    j1 = F.floor((b["ymax"] - F.lit(oy)) / F.lit(size)).cast("long")
+    n = (i1 - i0 + 1) * (j1 - j0 + 1)
+    cells = F.flatten(
+        F.transform(
+            F.sequence(i0, i1),
+            lambda i: F.transform(
+                F.sequence(j0, j1),
+                lambda j: F.struct(i.alias("i"), j.alias("j")),
+            ),
+        )
+    )
+    return F.when(
+        b.isNotNull() & (n <= F.lit(int(max_cells))) & (n > 0), cells
+    )
+
+
+def st_hexagongrid(
+    col: Column | str,
+    meta: GeometryMeta,
+    size: float,
+    origin: tuple[float, float] = (0.0, 0.0),
+    max_cells: int = 65536,
+) -> Column:
+    """PostGIS ST_HexagonGrid-shaped: ``array<struct{q, r}>`` of pointy-top
+    axial hex cells whose CENTER lies within the geometry's bbox expanded
+    by one circumradius — a covering superset of every hexagon that
+    overlaps the bbox (refine with st_intersects on
+    :func:`st_hexcellpolygon` when exact overlap is needed; PostGIS also
+    over-returns edge cells). Catalyst for native encodings, one
+    Arrow-batched UDF for WKB; NULL over ``max_cells``."""
+    size = _check_size(size)
+    ox, oy = float(origin[0]), float(origin[1])
+    if meta.is_wkb:
+        return _grid_wkb_udf(
+            col, meta,
+            lambda bb: _hex_cells_py(bb, size, ox, oy, int(max_cells)),
+            ("q", "r"),
+        )
+    b = st_bbox(col, meta)
+    s = F.lit(float(size))
+    xmin, xmax = b["xmin"] - F.lit(ox) - s, b["xmax"] - F.lit(ox) + s
+    ymin, ymax = b["ymin"] - F.lit(oy) - s, b["ymax"] - F.lit(oy) + s
+    # center rows: cy = 1.5·s·r → r range; per row cx = √3·s·(q + r/2)
+    r0 = F.ceil(ymin / (F.lit(1.5) * s)).cast("long")
+    r1 = F.floor(ymax / (F.lit(1.5) * s)).cast("long")
+    w = F.lit(_SQRT3) * s
+
+    def q_range(r):
+        rq = r.cast("double") / 2.0
+        q0 = F.ceil(xmin / w - rq).cast("long")
+        q1 = F.floor(xmax / w - rq).cast("long")
+        return F.when(
+            q1 >= q0,
+            F.transform(
+                F.sequence(q0, q1),
+                lambda q: F.struct(q.alias("q"), r.alias("r")),
+            ),
+        ).otherwise(F.array().cast("array<struct<q:bigint,r:bigint>>"))
+
+    cells = F.flatten(F.transform(F.sequence(r0, r1), q_range))
+    # conservative cap: rows × max row width
+    nmax = (r1 - r0 + 1) * (F.floor((xmax - xmin) / w).cast("long") + 2)
+    return F.when(
+        b.isNotNull() & (r1 >= r0) & (nmax <= F.lit(int(max_cells))), cells
     )

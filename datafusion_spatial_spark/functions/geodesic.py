@@ -399,6 +399,34 @@ def _t_of_expr(phi: Column, e: float) -> Column:
     )
 
 
+def _cea_fwd_expr(lon: Column, lat: Column, srid: int):
+    """Cylindrical equal-area forward (EASE-Grid 2.0 family) — shares
+    Snyder's q with LAEA/Albers; the longitude wrap is a when-chain."""
+    e, e2, k0, lam0, FE, FN, a = geom_ops._cea_consts(geom_ops._CEA_CODES[srid])
+    lam = F.radians(lon) - F.lit(lam0)
+    lam = F.when(lam > F.lit(math.pi), lam - F.lit(2 * math.pi)).otherwise(
+        F.when(lam < F.lit(-math.pi), lam + F.lit(2 * math.pi)).otherwise(lam)
+    )
+    q = _q_of_expr(F.radians(lat), e, e2)
+    return (
+        F.lit(FE) + F.lit(a * k0) * lam,
+        F.lit(FN) + F.lit(a / (2 * k0)) * q,
+    )
+
+
+def _cea_inv_expr(x: Column, y: Column, srid: int):
+    """CEA inverse via the authalic-latitude series (same expression-size
+    rationale as :func:`_authalic_phi_expr`)."""
+    e, e2, k0, lam0, FE, FN, a = geom_ops._cea_consts(geom_ops._CEA_CODES[srid])
+    q = F.lit(2 * k0 / a) * (y - F.lit(FN))
+    qp = geom_ops._laea_q(math.pi / 2, e, e2)
+    beta = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), q / F.lit(qp))))
+    return (
+        F.degrees((x - F.lit(FE)) / F.lit(a * k0) + F.lit(lam0)),
+        F.degrees(_authalic_phi_expr(beta, e2)),
+    )
+
+
 def _aea_fwd_expr(lon: Column, lat: Column, srid: int):
     e, e2, n, C, rho0, lam0, FE, FN = geom_ops._aea_consts(
         geom_ops._ALBERS_CODES[srid]
@@ -739,6 +767,8 @@ def _to_lonlat_expr(x: Column, y: Column, srid: int):
         return _laea_inv_expr(x, y)
     if srid in geom_ops._ALBERS_CODES:
         return _aea_inv_expr(x, y, srid)
+    if srid in geom_ops._CEA_CODES:
+        return _cea_inv_expr(x, y, srid)
     if srid in geom_ops._LCC_CODES:
         return _lcc_inv_expr(x, y, srid)
     if srid in geom_ops._PSTEREO_CODES:
@@ -806,6 +836,8 @@ def _from_lonlat_expr(lon: Column, lat: Column, srid: int):
         return _laea_fwd_expr(lon, lat)
     if srid in geom_ops._ALBERS_CODES:
         return _aea_fwd_expr(lon, lat, srid)
+    if srid in geom_ops._CEA_CODES:
+        return _cea_fwd_expr(lon, lat, srid)
     if srid in geom_ops._LCC_CODES:
         return _lcc_fwd_expr(lon, lat, srid)
     if srid in geom_ops._PSTEREO_CODES:

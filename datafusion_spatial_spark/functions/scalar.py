@@ -624,3 +624,17 @@ def envelope_astext(col: Column | str, meta: GeometryMeta) -> Column:
         .when(b.isNull(), F.lit("POLYGON EMPTY"))
         .otherwise(st_astext_bbox(b))
     )
+
+
+def st_makeenvelope(
+    xmin: float, ymin: float, xmax: float, ymax: float, srid: int | None = None
+) -> Column:
+    """PostGIS ST_MakeEnvelope: a rectangular Polygon from literal bounds
+    (WKB literal — folded at plan time, zero per-row cost)."""
+    x0, y0, x1, y1 = (float(v) for v in (xmin, ymin, xmax, ymax))
+    geom = _wkb.Geom(
+        "Polygon",
+        [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]],
+        srid=int(srid) if srid is not None else None,
+    )
+    return F.lit(_wkb.dumps(geom))

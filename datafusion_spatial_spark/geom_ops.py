@@ -4241,6 +4241,46 @@ def _aea_fwd(lon: float, lat: float, params,
     return FE + rho * math.sin(theta), FN + rho0 - rho * math.cos(theta)
 
 
+# --- Cylindrical Equal-Area, normal aspect (ellipsoidal) ------------------
+# Snyder PP 1395 eqs. 10-1/10-2: x = a·k0·λ, y = a·q/(2·k0) with
+# k0 = cos φ1 / sqrt(1 − e²·sin² φ1). EPSG 6933 is EASE-Grid 2.0 global
+# (WGS84, standard parallel 30°) — the standard global grid for satellite
+# earth-data products.
+
+_CEA_CODES = {
+    # srid: (lat1, lon0, FE, FN)
+    6933: (30.0, 0.0, 0.0, 0.0),
+}
+
+
+def _cea_consts(params, a: float = WGS84_A, f: float = WGS84_F):
+    lat1, lon0, FE, FN = params
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    s1 = math.sin(math.radians(lat1))
+    k0 = math.cos(math.radians(lat1)) / math.sqrt(1 - e2 * s1 * s1)
+    return e, e2, k0, math.radians(lon0), FE, FN, a
+
+
+def _cea_fwd(lon: float, lat: float, params):
+    e, e2, k0, lam0, FE, FN, a = _cea_consts(params)
+    lam = math.radians(lon) - lam0
+    if lam > math.pi:
+        lam -= 2 * math.pi
+    elif lam < -math.pi:
+        lam += 2 * math.pi
+    q = _laea_q(math.radians(lat), e, e2)
+    return FE + a * k0 * lam, FN + a * q / (2 * k0)
+
+
+def _cea_inv(x: float, y: float, params):
+    e, e2, k0, lam0, FE, FN, a = _cea_consts(params)
+    q = 2 * k0 * (y - FN) / a
+    phi = _phi_from_q(q, e, e2)
+    lam = (x - FE) / (a * k0) + lam0
+    return math.degrees(lam), math.degrees(phi)
+
+
 def _phi_from_q(q: float, e: float, e2: float) -> float:
     """Snyder 3-16: invert the equal-area latitude by fixed-point
     iteration (converges in ~4 steps everywhere off the poles)."""
@@ -4283,6 +4323,8 @@ _LCC_CODES = {
     # srid: (lat1, lat2, lat0, lon0, FE, FN)
     2154: (49.0, 44.0, 46.5, 3.0, 700_000.0, 6_600_000.0),
     3978: (49.0, 77.0, 49.0, -95.0, 0.0, 0.0),
+    # GDA94 / Geoscience Australia Lambert (southern-hemisphere cone)
+    3112: (-18.0, -36.0, 0.0, 134.0, 0.0, 0.0),
 }
 
 
@@ -4448,7 +4490,29 @@ _TM_CODES = {
             AIRY_A, AIRY_F, _WGS84_TO_OSGB36),
     2180: (0.0, 19.0, 0.9993, 500_000.0, -5_300_000.0,
            GRS80_A, GRS80_F, None),  # ETRS89 / Poland CS92
+    # NZGD2000 / New Zealand Transverse Mercator (NZGD2000 ≡ WGS84 at the
+    # metre level — the same plate-fixed-datum approximation class as the
+    # ETRS89 UTM rows)
+    2193: (0.0, 173.0, 0.9996, 1_600_000.0, 10_000_000.0,
+           GRS80_A, GRS80_F, None),
 }
+
+# GDA94 / MGA zones 49-56 (EPSG 283xx) and GDA2020 / MGA zones 46-59
+# (EPSG 78xx): standard UTM-south parameters on GRS80 with central
+# meridian 6·zone − 183. GDA94/GDA2020 are plate-fixed and treated as
+# WGS84-coincident (sub-2 m, the published accuracy class of any static
+# GDA↔WGS84 shift — same convention as the ETRS89 rows above).
+for _z in range(49, 57):
+    _TM_CODES[28300 + _z] = (
+        0.0, 6.0 * _z - 183.0, 0.9996, 500_000.0, 10_000_000.0,
+        GRS80_A, GRS80_F, None,
+    )
+for _z in range(46, 60):
+    _TM_CODES[7800 + _z] = (
+        0.0, 6.0 * _z - 183.0, 0.9996, 500_000.0, 10_000_000.0,
+        GRS80_A, GRS80_F, None,
+    )
+del _z
 
 
 def _tm_named_fwd(lon: float, lat: float, params):
@@ -4609,6 +4673,8 @@ def _lookup_transform(src_srid: int, dst_srid: int):
             return lambda x, y, _p=_TM_CODES[srid]: _tm_named_inv(x, y, _p)
         if srid in _NTF_LAMBERT_CODES:
             return lambda x, y, _p=_NTF_LAMBERT_CODES[srid]: _ntf_lambert_inv(x, y, _p)
+        if srid in _CEA_CODES:
+            return lambda x, y, _p=_CEA_CODES[srid]: _cea_inv(x, y, _p)
         z = utm_zone_of(srid)
         if z:
             return lambda x, y, _z=z: _tm_inv(x, y, utm_lon0(_z[0]), _z[1])
@@ -4637,6 +4703,8 @@ def _lookup_transform(src_srid: int, dst_srid: int):
             return lambda x, y, _p=_TM_CODES[srid]: _tm_named_fwd(x, y, _p)
         if srid in _NTF_LAMBERT_CODES:
             return lambda x, y, _p=_NTF_LAMBERT_CODES[srid]: _ntf_lambert_fwd(x, y, _p)
+        if srid in _CEA_CODES:
+            return lambda x, y, _p=_CEA_CODES[srid]: _cea_fwd(x, y, _p)
         z = utm_zone_of(srid)
         if z:
             return lambda x, y, _z=z: _tm_fwd(x, y, utm_lon0(_z[0]), _z[1])
@@ -4944,7 +5012,9 @@ def transform(g: Geom, src_srid: int, dst_srid: int, fn=None) -> Geom:
     (Lambert-93 France / Canada Atlas), polar stereographic
     3031/3413/3976/5041/5042 (Antarctic / NSIDC N+S / UPS N+S), named
     transverse Mercator 27700 (OSGB British National Grid, incl. the OS
-    7-param WGS84↔OSGB36 Helmert datum shift) and 2180 (Poland CS92),
+    7-param WGS84↔OSGB36 Helmert datum shift), 2180 (Poland CS92), 2193
+    (NZTM), MGA zones 28349-28356 (GDA94) and 7846-7859 (GDA2020),
+    Australia Lambert 3112, cylindrical equal-area 6933 (EASE-Grid 2.0),
     French legacy NTF Lambert zones 27571/27572/27573 (1-SP conic on
     Clarke 1880 IGN, EPSG 3-param NTF datum shift), and
     any :func:`register_crs` SRID — any pair, pivoting through lon/lat.
@@ -4965,9 +5035,10 @@ def transform(g: Geom, src_srid: int, dst_srid: int, fn=None) -> Geom:
         raise NotImplementedError(
             f"transform {src_srid} -> {dst_srid} not supported — built-in "
             "closed-form CRS are 4326, 3857, UTM 326zz/327zz, LAEA 3035, "
-            "Albers 5070/3310/3577, Lambert conformal 2154/3978, polar "
+            "Albers 5070/3310/3577, Lambert conformal 2154/3978/3112, polar "
             "stereographic 3031/3413/3976/5041/5042, transverse Mercator "
-            "27700/2180, NTF Lambert 27571-27573; register others with "
+            "27700/2180/2193 + MGA 28349-56/7846-59, CEA 6933, "
+            "NTF Lambert 27571-27573; register others with "
             "geom_ops.register_crs, or "
             "install the optional 'pyproj' extra for general EPSG support"
         )

@@ -132,6 +132,8 @@ _FUNCTIONS = {
     "ST_CHAIKINSMOOTHING": (
         lambda col, meta: _ac.st_chaikinsmoothing(col, meta), _WKB
     ),
+    "ST_MINIMUMROTATEDRECTANGLE": (_ac.st_minimumrotatedrectangle, _WKB),
+    "ST_BOUNDINGDIAGONAL": (_ac.st_boundingdiagonal, _WKB),
 }
 
 # 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)
@@ -249,6 +251,15 @@ _FUNCTIONS_GEOM_NUM = {
     ),
     "ST_CHAIKINSMOOTHING": (
         lambda col, n, meta: _ac.st_chaikinsmoothing(col, meta, int(n)), _WKB
+    ),
+    "ST_REMOVEPOINT": (
+        lambda col, p_, meta: _ac.st_removepoint(col, int(p_), meta), _WKB
+    ),
+    "ST_LINEINTERPOLATEPOINTS": (
+        lambda col, f_, meta: _ac.st_lineinterpolatepoints(
+            col, float(f_), meta
+        ),
+        _WKB,
     ),
 }
 
@@ -378,6 +389,37 @@ _FUNCTIONS_LIT = {
             p[0][0], p[0][1],
             (p[1], p[2], p[3], p[4]), int(p[5]),
         ),
+        None,
+    ),
+    "ST_MAKEENVELOPE": (
+        ("n", "n", "n", "n"),
+        lambda a: _sc.st_makeenvelope(a[0], a[1], a[2], a[3]),
+        _WKB,
+    ),
+    "ST_ADDPOINT": (
+        ("g", "n", "n"),
+        lambda p: _ac.st_addpoint(p[0][0], p[1], p[2], p[0][1]),
+        _WKB,
+    ),
+    "ST_SETPOINT": (
+        ("g", "n", "n", "n"),
+        lambda p: _ac.st_setpoint(p[0][0], int(p[1]), p[2], p[3], p[0][1]),
+        _WKB,
+    ),
+    "ST_SCROLL": (
+        ("g", "n", "n"),
+        lambda p: _ac.st_scroll(p[0][0], p[1], p[2], p[0][1]),
+        _WKB,
+    ),
+    # PostGIS argument order: grid size first, geometry second
+    "ST_SQUAREGRID": (
+        ("n", "g"),
+        lambda p: _bn.st_squaregrid(p[1][0], p[1][1], float(p[0])),
+        None,
+    ),
+    "ST_HEXAGONGRID": (
+        ("n", "g"),
+        lambda p: _bn.st_hexagongrid(p[1][0], p[1][1], float(p[0])),
         None,
     ),
     "ST_CLIPBYBOX2D": (

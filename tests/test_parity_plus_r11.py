@@ -550,3 +550,178 @@ def test_sql_resolver_metric_names(spark):
     assert row.f == pytest.approx(math.hypot(50, 50))
     assert row.fd == pytest.approx(50.0)
     assert row.cs.startswith("LINESTRING (0 0,")
+
+
+# ---------------------------------------------------------------------------
+# wave 2: line editing, bounding diagonal, interpolate points, envelope
+# constructor, grid generators, minimum rotated rectangle alias
+
+
+def test_line_editing_and_scroll(spark):
+    from datafusion_spatial_spark.functions.accessors import (
+        st_addpoint,
+        st_boundingdiagonal,
+        st_lineinterpolatepoints,
+        st_removepoint,
+        st_scroll,
+        st_setpoint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "LINESTRING (0 0, 4 0)"), (2, "LINESTRING (0 0, 1 0, 1 1, 0 0)"),
+         (3, "POINT (1 1)")],
+        "id long, w string",
+    )
+    g = df.select("id", st_geomfromtext("w").alias("g")).cache()
+    out = {r.id: r for r in g.select(
+        "id",
+        st_addpoint("g", 8.0, 0.0, W).alias("ap"),
+        st_addpoint("g", 2.0, 2.0, W, position=1).alias("ai"),
+        st_setpoint("g", -1, 9.0, 9.0, W).alias("sp"),
+        st_removepoint("g", 0, W).alias("rp"),
+        st_scroll("g", 1.0, 0.0, W).alias("sc"),
+        st_boundingdiagonal("g", W).alias("bd"),
+        st_lineinterpolatepoints("g", 0.25, W).alias("ips"),
+        st_lineinterpolatepoints("g", 0.25, W, repeat=False).alias("ip1"),
+    ).collect()}
+    assert _wkt(out[1].ap) == "LINESTRING (0 0, 4 0, 8 0)"
+    assert _wkt(out[1].ai) == "LINESTRING (0 0, 2 2, 4 0)"
+    assert _wkt(out[1].sp) == "LINESTRING (0 0, 9 9)"
+    assert out[1].rp is None  # removing from a 2-pt line -> degenerate -> NULL
+    assert _wkt(out[2].rp) == "LINESTRING (1 0, 1 1, 0 0)"
+    # scroll: closed ring restarts at (1, 0); open line / missing vertex NULL
+    assert _wkt(out[2].sc) == "LINESTRING (1 0, 1 1, 0 0, 1 0)"
+    assert out[1].sc is None
+    assert _wkt(out[2].bd) == "LINESTRING (0 0, 1 1)"
+    assert _wkt(out[3].bd) == "LINESTRING (1 1, 1 1)"
+    # interpolate points: fractions 0.25..1.0 along the 4-long line
+    ips = wkb.loads(bytes(out[1].ips))
+    assert ips.type_name == "MultiPoint" and len(ips.coords) == 4
+    assert ips.coords[0] == (1.0, 0.0) and ips.coords[-1] == (4.0, 0.0)
+    ip1 = wkb.loads(bytes(out[1].ip1))
+    assert ip1.type_name == "Point" and ip1.coords == (1.0, 0.0)
+    assert out[3].ap is None  # non-line input -> NULL
+
+
+def test_makeenvelope_and_mrr(spark):
+    from datafusion_spatial_spark.functions.accessors import (
+        st_minimumrotatedrectangle,
+        st_orientedenvelope,
+    )
+    from datafusion_spatial_spark.functions.scalar import st_makeenvelope
+
+    df = spark.createDataFrame([(1, "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))")],
+                               "id long, w string")
+    g = df.select("id", st_geomfromtext("w").alias("g"))
+    row = g.select(
+        st_makeenvelope(0, 0, 3, 2).alias("env"),
+        st_minimumrotatedrectangle("g", W).alias("mrr"),
+        st_orientedenvelope("g", W).alias("oe"),
+    ).collect()[0]
+    env = wkb.loads(bytes(row.env))
+    assert env.type_name == "Polygon"
+    assert G.area(env) == pytest.approx(6.0)
+    # the alias must agree with the oriented envelope byte-for-byte
+    assert bytes(row.mrr) == bytes(row.oe)
+
+
+def test_grid_generators(spark):
+    from datafusion_spatial_spark.functions.binning import (
+        st_hexagongrid,
+        st_hexcellpolygon,
+        st_squarecellenvelope,
+        st_squaregrid,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))"), (2, None)],
+        "id long, w string",
+    )
+    g = df.select("id", st_geomfromtext("w").alias("g"))
+    rows = {r.id: r for r in g.select(
+        "id",
+        st_squaregrid("g", W, 1.0).alias("sq"),
+        st_squaregrid("g", W, 0.001, max_cells=100).alias("cap"),
+        st_hexagongrid("g", W, 1.0).alias("hx"),
+    ).collect()}
+    # bbox [0,2]x[0,1] at size 1: i in {0,1,2}(x=2 boundary cell), j in {0,1}
+    sq = rows[1].sq
+    assert {(c.i, c.j) for c in sq} == {(i, j) for i in (0, 1, 2) for j in (0, 1)}
+    assert rows[1].cap is None  # over max_cells -> NULL, not an OOM array
+    assert rows[2].sq is None
+    hx = rows[1].hx
+    assert len(hx) > 0
+    # every hex center must lie in the bbox expanded by the circumradius
+    centers = g.filter("id = 1").select(
+        F.explode(st_hexagongrid("g", W, 1.0)).alias("c")
+    ).select(
+        st_hexcellpolygon("c.q", "c.r", 1.0).alias("poly")
+    ).collect()
+    assert len(centers) == len(hx)
+    # square cell envelopes reconstruct the covering: union area >= bbox area
+    cells = g.filter("id = 1").select(
+        F.explode(st_squaregrid("g", W, 1.0)).alias("c")
+    ).select(st_squarecellenvelope("c.i", "c.j", 1.0).alias("p")).collect()
+    assert len(cells) == 6
+
+
+def test_grid_generator_covering_property(spark):
+    """Every point of a sampled geometry must land (st_squarecell /
+    st_hexcell) in a cell that its grid generator returned — generator and
+    assigner stay consistent."""
+    from datafusion_spatial_spark.functions.binning import (
+        st_hexagongrid,
+        st_hexcell,
+        st_squarecell,
+        st_squaregrid,
+    )
+    import random as _rnd
+
+    rng = _rnd.Random(7)
+    pts = [(rng.uniform(-3, 3), rng.uniform(-3, 3)) for _ in range(40)]
+    wktm = "MULTIPOINT (" + ", ".join(f"({x} {y})" for x, y in pts) + ")"
+    df = spark.createDataFrame([(wktm,)], "w string")
+    g = df.select(st_geomfromtext("w").alias("g"))
+    row = g.select(
+        st_squaregrid("g", W, 0.7).alias("sq"),
+        st_hexagongrid("g", W, 0.7).alias("hx"),
+    ).collect()[0]
+    sqset = {(c.i, c.j) for c in row.sq}
+    hxset = {(c.q, c.r) for c in row.hx}
+    pdf = spark.createDataFrame(pts, "x double, y double")
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from datafusion_spatial_spark.meta import GeometryMeta
+    P = GeometryMeta(encoding="point", geometry_types=("Point",))
+    pg = pdf.select(st_point("x", "y").alias("p"))
+    cells = pg.select(
+        st_squarecell("p", P, 0.7).alias("sc"),
+        st_hexcell("p", P, 0.7).alias("hc"),
+    ).collect()
+    for r in cells:
+        assert (r.sc.i, r.sc.j) in sqset
+        assert (r.hc.q, r.hc.r) in hxset
+
+
+def test_sql_resolver_wave2_names(spark):
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    df = spark.createDataFrame([(1, "LINESTRING (0 0, 4 0)")], "id long, w string")
+    g = df.select("id", st_geomfromtext("w").alias("g"))
+    s = SpatialSQL(spark)
+    s.register_view("t13", with_geo_meta(g, "g", W))
+    row = s.sql(
+        "SELECT ST_AsText(ST_AddPoint(g, 8, 0)) AS ap, "
+        "ST_AsText(ST_SetPoint(g, 0, 1, 1)) AS sp, "
+        "ST_AsText(ST_BoundingDiagonal(g)) AS bd, "
+        "ST_AsText(ST_MakeEnvelope(0, 0, 2, 2)) AS env, "
+        "size(ST_SquareGrid(1.0, g)) AS nsq, "
+        "ST_AsText(ST_LineInterpolatePoints(g, 0.5)) AS ips "
+        "FROM t13"
+    ).collect()[0]
+    assert row.ap == "LINESTRING (0 0, 4 0, 8 0)"
+    assert row.sp == "LINESTRING (1 1, 4 0)"
+    assert row.bd == "LINESTRING (0 0, 4 0)"
+    assert row.env == "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    assert row.nsq == 5  # x cells {0..4}, y cell {0}
+    assert row.ips == "MULTIPOINT ((2 0), (4 0))"
