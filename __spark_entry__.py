@@ -1276,9 +1276,11 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same columns (half-offsets are exactly representable doubles, so
     the comparisons are bit-identical across engines)."""
     from datafusion_spatial_spark.functions.accessors import (
+        st_addmeasure,
         st_chaikinsmoothing,
         st_clipbybox2d,
         st_frechetdistance,
+        st_interpolatepoint,
         st_isclosed,
         st_isring,
         st_maxdistance,
@@ -1436,6 +1438,7 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 s(F.col("x") + 2.3), F.lit(" 0)"),
             )
         ).alias("lp"),
+        st_point(F.col("x") + F.col("s3"), F.lit(1.0)).alias("pm"),
     )
     return g.select(
         "custkey",
@@ -1467,6 +1470,13 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st_area(st_triangulatepolygon("ab", W), W), 6).alias("tri_area"),
         F.round(st_length(st_chaikinsmoothing("lr", W), W), 6).alias("chk_len"),
         F.round(st_length(st_reduceprecision("lp", 1.0, W), W), 6).alias("rp_len"),
+        # LRS: measure lp over [0, 10], interpolate at x + s3 (t = s3/2.3)
+        F.round(
+            st_interpolatepoint(
+                st_addmeasure("lp", 0.0, 10.0, W), "pm", W, P
+            ),
+            6,
+        ).alias("lrs_m"),
     ).orderBy("custkey")
 
 
@@ -1504,7 +1514,8 @@ SELECT custkey,
        round(1.0 + s4 * 0.5, 6)    AS tri_area,
        round(0.5 + sqrt(0.0625 + 0.0625 * (s4 + 1) * (s4 + 1))
              + 0.5 * (s4 + 1), 6)  AS chk_len,
-       round(abs(floor(x + 2.3 + 0.5) - floor(x + 0.5)), 6) AS rp_len
+       round(abs(floor(x + 2.3 + 0.5) - floor(x + 0.5)), 6) AS rp_len,
+       round(10.0 * s3 / 2.3, 6) AS lrs_m
 FROM b ORDER BY custkey
 """
 

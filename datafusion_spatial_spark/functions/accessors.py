@@ -859,3 +859,54 @@ def st_lineinterpolatepoints(
         return wkb.Geom("MultiPoint", pts)
 
     return _geom_out(fn)(col, meta)
+
+
+# -- r11 wave 3: linear referencing (M-coordinate / LRS family) --------------
+# Measured geometries keep dims through _geom_out (force2d stays False).
+
+
+def st_addmeasure(
+    col: Column | str, m_start: float, m_end: float, meta: GeometryMeta
+) -> Column:
+    """PostGIS ST_AddMeasure: M interpolated over cumulative arc length."""
+    return _geom_out(
+        lambda g: geom_ops.add_measure(g, float(m_start), float(m_end))
+    )(col, meta)
+
+
+def st_interpolatepoint(
+    a: Column | str, b: Column | str, meta_a: GeometryMeta, meta_b: GeometryMeta
+) -> Column:
+    """PostGIS ST_InterpolatePoint: M of the measured geometry at the
+    location nearest the point."""
+    return _binary_geom_fn(geom_ops.interpolate_point, T.DoubleType())(
+        a, b, meta_a, meta_b
+    )
+
+
+def st_locatealong(
+    col: Column | str, m: float, meta: GeometryMeta
+) -> Column:
+    """PostGIS ST_LocateAlong: MultiPoint M where measure == m."""
+    return _geom_out(lambda g: geom_ops.locate_along(g, float(m)))(col, meta)
+
+
+def st_locatebetween(
+    col: Column | str, m_start: float, m_end: float, meta: GeometryMeta
+) -> Column:
+    """PostGIS ST_LocateBetween: the sub-geometry with measure in range
+    (segments clipped at the M crossings)."""
+    return _geom_out(
+        lambda g: geom_ops.locate_between(g, float(m_start), float(m_end))
+    )(col, meta)
+
+
+def st_filterbym(
+    col: Column | str, m_min: float, meta: GeometryMeta,
+    m_max: float | None = None,
+) -> Column:
+    """PostGIS ST_FilterByM: vertex decimation by measure range."""
+    mx = None if m_max is None else float(m_max)
+    return _geom_out(
+        lambda g: geom_ops.filter_by_m(g, float(m_min), mx)
+    )(col, meta)

@@ -6710,3 +6710,203 @@ def triangulate_polygon(g: Geom) -> Geom:
         "GeometryCollection",
         [Geom("Polygon", [[a, b, c, a]]) for a, b, c in tris],
     )
+
+
+# ---------------------------------------------------------------------------
+# linear referencing (r11): the PostGIS LRS family over measured (M)
+# geometries — GPS-track / route analytics (time or chainage as M). The
+# engine already carries M through the codec and accessors; these kernels
+# add the interpolation algebra. The reference has no M support at all.
+
+
+def _m_index(g: Geom) -> int:
+    """Index of the M value in a coordinate tuple (M is last; Z, when
+    present, sits between Y and M — ISO XYZM order, wkb.py)."""
+    return 3 if g.has_z else 2
+
+
+def add_measure(g: Geom, m_start: float, m_end: float) -> Geom:
+    """PostGIS ST_AddMeasure: M interpolated linearly over the cumulative
+    2-D arc length from ``m_start`` to ``m_end`` — continuous across
+    MultiLineString parts, like PostGIS. Existing M is replaced; Z is
+    preserved."""
+    if g.type_name not in ("LineString", "MultiLineString") or g.is_empty:
+        return None
+    lines = [g.coords] if g.type_name == "LineString" else g.coords
+    total = 0.0
+    for line in lines:
+        for i in range(len(line) - 1):
+            total += math.hypot(line[i + 1][0] - line[i][0],
+                                line[i + 1][1] - line[i][1])
+    span = m_end - m_start
+    run = 0.0
+    out_lines = []
+    keep = 3 if g.has_z else 2
+    for line in lines:
+        out = []
+        for i, p in enumerate(line):
+            if i > 0:
+                run += math.hypot(p[0] - line[i - 1][0], p[1] - line[i - 1][1])
+            frac = run / total if total > 0 else 0.0
+            out.append(tuple(p[:keep]) + (m_start + span * frac,))
+        out_lines.append(out)
+    coords = out_lines[0] if g.type_name == "LineString" else out_lines
+    return Geom(g.type_name, coords, g.has_z, g.srid, True)
+
+
+def interpolate_point(g: Geom, pt: Geom) -> float | None:
+    """PostGIS ST_InterpolatePoint: the M value of ``g`` at the location
+    closest to ``pt`` (linear interpolation along the nearest segment)."""
+    if not g.has_m or pt.type_name != "Point" or pt.is_empty or g.is_empty:
+        return None
+    px, py = pt.coords[0], pt.coords[1]
+    mi = _m_index(g)
+    best = None
+    if g.type_name in ("Point", "MultiPoint"):
+        pts = [g.coords] if g.type_name == "Point" else g.coords
+        for c in pts:
+            d2 = (c[0] - px) ** 2 + (c[1] - py) ** 2
+            if best is None or d2 < best[0]:
+                best = (d2, c[mi])
+        return None if best is None else best[1]
+    for a, b in _segments(g):
+        ux, uy = b[0] - a[0], b[1] - a[1]
+        den = ux * ux + uy * uy
+        t = 0.0 if den <= 0 else max(
+            0.0, min(1.0, ((px - a[0]) * ux + (py - a[1]) * uy) / den)
+        )
+        cx, cy = a[0] + t * ux, a[1] + t * uy
+        d2 = (cx - px) ** 2 + (cy - py) ** 2
+        if best is None or d2 < best[0]:
+            best = (d2, a[mi] + t * (b[mi] - a[mi]))
+    return None if best is None else best[1]
+
+
+def locate_along(g: Geom, m: float) -> Geom | None:
+    """PostGIS ST_LocateAlong: the points of ``g`` whose measure equals
+    ``m`` (segment interior crossings interpolated; constant-M segments
+    contribute their endpoints). Returns MultiPoint M."""
+    if not g.has_m:
+        return None
+    mi = _m_index(g)
+    keep = 3 if g.has_z else 2
+    found = []
+    if g.type_name in ("Point", "MultiPoint"):
+        pts = [g.coords] if g.type_name == "Point" else g.coords
+        for c in pts:
+            if not g.is_empty and c[mi] == m:
+                found.append(tuple(c[:keep]) + (m,))
+    else:
+        for a, b in _segments(g):
+            ma, mb = a[mi], b[mi]
+            if ma == mb:
+                if ma == m:
+                    found.append(tuple(a[:keep]) + (m,))
+                    found.append(tuple(b[:keep]) + (m,))
+                continue
+            t = (m - ma) / (mb - ma)
+            if 0.0 <= t <= 1.0:
+                c = tuple(
+                    a[k] + t * (b[k] - a[k]) for k in range(keep)
+                ) + (m,)
+                found.append(c)
+    uniq: list = []
+    for c in found:
+        if not uniq or all(c != u for u in uniq):
+            uniq.append(c)
+    return Geom("MultiPoint", uniq, g.has_z, g.srid, True)
+
+
+def locate_between(g: Geom, m0: float, m1: float) -> Geom | None:
+    """PostGIS ST_LocateBetween: the parts of ``g`` with measure in
+    [m0, m1] — line segments clipped at the M crossings (M varies
+    linearly along each segment), points filtered. MultiLineString (or
+    MultiPoint for point input) out."""
+    if not g.has_m or m1 < m0:
+        return None
+    mi = _m_index(g)
+    keep = 3 if g.has_z else 2
+    if g.type_name in ("Point", "MultiPoint"):
+        pts = [g.coords] if g.type_name == "Point" else g.coords
+        sel = [tuple(c) for c in pts if not g.is_empty and m0 <= c[mi] <= m1]
+        return Geom("MultiPoint", sel, g.has_z, g.srid, True)
+    if g.type_name not in ("LineString", "MultiLineString"):
+        return None
+    parts = []
+    cur: list = []
+
+    def interp(a, b, t):
+        return tuple(
+            a[k] + t * (b[k] - a[k]) for k in range(keep)
+        ) + (a[mi] + t * (b[mi] - a[mi]),)
+
+    for line in ([g.coords] if g.type_name == "LineString" else g.coords):
+        cur = []
+        for i in range(len(line) - 1):
+            a, b = line[i], line[i + 1]
+            ma, mb = a[mi], b[mi]
+            if ma == mb:
+                t_lo, t_hi = (0.0, 1.0) if m0 <= ma <= m1 else (None, None)
+            else:
+                ta = (m0 - ma) / (mb - ma)
+                tb = (m1 - ma) / (mb - ma)
+                t_lo, t_hi = max(0.0, min(ta, tb)), min(1.0, max(ta, tb))
+                if t_hi < t_lo or t_hi < 0.0 or t_lo > 1.0:
+                    t_lo, t_hi = None, None
+            if t_lo is None:
+                if len(cur) >= 2:
+                    parts.append(cur)
+                cur = []
+                continue
+            p0 = tuple(a) if t_lo == 0.0 else interp(a, b, t_lo)
+            p1 = tuple(b) if t_hi == 1.0 else interp(a, b, t_hi)
+            if p0 == p1:
+                if len(cur) >= 2:
+                    parts.append(cur)
+                cur = []
+                continue
+            if cur and cur[-1] == p0:
+                cur.append(p1)
+            else:
+                if len(cur) >= 2:
+                    parts.append(cur)
+                cur = [p0, p1]
+        if len(cur) >= 2:
+            parts.append(cur)
+        cur = []
+    return Geom("MultiLineString", parts, g.has_z, g.srid, True)
+
+
+def filter_by_m(g: Geom, m_min: float, m_max: float | None = None) -> Geom | None:
+    """PostGIS ST_FilterByM: keep only the VERTICES with measure in
+    range (no interpolation — a cheap decimation, like the PostGIS
+    function). Degenerate results (a line left with < 2 vertices) drop."""
+    if not g.has_m:
+        return None
+    hi = math.inf if m_max is None else m_max
+    mi = _m_index(g)
+
+    def ok(c):
+        return m_min <= c[mi] <= hi
+
+    t = g.type_name
+    if t == "Point":
+        return g if (not g.is_empty and ok(g.coords)) else Geom(
+            "Point", None, g.has_z, g.srid, True
+        )
+    if t == "MultiPoint":
+        return Geom(t, [c for c in g.coords if ok(c)], g.has_z, g.srid, True)
+    if t in ("LineString", "MultiLineString"):
+        lines = [g.coords] if t == "LineString" else g.coords
+        out = [kept for line in lines
+               if len(kept := [c for c in line if ok(c)]) >= 2]
+        return _lines_geom_m(out, g)
+    return None
+
+
+def _lines_geom_m(parts, src: Geom) -> Geom:
+    if not parts:
+        return Geom("MultiLineString", [], src.has_z, src.srid, True)
+    if len(parts) == 1:
+        return Geom("LineString", parts[0], src.has_z, src.srid, True)
+    return Geom("MultiLineString", parts, src.has_z, src.srid, True)

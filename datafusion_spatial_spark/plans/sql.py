@@ -162,6 +162,7 @@ _FUNCTIONS_2 = {
     # 2-arg PostGIS form: the full DE-9IM matrix string
     "ST_RELATE": (_pr.st_relate_matrix, None),
     # r11 parity-plus
+    "ST_INTERPOLATEPOINT": (_ac.st_interpolatepoint, None),
     "ST_COVERS": (_pr.st_covers, None),
     "ST_COVEREDBY": (_pr.st_coveredby, None),
     "ST_LONGESTLINE": (_ac.st_longestline, _WKB),
@@ -255,6 +256,12 @@ _FUNCTIONS_GEOM_NUM = {
     "ST_REMOVEPOINT": (
         lambda col, p_, meta: _ac.st_removepoint(col, int(p_), meta), _WKB
     ),
+    "ST_LOCATEALONG": (
+        lambda col, m_, meta: _ac.st_locatealong(col, float(m_), meta), _WKB
+    ),
+    "ST_FILTERBYM": (
+        lambda col, m_, meta: _ac.st_filterbym(col, float(m_), meta), _WKB
+    ),
     "ST_LINEINTERPOLATEPOINTS": (
         lambda col, f_, meta: _ac.st_lineinterpolatepoints(
             col, float(f_), meta
@@ -271,6 +278,24 @@ _FUNCTIONS_GEOM_NUM2 = {
     ),
     "ST_WRAPX": (
         lambda col, w, m_, meta: _ac.st_wrapx(col, float(w), float(m_), meta),
+        _WKB,
+    ),
+    "ST_ADDMEASURE": (
+        lambda col, m0, m1, meta: _ac.st_addmeasure(
+            col, float(m0), float(m1), meta
+        ),
+        _WKB,
+    ),
+    "ST_LOCATEBETWEEN": (
+        lambda col, m0, m1, meta: _ac.st_locatebetween(
+            col, float(m0), float(m1), meta
+        ),
+        _WKB,
+    ),
+    "ST_FILTERBYM": (
+        lambda col, m0, m1, meta: _ac.st_filterbym(
+            col, float(m0), meta, float(m1)
+        ),
         _WKB,
     ),
     "ST_CHAIKINSMOOTHING": (

@@ -725,3 +725,106 @@ def test_sql_resolver_wave2_names(spark):
     assert row.env == "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
     assert row.nsq == 5  # x cells {0..4}, y cell {0}
     assert row.ips == "MULTIPOINT ((2 0), (4 0))"
+
+
+# ---------------------------------------------------------------------------
+# wave 3: linear referencing (M / LRS family)
+
+
+def test_lrs_kernels():
+    l = Geom("LineString", [(0, 0), (10, 0), (10, 10)])
+    lm = G.add_measure(l, 0.0, 20.0)
+    assert lm.has_m and lm.coords == [(0, 0, 0.0), (10, 0, 10.0), (10, 10, 20.0)]
+    # continuous across MultiLineString parts (PostGIS semantics)
+    ml = Geom("MultiLineString", [[(0, 0), (10, 0)], [(10, 0), (10, 10)]])
+    mm = G.add_measure(ml, 0.0, 20.0)
+    assert mm.coords[0][-1][-1] == 10.0 and mm.coords[1][-1][-1] == 20.0
+    # Z preserved, M replaced
+    lz = Geom("LineString", [(0, 0, 5.0, 9.0), (10, 0, 6.0, 9.0)],
+              has_z=True, has_m=True)
+    lzm = G.add_measure(lz, 0.0, 1.0)
+    assert lzm.has_z and lzm.coords == [(0, 0, 5.0, 0.0), (10, 0, 6.0, 1.0)]
+    assert G.add_measure(Geom("Point", (1, 2)), 0, 1) is None
+
+    assert G.interpolate_point(lm, Geom("Point", (5, 1))) == pytest.approx(5.0)
+    assert G.interpolate_point(lm, Geom("Point", (12, 3))) == pytest.approx(13.0)
+    # clamps to the nearest endpoint beyond the line
+    assert G.interpolate_point(lm, Geom("Point", (-4, 0))) == pytest.approx(0.0)
+    assert G.interpolate_point(l, Geom("Point", (5, 1))) is None  # no M
+
+    assert G.locate_along(lm, 15.0).coords == [(10.0, 5.0, 15.0)]
+    # vertex hit appears once; out-of-range empty
+    assert G.locate_along(lm, 10.0).coords == [(10.0, 0.0, 10.0)]
+    assert G.locate_along(lm, 99.0).is_empty
+
+    lb = G.locate_between(lm, 5.0, 15.0)
+    assert lb.type_name == "MultiLineString"
+    assert lb.coords == [[(5.0, 0.0, 5.0), (10, 0, 10.0), (10.0, 5.0, 15.0)]]
+    assert G.length(lb) == pytest.approx(10.0)
+    # decreasing-M segment clips symmetrically
+    rev = Geom("LineString", [(0, 0, 20.0), (10, 0, 0.0)], has_m=True)
+    lb2 = G.locate_between(rev, 5.0, 15.0)
+    assert G.length(lb2) == pytest.approx(5.0)
+    # disjoint M windows produce two parts
+    zig = Geom(
+        "LineString",
+        [(0, 0, 0.0), (10, 0, 10.0), (20, 0, 0.0), (30, 0, 10.0)],
+        has_m=True,
+    )
+    lb3 = G.locate_between(zig, 8.0, 10.0)
+    assert len(lb3.coords) == 2
+
+    fb = G.filter_by_m(lm, 8.0, None)
+    assert fb.type_name == "LineString" and len(fb.coords) == 2
+    assert G.filter_by_m(lm, 19.0, None).is_empty  # single vertex -> dropped
+    mp = Geom("MultiPoint", [(0, 0, 1.0), (1, 1, 5.0)], has_m=True)
+    assert G.filter_by_m(mp, 2.0, 9.0).coords == [(1, 1, 5.0)]
+
+
+def test_lrs_spark_and_sql(spark):
+    from datafusion_spatial_spark.functions.accessors import (
+        st_addmeasure,
+        st_filterbym,
+        st_interpolatepoint,
+        st_locatealong,
+        st_locatebetween,
+    )
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    df = spark.createDataFrame(
+        [(1, "LINESTRING (0 0, 10 0, 10 10)", "POINT (5 1)")],
+        "id long, w string, wp string",
+    )
+    g = df.select(
+        "id",
+        st_geomfromtext("w").alias("g"),
+        st_geomfromtext("wp").alias("p"),
+    )
+    g = g.select("id", "p", st_addmeasure("g", 0.0, 20.0, W).alias("gm"))
+    row = g.select(
+        st_interpolatepoint("gm", "p", W, W).alias("m"),
+        st_locatealong("gm", 15.0, W).alias("la"),
+        st_locatebetween("gm", 5.0, 15.0, W).alias("lb"),
+        st_filterbym("gm", 8.0, W).alias("fb"),
+    ).collect()[0]
+    assert row.m == pytest.approx(5.0)
+    la = wkb.loads(bytes(row.la))
+    assert la.type_name == "MultiPoint" and la.has_m
+    assert la.coords == [(10.0, 5.0, 15.0)]
+    lb = wkb.loads(bytes(row.lb))
+    assert G.length(lb) == pytest.approx(10.0)
+    fb = wkb.loads(bytes(row.fb))
+    assert len(fb.coords) == 2
+
+    s = SpatialSQL(spark)
+    s.register_view("t14", with_geo_meta(g, "gm", W))
+    r2 = s.sql(
+        "SELECT ST_AsText(ST_LocateAlong(ST_AddMeasure(gm, 0, 20), 15)) AS la, "
+        "ST_AsText(ST_LocateBetween(gm, 5, 15)) AS lb, "
+        "ST_AsText(ST_FilterByM(gm, 8, 20)) AS fb "
+        "FROM t14"
+    ).collect()[0]
+    assert r2.la == "MULTIPOINT M ((10 5 15))"
+    assert r2.lb.startswith("MULTILINESTRING M ((5 0 5, 10 0 10, 10 5 15))")
+    assert r2.fb.startswith("LINESTRING M (10 0 10, 10 10 20)")
