@@ -1277,6 +1277,7 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparisons are bit-identical across engines)."""
     from datafusion_spatial_spark.functions.accessors import (
         st_addmeasure,
+        st_boundingdiagonal,
         st_chaikinsmoothing,
         st_clipbybox2d,
         st_frechetdistance,
@@ -1284,6 +1285,7 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_isclosed,
         st_isring,
         st_maxdistance,
+        st_minimumrotatedrectangle,
         st_ndims,
         st_numpoints,
         st_reduceprecision,
@@ -1477,6 +1479,11 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("lrs_m"),
+        # bounding diagonal of the (1 + s4/2) x 1 box; its MRR is itself
+        F.round(st_length(st_boundingdiagonal("ab", W), W), 6).alias("bd_len"),
+        F.round(
+            st_area(st_minimumrotatedrectangle("ab", W), W), 6
+        ).alias("mrr_area"),
     ).orderBy("custkey")
 
 
@@ -1515,7 +1522,9 @@ SELECT custkey,
        round(0.5 + sqrt(0.0625 + 0.0625 * (s4 + 1) * (s4 + 1))
              + 0.5 * (s4 + 1), 6)  AS chk_len,
        round(abs(floor(x + 2.3 + 0.5) - floor(x + 0.5)), 6) AS rp_len,
-       round(10.0 * s3 / 2.3, 6) AS lrs_m
+       round(10.0 * s3 / 2.3, 6) AS lrs_m,
+       round(sqrt((1.0 + s4 * 0.5) * (1.0 + s4 * 0.5) + 1.0), 6) AS bd_len,
+       round(1.0 + s4 * 0.5, 6) AS mrr_area
 FROM b ORDER BY custkey
 """
 
