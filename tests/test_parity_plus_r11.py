@@ -828,3 +828,118 @@ def test_lrs_spark_and_sql(spark):
     assert r2.la == "MULTIPOINT M ((10 5 15))"
     assert r2.lb.startswith("MULTILINESTRING M ((5 0 5, 10 0 10, 10 5 15))")
     assert r2.fb.startswith("LINESTRING M (10 0 10, 10 10 20)")
+
+
+# ---------------------------------------------------------------------------
+# cross-kernel property batteries (pure kernels, no Spark session)
+
+
+def test_covers_cross_checked_against_relate_battery():
+    """covers(a, b) must equal the 4-pattern DE-9IM definition evaluated
+    through relate_pattern directly, over random box/line/point operands."""
+    rng = random.Random(1111)
+    pats = ("T*****FF*", "*T****FF*", "***T**FF*", "****T*FF*")
+
+    def rand_geom():
+        k = rng.randrange(3)
+        x, y = rng.uniform(-5, 5), rng.uniform(-5, 5)
+        if k == 0:
+            return Geom("Point", (x, y))
+        if k == 1:
+            return Geom("LineString", [(x, y), (x + rng.uniform(0.5, 4), y + rng.uniform(-2, 2))])
+        w, h = rng.uniform(0.5, 4), rng.uniform(0.5, 4)
+        return Geom("Polygon", [[(x, y), (x + w, y), (x + w, y + h), (x, y + h), (x, y)]])
+
+    for _ in range(120):
+        a, b = rand_geom(), rand_geom()
+        expect = any(G.relate_pattern(a, b, p) for p in pats)
+        assert G.covers(a, b) == expect, (a, b)
+
+
+def test_shared_paths_length_conservation():
+    """For lines built from a common base, |same| + |opposite| must equal
+    the length of the collinear overlap (= length of intersection's 1-D
+    part)."""
+    rng = random.Random(22)
+    for _ in range(40):
+        x0, x1 = sorted((rng.uniform(0, 10), rng.uniform(0, 10)))
+        if x1 - x0 < 0.5:
+            continue
+        y = rng.uniform(-3, 3)
+        a = Geom("LineString", [(0.0, y), (10.0, y)])
+        seg = [(x0, y), (x1, y)]
+        b = Geom("LineString", seg if rng.random() < 0.5 else seg[::-1])
+        gc = G.shared_paths(a, b)
+        got = G.length(gc.coords[0]) + G.length(gc.coords[1])
+        assert got == pytest.approx(x1 - x0, abs=1e-9)
+        # direction classification matches construction
+        fwd = b.coords[0][0] < b.coords[1][0]
+        assert (G.length(gc.coords[0]) > 0) == fwd
+
+
+def test_locate_between_along_consistency():
+    """Part endpoints of locate_between carry M equal to the window bounds
+    (unless they are original vertices inside the window), and every
+    locate_along(m) point for m inside the window lies on the between
+    result."""
+    rng = random.Random(33)
+    for _ in range(30):
+        n = rng.randint(3, 8)
+        coords = []
+        x = 0.0
+        m = 0.0
+        for i in range(n):
+            coords.append((x, rng.uniform(-2, 2), m))
+            x += rng.uniform(0.5, 3)
+            m += rng.choice([-1, 1]) * rng.uniform(0.5, 3)
+        g = Geom("LineString", coords, has_m=True)
+        ms = [c[2] for c in coords]
+        lo = min(ms) + 0.25 * (max(ms) - min(ms))
+        hi = min(ms) + 0.75 * (max(ms) - min(ms))
+        lb = G.locate_between(g, lo, hi)
+        for part in lb.coords:
+            for endpoint in (part[0], part[-1]):
+                assert lo - 1e-9 <= endpoint[2] <= hi + 1e-9
+        mid = (lo + hi) / 2
+        pts = G.locate_along(g, mid)
+        flat = Geom(
+            "MultiLineString", [[(p[0], p[1]) for p in part] for part in lb.coords]
+        )
+        for p in pts.coords:
+            assert G._point_intersects((p[0], p[1]), flat), (p, lb.coords)
+
+
+def test_triangulate_reference_fixtures():
+    """Triangulate the reference repo's polygon fixtures (read-only golden
+    data): triangle areas must sum to st_area and centroids stay inside."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob("/root/reference/data/data-polygon-*.parquet"))
+    if not files:
+        pytest.skip("reference fixtures unavailable")
+    checked = 0
+    for path in files:
+        tbl = pq.read_table(path)
+        cols = tbl.column_names
+        if "geometry" not in cols:
+            continue
+        for v in tbl.column("geometry").to_pylist():
+            if v is None:
+                continue
+            try:
+                g = wkb.loads(bytes(v)) if isinstance(v, (bytes, bytearray)) else None
+            except Exception:
+                g = None
+            if g is None or g.is_empty or not list(G._polygons(g)):
+                continue
+            g = G.force_2d(g)
+            t = G.triangulate_polygon(g)
+            assert _tri_area_sum(t) == pytest.approx(G.area(g), rel=1e-9)
+            for m in t.coords:
+                cx = sum(p[0] for p in m.coords[0][:-1]) / 3
+                cy = sum(p[1] for p in m.coords[0][:-1]) / 3
+                assert G._point_intersects((cx, cy), g)
+            checked += 1
+    assert checked >= 1
