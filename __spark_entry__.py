@@ -1280,6 +1280,8 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_boundingdiagonal,
         st_chaikinsmoothing,
         st_clipbybox2d,
+        st_closestpointofapproach,
+        st_distancecpa,
         st_frechetdistance,
         st_interpolatepoint,
         st_isclosed,
@@ -1441,6 +1443,26 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lp"),
         st_point(F.col("x") + F.col("s3"), F.lit(1.0)).alias("pm"),
+        # trajectories (M = time): ta runs fx -> fx+2 over t in [0, 2];
+        # tb runs back fx+2 -> fx at lateral offset 1 + s3, delayed by s2
+        st_geomfromtext(
+            F.concat(
+                F.lit("LINESTRING M ("),
+                s(F.col("fx")), F.lit(" "), s(F.col("y")), F.lit(" 0, "),
+                s(F.col("fx") + 2), F.lit(" "), s(F.col("y")), F.lit(" 2)"),
+            )
+        ).alias("ta"),
+        st_geomfromtext(
+            F.concat(
+                F.lit("LINESTRING M ("),
+                s(F.col("fx") + 2), F.lit(" "),
+                s(F.col("y") + 1 + F.col("s3")), F.lit(" "),
+                s(F.col("s2")), F.lit(", "),
+                s(F.col("fx")), F.lit(" "),
+                s(F.col("y") + 1 + F.col("s3")), F.lit(" "),
+                s(F.col("s2") + 2), F.lit(")"),
+            )
+        ).alias("tb"),
     )
     return g.select(
         "custkey",
@@ -1484,6 +1506,12 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             st_area(st_minimumrotatedrectangle("ab", W), W), 6
         ).alias("mrr_area"),
+        # CPA: relative x gap 2t - 2 - s2 -> zero at t = 1 + s2/2 (inside
+        # the overlap [s2, 2] for s2 in {0, 1}); lateral gap 1 + s3
+        F.round(
+            st_closestpointofapproach("ta", "tb", W, W), 6
+        ).alias("cpa_t"),
+        F.round(st_distancecpa("ta", "tb", W, W), 6).alias("cpa_d"),
     ).orderBy("custkey")
 
 
@@ -1524,7 +1552,9 @@ SELECT custkey,
        round(abs(floor(x + 2.3 + 0.5) - floor(x + 0.5)), 6) AS rp_len,
        round(10.0 * s3 / 2.3, 6) AS lrs_m,
        round(sqrt((1.0 + s4 * 0.5) * (1.0 + s4 * 0.5) + 1.0), 6) AS bd_len,
-       round(1.0 + s4 * 0.5, 6) AS mrr_area
+       round(1.0 + s4 * 0.5, 6) AS mrr_area,
+       round(1.0 + s2 * 0.5, 6) AS cpa_t,
+       round(1.0 + s3, 6) AS cpa_d
 FROM b ORDER BY custkey
 """
 

@@ -910,3 +910,29 @@ def st_filterbym(
     return _geom_out(
         lambda g: geom_ops.filter_by_m(g, float(m_min), mx)
     )(col, meta)
+
+
+# -- r11 wave 4: trajectories (M as time — the PostGIS CPA family) ----------
+
+
+def _unary_bool(fn):
+    return _unary(fn, T.BooleanType())
+
+
+st_isvalidtrajectory = _unary_bool(geom_ops.is_valid_trajectory)
+st_closestpointofapproach = _binary_geom_fn(
+    geom_ops.closest_point_of_approach, T.DoubleType()
+)
+st_distancecpa = _binary_geom_fn(geom_ops.distance_cpa, T.DoubleType())
+
+
+def st_cpawithin(
+    a: Column | str, b: Column | str, dist: float,
+    meta_a: GeometryMeta, meta_b: GeometryMeta,
+) -> Column:
+    """PostGIS ST_CPAWithin: true when the trajectories' closest point of
+    approach is within ``dist``."""
+    d = float(dist)
+    return _binary_geom_fn(
+        lambda ga, gb: geom_ops.cpa_within(ga, gb, d), T.BooleanType()
+    )(a, b, meta_a, meta_b)

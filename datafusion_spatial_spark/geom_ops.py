@@ -6910,3 +6910,91 @@ def _lines_geom_m(parts, src: Geom) -> Geom:
     if len(parts) == 1:
         return Geom("LineString", parts[0], src.has_z, src.srid, True)
     return Geom("MultiLineString", parts, src.has_z, src.srid, True)
+
+
+# ---------------------------------------------------------------------------
+# trajectories (r11): the PostGIS moving-object family over LINESTRING M
+# with M as time — valid-trajectory check and closest point of approach.
+# Positions are piecewise-linear in M, so per overlapping segment pair the
+# squared separation is a quadratic in t: the global CPA is exact.
+
+
+def is_valid_trajectory(g: Geom) -> bool:
+    """PostGIS ST_IsValidTrajectory: a measured LineString whose M values
+    strictly increase."""
+    if g.type_name != "LineString" or not g.has_m or len(g.coords) < 2:
+        return False
+    mi = _m_index(g)
+    return all(
+        g.coords[i][mi] < g.coords[i + 1][mi]
+        for i in range(len(g.coords) - 1)
+    )
+
+
+def _cpa_scan(a: Geom, b: Geom):
+    """(min_dist2, t_at_min) over the temporal overlap of two valid
+    trajectories, or None when they never coexist. Merge-scan over the
+    time-sorted segments — O(na + nb), no pair materialization."""
+    if not (is_valid_trajectory(a) and is_valid_trajectory(b)):
+        return None
+    ma, mb = _m_index(a), _m_index(b)
+    ca, cb = a.coords, b.coords
+    i = j = 0
+    best = None
+
+    def pos(coords, k, midx, t):
+        p, q = coords[k], coords[k + 1]
+        span = q[midx] - p[midx]
+        u = 0.0 if span <= 0 else (t - p[midx]) / span
+        return (p[0] + u * (q[0] - p[0]), p[1] + u * (q[1] - p[1]))
+
+    while i < len(ca) - 1 and j < len(cb) - 1:
+        t0 = max(ca[i][ma], cb[j][mb])
+        t1 = min(ca[i + 1][ma], cb[j + 1][mb])
+        if t1 >= t0:
+            ax0, ay0 = pos(ca, i, ma, t0)
+            ax1, ay1 = pos(ca, i, ma, t1)
+            bx0, by0 = pos(cb, j, mb, t0)
+            bx1, by1 = pos(cb, j, mb, t1)
+            # d(t) = d0 + s·(d1 - d0), s in [0,1] over [t0, t1]
+            dx0, dy0 = ax0 - bx0, ay0 - by0
+            dx1, dy1 = ax1 - bx1, ay1 - by1
+            vx, vy = dx1 - dx0, dy1 - dy0
+            vv = vx * vx + vy * vy
+            s = 0.0 if vv <= 0 else max(
+                0.0, min(1.0, -(dx0 * vx + dy0 * vy) / vv)
+            )
+            ddx, ddy = dx0 + s * vx, dy0 + s * vy
+            d2 = ddx * ddx + ddy * ddy
+            t = t0 + s * (t1 - t0)
+            if best is None or d2 < best[0] - EPS or (
+                abs(d2 - best[0]) <= EPS and t < best[1]
+            ):
+                best = (d2, t)
+        # advance whichever segment ends first
+        if ca[i + 1][ma] <= cb[j + 1][mb]:
+            i += 1
+        else:
+            j += 1
+    return best
+
+
+def closest_point_of_approach(a: Geom, b: Geom) -> float | None:
+    """PostGIS ST_ClosestPointOfApproach: the measure (time) of minimum
+    separation over the temporal overlap; earliest on ties; None when the
+    trajectories never coexist or either is invalid."""
+    best = _cpa_scan(a, b)
+    return None if best is None else best[1]
+
+
+def distance_cpa(a: Geom, b: Geom) -> float | None:
+    """PostGIS ST_DistanceCPA: the separation at the closest point of
+    approach."""
+    best = _cpa_scan(a, b)
+    return None if best is None else math.sqrt(best[0])
+
+
+def cpa_within(a: Geom, b: Geom, dist: float) -> bool | None:
+    """PostGIS ST_CPAWithin: CPA distance <= dist (None = no overlap)."""
+    best = _cpa_scan(a, b)
+    return None if best is None else best[0] <= dist * dist

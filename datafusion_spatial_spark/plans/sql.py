@@ -134,6 +134,7 @@ _FUNCTIONS = {
     ),
     "ST_MINIMUMROTATEDRECTANGLE": (_ac.st_minimumrotatedrectangle, _WKB),
     "ST_BOUNDINGDIAGONAL": (_ac.st_boundingdiagonal, _WKB),
+    "ST_ISVALIDTRAJECTORY": (_ac.st_isvalidtrajectory, None),
 }
 
 # 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)
@@ -163,6 +164,8 @@ _FUNCTIONS_2 = {
     "ST_RELATE": (_pr.st_relate_matrix, None),
     # r11 parity-plus
     "ST_INTERPOLATEPOINT": (_ac.st_interpolatepoint, None),
+    "ST_CLOSESTPOINTOFAPPROACH": (_ac.st_closestpointofapproach, None),
+    "ST_DISTANCECPA": (_ac.st_distancecpa, None),
     "ST_COVERS": (_pr.st_covers, None),
     "ST_COVEREDBY": (_pr.st_coveredby, None),
     "ST_LONGESTLINE": (_ac.st_longestline, _WKB),
@@ -360,6 +363,10 @@ _FUNCTIONS_2_STR = {
 _FUNCTIONS_2_NUM = {
     "ST_SNAP": (
         lambda a, b, t, ma, mb: _ac.st_snap(a, b, float(t), ma, mb), _WKB
+    ),
+    "ST_CPAWITHIN": (
+        lambda a, b, d_, ma, mb: _ac.st_cpawithin(a, b, float(d_), ma, mb),
+        None,
     ),
     "ST_FRECHETDISTANCE": (
         lambda a, b, f_, ma, mb: _ac.st_frechetdistance(

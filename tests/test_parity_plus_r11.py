@@ -943,3 +943,122 @@ def test_triangulate_reference_fixtures():
                 assert G._point_intersects((cx, cy), g)
             checked += 1
     assert checked >= 1
+
+
+# ---------------------------------------------------------------------------
+# wave 4: trajectories (CPA family)
+
+
+def test_trajectory_kernels():
+    a = Geom("LineString", [(0, 0, 0.0), (10, 0, 10.0)], has_m=True)
+    b = Geom("LineString", [(10, 1, 0.0), (0, 1, 10.0)], has_m=True)
+    assert G.is_valid_trajectory(a) and G.is_valid_trajectory(b)
+    assert G.closest_point_of_approach(a, b) == pytest.approx(5.0)
+    assert G.distance_cpa(a, b) == pytest.approx(1.0)
+    assert G.cpa_within(a, b, 1.5) is True
+    assert G.cpa_within(a, b, 0.5) is False
+    # chase: same path, delayed copy -> constant gap = speed * delay
+    d = Geom("LineString", [(0, 0, 2.0), (10, 0, 12.0)], has_m=True)
+    assert G.distance_cpa(a, d) == pytest.approx(2.0)
+    # disjoint time windows -> None
+    c = Geom("LineString", [(0, 0, 20.0), (10, 0, 30.0)], has_m=True)
+    assert G.distance_cpa(a, c) is None
+    # invalid (M non-increasing / no M / not a line)
+    assert not G.is_valid_trajectory(
+        Geom("LineString", [(0, 0, 5.0), (1, 0, 1.0)], has_m=True)
+    )
+    assert not G.is_valid_trajectory(Geom("LineString", [(0, 0), (1, 0)]))
+    assert not G.is_valid_trajectory(Geom("Point", (0, 0, 1.0), has_m=True))
+    # multi-segment: CPA inside a later segment pair
+    zig = Geom(
+        "LineString",
+        [(0, 5, 0.0), (5, 5, 5.0), (10, 0.5, 10.0)],
+        has_m=True,
+    )
+    t = G.closest_point_of_approach(a, zig)
+    assert t == pytest.approx(10.0)  # converging until the very end
+    assert G.distance_cpa(a, zig) == pytest.approx(0.5)
+
+
+def test_trajectory_cpa_brute_force_battery():
+    """Merge-scan CPA must match a dense time sampling of the separation
+    over random valid trajectories."""
+    rng = random.Random(55)
+    for _ in range(30):
+        def mk():
+            n = rng.randint(2, 6)
+            t = rng.uniform(0, 3)
+            pts = []
+            for _i in range(n):
+                pts.append((rng.uniform(0, 10), rng.uniform(0, 10), t))
+                t += rng.uniform(0.5, 3)
+            return Geom("LineString", pts, has_m=True)
+
+        a, b = mk(), mk()
+        got = G.distance_cpa(a, b)
+        ma, mb = [c[2] for c in a.coords], [c[2] for c in b.coords]
+        t0, t1 = max(ma[0], mb[0]), min(ma[-1], mb[-1])
+        if t1 < t0:
+            assert got is None
+            continue
+
+        def pos(g, t):
+            cs = g.coords
+            for i in range(len(cs) - 1):
+                if cs[i][2] <= t <= cs[i + 1][2]:
+                    span = cs[i + 1][2] - cs[i][2]
+                    u = 0.0 if span <= 0 else (t - cs[i][2]) / span
+                    return (
+                        cs[i][0] + u * (cs[i + 1][0] - cs[i][0]),
+                        cs[i][1] + u * (cs[i + 1][1] - cs[i][1]),
+                    )
+            return cs[-1][:2]
+
+        brute = min(
+            math.hypot(*(p[0] - q[0], p[1] - q[1]))
+            for k in range(2001)
+            for t in [t0 + (t1 - t0) * k / 2000]
+            for p in [pos(a, t)]
+            for q in [pos(b, t)]
+        )
+        assert got <= brute + 1e-9
+        assert got == pytest.approx(brute, abs=2e-3)
+
+
+def test_trajectory_spark_and_sql(spark):
+    from datafusion_spatial_spark.functions.accessors import (
+        st_closestpointofapproach,
+        st_cpawithin,
+        st_distancecpa,
+        st_isvalidtrajectory,
+    )
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    df = spark.createDataFrame(
+        [(1, "LINESTRING M (0 0 0, 10 0 10)", "LINESTRING M (10 1 0, 0 1 10)")],
+        "id long, wa string, wb string",
+    )
+    g = df.select(
+        "id",
+        st_geomfromtext("wa").alias("a"),
+        st_geomfromtext("wb").alias("b"),
+    )
+    row = g.select(
+        st_isvalidtrajectory("a", W).alias("v"),
+        st_closestpointofapproach("a", "b", W, W).alias("t"),
+        st_distancecpa("a", "b", W, W).alias("d"),
+        st_cpawithin("a", "b", 1.5, W, W).alias("w"),
+    ).collect()[0]
+    assert row.v is True and row.t == pytest.approx(5.0)
+    assert row.d == pytest.approx(1.0) and row.w is True
+
+    s = SpatialSQL(spark)
+    s.register_view("t15", with_geo_meta(with_geo_meta(g, "a", W), "b", W))
+    r2 = s.sql(
+        "SELECT ST_IsValidTrajectory(a) AS v, "
+        "ST_ClosestPointOfApproach(a, b) AS t, "
+        "ST_DistanceCPA(a, b) AS d, ST_CPAWithin(a, b, 0.5) AS w FROM t15"
+    ).collect()[0]
+    assert r2.v is True and r2.t == pytest.approx(5.0)
+    assert r2.d == pytest.approx(1.0) and r2.w is False
