@@ -936,3 +936,53 @@ def st_cpawithin(
     return _binary_geom_fn(
         lambda ga, gb: geom_ops.cpa_within(ga, gb, d), T.BooleanType()
     )(a, b, meta_a, meta_b)
+
+
+# -- r11 wave 5: validity detail + ordinate swap -----------------------------
+
+_VALID_DETAIL_SCHEMA = T.StructType([
+    T.StructField("valid", T.BooleanType()),
+    T.StructField("reason", T.StringType()),
+    T.StructField("location", T.BinaryType()),
+])
+
+
+def st_isvaliddetail(col: Column | str, meta: GeometryMeta) -> Column:
+    """PostGIS ST_IsValidDetail: struct{valid, reason, location} — the
+    reason strings are exactly ST_IsValidReason's; location is a WKB
+    point at the first failure (NULL when the class has no single
+    coordinate)."""
+    conv = _converter(meta, force2d=True)
+
+    @F.pandas_udf(_VALID_DETAIL_SCHEMA)
+    def udf(s: pd.Series) -> pd.DataFrame:
+        valids, reasons, locs = [], [], []
+        for v in _as_rows(s):
+            g = conv(v)
+            if g is None:
+                valids.append(None)
+                reasons.append(None)
+                locs.append(None)
+                continue
+            ok, reason, loc = geom_ops.invalid_detail(g)
+            valids.append(bool(ok))
+            reasons.append(reason)
+            locs.append(
+                None if loc is None
+                else wkb.dumps(wkb.Geom("Point", (loc[0], loc[1])))
+            )
+        return pd.DataFrame(
+            {"valid": valids, "reason": reasons, "location": locs}
+        )
+
+    out = udf(_prep(col, meta))
+    # pandas struct UDFs can't emit a NULL struct row; NULL geometry maps
+    # to struct(NULL, NULL, NULL) -> collapse to a NULL struct
+    return F.when(out["valid"].isNotNull() | out["reason"].isNotNull(), out)
+
+
+def st_swapordinates(
+    col: Column | str, spec: str, meta: GeometryMeta
+) -> Column:
+    """PostGIS ST_SwapOrdinates (spec: two distinct chars of 'xyzm')."""
+    return _geom_out(lambda g: geom_ops.swap_ordinates(g, str(spec)))(col, meta)

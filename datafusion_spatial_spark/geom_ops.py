@@ -6998,3 +6998,171 @@ def cpa_within(a: Geom, b: Geom, dist: float) -> bool | None:
     """PostGIS ST_CPAWithin: CPA distance <= dist (None = no overlap)."""
     best = _cpa_scan(a, b)
     return None if best is None else best[0] <= dist * dist
+
+
+# ---------------------------------------------------------------------------
+# validity detail + ordinate swap (r11)
+
+
+def _ring_self_intersection_point(ring):
+    """The meeting coordinate behind a 'self-intersecting ring' verdict
+    (mirrors _ring_self_intersects' adjacency rules)."""
+    closed = ring if (ring and ring[0][:2] == ring[-1][:2]) else list(ring) + [ring[0]]
+    segs = []
+    for i in range(len(closed) - 1):
+        a, b = closed[i], closed[i + 1]
+        if a[:2] != b[:2]:
+            segs.append(((a[0], a[1]), (b[0], b[1])))
+    n = len(segs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a1, a2 = segs[i]
+            b1, b2 = segs[j]
+            adjacent = j == i + 1 or (i == 0 and j == n - 1)
+            if adjacent:
+                if a2 == b1:
+                    s, u, v = a2, a1, b2
+                elif a1 == b2:
+                    s, u, v = a1, a2, b1
+                else:
+                    if seg_intersects(a1, a2, b1, b2):
+                        p = _seg_seg_point(segs[i], segs[j])
+                        return p if p is not None else a1
+                    continue
+                if abs(_orient(*u, *s, *v)) <= EPS and (
+                    (u[0] - s[0]) * (v[0] - s[0])
+                    + (u[1] - s[1]) * (v[1] - s[1])
+                ) > EPS:
+                    return s
+                continue
+            if seg_intersects(a1, a2, b1, b2):
+                p = _seg_seg_point(segs[i], segs[j])
+                if p is not None:
+                    return p
+                for q in (b1, b2):
+                    if _on_segment(q[0], q[1], a1[0], a1[1], a2[0], a2[1]):
+                        return q
+                return a1
+    return None
+
+
+def invalid_detail(geom: Geom):
+    """PostGIS ST_IsValidDetail: (valid, reason, location). The reason
+    strings are exactly :func:`invalid_reason`'s (same checks, same
+    order); location is the representative coordinate of the first
+    failure (best-effort — None when the class has no single point)."""
+    t = geom.type_name
+    if t in ("Point", "MultiPoint", "LineString", "MultiLineString"):
+        return True, None, None
+    if t == "GeometryCollection":
+        for m in geom.coords:
+            v, r, loc = invalid_detail(m)
+            if not v:
+                return v, r, loc
+        return True, None, None
+    polys = list(_polygons(geom))
+    for rings in polys:
+        for ring in rings:
+            pts = [(p[0], p[1]) for p in ring]
+            if pts and pts[0] == pts[-1]:
+                pts = pts[:-1]
+            if len(pts) < 3:
+                return False, "ring with fewer than 3 distinct points", (
+                    pts[0] if pts else None
+                )
+            if _ring_self_intersects(ring):
+                return False, "self-intersecting ring", (
+                    _ring_self_intersection_point(ring)
+                )
+            if abs(_ring_area2(pts + [pts[0]])) / 2 <= EPS:
+                return False, "zero-area ring", pts[0]
+        shell = rings[0]
+        for hole in rings[1:]:
+            for p in hole:
+                if polygon_contains_point([shell], p[0], p[1]) == 0:
+                    return False, "hole outside shell", (p[0], p[1])
+        for i in range(len(rings)):
+            for j in range(i + 1, len(rings)):
+                overlap, mpts = _seg_sets_meet(
+                    _ring_segs([[rings[i]]]), _ring_segs([[rings[j]]])
+                )
+                if overlap:
+                    return False, "rings share a boundary segment", (
+                        next(iter(sorted(mpts)), None)
+                    )
+                if i > 0:
+                    for p in rings[j]:
+                        if polygon_contains_point(
+                            [rings[i]], p[0], p[1]
+                        ) == 2:
+                            return False, "nested holes", (p[0], p[1])
+    for i in range(len(polys)):
+        for j in range(i + 1, len(polys)):
+            si, sj = polys[i][0], polys[j][0]
+            for p in sj:
+                if polygon_contains_point([si], p[0], p[1]) == 2:
+                    return False, "overlapping multipolygon members", (
+                        p[0], p[1]
+                    )
+            for p in si:
+                if polygon_contains_point([sj], p[0], p[1]) == 2:
+                    return False, "overlapping multipolygon members", (
+                        p[0], p[1]
+                    )
+            overlap, mpts = _seg_sets_meet(
+                _ring_segs([[si]]), _ring_segs([[sj]])
+            )
+            if overlap:
+                return False, "multipolygon members share a boundary segment", (
+                    next(iter(sorted(mpts)), None)
+                )
+    return True, None, None
+
+
+def swap_ordinates(g: Geom, spec: str) -> Geom:
+    """PostGIS ST_SwapOrdinates: swap the two ordinates named by ``spec``
+    (two distinct chars of x/y/z/m; the geometry must carry them)."""
+    spec = spec.lower()
+    if len(spec) != 2 or spec[0] == spec[1] or any(
+        c not in "xyzm" for c in spec
+    ):
+        raise ValueError(f"spec must be two distinct chars of 'xyzm', got {spec!r}")
+
+    def idx(c: str) -> int:
+        if c == "x":
+            return 0
+        if c == "y":
+            return 1
+        if c == "z":
+            if not g.has_z:
+                raise ValueError("geometry has no Z ordinate")
+            return 2
+        if not g.has_m:
+            raise ValueError("geometry has no M ordinate")
+        return _m_index(g)
+
+    i, j = idx(spec[0]), idx(spec[1])
+
+    def one(c):
+        c = list(c)
+        c[i], c[j] = c[j], c[i]
+        return tuple(c)
+
+    def walk(gg: Geom) -> Geom:
+        t, c = gg.type_name, gg.coords
+        if t == "Point":
+            return Geom(t, c if gg.is_empty else one(c), gg.has_z, gg.srid, gg.has_m)
+        if t in ("LineString", "MultiPoint"):
+            return Geom(t, [one(p) for p in c], gg.has_z, gg.srid, gg.has_m)
+        if t in ("Polygon", "MultiLineString"):
+            return Geom(t, [[one(p) for p in part] for part in c],
+                        gg.has_z, gg.srid, gg.has_m)
+        if t == "MultiPolygon":
+            return Geom(
+                t,
+                [[[one(p) for p in ring] for ring in poly] for poly in c],
+                gg.has_z, gg.srid, gg.has_m,
+            )
+        return Geom(t, [walk(m) for m in c], gg.has_z, gg.srid, gg.has_m)
+
+    return walk(g)

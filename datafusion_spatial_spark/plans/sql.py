@@ -135,6 +135,7 @@ _FUNCTIONS = {
     "ST_MINIMUMROTATEDRECTANGLE": (_ac.st_minimumrotatedrectangle, _WKB),
     "ST_BOUNDINGDIAGONAL": (_ac.st_boundingdiagonal, _WKB),
     "ST_ISVALIDTRAJECTORY": (_ac.st_isvalidtrajectory, None),
+    "ST_ISVALIDDETAIL": (_ac.st_isvaliddetail, None),
 }
 
 # 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)
@@ -343,6 +344,9 @@ _FUNCTIONS_GEOM_NUM2 = {
 # geometry + 'string-literal' arg
 _FUNCTIONS_GEOM_STR = {
     "ST_SPLIT": (lambda col, blade, meta: _ac.st_split(col, blade, meta), None),
+    "ST_SWAPORDINATES": (
+        lambda col, spec, meta: _ac.st_swapordinates(col, spec, meta), _WKB
+    ),
     # explicit boundary polygon (literal WKT) for the empty-circle search
     "ST_LARGESTEMPTYCIRCLE": (
         lambda col, bnd, meta: _ac.st_largestemptycircle(

@@ -1062,3 +1062,93 @@ def test_trajectory_spark_and_sql(spark):
     ).collect()[0]
     assert r2.v is True and r2.t == pytest.approx(5.0)
     assert r2.d == pytest.approx(1.0) and r2.w is False
+
+
+# ---------------------------------------------------------------------------
+# wave 5: validity detail + ordinate swap
+
+
+def test_invalid_detail_kernel_parity():
+    """invalid_detail's verdict/reason must match invalid_reason exactly,
+    and every located failure coordinate must satisfy its reason class."""
+    bow = Geom("Polygon", [[(0, 0), (2, 2), (2, 0), (0, 2), (0, 0)]])
+    v, r, loc = G.invalid_detail(bow)
+    assert (v, r) == (False, "self-intersecting ring") and loc == (1.0, 1.0)
+    out_hole = Geom(
+        "Polygon",
+        [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)],
+         [(5, 5), (6, 5), (6, 6), (5, 6), (5, 5)]],
+    )
+    v, r, loc = G.invalid_detail(out_hole)
+    assert r == "hole outside shell" and loc == (5, 5)
+    over = Geom(
+        "MultiPolygon",
+        [[[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]],
+         [[(2, 2), (6, 2), (6, 6), (2, 6), (2, 2)]]],
+    )
+    v, r, loc = G.invalid_detail(over)
+    assert r == "overlapping multipolygon members" and loc is not None
+    assert G.invalid_detail(SQ) == (True, None, None)
+    # random battery: verdict/reason parity with invalid_reason
+    rng = random.Random(99)
+    for _ in range(400):
+        pts = [(rng.uniform(0, 4), rng.uniform(0, 4))
+               for _ in range(rng.randint(3, 7))]
+        g = Geom("Polygon", [pts + [pts[0]]])
+        r1 = G.invalid_reason(g)
+        v, r2, loc = G.invalid_detail(g)
+        assert (r1 is None) == v and r1 == r2
+        if r2 == "self-intersecting ring":
+            assert loc is not None
+
+
+def test_swap_ordinates_kernel():
+    zm = Geom("Point", (1, 2, 3, 4), has_z=True, has_m=True)
+    assert G.swap_ordinates(zm, "xy").coords == (2, 1, 3, 4)
+    assert G.swap_ordinates(zm, "zm").coords == (1, 2, 4, 3)
+    assert G.swap_ordinates(zm, "xm").coords == (4, 2, 3, 1)
+    line = Geom("LineString", [(1, 2), (3, 4)])
+    assert G.swap_ordinates(line, "xy").coords == [(2, 1), (4, 3)]
+    # involution
+    assert G.swap_ordinates(G.swap_ordinates(zm, "xz"), "xz").coords == zm.coords
+    with pytest.raises(ValueError):
+        G.swap_ordinates(line, "xz")  # no Z
+    with pytest.raises(ValueError):
+        G.swap_ordinates(line, "xx")
+
+
+def test_validity_detail_and_swap_spark_sql(spark):
+    from datafusion_spatial_spark.functions.accessors import (
+        st_isvaliddetail,
+        st_swapordinates,
+    )
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"),
+         (2, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+         (3, None)],
+        "id long, w string",
+    )
+    g = df.select("id", st_geomfromtext("w").alias("g"))
+    out = {r.id: r for r in g.select(
+        "id",
+        st_isvaliddetail("g", W).alias("d"),
+        st_swapordinates("g", "xy", W).alias("sw"),
+    ).collect()}
+    assert out[1].d.valid is False
+    assert out[1].d.reason == "self-intersecting ring"
+    assert _wkt(out[1].d.location) == "POINT (1 1)"
+    assert out[2].d.valid is True and out[2].d.reason is None
+    assert out[3].d is None and out[3].sw is None
+    assert _wkt(out[2].sw) == "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))"
+
+    s = SpatialSQL(spark)
+    s.register_view("t16", with_geo_meta(g, "g", W))
+    r2 = s.sql(
+        "SELECT id, ST_IsValidDetail(g) AS d, "
+        "ST_AsText(ST_SwapOrdinates(g, 'xy')) AS sw FROM t16 ORDER BY id"
+    ).collect()
+    assert r2[0].d.valid is False and r2[0].d.reason == "self-intersecting ring"
+    assert r2[1].sw.startswith("POLYGON ((0 0, 0 4")
