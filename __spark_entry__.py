@@ -2351,6 +2351,7 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     per shard by max(seq_id)+1 and sum(seq_id * doc_id + seq_offset) —
     the oracle replays the sequential fold with a recursive CTE."""
     from datafusion_spatial_spark.operators.corpus import (
+        chunk_documents,
         hash_split,
         mixture_sample,
         pack_sequences,
@@ -2426,10 +2427,40 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chk").alias("n"),
         )
     )
+    # part 'chunk' (r11): token-window chunking (64-token windows, 16
+    # overlap -> stride 48), pinned by total chunk count and a
+    # boundary-sensitive checksum (any chunk boundary shift changes a
+    # chunk's length); the oracle replays the windows with
+    # generate_series + list_slice on the same whitespace split
+    chunks = chunk_documents(
+        docs.select("doc_id", "text"), "text", "doc_id",
+        chunk_tokens=64, overlap_tokens=16,
+    )
+    ck = chunks.agg(
+        F.count("*").cast("long").alias("nchunks"),
+        F.sum(
+            F.col("doc_id") * (F.col("chunk_index") + 1)
+            + F.length("chunk")
+        ).cast("long").alias("chk"),
+    )
+    chunk_part = ck.select(
+        F.lit("chunk").alias("part"),
+        F.lit("all").alias("k1"),
+        F.lit("nchunks").alias("k2"),
+        F.col("nchunks").alias("n"),
+    ).unionAll(
+        ck.select(
+            F.lit("chunk").alias("part"),
+            F.lit("all").alias("k1"),
+            F.lit("chunkchk").alias("k2"),
+            F.col("chk").alias("n"),
+        )
+    )
     return (
         split_part.unionAll(mix_part)
         .unionAll(shard_part)
         .unionAll(pack_part)
+        .unionAll(chunk_part)
         .orderBy("part", "k1", "k2")
     )
 
@@ -2528,6 +2559,28 @@ WITH RECURSIVE h AS (
   SELECT 'pack', cast(shard AS VARCHAR), 'packchk',
          cast(sum(seq * doc_id + off) AS BIGINT)
   FROM pk_walk GROUP BY shard
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk
+  FROM documents
+), chunk_rows AS (
+  SELECT doc_id,
+         s.generate_series / 48 AS cidx,
+         length(array_to_string(
+           list_slice(tk, s.generate_series + 1, s.generate_series + 64),
+           ' '
+         )) AS clen
+  FROM toks,
+       LATERAL unnest(generate_series(
+         0, CAST(greatest(len(tk) - 1, 0) AS BIGINT), 48
+       )) AS s(generate_series)
+), chunk_part AS (
+  SELECT 'chunk' AS part, 'all' AS k1, 'nchunks' AS k2,
+         cast(count(*) AS BIGINT) AS n
+  FROM chunk_rows
+  UNION ALL
+  SELECT 'chunk', 'all', 'chunkchk',
+         cast(sum(doc_id * (cidx + 1) + clen) AS BIGINT)
+  FROM chunk_rows
 )
 SELECT part, k1, k2, n FROM split_part
 UNION ALL
@@ -2536,6 +2589,8 @@ UNION ALL
 SELECT part, k1, k2, n FROM shard_part
 UNION ALL
 SELECT part, k1, k2, n FROM pack_part
+UNION ALL
+SELECT part, k1, k2, n FROM chunk_part
 ORDER BY part, k1, k2
 """
 
@@ -2647,6 +2702,7 @@ def _q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_spatial_spark.operators.simsearch import (
         cosine_near_dup_pairs,
         random_hyperplanes,
+        semantic_dedup,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2658,7 +2714,25 @@ def _q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so Spark and oracle stay bit-identical at any gate/audit scale
         max_bucket=None,
     )
-    return pairs.orderBy("id_a", "id_b")
+    # part 'semdedup' (r11): SemDeDup-style survivor set over the SAME
+    # pairs (min-id per near-dup component + everything unpaired) — the
+    # oracle recomputes the components with the reachability recursive
+    # CTE the corpus-dedup gate uses
+    surv = semantic_dedup(
+        emb, "embedding", "vec_id", threshold=NEAR_DUP_T, planes=planes,
+        max_bucket=None,
+    ).select("vec_id")
+    out = pairs.select(
+        F.lit("pairs").alias("part"), "id_a", "id_b", "score"
+    ).unionAll(
+        surv.select(
+            F.lit("semdedup").alias("part"),
+            F.col("vec_id").alias("id_a"),
+            F.lit(-1).cast("long").alias("id_b"),
+            F.lit(0.0).alias("score"),
+        )
+    )
+    return out.orderBy("part", "id_a", "id_b")
 
 
 def _q_cosine_near_dup_oracle() -> str:
@@ -2682,13 +2756,30 @@ def _q_cosine_near_dup_oracle() -> str:
         f" * sqrt({_duckdb_dot('b.embedding', 'b.embedding')}))"
     )
     return f"""
-WITH bk AS (
+WITH RECURSIVE bk AS (
   SELECT vec_id, embedding, cast({bucket} AS INT) AS bucket FROM embeddings
+), prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS score
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {cos} >= {NEAR_DUP_T}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM prs
+), reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS score
-FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {cos} >= {NEAR_DUP_T}
-ORDER BY id_a, id_b
+SELECT 'pairs' AS part, id_a, id_b, score FROM prs
+UNION ALL
+SELECT 'semdedup' AS part, vec_id AS id_a,
+       CAST(-1 AS BIGINT) AS id_b, 0.0 AS score
+FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM comp WHERE component <> id)
+ORDER BY part, id_a, id_b
 """
 
 

@@ -361,3 +361,46 @@ def mixture_sample(
         *[F.lit(v) for kv in fractions.items() for v in (kv[0], float(kv[1]))]
     )
     return df.filter(u < frac_map[F.col(source_col)])
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 0,
+    out_col: str = "chunk",
+    index_col: str = "chunk_index",
+) -> DataFrame:
+    """Split documents into fixed-size whitespace-token windows — the
+    standard training-prep chunking step (window ``chunk_tokens``, stride
+    ``chunk_tokens - overlap_tokens``). One output row per chunk with its
+    0-based ``index_col``; the final window may be shorter. Pure Catalyst
+    (split → sequence → posexplode → slice/array_join): map-only, no
+    shuffle, whole-stage codegen. Empty/whitespace-only text yields one
+    empty chunk (split's [''] convention — filter upstream if unwanted).
+    """
+    chunk_tokens = int(chunk_tokens)
+    overlap_tokens = int(overlap_tokens)
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be > 0")
+    if not (0 <= overlap_tokens < chunk_tokens):
+        raise ValueError("overlap_tokens must be in [0, chunk_tokens)")
+    step = chunk_tokens - overlap_tokens
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)
+    )
+    cols = [c for c in df.columns if c != text_col]
+    return (
+        df.withColumn("__toks", toks)
+        .select(*cols, "__toks", F.posexplode(starts).alias(index_col, "__s"))
+        .select(
+            *cols,
+            index_col,
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__s") + 1, chunk_tokens), " "
+            ).alias(out_col),
+        )
+    )

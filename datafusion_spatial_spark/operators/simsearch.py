@@ -640,3 +640,47 @@ def ivf_topk_from_storage(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+    dims: int | None = None,
+    n_planes: int = 8,
+    seed: int = 42,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup-style embedding near-duplicate REMOVAL (Abbas et al. 2023
+    shape): mine near-dup pairs with :func:`cosine_near_dup_pairs`
+    (LSH-bucketed, never all-pairs), connect them into components
+    (operators/dedup.connected_components — min-label propagation,
+    checkpoint-bounded lineage), keep the minimum-id row per component
+    plus every row in no component. Returns the surviving input rows
+    unchanged.
+
+    100 TB shape: one bucket-keyed shuffle for candidates, the CC
+    iterations shuffle only the (id, component) edge list, and the final
+    filter is a left join on the id — the full payload is never
+    re-exchanged through the iterations."""
+    from datafusion_spatial_spark.operators.dedup import connected_components
+
+    pairs = cosine_near_dup_pairs(
+        df, vec_col, id_col, threshold,
+        planes=planes, dims=dims, n_planes=n_planes, seed=seed,
+        max_bucket=max_bucket,
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    return (
+        df.join(
+            labels.select(
+                F.col("id").alias(id_col), F.col("component").alias("__comp")
+            ),
+            id_col,
+            "left",
+        )
+        .filter(F.col("__comp").isNull() | (F.col("__comp") == F.col(id_col)))
+        .drop("__comp")
+    )

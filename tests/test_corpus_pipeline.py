@@ -117,3 +117,60 @@ class TestLineDedupRandomized:
             ).collect()
         }
         assert got == _line_dedup_oracle(rows, 2, 4)
+
+
+def test_chunk_documents(spark):
+    from datafusion_spatial_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(
+        df, "text", "doc_id", chunk_tokens=3, overlap_tokens=1
+    ).orderBy("doc_id", "chunk_index").collect()
+    got = [(r.doc_id, r.chunk_index, r.chunk) for r in out]
+    assert got == [
+        (1, 0, "a b c"), (1, 1, "c d e"), (1, 2, "e f g"), (1, 3, "g"),
+        (2, 0, "x y"), (3, 0, ""),
+    ]
+    # overlap invariant: consecutive chunks share exactly overlap tokens
+    # (when both are full windows)
+    full = [c for _, _, c in got[:3]]
+    for a, b in zip(full, full[1:]):
+        assert a.split()[-1] == b.split()[0]
+    # no shuffle in the plan: chunking must stay map-only
+    plan = chunk_documents(
+        df, "text", "doc_id", chunk_tokens=3, overlap_tokens=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap_tokens=4)
+
+
+def test_semantic_dedup(spark):
+    from datafusion_spatial_spark.operators.simsearch import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.999, 0.03]), (3, [0.0, 1.0]),
+        (4, [1.0, 0.001]), (5, [0.0, 0.999]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    surv = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            df, "emb", "vec_id", threshold=0.999, dims=2, n_planes=4
+        ).collect()
+    )
+    # {1,2,4} collapse to 1; {3,5} collapse to 3
+    assert surv == [1, 3]
+    # survivors carry the full input row (payload never re-exchanged)
+    row = semantic_dedup(
+        df, "emb", "vec_id", threshold=0.999, dims=2, n_planes=4
+    ).filter("vec_id = 1").collect()[0]
+    assert list(row.emb) == [1.0, 0.0]
+    # threshold high enough that nothing pairs -> everything survives
+    all_surv = semantic_dedup(
+        df, "emb", "vec_id", threshold=1.0000001, dims=2, n_planes=4
+    ).count()
+    assert all_surv == 5
