@@ -986,3 +986,29 @@ def st_swapordinates(
 ) -> Column:
     """PostGIS ST_SwapOrdinates (spec: two distinct chars of 'xyzm')."""
     return _geom_out(lambda g: geom_ops.swap_ordinates(g, str(spec)))(col, meta)
+
+
+# -- r11 wave 6: dump/orientation utilities ----------------------------------
+
+
+def st_dumpsegments(col: Column | str, meta: GeometryMeta) -> Column:
+    """PostGIS ST_DumpSegments as an array of 2-point WKB LineStrings
+    (explode for rows)."""
+    return _unary(
+        lambda g: [wkb.dumps(p) for p in geom_ops.dump_segments(g)],
+        T.ArrayType(T.BinaryType()),
+    )(col, meta)
+
+
+def st_dumprings(col: Column | str, meta: GeometryMeta) -> Column:
+    """PostGIS ST_DumpRings as an array of single-ring WKB Polygons."""
+    return _unary(
+        lambda g: [wkb.dumps(p) for p in geom_ops.dump_rings(g)],
+        T.ArrayType(T.BinaryType()),
+    )(col, meta)
+
+
+st_forcepolygonccw = _geom_out(geom_ops.force_polygon_ccw)
+st_forcepolygoncw = _geom_out(geom_ops.force_polygon_cw)
+st_ispolygonccw = _unary(geom_ops.is_polygon_ccw, T.BooleanType())
+st_ispolygoncw = _unary(geom_ops.is_polygon_cw, T.BooleanType())

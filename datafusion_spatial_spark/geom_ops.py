@@ -7166,3 +7166,106 @@ def swap_ordinates(g: Geom, spec: str) -> Geom:
         return Geom(t, [walk(m) for m in c], gg.has_z, gg.srid, gg.has_m)
 
     return walk(g)
+
+
+# ---------------------------------------------------------------------------
+# dump/orientation utilities (r11)
+
+
+def dump_segments(g: Geom):
+    """PostGIS ST_DumpSegments: every 2-point segment of the linework as
+    a LineString (dims preserved)."""
+    out = []
+
+    def seg_pairs(path):
+        for i in range(len(path) - 1):
+            if tuple(path[i][:2]) != tuple(path[i + 1][:2]):
+                out.append(
+                    Geom("LineString", [path[i], path[i + 1]],
+                         g.has_z, g.srid, g.has_m)
+                )
+
+    def walk(gg: Geom):
+        t, c = gg.type_name, gg.coords
+        if t == "LineString":
+            seg_pairs(c)
+        elif t in ("MultiLineString", "Polygon"):
+            for part in c:
+                seg_pairs(part)
+        elif t == "MultiPolygon":
+            for poly in c:
+                for ring in poly:
+                    seg_pairs(ring)
+        elif t == "GeometryCollection":
+            for m in c:
+                walk(m)
+
+    walk(g)
+    return out
+
+
+def dump_rings(g: Geom):
+    """PostGIS ST_DumpRings: each polygon ring as a single-ring Polygon
+    (shell first, then holes, per polygon)."""
+    return [
+        Geom("Polygon", [list(ring)], g.has_z, g.srid, g.has_m)
+        for rings in _polygons(g)
+        for ring in rings
+    ]
+
+
+def _force_poly_orientation(g: Geom, shell_ccw: bool) -> Geom:
+    """Shells CCW/holes CW (OGC, shell_ccw=True) or the opposite
+    (shell_ccw=False — the PostGIS ST_ForcePolygonCW convention)."""
+
+    def fix(rings):
+        out = []
+        for j, r in enumerate(rings):
+            ccw = _ring_area2([p[:2] for p in r]) >= 0
+            want_ccw = shell_ccw if j == 0 else not shell_ccw
+            out.append(list(r) if ccw == want_ccw else list(r)[::-1])
+        return out
+
+    t, c = g.type_name, g.coords
+    if t == "Polygon":
+        return Geom(t, fix(c), g.has_z, g.srid, g.has_m)
+    if t == "MultiPolygon":
+        return Geom(t, [fix(rings) for rings in c], g.has_z, g.srid, g.has_m)
+    if t == "GeometryCollection":
+        return Geom(
+            t,
+            [_force_poly_orientation(m, shell_ccw) for m in c],
+            g.has_z, g.srid, g.has_m,
+        )
+    return g
+
+
+def force_polygon_ccw(g: Geom) -> Geom:
+    return _force_poly_orientation(g, True)
+
+
+def force_polygon_cw(g: Geom) -> Geom:
+    return _force_poly_orientation(g, False)
+
+
+def _is_poly_oriented(g: Geom, shell_ccw: bool) -> bool | None:
+    """True iff every shell/hole follows the asked convention; None for
+    non-areal input (PostGIS returns true — we surface NULL, documented)."""
+    polys = list(_polygons(g))
+    if not polys:
+        return None
+    for rings in polys:
+        for j, r in enumerate(rings):
+            ccw = _ring_area2([p[:2] for p in r]) >= 0
+            want_ccw = shell_ccw if j == 0 else not shell_ccw
+            if ccw != want_ccw:
+                return False
+    return True
+
+
+def is_polygon_ccw(g: Geom) -> bool | None:
+    return _is_poly_oriented(g, True)
+
+
+def is_polygon_cw(g: Geom) -> bool | None:
+    return _is_poly_oriented(g, False)

@@ -136,6 +136,12 @@ _FUNCTIONS = {
     "ST_BOUNDINGDIAGONAL": (_ac.st_boundingdiagonal, _WKB),
     "ST_ISVALIDTRAJECTORY": (_ac.st_isvalidtrajectory, None),
     "ST_ISVALIDDETAIL": (_ac.st_isvaliddetail, None),
+    "ST_DUMPSEGMENTS": (_ac.st_dumpsegments, None),
+    "ST_DUMPRINGS": (_ac.st_dumprings, None),
+    "ST_FORCEPOLYGONCCW": (_ac.st_forcepolygonccw, _WKB),
+    "ST_FORCEPOLYGONCW": (_ac.st_forcepolygoncw, _WKB),
+    "ST_ISPOLYGONCCW": (_ac.st_ispolygonccw, None),
+    "ST_ISPOLYGONCW": (_ac.st_ispolygoncw, None),
 }
 
 # 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)

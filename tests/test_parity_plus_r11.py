@@ -1152,3 +1152,87 @@ def test_validity_detail_and_swap_spark_sql(spark):
     ).collect()
     assert r2[0].d.valid is False and r2[0].d.reason == "self-intersecting ring"
     assert r2[1].sw.startswith("POLYGON ((0 0, 0 4")
+
+
+# ---------------------------------------------------------------------------
+# wave 6: dump/orientation utilities
+
+
+def test_dump_segments_rings_kernels():
+    holed = Geom(
+        "Polygon",
+        [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)],
+         [(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]],
+    )
+    segs = G.dump_segments(holed)
+    assert len(segs) == 8 and all(s.type_name == "LineString" for s in segs)
+    assert sum(G.length(s) for s in segs) == pytest.approx(16.0 + 4.0)
+    rings = G.dump_rings(holed)
+    assert [r.type_name for r in rings] == ["Polygon", "Polygon"]
+    assert G.area(rings[0]) == pytest.approx(16.0)
+    assert G.area(rings[1]) == pytest.approx(1.0)
+    # line input: segments only, no rings
+    l = Geom("LineString", [(0, 0), (1, 0), (1, 1)])
+    assert len(G.dump_segments(l)) == 2 and G.dump_rings(l) == []
+    # zero-length segments (repeated vertices) are skipped
+    lr = Geom("LineString", [(0, 0), (0, 0), (1, 0)])
+    assert len(G.dump_segments(lr)) == 1
+
+
+def test_polygon_orientation_kernels():
+    cw_shell = Geom("Polygon", [[(0, 0), (0, 4), (4, 4), (4, 0), (0, 0)]])
+    assert G.is_polygon_cw(cw_shell) is True
+    assert G.is_polygon_ccw(cw_shell) is False
+    fixed = G.force_polygon_ccw(cw_shell)
+    assert G.is_polygon_ccw(fixed) is True
+    assert G.area(fixed) == pytest.approx(16.0)
+    # holes take the opposite orientation of the shell
+    holed_ccw = G.force_polygon_ccw(
+        Geom("Polygon",
+             [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)],
+              [(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]])
+    )
+    assert G._ring_area2(holed_ccw.coords[0]) > 0   # shell CCW
+    assert G._ring_area2(holed_ccw.coords[1]) < 0   # hole CW
+    cwd = G.force_polygon_cw(holed_ccw)
+    assert G._ring_area2(cwd.coords[0]) < 0 and G._ring_area2(cwd.coords[1]) > 0
+    # involution: double-force is stable; non-areal passthrough/NULL verdict
+    assert G.force_polygon_cw(cwd).coords == cwd.coords
+    l = Geom("LineString", [(0, 0), (1, 1)])
+    assert G.force_polygon_cw(l) is l or G.force_polygon_cw(l).coords == l.coords
+    assert G.is_polygon_cw(l) is None
+
+
+def test_dump_orientation_spark_sql(spark):
+    from datafusion_spatial_spark.functions.accessors import (
+        st_dumprings,
+        st_dumpsegments,
+        st_forcepolygoncw,
+        st_ispolygonccw,
+        st_ispolygoncw,
+    )
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))")],
+        "id long, w string",
+    )
+    g = df.select("id", st_geomfromtext("w").alias("g"))
+    row = g.select(
+        F.size(st_dumpsegments("g", W)).alias("nseg"),
+        F.size(st_dumprings("g", W)).alias("nring"),
+        st_ispolygonccw("g", W).alias("ccw"),
+        st_ispolygoncw(st_forcepolygoncw("g", W), W).alias("cw_after"),
+    ).collect()[0]
+    assert row.nseg == 8 and row.nring == 2
+    assert row.ccw is True  # shell CCW, hole (1 1, 1 2, 2 2, 2 1) is CW
+    assert row.cw_after is True
+
+    s = SpatialSQL(spark)
+    s.register_view("t17", with_geo_meta(g, "g", W))
+    r2 = s.sql(
+        "SELECT size(ST_DumpSegments(g)) AS ns, "
+        "ST_IsPolygonCW(ST_ForcePolygonCW(g)) AS cw FROM t17"
+    ).collect()[0]
+    assert r2.ns == 8 and r2.cw is True
