@@ -1236,3 +1236,52 @@ def test_dump_orientation_spark_sql(spark):
         "ST_IsPolygonCW(ST_ForcePolygonCW(g)) AS cw FROM t17"
     ).collect()[0]
     assert r2.ns == 8 and r2.cw is True
+
+
+# ---------------------------------------------------------------------------
+# resolver fuzz: every unary geometry->geometry SQL name must compose
+
+
+def test_sql_resolver_unary_chain_fuzz(spark):
+    """Random 2-deep nesting of unary WKB-out ST_ names through the SQL
+    resolver: every chain must resolve, execute, and emit WKT via
+    ST_AsText — a regression net over the (large) r11 registry surface."""
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans import sql as psql
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    unary_wkb = sorted(
+        name
+        for name, (_b, om) in psql._FUNCTIONS.items()
+        if om is psql._WKB
+        # geometry-subset preconditions (line-only etc.) return NULL on
+        # polygons, which is fine; exclude only the non-deterministic one
+        and name != "ST_GENERATEPOINTS"
+    )
+    assert len(unary_wkb) >= 20
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))"),
+         (2, "LINESTRING (0 0, 2 0, 2 2)"),
+         (3, "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1))")],
+        "id long, w string",
+    )
+    g = df.select("id", st_geomfromtext("w").alias("g"))
+    s = SpatialSQL(spark)
+    s.register_view("tfz", with_geo_meta(g, "g", W))
+
+    rng = random.Random(1212)
+    chains = [
+        (rng.choice(unary_wkb), rng.choice(unary_wkb)) for _ in range(12)
+    ]
+    # one query per batch of chains keeps Spark session overhead sane
+    exprs = ", ".join(
+        f"ST_AsText({outer}({inner}(g))) AS c{i}"
+        for i, (outer, inner) in enumerate(chains)
+    )
+    rows = s.sql(f"SELECT id, {exprs} FROM tfz ORDER BY id").collect()
+    assert len(rows) == 3
+    for i, (outer, inner) in enumerate(chains):
+        vals = [getattr(r, f"c{i}") for r in rows]
+        # every chain must produce at least a well-formed WKT or NULL
+        for v in vals:
+            assert v is None or v[0].isalpha(), (outer, inner, v)
