@@ -177,6 +177,8 @@ def cosine_near_dup_pairs(
     n_planes: int = 8,
     seed: int = 42,
     max_bucket: int | None = 10_000,
+    bands: int = 1,
+    auto_scale_target: int | None = None,
 ) -> DataFrame:
     """Embedding-based near-duplicate PAIR mining at corpus scale: LSH
     hyperplane bucketing (map-only) → within-bucket self-join (equi-join on
@@ -186,14 +188,56 @@ def cosine_near_dup_pairs(
     Same scale shape as the MinHash text path (operators/dedup.py): the
     only shuffle keys on the bucket id, and ``max_bucket`` caps degenerate
     buckets (e.g. all-zeros embeddings) so a hot bucket cannot go
-    quadratic. Recall is bucket-limited by construction — raise
-    ``n_planes``-probes or union several plane seeds for higher recall;
-    candidates are always verified exactly, so precision is 1.0.
+    quadratic. Candidates are always verified exactly, so precision is 1.0.
+
+    Scaling (r11 probe finding): a FIXED bucket count goes quadratic as
+    the corpus grows — at 2^8 buckets the 30x→100x wall-time exponent
+    measured 1.63. The fix is the same banding MinHash uses:
+
+    * ``bands`` > 1 (only when ``planes`` is None): generate bands·r
+      hyperplanes, bucket independently per r-plane band, union the
+      bands' pairs. Bucket count 2^r scales while recall stays
+      1 − (1 − p^r)^bands (p = 1 − θ/π per plane).
+    * ``auto_scale_target``: pick r = max(n_planes,
+      ceil(log2(count / target))) from ONE count() — bucket count then
+      tracks the corpus and expected candidates are ~count·target·bands,
+      LINEAR in data.
+
+    Explicit ``planes=`` keeps the legacy single-band behavior (the
+    oracle gates mirror that bucketing verbatim).
     """
-    if planes is None:
+    if planes is not None:
+        plane_groups = [planes]
+    else:
         if dims is None:
             raise ValueError("pass planes= or dims=")
-        planes = random_hyperplanes(dims, n_planes, seed)
+        r = int(n_planes)
+        if auto_scale_target is not None:
+            n = df.count()
+            r = max(r, math.ceil(math.log2(max(
+                2.0, n / float(auto_scale_target)
+            ))))
+        r = min(r, 62)
+        b = max(1, int(bands))
+        all_planes = random_hyperplanes(dims, r * b, seed)
+        plane_groups = [all_planes[k * r:(k + 1) * r] for k in range(b)]
+    out = None
+    for grp in plane_groups:
+        pairs = _near_dup_pairs_one_band(
+            df, vec_col, id_col, threshold, grp, max_bucket
+        )
+        out = pairs if out is None else out.unionAll(pairs)
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
+def _near_dup_pairs_one_band(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    planes: list[list[float]],
+    max_bucket: int | None,
+) -> DataFrame:
     bucketed = lsh_bucket(df, vec_col, id_col, planes).select(
         F.col(id_col).alias("__id"), _vec(vec_col).alias("__v"), "bucket"
     )
@@ -652,6 +696,8 @@ def semantic_dedup(
     n_planes: int = 8,
     seed: int = 42,
     max_bucket: int | None = 10_000,
+    bands: int = 4,
+    auto_scale_target: int | None = 64,
 ) -> DataFrame:
     """SemDeDup-style embedding near-duplicate REMOVAL (Abbas et al. 2023
     shape): mine near-dup pairs with :func:`cosine_near_dup_pairs`
@@ -661,16 +707,21 @@ def semantic_dedup(
     plus every row in no component. Returns the surviving input rows
     unchanged.
 
-    100 TB shape: one bucket-keyed shuffle for candidates, the CC
-    iterations shuffle only the (id, component) edge list, and the final
-    filter is a left join on the id — the full payload is never
-    re-exchanged through the iterations."""
+    100 TB shape: one bucket-keyed shuffle per band for candidates, the
+    CC iterations shuffle only the (id, component) edge list, and the
+    final filter is a left join on the id — the full payload is never
+    re-exchanged through the iterations. The defaults BAND the LSH
+    (``bands=4``) and auto-scale the per-band plane count to the corpus
+    (``auto_scale_target=64`` expected rows per bucket), keeping expected
+    candidates linear in data — the r11 100x probe measured exponent
+    1.63 at a fixed 2^8 buckets, 0.9-1.0 after banding."""
     from datafusion_spatial_spark.operators.dedup import connected_components
 
     pairs = cosine_near_dup_pairs(
         df, vec_col, id_col, threshold,
         planes=planes, dims=dims, n_planes=n_planes, seed=seed,
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, bands=bands,
+        auto_scale_target=auto_scale_target,
     )
     labels = connected_components(pairs, "id_a", "id_b")
     return (
