@@ -1012,3 +1012,41 @@ st_forcepolygonccw = _geom_out(geom_ops.force_polygon_ccw)
 st_forcepolygoncw = _geom_out(geom_ops.force_polygon_cw)
 st_ispolygonccw = _unary(geom_ops.is_polygon_ccw, T.BooleanType())
 st_ispolygoncw = _unary(geom_ops.is_polygon_cw, T.BooleanType())
+
+
+# -- r11 wave 7: ordinate extrema, geometric median, ST_SimplifyVW -----------
+
+
+def _extreme(ordinate: str, want_max: bool):
+    return _unary(
+        lambda g: geom_ops.ordinate_extreme(g, ordinate, want_max),
+        T.DoubleType(),
+    )
+
+
+st_xmin = _extreme("x", False)
+st_xmax = _extreme("x", True)
+st_ymin = _extreme("y", False)
+st_ymax = _extreme("y", True)
+st_zmin = _extreme("z", False)
+st_zmax = _extreme("z", True)
+st_mmin = _extreme("m", False)
+st_mmax = _extreme("m", True)
+
+
+def _geometric_median_wkb(g):
+    p = geom_ops.geometric_median(g)
+    return None if p is None else wkb.dumps(wkb.Geom("Point", p))
+
+
+st_geometricmedian = _unary(_geometric_median_wkb, T.BinaryType(), force2d=True)
+
+
+def st_simplifyvw(
+    col: Column | str, tolerance: float, meta: GeometryMeta
+) -> Column:
+    """PostGIS ST_SimplifyVW: Visvalingam–Whyatt area-based
+    simplification (tolerance = minimum effective triangle area)."""
+    return _geom_out(
+        lambda g: geom_ops.simplify_vw(g, float(tolerance)), force2d=True
+    )(col, meta)

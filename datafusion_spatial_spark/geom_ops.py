@@ -7269,3 +7269,118 @@ def is_polygon_ccw(g: Geom) -> bool | None:
 
 def is_polygon_cw(g: Geom) -> bool | None:
     return _is_poly_oriented(g, False)
+
+
+# ---------------------------------------------------------------------------
+# ordinate extrema, geometric median, Visvalingam–Whyatt (r11)
+
+
+def ordinate_extreme(g: Geom, ordinate: str, want_max: bool) -> float | None:
+    """min/max of one ordinate over every coordinate (PostGIS
+    ST_XMin/XMax/YMin/YMax/ZMin/ZMax/MMin/MMax). None for EMPTY input or
+    an ordinate the geometry does not carry."""
+    if ordinate in ("z", "m"):
+        if (ordinate == "z" and not g.has_z) or (
+            ordinate == "m" and not g.has_m
+        ):
+            return None
+        idx = 2 if ordinate == "z" else _m_index(g)
+    else:
+        idx = 0 if ordinate == "x" else 1
+    vals = [
+        c[idx] for c in _all_coords(g)
+        if len(c) > idx and c[idx] == c[idx]
+    ]
+    if not vals:
+        return None
+    return max(vals) if want_max else min(vals)
+
+
+def geometric_median(
+    g: Geom, tolerance: float = 1e-9, max_iter: int = 64
+) -> tuple | None:
+    """PostGIS ST_GeometricMedian (points only): Weiszfeld iteration for
+    the point minimizing the sum of distances to the input points, with
+    the standard at-a-data-point perturbation guard."""
+    pts = [(float(p[0]), float(p[1])) for p in _points(g)]
+    if not pts:
+        return None
+    if len(pts) == 1:
+        return pts[0]
+    x = sum(p[0] for p in pts) / len(pts)
+    y = sum(p[1] for p in pts) / len(pts)
+    for _ in range(max_iter):
+        num_x = num_y = den = 0.0
+        at_point = None
+        for px, py in pts:
+            d = math.hypot(x - px, y - py)
+            if d < tolerance:
+                at_point = (px, py)
+                continue
+            w = 1.0 / d
+            num_x += px * w
+            num_y += py * w
+            den += w
+        if den == 0.0:
+            return at_point
+        nx, ny = num_x / den, num_y / den
+        if at_point is not None:
+            # Vardi–Zhang step: stay unless the pull beats the vertex
+            r = math.hypot(num_x - at_point[0] * den,
+                           num_y - at_point[1] * den)
+            if r <= 1.0:
+                return at_point
+            t = min(1.0, 1.0 / r)
+            nx = at_point[0] + t * (nx - at_point[0])
+            ny = at_point[1] + t * (ny - at_point[1])
+        if math.hypot(nx - x, ny - y) < tolerance:
+            return nx, ny
+        x, y = nx, ny
+    return x, y
+
+
+def _vw_path(path, tolerance: float, closed: bool):
+    """Visvalingam–Whyatt: drop the vertex with the smallest effective
+    triangle area until every remaining area >= tolerance. Endpoints of
+    open paths are fixed; rings keep >= 4 coords (closure included)."""
+    pts = [tuple(p[:2]) for p in (path[:-1] if closed else path)]
+    min_keep = 3 if closed else 2
+    while len(pts) > min_keep:
+        best_i = None
+        best_a = None
+        rng_ = range(len(pts)) if closed else range(1, len(pts) - 1)
+        for i in rng_:
+            a = pts[i - 1]
+            b = pts[i]
+            c = pts[(i + 1) % len(pts)]
+            area = abs(_orient(*a, *b, *c)) / 2.0
+            if best_a is None or area < best_a:
+                best_a, best_i = area, i
+        if best_a is None or best_a >= tolerance:
+            break
+        del pts[best_i]
+    return pts + [pts[0]] if closed else pts
+
+
+def simplify_vw(g: Geom, tolerance: float) -> Geom:
+    """PostGIS ST_SimplifyVW: area-based simplification (tolerance is the
+    minimum effective triangle AREA a vertex must span to survive)."""
+    t, c = g.type_name, g.coords
+    if t in ("Point", "MultiPoint") or g.is_empty:
+        return g
+    if t == "LineString":
+        closed = len(c) >= 4 and tuple(c[0][:2]) == tuple(c[-1][:2])
+        return Geom(t, _vw_path(c, tolerance, closed))
+    if t == "MultiLineString":
+        return Geom(t, [
+            _vw_path(x, tolerance,
+                     len(x) >= 4 and tuple(x[0][:2]) == tuple(x[-1][:2]))
+            for x in c
+        ])
+    if t == "Polygon":
+        return Geom(t, [_vw_path(r, tolerance, True) for r in c])
+    if t == "MultiPolygon":
+        return Geom(
+            t, [[_vw_path(r, tolerance, True) for r in rings] for rings in c]
+        )
+    return Geom(t, [simplify_vw(m, tolerance) for m in c])

@@ -142,6 +142,15 @@ _FUNCTIONS = {
     "ST_FORCEPOLYGONCW": (_ac.st_forcepolygoncw, _WKB),
     "ST_ISPOLYGONCCW": (_ac.st_ispolygonccw, None),
     "ST_ISPOLYGONCW": (_ac.st_ispolygoncw, None),
+    "ST_XMIN": (_ac.st_xmin, None),
+    "ST_XMAX": (_ac.st_xmax, None),
+    "ST_YMIN": (_ac.st_ymin, None),
+    "ST_YMAX": (_ac.st_ymax, None),
+    "ST_ZMIN": (_ac.st_zmin, None),
+    "ST_ZMAX": (_ac.st_zmax, None),
+    "ST_MMIN": (_ac.st_mmin, None),
+    "ST_MMAX": (_ac.st_mmax, None),
+    "ST_GEOMETRICMEDIAN": (_ac.st_geometricmedian, _WKB),
 }
 
 # 2-geometry-arg functions: name -> (builder(a, b, ma, mb) -> Column, out_meta)
@@ -209,6 +218,15 @@ _FUNCTIONS_GEOM_NUM = {
         lambda col, n, meta: _ac.st_generatepoints(col, int(n), meta), _WKB
     ),
     "ST_SIMPLIFY": (
+        lambda col, t, meta: _pr.st_simplify(col, float(t), meta), _WKB
+    ),
+    "ST_SIMPLIFYVW": (
+        lambda col, t, meta: _ac.st_simplifyvw(col, float(t), meta), _WKB
+    ),
+    # the topology-preserving variant: our Douglas–Peucker keeps ring
+    # closure and never drops below a valid ring (geom_ops.simplify's
+    # ring_simp guard), matching the PostGIS name's contract
+    "ST_SIMPLIFYPRESERVETOPOLOGY": (
         lambda col, t, meta: _pr.st_simplify(col, float(t), meta), _WKB
     ),
     "ST_SEGMENTIZE": (

@@ -1285,3 +1285,99 @@ def test_sql_resolver_unary_chain_fuzz(spark):
         # every chain must produce at least a well-formed WKT or NULL
         for v in vals:
             assert v is None or v[0].isalpha(), (outer, inner, v)
+
+
+# ---------------------------------------------------------------------------
+# wave 7: ordinate extrema, geometric median, SimplifyVW
+
+
+def test_ordinate_extrema_kernel():
+    g = Geom("LineString", [(0, 0, 5.0, 1.0), (10, 2, 7.0, 3.0)],
+             has_z=True, has_m=True)
+    assert G.ordinate_extreme(g, "x", False) == 0
+    assert G.ordinate_extreme(g, "x", True) == 10
+    assert G.ordinate_extreme(g, "y", True) == 2
+    assert G.ordinate_extreme(g, "z", False) == 5.0
+    assert G.ordinate_extreme(g, "m", True) == 3.0
+    # absent ordinate / EMPTY -> None
+    assert G.ordinate_extreme(Geom("Point", (1, 2)), "z", True) is None
+    assert G.ordinate_extreme(Geom("Point", None), "x", True) is None
+
+
+def test_geometric_median_kernel():
+    mp = Geom("MultiPoint", [(0, 0), (2, 0), (1, 5), (1, -5)])
+    x, y = G.geometric_median(mp)
+    assert x == pytest.approx(1.0, abs=1e-6) and y == pytest.approx(0.0, abs=1e-6)
+    # the median is a data point when it dominates (Vardi-Zhang guard)
+    mp2 = Geom("MultiPoint", [(0, 0), (0, 0), (0, 0), (10, 0)])
+    x2, y2 = G.geometric_median(mp2)
+    assert abs(x2) < 1e-6 and abs(y2) < 1e-6
+    assert G.geometric_median(Geom("Point", (3, 4))) == (3.0, 4.0)
+    assert G.geometric_median(Geom("MultiPoint", [])) is None
+    # optimality: the returned point beats small perturbations
+    def cost(px, py):
+        return sum(math.hypot(px - a, py - b) for a, b in
+                   [(0, 0), (2, 0), (1, 5), (1, -5)])
+    c0 = cost(x, y)
+    for dx, dy in ((0.01, 0), (-0.01, 0), (0, 0.01), (0, -0.01)):
+        assert c0 <= cost(x + dx, y + dy) + 1e-9
+
+
+def test_simplify_vw_kernel():
+    l = Geom("LineString", [(0, 0), (5, 0.1), (10, 0), (15, 5)])
+    assert G.simplify_vw(l, 1.0).coords == [(0, 0), (10, 0), (15, 5)]
+    # endpoints always survive
+    assert G.simplify_vw(l, 1e9).coords == [(0, 0), (15, 5)]
+    sq = Geom("Polygon", [[(0, 0), (4, 0), (4, 0.01), (4, 4), (0, 4), (0, 0)]])
+    out = G.simplify_vw(sq, 0.5)
+    assert out.coords == [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]]
+    assert G.area(out) == pytest.approx(16.0)
+    # a ring never collapses below a triangle
+    tri = G.simplify_vw(SQ, 1e9)
+    assert len(tri.coords[0]) >= 4
+
+
+def test_wave7_spark_sql(spark):
+    from datafusion_spatial_spark.functions.accessors import (
+        st_geometricmedian,
+        st_mmax,
+        st_simplifyvw,
+        st_xmax,
+        st_xmin,
+        st_zmin,
+    )
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    df = spark.createDataFrame(
+        [(1, "LINESTRING ZM (0 0 5 1, 10 2 7 3)"),
+         (2, "MULTIPOINT ((0 0), (2 0), (1 5), (1 -5))")],
+        "id long, w string",
+    )
+    g = df.select("id", st_geomfromtext("w").alias("g"))
+    out = {r.id: r for r in g.select(
+        "id",
+        st_xmin("g", W).alias("x0"),
+        st_xmax("g", W).alias("x1"),
+        st_zmin("g", W).alias("z0"),
+        st_mmax("g", W).alias("m1"),
+        st_geometricmedian("g", W).alias("gm"),
+    ).collect()}
+    assert out[1].x0 == 0 and out[1].x1 == 10
+    assert out[1].z0 == 5.0 and out[1].m1 == 3.0
+    assert out[2].z0 is None
+    gm = wkb.loads(bytes(out[2].gm))
+    assert gm.coords[0] == pytest.approx(1.0, abs=1e-6)
+
+    s = SpatialSQL(spark)
+    s.register_view("t18", with_geo_meta(g, "g", W))
+    r2 = s.sql(
+        "SELECT id, ST_XMax(g) AS x1, ST_MMax(g) AS m1, "
+        "ST_AsText(ST_GeometricMedian(g)) AS gm, "
+        "ST_AsText(ST_SimplifyVW(g, 1.0)) AS vw, "
+        "ST_AsText(ST_SimplifyPreserveTopology(g, 0.5)) AS sp "
+        "FROM t18 ORDER BY id"
+    ).collect()
+    assert r2[0].x1 == 10.0 and r2[0].m1 == 3.0
+    assert r2[1].gm.startswith("POINT (")
+    assert r2[0].vw.startswith("LINESTRING")
