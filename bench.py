@@ -47,6 +47,36 @@ def bench_queries():
         docs = load_table(spark, sf_dir, "documents")
         return text_stats(docs, "text", "doc_id")
 
+    def fact_smj_control(spark, sf_dir):
+        # r12 (VERDICT r11 #2): the SHUFFLE control. q05 drifted to
+        # all-broadcast once sf0.1 statistics let every pruned dim fit
+        # the size estimate, leaving only agg exchanges — useless for
+        # separating shuffle weather from CPU drift. This control is a
+        # fact-fact orders⋈lineitem join with explicit MERGE hints on
+        # BOTH sides, so no statistics change can flip it to broadcast:
+        # the cost is the two fact-side sort-merge shuffles by design.
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        j = li.hint("merge").join(
+            orders.hint("merge"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        return (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue"),
+                F.count("*").alias("n"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
     def media_features(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
         media = docs.select(
@@ -60,6 +90,7 @@ def bench_queries():
     return {
         "q01_pricing_summary": q["q01_pricing_summary"],
         "q05_region_revenue": q["q05_region_revenue"],
+        "q_fact_smj_control": fact_smj_control,
         # kept as its own bench series even though the gate entry merged
         # into q_window_suite (round 8): the timing history stays comparable
         "q_window_top3_orders": entry_mod._sql_query(
@@ -90,17 +121,21 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
     shuffle_plan: dict[str, int] = {}
+    plans: dict[str, dict[str, int]] = {}
     for name, fn in bench_queries().items():
         df = fn(spark, sf_dir)
         df.collect()  # warmup: JIT, file listing, broadcast
-        if name == "q05_region_revenue":
-            # r11 (VERDICT r10 #7): fingerprint the shuffle control's
-            # EXECUTED join shape in the JSON every round, so an AQE /
-            # conf / statistics change that alters what "shuffle-bound"
-            # means is visible in the series instead of silently
-            # re-baselining every normalized_shuffle ratio.
+        if name in ("q05_region_revenue", "q_fact_smj_control"):
+            # r11 (VERDICT r10 #7): fingerprint each control's EXECUTED
+            # join shape in the JSON every round, so an AQE / conf /
+            # statistics change that alters what "shuffle-bound" means is
+            # visible in the series instead of silently re-baselining
+            # every normalized_shuffle ratio. r12: q05 drifted to
+            # all-broadcast, so the merge-hinted q_fact_smj_control is
+            # now the shuffle control; q05 stays timed + fingerprinted
+            # for series continuity.
             plan = df._jdf.queryExecution().executedPlan().toString()
-            shuffle_plan = {
+            plans[name] = {
                 k: plan.count(k)
                 for k in ("SortMergeJoin", "BroadcastHashJoin",
                           "ShuffledHashJoin", "Exchange")
@@ -111,6 +146,7 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+    shuffle_plan = plans.get("q_fact_smj_control", {})
     spark.stop()
 
     # drift normalization (VERDICT r8 #1): q01_pricing_summary is pure
@@ -130,9 +166,10 @@ def main() -> None:
     # queries should be compared on normalized_shuffle, CPU-bound ones on
     # normalized. control_of records the appropriate control per query.
     control = "q01_pricing_summary"
-    control_shuffle = "q05_region_revenue"
+    control_shuffle = "q_fact_smj_control"
     control_of = {
         "q05_region_revenue": "shuffle",
+        "q_fact_smj_control": "shuffle",
         "q_window_top3_orders": "shuffle",
         "q_events_sessionize": "shuffle",
         "q_st_envelope_by_nation": "cpu",
@@ -168,6 +205,7 @@ def main() -> None:
                 "control_shuffle": control_shuffle,
                 "control_shuffle_sec": timings.get(control_shuffle),
                 "control_shuffle_plan": shuffle_plan,
+                "q05_plan": plans.get("q05_region_revenue", {}),
                 "normalized_shuffle": normalized_shuffle,
                 "control_of": control_of,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

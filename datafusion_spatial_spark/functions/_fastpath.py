@@ -54,8 +54,30 @@ def point_xy_batch(s: pd.Series):
     try:
         lens = np.fromiter((len(v) for v in vals), np.int64, count=m)
         reclen = int(lens[0])
-        if reclen not in _POINT_TYPES or not (lens == reclen).all():
+        if reclen not in _POINT_TYPES:
             return None
+        if not (lens == reclen).all():
+            # r12 (VERDICT r11 #4): points mixing dim tags have mixed
+            # record lengths (21/29/37) — partition by length, decode
+            # each uniform slice, scatter into the full-batch arrays.
+            if not np.isin(lens, list(_POINT_TYPES)).all():
+                return None
+            x = np.full(n, np.nan)
+            y = np.full(n, np.nan)
+            valid = np.zeros(n, dtype=bool)
+            full_vals = s.to_numpy(dtype=object)
+            for rl in np.unique(lens):
+                pos = ii[lens == rl]
+                sub = point_xy_batch(
+                    pd.Series(list(full_vals[pos]), dtype=object)
+                )
+                if sub is None:
+                    return None
+                sx, sy, sv = sub
+                x[pos] = sx
+                y[pos] = sy
+                valid[pos] = sv
+            return x, y, valid
         joined = b"".join(vals)
     except TypeError:
         return None  # non-bytes value in the column
@@ -91,6 +113,75 @@ def _multi_arange(starts, lengths):
         - np.repeat(out_start, lengths)
         + np.repeat(starts, lengths)
     )
+
+
+def _mixed_dim_stitch(s: pd.Series, words, ii, n: int, with_rings: bool):
+    """Mixed-DIMENSION batch sweep (r12, VERDICT r11 #4): rows share one
+    base gtype but carry different ISO dim tags (2-D / Z / M / ZM).
+    Partition the non-null rows by tag, run :func:`flat_coords_batch` on
+    each uniform slice, and stitch the per-slice vertex streams and group
+    descriptors back into GLOBAL row order.
+
+    Correctness of the merge: each full-batch row lives in exactly one
+    slice, a slice keeps its groups in (row, part, ordinal) order, and a
+    stable sort of the concatenated groups by global row therefore yields
+    global (row, part, ordinal) order with each row's vertex block
+    contiguous — exactly the contract ``_sweep_from_flat`` consumes. The
+    vertex stream is re-laid-out per slice with one vectorized
+    multi-arange scatter (no per-row Python loop).
+
+    GeometryCollections (gtype 7) are excluded: their descriptor carries
+    flattened leaf-member ordinals and nested member TREES whose global
+    renumbering is not worth the risk for the rarest batch class — those
+    keep the scalar fallback. Mixed base GTYPES (line + polygon in one
+    batch) also stay scalar; this path is only about dimension tags.
+    """
+    base = words % 1000
+    b0 = int(base[0])
+    if b0 not in (2, 3, 4, 5, 6) or not (base == b0).all():
+        return None
+    dims = words // 1000
+    vals = s.to_numpy(dtype=object)
+    counts = np.zeros(n, np.int64)
+    pieces = []  # (global_rows, sub_counts, xs, ys, info)
+    for d in np.unique(dims):
+        pos = ii[dims == d]  # global row indices of this slice
+        sub = pd.Series(list(vals[pos]), dtype=object)
+        fc = flat_coords_batch(sub, with_rings=with_rings)
+        if fc is None:
+            return None
+        if with_rings:
+            sxs, sys_, scnt, sinfo = fc
+            if sinfo is None:
+                return None
+        else:
+            sxs, sys_, scnt = fc
+            sinfo = None
+        counts[pos] = scnt
+        pieces.append((pos, scnt, sxs, sys_, sinfo))
+    total = int(counts.sum())
+    xs = np.empty(total, np.float64)
+    ys = np.empty(total, np.float64)
+    vstart = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    for pos, scnt, sxs, sys_, _si in pieces:
+        idx = _multi_arange(vstart[pos], scnt)
+        xs[idx] = sxs
+        ys[idx] = sys_
+    if not with_rings:
+        return xs, ys, counts
+    kinds = {p[4]["kind"] for p in pieces}
+    if len(kinds) != 1:
+        return None  # cannot happen for one base gtype; belt-and-braces
+    kind = kinds.pop()
+    g_rows = np.concatenate([p[0][p[4]["rows"]] for p in pieces])
+    perm = np.argsort(g_rows, kind="stable")
+    info = {"kind": kind, "rows": g_rows[perm]}
+    for field in ("vcounts", "part", "ord"):
+        if all(field in p[4] for p in pieces):
+            info[field] = np.concatenate(
+                [p[4][field] for p in pieces]
+            )[perm]
+    return xs, ys, counts, info
 
 
 def flat_coords_batch(s: pd.Series, with_rings: bool = False):
@@ -162,8 +253,14 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
     elif 3001 <= graw <= 3007:
         toff, vsize = 3000, 32
     gtype = graw - toff
-    if gtype not in (2, 3, 4, 5, 6, 7) or not (words == graw).all():
+    if gtype not in (2, 3, 4, 5, 6, 7):
         return None
+    if not (words == graw).all():
+        # r12 (VERDICT r11 #4): a batch mixing dimension TAGS of one base
+        # gtype (e.g. 2-D and Z LineStrings) partitions by tag, sweeps
+        # each now-uniform slice recursively, and stitches the streams
+        # back in global row order — the last scalar-fallback class.
+        return _mixed_dim_stitch(s, words, ii, n, with_rings)
     psize = 5 + vsize  # full point-record size at this dimension
     nitems = (
         arr[(rec_starts[:, None] + np.arange(5, 9)[None, :]).ravel()]

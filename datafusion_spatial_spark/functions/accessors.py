@@ -739,6 +739,13 @@ def _line_edit(fn):
         out = fn(list(g.coords))
         if out is None or len(out) < 2:
             return None
+        # Inserted/replacement vertices arrive 2-D; pad to the line's
+        # coordinate width with 0.0 (PostGIS coerces the point to the
+        # line's dims) so the WKB writer never NaN-pads a Z/M line.
+        width = 2 + (1 if g.has_z else 0) + (1 if g.has_m else 0)
+        out = [
+            tuple(v)[:width] + (0.0,) * max(0, width - len(v)) for v in out
+        ]
         return wkb.Geom("LineString", out, g.has_z, None, g.has_m)
 
     return _geom_out(inner)
@@ -823,6 +830,101 @@ def st_scroll(
     return _geom_out(lambda g: _scroll(g, float(x), float(y)))(col, meta)
 
 
+# -- PostGIS-signature (geometry-argument) forms of the line editors.
+# PostGIS ST_AddPoint/ST_SetPoint take a POINT geometry, not x/y literals
+# (ADVICE r11); these binary forms accept any point column/literal and map
+# the point's ordinates positionally onto the line's coordinate width,
+# padding with 0.0.
+
+
+def _pad_vertex(coords, width):
+    c = tuple(coords)
+    return c[:width] + (0.0,) * max(0, width - len(c))
+
+
+def _line_point_edit(fn):
+    """(line-coords, vertex, width -> coords|None) lifted to a binary
+    (line, point) -> WKB function; non-line / non-point input -> NULL."""
+
+    def kernel(gl, gp):
+        if gl.type_name != "LineString" or len(gl.coords) < 2:
+            return None
+        if gp.type_name != "Point" or gp.is_empty:
+            return None
+        width = 2 + (1 if gl.has_z else 0) + (1 if gl.has_m else 0)
+        coords = [_pad_vertex(v, width) for v in gl.coords]
+        out = fn(coords, _pad_vertex(gp.coords, width))
+        if out is None or len(out) < 2:
+            return None
+        return wkb.dumps(
+            wkb.Geom("LineString", out, gl.has_z, None, gl.has_m)
+        )
+
+    return kernel
+
+
+def st_addpoint_geom(
+    line: Column | str, point: Column | str,
+    meta_line: GeometryMeta, meta_point: GeometryMeta,
+    position: int = -1,
+) -> Column:
+    """PostGIS ST_AddPoint(line, point [, position]) — geometry-argument
+    form; WKB out."""
+    pos = int(position)
+
+    def ed(coords, v):
+        if pos == -1 or pos >= len(coords):
+            coords.append(v)
+        elif 0 <= pos:
+            coords.insert(pos, v)
+        else:
+            return None
+        return coords
+
+    return _binary_geom_fn(_line_point_edit(ed), T.BinaryType())(
+        line, point, meta_line, meta_point
+    )
+
+
+def st_setpoint_geom(
+    line: Column | str, position: int, point: Column | str,
+    meta_line: GeometryMeta, meta_point: GeometryMeta,
+) -> Column:
+    """PostGIS ST_SetPoint(line, index, point) — geometry-argument form;
+    WKB out."""
+    position = int(position)
+
+    def ed(coords, v):
+        pos = position
+        if pos < 0:
+            pos += len(coords)
+        if not (0 <= pos < len(coords)):
+            return None
+        coords[pos] = v
+        return coords
+
+    return _binary_geom_fn(_line_point_edit(ed), T.BinaryType())(
+        line, point, meta_line, meta_point
+    )
+
+
+def st_scroll_geom(
+    line: Column | str, point: Column | str,
+    meta_line: GeometryMeta, meta_point: GeometryMeta,
+) -> Column:
+    """PostGIS ST_Scroll(line, point) — geometry-argument form; WKB out."""
+
+    def kernel(gl, gp):
+        if gp.type_name != "Point" or gp.is_empty:
+            return None
+        r = _scroll(gl, float(gp.coords[0]), float(gp.coords[1]))
+        return None if r is None else wkb.dumps(r)
+
+    return _binary_geom_fn(kernel, T.BinaryType())(
+        line, point, meta_line, meta_point
+    )
+
+
 def _bounding_diagonal(g):
     bb = geom_ops._bbox(g)
     if bb is None:
@@ -833,17 +935,28 @@ def _bounding_diagonal(g):
 st_boundingdiagonal = _geom_out(_bounding_diagonal, force2d=True)
 
 
+# Cap on points generated by st_lineinterpolatepoints(repeat=True): a
+# tiny fraction (e.g. 1e-9) would otherwise loop ~1/fraction times per
+# row and OOM the executor (ADVICE r11).
+_MAX_INTERP_POINTS = 1_000_000
+
+
 def st_lineinterpolatepoints(
     col: Column | str, fraction: float, meta: GeometryMeta,
     repeat: bool = True,
 ) -> Column:
     """PostGIS ST_LineInterpolatePoints: points at fraction, 2·fraction, …
     along the line as a MultiPoint (``repeat=False`` degenerates to the
-    single-point form)."""
+    single-point form).  ``repeat=True`` generates ~1/fraction points, so
+    fractions below 1/``_MAX_INTERP_POINTS`` return NULL rather than
+    building a runaway MultiPoint inside the UDF (same bounded-output
+    contract as the grid generators' max_cells)."""
     f = float(fraction)
 
     def fn(g):
         if not (0.0 < f <= 1.0):
+            return None
+        if repeat and f < 1.0 / _MAX_INTERP_POINTS:
             return None
         if not repeat:
             p = geom_ops.line_interpolate_point(g, f)

@@ -1448,63 +1448,10 @@ def _ring_self_intersects(ring) -> bool:
 def invalid_reason(geom: Geom) -> str | None:
     """OGC validity check; None when valid, else a short reason string
     (PostGIS ST_IsValidReason shape). Points/lines are always valid by
-    OGC rules (simplicity is a separate notion)."""
-    t = geom.type_name
-    if t in ("Point", "MultiPoint", "LineString", "MultiLineString"):
-        return None
-    if t == "GeometryCollection":
-        for m in geom.coords:
-            r = invalid_reason(m)
-            if r is not None:
-                return r
-        return None
-    polys = list(_polygons(geom))
-    for rings in polys:
-        for k, ring in enumerate(rings):
-            pts = [(p[0], p[1]) for p in ring]
-            if pts and pts[0] == pts[-1]:
-                pts = pts[:-1]
-            if len(pts) < 3:
-                return "ring with fewer than 3 distinct points"
-            if _ring_self_intersects(ring):
-                return "self-intersecting ring"
-            if abs(_ring_area2(pts + [pts[0]])) / 2 <= EPS:
-                return "zero-area ring"
-        shell = rings[0]
-        shell_geom = Geom("Polygon", [shell])
-        for hole in rings[1:]:
-            # hole must lie inside the shell (boundary contact allowed)
-            for p in hole:
-                if polygon_contains_point([shell], p[0], p[1]) == 0:
-                    return "hole outside shell"
-        # rings must not cross each other (finite contact allowed)
-        for i in range(len(rings)):
-            for j in range(i + 1, len(rings)):
-                overlap, _pts = _seg_sets_meet(
-                    _ring_segs([[rings[i]]]), _ring_segs([[rings[j]]])
-                )
-                if overlap:
-                    return "rings share a boundary segment"
-                # a hole's vertices strictly inside another hole → nested
-                if i > 0 and any(
-                    polygon_contains_point([rings[i]], p[0], p[1]) == 2
-                    for p in rings[j]
-                ):
-                    return "nested holes"
-    # multipolygon shells must have disjoint interiors
-    for i in range(len(polys)):
-        for j in range(i + 1, len(polys)):
-            si, sj = polys[i][0], polys[j][0]
-            if any(
-                polygon_contains_point([si], p[0], p[1]) == 2 for p in sj
-            ) or any(
-                polygon_contains_point([sj], p[0], p[1]) == 2 for p in si
-            ):
-                return "overlapping multipolygon members"
-            overlap, _ = _seg_sets_meet(_ring_segs([[si]]), _ring_segs([[sj]]))
-            if overlap:
-                return "multipolygon members share a boundary segment"
-    return None
+    OGC rules (simplicity is a separate notion). Thin wrapper over
+    :func:`invalid_detail`'s single validity walk — reason strings and
+    check order are shared by construction, not by convention."""
+    return invalid_detail(geom)[1]
 
 
 def is_valid(geom: Geom) -> bool:
@@ -7047,10 +6994,11 @@ def _ring_self_intersection_point(ring):
 
 
 def invalid_detail(geom: Geom):
-    """PostGIS ST_IsValidDetail: (valid, reason, location). The reason
-    strings are exactly :func:`invalid_reason`'s (same checks, same
-    order); location is the representative coordinate of the first
-    failure (best-effort — None when the class has no single point)."""
+    """PostGIS ST_IsValidDetail: (valid, reason, location). The ONE
+    validity walk — :func:`invalid_reason` is a wrapper that discards
+    the location, so reasons/order can't drift between the two.
+    Location is the representative coordinate of the first failure
+    (best-effort — None when the class has no single point)."""
     t = geom.type_name
     if t in ("Point", "MultiPoint", "LineString", "MultiLineString"):
         return True, None, None

@@ -589,6 +589,34 @@ def _build_signatures() -> dict:
         )
     for name, (kinds, b, om) in _FUNCTIONS_LIT.items():
         add(name, kinds, b, om)
+    # PostGIS geometry-argument forms of the line editors (ADVICE r11):
+    # ST_AddPoint(line, point [, pos]) / ST_SetPoint(line, idx, point) /
+    # ST_Scroll(line, point) resolve alongside the numeric-literal forms
+    # above — the dispatcher tries each overload by arg shape.
+    add(
+        "ST_ADDPOINT", ("g", "g"),
+        lambda a: _ac.st_addpoint_geom(a[0][0], a[1][0], a[0][1], a[1][1]),
+        _WKB,
+    )
+    add(
+        "ST_ADDPOINT", ("g", "g", "n"),
+        lambda a: _ac.st_addpoint_geom(
+            a[0][0], a[1][0], a[0][1], a[1][1], int(a[2])
+        ),
+        _WKB,
+    )
+    add(
+        "ST_SETPOINT", ("g", "n", "g"),
+        lambda a: _ac.st_setpoint_geom(
+            a[0][0], int(a[1]), a[2][0], a[0][1], a[2][1]
+        ),
+        _WKB,
+    )
+    add(
+        "ST_SCROLL", ("g", "g"),
+        lambda a: _ac.st_scroll_geom(a[0][0], a[1][0], a[0][1], a[1][1]),
+        _WKB,
+    )
     return sigs
 
 

@@ -1,13 +1,15 @@
-"""Two-control bench protocol pins (r11, VERDICT r10 #7).
+"""Two-control bench protocol pins (r11, VERDICT r10 #7; r12, r11 #2).
 
-The bench separates CPU drift from shuffle weather with two frozen
-controls: q01 (scan+agg, CPU-bound) and q05 (fact-side shuffle join,
-shuffle-bound). The shuffle control is only as good as its plan is
-stable — if an AQE or conf change silently turned q05's fact join into a
-broadcast, "shuffle-bound" would mean something else mid-series and every
-normalized_shuffle ratio would silently change meaning. This pins the
-executed shape at the bench scale (sf0.1): all dimension joins broadcast,
-EXACTLY ONE fact-side sort-merge join, zero cartesian/BNLJ.
+The bench separates CPU drift from shuffle weather with two controls:
+q01 (scan+agg, CPU-bound) and — since r12 — q_fact_smj_control, a
+merge-hinted fact-fact orders⋈lineitem join that is SMJ by construction.
+q05 (the original shuffle control) drifted to all-broadcast once sf0.1
+statistics let every pruned dimension fit the broadcast estimate
+(BENCH_r11 fingerprint: SMJ 0 / BHJ 10), which made normalized_shuffle a
+ratio against agg-exchange time only. q05 stays timed + fingerprinted
+for series continuity; the MERGE hints on the new control mean no
+statistics change can flip it to broadcast, so "shuffle-bound" keeps one
+meaning across rounds. This pins the invariants of all three.
 """
 import os
 
@@ -20,14 +22,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 @pytest.mark.skipif(
     not os.path.isdir(SF_DIR), reason="bench-scale testdata not present"
 )
-def test_q05_shuffle_control_plan_shape(spark):
-    """The exact SMJ-vs-BHJ split legitimately follows the testdata's
-    size statistics (at the current sf0.1 stats the column-pruned fact
-    side fits the broadcast estimate, so all five joins broadcast), so
-    the per-round JSON fingerprint (control_shuffle_plan) is what tracks
-    strategy flips; here we pin the INVARIANTS no statistics change may
-    break: five hash-family joins, shuffle exchanges present, no
-    cartesian/BNLJ, no Python."""
+def test_q05_series_query_plan_shape(spark):
+    """q05 is no longer THE shuffle control (r12) but stays in the bench
+    series; the exact SMJ-vs-BHJ split legitimately follows the
+    testdata's size statistics, so we pin only the INVARIANTS no
+    statistics change may break: five hash-family joins, shuffle
+    exchanges present, no cartesian/BNLJ, no Python."""
     import __spark_entry__ as entry_mod
 
     df = entry_mod.queries()["q05_region_revenue"](spark, SF_DIR)
@@ -39,12 +39,68 @@ def test_q05_shuffle_control_plan_shape(spark):
     # require at least the logical five and no other join families
     assert joins >= 5, plan[:4000]
     assert plan.count("Exchange") >= 2, (
-        "q05 lost its shuffle exchanges — no longer a shuffle control:\n"
-        + plan[:4000]
+        "q05 lost its shuffle exchanges:\n" + plan[:4000]
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "Python" not in plan  # pure-Catalyst control, no UDF creep
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="bench-scale testdata not present"
+)
+def test_fact_smj_control_plan_shape(spark):
+    """The r12 shuffle control MUST execute a genuine fact-side
+    SortMergeJoin — that is its whole purpose (VERDICT r11 #2). The
+    MERGE hints on both fact sides make this statistics-proof; if this
+    ever fails, the control's meaning broke, not just its speed."""
+    import bench as bench_mod
+
+    df = bench_mod.bench_queries()["q_fact_smj_control"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") >= 1, (
+        "q_fact_smj_control lost its SMJ — no longer a shuffle control:\n"
+        + plan[:4000]
+    )
+    assert "BroadcastHashJoin" not in plan, plan[:4000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan
+    assert plan.count("Exchange") >= 2, plan[:4000]
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="bench-scale testdata not present"
+)
+def test_fact_smj_control_values(spark):
+    """The control must also be CORRECT: revenue per order priority
+    matches a straight unhinted SQL aggregation."""
+    import bench as bench_mod
+    from datafusion_spatial_spark.sources.tables import load_table
+
+    got = {
+        r["o_orderpriority"]: (r["revenue"], r["n"])
+        for r in bench_mod.bench_queries()["q_fact_smj_control"](
+            spark, SF_DIR
+        ).collect()
+    }
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("b_orders")
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("b_li")
+    exp = {
+        r["o_orderpriority"]: (r["revenue"], r["n"])
+        for r in spark.sql(
+            """
+            SELECT o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   COUNT(*) AS n
+            FROM b_li JOIN b_orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            """
+        ).collect()
+    }
+    assert got == exp
 
 
 def test_bench_emits_shuffle_plan_fingerprint():
@@ -54,6 +110,7 @@ def test_bench_emits_shuffle_plan_fingerprint():
 
     src = inspect.getsource(bench_mod)
     assert "control_shuffle_plan" in src
+    assert "q05_plan" in src  # continuity fingerprint for the old control
 
 
 @pytest.mark.skipif(
@@ -80,8 +137,11 @@ def test_bench_json_carries_two_control_block():
 
     queries = dict(bench_mod.bench_queries())
     assert "q01_pricing_summary" in queries and "q05_region_revenue" in queries
+    assert "q_fact_smj_control" in queries
     import inspect
 
     src = inspect.getsource(bench_mod)
     for key in ("control_shuffle", "normalized_shuffle", "control_of"):
         assert key in src, f"bench.py lost the {key} field"
+    # the r12 shuffle control is the normalization base
+    assert 'control_shuffle = "q_fact_smj_control"' in src

@@ -219,14 +219,104 @@ def test_native_z_struct_sweeps():
     assert _native_sweep_batch(df, "LineString") is not None
 
 
-def test_mixed_dim_batch_falls_back():
-    """A batch mixing 2-D and Z records is non-uniform — decode refuses
-    (record lengths / type words disagree) and the scalar path decides."""
+def _mixed_dim_batch(gt, seed, n=80):
+    """One batch interleaving all four dim classes of a single gtype."""
+    rng = random.Random(seed)
+    geoms = []
+    for k in range(n):
+        hz, hm = [(False, False), (True, False), (False, True),
+                  (True, True)][k % 4]
+        dim = 2 + (1 if hz else 0) + (1 if hm else 0)
+        geoms.append(_make(rng, gt, dim, hz, hm))
+    return geoms
+
+
+@pytest.mark.parametrize("gt", [2, 3, 4, 5, 6])
+def test_mixed_dim_batch_sweeps(gt):
+    """r12 (VERDICT r11 #4): a batch mixing 2-D/Z/M/ZM records of one
+    base gtype PARTITIONS by dim tag and sweeps each uniform slice —
+    no scalar fallback left. Parity: kernel on force_2d, bit-exact."""
+    geoms = _mixed_dim_batch(gt, seed=gt)
+    batch = pd.Series(
+        [wkb.dumps(g) for g in geoms] + [None], dtype=object
+    )
+    fc = flat_coords_batch(batch, with_rings=True)
+    assert fc is not None, "mixed-dim batch fell out of the flat decode"
+    xs, ys, counts, info = fc
+    exp = []
+    for g in geoms:
+        exp.extend((p[0], p[1]) for p in G._all_coords(G.force_2d(g)))
+    assert counts[-1] == 0  # null row
+    assert int(counts.sum()) == len(exp)
+    assert np.array_equal(xs, np.array([p[0] for p in exp]))
+    assert np.array_equal(ys, np.array([p[1] for p in exp]))
+    for mode, fn in (("length", G.length), ("perimeter", G.perimeter),
+                     ("area", G.area)):
+        got = measure_fastpath(batch, mode)
+        assert got is not None, (mode, gt, "fell back")
+        expm = np.array([fn(G.force_2d(g)) for g in geoms])
+        assert (got.to_numpy()[:-1] == expm).all(), (mode, gt)
+        assert np.isnan(got.to_numpy()[-1])
+
+
+def test_mixed_dim_predicates_and_distance():
+    """MIXED-dim points vs a duplicate-heavy mixed-dim polygon batch
+    through the refine fastpaths (the grid-join shape), both operand
+    orders — neither side may fall back to the scalar loop."""
+    rng = random.Random(99)
+    # four uniques, one per dim class (duplicate-heavy: factorize gate)
+    shapes = []
+    for k, (hz, hm) in enumerate(
+        [(False, False), (True, False), (False, True), (True, True)]
+    ):
+        dim = 2 + (1 if hz else 0) + (1 if hm else 0)
+        shapes.append(wkb.dumps(_make(rng, [3, 6][k % 2], dim, hz, hm)))
+    n = 200
+    geo = pd.Series(
+        [shapes[rng.randrange(4)] for _ in range(n)], dtype=object
+    )
+    pts = []
+    for k in range(n):
+        hz, hm = [(False, False), (True, False), (False, True),
+                  (True, True)][k % 4]
+        dim = 2 + (1 if hz else 0) + (1 if hm else 0)
+        pts.append(wkb.dumps(wkb.Geom(
+            "Point",
+            tuple([rng.uniform(-1.2e5, 1.2e5), rng.uniform(-1.2e5, 1.2e5)]
+                  + [rng.uniform(-100, 100)] * (dim - 2)),
+            hz, None, hm,
+        )))
+    pts = pd.Series(pts, dtype=object)
+
+    def scalar(fn, sa, sb):
+        return [
+            fn(G.force_2d(wkb.loads(bytes(va))),
+               G.force_2d(wkb.loads(bytes(vb))))
+            for va, vb in zip(sa, sb)
+        ]
+
+    for mode, fn in (("intersects", G.intersects), ("disjoint", G.disjoint)):
+        for a, b in ((pts, geo), (geo, pts)):
+            got = predicate_fastpath(a, b, mode, "wkb", "wkb")
+            assert got is not None, (mode, "mixed-dim fell back")
+            assert list(got) == scalar(fn, a, b), mode
+    for a, b in ((pts, geo), (geo, pts)):
+        gd = distance_fastpath(a, b, "wkb", "wkb")
+        assert gd is not None, "mixed-dim distance fell back"
+        assert list(gd) == scalar(G.distance, a, b)
+
+
+def test_mixed_dim_gc_still_falls_back():
+    """GeometryCollections are excluded from the stitcher (leaf-member
+    ordinal/tree renumbering risk, rarest class): mixed-dim GC batches
+    keep the scalar fallback — and mixed base GTYPES do too."""
     rng = random.Random(5)
-    g2 = _make(rng, 2, 2, False, False)
-    g3 = _make(rng, 2, 3, True, False)
-    batch = pd.Series([wkb.dumps(g2), wkb.dumps(g3)], dtype=object)
+    gc2 = _make(rng, 7, 2, False, False)
+    gc3 = _make(rng, 7, 3, True, False)
+    batch = pd.Series([wkb.dumps(gc2), wkb.dumps(gc3)], dtype=object)
     assert flat_coords_batch(batch, with_rings=True) is None
-    # the public entry still answers correctly via the scalar kernels
-    out = measure_fastpath(batch, "length")
-    assert out is None  # falls back; caller runs the scalar loop
+    assert measure_fastpath(batch, "length") is None
+    line = _make(rng, 2, 2, False, False)
+    poly = _make(rng, 3, 3, True, False)
+    mixed_gt = pd.Series([wkb.dumps(line), wkb.dumps(poly)], dtype=object)
+    assert flat_coords_batch(mixed_gt, with_rings=True) is None
