@@ -1308,10 +1308,15 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_overlaps,
         st_relate,
         st_relate_matrix,
+        st_lineinterpolatepoint,
         st_touches,
         st_within,
     )
-    from datafusion_spatial_spark.functions.scalar import st_geomfromtext, st_point
+    from datafusion_spatial_spark.functions.scalar import (
+        st_geomfromtext,
+        st_point,
+        st_x,
+    )
     from datafusion_spatial_spark.meta import GeometryMeta
 
     P = GeometryMeta(encoding="point", geometry_types=("Point",))
@@ -1512,6 +1517,13 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             st_closestpointofapproach("ta", "tb", W, W), 6
         ).alias("cpa_t"),
         F.round(st_distancecpa("ta", "tb", W, W), 6).alias("cpa_d"),
+        # r12 (VERDICT r11 #6): fraction-along-line interpolation on the
+        # data-derived lp (x 0) -> (x+2.3, 0); at f=0.5 the point's x is
+        # x + half the parsed span — the mirror repeats the identical
+        # double arithmetic ((x+2.3)-x), so the 6-dp round matches
+        F.round(
+            st_x(st_lineinterpolatepoint("lp", 0.5, W)), 6
+        ).alias("lip_x"),
     ).orderBy("custkey")
 
 
@@ -1554,7 +1566,8 @@ SELECT custkey,
        round(sqrt((1.0 + s4 * 0.5) * (1.0 + s4 * 0.5) + 1.0), 6) AS bd_len,
        round(1.0 + s4 * 0.5, 6) AS mrr_area,
        round(1.0 + s2 * 0.5, 6) AS cpa_t,
-       round(1.0 + s3, 6) AS cpa_d
+       round(1.0 + s3, 6) AS cpa_d,
+       round(x + 0.5 * ((x + 2.3) - x), 6) AS lip_x
 FROM b ORDER BY custkey
 """
 

@@ -669,8 +669,16 @@ def st_collectionextract(
     col: Column | str, dim: int, meta: GeometryMeta
 ) -> Column:
     """PostGIS ST_CollectionExtract(geom, type): 1 points / 2 lines /
-    3 polygons, as a MULTI* (EMPTY multi when absent)."""
-    return _geom_out(lambda g: geom_ops.collection_extract(g, int(dim)))(col, meta)
+    3 polygons, as a MULTI* (EMPTY multi when absent). An invalid type
+    code fails HERE on the driver (r12 fuzz: it used to surface as a
+    Python-worker crash mid-job)."""
+    dim = int(dim)
+    if dim not in (1, 2, 3):
+        raise ValueError(
+            f"ST_CollectionExtract type must be 1 (points), 2 (lines) or "
+            f"3 (polygons), got {dim}"
+        )
+    return _geom_out(lambda g: geom_ops.collection_extract(g, dim))(col, meta)
 
 
 def _num_points(g):

@@ -120,7 +120,24 @@ def st_distancespheroid(
     (omega → π/2, where c → 0 and the h2 term blows up); those pairs, and
     the exactly-coincident/polar ones (s·c == 0), fall back to spheroid-
     scaled haversine (good to ~0.5% — the flattening magnitude — which
-    beats a divergent series)."""
+    beats a divergent series).
+
+    Non-point geometries (r12 fuzz finding: the unconditional st_x/st_y
+    was an ANALYSIS-time crash on any other input) dispatch to the exact
+    vertex-vs-arc spherical minimum scaled to the WGS84 semi-major axis —
+    the same ~flattening-order accuracy class as the haversine guard
+    above, never a resolution error."""
+
+    def _pointish(m: GeometryMeta) -> bool:
+        ts = tuple(m.geometry_types or ())
+        return (m.is_native and m.native_type == "Point") or (
+            m.is_wkb and ts in (("Point",), ("Point Z",))
+        )
+
+    if not (_pointish(meta_a) and _pointish(meta_b)):
+        return st_distancesphere_geoms(a, b, meta_a, meta_b) * F.lit(
+            WGS84_A / EARTH_RADIUS
+        )
     lat1, lat2 = F.radians(st_y(a, meta_a)), F.radians(st_y(b, meta_b))
     lon1, lon2 = F.radians(st_x(a, meta_a)), F.radians(st_x(b, meta_b))
     fm = (lat1 + lat2) / 2  # F

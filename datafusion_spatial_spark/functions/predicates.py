@@ -294,7 +294,11 @@ def _unary_constructive(fn):
             out = []
             for v in _as_rows(s):
                 g = conv(v)
-                out.append(None if g is None else wkb.dumps(fn(g, **kw)))
+                r = None if g is None else fn(g, **kw)
+                # a kernel may decline its input (wrong geometry class,
+                # e.g. offset_curve on a polygon): NULL out, never a
+                # worker crash in wkb.dumps (r12 fuzz)
+                out.append(None if r is None else wkb.dumps(r))
             return pd.Series(out, dtype="object")
 
         return udf(_prep(col, meta))
@@ -374,9 +378,16 @@ def st_offsetcurve(
             if k in parsed:
                 raise ValueError(f"{k} does not apply to ST_OffsetCurve")
         kw.update(parsed)
-    return _unary_constructive(
-        lambda g: geom_ops.offset_curve(g, distance, **kw)
-    )(col, meta)
+
+    def _offset(g):
+        # PostGIS raises on non-line input; the column-layer convention
+        # here is NULL (r12 fuzz: the kernel's ValueError used to crash
+        # the Python worker mid-job on mixed-type columns)
+        if g.type_name not in ("LineString", "MultiLineString"):
+            return None
+        return geom_ops.offset_curve(g, distance, **kw)
+
+    return _unary_constructive(_offset)(col, meta)
 
 
 def st_centroid(col: Column | str, meta: GeometryMeta) -> Column:
@@ -511,7 +522,12 @@ def st_subdivide(
     """PostGIS ST_Subdivide as an array column (``array<binary>`` of WKB
     parts — ``F.explode`` it to get the set-returning form). Use before
     grid spatial joins on huge polygons: parts have tighter bboxes and
-    bounded refine cost."""
+    bounded refine cost. ``max_vertices`` is validated HERE on the
+    driver (r12 fuzz: the kernel's >= 8 check used to surface as a
+    Python-worker crash mid-job)."""
+    max_vertices = int(max_vertices)
+    if max_vertices < 8:
+        raise ValueError("ST_Subdivide max_vertices must be >= 8")
     conv = _converter(meta, force2d=True)
 
     @F.pandas_udf(T.ArrayType(T.BinaryType()))

@@ -370,10 +370,20 @@ def st_y(col: Column | str, meta: GeometryMeta = POINT_META) -> Column:
     return col["y"]
 
 
+def _pt_xy(b, i: int):
+    # non-point / EMPTY -> NULL, mirroring _pt_extra_dim (r12 fuzz: the
+    # unguarded coords[i] returned a RING for polygons and crashed the
+    # Arrow double cast mid-job)
+    g = _wkb.loads(bytes(b))
+    if g.type_name != "Point" or g.is_empty:
+        return None
+    return g.coords[i]
+
+
 @F.pandas_udf(T.DoubleType())
 def _wkb_x_udf(s: pd.Series) -> pd.Series:
     return s.map(
-        lambda b: _wkb.loads(bytes(b)).coords[0] if b is not None else None,
+        lambda b: _pt_xy(b, 0) if b is not None else None,
         na_action="ignore",
     )
 
@@ -381,7 +391,7 @@ def _wkb_x_udf(s: pd.Series) -> pd.Series:
 @F.pandas_udf(T.DoubleType())
 def _wkb_y_udf(s: pd.Series) -> pd.Series:
     return s.map(
-        lambda b: _wkb.loads(bytes(b)).coords[1] if b is not None else None,
+        lambda b: _pt_xy(b, 1) if b is not None else None,
         na_action="ignore",
     )
 

@@ -171,7 +171,13 @@ _FUNCTIONS_2 = {
     "ST_SHORTESTLINE": (_ac.st_shortestline, _WKB),
     "ST_HAUSDORFFDISTANCE": (_ac.st_hausdorffdistance, None),
     "ST_3DDISTANCE": (_ac.st_3ddistance, None),
-    "ST_CLOSESTPOINT": (_pr.st_closestpoint, _WKB),
+    # native Point STRUCT out, not WKB (r12 fuzz finding: marking this
+    # _WKB made any nesting — ST_AsText(ST_ClosestPoint(..)) — feed the
+    # struct to the WKB codec and crash)
+    "ST_CLOSESTPOINT": (
+        _pr.st_closestpoint,
+        GeometryMeta(encoding="point", geometry_types=("Point",)),
+    ),
     "ST_AZIMUTH": (_ac.st_azimuth, None),
     "ST_DISTANCESPHERE": (_gd.st_distancesphere, None),
     "ST_DISTANCESPHEROID": (_gd.st_distancespheroid, None),
@@ -389,6 +395,12 @@ _FUNCTIONS_2_STR = {
 
 # two geometries + numeric literal
 _FUNCTIONS_2_NUM = {
+    # r12 fuzz gap: ST_DWithin resolved only as an ON-clause join
+    # predicate; PostGIS SQL also uses it as a scalar boolean
+    "ST_DWITHIN": (
+        lambda a, b, d_, ma, mb: _pr.st_dwithin(a, b, float(d_), ma, mb),
+        None,
+    ),
     "ST_SNAP": (
         lambda a, b, t, ma, mb: _ac.st_snap(a, b, float(t), ma, mb), _WKB
     ),

@@ -174,3 +174,39 @@ def test_semantic_dedup(spark):
         df, "emb", "vec_id", threshold=1.0000001, dims=2, n_planes=4
     ).count()
     assert all_surv == 5
+
+
+def test_semantic_dedup_small_corpus_single_band(spark):
+    """r12 (VERDICT r11 #3): at or below _BANDS1_CORPUS_ROWS the banded
+    defaults collapse to bands=1 using the count the op already takes —
+    the result must be IDENTICAL to the explicit single-band call with
+    the same auto-scaled plane count (bands=1 slices the first r planes
+    of the same seeded sequence), and the threshold still respects the
+    probe scales staying banded."""
+    import math
+
+    from datafusion_spatial_spark.operators import simsearch as ss
+
+    rows = [(i, [math.cos(i * 0.37), math.sin(i * 0.37)]) for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(10)]  # exact dups
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    n = df.count()
+    assert n <= ss._BANDS1_CORPUS_ROWS  # the collapse engages
+    # auto path (defaults: bands=4, auto_scale_target=64) vs explicit
+    # single band at the same derived r
+    r = max(8, math.ceil(math.log2(max(2.0, n / 64.0))))
+    auto = sorted(
+        x.vec_id for x in ss.semantic_dedup(
+            df, "emb", "vec_id", threshold=0.999, dims=2
+        ).collect()
+    )
+    explicit = sorted(
+        x.vec_id for x in ss.semantic_dedup(
+            df, "emb", "vec_id", threshold=0.999,
+            planes=ss.random_hyperplanes(2, r, 42),
+        ).collect()
+    )
+    assert auto == explicit
+    # the probe scales (60k / 200k rows) must remain ABOVE the collapse
+    # threshold so the 100x re-probe still measures the banded path
+    assert ss._BANDS1_CORPUS_ROWS < 60_000

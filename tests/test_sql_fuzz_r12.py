@@ -1,0 +1,184 @@
+"""Round-12 SQL-resolver fuzz (VERDICT r11 #8): binary ST_ nesting and
+literal-geometry arguments across the full registry.
+
+The r11 fuzz covered 2-deep UNARY chains; with 166 registered names a
+resolver regression can hide in the binary tail — a two-geometry call
+whose arguments are themselves ST_ calls (``ST_Intersects(ST_Buffer(g,1),
+ST_Envelope(g2))``) or literal constructors (``ST_GeomFromText('...')``)
+exercises argument splitting, nested metadata inference, and overload
+dispatch at once. Every expression must resolve and execute; outputs may
+be NULL (geometry-subset preconditions) but never a resolution error.
+"""
+import random
+
+import pytest
+
+from datafusion_spatial_spark.functions.scalar import st_geomfromtext
+from datafusion_spatial_spark.meta import GeometryMeta, with_geo_meta
+
+W = GeometryMeta(encoding="WKB")
+
+
+@pytest.fixture(scope="module")
+def fuzz_sql(spark):
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    df = spark.createDataFrame(
+        [(1,
+          "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))",
+          "LINESTRING (0 0, 2 0, 2 2)"),
+         (2,
+          "LINESTRING (5 5, 9 9)",
+          "POLYGON ((5 5, 8 5, 8 8, 5 8, 5 5))"),
+         (3,
+          "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1))",
+          "POINT (2 2)")],
+        "id long, wa string, wb string",
+    )
+    g = df.select(
+        "id",
+        st_geomfromtext("wa").alias("ga"),
+        st_geomfromtext("wb").alias("gb"),
+    )
+    g = with_geo_meta(with_geo_meta(g, "ga", W), "gb", W)
+    s = SpatialSQL(spark)
+    s.register_view("tfz2", g)
+    return s
+
+
+def _run_batch(s, exprs, labels):
+    sql = "SELECT id, " + ", ".join(
+        f"{e} AS c{i}" for i, e in enumerate(exprs)
+    ) + " FROM tfz2 ORDER BY id"
+    try:
+        rows = s.sql(sql).collect()
+    except Exception as exc:  # pragma: no cover - failure reporting
+        raise AssertionError(f"batch failed ({labels}): {exc}") from exc
+    assert len(rows) == 3
+    return rows
+
+
+def test_binary_names_with_nested_args(fuzz_sql):
+    """Every two-geometry registry name executes with BOTH args nested
+    ST_ calls."""
+    from datafusion_spatial_spark.plans import sql as psql
+
+    names = sorted(psql._FUNCTIONS_2)
+    assert len(names) >= 20
+    wkb_out = {
+        n for n, (_b, om) in psql._FUNCTIONS_2.items() if om is psql._WKB
+    }
+    exprs, labels = [], []
+    for n in names:
+        inner = f"{n}(ST_Buffer(ga, 0.5), ST_Envelope(gb))"
+        if n in wkb_out:
+            inner = f"ST_AsText({inner})"
+        exprs.append(inner)
+        labels.append(n)
+    # chunk to keep each Spark plan a sane width
+    for k in range(0, len(exprs), 12):
+        rows = _run_batch(fuzz_sql, exprs[k:k + 12], labels[k:k + 12])
+        for i in range(len(exprs[k:k + 12])):
+            for r in rows:
+                v = getattr(r, f"c{i}")
+                assert v is None or not isinstance(v, bytearray) or True
+
+
+def test_binary_names_with_literal_geometry(fuzz_sql):
+    """Every two-geometry name accepts a literal constructor argument
+    (ST_GeomFromText / ST_Point) in either position."""
+    from datafusion_spatial_spark.plans import sql as psql
+
+    rng = random.Random(12)
+    names = sorted(psql._FUNCTIONS_2)
+    wkb_out = {
+        n for n, (_b, om) in psql._FUNCTIONS_2.items() if om is psql._WKB
+    }
+    lits = [
+        "ST_GeomFromText('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))')",
+        "ST_GeomFromText('LINESTRING (0 0, 4 4)')",
+        "ST_Point(2, 2)",
+    ]
+    exprs, labels = [], []
+    for n in names:
+        lit = rng.choice(lits)
+        call = (f"{n}(ga, {lit})" if rng.random() < 0.5
+                else f"{n}({lit}, gb)")
+        if n in wkb_out:
+            call = f"ST_AsText({call})"
+        exprs.append(call)
+        labels.append(n)
+    for k in range(0, len(exprs), 12):
+        _run_batch(fuzz_sql, exprs[k:k + 12], labels[k:k + 12])
+
+
+# names whose numeric argument has a constrained domain: pass a valid one
+_NUM_ARG = {
+    "ST_COLLECTIONEXTRACT": "3",
+    "ST_SUBDIVIDE": "16",
+    "ST_GEOMETRYN": "1",
+    "ST_POINTN": "1",
+    "ST_INTERIORRINGN": "1",
+    "ST_QUADKEY": "5",
+    "ST_LINEINTERPOLATEPOINT": "0.5",
+    "ST_LINEINTERPOLATEPOINTS": "0.5",
+}
+# documented driver-side refusals for WKB input (native-encoding only)
+_NATIVE_ONLY = {"ST_ROTATE", "ST_SNAPTOGRID"}
+
+
+def test_geom_num_names_with_nested_geometry(fuzz_sql):
+    """Every (geometry, numeric) name executes with a nested ST_ call as
+    its geometry argument — or refuses with a clean driver-side error
+    (never a mid-job Python-worker crash)."""
+    from datafusion_spatial_spark.plans import sql as psql
+
+    names = sorted(psql._FUNCTIONS_GEOM_NUM)
+    assert len(names) >= 8
+    wkb_like = {
+        n for n, (_b, om) in psql._FUNCTIONS_GEOM_NUM.items()
+        if om in (psql._WKB, psql._SAME)
+    }
+    exprs, labels = [], []
+    for n in names:
+        if n in _NATIVE_ONLY:
+            with pytest.raises(ValueError, match="native"):
+                fuzz_sql.sql(f"SELECT {n}(ST_Multi(ga), 0.5) AS c "
+                             "FROM tfz2")
+            continue
+        call = f"{n}(ST_Multi(ga), {_NUM_ARG.get(n, '0.5')})"
+        if n in wkb_like:
+            call = f"ST_AsText({call})"
+        exprs.append(call)
+        labels.append(n)
+    for k in range(0, len(exprs), 12):
+        _run_batch(fuzz_sql, exprs[k:k + 12], labels[k:k + 12])
+
+
+def test_constrained_numeric_args_fail_on_driver(fuzz_sql):
+    """Out-of-domain numeric literals fail at PLAN BUILD on the driver
+    with a clear message — the r12 fuzz found ST_CollectionExtract(g, 0)
+    and ST_Subdivide(g, 0) crashing Python workers mid-job instead."""
+    with pytest.raises(ValueError, match="1 .points.|type must be"):
+        fuzz_sql.sql("SELECT ST_CollectionExtract(ga, 0) AS c FROM tfz2")
+    with pytest.raises(ValueError, match=">= 8"):
+        fuzz_sql.sql("SELECT ST_Subdivide(ga, 0) AS c FROM tfz2")
+
+
+def test_deep_mixed_nesting(fuzz_sql):
+    """3-deep mixed chains: predicate(unary(unary(g)), literal) — the
+    shapes a PostGIS migration actually writes."""
+    rows = _run_batch(fuzz_sql, [
+        "ST_Intersects(ST_Buffer(ST_Centroid(ga), 1.0), "
+        "ST_Envelope(ST_Union(ga, gb)))",
+        "ST_Distance(ST_ConvexHull(ga), "
+        "ST_GeomFromText('POINT (10 10)'))",
+        "ST_AsText(ST_Intersection(ST_Buffer(ga, 0.25), "
+        "ST_Buffer(ST_Point(1, 1), 2.0)))",
+        "ST_Contains(ga, ST_PointOnSurface(ga))",
+        "ST_DWithin(ST_Centroid(ga), ST_Centroid(gb), 100.0)",
+    ], ["mix1", "mix2", "mix3", "mix4", "mix5"])
+    r1 = {r.id: r for r in rows}
+    # spot-check semantics, not just execution
+    assert r1[1].c3 is True    # a polygon contains its point-on-surface
+    assert r1[1].c4 is True    # centroids well within 100 units
