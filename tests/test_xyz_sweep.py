@@ -320,3 +320,30 @@ def test_mixed_dim_gc_still_falls_back():
     poly = _make(rng, 3, 3, True, False)
     mixed_gt = pd.Series([wkb.dumps(line), wkb.dumps(poly)], dtype=object)
     assert flat_coords_batch(mixed_gt, with_rings=True) is None
+
+
+def test_mixed_dim_point_point_predicates():
+    """Mixed-dim POINT batches (record lengths 21/29/37 in one batch)
+    ride the stitched point decode through the point-vs-point predicate
+    fastpath — parity vs kernel on force_2d, NULLs propagated."""
+    mk = lambda w: wkb.dumps(wkb.from_wkt(w))  # noqa: E731
+    sa = pd.Series(
+        [mk("POINT (1 2)"), mk("POINT Z (3 4 9)"),
+         mk("POINT M (5 6 1)"), None],
+        dtype=object,
+    )
+    sb = pd.Series(
+        [mk("POINT Z (1 2 5)"), mk("POINT (3 5)"),
+         mk("POINT ZM (5 6 1 2)"), mk("POINT (0 0)")],
+        dtype=object,
+    )
+    for mode in ("equals", "intersects", "disjoint"):
+        got = predicate_fastpath(sa, sb, mode, "wkb", "wkb")
+        assert got is not None, (mode, "mixed-dim points fell back")
+        exp = [
+            None if a is None or b is None else getattr(G, mode)(
+                G.force_2d(wkb.loads(a)), G.force_2d(wkb.loads(b))
+            )
+            for a, b in zip(sa, sb)
+        ]
+        assert list(got) == exp, mode
