@@ -2,8 +2,16 @@
 
 All of these operate on native-encoded geometry (nested arrays of coord
 structs) with higher-order functions — zero Python, zero shuffle — and
-compose with the rest of the st_* surface. WKB input: convert once with
-st_geomfromwkb-style decode (functions/scalar.py) or keep data native.
+compose with the rest of the st_* surface.
+
+WKB input (r12): each transform now also accepts WKB metadata via an
+Arrow-batched kernel fallback (``geom_ops._map_xy`` under a pandas UDF
+— one decode/encode per row, Z/M preserved). The native path stays the
+scale path (whole-stage codegen, zero Python); the fallback exists so a
+PostGIS migration with WKB columns is never a hard error. Rounding
+convention on the WKB snap path is JTS half-up (floor(x + .5), the
+library-wide kernel convention) — Spark's ``F.round`` on the native
+path differs only on exact negative half-ties.
 """
 
 from __future__ import annotations
@@ -79,25 +87,44 @@ def _map_coords(col: Column, meta: GeometryMeta, fn_xy) -> Column:
     )
 
 
+def _wkb_map_xy(col: Column | str, meta: GeometryMeta, fn_xy) -> Column:
+    """WKB fallback for the transform family: apply ``(x, y) -> (x', y')``
+    per coordinate through the geometry kernel (Z/M and structure
+    preserved), WKB out. Imported lazily to keep this module's Catalyst
+    path import-light."""
+    from datafusion_spatial_spark import geom_ops
+    from datafusion_spatial_spark.functions.accessors import _geom_out
+
+    return _geom_out(lambda g: geom_ops._map_xy(g, fn_xy))(col, meta)
+
+
 def st_translate(col: Column | str, dx: float, dy: float, meta: GeometryMeta) -> Column:
+    dx, dy = float(dx), float(dy)
+    if meta.is_wkb:
+        return _wkb_map_xy(col, meta, lambda x, y: (x + dx, y + dy))
     col = _c(col)
 
     def move(p):
-        return p["x"] + F.lit(float(dx)), p["y"] + F.lit(float(dy))
+        return p["x"] + F.lit(dx), p["y"] + F.lit(dy)
 
     return _map_coords(col, meta, move)
 
 
 def st_scale(col: Column | str, sx: float, sy: float, meta: GeometryMeta) -> Column:
+    sx, sy = float(sx), float(sy)
+    if meta.is_wkb:
+        return _wkb_map_xy(col, meta, lambda x, y: (x * sx, y * sy))
     col = _c(col)
 
     def scale(p):
-        return p["x"] * F.lit(float(sx)), p["y"] * F.lit(float(sy))
+        return p["x"] * F.lit(sx), p["y"] * F.lit(sy)
 
     return _map_coords(col, meta, scale)
 
 
 def st_flipcoordinates(col: Column | str, meta: GeometryMeta) -> Column:
+    if meta.is_wkb:
+        return _wkb_map_xy(col, meta, lambda x, y: (y, x))
     col = _c(col)
 
     def flip(p):
@@ -108,13 +135,21 @@ def st_flipcoordinates(col: Column | str, meta: GeometryMeta) -> Column:
 
 def st_snaptogrid(col: Column | str, size: float, meta: GeometryMeta) -> Column:
     """Snap every coordinate to a grid of ``size`` (round-half-up)."""
-    col = _c(col)
-    s = F.lit(float(size))
+    size = float(size)
+    if meta.is_wkb:
+        import math as _m
 
-    def snap(p):
+        def snap(v: float) -> float:
+            return 0.0 + _m.floor(v / size + 0.5) * size  # JTS half-up
+
+        return _wkb_map_xy(col, meta, lambda x, y: (snap(x), snap(y)))
+    col = _c(col)
+    s = F.lit(size)
+
+    def snap_c(p):
         return F.round(p["x"] / s, 0) * s, F.round(p["y"] / s, 0) * s
 
-    return _map_coords(col, meta, snap)
+    return _map_coords(col, meta, snap_c)
 
 
 def st_affine(
@@ -124,7 +159,15 @@ def st_affine(
     meta: GeometryMeta,
 ) -> Column:
     """2-D affine transform (PostGIS ST_Affine 2D form):
-    x' = a·x + b·y + xoff, y' = d·x + e·y + yoff. Pure Catalyst."""
+    x' = a·x + b·y + xoff, y' = d·x + e·y + yoff. Pure Catalyst on
+    native input; kernel fallback on WKB."""
+    if meta.is_wkb:
+        fa, fb, fd, fe = float(a), float(b), float(d), float(e)
+        fx, fy = float(xoff), float(yoff)
+        return _wkb_map_xy(
+            col, meta,
+            lambda x, y: (fa * x + fb * y + fx, fd * x + fe * y + fy),
+        )
     col = _c(col)
     la, lb, ld, le = (F.lit(float(v)) for v in (a, b, d, e))
     lx, ly = F.lit(float(xoff)), F.lit(float(yoff))

@@ -46,12 +46,9 @@ _SAME = object()
 
 
 def _require_native(meta: GeometryMeta, name: str) -> GeometryMeta:
-    if meta.is_wkb:
-        raise ValueError(
-            f"{name} operates on native-encoded geometry (nested coord "
-            "structs); WKB columns are not supported in SQL — read the "
-            "data native or transform via ST_Transform"
-        )
+    # r12: the transform family grew a WKB kernel fallback, so SQL no
+    # longer refuses WKB columns here — kept as a pass-through so the
+    # call sites still mark which functions have a slow path on WKB.
     return meta
 
 

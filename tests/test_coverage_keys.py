@@ -24,6 +24,8 @@ BENCH_SERIES_ONLY = {
     "q_window_top3_orders",
     "q_minhash_lsh_dedup",
     "q_media_features",
+    # r12: the merge-hinted SMJ shuffle control lives only in bench.py
+    "q_fact_smj_control",
 }
 # explicitly-historical mentions ("formerly q_...", "not needed") and the
 # `q_st_*` family glob — prose, not gate citations

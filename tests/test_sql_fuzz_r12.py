@@ -123,14 +123,11 @@ _NUM_ARG = {
     "ST_LINEINTERPOLATEPOINT": "0.5",
     "ST_LINEINTERPOLATEPOINTS": "0.5",
 }
-# documented driver-side refusals for WKB input (native-encoding only)
-_NATIVE_ONLY = {"ST_ROTATE", "ST_SNAPTOGRID"}
-
-
 def test_geom_num_names_with_nested_geometry(fuzz_sql):
     """Every (geometry, numeric) name executes with a nested ST_ call as
-    its geometry argument — or refuses with a clean driver-side error
-    (never a mid-job Python-worker crash)."""
+    its geometry argument — including the transform family, which since
+    r12 runs on WKB columns via the kernel fallback instead of refusing
+    them."""
     from datafusion_spatial_spark.plans import sql as psql
 
     names = sorted(psql._FUNCTIONS_GEOM_NUM)
@@ -141,11 +138,6 @@ def test_geom_num_names_with_nested_geometry(fuzz_sql):
     }
     exprs, labels = [], []
     for n in names:
-        if n in _NATIVE_ONLY:
-            with pytest.raises(ValueError, match="native"):
-                fuzz_sql.sql(f"SELECT {n}(ST_Multi(ga), 0.5) AS c "
-                             "FROM tfz2")
-            continue
         call = f"{n}(ST_Multi(ga), {_NUM_ARG.get(n, '0.5')})"
         if n in wkb_like:
             call = f"ST_AsText({call})"
@@ -153,6 +145,21 @@ def test_geom_num_names_with_nested_geometry(fuzz_sql):
         labels.append(n)
     for k in range(0, len(exprs), 12):
         _run_batch(fuzz_sql, exprs[k:k + 12], labels[k:k + 12])
+
+
+def test_wkb_transforms_values(fuzz_sql):
+    """The r12 WKB fallback for the transform family: exact values,
+    structure + dims preserved (a PostGIS migration's WKB columns must
+    not hard-error on ST_Translate/Rotate/SnapToGrid/etc.)."""
+    r = fuzz_sql.sql(
+        "SELECT id, ST_AsText(ST_Translate(gb, 10, 20)) AS t, "
+        "ST_AsText(ST_FlipCoordinates(gb)) AS fl, "
+        "ST_AsText(ST_SnapToGrid(ST_Translate(gb, 0.26, 0), 0.5)) AS sn "
+        "FROM tfz2 WHERE id = 3"
+    ).collect()[0]
+    assert r.t == "POINT (12 22)"
+    assert r.fl == "POINT (2 2)"
+    assert r.sn == "POINT (2.5 2)"  # 2.26 snaps up at half-up grid 0.5
 
 
 def test_constrained_numeric_args_fail_on_driver(fuzz_sql):
