@@ -623,6 +623,28 @@ def st_clipbybox2d(
     )(col, meta)
 
 
+def st_clipbybox2d_geom(
+    a: Column | str, b: Column | str,
+    meta_a: GeometryMeta, meta_b: GeometryMeta,
+) -> Column:
+    """PostGIS-signature ST_ClipByBox2D(geom, box2d): clip ``a`` by the
+    BBOX of ``b`` (PostGIS's box2d argument is usually built with
+    ST_MakeEnvelope or cast from a geometry — either way only its bbox
+    matters). Per-row box columns work; the literal-bounds form above
+    stays for the numeric signature. WKB out."""
+
+    def kernel(ga, gb):
+        bb = geom_ops._bbox(gb)
+        if bb is None:
+            return None
+        r = geom_ops.clip_by_box2d(ga, bb[0], bb[1], bb[2], bb[3])
+        return None if r is None else wkb.dumps(r)
+
+    return _binary_geom_fn(kernel, T.BinaryType(), force2d=True)(
+        a, b, meta_a, meta_b
+    )
+
+
 def st_reduceprecision(
     col: Column | str, gridsize: float, meta: GeometryMeta
 ) -> Column:

@@ -626,6 +626,15 @@ def _build_signatures() -> dict:
         lambda a: _ac.st_scroll_geom(a[0][0], a[1][0], a[0][1], a[1][1]),
         _WKB,
     )
+    # PostGIS ST_ClipByBox2D(geom, box2d): the box2d arg arrives as any
+    # geometry (usually ST_MakeEnvelope) and only its bbox matters
+    add(
+        "ST_CLIPBYBOX2D", ("g", "g"),
+        lambda a: _ac.st_clipbybox2d_geom(
+            a[0][0], a[1][0], a[0][1], a[1][1]
+        ),
+        _WKB,
+    )
     return sigs
 
 

@@ -189,3 +189,19 @@ def test_deep_mixed_nesting(fuzz_sql):
     # spot-check semantics, not just execution
     assert r1[1].c3 is True    # a polygon contains its point-on-surface
     assert r1[1].c4 is True    # centroids well within 100 units
+
+
+def test_clipbybox2d_geometry_form(fuzz_sql):
+    """PostGIS-signature ST_ClipByBox2D(geom, box2d): the box arrives as
+    a geometry (ST_MakeEnvelope or a column) and only its bbox matters."""
+    r = fuzz_sql.sql(
+        "SELECT id, "
+        "ST_AsText(ST_ClipByBox2D(ga, ST_MakeEnvelope(1, 1, 3, 3))) AS c, "
+        "ST_AsText(ST_ClipByBox2D(ga, gb)) AS cc "
+        "FROM tfz2 WHERE id = 1"
+    ).collect()[0]
+    # the 4x4 square with a hole clipped to [1,3]^2
+    assert r.c is not None and r.c.startswith("POLYGON")
+    assert "4" not in r.c.replace("POLYGON", "")  # bounds clamped to 3
+    # clip by the line gb's bbox ([0,2]x[0,2])
+    assert r.cc is not None
