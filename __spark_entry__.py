@@ -2087,20 +2087,64 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style boilerplate line removal over the re-chunked
     corpus: lines >= 5 chars occurring in > 1 distinct document are
     dropped everywhere; result is per-doc md5 of the cleaned text plus
-    line counts (operators/dedup.line_dedup)."""
-    from datafusion_spatial_spark.operators.dedup import line_dedup
+    line counts (operators/dedup.line_dedup).
+
+    Part 2 (r12, same rows): ExactSubstr-style duplicate-SPAN columns
+    (operators/dedup.duplicate_spans, Lee et al. 2022 class) over the
+    same chunked content — 8-token windows repeated in >= 2 distinct
+    docs, merged per doc into maximal spans; the gate value-checks the
+    FULL span structure via md5 of the sorted "start:end" list plus
+    span/window counts, with the DuckDB oracle re-deriving the spans
+    through the identical gaps-and-islands construction."""
+    from datafusion_spatial_spark.operators.dedup import (
+        duplicate_spans,
+        line_dedup,
+    )
 
     docs = _chunked_docs(spark, sf_dir)
     out = line_dedup(
         docs, "content", "doc_id", max_doc_freq=1, min_line_chars=5,
         hash_fn="exact",
     )
-    return out.select(
-        "doc_id",
-        F.md5("clean_text").alias("clean_md5"),
-        F.col("n_lines").cast("long").alias("n_lines"),
-        F.col("n_dropped").cast("long").alias("n_dropped"),
-    ).orderBy("doc_id")
+    spans = duplicate_spans(
+        docs, "content", "doc_id", k=8, min_doc_count=2, hash_fn="exact"
+    )
+    sp = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum("n_windows").cast("long").alias("n_dup_windows"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("span_start", "span_end"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["span_start"].cast("string"),
+                        s["span_end"].cast("string"),
+                    ),
+                ),
+            )
+        ).alias("spans_md5"),
+    )
+    return (
+        out.join(sp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.md5("clean_text").alias("clean_md5"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("spans_md5", F.md5(F.lit(""))).alias("spans_md5"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _Q_LINE_DEDUP_ORACLE = r"""
@@ -2125,13 +2169,52 @@ WITH docs AS (
   SELECT f.doc_id, f.pos, f.line,
          (f.eligible AND h.key IS NOT NULL) AS dropped
   FROM flagged f LEFT JOIN hot h ON f.key = h.key
+), base AS (
+  SELECT doc_id,
+         md5(coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                                 chr(10) ORDER BY pos), '')) AS clean_md5,
+         count(*) AS n_lines,
+         cast(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+  FROM joined GROUP BY doc_id
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(content), '\s+') AS tk FROM docs
+), wins AS (
+  -- positions unnest as a plain range; the window string slices in the
+  -- OUTER select (DuckDB 1.0's binder rejects list_slice inside a
+  -- struct literal under a lateral-UNNEST lambda)
+  SELECT doc_id, u AS pos,
+         array_to_string(list_slice(tk, u + 1, u + 8), ' ') AS key
+  FROM (SELECT doc_id, tk FROM toks WHERE len(tk) >= 8),
+       UNNEST(range(0, len(tk) - 7)) AS s(u)
+), whot AS (
+  SELECT key FROM (SELECT DISTINCT doc_id, key FROM wins)
+  GROUP BY key HAVING count(*) >= 2
+), dup AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN whot h ON w.key = h.key
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup)
+), spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e, count(*) AS nw
+  FROM isl GROUP BY doc_id, island
+), sp AS (
+  SELECT doc_id,
+         cast(count(*) AS BIGINT) AS n_dup_spans,
+         cast(sum(nw) AS BIGINT) AS n_dup_windows,
+         md5(string_agg(cast(s AS VARCHAR) || ':' || cast(e AS VARCHAR),
+                        ',' ORDER BY s)) AS spans_md5
+  FROM spans GROUP BY doc_id
 )
-SELECT doc_id,
-       md5(coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
-                               chr(10) ORDER BY pos), '')) AS clean_md5,
-       count(*) AS n_lines,
-       cast(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-FROM joined GROUP BY doc_id ORDER BY doc_id
+SELECT b.doc_id, b.clean_md5, b.n_lines, b.n_dropped,
+       coalesce(sp.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(sp.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(sp.spans_md5, md5('')) AS spans_md5
+FROM base b LEFT JOIN sp ON b.doc_id = sp.doc_id
+ORDER BY b.doc_id
 """
 
 

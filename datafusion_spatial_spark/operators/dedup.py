@@ -545,6 +545,117 @@ def line_dedup(
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr class, approximated
+# at the token-window granularity so every step stays relational)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_doc_count: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-document duplicate SPAN detection: every ``k``-token window
+    whose exact token sequence appears in at least ``min_doc_count``
+    DISTINCT documents is a duplicate window; per document, overlapping
+    duplicate windows merge into maximal spans. This is the span-level
+    dedup class (ExactSubstr) the whole-doc/near-dup operators miss —
+    a licence footer pasted inside otherwise-unique pages, a quoted
+    boilerplate paragraph, a copied code block.
+
+    Returns one row per merged span: ``(id, span_start, span_end,
+    n_windows)`` with token-index bounds [span_start, span_end) and the
+    number of duplicate k-windows the span merged. Pair with a
+    downstream masking/removal step keyed on (id, span bounds).
+
+    100 TB shape — every step is map-work or an equi-keyed shuffle:
+
+    * window generation is a map-only posexplode (one row per token
+      position; rows carry the 8-byte window key, never the text);
+    * document frequency is ONE groupBy on the window key over the
+      (key, id)-distinct pre-aggregate (map-side partial);
+    * duplicate positions come from a semi-join of positions against
+      the hot-key set (hot windows are a tiny fraction of distinct
+      windows, so AQE broadcasts the build side at runtime);
+    * span merging is the classic gaps-and-islands: one window
+      function partitioned by document (positions of one doc are
+      already co-located by the semi-join's shuffle) — a new island
+      starts where ``pos > prev_pos + k``, islands groupBy to spans.
+
+    No cartesian anywhere; skew risk is a degenerate window repeated
+    inside ONE document (counted once by the distinct pre-aggregate)
+    or across a hot corpus — both bounded by the hot-set size, which
+    ``min_doc_count`` controls.
+
+    ``hash_fn``: "xxhash64" (fast JVM path), "poly" (oracle 30-bit), or
+    "exact" — key on the window STRING (collision-free; the gate uses
+    this so the DuckDB mirror needs no hash function at all).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    df = ensure_min_parallelism(df)
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    # positions 0 .. ntok-k; sequence() is empty-safe via the when guard
+    win = F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__pos") + 1, k))
+    positions = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= k)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(
+                F.sequence(F.lit(0), F.size("__toks") - k)
+            ).alias("__pos"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__pos"),
+            (
+                win if hash_fn == "exact" else _hash_str(win, hash_fn)
+            ).alias("__key"),
+        )
+    )
+    hot = (
+        positions.select("__key", id_col)
+        .distinct()
+        .groupBy("__key")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_doc_count)
+        .select("__key")
+    )
+    dup = positions.join(hot, "__key", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    islands = (
+        dup.withColumn("__prev", F.lag("__pos").over(w))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull()
+                | (F.col("__pos") > F.col("__prev") + k)
+            ).cast("int"),
+        )
+        .withColumn("__island", F.sum("__new").over(w))
+    )
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + k).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("__island")
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 

@@ -140,3 +140,69 @@ class TestPlanShape:
         import re
         m = re.search(r"FlatMapGroupsInPandas.*", plan)
         assert m and "payload" not in m.group(0)
+
+
+def test_duplicate_spans_basic(spark):
+    """ExactSubstr-style duplicate spans (r12): k-windows repeated in >=
+    min_doc_count distinct docs merge into maximal per-doc spans."""
+    from datafusion_spatial_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        (1, "a b c d e f g h unique one two three"),
+        (2, "x y a b c d e f g h z w"),
+        (3, "totally different words here only"),
+        (4, "a b c d e f g h padding a b c d e f g h"),
+        (5, None),
+        (6, "short text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(
+        df, "text", "doc_id", k=8, min_doc_count=2, hash_fn="exact"
+    )
+    res = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in out.collect()
+    )
+    # the shared 8-token run a..h: doc1 at [0,8), doc2 at [2,10),
+    # doc4 twice (non-overlapping -> two spans); doc3/5/6 emit nothing
+    assert res == [(1, 0, 8, 1), (2, 2, 10, 1), (4, 0, 8, 1),
+                   (4, 9, 17, 1)]
+
+
+def test_duplicate_spans_merging_and_hash_fns(spark):
+    """Overlapping duplicate windows merge into ONE span; hash_fn
+    variants agree with the exact-string keying."""
+    from datafusion_spatial_spark.operators.dedup import duplicate_spans
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"{shared} tail_a"),
+        (2, f"head_b {shared}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in ("exact", "xxhash64", "poly"):
+        out = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in duplicate_spans(
+                df, "text", "doc_id", k=8, min_doc_count=2, hash_fn=fn
+            ).collect()
+        )
+        # 10 shared tokens, k=8 -> 3 overlapping windows each,
+        # merged to one span per doc
+        assert out == [(1, 0, 10, 3), (2, 1, 11, 3)], fn
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """Scale-shape pin: no cartesian/BNLJ, no Python, equi-joins only."""
+    from datafusion_spatial_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = duplicate_spans(df, "text", "doc_id", k=2, min_doc_count=2)
+    plan = out._jdf.queryExecution().executedPlan().toString() if (
+        out.collect() is not None
+    ) else ""
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan  # pure Catalyst end-to-end
