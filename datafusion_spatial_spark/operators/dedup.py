@@ -656,6 +656,70 @@ def duplicate_spans(
 
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_doc_count: int = 2,
+    hash_fn: str = "xxhash64",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Apply :func:`duplicate_spans`: drop every duplicated token span
+    from every document and re-join the survivors with single spaces.
+    One row per input document: ``(.., out_col, n_tokens,
+    n_dropped_tokens)`` — the span-level sibling of ``line_dedup``'s
+    contract (documents reduced to nothing keep an empty string).
+
+    Scale shape: the span frame is tiny (merged spans only), so the
+    positions-vs-spans range join broadcasts at runtime; tokens shuffle
+    once on the id for reassembly. The range condition is bounded by the
+    equi-key (id) — never a cartesian.
+    """
+    spans = duplicate_spans(
+        df, text_col, id_col, k=k, min_doc_count=min_doc_count,
+        hash_fn=hash_fn,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.split(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+    )
+    base = df.withColumn("__toks", toks).join(per_doc, id_col, "left")
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.coalesce(F.col("__spans"), F.array()),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"),
+            lambda t, i: F.when(~in_span(i), t),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    dropped = F.size(
+        F.filter(
+            F.sequence(F.lit(0), F.size("__toks") - 1),
+            lambda i: in_span(i),
+        )
+    )
+    # empty/NULL text splits to [''] — count that as zero tokens
+    empty = F.trim(F.coalesce(F.col(text_col), F.lit(""))) == ""
+    return base.select(
+        *[c for c in df.columns if c != text_col],
+        F.concat_ws(" ", kept).alias(out_col),
+        F.when(empty, F.lit(0))
+        .otherwise(F.size("__toks"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.when(empty | (F.size("__toks") == 0), F.lit(0))
+        .otherwise(dropped)
+        .cast("long")
+        .alias("n_dropped_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from datafusion_spatial_spark.functions import accessors as _ac
@@ -529,6 +530,14 @@ _FUNCTIONS_GEOM_NUM_STR = {
 }
 
 _AGG_EXTENT = "ST_EXTENT"
+
+# scalar wrappers allowed directly over an aggregate (the PostGIS
+# ST_AsText(ST_Union(g)) idiom) — each has a registered WKB-in SQL UDF
+# (SpatialSQL._register_postagg_udf); ST_ASBINARY is the identity
+_POSTAGG_WRAPPERS = {
+    "ST_ASTEXT", "ST_ASBINARY", "ST_AREA", "ST_LENGTH",
+    "ST_NPOINTS", "ST_GEOMETRYTYPE",
+}
 _NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
 
 # ---------------------------------------------------------------------------
@@ -735,6 +744,55 @@ class SpatialSQL:
             object.__setattr__(self, f"_reg{fn}", True)
         return fn
 
+    def _register_postagg_udf(self, outer: str) -> str:
+        """Register (once per session) the scalar WKB-in UDF applied ON
+        TOP of an aggregate result in rewritten SQL — the PostGIS
+        ``ST_AsText(ST_Union(g)) .. GROUP BY`` idiom, where the wrapper
+        must evaluate after aggregation and therefore inside the SQL
+        text, not as a pre-aggregation hidden column. Supported wrappers
+        are listed in ``_POSTAGG_WRAPPERS``; returns the SQL name ('' for
+        the identity ST_AsBinary)."""
+        if outer == "ST_ASBINARY":
+            return ""  # aggregate already yields WKB
+        from pyspark.sql import functions as SF
+        from pyspark.sql import types as ST
+
+        from datafusion_spatial_spark import geom_ops as _go
+        from datafusion_spatial_spark import wkb as _wkb
+
+        def lift(fn, dtype):
+            @SF.pandas_udf(dtype)
+            def udf(s: pd.Series) -> pd.Series:
+                return s.map(
+                    lambda b: fn(_wkb.loads(bytes(b)))
+                    if b is not None else None,
+                    na_action="ignore",
+                )
+
+            return udf
+
+        table = {
+            "ST_ASTEXT": ("__st_astext_wkb",
+                          lift(_wkb.to_wkt, ST.StringType())),
+            "ST_AREA": ("__st_area_wkb",
+                        lift(lambda g: _go.area(_go.force_2d(g)),
+                             ST.DoubleType())),
+            "ST_LENGTH": ("__st_length_wkb",
+                          lift(lambda g: _go.length(_go.force_2d(g)),
+                               ST.DoubleType())),
+            "ST_NPOINTS": ("__st_npoints_wkb",
+                           lift(lambda g: sum(1 for _ in _go._all_coords(g)),
+                                ST.IntegerType())),
+            "ST_GEOMETRYTYPE": ("__st_geometrytype_wkb",
+                                lift(lambda g: "ST_" + g.type_name,
+                                     ST.StringType())),
+        }
+        fn_name, udf = table[outer]
+        if not getattr(self, f"_reg{fn_name}", False):
+            self.spark.udf.register(fn_name, udf)
+            object.__setattr__(self, f"_reg{fn_name}", True)
+        return fn_name
+
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(self.resolve(query))
 
@@ -786,6 +844,34 @@ class SpatialSQL:
                 new_cols.append(_sc.st_asbinary(col, meta).alias(f"__st_{idx}"))
                 fn = self._register_agg_udf(name)
                 replacements.append((start, end, f"{fn}(__st_{idx})"))
+            elif (
+                name in _POSTAGG_WRAPPERS
+                and len(inner_args) == 1
+                and (m2 := _CALL_RE.match(inner_args[0])) is not None
+                and "ST_" + m2.group(1).upper() in ("ST_UNION", "ST_COLLECT")
+                and len(_split_args(inner_args[0][m2.end():-1])) == 1
+            ):
+                # r12: the PostGIS scalar-over-aggregate idiom
+                # (ST_AsText(ST_Union(g)) .. GROUP BY ..). The wrapper
+                # must run AFTER aggregation, so it cannot become a
+                # hidden pre-agg column — instead a registered WKB-in
+                # scalar UDF applies to the aggregate inside the
+                # rewritten SQL. One wrapper level; deeper chains keep
+                # the clear unsupported-shape error.
+                agg_name = "ST_" + m2.group(1).upper()
+                agg_arg = _split_args(inner_args[0][m2.end():-1])[0]
+                col, meta = self._arg_column(agg_arg, col_meta)
+                idx = len(new_cols)
+                new_cols.append(
+                    _sc.st_asbinary(col, meta).alias(f"__st_{idx}")
+                )
+                agg_fn = self._register_agg_udf(agg_name)
+                wrap_fn = self._register_postagg_udf(name)
+                inner_sql = f"{agg_fn}(__st_{idx})"
+                replacements.append((
+                    start, end,
+                    f"{wrap_fn}({inner_sql})" if wrap_fn else inner_sql,
+                ))
             else:
                 col, _ = self._build_call(text, col_meta)
                 idx = len(new_cols)

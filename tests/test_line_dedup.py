@@ -206,3 +206,32 @@ def test_duplicate_spans_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "Python" not in plan  # pure Catalyst end-to-end
+
+
+def test_remove_duplicate_spans(spark):
+    """Span REMOVAL composition: duplicated spans drop from every doc,
+    survivors re-join on single spaces; empty/NULL docs count 0 tokens."""
+    from datafusion_spatial_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (1, "a b c d e f g h unique one two three"),
+        (2, "x y a b c d e f g h z w"),
+        (3, "totally different words here only"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r["doc_id"], r["clean_text"], r["n_tokens"],
+         r["n_dropped_tokens"])
+        for r in remove_duplicate_spans(
+            df, "text", "doc_id", k=8, min_doc_count=2, hash_fn="exact"
+        ).collect()
+    )
+    assert out == [
+        (1, "unique one two three", 12, 8),
+        (2, "x y z w", 12, 8),
+        (3, "totally different words here only", 5, 0),
+        (5, "", 0, 0),
+    ]

@@ -205,3 +205,45 @@ def test_clipbybox2d_geometry_form(fuzz_sql):
     assert "4" not in r.c.replace("POLYGON", "")  # bounds clamped to 3
     # clip by the line gb's bbox ([0,2]x[0,2])
     assert r.cc is not None
+
+
+def test_scalar_over_aggregate_idiom(fuzz_sql, spark):
+    """The PostGIS scalar-over-aggregate idiom (r12):
+    ST_AsText(ST_Union(g)) .. GROUP BY resolves by applying a registered
+    WKB-in scalar UDF AFTER the aggregate in the rewritten SQL. One
+    wrapper level across the supported set; value-checked."""
+    from datafusion_spatial_spark.functions.scalar import st_geomfromtext
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    df = spark.createDataFrame(
+        [(1, 1, "POINT (0 0)"), (2, 1, "POINT (2 2)"),
+         (3, 2, "POINT (5 5)"), (4, 2, "LINESTRING (0 0, 3 4)")],
+        "id long, k long, w string",
+    )
+    g = with_geo_meta(
+        df.select("id", "k", st_geomfromtext("w").alias("g")), "g", W
+    )
+    s = SpatialSQL(spark)
+    s.register_view("t_agg", g)
+    rows = {r.k: r for r in s.sql(
+        "SELECT k, ST_AsText(ST_Union(g)) AS u, "
+        "ST_Length(ST_Collect(g)) AS L, "
+        "ST_GeometryType(ST_Union(g)) AS t, "
+        "ST_NPoints(ST_Collect(g)) AS np "
+        "FROM t_agg GROUP BY k ORDER BY k"
+    ).collect()}
+    assert rows[1].u == "MULTIPOINT ((0 0), (2 2))"
+    assert rows[1].L == 0.0 and rows[1].np == 2
+    assert rows[2].t == "ST_GeometryCollection"
+    assert rows[2].L == 5.0 and rows[2].np == 3
+    # nested arg inside the aggregate still resolves
+    n = s.sql(
+        "SELECT ST_NPoints(ST_Collect(ST_Centroid(g))) AS np FROM t_agg"
+    ).collect()[0].np
+    assert n == 4
+    # whole-table (no GROUP BY) form
+    whole = s.sql(
+        "SELECT ST_GeometryType(ST_Union(g)) AS t FROM t_agg"
+    ).collect()[0].t
+    assert whole == "ST_GeometryCollection"

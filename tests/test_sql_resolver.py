@@ -398,8 +398,10 @@ def test_transform_functions_sql_same_meta(ssql, spark):
         "SELECT ST_AsText(ST_Scale(geometry, 2, 0.5)) FROM trn "
         "WHERE geometry IS NOT NULL LIMIT 1"
     ).startswith("POLYGON ((60 5")
-    with pytest.raises(ValueError, match="native-encoded"):
-        s.resolve("SELECT ST_Translate(geometry, 1, 1) FROM trw")
+    # r12: WKB columns no longer refuse — the transform family runs
+    # them through the kernel fallback (values pinned in
+    # tests/test_sql_fuzz_r12.py::test_wkb_transforms_values)
+    s.resolve("SELECT ST_Translate(geometry, 1, 1) FROM trw")
 
 
 def test_largest_empty_circle_boundary_sql(ssql, spark):
