@@ -314,11 +314,21 @@ def st_expand(col: Column | str, dx: float, meta: GeometryMeta, dy: float | None
 def st_split(col: Column | str, blade_wkt: str, meta: GeometryMeta) -> Column:
     """Split a (multi)line by a point/multipoint/line blade, or a
     (multi)polygon by a line blade (literal WKT); returns an array of WKB
-    pieces — explode for the row-per-piece PostGIS form."""
+    pieces — explode for the row-per-piece PostGIS form. Unsupported
+    input/blade combinations (point inputs, polygon-by-point, …) yield
+    NULL — the column-layer convention (r12 fuzz: the kernel's
+    NotImplementedError used to crash the Python worker on mixed-type
+    columns)."""
     blade = wkb.from_wkt(blade_wkt)
+
+    def fn(g):
+        try:
+            return [wkb.dumps(p) for p in geom_ops.split(g, blade)]
+        except NotImplementedError:
+            return None
+
     return _unary(
-        lambda g: [wkb.dumps(p) for p in geom_ops.split(g, blade)],
-        T.ArrayType(T.BinaryType()), force2d=True,
+        fn, T.ArrayType(T.BinaryType()), force2d=True,
     )(col, meta)
 
 

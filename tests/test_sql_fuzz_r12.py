@@ -247,3 +247,49 @@ def test_scalar_over_aggregate_idiom(fuzz_sql, spark):
         "SELECT ST_GeometryType(ST_Union(g)) AS t FROM t_agg"
     ).collect()[0].t
     assert whole == "ST_GeometryCollection"
+
+
+def test_string_arg_and_ternary_shapes_with_nested_args(fuzz_sql):
+    """The remaining signature shapes — (g,s), (g,n,s), (g,g,s), (g,g,g)
+    — all execute with nested ST_ calls in their geometry slots."""
+    rows = _run_batch(fuzz_sql, [
+        # (g, s): split by a WKT blade; swap ordinates; explicit LEC bound
+        "ST_Split(ST_Multi(gb), 'POINT (2 0)') IS NOT NULL",
+        "ST_AsText(ST_SwapOrdinates(ST_Envelope(ga), 'xy'))",
+        "ST_LargestEmptyCircle(ST_Multi(ga), "
+        "'POLYGON ((0 0, 50 0, 50 50, 0 50, 0 0))').radius",
+        # (g, n, s): styled buffer / offset curve on nested input
+        "ST_AsText(ST_Buffer(ST_Centroid(ga), 1.0, 'quad_segs=2'))",
+        "ST_AsText(ST_OffsetCurve(ST_Reverse(gb), 0.5, 'join=mitre'))",
+        # (g, g, s): DE-9IM pattern with both args nested
+        "ST_Relate(ST_Buffer(ga, 0.1), ST_Envelope(gb), 'T********')",
+        # (g, g, g): angle of three nested points
+        "ST_Angle(ST_Centroid(ga), ST_Point(0, 0), ST_Centroid(gb))",
+    ], ["split", "swap", "lec", "buffer_style", "offset_style",
+        "relate_pat", "angle"])
+    r1 = {r.id: r for r in rows}
+    # spot semantics on row 1 (4x4 holed square, L-line)
+    assert r1[1].c1.startswith("POLYGON")   # swapped envelope still WKT
+    assert r1[1].c5 is True                  # buffer intersects envelope
+
+
+def test_literal_constructors_nest_as_arguments(fuzz_sql):
+    """Every literal constructor that yields a geometry can feed a
+    binary predicate directly."""
+    import pytest as _pt
+
+    lits = [
+        "ST_GeomFromText('POINT (1 1)')",
+        "ST_Point(1, 1)",
+        "ST_MakeEnvelope(0, 0, 2, 2)",
+        "ST_TileEnvelope(0, 0, 0)",
+        "ST_GeomFromGeoJSON('{\"type\": \"Point\", "
+        "\"coordinates\": [1, 1]}')",
+        "ST_PointFromGeohash('s00twy01')",
+    ]
+    exprs = [f"ST_Intersects(ga, {lit})" for lit in lits]
+    rows = _run_batch(fuzz_sql, exprs, [f"lit{i}" for i in range(len(lits))])
+    r1 = {r.id: r for r in rows}
+    # the 4x4 square contains (1,1) and overlaps all the envelopes
+    for i in range(4):
+        assert getattr(r1[1], f"c{i}") is True, i
