@@ -1137,8 +1137,25 @@ def st_isvaliddetail(col: Column | str, meta: GeometryMeta) -> Column:
 def st_swapordinates(
     col: Column | str, spec: str, meta: GeometryMeta
 ) -> Column:
-    """PostGIS ST_SwapOrdinates (spec: two distinct chars of 'xyzm')."""
-    return _geom_out(lambda g: geom_ops.swap_ordinates(g, str(spec)))(col, meta)
+    """PostGIS ST_SwapOrdinates (spec: two distinct chars of 'xyzm').
+    A malformed SPEC fails here on the driver; rows whose geometry lacks
+    a requested ordinate (e.g. 'xz' on a 2-D row in a mixed column)
+    yield NULL instead of crashing the worker (r12 robustness audit)."""
+    spec = str(spec).lower()
+    if len(spec) != 2 or spec[0] == spec[1] or any(
+        c not in "xyzm" for c in spec
+    ):
+        raise ValueError(
+            f"spec must be two distinct chars of 'xyzm', got {spec!r}"
+        )
+
+    def fn(g):
+        try:
+            return geom_ops.swap_ordinates(g, spec)
+        except ValueError:
+            return None  # geometry lacks the requested ordinate
+
+    return _geom_out(fn)(col, meta)
 
 
 # -- r11 wave 6: dump/orientation utilities ----------------------------------

@@ -293,3 +293,29 @@ def test_literal_constructors_nest_as_arguments(fuzz_sql):
     # the 4x4 square contains (1,1) and overlaps all the envelopes
     for i in range(4):
         assert getattr(r1[1], f"c{i}") is True, i
+
+
+def test_swapordinates_mixed_column_null_not_crash(fuzz_sql, spark):
+    """ST_SwapOrdinates('xz') on a column mixing Z and 2-D rows: Z rows
+    swap, 2-D rows yield NULL (the kernel's ValueError must not crash
+    the worker); a malformed spec still fails on the driver."""
+    from datafusion_spatial_spark.functions.scalar import st_geomfromtext
+    from datafusion_spatial_spark.meta import with_geo_meta
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    df = spark.createDataFrame(
+        [(1, "POINT Z (1 2 3)"), (2, "POINT (1 2)")],
+        "id long, w string",
+    )
+    g = with_geo_meta(
+        df.select("id", st_geomfromtext("w").alias("g")), "g", W
+    )
+    s = SpatialSQL(spark)
+    s.register_view("t_swap", g)
+    rows = {r.id: r.c for r in s.sql(
+        "SELECT id, ST_AsText(ST_SwapOrdinates(g, 'xz')) AS c FROM t_swap"
+    ).collect()}
+    assert rows[1] == "POINT Z (3 2 1)"
+    assert rows[2] is None
+    with pytest.raises(ValueError, match="two distinct chars"):
+        s.sql("SELECT ST_SwapOrdinates(g, 'xx') AS c FROM t_swap")
