@@ -2095,10 +2095,19 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, merged per doc into maximal spans; the gate value-checks the
     FULL span structure via md5 of the sorted "start:end" list plus
     span/window counts, with the DuckDB oracle re-deriving the spans
-    through the identical gaps-and-islands construction."""
+    through the identical gaps-and-islands construction.
+
+    Part 3 (r13, same rows): the REMOVAL output of
+    operators/dedup.remove_duplicate_spans is value-gated too —
+    ``removed_md5`` hashes the post-removal token stream (duplicate
+    spans excised, survivors re-joined with single spaces) and
+    ``n_dropped_tokens`` counts excised tokens; the oracle re-derives
+    both from its spans CTE by anti-joining token positions against
+    the union of span ranges."""
     from datafusion_spatial_spark.operators.dedup import (
         duplicate_spans,
         line_dedup,
+        remove_duplicate_spans,
     )
 
     docs = _chunked_docs(spark, sf_dir)
@@ -2128,8 +2137,16 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spans_md5"),
     )
+    removed = remove_duplicate_spans(
+        docs, "content", "doc_id", k=8, min_doc_count=2, hash_fn="exact"
+    ).select(
+        "doc_id",
+        F.md5("clean_text").alias("removed_md5"),
+        F.col("n_dropped_tokens").cast("long").alias("n_dropped_tokens"),
+    )
     return (
         out.join(sp, "doc_id", "left")
+        .join(removed, "doc_id", "left")
         .select(
             "doc_id",
             F.md5("clean_text").alias("clean_md5"),
@@ -2142,6 +2159,12 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_dup_windows"
             ),
             F.coalesce("spans_md5", F.md5(F.lit(""))).alias("spans_md5"),
+            F.coalesce("removed_md5", F.md5(F.lit(""))).alias(
+                "removed_md5"
+            ),
+            F.coalesce(
+                "n_dropped_tokens", F.lit(0).cast("long")
+            ).alias("n_dropped_tokens"),
         )
         .orderBy("doc_id")
     )
@@ -2208,12 +2231,28 @@ WITH docs AS (
          md5(string_agg(cast(s AS VARCHAR) || ':' || cast(e AS VARCHAR),
                         ',' ORDER BY s)) AS spans_md5
   FROM spans GROUP BY doc_id
+), alltok AS (
+  SELECT doc_id, u AS p, tk[u + 1] AS tok
+  FROM toks, UNNEST(range(0, len(tk))) AS s(u)
+), droppos AS (
+  SELECT doc_id, unnest(range(s, e)) AS p FROM spans
+), rm AS (
+  SELECT a.doc_id,
+         md5(coalesce(string_agg(CASE WHEN d.p IS NULL THEN a.tok END,
+                                 ' ' ORDER BY a.p), '')) AS removed_md5,
+         cast(sum(CASE WHEN d.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped_tokens
+  FROM alltok a LEFT JOIN droppos d ON a.doc_id = d.doc_id AND a.p = d.p
+  GROUP BY a.doc_id
 )
 SELECT b.doc_id, b.clean_md5, b.n_lines, b.n_dropped,
        coalesce(sp.n_dup_spans, 0) AS n_dup_spans,
        coalesce(sp.n_dup_windows, 0) AS n_dup_windows,
-       coalesce(sp.spans_md5, md5('')) AS spans_md5
+       coalesce(sp.spans_md5, md5('')) AS spans_md5,
+       coalesce(rm.removed_md5, md5('')) AS removed_md5,
+       coalesce(rm.n_dropped_tokens, 0) AS n_dropped_tokens
 FROM base b LEFT JOIN sp ON b.doc_id = sp.doc_id
+             LEFT JOIN rm ON b.doc_id = rm.doc_id
 ORDER BY b.doc_id
 """
 
