@@ -115,12 +115,29 @@ def _multi_arange(starts, lengths):
     )
 
 
-def _mixed_dim_stitch(s: pd.Series, words, ii, n: int, with_rings: bool):
-    """Mixed-DIMENSION batch sweep (r12, VERDICT r11 #4): rows share one
-    base gtype but carry different ISO dim tags (2-D / Z / M / ZM).
-    Partition the non-null rows by tag, run :func:`flat_coords_batch` on
-    each uniform slice, and stitch the per-slice vertex streams and group
-    descriptors back into GLOBAL row order.
+_DIM_OFFS = np.array([0, 1000, 2000, 3000], np.int64)
+
+
+def _offset_tree(node, off: int):
+    """Shift every leaf-member ordinal in a nested GC member tree."""
+    return [
+        _offset_tree(ch, off) if isinstance(ch, list) else ch + off
+        for ch in node
+    ]
+
+
+def _mixed_stitch(s: pd.Series, words, ii, n: int, with_rings: bool):
+    """Mixed-batch sweep: rows may differ in base GTYPE and/or ISO dim
+    tag — the GeoParquet "Mixed" column class (``geometry_types`` >= 2 ->
+    "Mixed", rules.rs:143-147), which real mixed-type columns hit on
+    every kernel call. r12 handled mixed dims of ONE base gtype; r13
+    (VERDICT r12 #2) extends the stitcher to mixed base gtypes, Points,
+    and GeometryCollections — the last scalar-fallback batch class.
+
+    Partition the non-null rows by full type WORD, run
+    :func:`flat_coords_batch` on each now-uniform slice (Point slices
+    decode via the gated gtype-1 branch), and stitch the per-slice
+    vertex streams and group descriptors back into GLOBAL row order.
 
     Correctness of the merge: each full-batch row lives in exactly one
     slice, a slice keeps its groups in (row, part, ordinal) order, and a
@@ -130,24 +147,30 @@ def _mixed_dim_stitch(s: pd.Series, words, ii, n: int, with_rings: bool):
     vertex stream is re-laid-out per slice with one vectorized
     multi-arange scatter (no per-row Python loop).
 
-    GeometryCollections (gtype 7) are excluded: their descriptor carries
-    flattened leaf-member ordinals and nested member TREES whose global
-    renumbering is not worth the risk for the rarest batch class — those
-    keep the scalar fallback. Mixed base GTYPES (line + polygon in one
-    batch) also stay scalar; this path is only about dimension tags.
-    """
+    Descriptor merge: when every slice shares one kind (e.g. LineString +
+    MultiLineString -> 'paths', Polygon + MultiPolygon -> 'polys') the
+    merged descriptor keeps that kind — the consumers' flat per-row folds
+    are type-agnostic. Otherwise every slice converts to the unified
+    'mixed' (cls/ord/mem) form — the GeometryCollection descriptor — with
+    each top-level non-GC record becoming one leaf member (paths cls 0,
+    points cls 1, rings cls 2 with their ring ordinals), exactly how the
+    GC walker tags the same shapes as members. Leaf-member ordinals get
+    per-slice offsets so member runs stay distinct after the row sort,
+    and GC member TREES remap their row keys and shift their ordinals by
+    the slice offset."""
     base = words % 1000
-    b0 = int(base[0])
-    if b0 not in (2, 3, 4, 5, 6) or not (base == b0).all():
+    if not (
+        np.isin(base, (1, 2, 3, 4, 5, 6, 7)).all()
+        and np.isin(words - base, _DIM_OFFS).all()
+    ):
         return None
-    dims = words // 1000
     vals = s.to_numpy(dtype=object)
     counts = np.zeros(n, np.int64)
-    pieces = []  # (global_rows, sub_counts, xs, ys, info)
-    for d in np.unique(dims):
-        pos = ii[dims == d]  # global row indices of this slice
+    pieces = []  # (global_rows, sub_counts, xs, ys, info, base_gtype)
+    for w in np.unique(words):
+        pos = ii[words == w]  # global row indices of this slice
         sub = pd.Series(list(vals[pos]), dtype=object)
-        fc = flat_coords_batch(sub, with_rings=with_rings)
+        fc = flat_coords_batch(sub, with_rings=with_rings, _allow_point=True)
         if fc is None:
             return None
         if with_rings:
@@ -158,33 +181,81 @@ def _mixed_dim_stitch(s: pd.Series, words, ii, n: int, with_rings: bool):
             sxs, sys_, scnt = fc
             sinfo = None
         counts[pos] = scnt
-        pieces.append((pos, scnt, sxs, sys_, sinfo))
+        pieces.append((pos, scnt, sxs, sys_, sinfo, int(w) % 1000))
     total = int(counts.sum())
     xs = np.empty(total, np.float64)
     ys = np.empty(total, np.float64)
     vstart = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    for pos, scnt, sxs, sys_, _si in pieces:
+    for pos, scnt, sxs, sys_, _si, _b in pieces:
         idx = _multi_arange(vstart[pos], scnt)
         xs[idx] = sxs
         ys[idx] = sys_
     if not with_rings:
         return xs, ys, counts
     kinds = {p[4]["kind"] for p in pieces}
-    if len(kinds) != 1:
-        return None  # cannot happen for one base gtype; belt-and-braces
-    kind = kinds.pop()
-    g_rows = np.concatenate([p[0][p[4]["rows"]] for p in pieces])
+    if len(kinds) == 1 and "mixed" not in kinds:
+        kind = kinds.pop()
+        g_rows = np.concatenate([p[0][p[4]["rows"]] for p in pieces])
+        perm = np.argsort(g_rows, kind="stable")
+        info = {"kind": kind, "rows": g_rows[perm]}
+        for field in ("vcounts", "part", "ord"):
+            if all(field in p[4] for p in pieces):
+                info[field] = np.concatenate(
+                    [p[4][field] for p in pieces]
+                )[perm]
+        return xs, ys, counts, info
+    # heterogeneous kinds (or a GC slice): unify on the 'mixed' descriptor
+    g_rows_l, vc_l, cls_l, ord_l, mem_l = [], [], [], [], []
+    tree: dict = {}
+    mem_off = 0
+    for pos, _scnt, _sxs, _sys, si, b in pieces:
+        rows_local = si["rows"]  # slice-local (= slice-global) row index
+        ng = rows_local.size
+        g_rows_l.append(pos[rows_local])
+        vc_l.append(si["vcounts"])
+        if b == 7:
+            cls_l.append(si["cls"].astype(np.int8))
+            ord_l.append(si["ord"])
+            mems = si["mem"]
+            if si.get("tree"):
+                # slice series has no nulls, so tree keys ARE slice rows
+                for k, root in si["tree"].items():
+                    tree[int(pos[k])] = _offset_tree(root, mem_off)
+        else:
+            cv = 0 if b in (2, 5) else (1 if b in (1, 4) else 2)
+            cls_l.append(np.full(ng, cv, np.int8))
+            ord_l.append(
+                si["ord"] if "ord" in si else np.zeros(ng, np.int64)
+            )
+            # one leaf member per top-level record: groups of one row
+            # share a mem, exactly how the GC walker tags the same shape
+            # as a member (all parts / all rings / all member points)
+            if ng:
+                mems = np.concatenate(
+                    ([0], np.cumsum(rows_local[1:] != rows_local[:-1]))
+                )
+            else:
+                mems = np.empty(0, np.int64)
+        mem_l.append(mems + mem_off)
+        if ng:
+            mem_off += int(mems.max()) + 1
+    g_rows = np.concatenate(g_rows_l)
     perm = np.argsort(g_rows, kind="stable")
-    info = {"kind": kind, "rows": g_rows[perm]}
-    for field in ("vcounts", "part", "ord"):
-        if all(field in p[4] for p in pieces):
-            info[field] = np.concatenate(
-                [p[4][field] for p in pieces]
-            )[perm]
+    info = {
+        "kind": "mixed",
+        "rows": g_rows[perm],
+        "vcounts": np.concatenate(vc_l)[perm],
+        "cls": np.concatenate(cls_l)[perm],
+        "ord": np.concatenate(ord_l)[perm],
+        "mem": np.concatenate(mem_l)[perm],
+        "tree": tree or None,
+    }
     return xs, ys, counts, info
 
 
-def flat_coords_batch(s: pd.Series, with_rings: bool = False):
+def flat_coords_batch(
+    s: pd.Series, with_rings: bool = False, _allow_point: bool = False
+):
     """Vectorized coordinate extraction for a batch of uniform-type 2-D
     little-endian WKB **LineString (2), Polygon (3), MultiPoint (4),
     MultiLineString (5), MultiPolygon (6), or GeometryCollection (7)**
@@ -253,15 +324,39 @@ def flat_coords_batch(s: pd.Series, with_rings: bool = False):
     elif 3001 <= graw <= 3007:
         toff, vsize = 3000, 32
     gtype = graw - toff
-    if gtype not in (2, 3, 4, 5, 6, 7):
+    if gtype not in (1, 2, 3, 4, 5, 6, 7):
         return None
     if not (words == graw).all():
-        # r12 (VERDICT r11 #4): a batch mixing dimension TAGS of one base
-        # gtype (e.g. 2-D and Z LineStrings) partitions by tag, sweeps
+        # r12/r13: a batch mixing dimension TAGS and/or base GTYPES
+        # (incl. Points and GCs) partitions by full type word, sweeps
         # each now-uniform slice recursively, and stitches the streams
-        # back in global row order — the last scalar-fallback class.
-        return _mixed_dim_stitch(s, words, ii, n, with_rings)
+        # back in global row order — no scalar-fallback batch class left.
+        return _mixed_stitch(s, words, ii, n, with_rings)
     psize = 5 + vsize  # full point-record size at this dimension
+    if gtype == 1:
+        # uniform Point slice of a mixed batch (r13). Pure-point batches
+        # keep the dedicated point_xy_batch paths: without the gate this
+        # general decode would silently shadow them.
+        if not _allow_point:
+            return None
+        if (lens != psize).any():
+            return None
+        counts = np.zeros(n, np.int64)
+        counts[ii] = 1
+        coord_starts = rec_starts + 5
+        coord_counts = np.ones(m, np.int64)
+        xs = _gather_f8(joined, coord_starts)
+        ys = _gather_f8(joined, coord_starts + 8)
+        if not with_rings:
+            return xs, ys, counts
+        # POINT EMPTY (NaN vertex) rides along; _sweep_from_flat's NaN
+        # gate keeps the sweep consumers on the scalar path for those
+        info = {
+            "kind": "points",
+            "rows": ii.copy(),
+            "vcounts": coord_counts,
+        }
+        return xs, ys, counts, info
     nitems = (
         arr[(rec_starts[:, None] + np.arange(5, 9)[None, :]).ravel()]
         .copy()
@@ -1179,13 +1274,16 @@ def distance_fastpath(sa, sb, kind_a: str, kind_b: str):
 # four orient values / four point-seg terms are computed either way), so
 # one orientation of the sweep serves both operand orders bit-exactly.
 
-# LineString(2) Polygon(3) MultiPoint(4) MultiLineString(5)
-# MultiPolygon(6) GeometryCollection(7), each in the 2-D, ISO Z (+1000),
-# M (+2000) and ZM (+3000) forms (r11: the sweep gathers x,y at the
-# dimension's stride — the 2-D kernels it mirrors project Z/M away).
+# Point(1, r13: admitted so a MIXED batch whose first row is a point
+# reaches the stitcher; a UNIFORM point batch still exits in
+# flat_coords_batch via the _allow_point gate) LineString(2) Polygon(3)
+# MultiPoint(4) MultiLineString(5) MultiPolygon(6) GeometryCollection(7),
+# each in the 2-D, ISO Z (+1000), M (+2000) and ZM (+3000) forms (r11:
+# the sweep gathers x,y at the dimension's stride — the 2-D kernels it
+# mirrors project Z/M away).
 _SWEEP_WORDS = {
     (t + off).to_bytes(4, "little")
-    for t in (2, 3, 4, 5, 6, 7)
+    for t in (1, 2, 3, 4, 5, 6, 7)
     for off in (0, 1000, 2000, 3000)
 }
 

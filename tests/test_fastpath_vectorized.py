@@ -131,12 +131,28 @@ def test_flat_multipoint_parity():
     _check_parity(vals)
 
 
-def test_flat_mixed_types_fall_back():
+def test_flat_mixed_types_stitch():
+    """r13 (VERDICT r12 #2): mixed base gtypes in one batch partition by
+    type word and stitch — vertex-stream parity row by row, including a
+    Point row and a null."""
+    import numpy as np
+
     vals = [
         W.dumps(Geom("LineString", [(0.0, 0.0), (1.0, 1.0)])),
         W.dumps(Geom("Polygon", [[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]])),
+        W.dumps(Geom("Point", (7.0, -3.0))),
+        None,
+        W.dumps(Geom("MultiPoint", [(2.0, 5.0), (6.0, 8.0)])),
     ]
-    assert flat_coords_batch(pd.Series(vals, dtype=object)) is None
+    out = flat_coords_batch(pd.Series(vals, dtype=object))
+    assert out is not None, "mixed-gtype batch fell out of the stitcher"
+    xs, ys, counts = out
+    assert list(counts) == [2, 4, 1, 0, 2]
+    exp = [(0.0, 0.0), (1.0, 1.0),
+           (0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0),
+           (7.0, -3.0), (2.0, 5.0), (6.0, 8.0)]
+    assert np.array_equal(xs, np.array([p[0] for p in exp]))
+    assert np.array_equal(ys, np.array([p[1] for p in exp]))
 
 
 def test_flat_point_batch_falls_back_to_point_path():

@@ -306,20 +306,105 @@ def test_mixed_dim_predicates_and_distance():
         assert list(gd) == scalar(G.distance, a, b)
 
 
-def test_mixed_dim_gc_still_falls_back():
-    """GeometryCollections are excluded from the stitcher (leaf-member
-    ordinal/tree renumbering risk, rarest class): mixed-dim GC batches
-    keep the scalar fallback — and mixed base GTYPES do too."""
+def _mixed_gtype_batch(seed, n=120, gts=(1, 2, 3, 4, 5, 6, 7)):
+    """One batch interleaving base gtypes AND dim classes — the
+    GeoParquet "Mixed" column shape (rules.rs:143-147)."""
+    rng = random.Random(seed)
+    geoms = []
+    for k in range(n):
+        hz, hm = [(False, False), (True, False), (False, True),
+                  (True, True)][k % 4]
+        dim = 2 + (1 if hz else 0) + (1 if hm else 0)
+        gt = gts[k % len(gts)]
+        if gt == 1:
+            geoms.append(
+                wkb.Geom("Point", _coord(rng, dim), hz, None, hm)
+            )
+        else:
+            geoms.append(_make(rng, gt, dim, hz, hm))
+    return geoms
+
+
+@pytest.mark.parametrize("gts,seed", [
+    ((2, 3), 11),              # line + polygon: kinds differ -> 'mixed'
+    ((2, 5), 12),              # line + multiline: single kind 'paths'
+    ((3, 6), 13),              # polygon + multipolygon: single kind 'polys'
+    ((1, 4), 14),              # point + multipoint: single kind 'points'
+    ((1, 2, 3, 4, 5, 6), 15),  # every non-GC type, every dim
+    ((2, 3, 7), 16),           # GCs (incl. nested) in the mix
+    ((7,), 17),                # mixed-DIM GC batch (r12's exclusion)
+    ((1, 2, 3, 4, 5, 6, 7), 18),
+])
+def test_mixed_gtype_batch_sweeps(gts, seed):
+    """r13 (VERDICT r12 #2): batches mixing base GTYPES — including
+    Points and GeometryCollections — partition by full type word and
+    sweep; measures are bit-exact vs the scalar kernel on force_2d.
+    This was the last scalar-fallback batch class."""
+    geoms = _mixed_gtype_batch(seed, gts=gts)
+    batch = pd.Series(
+        [wkb.dumps(g) for g in geoms] + [None], dtype=object
+    )
+    fc = flat_coords_batch(batch, with_rings=True)
+    assert fc is not None, "mixed-gtype batch fell out of the flat decode"
+    xs, ys, counts, info = fc
+    exp = []
+    for g in geoms:
+        exp.extend((p[0], p[1]) for p in G._all_coords(G.force_2d(g)))
+    assert counts[-1] == 0  # null row
+    assert int(counts.sum()) == len(exp)
+    assert np.array_equal(xs, np.array([p[0] for p in exp]))
+    assert np.array_equal(ys, np.array([p[1] for p in exp]))
+    for mode, fn in (("length", G.length), ("perimeter", G.perimeter),
+                     ("area", G.area)):
+        got = measure_fastpath(batch, mode)
+        assert got is not None, (mode, gts, "fell back")
+        expm = np.array([fn(G.force_2d(g)) for g in geoms])
+        assert (got.to_numpy()[:-1] == expm).all(), (mode, gts)
+        assert np.isnan(got.to_numpy()[-1])
+
+
+def test_mixed_gtype_predicates_and_distance():
+    """Mixed-gtype batches (points + lines + polygons + GCs in ONE
+    batch) vs a duplicate-heavy factorized side through the refine
+    fastpaths, both operand orders — no scalar fallback, scalar-kernel
+    parity on force_2d."""
+    rng = random.Random(77)
+    shapes = [wkb.dumps(_make(rng, [3, 6][k % 2], 2, False, False))
+              for k in range(4)]
+    n = 160
+    geo = pd.Series(
+        [shapes[rng.randrange(4)] for _ in range(n)], dtype=object
+    )
+    geoms = _mixed_gtype_batch(88, n=n, gts=(1, 2, 3, 4, 5, 6, 7))
+    batch = pd.Series([wkb.dumps(g) for g in geoms], dtype=object)
+
+    def scalar(fn, sa, sb):
+        return [
+            fn(G.force_2d(wkb.loads(bytes(va))),
+               G.force_2d(wkb.loads(bytes(vb))))
+            for va, vb in zip(sa, sb)
+        ]
+
+    for mode, fn in (("intersects", G.intersects), ("disjoint", G.disjoint)):
+        for a, b in ((batch, geo), (geo, batch)):
+            got = predicate_fastpath(a, b, mode, "wkb", "wkb")
+            assert got is not None, (mode, "mixed-gtype fell back")
+            assert list(got) == scalar(fn, a, b), mode
+    for a, b in ((batch, geo), (geo, batch)):
+        gd = distance_fastpath(a, b, "wkb", "wkb")
+        assert gd is not None, "mixed-gtype distance fell back"
+        exp = scalar(G.distance, a, b)
+        for i, (g, e) in enumerate(zip(gd, exp)):
+            assert (math.isnan(g) if e is None else g == e), (i, g, e)
+
+
+def test_uniform_point_batch_still_skips_flat_decode():
+    """A UNIFORM point batch keeps the dedicated point_xy_batch paths:
+    flat_coords_batch only decodes points inside a mixed stitch."""
     rng = random.Random(5)
-    gc2 = _make(rng, 7, 2, False, False)
-    gc3 = _make(rng, 7, 3, True, False)
-    batch = pd.Series([wkb.dumps(gc2), wkb.dumps(gc3)], dtype=object)
+    pts = [wkb.Geom("Point", _coord(rng, 2)) for _ in range(8)]
+    batch = pd.Series([wkb.dumps(g) for g in pts], dtype=object)
     assert flat_coords_batch(batch, with_rings=True) is None
-    assert measure_fastpath(batch, "length") is None
-    line = _make(rng, 2, 2, False, False)
-    poly = _make(rng, 3, 3, True, False)
-    mixed_gt = pd.Series([wkb.dumps(line), wkb.dumps(poly)], dtype=object)
-    assert flat_coords_batch(mixed_gt, with_rings=True) is None
 
 
 def test_mixed_dim_point_point_predicates():
