@@ -1037,6 +1037,17 @@ SELECT 'grid' AS part, segment AS k, cast(n_customers AS BIGINT) AS v
 FROM ({_Q_GRID_JOIN_SPARK}) g
 UNION ALL
 SELECT 'hex' AS part, k, v FROM ({_Q_HEXBIN_ORACLE}) x
+UNION ALL
+SELECT 'chain' AS part, k, v FROM (
+  SELECT 'xmin' AS k,
+         cast(round(min(c_acctbal) * 100) AS BIGINT) AS v FROM customer
+  UNION ALL
+  SELECT 'ymax', cast(max(c_custkey) AS BIGINT) FROM customer
+  UNION ALL
+  SELECT 'npoints', cast(count(*) AS BIGINT) FROM customer
+  UNION ALL
+  SELECT 'ST_MultiPoint', 0
+) c
 ORDER BY part, k, v
 """
 
@@ -1051,7 +1062,16 @@ def _q_sql_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup that used to be its own gate (q_spatial_grid_join) — merged to
     free a slot under the 50-query cap. Common schema
     (part, k, v): dwithin pairs as ('dwithin', custkey, suppkey), grid
-    segment counts as ('grid', segment, n_customers)."""
+    segment counts as ('grid', segment, n_customers).
+
+    r13 leg ('chain' part): multi-level scalar-over-aggregate SQL chains
+    (plans/sql.py, VERDICT r12 #3) with closed-form DuckDB mirrors —
+    ST_XMin(ST_ConvexHull(ST_Union(g))) = min(x) (hull vertices are
+    input points), ST_YMax(ST_ConvexHull(ST_Collect(g))) = max(y),
+    ST_NPoints(ST_Union(g)) = count(*) (all points distinct by custkey
+    ordinate), ST_GeometryType(ST_MakeValid(ST_Union(g))) =
+    'ST_MultiPoint'. xmin scales by 100 into the BIGINT v column
+    (acctbal carries cents; ties at .5 cannot occur)."""
     from datafusion_spatial_spark.functions.scalar import st_point
     from datafusion_spatial_spark.meta import GeometryMeta, with_geo_meta
     from datafusion_spatial_spark.plans.sql import SpatialSQL
@@ -1098,7 +1118,45 @@ def _q_sql_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("v"),
         )
     )
-    return dwithin.unionAll(grid).unionAll(hexbin).orderBy("part", "k", "v")
+    ch = ssql.sql(
+        "SELECT ST_XMin(ST_ConvexHull(ST_Union(geom))) AS xmin, "
+        "ST_YMax(ST_ConvexHull(ST_Collect(geom))) AS ymax, "
+        "ST_NPoints(ST_Union(geom)) AS np, "
+        "ST_GeometryType(ST_MakeValid(ST_Union(geom))) AS gt "
+        "FROM cust_pts"
+    )
+    chain = ch.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("xmin").alias("k"),
+                    F.round(F.col("xmin") * 100)
+                    .cast("long")
+                    .alias("v"),
+                ),
+                F.struct(
+                    F.lit("ymax").alias("k"),
+                    F.col("ymax").cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("npoints").alias("k"),
+                    F.col("np").cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.col("gt").alias("k"),
+                    F.lit(0).cast("long").alias("v"),
+                ),
+            )
+        ).alias("s")
+    ).select(
+        F.lit("chain").alias("part"),
+        F.col("s.k").alias("k"),
+        F.col("s.v").alias("v"),
+    )
+    return (
+        dwithin.unionAll(grid).unionAll(hexbin).unionAll(chain)
+        .orderBy("part", "k", "v")
+    )
 
 
 # degenerate / holed / concave / multi-part polygon pairs with

