@@ -909,16 +909,28 @@ def st_addpoint_geom(
     position: int = -1,
 ) -> Column:
     """PostGIS ST_AddPoint(line, point [, position]) — geometry-argument
-    form; WKB out."""
+    form; WKB out.
+
+    Position semantics (ADVICE r12): -1 appends (PostGIS default); any
+    other negative literal is rejected at BUILD time (PostGIS raises on
+    an invalid index, and a constant bad index should fail the query,
+    not silently null rows); a non-negative position past the end of a
+    particular row's line yields NULL for that row — a documented
+    deviation from PostGIS, which errors per row (a worker exception
+    would kill the whole job for one bad row at scale)."""
     pos = int(position)
+    if pos < -1:
+        raise ValueError(
+            f"ST_AddPoint position must be -1 (append) or >= 0; got {pos}"
+        )
 
     def ed(coords, v):
-        if pos == -1 or pos >= len(coords):
+        if pos == -1:
             coords.append(v)
-        elif 0 <= pos:
+        elif pos <= len(coords):
             coords.insert(pos, v)
         else:
-            return None
+            return None  # out-of-range for this row -> NULL, not append
         return coords
 
     return _binary_geom_fn(_line_point_edit(ed), T.BinaryType())(

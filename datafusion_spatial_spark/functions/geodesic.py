@@ -124,9 +124,15 @@ def st_distancespheroid(
 
     Non-point geometries (r12 fuzz finding: the unconditional st_x/st_y
     was an ANALYSIS-time crash on any other input) dispatch to the exact
-    vertex-vs-arc spherical minimum scaled to the WGS84 semi-major axis —
-    the same ~flattening-order accuracy class as the haversine guard
-    above, never a resolution error."""
+    vertex-vs-arc SPHERICAL minimum scaled to the WGS84 semi-major axis.
+    This is a documented accuracy DEVIATION from PostGIS (ADVICE r12):
+    PostGIS computes a true spheroidal distance for every geometry type,
+    whereas the scaled-sphere result for line/polygon inputs carries a
+    flattening-order error (up to ~0.3-0.5% of the distance, worst
+    pole-to-equator). Point-point pairs keep the ~meter-accurate Andoyer
+    form above; treat non-point spheroid distances as approximate or
+    pre-densify and take the min over per-vertex point pairs when
+    sub-0.1% accuracy matters."""
 
     def _pointish(m: GeometryMeta) -> bool:
         ts = tuple(m.geometry_types or ())

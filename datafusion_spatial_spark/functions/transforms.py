@@ -134,7 +134,11 @@ def st_flipcoordinates(col: Column | str, meta: GeometryMeta) -> Column:
 
 
 def st_snaptogrid(col: Column | str, size: float, meta: GeometryMeta) -> Column:
-    """Snap every coordinate to a grid of ``size`` (round-half-up)."""
+    """Snap every coordinate to a grid of ``size``, rounding half-ties
+    UP toward +infinity (JTS/PostGIS convention: floor(v/size + 0.5)) on
+    BOTH encodings — ADVICE r12 pinned the native path to the same
+    convention (F.round is HALF_UP *away from zero*, which snaps -2.5 to
+    -3 where the kernel snaps it to -2)."""
     size = float(size)
     if meta.is_wkb:
         import math as _m
@@ -147,7 +151,10 @@ def st_snaptogrid(col: Column | str, size: float, meta: GeometryMeta) -> Column:
     s = F.lit(size)
 
     def snap_c(p):
-        return F.round(p["x"] / s, 0) * s, F.round(p["y"] / s, 0) * s
+        return (
+            F.floor(p["x"] / s + F.lit(0.5)) * s,
+            F.floor(p["y"] / s + F.lit(0.5)) * s,
+        )
 
     return _map_coords(col, meta, snap_c)
 

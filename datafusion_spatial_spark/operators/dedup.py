@@ -596,6 +596,17 @@ def duplicate_spans(
     ``hash_fn``: "xxhash64" (fast JVM path), "poly" (oracle 30-bit), or
     "exact" — key on the window STRING (collision-free; the gate uses
     this so the DuckDB mirror needs no hash function at all).
+
+    Collision risk (ADVICE r12): with "xxhash64" two DISTINCT k-token
+    windows can share a 64-bit hash and be miscounted as one —
+    birthday-bound probability ~n²/2⁶⁵ for n distinct windows (~3% at
+    n = 10⁹; ~1 expected collision at n ≈ 6×10⁹), and a collision can
+    both create false duplicate windows and lift a window over the
+    ``min_doc_count`` bar. "poly" (30-bit) is oracle-compat only and
+    collides at far smaller n. For correctness-critical span removal
+    run ``hash_fn="exact"``: the shuffle key is the window string
+    itself (k tokens per position instead of 8 bytes — heavier shuffle,
+    zero false merges).
     """
     from pyspark.sql import Window
 
@@ -675,6 +686,12 @@ def remove_duplicate_spans(
     positions-vs-spans range join broadcasts at runtime; tokens shuffle
     once on the id for reassembly. The range condition is bounded by the
     equi-key (id) — never a cartesian.
+
+    Since removal is destructive, the :func:`duplicate_spans` collision
+    caveat applies doubly here: under the default ``hash_fn="xxhash64"``
+    a 64-bit collision (birthday-bound ~n²/2⁶⁵ over distinct windows)
+    would DELETE non-duplicate text. Use ``hash_fn="exact"`` for
+    correctness-critical corpora — the oracle gate runs that mode.
     """
     spans = duplicate_spans(
         df, text_col, id_col, k=k, min_doc_count=min_doc_count,

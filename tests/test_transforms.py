@@ -81,3 +81,39 @@ def test_makepolygon(spark):
         st_astext(st_makepolygon(ring), POLY_META).alias("wkt")
     ).collect()[0]
     assert out.wkt == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+
+
+def test_snaptogrid_negative_half_tie_parity(spark):
+    """ADVICE r12: the native path must snap half-ties UP toward
+    +infinity like the WKB kernel's JTS floor(v/size + 0.5) — F.round
+    (HALF_UP away from zero) snapped -2.5 to -3 where the kernel gives
+    -2. Both encodings of the same geometry must agree on every tie."""
+    from datafusion_spatial_spark import wkb as W
+    from datafusion_spatial_spark.functions.scalar import st_asbinary
+
+    coords = [(-2.5, -0.5), (-1.5, 2.5), (0.5, 1.5), (-3.5, 3.5)]
+    g = W.Geom("LineString", coords)
+    native = spark.createDataFrame(
+        [([c[0] for c in coords], [c[1] for c in coords])],
+        "xs array<double>, ys array<double>",
+    ).select(
+        F.arrays_zip(
+            F.col("xs").alias("x"), F.col("ys").alias("y")
+        ).alias("geometry")
+    )
+    # the separated-coords native LineString shape
+    native = native.select(
+        F.transform(
+            "geometry",
+            lambda p: F.struct(p["x"].alias("x"), p["y"].alias("y")),
+        ).alias("geometry")
+    )
+    wkb_df = spark.createDataFrame([(bytearray(W.dumps(g)),)], "geometry binary")
+    wkb_meta = GeometryMeta(encoding="WKB")
+    n = native.select(
+        st_astext(st_snaptogrid("geometry", 1.0, LINE_META), LINE_META).alias("t")
+    ).collect()[0]["t"]
+    w = wkb_df.select(
+        st_astext(st_snaptogrid("geometry", 1.0, wkb_meta), wkb_meta).alias("t")
+    ).collect()[0]["t"]
+    assert n == w == "LINESTRING (-2 0, -1 3, 1 2, -3 4)"
