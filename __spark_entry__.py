@@ -1340,16 +1340,26 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_clipbybox2d,
         st_closestpointofapproach,
         st_distancecpa,
+        st_dumprings,
+        st_dumpsegments,
+        st_forcepolygoncw,
         st_frechetdistance,
+        st_geometricmedian,
         st_interpolatepoint,
         st_isclosed,
+        st_ispolygoncw,
         st_isring,
+        st_isvaliddetail,
         st_maxdistance,
         st_minimumrotatedrectangle,
         st_ndims,
         st_numpoints,
         st_reduceprecision,
+        st_simplifyvw,
+        st_swapordinates,
         st_triangulatepolygon,
+        st_xmin,
+        st_ymax,
         st_zmflag,
     )
     from datafusion_spatial_spark.functions.predicates import (
@@ -1526,6 +1536,43 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 s(F.col("s2") + 2), F.lit(")"),
             )
         ).alias("tb"),
+        # r13 wave-5/6/7 gate geometries (VERDICT r12 #6): vp is a valid
+        # unit box (s2=0) or a bowtie whose ring self-intersects at the
+        # exact center (s2=1) — the ST_IsValidDetail probe; mp4 is the
+        # four corners of the ab box as a MultiPoint, whose geometric
+        # median is the exact center by symmetry (equal corner distances
+        # make the centroid Weiszfeld's fixed point).
+        st_geomfromtext(
+            F.when(
+                F.col("s2") == 1,
+                F.concat(
+                    F.lit("POLYGON (("),
+                    s(F.col("fx")), F.lit(" "), s(F.col("y")), F.lit(", "),
+                    s(F.col("fx") + 1), F.lit(" "), s(F.col("y") + 1),
+                    F.lit(", "),
+                    s(F.col("fx") + 1), F.lit(" "), s(F.col("y")),
+                    F.lit(", "),
+                    s(F.col("fx")), F.lit(" "), s(F.col("y") + 1),
+                    F.lit(", "),
+                    s(F.col("fx")), F.lit(" "), s(F.col("y")), F.lit("))"),
+                ),
+            ).otherwise(
+                box(F.col("fx"), F.col("y"), F.col("fx") + 1, F.col("y") + 1)
+            )
+        ).alias("vp"),
+        st_geomfromtext(
+            F.concat(
+                F.lit("MULTIPOINT (("),
+                s(F.col("fx")), F.lit(" "), s(F.col("y") - 0.5),
+                F.lit("), ("),
+                s(F.col("fx") + 1 + F.col("s4") * 0.5), F.lit(" "),
+                s(F.col("y") - 0.5), F.lit("), ("),
+                s(F.col("fx") + 1 + F.col("s4") * 0.5), F.lit(" "),
+                s(F.col("y") + 0.5), F.lit("), ("),
+                s(F.col("fx")), F.lit(" "), s(F.col("y") + 0.5),
+                F.lit("))"),
+            )
+        ).alias("mp4"),
     )
     return g.select(
         "custkey",
@@ -1582,6 +1629,38 @@ def _q_st_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             st_x(st_lineinterpolatepoint("lp", 0.5, W)), 6
         ).alias("lip_x"),
+        # r13 (VERDICT r12 #6): the previously pytest-only wave-5/6/7
+        # families, each with a closed-form mirror. ST_IsValidDetail over
+        # vp (valid box vs center-crossing bowtie: flag, reason string,
+        # failure-location x); ST_SwapOrdinates('xy') + ordinate extrema
+        # (ymax of the swapped ab = xmax of ab; xmin of ab = fx);
+        # polygon orientation (ab is built CCW, ForcePolygonCW flips it);
+        # dump cardinalities (lc segments, ab rings); Weiszfeld geometric
+        # median of the mp4 corner set (= exact center); SimplifyVW at
+        # tolerance 1 (the lr elbow's effective area is (s4+1)/2, so the
+        # middle vertex drops only at s4=0).
+        st_isvaliddetail("vp", W)["valid"].alias("vd_ok"),
+        F.coalesce(
+            st_isvaliddetail("vp", W)["reason"], F.lit("ok")
+        ).alias("vd_reason"),
+        F.round(
+            st_x(st_isvaliddetail("vp", W)["location"], W), 6
+        ).alias("vd_x"),
+        F.round(
+            st_ymax(st_swapordinates("ab", "xy", W), W), 6
+        ).alias("swap_ymax"),
+        F.round(st_xmin("ab", W), 6).alias("xmin_ab"),
+        (
+            st_ispolygoncw(st_forcepolygoncw("ab", W), W)
+            & ~st_ispolygoncw("ab", W)
+        ).alias("cw_flip"),
+        F.round(st_area(st_forcepolygoncw("ab", W), W), 6).alias("cw_area"),
+        (
+            F.size(st_dumpsegments("lc", W)) * 10
+            + F.size(st_dumprings("ab", W))
+        ).alias("dump_counts"),
+        F.round(st_x(st_geometricmedian("mp4", W), W), 6).alias("gmed_x"),
+        st_numpoints(st_simplifyvw("lr", 1.0, W), W).alias("vw_n"),
     ).orderBy("custkey")
 
 
@@ -1625,7 +1704,18 @@ SELECT custkey,
        round(1.0 + s4 * 0.5, 6) AS mrr_area,
        round(1.0 + s2 * 0.5, 6) AS cpa_t,
        round(1.0 + s3, 6) AS cpa_d,
-       round(x + 0.5 * ((x + 2.3) - x), 6) AS lip_x
+       round(x + 0.5 * ((x + 2.3) - x), 6) AS lip_x,
+       (s2 = 0) AS vd_ok,
+       CASE WHEN s2 = 1 THEN 'self-intersecting ring'
+            ELSE 'ok' END AS vd_reason,
+       CASE WHEN s2 = 1 THEN round(fx + 0.5, 6) END AS vd_x,
+       round(fx + 1 + s4 * 0.5, 6) AS swap_ymax,
+       round(fx, 6) AS xmin_ab,
+       TRUE AS cw_flip,
+       round(1.0 + s4 * 0.5, 6) AS cw_area,
+       CAST((3 - s2) * 10 + 1 AS INTEGER) AS dump_counts,
+       round(fx + 0.5 + 0.25 * s4, 6) AS gmed_x,
+       CAST(CASE WHEN s4 = 0 THEN 2 ELSE 3 END AS INTEGER) AS vw_n
 FROM b ORDER BY custkey
 """
 
