@@ -895,20 +895,46 @@ class SpatialSQL:
     # -- resolution ---------------------------------------------------------
 
     def _register_agg_udf(self, name: str) -> str:
-        """Register the pandas aggregate UDF behind SQL ST_Union/ST_Collect
-        once per session; returns the SQL function name."""
-        from datafusion_spatial_spark.functions.aggregates import (
-            _collect_agg_wkb,
-            _union_agg_wkb,
-        )
+        """Register the SQL function behind aggregate ST_Union/ST_Collect
+        once per session; returns an SQL expression TEMPLATE with one
+        ``{col}`` slot.
 
-        fn = "__st_union_agg" if name == "ST_UNION" else "__st_collect_agg"
-        if not getattr(self, f"_reg{fn}", False):
-            self.spark.udf.register(
-                fn, _union_agg_wkb if name == "ST_UNION" else _collect_agg_wkb
-            )
-            object.__setattr__(self, f"_reg{fn}", True)
-        return fn
+        r13 (clause-position fuzz): the r12 pandas GROUP-AGG UDF could
+        not share an Aggregate with builtin aggregates — Spark raises
+        INVALID_PANDAS_UDF_PLACEMENT on ``SELECT count(*),
+        ST_AsText(ST_Union(g)) .. GROUP BY k``. The rewrite is now
+        ``<scalar udf>(collect_list(col))``: collect_list is a builtin
+        aggregate (mixes freely), and the union/collect kernel runs as a
+        SCALAR pandas UDF over the gathered array — the same per-group
+        data the UDAF materialized, same result."""
+        from pyspark.sql import functions as SF
+        from pyspark.sql import types as ST
+
+        from datafusion_spatial_spark import geom_ops as _go
+        from datafusion_spatial_spark import wkb as _wkb
+
+        fn = "__st_union_list" if name == "ST_UNION" else "__st_collect_list"
+        if getattr(self, f"_reg{fn}", False):
+            return fn + "(collect_list({col}))"
+        kernel = _go.union_many if name == "ST_UNION" else _go.collect_geoms
+
+        @SF.pandas_udf(ST.BinaryType())
+        def udf(lists: pd.Series) -> pd.Series:
+            def one(vals):
+                if vals is None:
+                    return None
+                geoms = [
+                    _wkb.loads(bytes(b)) for b in vals if b is not None
+                ]
+                if not geoms:
+                    return None
+                return _wkb.dumps(kernel(geoms))
+
+            return pd.Series([one(v) for v in lists], dtype="object")
+
+        self.spark.udf.register(fn, udf)
+        object.__setattr__(self, f"_reg{fn}", True)
+        return fn + "(collect_list({col}))"
 
     def _register_postagg_udf(self, outer: str, nargs: int = 0) -> str:
         """Register (once per session and extra-arg count) the scalar
@@ -1000,7 +1026,18 @@ class SpatialSQL:
 
         new_cols: list[Column] = []
         replacements: list[tuple[int, int, str]] = []
+        # r13 (clause-position fuzz): IDENTICAL call texts share ONE
+        # rewrite. Without this, `SELECT ST_GeometryType(g) .. GROUP BY
+        # ST_GeometryType(g)` became two distinct hidden columns and
+        # Spark rejected the ungrouped SELECT one (MISSING_AGGREGATION);
+        # sharing the rewrite makes every clause position reference the
+        # same column/expression, exactly like textual SQL semantics.
+        repl_cache: dict[str, str] = {}
         for start, end, text in calls:
+            if text in repl_cache:
+                replacements.append((start, end, repl_cache[text]))
+                continue
+            n_before = len(replacements)
             name = "ST_" + _CALL_RE.match(text).group(1).upper()
             inner_args = _split_args(text[_CALL_RE.match(text).end() : -1])
             if name == _AGG_EXTENT:
@@ -1017,7 +1054,9 @@ class SpatialSQL:
                 idx = len(new_cols)
                 new_cols.append(_sc.st_asbinary(col, meta).alias(f"__st_{idx}"))
                 fn = self._register_agg_udf(name)
-                replacements.append((start, end, f"{fn}(__st_{idx})"))
+                replacements.append(
+                    (start, end, fn.format(col=f"__st_{idx}"))
+                )
             elif (chain := _match_postagg_chain(text)) is not None:
                 # r12/r13: the PostGIS scalar-over-aggregate idiom —
                 # ST_AsText(ST_Union(g)) and, since r13 (VERDICT r12 #3),
@@ -1034,7 +1073,7 @@ class SpatialSQL:
                     _sc.st_asbinary(col, meta).alias(f"__st_{idx}")
                 )
                 agg_fn = self._register_agg_udf(agg_name)
-                sql_expr = f"{agg_fn}(__st_{idx})"
+                sql_expr = agg_fn.format(col=f"__st_{idx}")
                 for wname, extras in reversed(wrappers):
                     wrap_fn = self._register_postagg_udf(
                         wname, len(extras)
@@ -1048,6 +1087,8 @@ class SpatialSQL:
                 idx = len(new_cols)
                 new_cols.append(col.alias(f"__st_{idx}"))
                 replacements.append((start, end, f"__st_{idx}"))
+            if len(replacements) > n_before:
+                repl_cache[text] = replacements[-1][2]
 
         resolved_view = f"{view}__st_resolved"
         df.select("*", *new_cols).createOrReplaceTempView(resolved_view)
