@@ -129,3 +129,42 @@ def test_string_literal_st_text_untouched(ssql):
         "SELECT 'ST_Area(geometry)' AS s FROM fz WHERE ST_NPoints(geometry) > 0"
     ).collect()
     assert rows[0]["s"] == "ST_Area(geometry)"
+
+
+def test_cte_subquery_union_window_positions(ssql):
+    """ST_ calls inside CTEs, derived tables, UNION ALL branches, scalar
+    subqueries, and window ORDER BY all resolve (the FROM-rewrite hits
+    the registered view wherever it appears)."""
+    m = ssql.sql(
+        "WITH c AS (SELECT ST_Area(geometry) AS a FROM fz) "
+        "SELECT max(a) AS m FROM c"
+    ).collect()[0]["m"]
+    m2 = ssql.sql(
+        "SELECT max(a) AS m FROM (SELECT ST_Area(geometry) AS a FROM fz) q"
+    ).collect()[0]["m"]
+    m3 = ssql.sql(
+        "SELECT (SELECT max(ST_Area(geometry)) FROM fz) AS m"
+    ).collect()[0]["m"]
+    assert m == m2 == m3 and m > 0
+    u = ssql.sql(
+        "SELECT ST_Area(geometry) AS a FROM fz "
+        "UNION ALL SELECT ST_Length(geometry) AS a FROM fz"
+    ).collect()
+    assert len(u) == 8
+    w = ssql.sql(
+        "SELECT row_number() OVER (ORDER BY ST_Area(geometry)) AS rn FROM fz"
+    ).collect()
+    assert sorted(r["rn"] for r in w) == [1, 2, 3, 4]
+
+
+def test_non_spatial_join_predicate_raises_clearly(ssql):
+    """A scalar-equality ON condition starting with ST_ is NOT silently
+    mis-planned as a spatial join — it raises the documented
+    unsupported-predicate error naming the supported set."""
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported join predicate"):
+        ssql.sql(
+            "SELECT count(*) AS n FROM fz x JOIN fz y "
+            "ON ST_NPoints(x.geometry) = ST_NPoints(y.geometry)"
+        )
