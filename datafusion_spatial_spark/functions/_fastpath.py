@@ -1325,7 +1325,12 @@ def _sweep_batch(s: pd.Series):
             return None
     except TypeError:
         return None
-    fc = flat_coords_batch(s, with_rings=True)
+    # r13: uniform POINT batches decode too (_allow_point) — st_length /
+    # st_area / st_perimeter / st_centroid and the containment sweep on
+    # an all-point column previously fell to the per-row kernels. The
+    # dedicated point fast paths still run FIRST in predicate/distance
+    # dispatch, so this only widens the consumers that had no point path.
+    fc = flat_coords_batch(s, with_rings=True, _allow_point=True)
     if fc is None:
         return None
     xs, ys, counts, info = fc

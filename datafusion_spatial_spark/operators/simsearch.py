@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 # probe). 20k keeps the 30x/100x probe scales (60k/200k rows) banded.
 _BANDS1_CORPUS_ROWS = 20_000
 
+# one-pass banded join: max over-cap (band, bucket) entries collected to
+# the driver for NULL-masking; beyond this (adversarial bucket skew) the
+# per-band union fallback runs instead — the collect stays O(1)-bounded
+_HOT_SET_COLLECT_CAP = 1_000
+
 
 def _vec(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -247,6 +252,14 @@ def cosine_near_dup_pairs(
         r = min(r, 62)
         all_planes = random_hyperplanes(dims, r * b, seed)
         plane_groups = [all_planes[k * r:(k + 1) * r] for k in range(b)]
+    if len(plane_groups) > 1:
+        banded = _near_dup_pairs_banded(
+            df, vec_col, id_col, threshold, plane_groups, max_bucket
+        )
+        if banded is not None:
+            return banded
+        # adversarial bucket skew (over-cap set too large to collect):
+        # the r12-identical per-band union below needs no driver state
     out = None
     for grp in plane_groups:
         pairs = _near_dup_pairs_one_band(
@@ -254,6 +267,114 @@ def cosine_near_dup_pairs(
         )
         out = pairs if out is None else out.unionAll(pairs)
     return out.dropDuplicates(["id_a", "id_b"])
+
+
+def _near_dup_pairs_banded(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    plane_groups: list,
+    max_bucket: int | None,
+) -> DataFrame:
+    """One-pass multi-band LSH candidate join (r13, VERDICT r12 #5 —
+    the semantic_dedup banded-join constant). The per-band plan ran one
+    bucket + count + self-join JOB per band and unioned the verified
+    pairs, so a pair surfacing in k bands paid k exact-cosine
+    evaluations plus a final all-pair dedup shuffle.
+
+    Here every band's bucket computes in ONE map pass, rows carry their
+    full per-band bucket ARRAY (b longs — never the vectors twice), the
+    self-join keys on the composite (band, bucket) after posexplode,
+    and each candidate pair survives only in its CANONICAL band — the
+    first band where both rows' buckets agree (a map-side filter on the
+    two bucket arrays). One shuffle topology, each unique pair paying
+    exactly one exact-cosine, and NO pair-dedup shuffle at all: the
+    canonical-band rule already emits every pair once.
+
+    Capped buckets (``max_bucket`` — the degenerate all-zeros-embedding
+    guard) interact with the canonical rule: a pair whose first
+    agreeing band was CAPPED must instead survive in its first
+    UNCAPPED agreeing band, or r12 recall would silently drop. The
+    over-cap (band, bucket) set is tiny by construction (buckets
+    expected ~auto_scale_target rows vs the 10k default cap), so it is
+    collected with a hard LIMIT guard and masked out of the bucket
+    arrays as NULLs (NULL never equals, so capped bands are transparent
+    to both the explode and the canonical rule). If the over-cap set is
+    implausibly large (> _HOT_SET_COLLECT_CAP — adversarial data), the
+    operator falls back to the r12-identical per-band union, which
+    needs no driver-side set. The pair set is identical to the per-band
+    union in every case: same planes, same per-band bit order, same
+    >= threshold verify."""
+    v = _vec(vec_col)
+    nb = len(plane_groups)
+    bucket_cols = []
+    for grp in plane_groups:
+        bucket = None
+        for i, plane in enumerate(grp):
+            p = F.array(*[F.lit(float(x)) for x in plane])
+            bit = F.when(dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        bucket_cols.append(bucket.cast("long"))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+        F.array(*bucket_cols).alias("__bkts"),
+    )
+    if max_bucket is not None:
+        exploded = base.select(
+            F.posexplode("__bkts").alias("__band", "__bucket")
+        )
+        hot = (
+            exploded.groupBy("__band", "__bucket")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("__band", "__bucket")
+            .limit(_HOT_SET_COLLECT_CAP + 1)
+            .collect()
+        )
+        if len(hot) > _HOT_SET_COLLECT_CAP:
+            return None  # caller falls back to the per-band union
+        if hot:
+            hot_by_band = {k: [] for k in range(nb)}
+            for r in hot:
+                hot_by_band[int(r["__band"])].append(int(r["__bucket"]))
+            base = base.select(
+                "__id", "__v",
+                F.array(*[
+                    F.when(
+                        F.col("__bkts")[k].isin(hot_by_band[k]),
+                        F.lit(None).cast("long"),
+                    ).otherwise(F.col("__bkts")[k])
+                    if hot_by_band[k] else F.col("__bkts")[k]
+                    for k in range(nb)
+                ]).alias("__bkts"),
+            )
+    bucketed = base.select(
+        "__id", "__v", "__bkts",
+        F.posexplode("__bkts").alias("band", "bucket"),
+    ).filter(F.col("bucket").isNotNull())
+    a = bucketed.select(
+        "band", "bucket", F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"), F.col("__bkts").alias("__ba"),
+    )
+    b = bucketed.select(
+        "band", "bucket", F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"), F.col("__bkts").alias("__bb"),
+    )
+    # canonical band: 1-based index of the first band whose buckets agree
+    # (NULL-masked capped bands never agree) — keeps each pair exactly once
+    first_match = F.expr(
+        "array_position(zip_with(__ba, __bb, (x, y) -> x = y), true)"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("band") + F.lit(1) == first_match)
+        .withColumn("score", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("score") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+    )
 
 
 def _near_dup_pairs_one_band(

@@ -432,3 +432,58 @@ def test_mixed_dim_point_point_predicates():
             for a, b in zip(sa, sb)
         ]
         assert list(got) == exp, mode
+
+
+def test_uniform_point_batch_measures_and_centroid():
+    """r13: uniform POINT batches (2-D/Z/M/ZM, with nulls) ride the
+    sweep for measures and centroid — 0.0 measures, the point itself as
+    centroid, NULL propagated; POINT EMPTY batches keep the scalar
+    fallback (NaN gate)."""
+    from datafusion_spatial_spark.functions._fastpath import (
+        centroid_fastpath,
+    )
+
+    mk = lambda w: wkb.dumps(wkb.from_wkt(w))  # noqa: E731
+    batch = pd.Series(
+        [mk("POINT (1 2)"), mk("POINT Z (3 4 9)"), None,
+         mk("POINT M (5 -6 1)"), mk("POINT ZM (7 8 1 2)")],
+        dtype=object,
+    )
+    for mode in ("length", "perimeter", "area"):
+        out = measure_fastpath(batch, mode)
+        assert out is not None, (mode, "uniform point batch fell back")
+        vals = out.to_numpy()
+        assert (vals[[0, 1, 3, 4]] == 0.0).all()
+        assert np.isnan(vals[2])
+    c = centroid_fastpath(batch)
+    assert c is not None, "point centroid fell back"
+    assert list(c["x"])[:2] == [1.0, 3.0] and list(c["y"])[3:] == [-6.0, 8.0]
+    assert np.isnan(c["x"][2])
+    empty = pd.Series([mk("POINT (1 2)"), mk("POINT EMPTY")], dtype=object)
+    assert measure_fastpath(empty, "length") is None  # NaN gate -> scalar
+
+
+def test_uniform_point_batch_containment_sweep():
+    """Point batches as the CONTAINEE of a factorized polygon container
+    engage the containment sweep with kernel parity."""
+    from datafusion_spatial_spark.functions._fastpath import (
+        _line_containment_fastpath,
+    )
+
+    rng = random.Random(21)
+    poly = wkb.dumps(_make(rng, 3, 2, False, False))
+    n = 120
+    pts = pd.Series(
+        [wkb.dumps(wkb.Geom(
+            "Point", (rng.uniform(-1.2e5, 1.2e5), rng.uniform(-1.2e5, 1.2e5))
+        )) for _ in range(n)],
+        dtype=object,
+    )
+    geo = pd.Series([poly] * n, dtype=object)
+    got = _line_containment_fastpath(geo, pts, "contains", "wkb", "wkb")
+    assert got is not None, "point containee fell back"
+    exp = [
+        G.contains(wkb.loads(bytes(a)), wkb.loads(bytes(b)))
+        for a, b in zip(geo, pts)
+    ]
+    assert list(got) == exp
