@@ -38,6 +38,55 @@ _BANDS1_CORPUS_ROWS = 20_000
 _HOT_SET_COLLECT_CAP = 1_000
 
 
+def _bucket_arrays_np(plane_groups: list):
+    """Vectorized all-band LSH bucketing: ONE numpy matmul per Arrow
+    batch ((rows × dims) @ (dims × r·b) > 0, bits packed per band)
+    instead of r·b Catalyst higher-order-function dot folds per row —
+    the fold chain was the measured bottleneck of the banded candidate
+    stage. Float summation order differs from the Catalyst fold, so a
+    dot within ~1e-13 of zero can land in a different bucket; that
+    only perturbs LSH bucketing (recall-neutral), never a verified
+    score, and the oracle-mirrored explicit-planes path never uses
+    this helper."""
+    import numpy as np
+    from pyspark.sql import types as ST
+
+    mat = np.array(
+        [p for grp in plane_groups for p in grp], dtype=np.float64
+    ).T  # dims × (r·b)
+    sizes = [len(grp) for grp in plane_groups]
+    offs = np.concatenate(([0], np.cumsum(sizes)))
+    weights = [
+        (np.int64(1) << np.arange(sizes[k], dtype=np.int64))
+        for k in range(len(sizes))
+    ]
+
+    @F.pandas_udf(ST.ArrayType(ST.LongType()))
+    def udf(s: pd.Series) -> pd.Series:
+        out = []
+        isna = s.isna()
+        vals = [None if isna[i] else np.asarray(s[i], np.float64)
+                for i in range(len(s))]
+        ok = [v for v in vals if v is not None and v.size == mat.shape[0]]
+        if ok:
+            stacked = np.stack(ok)
+            bits = stacked @ mat > 0
+            buckets = np.stack([
+                (bits[:, offs[k]:offs[k + 1]] @ weights[k])
+                for k in range(len(sizes))
+            ], axis=1)
+        j = 0
+        for v in vals:
+            if v is None or v.size != mat.shape[0]:
+                out.append(None)
+            else:
+                out.append([int(x) for x in buckets[j]])
+                j += 1
+        return pd.Series(out, dtype="object")
+
+    return udf
+
+
 def _vec(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -283,14 +332,20 @@ def _near_dup_pairs_banded(
     pairs, so a pair surfacing in k bands paid k exact-cosine
     evaluations plus a final all-pair dedup shuffle.
 
-    Here every band's bucket computes in ONE map pass, rows carry their
-    full per-band bucket ARRAY (b longs — never the vectors twice), the
-    self-join keys on the composite (band, bucket) after posexplode,
-    and each candidate pair survives only in its CANONICAL band — the
-    first band where both rows' buckets agree (a map-side filter on the
-    two bucket arrays). One shuffle topology, each unique pair paying
-    exactly one exact-cosine, and NO pair-dedup shuffle at all: the
-    canonical-band rule already emits every pair once.
+    Here rows carry their full per-band bucket ARRAY (b longs — never
+    the vectors twice) into each band's bucket self-join, and each
+    candidate pair survives only in its CANONICAL band — the first band
+    where both rows' buckets agree (a map-side filter on the two bucket
+    arrays). Each unique pair pays exactly one exact-cosine and there is
+    NO pair-dedup shuffle at all: the canonical-band rule already emits
+    every pair once, so the band branches union disjoint sets.
+
+    Measured design note (r13): a single composite (band, bucket)
+    self-join was tried first and REJECTED — 86s vs 27s for the
+    per-band branches at 60k rows. The per-band joins are not serial
+    jobs: the union evaluates all branches CONCURRENTLY in one job,
+    with one modest exchange per band instead of one giant wide-row
+    sort-merge whose straggler partitions dominate.
 
     Capped buckets (``max_bucket`` — the degenerate all-zeros-embedding
     guard) interact with the canonical rule: a pair whose first
@@ -306,21 +361,23 @@ def _near_dup_pairs_banded(
     needs no driver-side set. The pair set is identical to the per-band
     union in every case: same planes, same per-band bit order, same
     >= threshold verify."""
-    v = _vec(vec_col)
     nb = len(plane_groups)
-    bucket_cols = []
-    for grp in plane_groups:
-        bucket = None
-        for i, plane in enumerate(grp):
-            p = F.array(*[F.lit(float(x)) for x in plane])
-            bit = F.when(dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        bucket_cols.append(bucket.cast("long"))
     base = df.select(
         F.col(id_col).alias("__id"),
-        v.alias("__v"),
-        F.array(*bucket_cols).alias("__bkts"),
+        _vec(vec_col).alias("__v"),
+        # per-ROW norm via the same sequential fold cosine() uses, so the
+        # per-PAIR verify below is bit-identical to cosine(a, b) while
+        # paying one interpreted fold per pair (the dot) instead of
+        # three — higher-order functions never reach codegen, and the
+        # two norm folds per candidate pair dominated the verify at 100x
+        norm(_vec(vec_col)).alias("__nrm"),
+        _bucket_arrays_np(plane_groups)(_vec(vec_col)).alias("__bkts"),
     )
+    # materialize once: every band branch reads BOTH join sides from this
+    # frame, so without a checkpoint the bucket matmul and norm folds
+    # would recompute 2·b times. O(n · (dims + b)) rows — the same data
+    # any one band's exchange already moves.
+    base = base.localCheckpoint()
     if max_bucket is not None:
         exploded = base.select(
             F.posexplode("__bkts").alias("__band", "__bucket")
@@ -340,7 +397,7 @@ def _near_dup_pairs_banded(
             for r in hot:
                 hot_by_band[int(r["__band"])].append(int(r["__bucket"]))
             base = base.select(
-                "__id", "__v",
+                "__id", "__v", "__nrm",
                 F.array(*[
                     F.when(
                         F.col("__bkts")[k].isin(hot_by_band[k]),
@@ -350,31 +407,53 @@ def _near_dup_pairs_banded(
                     for k in range(nb)
                 ]).alias("__bkts"),
             )
-    bucketed = base.select(
-        "__id", "__v", "__bkts",
-        F.posexplode("__bkts").alias("band", "bucket"),
-    ).filter(F.col("bucket").isNotNull())
-    a = bucketed.select(
-        "band", "bucket", F.col("__id").alias("id_a"),
-        F.col("__v").alias("__va"), F.col("__bkts").alias("__ba"),
-    )
-    b = bucketed.select(
-        "band", "bucket", F.col("__id").alias("id_b"),
-        F.col("__v").alias("__vb"), F.col("__bkts").alias("__bb"),
-    )
-    # canonical band: 1-based index of the first band whose buckets agree
-    # (NULL-masked capped bands never agree) — keeps each pair exactly once
-    first_match = F.expr(
-        "array_position(zip_with(__ba, __bb, (x, y) -> x = y), true)"
-    )
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("band") + F.lit(1) == first_match)
-        .withColumn("score", cosine(F.col("__va"), F.col("__vb")))
-        .filter(F.col("score") >= F.lit(float(threshold)))
-        .select("id_a", "id_b", F.round("score", 6).alias("score"))
-    )
+    # canonical band k: no EARLIER band's buckets agree (NULL-masked
+    # capped bands never agree) — keeps each pair exactly once. The test
+    # is expanded to static getArrayItem comparisons, NOT zip_with/
+    # array_position: higher-order functions run interpreted, and an
+    # interpreted lambda on every joined candidate row measurably
+    # dominated the stage at 100x scale.
+    def _canonical(k: int):
+        cond = None
+        for j in range(k):
+            agree_j = F.coalesce(
+                F.col("__ba")[j] == F.col("__bb")[j], F.lit(False)
+            )
+            cond = ~agree_j if cond is None else cond & ~agree_j
+        return cond
+
+    out = None
+    for k in range(nb):
+        a = base.select(
+            F.col("__bkts")[k].alias("bucket"),
+            F.col("__id").alias("id_a"),
+            F.col("__v").alias("__va"), F.col("__nrm").alias("__na"),
+            F.col("__bkts").alias("__ba"),
+        ).filter(F.col("bucket").isNotNull())
+        b = base.select(
+            F.col("__bkts")[k].alias("bucket"),
+            F.col("__id").alias("id_b"),
+            F.col("__v").alias("__vb"), F.col("__nrm").alias("__nb"),
+            F.col("__bkts").alias("__bb"),
+        ).filter(F.col("bucket").isNotNull())
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        canon = _canonical(k)
+        if canon is not None:
+            pairs = pairs.filter(canon)
+        # bit-identical to cosine(__va, __vb): same dot fold, same
+        # norm(a) * norm(b) product (folded once per row upstream),
+        # same NaN guard and non-ANSI zero-norm NULL
+        raw = dot(F.col("__va"), F.col("__vb")) / (
+            F.col("__na") * F.col("__nb")
+        )
+        pairs = (
+            pairs
+            .withColumn("score", F.when(~F.isnan(raw), raw))
+            .filter(F.col("score") >= F.lit(float(threshold)))
+            .select("id_a", "id_b", F.round("score", 6).alias("score"))
+        )
+        out = pairs if out is None else out.unionAll(pairs)
+    return out
 
 
 def _near_dup_pairs_one_band(
