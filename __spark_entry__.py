@@ -2616,6 +2616,7 @@ MIX_SEED = 7
 SHARD_SEED = 11
 N_SHARDS = 4
 PACK_BUDGET = 1024
+VOCAB_TOP = 40
 
 
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2632,13 +2633,17 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the hash-order window); part 'pack' = pack_sequences' greedy
     fold over the sharded corpus (budget PACK_BUDGET on n_chars), pinned
     per shard by max(seq_id)+1 and sum(seq_id * doc_id + seq_offset) —
-    the oracle replays the sequential fold with a recursive CTE."""
+    the oracle replays the sequential fold with a recursive CTE; part
+    'vocab' (r13) = operators/corpus.vocab's ranked token-frequency
+    table (top VOCAB_TOP tokens, count desc / token asc total order),
+    re-ranked verbatim by the oracle's window."""
     from datafusion_spatial_spark.operators.corpus import (
         chunk_documents,
         hash_split,
         mixture_sample,
         pack_sequences,
         shuffle_shards,
+        vocab,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2739,11 +2744,24 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chk").alias("n"),
         )
     )
+    # part 'vocab' (r13): ranked token-frequency table
+    # (operators/corpus.vocab — tokenizer-training preprocessing): the
+    # top VOCAB_TOP whitespace tokens with the deterministic
+    # (count desc, token asc) total order; the oracle re-ranks with the
+    # identical window. One groupBy + TakeOrderedAndProject.
+    voc = vocab(docs.select("text"), "text", size=VOCAB_TOP)
+    vocab_part = voc.select(
+        F.lit("vocab").alias("part"),
+        F.col("token").alias("k1"),
+        F.col("rank").cast("string").alias("k2"),
+        F.col("count").cast("long").alias("n"),
+    )
     return (
         split_part.unionAll(mix_part)
         .unionAll(shard_part)
         .unionAll(pack_part)
         .unionAll(chunk_part)
+        .unionAll(vocab_part)
         .orderBy("part", "k1", "k2")
     )
 
@@ -2864,6 +2882,19 @@ WITH RECURSIVE h AS (
   SELECT 'chunk', 'all', 'chunkchk',
          cast(sum(doc_id * (cidx + 1) + clen) AS BIGINT)
   FROM chunk_rows
+), vocab_toks AS (
+  SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+         AS token
+  FROM documents
+), vocab_counts AS (
+  SELECT token, cast(count(*) AS BIGINT) AS cnt
+  FROM vocab_toks WHERE token <> '' GROUP BY token
+), vocab_part AS (
+  SELECT 'vocab' AS part, token AS k1, cast(rk AS VARCHAR) AS k2, cnt AS n
+  FROM (SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rk
+        FROM vocab_counts) r
+  WHERE rk <= {VOCAB_TOP}
 )
 SELECT part, k1, k2, n FROM split_part
 UNION ALL
@@ -2874,6 +2905,8 @@ UNION ALL
 SELECT part, k1, k2, n FROM pack_part
 UNION ALL
 SELECT part, k1, k2, n FROM chunk_part
+UNION ALL
+SELECT part, k1, k2, n FROM vocab_part
 ORDER BY part, k1, k2
 """
 

@@ -404,3 +404,67 @@ def chunk_documents(
             ).alias(out_col),
         )
     )
+
+
+def token_counts(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    pattern: str = r"\s+",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Corpus token-frequency table — the preprocessing every tokenizer
+    training run (BPE/WordPiece vocabulary induction) starts from.
+    Returns ``(token, count)`` for every whitespace token (or a custom
+    split ``pattern``) occurring at least ``min_count`` times.
+
+    100 TB shape: a map-only explode followed by ONE groupBy on the
+    token — Catalyst's partial aggregation combines counts map-side, so
+    the shuffle carries one row per (task, distinct-token), not per
+    occurrence; the ``min_count`` filter prunes the long tail after the
+    final aggregate. No other shuffle, no Python in the hot path."""
+    from datafusion_spatial_spark.operators.skew import (
+        ensure_min_parallelism,
+    )
+
+    tok = F.explode(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), pattern)
+    ).alias("token")
+    base = ensure_min_parallelism(df).select(tok).filter(
+        F.col("token") != ""
+    )
+    if lowercase:
+        base = base.select(F.lower("token").alias("token"))
+    out = base.groupBy("token").agg(F.count("*").cast("long").alias("count"))
+    if min_count > 1:
+        out = out.filter(F.col("count") >= min_count)
+    return out
+
+
+def vocab(
+    df: DataFrame,
+    text_col: str,
+    size: int = 30_000,
+    min_count: int = 1,
+    pattern: str = r"\s+",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Ranked vocabulary: the ``size`` most frequent tokens as
+    ``(token, count, rank)`` with a DETERMINISTIC total order
+    (count desc, then token asc — ties never reorder across runs or
+    partitionings).
+
+    Scale shape: :func:`token_counts` (one shuffle) followed by
+    ``orderBy().limit(size)`` — Catalyst plans TakeOrderedAndProject,
+    a per-partition top-``size`` heap + single bounded merge, never a
+    global sort. The rank window runs AFTER the limit, so its single
+    partition holds exactly ``size`` rows."""
+    from pyspark.sql import Window
+
+    tc = token_counts(
+        df, text_col, min_count=min_count, pattern=pattern,
+        lowercase=lowercase,
+    )
+    top = tc.orderBy(F.desc("count"), F.col("token")).limit(int(size))
+    w = Window.orderBy(F.desc("count"), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -210,3 +210,31 @@ def test_semantic_dedup_small_corpus_single_band(spark):
     # the probe scales (60k / 200k rows) must remain ABOVE the collapse
     # threshold so the 100x re-probe still measures the banded path
     assert ss._BANDS1_CORPUS_ROWS < 60_000
+
+
+def test_token_counts_and_vocab(spark):
+    """r13: corpus token-frequency table + ranked vocabulary
+    (tokenizer-training preprocessing). Deterministic (count desc,
+    token asc) total order; min_count prunes the tail; null/blank text
+    contributes nothing."""
+    from datafusion_spatial_spark.operators.corpus import (
+        token_counts,
+        vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x y y z z z"), (2, "z w w x"), (3, None), (4, "   ")],
+        "id long, text string",
+    )
+    tc = {r["token"]: r["count"] for r in token_counts(df, "text").collect()}
+    assert tc == {"x": 2, "y": 2, "z": 4, "w": 2}
+    tc2 = {r["token"]: r["count"]
+           for r in token_counts(df, "text", min_count=3).collect()}
+    assert tc2 == {"z": 4}
+    v = vocab(df, "text", size=3).collect()
+    assert [(r["token"], r["count"], r["rank"]) for r in v] == [
+        ("z", 4, 1), ("w", 2, 2), ("x", 2, 3),
+    ]
+    # TakeOrderedAndProject (bounded top-k merge), never a global sort
+    plan = vocab(df, "text", size=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
