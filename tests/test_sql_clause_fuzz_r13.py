@@ -168,3 +168,30 @@ def test_non_spatial_join_predicate_raises_clearly(ssql):
             "SELECT count(*) AS n FROM fz x JOIN fz y "
             "ON ST_NPoints(x.geometry) = ST_NPoints(y.geometry)"
         )
+
+
+def test_generator_positions_over_array_st_functions(ssql):
+    """Array-returning ST_ functions drive explode / posexplode /
+    LATERAL VIEW / size positions; nesting an ST_ scalar AROUND a
+    generator raises the documented argument error (Spark itself
+    forbids generators nested in expressions)."""
+    import pytest as _pt
+
+    r1 = ssql.sql(
+        "SELECT explode(ST_DumpSegments(geometry)) AS seg FROM fz "
+        "WHERE ST_NPoints(geometry) > 0"
+    ).collect()
+    assert len(r1) >= 8  # per-segment rows
+    r2 = ssql.sql(
+        "SELECT ST_GeometryType(geometry) AS gt, s.seg FROM fz "
+        "LATERAL VIEW explode(ST_DumpRings(geometry)) s AS seg"
+    ).collect()
+    assert len(r2) >= 3
+    r3 = ssql.sql(
+        "SELECT size(ST_DumpSegments(geometry)) AS n FROM fz"
+    ).collect()
+    assert sum(x["n"] for x in r3 if x["n"] and x["n"] > 0) == len(r1)
+    with _pt.raises(ValueError, match="ST_ argument must be"):
+        ssql.sql(
+            "SELECT ST_AsText(explode(ST_DumpRings(geometry))) FROM fz"
+        )
