@@ -2617,6 +2617,7 @@ SHARD_SEED = 11
 N_SHARDS = 4
 PACK_BUDGET = 1024
 VOCAB_TOP = 40
+BIGRAM_TOP = 20
 
 
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2756,12 +2757,32 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("string").alias("k2"),
         F.col("count").cast("long").alias("n"),
     )
+    # part 'bigram' (r13): adjacent token-PAIR counts — the BPE merge
+    # statistic (operators/corpus.pair_counts: one zip_with shift, one
+    # map-side-combined groupBy); top BIGRAM_TOP with the same
+    # deterministic total order, oracle re-derived from the token array
+    from pyspark.sql import Window as _W
+
+    from datafusion_spatial_spark.operators.corpus import pair_counts
+
+    pc = pair_counts(docs.select("text"), "text")
+    top_pairs = pc.orderBy(F.desc("count"), F.col("pair")).limit(BIGRAM_TOP)
+    wb = _W.orderBy(F.desc("count"), F.col("pair"))
+    bigram_part = top_pairs.withColumn(
+        "rank", F.row_number().over(wb)
+    ).select(
+        F.lit("bigram").alias("part"),
+        F.col("pair").alias("k1"),
+        F.col("rank").cast("string").alias("k2"),
+        F.col("count").cast("long").alias("n"),
+    )
     return (
         split_part.unionAll(mix_part)
         .unionAll(shard_part)
         .unionAll(pack_part)
         .unionAll(chunk_part)
         .unionAll(vocab_part)
+        .unionAll(bigram_part)
         .orderBy("part", "k1", "k2")
     )
 
@@ -2895,6 +2916,18 @@ WITH RECURSIVE h AS (
                row_number() OVER (ORDER BY cnt DESC, token) AS rk
         FROM vocab_counts) r
   WHERE rk <= {VOCAB_TOP}
+), bigram_rows AS (
+  SELECT t.tk[s.i] || ' ' || t.tk[s.i + 1] AS pair
+  FROM (SELECT regexp_split_to_array(trim(coalesce(text, '')), '\\s+')
+        AS tk FROM documents) t,
+       UNNEST(range(1, len(t.tk))) AS s(i)
+  WHERE len(t.tk) >= 2
+), bigram_part AS (
+  SELECT 'bigram' AS part, pair AS k1, cast(rk AS VARCHAR) AS k2, cnt AS n
+  FROM (SELECT pair, cast(count(*) AS BIGINT) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
+        FROM bigram_rows GROUP BY pair) b
+  WHERE rk <= {BIGRAM_TOP}
 )
 SELECT part, k1, k2, n FROM split_part
 UNION ALL
@@ -2907,6 +2940,8 @@ UNION ALL
 SELECT part, k1, k2, n FROM chunk_part
 UNION ALL
 SELECT part, k1, k2, n FROM vocab_part
+UNION ALL
+SELECT part, k1, k2, n FROM bigram_part
 ORDER BY part, k1, k2
 """
 

@@ -468,3 +468,45 @@ def vocab(
     top = tc.orderBy(F.desc("count"), F.col("token")).limit(int(size))
     w = Window.orderBy(F.desc("count"), F.col("token"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def pair_counts(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    pattern: str = r"\s+",
+    sep: str = " ",
+) -> DataFrame:
+    """Adjacent token-PAIR frequency table — the statistic a BPE merge
+    step ranks (which neighboring symbols co-occur most). Returns
+    ``(pair, count)`` where ``pair`` is the two tokens joined by
+    ``sep``, for every adjacent pair occurring >= ``min_count`` times.
+
+    100 TB shape: the pair stream is built map-only with one
+    ``zip_with`` over the token array and its shift (no self-join, no
+    posexplode+window), then ONE map-side-combined groupBy on the pair
+    key — identical topology to :func:`token_counts`."""
+    from datafusion_spatial_spark.operators.skew import (
+        ensure_min_parallelism,
+    )
+
+    toks = F.split(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))), pattern
+    )
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(
+            toks, 2,
+            F.greatest(F.size(toks) - 1, F.lit(0)),
+        ),
+        lambda a, b: F.concat_ws(sep, a, b),
+    )
+    base = (
+        ensure_min_parallelism(df)
+        .select(F.explode(pairs).alias("pair"))
+        .filter(~F.col("pair").rlike(r"^\s|\s$") & (F.col("pair") != ""))
+    )
+    out = base.groupBy("pair").agg(F.count("*").cast("long").alias("count"))
+    if min_count > 1:
+        out = out.filter(F.col("count") >= min_count)
+    return out

@@ -238,3 +238,20 @@ def test_token_counts_and_vocab(spark):
     # TakeOrderedAndProject (bounded top-k merge), never a global sort
     plan = vocab(df, "text", size=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pair_counts_bpe_statistic(spark):
+    """r13: adjacent token-pair counts (the BPE merge statistic) —
+    zip_with shift, no self-join; single-token/null/blank rows
+    contribute nothing."""
+    from datafusion_spatial_spark.operators.corpus import pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b c"), (3, None), (4, "solo"), (5, " ")],
+        "id long, text string",
+    )
+    pc = {r["pair"]: r["count"] for r in pair_counts(df, "text").collect()}
+    assert pc == {"a b": 2, "b a": 1, "b c": 2}
+    pc2 = {r["pair"]: r["count"]
+           for r in pair_counts(df, "text", min_count=2).collect()}
+    assert pc2 == {"a b": 2, "b c": 2}
