@@ -552,8 +552,13 @@ def flat_coords_batch(
         stack: list = []
         had_nested = [False]
 
+        from struct import unpack_from as _upf
+
         def _u32(p):
-            return int.from_bytes(joined[p : p + 4], "little")
+            # unpack_from reads in place (no bytes-slice copy) — ~1.5×
+            # over int.from_bytes on the per-member header reads, the
+            # GC walker's hot call (r13 micro-profile)
+            return _upf("<I", joined, p)[0]
 
         def _member(pos, end, rec):
             nonlocal mem
