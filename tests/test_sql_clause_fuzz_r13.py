@@ -195,3 +195,30 @@ def test_generator_positions_over_array_st_functions(ssql):
         ssql.sql(
             "SELECT ST_AsText(explode(ST_DumpRings(geometry))) FROM fz"
         )
+
+
+def test_literal_constructors_in_where_and_group_by(ssql):
+    """The everyday PostGIS filter idiom — a literal geometry built
+    in-query and compared against the column — across WHERE, SELECT,
+    ORDER BY and GROUP BY positions."""
+    box = "ST_GeomFromText('POLYGON ((0 0, 50 0, 50 50, 0 50, 0 0))')"
+    r = ssql.sql(
+        f"SELECT 1 AS one FROM fz WHERE ST_Intersects(geometry, {box})"
+    ).collect()
+    assert len(r) == 2
+    r2 = ssql.sql(
+        "SELECT count(*) AS n FROM fz "
+        "WHERE ST_DWithin(geometry, ST_Point(30, 10), 5)"
+    ).collect()
+    assert r2[0]["n"] >= 1
+    r3 = ssql.sql(
+        "SELECT ST_Distance(geometry, ST_GeomFromText('POINT (0 0)')) "
+        "AS d FROM fz ORDER BY d"
+    ).collect()
+    vals = [x["d"] for x in r3 if x["d"] is not None]
+    assert vals == sorted(vals)
+    r4 = ssql.sql(
+        f"SELECT ST_Intersects(geometry, {box}) AS hit, count(*) AS n "
+        f"FROM fz GROUP BY ST_Intersects(geometry, {box})"
+    ).collect()
+    assert sum(x["n"] for x in r4) == 4
