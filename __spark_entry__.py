@@ -2980,6 +2980,17 @@ LIMIT 10
 
 
 def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN top-k composite (r14 adds the 'recall' leg, VERDICT r13 #1).
+
+    Part 'ann': hyperplane-bucketed candidate set (Hamming radius 1
+    around the query's bucket) → exact cosine top-10. Value-exact vs
+    the oracle's identical bucketing.
+
+    Part 'recall': retrieval QUALITY — recall@10 of the ANN top-10
+    against the exact brute-force cosine top-10 over the full table.
+    The oracle recomputes both sets and the overlap itself, so a
+    pruning bug that silently drops true neighbors now breaks the gate
+    even though the 'ann' leg would still match its own mirror."""
     from datafusion_spatial_spark.operators.simsearch import (
         _vec,
         cosine,
@@ -2996,13 +3007,38 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = bucketed.crossJoin(F.broadcast(q)).filter(
         F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1
     )
-    return (
+    ann10 = (
         cand.select(
             "vec_id",
             F.round(cosine(_vec("embedding"), _vec("qe")), 6).alias("score"),
         )
         .orderBy(F.desc("score"), F.col("vec_id"))
         .limit(10)
+    )
+    exact10 = (
+        emb.crossJoin(F.broadcast(q.select("qe")))
+        .select(
+            "vec_id",
+            F.round(cosine(_vec("embedding"), _vec("qe")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    recall = (
+        ann10.select("vec_id")
+        .join(exact10, "vec_id")
+        .agg((F.count("*") / F.lit(10.0)).alias("score"))
+        .select(
+            F.lit("recall").alias("part"),
+            F.lit(-1).cast("long").alias("vec_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+    return (
+        ann10.select(F.lit("ann").alias("part"), "vec_id", "score")
+        .unionAll(recall)
+        .orderBy("part", F.desc("score"), "vec_id")
     )
 
 
@@ -3021,20 +3057,41 @@ def _q_lsh_ann_oracle() -> str:
         )
         bucket_terms.append(f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)")
     bucket = " + ".join(bucket_terms)
+    cos_b = (
+        f"{_duckdb_dot('b.embedding', 'q.qe')}"
+        f" / (sqrt({_duckdb_dot('b.embedding', 'b.embedding')})"
+        f" * sqrt({_duckdb_dot('q.qe', 'q.qe')}))"
+    )
+    cos_e = (
+        f"{_duckdb_dot('e.embedding', 'q.qe')}"
+        f" / (sqrt({_duckdb_dot('e.embedding', 'e.embedding')})"
+        f" * sqrt({_duckdb_dot('q.qe', 'q.qe')}))"
+    )
     return f"""
 WITH b AS (
   SELECT vec_id, embedding, cast({bucket} AS INT) AS bucket FROM embeddings
 ), q AS (
   SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0
+), ann10 AS (
+  SELECT vec_id, round({cos_b}, 6) AS score
+  FROM b CROSS JOIN q
+  WHERE bit_count(xor(b.bucket, q.qbucket)) <= 1
+  ORDER BY score DESC, vec_id
+  LIMIT 10
+), exact10 AS (
+  SELECT vec_id, round({cos_e}, 6) AS score
+  FROM embeddings e CROSS JOIN q
+  ORDER BY score DESC, vec_id
+  LIMIT 10
+), recall AS (
+  SELECT 'recall' AS part, CAST(-1 AS BIGINT) AS vec_id,
+         round(count(*) / 10.0, 6) AS score
+  FROM ann10 JOIN exact10 USING (vec_id)
 )
-SELECT vec_id,
-       round({_duckdb_dot('b.embedding', 'q.qe')}
-             / (sqrt({_duckdb_dot('b.embedding', 'b.embedding')})
-                * sqrt({_duckdb_dot('q.qe', 'q.qe')})), 6) AS score
-FROM b CROSS JOIN q
-WHERE bit_count(xor(b.bucket, q.qbucket)) <= 1
-ORDER BY score DESC, vec_id
-LIMIT 10
+SELECT 'ann' AS part, vec_id, score FROM ann10
+UNION ALL
+SELECT part, vec_id, score FROM recall
+ORDER BY part, score DESC, vec_id
 """
 
 
@@ -3221,7 +3278,38 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("pq").alias("part"), "vec_id", F.round("score", 6).alias("score")
     )
-    return ivf.unionAll(pq).orderBy("part", F.desc("score"), "vec_id")
+
+    # parts 'ivf_recall'/'pq_recall' (r14, VERDICT r13 #1): recall@10 of
+    # each approximate top-10 vs the exact brute-force cosine top-10 —
+    # the oracle recomputes both sets and the overlap, so list pruning
+    # that silently drops true neighbors breaks the gate.
+    exact10 = (
+        emb.select(
+            "vec_id", F.round(cosine(_vec("embedding"), q), 6).alias("score")
+        )
+        .orderBy(F.desc("score"), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+
+    def _recall(topk: DataFrame, label: str) -> DataFrame:
+        return (
+            topk.select("vec_id")
+            .join(exact10, "vec_id")
+            .agg((F.count("*") / F.lit(10.0)).alias("score"))
+            .select(
+                F.lit(label).alias("part"),
+                F.lit(-1).cast("long").alias("vec_id"),
+                F.round("score", 6).alias("score"),
+            )
+        )
+
+    return (
+        ivf.unionAll(pq)
+        .unionAll(_recall(ivf, "ivf_recall"))
+        .unionAll(_recall(pq, "pq_recall"))
+        .orderBy("part", F.desc("score"), "vec_id")
+    )
 
 
 def _duckdb_sqdist(a: str, b: str) -> str:
@@ -3326,10 +3414,27 @@ WITH q AS (
   FROM embeddings e JOIN shortlist s ON e.vec_id = s.vec_id CROSS JOIN q
   ORDER BY {cos_e} DESC, e.vec_id
   LIMIT 10
+), exact10 AS (
+  SELECT e.vec_id, round({cos_e}, 6) AS score
+  FROM embeddings e CROSS JOIN q
+  ORDER BY score DESC, e.vec_id
+  LIMIT 10
+), ivf_recall AS (
+  SELECT 'ivf_recall' AS part, CAST(-1 AS BIGINT) AS vec_id,
+         round(count(*) / 10.0, 6) AS score
+  FROM ivf_part JOIN exact10 USING (vec_id)
+), pq_recall AS (
+  SELECT 'pq_recall' AS part, CAST(-1 AS BIGINT) AS vec_id,
+         round(count(*) / 10.0, 6) AS score
+  FROM pq_part JOIN exact10 USING (vec_id)
 )
 SELECT 'ivf' AS part, vec_id, score FROM ivf_part
 UNION ALL
 SELECT 'pq' AS part, vec_id, score FROM pq_part
+UNION ALL
+SELECT part, vec_id, score FROM ivf_recall
+UNION ALL
+SELECT part, vec_id, score FROM pq_recall
 ORDER BY part, score DESC, vec_id
 """
 

@@ -490,8 +490,15 @@ def pair_counts(
         ensure_min_parallelism,
     )
 
-    toks = F.split(
-        F.trim(F.coalesce(F.col(text_col), F.lit(""))), pattern
+    # drop empty tokens from the ARRAY before pairing (ADVICE r13):
+    # the former rlike('^\\s|\\s$') post-filter only caught empty-token
+    # pairs when ``sep`` was whitespace, and dropped pairs spanning an
+    # empty token instead of bridging them the way token_counts' empty-
+    # token filter implies. Filtering the array makes both behaviors
+    # sep-independent and consistent with token_counts.
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), pattern),
+        lambda x: x != "",
     )
     pairs = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -504,7 +511,6 @@ def pair_counts(
     base = (
         ensure_min_parallelism(df)
         .select(F.explode(pairs).alias("pair"))
-        .filter(~F.col("pair").rlike(r"^\s|\s$") & (F.col("pair") != ""))
     )
     out = base.groupBy("pair").agg(F.count("*").cast("long").alias("count"))
     if min_count > 1:

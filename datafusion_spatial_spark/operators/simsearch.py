@@ -358,9 +358,20 @@ def _near_dup_pairs_banded(
     to both the explode and the canonical rule). If the over-cap set is
     implausibly large (> _HOT_SET_COLLECT_CAP — adversarial data), the
     operator falls back to the r12-identical per-band union, which
-    needs no driver-side set. The pair set is identical to the per-band
-    union in every case: same planes, same per-band bit order, same
-    >= threshold verify."""
+    needs no driver-side set. The pair set matches the per-band union
+    up to float-summation-order bucket ties (recall-neutral): same
+    planes, same per-band bit order, same >= threshold verify — but
+    ``_bucket_arrays_np``'s numpy matmul may sum plane dots in a
+    different order than the Catalyst fold of the per-band fallback,
+    so a dot within ~1e-13 of zero can bucket differently and the
+    candidate set can differ at that margin.
+
+    Eager-evaluation side effect (ADVICE r13): building this DataFrame
+    runs Spark jobs NOW — the ``base.count()`` that materializes the
+    shared persist, plus the hot-set collect when ``max_bucket`` is
+    set — it is not a purely lazy plan. The persist (MEMORY_AND_DISK,
+    lineage retained) replaced an earlier ``localCheckpoint()`` so an
+    executor loss recomputes the blocks instead of failing the query."""
     nb = len(plane_groups)
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -374,10 +385,16 @@ def _near_dup_pairs_banded(
         _bucket_arrays_np(plane_groups)(_vec(vec_col)).alias("__bkts"),
     )
     # materialize once: every band branch reads BOTH join sides from this
-    # frame, so without a checkpoint the bucket matmul and norm folds
-    # would recompute 2·b times. O(n · (dims + b)) rows — the same data
-    # any one band's exchange already moves.
-    base = base.localCheckpoint()
+    # frame, so without caching the bucket matmul and norm folds would
+    # recompute 2·b times. O(n · (dims + b)) rows — the same data any
+    # one band's exchange already moves. persist (not localCheckpoint):
+    # lineage is retained, so losing an executor recomputes the blocks
+    # rather than failing the query; count() fills the cache up front so
+    # concurrent band branches in the union job don't race to compute it.
+    from pyspark.storagelevel import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
     if max_bucket is not None:
         exploded = base.select(
             F.posexplode("__bkts").alias("__band", "__bucket")
@@ -391,6 +408,7 @@ def _near_dup_pairs_banded(
             .collect()
         )
         if len(hot) > _HOT_SET_COLLECT_CAP:
+            base.unpersist()
             return None  # caller falls back to the per-band union
         if hot:
             hot_by_band = {k: [] for k in range(nb)}

@@ -688,6 +688,16 @@ def _match_postagg_chain(text: str):
         m = _CALL_RE.match(cur)
         if m is None:
             return None
+        # the call's closing paren must be the LAST char of cur (ADVICE
+        # r13): an expression argument like `ST_Union(g) || x` would
+        # otherwise "match" with a garbled agg arg ('g) || x') and fail
+        # resolution instead of falling through to the generic scalar
+        # path and its clear unsupported-shape error.
+        try:
+            if _match_paren(cur, m.end() - 1) != len(cur):
+                return None
+        except ValueError:
+            return None
         name = "ST_" + m.group(1).upper()
         args = _split_args(cur[m.end():-1])
         if name in ("ST_UNION", "ST_COLLECT") and len(args) == 1:
