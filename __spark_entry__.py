@@ -917,18 +917,60 @@ def _dwithin_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("custkey", "suppkey")
 
 
+GEO_METERS = 150000.0  # geography-leg dwithin radius (150 km)
+
+
+def _geo_lonlat_exprs(key: str, kind: str):
+    """Deterministic synthetic lon/lat from an integer key, mirrored
+    verbatim in the DuckDB oracle. The fixture engineers the hard rows:
+    dateline-straddling pairs (customer %97 at lon 179.95 vs supplier
+    %13 at −179.97, matched lats 40..46) and polar-cap rows (customer
+    %83 at lat 84.6, supplier %11 at 84.7 — beyond the 80° mid-band
+    contract, routing through the stereographic cap legs)."""
+    k = F.col(key)
+    if kind == "customer":
+        lon = F.when(k % 97 == 0, F.lit(179.95)).otherwise(
+            ((k * 37) % 3600) / F.lit(10.0) - F.lit(180.0)
+        )
+        lat = (
+            F.when(k % 83 == 0, F.lit(84.6))
+            .when(k % 97 == 0, F.lit(40.0) + (k % 7).cast("double"))
+            .otherwise(((k * 53) % 1500) / F.lit(10.0) - F.lit(75.0))
+        )
+    else:
+        lon = F.when(k % 13 == 0, F.lit(-179.97)).otherwise(
+            ((k * 41) % 3600) / F.lit(10.0) - F.lit(180.0)
+        )
+        lat = (
+            F.when(k % 11 == 0, F.lit(84.7))
+            .when(k % 13 == 0, F.lit(40.0) + (k % 7).cast("double"))
+            .otherwise(((k * 59) % 1500) / F.lit(10.0) - F.lit(75.0))
+        )
+    return lon, lat
+
+
 def _q_spatial_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite (r10 folds spatial clustering in, VERDICT r9 #5):
+    """Composite (r10 folds spatial clustering in, VERDICT r9 #5; r14
+    adds the geography leg, VERDICT r13 #3):
     part 'pairs' = the grid-bucketed distance join (customer points within
     100 units of any supplier point; oracle = naive cross-join + distance
     filter); part 'cluster' = operators/spatial_cluster.cluster_within
     over the supplier points (PostGIS ST_ClusterWithin: chains of hops
     <= CLUSTER_DIST share the component's min id) — the oracle recomputes
     the naive pair list and resolves components with the same
-    reachability recursive CTE the corpus-dedup gate uses."""
+    reachability recursive CTE the corpus-dedup gate uses; part 'geo' =
+    operators/spatial_join.spatial_join_geography — the meter-radius
+    haversine dwithin join real lon/lat users hit first — on synthetic
+    lon/lat derived deterministically from the keys, with engineered
+    dateline-straddling and polar-cap (>80°) rows so the antimeridian
+    seam legs and the stereographic cap routing are oracle-gated, vs a
+    naive DuckDB haversine cross join."""
     from datafusion_spatial_spark.functions.scalar import st_point
     from datafusion_spatial_spark.meta import GeometryMeta
     from datafusion_spatial_spark.operators.spatial_cluster import cluster_within
+    from datafusion_spatial_spark.operators.spatial_join import (
+        spatial_join_geography,
+    )
 
     pairs = _dwithin_pairs_df(spark, sf_dir)
     pair_part = pairs.select(
@@ -950,7 +992,27 @@ def _q_spatial_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").cast("long").alias("k1"),
         F.col("cluster_id").cast("long").alias("k2"),
     )
-    return pair_part.unionAll(clus_part).orderBy("part", "k1", "k2")
+    c_lon, c_lat = _geo_lonlat_exprs("c_custkey", "customer")
+    s_lon, s_lat = _geo_lonlat_exprs("s_suppkey", "supplier")
+    cust_geo = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", st_point(c_lon, c_lat).alias("geom")
+    )
+    sup_geo = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", st_point(s_lon, s_lat).alias("geom")
+    )
+    geo = spatial_join_geography(
+        cust_geo, sup_geo, "geom", "geom", point_meta, point_meta,
+        "c_custkey", "s_suppkey", GEO_METERS,
+    )
+    geo_part = geo.select(
+        F.lit("geo").alias("part"),
+        F.col("c_custkey").cast("long").alias("k1"),
+        F.col("s_suppkey").cast("long").alias("k2"),
+    )
+    return (
+        pair_part.unionAll(clus_part).unionAll(geo_part)
+        .orderBy("part", "k1", "k2")
+    )
 
 
 _Q_DWITHIN_ORACLE = """
@@ -961,6 +1023,38 @@ WHERE sqrt((c_acctbal - s_acctbal) * (c_acctbal - s_acctbal)
              * (cast(c_custkey AS DOUBLE) - cast(s_suppkey AS DOUBLE))) <= 100.0
 ORDER BY custkey, suppkey
 """
+
+# geo part mirror: the same key-derived lon/lat, naive cross join +
+# haversine (term order mirrors functions/geodesic._haversine_expr:
+# dp = radians(lat2) - radians(lat1), dl = radians(lon2 - lon1),
+# 2·R·asin(least(1, sqrt(...))) with R = 6371008.8)
+_GEO_HAV = (
+    "2 * 6371008.8 * asin(least(1.0, sqrt("
+    "pow(sin((radians(s.lat) - radians(c.lat)) / 2), 2)"
+    " + cos(radians(c.lat)) * cos(radians(s.lat))"
+    " * pow(sin(radians(s.lon - c.lon) / 2), 2))))"
+)
+
+_GEO_PTS_SQL = """
+geo_c AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 97 = 0 THEN 179.95
+              ELSE ((c_custkey * 37) % 3600) / 10.0 - 180.0 END AS lon,
+         CASE WHEN c_custkey % 83 = 0 THEN 84.6
+              WHEN c_custkey % 97 = 0
+                THEN 40.0 + cast(c_custkey % 7 AS DOUBLE)
+              ELSE ((c_custkey * 53) % 1500) / 10.0 - 75.0 END AS lat
+  FROM customer
+), geo_s AS (
+  SELECT s_suppkey AS k,
+         CASE WHEN s_suppkey % 13 = 0 THEN -179.97
+              ELSE ((s_suppkey * 41) % 3600) / 10.0 - 180.0 END AS lon,
+         CASE WHEN s_suppkey % 11 = 0 THEN 84.7
+              WHEN s_suppkey % 13 = 0
+                THEN 40.0 + cast(s_suppkey % 7 AS DOUBLE)
+              ELSE ((s_suppkey * 59) % 1500) / 10.0 - 75.0 END AS lat
+  FROM supplier
+)"""
 
 # cluster part mirror: naive supplier self-join dwithin pair list (same
 # sqrt form as the pair oracle), full-reachability recursive CTE (the
@@ -985,7 +1079,7 @@ WITH RECURSIVE spairs AS (
   SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
 ), comp AS (
   SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
-)
+), {_GEO_PTS_SQL.lstrip()}
 SELECT 'pairs' AS part, cast(custkey AS BIGINT) AS k1,
        cast(suppkey AS BIGINT) AS k2
 FROM ({_Q_DWITHIN_ORACLE}) p
@@ -993,6 +1087,10 @@ UNION ALL
 SELECT 'cluster' AS part, cast(s.s_suppkey AS BIGINT) AS k1,
        cast(coalesce(c.component, s.s_suppkey) AS BIGINT) AS k2
 FROM supplier s LEFT JOIN comp c ON c.id = s.s_suppkey
+UNION ALL
+SELECT 'geo' AS part, cast(c.k AS BIGINT) AS k1, cast(s.k AS BIGINT) AS k2
+FROM geo_c c CROSS JOIN geo_s s
+WHERE {_GEO_HAV} <= {GEO_METERS!r}
 ORDER BY part, k1, k2
 """
 

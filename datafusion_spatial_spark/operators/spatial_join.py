@@ -538,7 +538,7 @@ def spatial_join_geography(
     from datafusion_spatial_spark.functions.scalar import st_bbox
 
     R = 6371008.8  # must match _haversine_expr / dwithin_sphere refine
-    stats, spans, tops, bots = [], [], [], []
+    stats, spans, tops, bots, easts, wests = [], [], [], [], [], []
     for df, col, m_ in (
         (left, left_geom, left_meta),
         (right, right_geom, right_meta),
@@ -561,11 +561,27 @@ def spatial_join_geography(
             ).alias("sp"),
             F.max(bb["ymax"]).alias("top"),
             F.min(bb["ymin"]).alias("bot"),
+            # mid-band lon extremes drive the antimeridian seam legs
+            # (r14): only rows this close to ±180 can pair across it
+            F.max(
+                F.when(
+                    (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
+                    bb["xmax"],
+                )
+            ).alias("xe"),
+            F.min(
+                F.when(
+                    (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
+                    bb["xmin"],
+                )
+            ).alias("xw"),
         ).collect()[0]
         stats.append(float(row["mx"] or 0.0))
         spans.append(float(row["sp"] or 0.0))
         tops.append(-90.0 if row["top"] is None else float(row["top"]))
         bots.append(90.0 if row["bot"] is None else float(row["bot"]))
+        easts.append(-180.0 if row["xe"] is None else float(row["xe"]))
+        wests.append(180.0 if row["xw"] is None else float(row["xw"]))
     lat = max(stats)
     lon_span = max(spans)
     if lat > max_abs_lat:
@@ -625,12 +641,66 @@ def spatial_join_geography(
     pad_lon = math.degrees(2.0 * math.asin(min(1.0, s)))
     pad_deg = (max(pad_lat, pad_lon) + bulge) * (1.0 + 1e-9)
     cell = cell_size_deg if cell_size_deg is not None else 4 * pad_deg
-    return spatial_join(
+    main = spatial_join(
         left, right, left_geom, right_geom, left_meta, right_meta,
         left_id, right_id, cell_size=cell, predicate="dwithin_sphere",
         distance=meters, with_distance=with_distance,
         pad_override=pad_deg,
     )
+    # Antimeridian seam legs (r14): the degree grid is a plain number
+    # line, so a pair straddling ±180° (lon +179.95 vs −179.97) lands in
+    # far-apart cells and the main leg never sees it. A straddling pair
+    # within ``meters`` must have its east row's bbox.xmax ≥ 180 − pad
+    # and its west partner's bbox.xmin ≤ −180 + pad (pad_deg ≥ pad_lon =
+    # the widest lon angle a threshold distance spans anywhere in the
+    # data, and a non-polar great-circle arc's lon range stays inside
+    # its vertex bbox), so each seam leg shifts the tiny east slice by
+    # −360° (st_translate — Catalyst for native encodings) and re-runs
+    # the same grid join against the west slice. The haversine/spherical
+    # refine is invariant under a ±360° lon shift of either operand
+    # (sin²(Δλ/2) is 360°-periodic), so leg routing never changes a
+    # pair's measured distance. Pair-disjointness needs no dedup: the
+    # main leg cannot emit a cross-seam pair (cell keys on opposite
+    # signs of the number line never collide), and for seam < 180° no
+    # row is in both the east and west slice, so leg1 (left-east ×
+    # right-west) and leg2 (left-west × right-east) are disjoint too.
+    seam = min(pad_deg, 89.9)
+    legs = [main]
+    for a_df, a_col, a_meta, a_east, b_df, b_col, b_meta, b_west in (
+        (left, left_geom, left_meta, easts[0],
+         right, right_geom, right_meta, wests[1]),
+        (right, right_geom, right_meta, easts[1],
+         left, left_geom, left_meta, wests[0]),
+    ):
+        if a_east < 180.0 - seam or b_west > -180.0 + seam:
+            continue  # no rows close enough to the seam on this side
+        from datafusion_spatial_spark.functions.transforms import st_translate
+
+        bba = st_bbox(a_col, a_meta)
+        bbb = st_bbox(b_col, b_meta)
+        east = a_df.filter(bba["xmax"] >= 180.0 - seam).withColumn(
+            a_col, st_translate(a_col, -360.0, 0.0, a_meta)
+        )
+        west = b_df.filter(bbb["xmin"] <= -180.0 + seam)
+        if a_df is left:
+            leg = spatial_join(
+                east, west, a_col, b_col, a_meta, b_meta,
+                left_id, right_id, cell_size=cell,
+                predicate="dwithin_sphere", distance=meters,
+                with_distance=with_distance, pad_override=pad_deg,
+            )
+        else:
+            leg = spatial_join(
+                west, east, b_col, a_col, b_meta, a_meta,
+                left_id, right_id, cell_size=cell,
+                predicate="dwithin_sphere", distance=meters,
+                with_distance=with_distance, pad_override=pad_deg,
+            )
+        legs.append(leg)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
 
 
 # ---------------------------------------------------------------------------
