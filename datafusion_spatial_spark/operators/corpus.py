@@ -8,6 +8,7 @@ backfills land every document in the same split.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -516,3 +517,224 @@ def pair_counts(
     if min_count > 1:
         out = out.filter(F.col("count") >= min_count)
     return out
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (r14, VERDICT r13 #4)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_word_symbols(
+    df: DataFrame,
+    text_col: str,
+    min_count: int,
+    pattern: str,
+    lowercase: bool,
+    end_of_word: str,
+) -> DataFrame:
+    """(word, count, symbols) table BPE trains on: one corpus pass
+    (:func:`token_counts` — map-side-combined groupBy), then each
+    distinct word splits into single-character symbols plus the
+    end-of-word marker as its own trailing symbol (Sennrich 2016
+    convention)."""
+    tc = token_counts(df, text_col, min_count=min_count, pattern=pattern,
+                      lowercase=lowercase)
+    return tc.select(
+        "token",
+        "count",
+        F.concat(
+            F.split(F.col("token"), ""), F.array(F.lit(end_of_word))
+        ).alias("symbols"),
+    )
+
+
+def _bpe_apply_merge_expr(sym_col: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right non-overlapping replacement of the adjacent
+    symbol pair (a, b) with their concatenation, as a single Catalyst
+    ``aggregate`` fold — the just-merged symbol is never re-used as the
+    left operand within the round (matching the reference algorithm),
+    because after a merge the accumulator's tail is ``a+b``, not ``a``."""
+    merged = a + b
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_count: int = 1,
+    min_pair_count: int = 2,
+    pattern: str = r"\s+",
+    lowercase: bool = False,
+    end_of_word: str = "</w>",
+    checkpoint_every: int = 4,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Distributed byte-pair-encoding merge-table training — the
+    iterative loop on top of the :func:`pair_counts` merge STATISTIC
+    that an actual tokenizer-training run executes (Sennrich et al.
+    2016: repeatedly merge the most frequent adjacent symbol pair).
+
+    Returns ``(merges, symbols_df)``:
+
+    * ``merges`` — the learned merge table, a driver-side list of
+      ``(left, right, weighted_count)`` in merge order (bounded by
+      ``n_merges``; never proportional to data).
+    * ``symbols_df`` — the final ``(token, count, symbols)`` word table
+      after all merges.
+
+    Determinism: the top pair each round is chosen by
+    ``(count DESC, left ASC, right ASC)`` — ties never depend on
+    partitioning, so the merge table is reproducible anywhere.
+
+    100 TB shape: the CORPUS is read exactly once (the map-side-combined
+    ``token_counts`` groupBy); every merge round then runs against the
+    DISTINCT-WORD table, whose size is the vocabulary, not the corpus.
+    Per round: one map-built weighted pair stream (``zip_with`` over the
+    symbol array and its shift — no self-join) into one
+    map-side-combined groupBy, and a ``TakeOrdered`` top-1 collect of a
+    single row. The merge application is a pure-Catalyst ``aggregate``
+    fold (no Python). Lineage is truncated with an eager
+    ``localCheckpoint`` every ``checkpoint_every`` rounds — the
+    connected-components cadence (dedup.py) — because each round nests
+    one more fold into the plan and an unbounded expression tree is the
+    actual scale-killer for long merge loops.
+
+    Early stop: training ends when the best remaining pair's weighted
+    count falls below ``min_pair_count`` (merging hapax pairs only
+    memorizes noise).
+    """
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    words = _bpe_word_symbols(
+        df, text_col, min_count, pattern, lowercase, end_of_word
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    since_checkpoint = 0
+    for _ in range(int(n_merges)):
+        pairs = words.select(
+            F.col("count"),
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("symbols"), 1,
+                        F.greatest(F.size("symbols") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        F.col("symbols"), 2,
+                        F.greatest(F.size("symbols") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair.a", "pair.b")
+            .agg(F.sum("count").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0]["cnt"]) < int(min_pair_count):
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        words = words.withColumn(
+            "symbols", _bpe_apply_merge_expr(F.col("symbols"), a, b)
+        )
+        since_checkpoint += 1
+        if since_checkpoint >= int(checkpoint_every):
+            words = words.localCheckpoint(eager=True)
+            since_checkpoint = 0
+    if since_checkpoint:
+        words = words.localCheckpoint(eager=True)
+    return merges, words
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+    pattern: str = r"\s+",
+    lowercase: bool = False,
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Encode text with a learned BPE merge table: adds ``out_col``
+    (array<string>) of BPE symbols per document.
+
+    The per-word algorithm is the classic priority encode — repeatedly
+    apply the LOWEST-RANK applicable merge until none applies — which is
+    inherently sequential per word, so this is an Arrow-batched
+    ``pandas_udf`` (never a nested-fold Catalyst chain: a thousand-merge
+    table would nest a thousand aggregate expressions and break the
+    planner — the measured scale-killer the train loop checkpoints
+    around). Map-only: no shuffle, no driver data; the merge table
+    (driver-bounded by construction) broadcasts with the task closure.
+    A per-batch word cache exploits Zipf repetition: each distinct word
+    is encoded once per batch."""
+    import re as _re
+
+    from pyspark.sql import types as ST
+
+    ranks = {
+        (m[0], m[1]): i for i, m in enumerate(merges)
+    }
+    pat = _re.compile(pattern)
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + [end_of_word]
+        while len(syms) > 1:
+            best = None
+            best_rank = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            a, b = syms[best], syms[best + 1]
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    @F.pandas_udf(ST.ArrayType(ST.StringType()))
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = [w for w in pat.split(t.strip()) if w]
+            if lowercase:
+                toks = [w.lower() for w in toks]
+            row: list[str] = []
+            for w in toks:
+                row.extend(encode_word(w, cache))
+            out.append(row)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, enc(F.col(text_col)))
