@@ -610,6 +610,12 @@ def _named_tm_expr_params(srid: int):
     if ez:
         return (0.0, geom_ops.utm_lon0(ez), geom_ops._UTM_K0,
                 geom_ops._UTM_FE, 0.0, geom_ops.GRS80_A, geom_ops.GRS80_F)
+    nz = geom_ops.nad83_utm_zone_of(srid)
+    if nz:
+        # NAD83 / UTM (r14): same GRS80 TM expressions; the plate-fixed
+        # datum is WGS84-coincident by the kernel's documented convention
+        return (0.0, geom_ops.utm_lon0(nz), geom_ops._UTM_K0,
+                geom_ops._UTM_FE, 0.0, geom_ops.GRS80_A, geom_ops.GRS80_F)
     return None
 
 
@@ -779,7 +785,7 @@ def _datum_lcc_params(srid: int):
 
 
 def _to_lonlat_expr(x: Column, y: Column, srid: int):
-    if srid == 4326:
+    if srid in (4326, 4269):  # 4269: NAD83 geographic, WGS84-coincident
         return x, y
     if srid == 3857:
         return (
@@ -847,7 +853,7 @@ def _to_lonlat_expr(x: Column, y: Column, srid: int):
 
 
 def _from_lonlat_expr(lon: Column, lat: Column, srid: int):
-    if srid == 4326:
+    if srid in (4326, 4269):
         return lon, lat
     if srid == 3857:
         return (
@@ -946,7 +952,7 @@ def st_transform_point(
         raise NotImplementedError(
             f"transform {src_srid} -> {dst_srid} has no pure-Catalyst "
             "closed form (built-ins: 4326, 3857, UTM 326zz/327zz + "
-            "25828-25838, LAEA 3035, Albers 5070/3310/3577, LCC "
+            "25828-25838 + NAD83 26901-23/4269, LAEA 3035, Albers 5070/3310/3577, LCC "
             "2154/3978, polar stereographic 3031/3413/3976/5041/5042, "
             "TM 2180/27700, NTF Lambert 27571-27573, plus "
             "geom_ops.register_crs(affine=...) and register_datum "

@@ -4062,6 +4062,18 @@ def etrs89_utm_zone_of(srid: int):
     return None
 
 
+def nad83_utm_zone_of(srid: int):
+    """Zone for the NAD83 / UTM codes 26901-26923 (r14, VERDICT r13 #9)
+    — the standard projected CRS of US federal open data (USGS, Census
+    TIGER). Standard UTM-north parameters on GRS80 (NAD83's ellipsoid);
+    no datum shift: NAD83 is plate-fixed and treated as WGS84-coincident
+    (~1-2 m, the accuracy class of any static NAD83↔WGS84 shift — the
+    same convention as the ETRS89 and GDA rows)."""
+    if 26901 <= srid <= 26923:
+        return srid - 26900
+    return None
+
+
 def utm_lon0(zone: int) -> float:
     return -183.0 + 6.0 * zone
 
@@ -4630,6 +4642,15 @@ def _lookup_transform(src_srid: int, dst_srid: int):
             return lambda x, y, _z=ez: _tm_inv(
                 x, y, utm_lon0(_z), False, GRS80_A, GRS80_F
             )
+        nz = nad83_utm_zone_of(srid)
+        if nz:
+            return lambda x, y, _z=nz: _tm_inv(
+                x, y, utm_lon0(_z), False, GRS80_A, GRS80_F
+            )
+        if srid == 4269:
+            # NAD83 geographic: WGS84-coincident by the plate-fixed
+            # convention documented on nad83_utm_zone_of
+            return lambda x, y: (x, y)
         ent = _CUSTOM_CRS.get(srid)
         return ent["inv"] if ent else None
 
@@ -4660,6 +4681,13 @@ def _lookup_transform(src_srid: int, dst_srid: int):
             return lambda x, y, _z=ez: _tm_fwd(
                 x, y, utm_lon0(_z), False, GRS80_A, GRS80_F
             )
+        nz = nad83_utm_zone_of(srid)
+        if nz:
+            return lambda x, y, _z=nz: _tm_fwd(
+                x, y, utm_lon0(_z), False, GRS80_A, GRS80_F
+            )
+        if srid == 4269:
+            return lambda x, y: (x, y)
         ent = _CUSTOM_CRS.get(srid)
         return ent["fwd"] if ent else None
 
@@ -4963,7 +4991,9 @@ def transform(g: Geom, src_srid: int, dst_srid: int, fn=None) -> Geom:
     (NZTM), MGA zones 28349-28356 (GDA94) and 7846-7859 (GDA2020),
     Australia Lambert 3112, cylindrical equal-area 6933 (EASE-Grid 2.0),
     French legacy NTF Lambert zones 27571/27572/27573 (1-SP conic on
-    Clarke 1880 IGN, EPSG 3-param NTF datum shift), and
+    Clarke 1880 IGN, EPSG 3-param NTF datum shift), ETRS89 / UTM
+    25828-25838, NAD83 / UTM 26901-26923 + NAD83 geographic 4269 (r14;
+    plate-fixed datum treated as WGS84-coincident), and
     any :func:`register_crs` SRID — any pair, pivoting through lon/lat.
     Other codes raise — never silently wrong. Z/M passed through
     untouched. ``fn`` is a pre-resolved (x, y) -> (x, y) pair function
@@ -4984,7 +5014,8 @@ def transform(g: Geom, src_srid: int, dst_srid: int, fn=None) -> Geom:
             "closed-form CRS are 4326, 3857, UTM 326zz/327zz, LAEA 3035, "
             "Albers 5070/3310/3577, Lambert conformal 2154/3978/3112, polar "
             "stereographic 3031/3413/3976/5041/5042, transverse Mercator "
-            "27700/2180/2193 + MGA 28349-56/7846-59, CEA 6933, "
+            "27700/2180/2193 + MGA 28349-56/7846-59, ETRS89 UTM 25828-38, "
+            "NAD83 UTM 26901-23 + 4269, CEA 6933, "
             "NTF Lambert 27571-27573; register others with "
             "geom_ops.register_crs, or "
             "install the optional 'pyproj' extra for general EPSG support"

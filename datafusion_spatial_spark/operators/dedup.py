@@ -336,12 +336,79 @@ def simhash(
 # duplicate clusters → canonical survivors
 
 
+def _spanning_forest_reduce(
+    edges: DataFrame, passes: int = 2, shrink: int = 4
+) -> DataFrame:
+    """Per-partition union-find spanning-forest edge reduction (the
+    classic "filtering" CC preprocessing): each partition builds a local
+    union-find over its edge batch and emits only (root, node) forest
+    edges — at most one edge per distinct node in the partition, however
+    many redundant similarity pairs arrived. Connectivity is preserved
+    exactly, so any downstream CC computes the same components.
+
+    A dense near-dup edge list (many pairs within each duplicate
+    cluster) collapses by orders of magnitude in one map-only pass;
+    subsequent passes repartition ``shrink``x narrower first so
+    cross-partition fragments of a component meet. Memory per task is
+    one dict entry per distinct node in the partition — bounded by
+    narrowing only while edge counts stay small (the caller controls
+    ``passes``), never by total corpus size. Each pass materializes with
+    an eager localCheckpoint: the output IS the reduced edge list (tiny
+    vs the input), and lineage-free blocks keep the downstream iterative
+    CC's plans flat."""
+    import pandas as _pd
+
+    schema = edges.schema
+    c1, c2 = schema[0].name, schema[1].name
+
+    def forest(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for s, d in zip(pdf[c1], pdf[c2]):
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                    parent[hi] = lo
+        out = [(find(v), v) for v in parent]
+        out = [(r, v) for r, v in out if r != v]
+        for i in range(0, len(out), 100_000):
+            chunk = out[i:i + 100_000]
+            yield _pd.DataFrame(chunk, columns=[c1, c2])
+        if not out:
+            yield _pd.DataFrame({c1: [], c2: []}).astype(
+                {c1: object, c2: object}
+            )
+
+    for p in range(int(passes)):
+        if p > 0:
+            n = max(2, edges.rdd.getNumPartitions() // int(shrink))
+            edges = edges.repartition(n)
+        edges = edges.mapInPandas(forest, schema).localCheckpoint(
+            eager=True
+        )
+    return edges
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 24,
     check_every: int = 3,
+    forest_reduce_passes: int = 0,
 ) -> DataFrame:
     """Connected components over a similarity-pair edge list. Returns
     (id, component) with component = the minimum node id of the component.
@@ -364,10 +431,22 @@ def connected_components(
     labels every round — the accumulated broadcast exchanges were a real
     JVM GC hazard (GCLocker allocation failures on broadcast threads
     under a long shared-JVM suite).
+
+    ``forest_reduce_passes`` > 0 (r14, VERDICT r13 #8) runs
+    :func:`_spanning_forest_reduce` first: per-partition union-find
+    collapses the (often hugely redundant) similarity-pair list to a
+    spanning forest — at most one edge per node per partition — before
+    any propagation round runs. Connectivity (hence every component and
+    its min id) is exactly preserved; only the constant in front of the
+    iteration shrinks.
     """
+    base = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if forest_reduce_passes:
+        base = _spanning_forest_reduce(base, passes=forest_reduce_passes)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        base.union(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         .distinct()
         .cache()
     )

@@ -942,6 +942,7 @@ def semantic_dedup(
     max_bucket: int | None = 10_000,
     bands: int = 4,
     auto_scale_target: int | None = 64,
+    forest_reduce_passes: int = 2,
 ) -> DataFrame:
     """SemDeDup-style embedding near-duplicate REMOVAL (Abbas et al. 2023
     shape): mine near-dup pairs with :func:`cosine_near_dup_pairs`
@@ -961,7 +962,15 @@ def semantic_dedup(
     1.63 at a fixed 2^8 buckets, 0.9-1.0 after banding. Corpora at or
     below ``_BANDS1_CORPUS_ROWS`` collapse to a single band (r12: small
     data shouldn't pay the 4-band join cost; same count(), no extra
-    job)."""
+    job).
+
+    ``forest_reduce_passes`` (default 2; r14, VERDICT r13 #8): the CC
+    stage first collapses the redundant pair list to a spanning forest
+    with per-partition union-find (dedup._spanning_forest_reduce) —
+    connectivity-exact, map-only. Measured on the 100x probe workload:
+    t100 122.5s -> 52.6s (-57%), t30 35.1 -> 19.6s, survivors exactly
+    2000 at every scale, wall exponent alpha(30->100) 1.04 -> 0.82
+    (.scale/ab_cc_r14.json). Set 0 to disable."""
     from datafusion_spatial_spark.operators.dedup import connected_components
 
     pairs = cosine_near_dup_pairs(
@@ -970,7 +979,9 @@ def semantic_dedup(
         max_bucket=max_bucket, bands=bands,
         auto_scale_target=auto_scale_target,
     )
-    labels = connected_components(pairs, "id_a", "id_b")
+    labels = connected_components(
+        pairs, "id_a", "id_b", forest_reduce_passes=forest_reduce_passes
+    )
     return (
         df.join(
             labels.select(

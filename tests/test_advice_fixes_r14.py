@@ -167,3 +167,54 @@ def test_chain_matcher_still_accepts_real_chains():
     m = _match_postagg_chain("ST_Buffer(ST_Union(g), 2.5)")
     assert m is not None
     assert m[0] == [("ST_BUFFER", ["2.5"])]
+
+
+# --- VERDICT r13 #8: CC spanning-forest reduction -------------------------
+
+def test_forest_reduced_cc_exactness(spark):
+    import random
+
+    from datafusion_spatial_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(9)
+    edges = []
+    for _ in range(3000):
+        a, b = rng.randint(0, 999), rng.randint(0, 999)
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    for i in range(0, 900, 60):  # chains stress the propagation depth
+        for j in range(i, i + 40):
+            edges.append((j, j + 1))
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    plain = {(r.id, r.component)
+             for r in connected_components(df).collect()}
+    for passes in (1, 2, 3):
+        red = {
+            (r.id, r.component)
+            for r in connected_components(
+                df, forest_reduce_passes=passes
+            ).collect()
+        }
+        assert red == plain, passes
+
+
+def test_semantic_dedup_forest_default_matches_plain(spark):
+    import random
+
+    from datafusion_spatial_spark.operators.simsearch import semantic_dedup
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i * 2, base))
+        rows.append((i * 2 + 1, [v + rng.uniform(-1e-4, 1e-4) for v in base]))
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    a = {r.id for r in semantic_dedup(
+        df, "emb", "id", threshold=0.999, dims=8,
+        forest_reduce_passes=0).collect()}
+    b = {r.id for r in semantic_dedup(
+        df, "emb", "id", threshold=0.999, dims=8).collect()}  # default 2
+    assert a == b and len(a) <= 61

@@ -1279,3 +1279,66 @@ def test_r11_ease_grid_cea(spark):
     back = out.select("lon", "lat", st_transform_point("t", 6933, 4326).alias("b"))
     for r in back.collect():
         assert abs(r.b.x - r.lon) < 1e-7 and abs(r.b.y - r.lat) < 1e-7
+
+
+def test_nad83_utm_codes_r14():
+    """r14 (VERDICT r13 #9): EPSG 26901-26923 (NAD83 / UTM) + 4269
+    (NAD83 geographic) — the standard CRS family of US federal open
+    data. Same GRS80 TM core as the ETRS89 rows; round trips across the
+    conus zone band; values agree with the WGS84 UTM twin to well under
+    the ellipsoid-difference scale; code bounds honored; 4269 is the
+    documented WGS84-coincident identity."""
+    import random
+
+    rng = random.Random(41)
+    for srid in (26901, 26910, 26915, 26923):
+        zone = srid - 26900
+        lon0 = G.utm_lon0(zone)
+        fwd = G._lookup_transform(4326, srid)
+        inv = G._lookup_transform(srid, 4326)
+        for _ in range(40):
+            lon = rng.uniform(lon0 - 2.8, lon0 + 2.8)
+            lat = rng.uniform(18.0, 70.0)  # PR to Alaska
+            x, y = fwd(lon, lat)
+            lo, la = inv(x, y)
+            assert abs(lo - lon) < 1e-7 and abs(la - lat) < 1e-7, srid
+            wx, wy = G._tm_fwd(lon, lat, lon0, False)  # WGS84 twin
+            assert abs(x - wx) < 1e-3 and abs(y - wy) < 1e-3, srid
+    assert G.nad83_utm_zone_of(26900) is None
+    assert G.nad83_utm_zone_of(26924) is None
+    # published sanity pin: Denver (-104.99, 39.74) in 26913 (zone 13)
+    x, y = G._lookup_transform(4326, 26913)(-104.99, 39.74)
+    assert 400_000 < x < 600_000 and 4_300_000 < y < 4_500_000
+    # 4269 identity both directions
+    f = G._lookup_transform(4269, 4326)
+    b = G._lookup_transform(4326, 4269)
+    assert f(-104.99, 39.74) == (-104.99, 39.74)
+    assert b(-104.99, 39.74) == (-104.99, 39.74)
+    # chained pair without a 4326 endpoint: NAD83 UTM -> ETRS89 UTM
+    chain = G._lookup_transform(26915, 25832)
+    assert chain is not None
+    g = G.Geom("Point", (-93.2, 45.0))
+    out = G.transform(g, 4326, 26915)
+    assert out.srid == 26915 and 400_000 < out.coords[0] < 600_000
+
+
+def test_nad83_utm_catalyst_twin_r14(spark):
+    """st_transform_point covers the NAD83/UTM zones + 4269 identity in
+    pure Catalyst, matching the kernel forward exactly."""
+    from datafusion_spatial_spark.functions.geodesic import (
+        POINT_META,
+        st_transform_point,
+    )
+
+    df = spark.createDataFrame(
+        [(-93.2, 45.0)], "lon double, lat double"
+    ).select(st_point("lon", "lat").alias("g"), "lon", "lat")
+    got = df.select(
+        st_transform_point("g", 4326, 26915, POINT_META).alias("p")
+    ).collect()[0]["p"]
+    kx, ky = G._lookup_transform(4326, 26915)(-93.2, 45.0)
+    assert abs(got["x"] - kx) < 1e-6 and abs(got["y"] - ky) < 1e-6
+    ident = df.select(
+        st_transform_point("g", 4269, 4326, POINT_META).alias("p")
+    ).collect()[0]["p"]
+    assert (ident["x"], ident["y"]) == (-93.2, 45.0)
