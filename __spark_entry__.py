@@ -2716,6 +2716,7 @@ N_SHARDS = 4
 PACK_BUDGET = 1024
 VOCAB_TOP = 40
 BIGRAM_TOP = 20
+BPE_TOP = 15
 
 
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2874,6 +2875,29 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("string").alias("k2"),
         F.col("count").cast("long").alias("n"),
     )
+    # part 'bpe' (r14, VERDICT r13 #4): the round-1 BPE merge statistic
+    # (operators/corpus.bpe_initial_pair_stats — weighted adjacent
+    # CHARACTER pairs over the distinct-word symbol table, chars +
+    # '</w>'); top BPE_TOP under the training loop's own deterministic
+    # (cnt desc, a, b) order — the first row IS bpe_train's first
+    # merge, so the iterative loop's statistic machinery (symbol table
+    # build + weighted pair aggregation + tiebreak) is oracle-gated
+    # even though the full loop itself is checked by pytest golden.
+    from datafusion_spatial_spark.operators.corpus import (
+        bpe_initial_pair_stats,
+    )
+
+    bpe_part = (
+        bpe_initial_pair_stats(docs.select("text"), "text")
+        .orderBy(F.desc("cnt"), F.col("a"), F.col("b"))
+        .limit(BPE_TOP)
+        .select(
+            F.lit("bpe").alias("part"),
+            F.col("a").alias("k1"),
+            F.col("b").alias("k2"),
+            F.col("cnt").alias("n"),
+        )
+    )
     return (
         split_part.unionAll(mix_part)
         .unionAll(shard_part)
@@ -2881,6 +2905,7 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(chunk_part)
         .unionAll(vocab_part)
         .unionAll(bigram_part)
+        .unionAll(bpe_part)
         .orderBy("part", "k1", "k2")
     )
 
@@ -3026,6 +3051,17 @@ WITH RECURSIVE h AS (
                row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
         FROM bigram_rows GROUP BY pair) b
   WHERE rk <= {BIGRAM_TOP}
+), bpe_syms AS (
+  SELECT cnt, list_append(regexp_split_to_array(token, ''), '</w>') AS s
+  FROM vocab_counts
+), bpe_pairs AS (
+  SELECT s[i.i] AS a, s[i.i + 1] AS b, cnt
+  FROM bpe_syms, UNNEST(range(1, len(s))) AS i(i)
+), bpe_part AS (
+  SELECT 'bpe' AS part, a AS k1, b AS k2, cast(sum(cnt) AS BIGINT) AS n
+  FROM bpe_pairs GROUP BY a, b
+  ORDER BY n DESC, a, b
+  LIMIT {BPE_TOP}
 )
 SELECT part, k1, k2, n FROM split_part
 UNION ALL
@@ -3040,6 +3076,8 @@ UNION ALL
 SELECT part, k1, k2, n FROM vocab_part
 UNION ALL
 SELECT part, k1, k2, n FROM bigram_part
+UNION ALL
+SELECT part, k1, k2, n FROM bpe_part
 ORDER BY part, k1, k2
 """
 

@@ -622,25 +622,8 @@ def bpe_train(
     merges: list[tuple[str, str, int]] = []
     since_checkpoint = 0
     for _ in range(int(n_merges)):
-        pairs = words.select(
-            F.col("count"),
-            F.explode(
-                F.zip_with(
-                    F.slice(
-                        F.col("symbols"), 1,
-                        F.greatest(F.size("symbols") - 1, F.lit(0)),
-                    ),
-                    F.slice(
-                        F.col("symbols"), 2,
-                        F.greatest(F.size("symbols") - 1, F.lit(0)),
-                    ),
-                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                )
-            ).alias("pair"),
-        )
         top = (
-            pairs.groupBy("pair.a", "pair.b")
-            .agg(F.sum("count").cast("long").alias("cnt"))
+            bpe_pair_stats_for(words)
             .orderBy(F.desc("cnt"), F.col("a"), F.col("b"))
             .limit(1)
             .collect()
@@ -659,6 +642,55 @@ def bpe_train(
     if since_checkpoint:
         words = words.localCheckpoint(eager=True)
     return merges, words
+
+
+def bpe_pair_stats_for(words: DataFrame) -> DataFrame:
+    """The BPE round STATISTIC over a (count, symbols) word table:
+    weighted adjacent symbol-pair counts as ``(a, b, cnt)``. One
+    map-built zip_with pair stream into one map-side-combined groupBy —
+    the shape :func:`pair_counts` gates, lifted to evolving symbol
+    arrays. Exposed separately so the gate's oracle can mirror the
+    round-1 statistic (char symbols + end-of-word marker) in plain SQL
+    while :func:`bpe_train` reuses it every round."""
+    return (
+        words.select(
+            F.col("count"),
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("symbols"), 1,
+                        F.greatest(F.size("symbols") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        F.col("symbols"), 2,
+                        F.greatest(F.size("symbols") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair.a", "pair.b")
+        .agg(F.sum("count").cast("long").alias("cnt"))
+    )
+
+
+def bpe_initial_pair_stats(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    pattern: str = r"\s+",
+    lowercase: bool = False,
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Round-1 BPE merge statistic straight from text: the weighted
+    adjacent CHARACTER-pair counts over the distinct-word table (chars +
+    the end-of-word marker). ``(a, b, cnt)``; the argmax under
+    (cnt DESC, a, b) is exactly :func:`bpe_train`'s first merge."""
+    return bpe_pair_stats_for(
+        _bpe_word_symbols(
+            df, text_col, min_count, pattern, lowercase, end_of_word
+        )
+    )
 
 
 def bpe_apply(

@@ -154,3 +154,19 @@ def test_bpe_apply_null_and_unseen(spark):
     # merge table (plain chars when no merge applies)
     assert rows["zzz"] == ["z", "z", "z", EOW]
     assert rows["low lowest"][:1] == ["low" + EOW]
+
+
+def test_initial_pair_stats_argmax_is_first_merge(spark):
+    from datafusion_spatial_spark.operators.corpus import (
+        bpe_initial_pair_stats,
+    )
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    top = (
+        bpe_initial_pair_stats(df, "text")
+        .orderBy(F.desc("cnt"), F.col("a"), F.col("b"))
+        .limit(1)
+        .collect()[0]
+    )
+    merges, _ = bpe_train(df, "text", n_merges=1)
+    assert (top["a"], top["b"], top["cnt"]) == merges[0]
