@@ -108,14 +108,35 @@ def _dim_suffix(has_z: bool, has_m: bool) -> str:
     return ""
 
 
+# Nesting guard (r14 fuzz finding): a crafted buffer of back-to-back
+# GeometryCollection headers recursed once per level and killed the
+# worker with an uncontrolled RecursionError at ~1000 levels. Real
+# geometries nest a handful of levels; 64 is far beyond any legitimate
+# WKB while keeping the guard unreachable for honest data.
+_MAX_NESTING = 64
+
+
 class _Reader:
-    __slots__ = ("buf", "pos")
+    __slots__ = ("buf", "pos", "depth")
 
     def __init__(self, buf: bytes):
         self.buf = buf
         self.pos = 0
+        self.depth = 0
 
     def geometry(self) -> Geom:
+        self.depth += 1
+        if self.depth > _MAX_NESTING:
+            raise WKBError(
+                f"WKB nesting exceeds {_MAX_NESTING} levels — rejecting "
+                "malformed/adversarial buffer"
+            )
+        try:
+            return self._geometry()
+        finally:
+            self.depth -= 1
+
+    def _geometry(self) -> Geom:
         endian = "<" if self.buf[self.pos] == 1 else ">"
         (raw,) = struct.unpack_from(endian + "I", self.buf, self.pos + 1)
         self.pos += 5
@@ -319,18 +340,28 @@ def to_wkt(geom: Geom) -> str:
 # WKT parsing (for the CSV fixtures and st_geomfromtext)
 
 
-def from_geojson(obj) -> Geom:
+def from_geojson(obj, _depth: int = 0) -> Geom:
     """GeoJSON geometry (dict or JSON text) → Geom. The GeoJSON coordinate
     nesting matches the Geom value model exactly (Point [x,y],
     LineString [[x,y],...], Polygon [rings], Multi* one level deeper), so
-    this is a structural relabel. A 3rd coordinate is Z per RFC 7946."""
+    this is a structural relabel. A 3rd coordinate is Z per RFC 7946.
+    Same GeometryCollection nesting guard as the WKB/WKT parsers (r14
+    fuzz finding: an adversarial deeply-nested collection recursed into
+    an uncontrolled RecursionError)."""
     import json
 
+    if _depth > _MAX_NESTING:
+        raise WKBError(
+            f"GeoJSON nesting exceeds {_MAX_NESTING} levels — rejecting "
+            "malformed/adversarial input"
+        )
     if isinstance(obj, (str, bytes)):
         obj = json.loads(obj)
     t = obj.get("type")
     if t == "GeometryCollection":
-        members = [from_geojson(g) for g in obj.get("geometries", [])]
+        members = [
+            from_geojson(g, _depth + 1) for g in obj.get("geometries", [])
+        ]
         return Geom("GeometryCollection", members,
                     any(m.has_z for m in members))
     if t not in _TYPE_CODES:
@@ -397,6 +428,7 @@ class _WktParser:
     def __init__(self, s: str):
         self.s = s.strip()
         self.pos = 0
+        self.depth = 0
 
     def skip_ws(self):
         while self.pos < len(self.s) and self.s[self.pos].isspace():
@@ -457,6 +489,21 @@ class _WktParser:
         return out
 
     def geometry(self) -> Geom:
+        # same nesting guard as the WKB reader (r14 fuzz finding): a
+        # "GEOMETRYCOLLECTION (" * N bomb recursed once per level and
+        # raised an uncontrolled RecursionError at ~1000 levels
+        self.depth += 1
+        if self.depth > _MAX_NESTING:
+            raise WKBError(
+                f"WKT nesting exceeds {_MAX_NESTING} levels — rejecting "
+                "malformed/adversarial input"
+            )
+        try:
+            return self._geometry()
+        finally:
+            self.depth -= 1
+
+    def _geometry(self) -> Geom:
         name_raw = self.word()
         has_z = False
         has_m = False

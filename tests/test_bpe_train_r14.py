@@ -170,3 +170,21 @@ def test_initial_pair_stats_argmax_is_first_merge(spark):
     )
     merges, _ = bpe_train(df, "text", n_merges=1)
     assert (top["a"], top["b"], top["cnt"]) == merges[0]
+
+
+def test_bpe_train_unicode_parity(spark):
+    """Non-BMP (surrogate-pair) chars, combining marks, CJK: Spark's
+    split-by-empty-pattern yields CODE POINTS (verified — no surrogate
+    halves), matching the reference's Python list(word), so the golden
+    parity holds on unicode corpora too."""
+    corpus = [
+        "😀ab 😀ab 😀ab 😀ac",
+        "héé héé hée",
+        "日本語 日本語 日本 語学",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    merges, words = bpe_train(df, "text", n_merges=6)
+    ref_merges, ref_symbols = _ref_bpe(corpus, 6)
+    assert merges == ref_merges
+    got = {r["token"]: tuple(r["symbols"]) for r in words.collect()}
+    assert got == ref_symbols
