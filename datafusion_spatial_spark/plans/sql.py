@@ -672,6 +672,11 @@ def _postagg_kernels() -> dict:
 
 _NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
 
+# max paren-nesting depth inside one ST_ call span (r14): deep-enough
+# chains OOM the driver JVM during Column tree construction; 32 is far
+# beyond any real query while rejecting adversarial input cleanly
+_MAX_CALL_NESTING = 32
+
 
 def _match_postagg_chain(text: str):
     """Match a scalar-over-aggregate CHAIN:
@@ -1235,7 +1240,26 @@ class SpatialSQL:
             m = _CALL_RE.match(query, i)
             if m is not None:
                 end = _match_paren(query, m.end() - 1)
-                calls.append((m.start(), end, query[m.start() : end]))
+                text = query[m.start() : end]
+                # Nesting guard (r14 fuzz finding): a pathologically deep
+                # ST_ chain (1200 nested ST_Envelope calls) OOMed the
+                # DRIVER JVM while the Column expression tree was being
+                # built — tryOrStopSparkContext territory, far worse than
+                # a clean error. Real queries nest a handful of calls.
+                depth = cur = 0
+                for c in text:
+                    if c == "(":
+                        cur += 1
+                        depth = max(depth, cur)
+                    elif c == ")":
+                        cur -= 1
+                if depth > _MAX_CALL_NESTING:
+                    raise ValueError(
+                        f"ST_ expression nests {depth} levels deep — "
+                        f"beyond the supported {_MAX_CALL_NESTING}; "
+                        "split the expression into intermediate columns"
+                    )
+                calls.append((m.start(), end, text))
                 i = end
             else:
                 i += 1

@@ -107,3 +107,24 @@ def test_honest_nesting_all_formats():
     g = W.from_wkt(wkt)
     assert W.to_wkt(W.loads(W.dumps(g))) == wkt
     assert W.to_wkt(W.from_geojson(W.to_geojson(g))) == wkt
+
+
+def test_sql_resolver_nesting_bomb_rejected(spark):
+    """A pathologically deep ST_ chain OOMed the driver JVM during
+    Column-tree construction (tryOrStopSparkContext territory); the
+    resolver now rejects >32 levels with a clean ValueError before any
+    expression is built."""
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    s = SpatialSQL(spark)
+    s.register_geoparquet(
+        "adv_polys", "/root/reference/data/data-polygon-encoding_wkb.parquet"
+    )
+    bomb = "ST_Envelope(" * 1200 + "geometry" + ")" * 1200
+    with pytest.raises(ValueError, match="nests 1200 levels"):
+        s.sql(f"SELECT {bomb} AS g FROM adv_polys")
+    ok = s.sql(
+        "SELECT ST_AsText(ST_Envelope(ST_ConvexHull(ST_Boundary("
+        "ST_Envelope(geometry))))) AS w FROM adv_polys"
+    ).collect()
+    assert ok[0]["w"].startswith("POLYGON")
