@@ -11,6 +11,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 probe = json.load(open(os.path.join(REPO, ".scale", "probe100_r14.json")))
 ab = json.load(open(os.path.join(REPO, ".scale", "ab_cc_r14.json")))
+seam = json.load(open(os.path.join(REPO, ".scale", "probe_seam_r14.json")))
 
 ivf = probe["ivf_production"]
 out = {
@@ -128,6 +129,26 @@ out = {
                    "alpha 1.04 -> 0.82; forest_reduce_passes=2 is now "
                    "the semantic_dedup default (VERDICT target t100 "
                    "< 100s at alpha <= 0.873: landed)",
+    },
+    "geography_seam_r14": {
+        "what": "antimeridian seam legs in spatial_join_geography (the "
+                "r14 dateline fix): generated near-seam band (lon "
+                "178..182 wrapped, lat 30-40), 1 km self-join at "
+                "100k/1M/3M rows per side",
+        "sides": seam["sides"],
+        "alpha_rows_1_30": seam["alpha_1_30"],
+        "pairs_ratio_30": seam["pairs_ratio_30"],
+        "verdict": "seam legs present in the executed plan (%s Unions) "
+                   "at every scale; 3M x 3M near-seam join finds %s "
+                   "pairs in %ss; wall alpha(1->30 rows) %s while the "
+                   "PAIR count grew %sx (quadratic) — the boundary-"
+                   "strip design holds" % (
+                       seam["sides"]["t30"]["seam_unions_in_plan"],
+                       seam["sides"]["t30"]["pairs"],
+                       seam["sides"]["t30"]["median_sec"],
+                       seam["alpha_1_30"],
+                       seam["pairs_ratio_30"],
+                   ),
     },
 }
 with open(os.path.join(REPO, "SCALE_AUDIT_r14.json"), "w") as f:
