@@ -1247,8 +1247,13 @@ class SpatialSQL:
                 # built — tryOrStopSparkContext territory, far worse than
                 # a clean error. Real queries nest a handful of calls.
                 depth = cur = 0
-                for c in text:
-                    if c == "(":
+                lit = False  # quote-aware like _match_paren: parens in
+                for c in text:  # WKT string literals are data, not depth
+                    if lit:
+                        lit = c != "'"
+                    elif c == "'":
+                        lit = True
+                    elif c == "(":
                         cur += 1
                         depth = max(depth, cur)
                     elif c == ")":

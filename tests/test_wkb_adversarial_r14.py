@@ -128,3 +128,25 @@ def test_sql_resolver_nesting_bomb_rejected(spark):
         "ST_Envelope(geometry))))) AS w FROM adv_polys"
     ).collect()
     assert ok[0]["w"].startswith("POLYGON")
+
+
+def test_sql_nesting_guard_ignores_string_literal_parens(spark):
+    """Parens inside WKT string literals are data, not nesting — a
+    MULTIPOLYGON literal with 40+ parenthesized rings must not trip the
+    depth guard."""
+    from datafusion_spatial_spark.plans.sql import SpatialSQL
+
+    s = SpatialSQL(spark)
+    s.register_geoparquet(
+        "adv_polys2",
+        "/root/reference/data/data-polygon-encoding_wkb.parquet",
+    )
+    rings = ", ".join(
+        f"(({i} 0, {i} 1, {i}.5 1, {i} 0))" for i in range(40)
+    )
+    wkt = f"MULTIPOLYGON ({rings})"
+    out = s.sql(
+        f"SELECT ST_NumGeometries(ST_GeomFromText('{wkt}')) AS n "
+        "FROM adv_polys2 LIMIT 1"
+    ).collect()
+    assert out[0]["n"] == 40
