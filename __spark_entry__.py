@@ -2674,7 +2674,7 @@ def _q_text_stats_oracle() -> str:
     # repetition mirrors: dup fraction over newline-split lines / word
     # k-gram shingles — (len - len(list_distinct)) / len, double division
     # in both engines
-    lines = "string_split(text, chr(10))"
+    lines = "regexp_split_to_array(text, '\\r?\\n')"
 
     def dup(arr):
         return (

@@ -583,9 +583,16 @@ def line_dedup(
         F.col(id_col),
         # coalesce: a NULL text must still yield its row (posexplode of a
         # null array emits nothing -> the document would silently vanish,
-        # breaking the one-row-per-input contract); NULL cleans to ""
+        # breaking the one-row-per-input contract); NULL cleans to "".
+        # \r?\n (r14 fix): F.trim strips spaces only, so under a plain
+        # "\n" split a CRLF document's lines keyed as "...\r" and the
+        # SAME boilerplate line in LF and CRLF documents counted as two
+        # different lines — each side of a mixed corpus under-counted
+        # and boilerplate could escape removal entirely. Consuming the
+        # \r in the split keys both styles identically (reassembled
+        # text normalizes line endings to \n, documented).
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
         ).alias("__pos", "__line"),
     ).select(
         F.col(id_col),

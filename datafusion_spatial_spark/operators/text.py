@@ -262,7 +262,9 @@ def repetition_stats(
             (n - F.size(F.array_distinct(arr))) / n
         )
 
-    lines = F.split(F.col(text_col), "\n")
+    # \r?\n (r14, with line_dedup): CRLF text's final line lacks the \r
+    # its siblings carry, skewing the distinct count; consume the \r
+    lines = F.split(F.col(text_col), r"\r?\n")
     cols = [
         F.col(id_col),
         dup_frac(lines).alias("dup_line_frac"),

@@ -218,3 +218,40 @@ def test_semantic_dedup_forest_default_matches_plain(spark):
     b = {r.id for r in semantic_dedup(
         df, "emb", "id", threshold=0.999, dims=8).collect()}  # default 2
     assert a == b and len(a) <= 61
+
+
+# --- r14 fuzz finding: CRLF line keys -------------------------------------
+
+def test_line_dedup_crlf_lines_share_keys(spark):
+    """A boilerplate line must be removed whether its document uses LF
+    or CRLF endings — before the \\r?\\n split fix, the CRLF variant
+    keyed as 'line\\r' and each style under-counted (the repro: freq
+    split 2/1 under max_doc_freq=2 and NOTHING was removed)."""
+    from datafusion_spatial_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame([
+        (1, "keep me\nboiler plate\nunique one"),
+        (2, "boiler plate\r\nother text"),
+        (3, "boiler plate\nmore stuff"),
+    ], "doc_id long, text string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_dropped)
+        for r in line_dedup(
+            docs, "text", "doc_id", max_doc_freq=2
+        ).collect()
+    }
+    assert out[1] == ("keep me\nunique one", 1)
+    assert out[2] == ("other text", 1)
+    assert out[3] == ("more stuff", 1)
+
+
+def test_text_repetition_crlf_line_fraction(spark):
+    from datafusion_spatial_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "same\r\nsame\r\nsame")], "doc_id long, text string"
+    )
+    row = repetition_stats(docs, "text", "doc_id").collect()[0]
+    # 3 identical lines -> 2/3 duplicated (the \r no longer splits the
+    # final line's identity from its siblings)
+    assert abs(row.dup_line_frac - 2 / 3) < 1e-9
