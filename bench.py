@@ -169,21 +169,25 @@ def main() -> None:
     plans: dict[str, dict[str, int]] = {}
     timings = _time_series(spark, sf_dir, queries, runs, plans=plans)
     weather_suspect = False
-    rejected_series = None
+    all_series = None
     # self-adjudication only where the envelope is pinned (sf0.1)
     if sf == "0.1" and (
         timings.get("q01_pricing_summary") or 0.0
     ) > Q01_ENVELOPE_SEC * Q01_TRIGGER:
         weather_suspect = True
         second = _time_series(spark, sf_dir, queries, runs)
-        first = timings
-        # official numbers = the series with the cleaner control
-        if (second.get("q01_pricing_summary") or 0.0) < (
-            first.get("q01_pricing_summary") or 0.0
-        ):
-            timings, rejected_series = second, first
-        else:
-            rejected_series = second
+        # Per-query adjudication (r15, ADVICE r14): picking one whole
+        # series on the q01 control alone could keep load-polluted
+        # numbers for non-control queries whose clean reading was in the
+        # rejected series. Each query's official number is the min of
+        # its two medians — load only ever inflates a median, so under a
+        # confirmed-weather trigger the min is the cleaner estimate per
+        # query. Both full series stay in the artifact for audit.
+        all_series = [timings, second]
+        timings = {
+            name: min(t, second.get(name, t))
+            for name, t in timings.items()
+        }
     shuffle_plan = plans.get("q_fact_smj_control", {})
     spark.stop()
 
@@ -249,8 +253,11 @@ def main() -> None:
                 "control_envelope_sec": Q01_ENVELOPE_SEC,
                 "weather_suspect": weather_suspect,
                 **(
-                    {"rejected_series": rejected_series}
-                    if rejected_series is not None
+                    {
+                        "adjudication": "per-query min across series",
+                        "all_series": all_series,
+                    }
+                    if all_series is not None
                     else {}
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

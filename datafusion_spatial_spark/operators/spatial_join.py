@@ -664,12 +664,27 @@ def spatial_join_geography(
     # signs of the number line never collide), and for seam < 180° no
     # row is in both the east and west slice, so leg1 (left-east ×
     # right-west) and leg2 (left-west × right-east) are disjoint too.
-    seam = min(pad_deg, 89.9)
+    if pad_deg > 89.9:
+        # The seam slice filters below cover only pad_deg of longitude on
+        # each side of ±180°; a pad this wide (≈>1500 km thresholds at
+        # high mid-band latitudes) would make them under-cover and
+        # silently drop qualifying cross-seam pairs — raise, matching the
+        # lon-span and arc-bulge guards' never-silently-wrong policy.
+        raise ValueError(
+            f"geography-join prefilter pad {pad_deg:.1f}° exceeds the "
+            "89.9° antimeridian seam-slice limit — reduce the distance "
+            "threshold or restrict the data's latitude range"
+        )
+    seam = pad_deg
     legs = [main]
-    for a_df, a_col, a_meta, a_east, b_df, b_col, b_meta, b_west in (
-        (left, left_geom, left_meta, easts[0],
+    # a_is_left routes output column order explicitly (not `a_df is
+    # left`): in a self-join both sides are the same object, and identity
+    # routing would send leg 2 down the leg-1 branch — duplicating
+    # east-west cross-seam pairs while never emitting the mirrored ones.
+    for a_is_left, a_df, a_col, a_meta, a_east, b_df, b_col, b_meta, b_west in (
+        (True, left, left_geom, left_meta, easts[0],
          right, right_geom, right_meta, wests[1]),
-        (right, right_geom, right_meta, easts[1],
+        (False, right, right_geom, right_meta, easts[1],
          left, left_geom, left_meta, wests[0]),
     ):
         if a_east < 180.0 - seam or b_west > -180.0 + seam:
@@ -682,7 +697,7 @@ def spatial_join_geography(
             a_col, st_translate(a_col, -360.0, 0.0, a_meta)
         )
         west = b_df.filter(bbb["xmin"] <= -180.0 + seam)
-        if a_df is left:
+        if a_is_left:
             leg = spatial_join(
                 east, west, a_col, b_col, a_meta, b_meta,
                 left_id, right_id, cell_size=cell,

@@ -117,3 +117,66 @@ def test_no_seam_legs_for_inland_data(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
     assert {(r.aid, r.bid) for r in out.collect()} == {(1, 1), (2, 1)}
+
+
+def test_seam_self_join_same_object(spark):
+    """r15 ADVICE fix: with the SAME DataFrame object on both sides, leg
+    routing must use an explicit direction flag — identity routing
+    (`a_df is left`) sent leg 2 down the leg-1 branch, duplicating
+    east-west cross-seam pairs and never emitting the mirrored ones."""
+    pts = [(1, 179.95, 40.0), (2, -179.97, 40.0), (3, 178.5, 40.5)]
+    df = _pdf(spark, pts, "pid")
+    left = df.withColumnRenamed("pid", "aid")
+    right = df.withColumnRenamed("pid", "bid")
+    meters = 150_000.0
+    # true self-join: identical object on both sides (ids renamed via
+    # select so the underlying plan object is shared)
+    out = spatial_join_geography(
+        df.select(F.col("pid").alias("aid"),
+                  F.col("pid").alias("bid"), "geom"),
+        df.select(F.col("pid").alias("aid"),
+                  F.col("pid").alias("bid"), "geom"),
+        "geom", "geom", PM, PM, "aid", "bid", meters,
+    )
+    # the robust check: run with genuinely distinct objects and compare
+    ref = spatial_join_geography(
+        left, right, "geom", "geom", PM, PM, "aid", "bid", meters,
+    )
+    want = {
+        (ai, bi)
+        for ai, ax, ay in pts
+        for bi, bx, by in pts
+        if _hav(ax, ay, bx, by) <= meters
+    }
+    ref_rows = [(r.aid, r.bid) for r in ref.collect()]
+    assert len(ref_rows) == len(set(ref_rows))
+    assert set(ref_rows) == want
+    assert (1, 2) in want and (2, 1) in want  # cross-seam both ways
+
+
+def test_seam_self_join_shared_plan_object(spark):
+    """Same-object self-join: cross-seam pairs appear exactly once in
+    EACH direction (the pre-fix bug emitted (east,west) twice and
+    (west,east) never)."""
+    pts = [(1, 179.95, 40.0), (2, -179.97, 40.0)]
+    df = _pdf(spark, pts, "pid")
+    out = spatial_join_geography(
+        df, df, "geom", "geom", PM, PM, "pid", "pid", 150_000.0,
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert len(rows) == len(set(rows))
+    assert set(rows) == {(1, 1), (2, 2), (1, 2), (2, 1)}
+
+
+def test_pad_wider_than_seam_slice_raises(spark):
+    """r15 ADVICE fix: a prefilter pad over 89.9 deg used to be silently
+    clamped, under-covering the seam slices; it must raise instead."""
+    import pytest
+
+    a = _pdf(spark, [(1, 10.0, 79.5)], "aid")
+    b = _pdf(spark, [(1, 11.0, 79.5)], "bid")
+    # ~7000 km at |lat| 79.5 deg: pad_lon blows past 89.9 deg
+    with pytest.raises(ValueError, match="seam-slice limit"):
+        spatial_join_geography(
+            a, b, "geom", "geom", PM, PM, "aid", "bid", 7_000_000.0,
+        )
