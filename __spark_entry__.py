@@ -805,7 +805,7 @@ def _q_st_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = (F.col("custkey") % 170 - 85).cast("double") + F.lit(0.25)
     cpt = st_point(lon, lat)
     probe = st_point(F.lit(2.3522), F.lit(48.8566))
-    return (
+    planar = (
         knn.select(
             "custkey",
             F.round(F.col("distance"), 6).alias("dist"),
@@ -818,11 +818,29 @@ def _q_st_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hkey",
             st_hilbert(cpt, point_meta, (-180.0, -90.0, 180.0, 90.0), level=8),
         )
-        .orderBy("rank")
+        .select(
+            F.lit("planar").alias("part"),
+            "custkey",
+            F.lit(None).cast("bigint").alias("nbr"),
+            "dist", "rank", "dist_sphere_km", "merc_x", "quadkey", "hkey",
+        )
     )
+    # geography k-NN leg (r15) — see _geo_knn_rows
+    gknn = _geo_knn_rows(spark, sf_dir).select(
+        F.lit("gknn").alias("part"),
+        "custkey",
+        "nbr",
+        F.col("dist_m").alias("dist"),
+        "rank",
+        F.lit(None).cast("double").alias("dist_sphere_km"),
+        F.lit(None).cast("double").alias("merc_x"),
+        F.lit(None).cast("string").alias("quadkey"),
+        F.lit(None).cast("long").alias("hkey"),
+    )
+    return planar.unionByName(gknn).orderBy("part", "custkey", "rank")
 
 
-_Q_ST_DISTANCE_ORACLE = """
+_Q_ST_DISTANCE_PLANAR = """
 WITH RECURSIVE topk AS (
   SELECT c_custkey AS custkey,
          round(sqrt((c_acctbal - 5000) * (c_acctbal - 5000)
@@ -884,6 +902,101 @@ SELECT custkey, dist, rank,
 FROM tiles JOIN hkeys USING (custkey)
 ORDER BY rank
 LIMIT 10
+"""
+
+
+def _geo_knn_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geography k-NN gate leg (r15, VERDICT r14 #3): top-4 nearest
+    customers per customer in METERS on lon/lat points, via the
+    distributed radius-doubling kNN join over the geography grid
+    (operators/spatial_knn.knn_join_geography). The synthetic points live
+    in a 20°×20° patch straddling the antimeridian, so true nearest
+    neighbors routinely sit across ±180° — a planar degree grid (or a
+    seam-leg bug) would rank the wrong neighbors. Oracle: naive all-pairs
+    haversine cross join + row_number. Self-join on the same underlying
+    frame also pins the r15 direction-flag fix (identity-based leg
+    routing duplicated east-west seam pairs in self-joins). Folded into
+    q_st_distance_topk as part='gknn' (the driver gate caps at 50
+    queries)."""
+    from datafusion_spatial_spark.functions.scalar import st_point
+    from datafusion_spatial_spark.meta import GeometryMeta
+    from datafusion_spatial_spark.operators.spatial_knn import (
+        knn_join_geography,
+    )
+
+    pm = GeometryMeta(encoding="point", geometry_types=("Point",))
+    cust = load_table(spark, sf_dir, "customer")
+    # deterministic patch around the dateline; mod/div order mirrors the
+    # oracle SQL token for token so the doubles are identical
+    raw = (
+        F.lit(170.0)
+        + ((F.col("c_custkey") * 37) % 991).cast("double") / 991.0 * 20.0
+    )
+    lat = (
+        F.lit(30.0)
+        + ((F.col("c_custkey") * 53) % 983).cast("double") / 983.0 * 20.0
+    )
+    lon = F.when(raw >= 180.0, raw - 360.0).otherwise(raw)
+    pts = cust.select(
+        F.col("c_custkey").alias("k"), st_point(lon, lat).alias("geom")
+    )
+    knn = knn_join_geography(
+        pts.select(F.col("k").alias("custkey"), "geom"),
+        pts.select(F.col("k").alias("nbr"), "geom"),
+        "geom", "geom", pm, pm, "custkey", "nbr", k=4, radius_m=60_000.0,
+        max_rounds=8,
+    )
+    return knn.select(
+        "custkey",
+        "nbr",
+        F.round(F.col("distance_m"), 3).alias("dist_m"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("custkey", "rank")
+
+
+_Q_GEO_KNN_SQL = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CASE WHEN raw >= 180.0 THEN raw - 360.0 ELSE raw END AS lon,
+         lat
+  FROM (
+    SELECT c_custkey,
+           170.0 + cast((c_custkey * 37) % 991 AS DOUBLE) / 991.0 * 20.0 AS raw,
+           30.0 + cast((c_custkey * 53) % 983 AS DOUBLE) / 983.0 * 20.0 AS lat
+    FROM customer
+  )
+), ranked AS (
+  SELECT a.id AS custkey, b.id AS nbr,
+         2 * 6371008.8 * asin(least(1.0, sqrt(
+           pow(sin((radians(b.lat) - radians(a.lat)) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2)))) AS d
+  FROM pts a CROSS JOIN pts b
+), topk AS (
+  SELECT custkey, nbr, d,
+         cast(row_number() OVER (
+             PARTITION BY custkey ORDER BY d, nbr) AS INT) AS rank
+  FROM ranked
+)
+SELECT custkey, nbr, round(d, 3) AS dist_m, rank
+FROM topk WHERE rank <= 4
+ORDER BY custkey, rank
+"""
+
+# composite: the original planar-knn+geodesic rows (part='planar') UNION
+# the geography-knn rows (part='gknn') — one gate, two knn engines
+_Q_ST_DISTANCE_ORACLE = f"""
+SELECT 'planar' AS part, custkey, cast(NULL AS BIGINT) AS nbr,
+       dist, rank, dist_sphere_km, merc_x, quadkey, hkey
+FROM ({_Q_ST_DISTANCE_PLANAR}) p
+UNION ALL
+SELECT 'gknn' AS part, custkey, nbr, dist_m AS dist, rank,
+       cast(NULL AS DOUBLE) AS dist_sphere_km,
+       cast(NULL AS DOUBLE) AS merc_x,
+       cast(NULL AS VARCHAR) AS quadkey,
+       cast(NULL AS BIGINT) AS hkey
+FROM ({_Q_GEO_KNN_SQL}) g
+ORDER BY part, custkey, rank
 """
 
 

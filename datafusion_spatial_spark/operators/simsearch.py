@@ -522,9 +522,22 @@ def ivf_index(
     n_lists: int = 16,
     seed: int = 42,
     max_iter: int = 20,
+    train_sample_size: int | None = 262_144,
 ):
     """Build an IVF index: k-means centroids (Spark ML, distributed) and the
     corpus tagged with its nearest-centroid list id.
+
+    **Sample-trained by default** (r15, VERDICT r14 #1): Lloyd's k-means
+    makes ``max_iter`` passes over its training input, so fitting on the
+    full corpus costs ~20 full scans at 100 TB — the coarse quantizer
+    doesn't need them (FAISS trains IVF on a bounded sample for the same
+    reason; centroid quality saturates at a few hundred points per list).
+    When the corpus exceeds ``train_sample_size`` the fit runs on a
+    seeded random sample of that size, cached (bounded ⇒ memory-safe by
+    construction), and the full data pays exactly ONE pass: the
+    nearest-centroid assignment (map-only ``model.transform``). Corpora
+    at or under the bound train on everything — identical results to the
+    pre-r15 full fit. ``train_sample_size=None`` forces the full fit.
 
     Returns (assigned_df, centroids) where ``assigned_df`` = df columns +
     ``list_id`` and ``centroids`` = [[float,...], ...]. At scale, write
@@ -535,10 +548,27 @@ def ivf_index(
     from pyspark.ml.functions import array_to_vector
 
     feat = df.withColumn("__features", array_to_vector(_vec(vec_col)))
+    train = feat
+    sampled = False
+    if train_sample_size is not None:
+        if train_sample_size < n_lists:
+            raise ValueError(
+                f"train_sample_size={train_sample_size} < n_lists={n_lists}"
+            )
+        n = df.count()  # column-pruned scan; the one extra bounded cost
+        if n > train_sample_size:
+            # slight over-draw so the Bernoulli sample almost surely
+            # covers >= n_lists distinct points; exactness is irrelevant
+            # (the sample only trains centroids)
+            fraction = min(1.0, 1.05 * train_sample_size / n)
+            train = feat.sample(fraction=fraction, seed=seed).persist()
+            sampled = True
     model = KMeans(
         k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__features",
         predictionCol="list_id",
-    ).fit(feat)
+    ).fit(train)
+    if sampled:
+        train.unpersist()
     assigned = model.transform(feat).drop("__features")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return assigned, centroids

@@ -509,8 +509,18 @@ def spatial_join_geography(
     with_distance: bool = False,
     max_abs_lat: float = 80.0,
     _allow_polar: bool = True,
+    wide_pad: str = "raise",
 ) -> DataFrame:
     """dwithin-in-METERS join for EPSG:4326 geometry columns.
+
+    ``wide_pad`` picks the behavior when the prefilter pad exceeds the
+    89.9° the antimeridian seam slices can cover (thresholds ≳1500 km at
+    high mid-band latitudes): ``"raise"`` (default — never silently
+    wrong) or ``"cross"`` — an exact-refine cross join, correct at any
+    threshold, chosen by callers like the kNN radius-doubling loop whose
+    late rings legitimately reach planet-scale radii (at such thresholds
+    most of the planet pairs anyway, so grid pruning had nothing left to
+    prune).
 
     Same grid-join shape as :func:`spatial_join` — the grid lives in
     degrees with a latitude-safe pad (lon degrees shrink by cos(lat), so
@@ -595,7 +605,7 @@ def spatial_join_geography(
         return _geography_join_with_polar_caps(
             left, right, left_geom, right_geom, left_meta, right_meta,
             left_id, right_id, meters, cell_size_deg, with_distance,
-            max_abs_lat, lon_span, tops, bots,
+            max_abs_lat, lon_span, tops, bots, wide_pad,
         )
     # Size the pad on the refine's OWN sphere (haversine, R=6371008.8 m),
     # not on ellipsoidal meters-per-degree constants: a mismatch drops
@@ -669,7 +679,13 @@ def spatial_join_geography(
         # each side of ±180°; a pad this wide (≈>1500 km thresholds at
         # high mid-band latitudes) would make them under-cover and
         # silently drop qualifying cross-seam pairs — raise, matching the
-        # lon-span and arc-bulge guards' never-silently-wrong policy.
+        # lon-span and arc-bulge guards' never-silently-wrong policy,
+        # unless the caller opted into the exact cross refine.
+        if wide_pad == "cross":
+            return _geography_cross_exact(
+                left, right, left_geom, right_geom, left_meta, right_meta,
+                left_id, right_id, meters, with_distance,
+            )
         raise ValueError(
             f"geography-join prefilter pad {pad_deg:.1f}° exceeds the "
             "89.9° antimeridian seam-slice limit — reduce the distance "
@@ -725,10 +741,43 @@ def spatial_join_geography(
 _R_SPHERE = 6371008.8  # matches _haversine_expr / dwithin_sphere refine
 
 
+def _geography_cross_exact(
+    left, right, left_geom, right_geom, left_meta, right_meta,
+    left_id, right_id, meters, with_distance,
+):
+    """Exact dwithin-in-meters as a cross join + spherical refine — the
+    ``wide_pad="cross"`` fallback for thresholds too wide for the degree
+    grid. No prefilter: at these radii (≳1500 km) most of the planet is a
+    candidate, so there is nothing useful to prune; correctness needs no
+    seam or cap handling because the refine is the same exact spherical
+    kernel the grid paths use."""
+    from datafusion_spatial_spark.functions.geodesic import st_distancesphere
+
+    a = left.select(
+        F.col(left_id).alias("__xl_id"), F.col(left_geom).alias("__xl_g")
+    ).filter(F.col("__xl_g").isNotNull())
+    b = right.select(
+        F.col(right_id).alias("__xr_id"), F.col(right_geom).alias("__xr_g")
+    ).filter(F.col("__xr_g").isNotNull())
+    dcol = st_distancesphere("__xl_g", "__xr_g", left_meta, right_meta)
+    out = (
+        a.crossJoin(b)
+        .withColumn("__dist", dcol)
+        .filter(F.col("__dist") <= F.lit(float(meters)))
+    )
+    cols = [
+        F.col("__xl_id").alias(left_id),
+        F.col("__xr_id").alias(right_id),
+    ]
+    if with_distance:
+        cols.append(F.col("__dist").alias("distance_m"))
+    return out.select(*cols)
+
+
 def _geography_join_with_polar_caps(
     left, right, left_geom, right_geom, left_meta, right_meta,
     left_id, right_id, meters, cell_size_deg, with_distance,
-    cap_lat, lon_span, tops, bots,
+    cap_lat, lon_span, tops, bots, wide_pad="raise",
 ):
     """Split a geography join whose data crosses ``cap_lat`` into up to
     three legs — mid band (degree grid), north cap, south cap
@@ -778,7 +827,7 @@ def _geography_join_with_polar_caps(
                 left_geom, right_geom, left_meta, right_meta,
                 left_id, right_id, meters,
                 cell_size_deg=cell_size_deg, with_distance=with_distance,
-                max_abs_lat=88.0, _allow_polar=False,
+                max_abs_lat=88.0, _allow_polar=False, wide_pad=wide_pad,
             )
         )
     mid_created = bool(legs)

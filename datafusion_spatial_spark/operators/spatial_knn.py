@@ -182,10 +182,15 @@ def knn_join_geography(
     r = float(radius_m)
     best = None
     for _ in range(max_rounds):
+        # wide_pad="cross": late doubling rings on sparse data can reach
+        # planet-scale radii where the degree-grid pad exceeds its 89.9°
+        # domain; the exact cross refine is the right plan there (the
+        # ring pairs most of the planet anyway) and only ever runs over
+        # the unresolved pending tail.
         pairs = spatial_join_geography(
             pending, rp, "__lg", "__rg", left_meta, right_meta,
             "__lid", "__rid", r, with_distance=True,
-            max_abs_lat=max_abs_lat,
+            max_abs_lat=max_abs_lat, wide_pad="cross",
         )
         w = Window.partitionBy("__lid").orderBy(
             F.col("__dist").asc(), F.col("__rid").asc()

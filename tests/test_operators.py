@@ -229,6 +229,50 @@ def test_ivf_ann_recall(spark, emb):
     assert len(set(exact) & set(approx)) >= 2  # decent recall at nprobe=3/8
 
 
+def test_ivf_sample_trained(spark, emb):
+    """r15 (VERDICT r14 #1): a train_sample_size below the corpus size
+    fits k-means on a bounded cached sample but still assigns EVERY row
+    in one map-only pass — same downstream shape, same recall ballpark,
+    deterministic under a fixed seed."""
+    n = emb.count()
+    sample = max(64, n // 3)
+    assert sample < n  # the fixture must actually trigger sampling
+    assigned, cents = simsearch.ivf_index(
+        emb, "embedding", "vec_id", n_lists=8, train_sample_size=sample
+    )
+    assert len(cents) == 8 and len(cents[0]) == 64
+    assert assigned.count() == n  # every row assigned (full-data pass)
+    assert assigned.filter(F.col("list_id").isNull()).count() == 0
+    lists = {r.list_id for r in assigned.select("list_id").distinct().collect()}
+    assert lists <= set(range(8)) and len(lists) >= 2
+    # deterministic: same seed + same sample bound -> same centroids
+    _, cents2 = simsearch.ivf_index(
+        emb, "embedding", "vec_id", n_lists=8, train_sample_size=sample
+    )
+    assert cents == cents2
+    # recall survives sample training at the fixture scale
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = list(qrow.embedding)
+    exact = [
+        r.vec_id
+        for r in simsearch.cosine_topk(
+            emb, "embedding", "vec_id", q, k=5
+        ).collect()
+    ]
+    approx = [
+        r.vec_id
+        for r in simsearch.ivf_topk(
+            assigned, cents, "embedding", "vec_id", q, k=5, nprobe=3
+        ).collect()
+    ]
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 2
+    with pytest.raises(ValueError, match="train_sample_size"):
+        simsearch.ivf_index(
+            emb, "embedding", "vec_id", n_lists=8, train_sample_size=4
+        )
+
+
 def test_ivf_partitioned_storage_pruning(spark, emb, tmp_path):
     """IVF layout on disk: list_id partitioning turns the probe filter
     into file-listing-level PartitionFilters (plan-asserted), and the
