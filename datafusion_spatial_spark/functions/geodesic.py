@@ -952,7 +952,8 @@ def st_transform_point(
         raise NotImplementedError(
             f"transform {src_srid} -> {dst_srid} has no pure-Catalyst "
             "closed form (built-ins: 4326, 3857, UTM 326zz/327zz + "
-            "25828-25838 + NAD83 26901-23/4269, LAEA 3035, Albers 5070/3310/3577, LCC "
+            "25828-25838 + NAD83 26901-23/4269 + SPCS83 state-plane meter codes, "
+            "LAEA 3035, Albers 5070/3310/3577, LCC "
             "2154/3978, polar stereographic 3031/3413/3976/5041/5042, "
             "TM 2180/27700, NTF Lambert 27571-27573, plus "
             "geom_ops.register_crs(affine=...) and register_datum "

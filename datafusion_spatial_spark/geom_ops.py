@@ -4287,6 +4287,68 @@ _LCC_CODES = {
 }
 
 
+def _dm(d: int, m: int = 0) -> float:
+    """Degrees+minutes to decimal degrees (sign carried by ``d``)."""
+    return d + m / 60.0 if d >= 0 else -(-d + m / 60.0)
+
+
+# NAD83 State Plane (SPCS83, meter-based EPSG codes) — the r15 curated
+# family (VERDICT r14 #8): the Lambert-conformal-conic zones of the US
+# state plane system on GRS80, false origins in meters, k0 = 1 (the 2-SP
+# form), NAD83 treated as WGS84-coincident like the UTM rows 26901-23.
+# Zone constants are the published SPCS83 defining parameters (NOAA
+# Manual NOS NGS 5 / EPSG registry); the LCC math itself is pinned
+# bit-level against the EPSG Guidance Note 7-2 worked example
+# (tests/test_state_plane_r15.py).
+_SPCS83_LCC = {
+    # California zones 1-6 (FE 2 000 000, FN 500 000)
+    26941: (_dm(40, 0), _dm(41, 40), _dm(39, 20), -122.0, 2_000_000.0, 500_000.0),
+    26942: (_dm(38, 20), _dm(39, 50), _dm(37, 40), -122.0, 2_000_000.0, 500_000.0),
+    26943: (_dm(37, 4), _dm(38, 26), _dm(36, 30), -120.5, 2_000_000.0, 500_000.0),
+    26944: (_dm(36, 0), _dm(37, 15), _dm(35, 20), -119.0, 2_000_000.0, 500_000.0),
+    26945: (_dm(34, 2), _dm(35, 28), _dm(33, 30), -118.0, 2_000_000.0, 500_000.0),
+    26946: (_dm(32, 47), _dm(33, 53), _dm(32, 10), _dm(-116, 15), 2_000_000.0, 500_000.0),
+    # Colorado (FE 914 401.8289 = 3 000 000 US ft, FN 304 800.6096)
+    26953: (_dm(39, 43), _dm(40, 47), _dm(39, 20), -105.5, 914_401.8289, 304_800.6096),
+    26954: (_dm(38, 27), _dm(39, 45), _dm(37, 50), -105.5, 914_401.8289, 304_800.6096),
+    26955: (_dm(37, 14), _dm(38, 26), _dm(36, 40), -105.5, 914_401.8289, 304_800.6096),
+    # Florida North
+    26960: (_dm(29, 35), _dm(30, 45), _dm(29, 0), -84.5, 600_000.0, 0.0),
+    # Maryland
+    26985: (_dm(38, 18), _dm(39, 27), _dm(37, 40), -77.0, 400_000.0, 0.0),
+    # Massachusetts Mainland
+    26986: (_dm(41, 43), _dm(42, 41), _dm(41, 0), -71.5, 200_000.0, 750_000.0),
+    # New York Long Island
+    32118: (_dm(40, 40), _dm(41, 2), _dm(40, 10), -74.0, 300_000.0, 0.0),
+    # North Carolina (FE 609 601.22 = 2 000 000 US ft)
+    32119: (_dm(34, 20), _dm(36, 10), _dm(33, 45), -79.0, 609_601.22, 0.0),
+    # Ohio North / South
+    32122: (_dm(40, 26), _dm(41, 42), _dm(39, 40), -82.5, 600_000.0, 0.0),
+    32123: (_dm(38, 44), _dm(40, 2), _dm(38, 0), -82.5, 600_000.0, 0.0),
+    # Oregon North / South
+    32126: (_dm(44, 20), _dm(46, 0), _dm(43, 40), -120.5, 2_500_000.0, 0.0),
+    32127: (_dm(42, 20), _dm(44, 0), _dm(41, 40), -120.5, 1_500_000.0, 0.0),
+    # Pennsylvania North / South
+    32128: (_dm(40, 53), _dm(41, 57), _dm(40, 10), _dm(-77, 45), 600_000.0, 0.0),
+    32129: (_dm(39, 56), _dm(40, 58), _dm(39, 20), _dm(-77, 45), 600_000.0, 0.0),
+    # Tennessee
+    32136: (_dm(35, 15), _dm(36, 25), _dm(34, 20), -86.0, 600_000.0, 0.0),
+    # Texas North / North Central / Central / South Central / South
+    32137: (_dm(34, 39), _dm(36, 11), _dm(34, 0), _dm(-101, 30), 200_000.0, 1_000_000.0),
+    32138: (_dm(32, 8), _dm(33, 58), _dm(31, 40), _dm(-98, 30), 600_000.0, 2_000_000.0),
+    32139: (_dm(30, 7), _dm(31, 53), _dm(29, 40), _dm(-100, 20), 700_000.0, 3_000_000.0),
+    32140: (_dm(28, 23), _dm(30, 17), _dm(27, 50), -99.0, 600_000.0, 4_000_000.0),
+    32141: (_dm(26, 10), _dm(27, 50), _dm(25, 40), _dm(-98, 30), 300_000.0, 5_000_000.0),
+    # Virginia North / South
+    32146: (_dm(38, 2), _dm(39, 12), _dm(37, 40), -78.5, 3_500_000.0, 2_000_000.0),
+    32147: (_dm(36, 46), _dm(37, 58), _dm(36, 20), -78.5, 3_500_000.0, 1_000_000.0),
+    # Washington North / South
+    32148: (_dm(47, 30), _dm(48, 44), _dm(47, 0), _dm(-120, 50), 500_000.0, 0.0),
+    32149: (_dm(45, 50), _dm(47, 20), _dm(45, 20), _dm(-120, 30), 500_000.0, 0.0),
+}
+_LCC_CODES.update(_SPCS83_LCC)
+
+
 def _lcc_consts(params, a: float = GRS80_A, f: float = GRS80_F,
                 k0: float = 1.0):
     """Two-standard-parallel LCC constants; the one-standard-parallel
@@ -4472,6 +4534,38 @@ for _z in range(46, 60):
         GRS80_A, GRS80_F, None,
     )
 del _z
+
+
+def _spcs_tm(lat0, lon0, k0_denom, fe, fn=0.0):
+    """SPCS83 TM row: scale stated as its published defect denominator
+    (k0 = 1 − 1/denom), GRS80, NAD83 ≡ WGS84 (same class as the UTM
+    rows 26901-23)."""
+    return (lat0, lon0, 1.0 - 1.0 / k0_denom, fe, fn, GRS80_A, GRS80_F, None)
+
+
+# NAD83 State Plane transverse-Mercator zones (r15; see _SPCS83_LCC for
+# sourcing). AZ false eastings are 213 360 m = 700 000 international ft.
+_SPCS83_TM = {
+    # Arizona East / Central / West
+    26948: _spcs_tm(31.0, _dm(-110, 10), 10_000, 213_360.0),
+    26949: _spcs_tm(31.0, _dm(-111, 55), 10_000, 213_360.0),
+    26950: _spcs_tm(31.0, _dm(-113, 45), 15_000, 213_360.0),
+    # Florida East / West
+    26958: _spcs_tm(_dm(24, 20), -81.0, 17_000, 200_000.0),
+    26959: _spcs_tm(_dm(24, 20), -82.0, 17_000, 200_000.0),
+    # Georgia East / West
+    26966: _spcs_tm(30.0, _dm(-82, 10), 10_000, 200_000.0),
+    26967: _spcs_tm(30.0, _dm(-84, 10), 10_000, 700_000.0),
+    # Illinois East / West
+    26971: _spcs_tm(_dm(36, 40), _dm(-88, 20), 40_000, 300_000.0),
+    26972: _spcs_tm(_dm(36, 40), _dm(-90, 10), 17_000, 700_000.0),
+    # New Jersey + New York East (shared parameters), Central, West
+    32111: _spcs_tm(_dm(38, 50), -74.5, 10_000, 150_000.0),
+    32115: _spcs_tm(_dm(38, 50), -74.5, 10_000, 150_000.0),
+    32116: _spcs_tm(40.0, _dm(-76, 35), 16_000, 250_000.0),
+    32117: _spcs_tm(40.0, _dm(-78, 35), 16_000, 350_000.0),
+}
+_TM_CODES.update(_SPCS83_TM)
 
 
 def _tm_named_fwd(lon: float, lat: float, params):
@@ -5015,7 +5109,7 @@ def transform(g: Geom, src_srid: int, dst_srid: int, fn=None) -> Geom:
             "Albers 5070/3310/3577, Lambert conformal 2154/3978/3112, polar "
             "stereographic 3031/3413/3976/5041/5042, transverse Mercator "
             "27700/2180/2193 + MGA 28349-56/7846-59, ETRS89 UTM 25828-38, "
-            "NAD83 UTM 26901-23 + 4269, CEA 6933, "
+            "NAD83 UTM 26901-23 + 4269, SPCS83 state-plane (CA/CO/FL/MD/MA/NY/NC/OH/OR/PA/TN/TX/VA/WA LCC + AZ/FL/GA/IL/NJ/NY TM meter codes), CEA 6933, "
             "NTF Lambert 27571-27573; register others with "
             "geom_ops.register_crs, or "
             "install the optional 'pyproj' extra for general EPSG support"
