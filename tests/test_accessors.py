@@ -44,6 +44,7 @@ def _wkt(b):
     return None if b is None else wkb.to_wkt(wkb.loads(bytes(b)))
 
 
+@pytest.mark.slow
 def test_numgeometries_and_geometryn(geoms):
     out = {r.id: (r.n, _wkt(r.g2)) for r in geoms.select(
         "id",

@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
@@ -115,6 +117,7 @@ def test_mixture_hash_key_injective_across_colon_sources(spark):
     assert kept_a1 != kept_a
 
 
+@pytest.mark.slow
 def test_mixture_hash_oracle_mirror_matches_spark(spark, tmp_path):
     """The entry oracle's length-prefixed key reproduces Spark's kept set
     on colon-bearing sources (the gate corpus has no ':' sources, so this

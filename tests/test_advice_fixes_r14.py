@@ -255,3 +255,7 @@ def test_text_repetition_crlf_line_fraction(spark):
     # 3 identical lines -> 2/3 duplicated (the \r no longer splits the
     # final line's identity from its siblings)
     assert abs(row.dup_line_frac - 2 / 3) < 1e-9
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import os
 
@@ -79,6 +81,7 @@ def test_asof_join_partial_tie_on_map_column_is_deterministic(spark):
     assert len(results) == 1
 
 
+@pytest.mark.slow
 def test_write_roundtrip_scratch_cleaned(spark):
     import tempfile
 

@@ -213,3 +213,7 @@ def test_gate_recall_legs_pinned_at_sf001(spark):
         "ivf_recall": GATE_RECALL["ivf"],
         "pq_recall": GATE_RECALL["pq"],
     }
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

@@ -188,3 +188,7 @@ def test_bpe_train_unicode_parity(spark):
     assert merges == ref_merges
     got = {r["token"]: tuple(r["symbols"]) for r in words.collect()}
     assert got == ref_symbols
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

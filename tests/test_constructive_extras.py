@@ -601,3 +601,7 @@ def test_largest_empty_circle_obstacle_with_interior_free_pocket():
         (cx, cy), r, _ = G.largest_empty_circle(obstacle, boundary, 1e-6)
     assert abs(cx - 5.0) < 1e-4 and abs(cy - 5.0) < 1e-4
     assert abs(r - 1.0) < 1e-4
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

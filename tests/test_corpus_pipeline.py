@@ -255,3 +255,7 @@ def test_pair_counts_bpe_statistic(spark):
     pc2 = {r["pair"]: r["count"]
            for r in pair_counts(df, "text", min_count=2).collect()}
     assert pc2 == {"a b": 2, "b c": 2}
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

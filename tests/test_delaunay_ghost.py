@@ -261,3 +261,7 @@ def test_exactly_cocircular_ring_sites():
     tris = G.delaunay_triangles(wkb.Geom("MultiPoint", circ))
     assert len(tris) == 10
     assert abs(_tri_area(tris) - _hull_area(circ)) < 1e-9
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

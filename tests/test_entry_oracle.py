@@ -89,3 +89,7 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert {"region", "extent", "revenue", "n_customers"} <= set(df.columns)
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

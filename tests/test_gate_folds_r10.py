@@ -134,3 +134,7 @@ def test_repetition_gate_columns_signal(spark):
     assert out[1].dup_2gram_frac > 0.5
     assert abs(out[2].dup_line_frac - 0.25) < 1e-12
     assert out[3].dup_2gram_frac == 0.0
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

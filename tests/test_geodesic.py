@@ -1120,6 +1120,7 @@ def test_etrs89_utm_codes():
     assert out.srid == 25832 and 400_000 < out.coords[0] < 600_000
 
 
+@pytest.mark.slow
 def test_transform_point_catalyst_twins_all_families(spark):
     """r10: st_transform_point covers the conic/stereographic/named-TM
     families pure-Catalyst. Forward twins are expression-for-expression

@@ -309,3 +309,7 @@ def test_spatial_join_geography_wide_pad_cross(spark):
     assert set(got) == set(want) and got  # non-trivial
     for key, d in want.items():
         assert abs(got[key] - d) < 1e-4
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

@@ -11,6 +11,8 @@ directions — whose pairs are disjoint from the main leg by construction
 """
 from __future__ import annotations
 
+import pytest
+
 import math
 import random
 
@@ -180,3 +182,7 @@ def test_pad_wider_than_seam_slice_raises(spark):
         spatial_join_geography(
             a, b, "geom", "geom", PM, PM, "aid", "bid", 7_000_000.0,
         )
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

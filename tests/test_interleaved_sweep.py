@@ -95,3 +95,7 @@ def test_interleaved_predicates_match_all_layouts(line_frames):
         assert r.i_il == r.i_sep == r.i_wk, r.id
         hits += bool(r.i_il)
     assert 0 < hits < N  # both outcomes exercised
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

@@ -181,6 +181,7 @@ def test_connected_components(spark):
     assert comp[8] == comp[9] == comp[10] == 8
 
 
+@pytest.mark.slow
 def test_connected_components_deep_chain(spark):
     """100k-edge single chain: path-halving label propagation must converge
     in ~log2(n) rounds (a pure neighbor-min scheme would need 100k rounds),
@@ -603,6 +604,7 @@ def test_resolve_decoder_skipped_or_real(spark):
         assert out[1] == multimodal._fake_decode_features(b"payload-a", 4)
 
 
+@pytest.mark.slow
 def test_banded_near_dup_one_pass_matches_per_band_union(spark):
     """r13 (VERDICT r12 #5): the one-pass multi-band candidate join
     (composite (band, bucket) key, pre-verify pair dedup) must produce
@@ -645,6 +647,7 @@ def test_banded_near_dup_one_pass_matches_per_band_union(spark):
     assert {(x["id_a"], x["id_b"], x["score"]) for x in pub} == gset
 
 
+@pytest.mark.slow
 def test_banded_near_dup_cap_transparency(spark):
     """r13: when a pair's FIRST agreeing band sits in a capped bucket,
     the canonical-band rule must pass it to the next uncapped agreeing

@@ -226,6 +226,7 @@ def test_offset_curve(spark):
         st_offsetcurve("g", 1.0, WKB_META, params="endcap=flat")
 
 
+@pytest.mark.slow
 def test_wkb_point_fastpath_parity(spark):
     """The vectorized uniform-point WKB batch path must agree exactly with
     the generic per-row codec: nulls stay null, NaN empty-points null the
@@ -293,6 +294,7 @@ def test_wkb_point_fastpath_parity(spark):
     assert abs(zr.d - 5.0) < 1e-12  # 2-D distance, z ignored
 
 
+@pytest.mark.slow
 def test_spatial_join_geography_meters(spark):
     """dwithin-in-meters join on lon/lat points: grid in degrees with a
     latitude-safe pad, haversine refine. Ground truth = all-pairs
@@ -353,6 +355,7 @@ def test_spatial_join_geography_meters(spark):
     assert polar.count() == 0
 
 
+@pytest.mark.slow
 def test_spatial_join_bucketed_zero_exchange(spark, tmp_path):
     """Co-located spatial join: both sides written cell-bucketed+sorted →
     the candidate equi-join on cell id runs with NO exchange (and no
@@ -483,6 +486,7 @@ def test_geohash_roundtrip(spark):
     assert gh2.startswith("gcpv")  # central London cell
 
 
+@pytest.mark.slow
 def test_spatial_join_broadcast_and_cell_estimate(spark):
     import random
 
@@ -778,6 +782,7 @@ def test_offset_curve_reroutes_along_buffer_boundary(spark):
             assert abs(d - 0.6) < 1e-6, (p, d)
 
 
+@pytest.mark.slow
 def test_knn_join_geography_meters(spark):
     """Round-6: geography k-NN join (meters, radius-doubling over the
     degree-grid dwithin join). Ground truth = all-pairs haversine top-k."""
@@ -829,6 +834,7 @@ def test_knn_join_geography_meters(spark):
         assert have == [bi for _, bi in want], (ai, have, want)
 
 
+@pytest.mark.slow
 def test_knn_join_geography_lines_left(spark):
     """Geography k-NN with a LINE left side (exercises the spherical
     arc-kernel refine inside the radius-doubling loop)."""
@@ -978,6 +984,7 @@ def test_spatial_join_geography_polar_threshold_band(spark):
     assert got == {(0, 0)}
 
 
+@pytest.mark.slow
 def test_spatial_join_geography_cap_boundary_straddle(spark):
     """Pairs straddling the 80-degree cap boundary must be found exactly
     once whichever leg serves them: points sprinkled across 78-82 at
@@ -1126,6 +1133,7 @@ def test_geography_join_wide_segment_bulge_peaks_off_max_lat(spark):
     assert abs(d - 1911.0) < 5.0
 
 
+@pytest.mark.slow
 def test_geography_join_cap_membership_uses_max_excess(spark):
     """r7 review fix: cap-leg membership used reach = pad + e(cap_lat),
     but e is DECREASING above φ*, so a segment whose top sits just below

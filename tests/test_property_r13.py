@@ -165,3 +165,7 @@ def test_isvaliddetail_agrees_with_isvalid_and_reason():
             assert reason is None and loc is None
         else:
             assert reason == G.invalid_reason(g)
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

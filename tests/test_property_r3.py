@@ -2,6 +2,7 @@
 dimension set ops, Delaunay/Voronoi, normalize, and the measure
 contracts. Random axis-aligned unit squares give closed-form invariants
 (union area == count of distinct cells)."""
+import pytest
 
 import math
 
@@ -170,3 +171,7 @@ def test_offset_curve_always_simple(pts, d):
                 assert not (
                     1e-9 < t < 1 - 1e-9 and 1e-9 < u < 1 - 1e-9
                 ), (cs[i], cs[j])
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

@@ -2,6 +2,7 @@
 maximum inscribed circle, generate_points, 3-D distance, spherical area,
 Hilbert keys. Pure-Python kernel level (no Spark session) — fast and wide.
 """
+import pytest
 
 import math
 
@@ -117,3 +118,7 @@ def test_hilbert_key_in_range_and_distinct_neighbors(level, x, y):
         assert hilbert_xy2d(level, x + 1, y) != d
     if y + 1 < n:
         assert hilbert_xy2d(level, x, y + 1) != d
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

@@ -63,6 +63,7 @@ def test_tm_datum_kernel_roundtrip_and_shift(irish_grid):
     assert 20.0 < math.hypot(x - xn, y - yn) < 500.0
 
 
+@pytest.mark.slow
 def test_tm_datum_catalyst_twin_matches_kernel(spark, irish_grid):
     df = spark.createDataFrame(
         [(-6.26, 53.35), (-8.48, 51.9), (-7.31, 54.99)],

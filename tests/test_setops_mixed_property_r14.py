@@ -231,3 +231,7 @@ def test_mixed_gc_setops_spark_wkb_path(spark):
         assert r["uni"] == W.to_wkt(G.union(a, b))
         assert r["dif"] == W.to_wkt(G.difference(a, b))
         assert r["sym"] == W.to_wkt(G.sym_difference(a, b))
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

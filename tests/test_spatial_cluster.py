@@ -147,3 +147,7 @@ def test_cluster_intersecting_chains(spark):
     got = {r.id: r.cluster_id for r in out.collect()}
     assert got[1] == got[2] == got[3]
     assert got[4] != got[1]
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

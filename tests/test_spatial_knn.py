@@ -86,3 +86,7 @@ def test_knn_unresolved_flag(spark):
     ).collect()
     assert len(got2) == 1 and got2[0].resolved is True
     assert abs(got2[0].distance - 100.0) < 1e-9
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

@@ -186,3 +186,7 @@ def test_non_numeric_extra_not_hijacked(ssql):
         ssql.sql(
             "SELECT ST_Buffer(ST_Union(geometry), geometry) FROM polys"
         ).collect()
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

@@ -222,3 +222,7 @@ def test_literal_constructors_in_where_and_group_by(ssql):
         f"FROM fz GROUP BY ST_Intersects(geometry, {box})"
     ).collect()
     assert sum(x["n"] for x in r4) == 4
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

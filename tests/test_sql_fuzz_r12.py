@@ -319,3 +319,7 @@ def test_swapordinates_mixed_column_null_not_crash(fuzz_sql, spark):
     assert rows[2] is None
     with pytest.raises(ValueError, match="two distinct chars"):
         s.sql("SELECT ST_SwapOrdinates(g, 'xx') AS c FROM t_swap")
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

@@ -285,6 +285,7 @@ def test_delaunay_voronoi_sql_registered(ssql):
         assert r.n_cells >= 1
 
 
+@pytest.mark.slow
 def test_round6_sql_surface_sweep(ssql, spark):
     """Round-6: previously DataFrame-only functions registered in SQL via
     the declarative signature spec, including the new ('g','s'),

@@ -237,3 +237,7 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_batch):
     }
     # inner stream-stream matches emit eagerly: exact batch equivalence
     assert got == want and got
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

@@ -150,3 +150,7 @@ def test_sql_nesting_guard_ignores_string_literal_parens(spark):
         "FROM adv_polys2 LIMIT 1"
     ).collect()
     assert out[0]["n"] == 40
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

@@ -1,6 +1,7 @@
 """Property-based tests (hypothesis) for the WKB/WKT codec and geometry
 kernels — exceeding the reference's test surface (SURVEY §5: the reference
 only has 6 exact-string WKT unit tests)."""
+import pytest
 
 import math
 
@@ -103,3 +104,7 @@ def test_envelope_ring_closed_and_ccw(g):
         r[i][0] * r[i + 1][1] - r[i + 1][0] * r[i][1] for i in range(4)
     )
     assert area2 >= 0  # CCW or degenerate
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow

@@ -487,3 +487,7 @@ def test_uniform_point_batch_containment_sweep():
         for a, b in zip(geo, pts)
     ]
     assert list(got) == exp
+
+
+# heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)
+pytestmark = pytest.mark.slow
