@@ -3553,10 +3553,33 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # part 'sq8' (r15): scalar-quantization compressed-domain top-10 —
+    # exact per-dimension (min, span) params (order-independent, so
+    # bit-stable across engines), Catalyst encode/decode, sequential-fold
+    # cosine of the DECODED codes against the raw query. The oracle
+    # re-derives params, codes, and reconstructions from the raw table.
+    from datafusion_spatial_spark.operators.simsearch import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    mins, spans = sq8_train(emb, "embedding")
+    enc8 = sq8_encode(emb, "embedding", mins, spans).select(
+        "vec_id", "sq8_code"
+    )
+    sq8 = sq8_topk(enc8, mins, spans, "vec_id", qvec, k=10).select(
+        F.lit("sq8").alias("part"),
+        "vec_id",
+        F.round("score", 6).alias("score"),
+    )
+
     return (
         ivf.unionAll(pq)
+        .unionAll(sq8)
         .unionAll(_recall(ivf, "ivf_recall"))
         .unionAll(_recall(pq, "pq_recall"))
+        .unionAll(_recall(sq8, "sq8_recall"))
         .orderBy("part", F.desc("score"), "vec_id")
     )
 
@@ -3584,6 +3607,11 @@ def _q_ivf_ann_oracle() -> str:
     cos_e = (
         f"{_duckdb_dot('e.embedding', 'q.qe')}"
         f" / (sqrt({_duckdb_dot('e.embedding', 'e.embedding')})"
+        f" * sqrt({_duckdb_dot('q.qe', 'q.qe')}))"
+    )
+    cos_x = (
+        f"{_duckdb_dot('d.xh', 'q.qe')}"
+        f" / (sqrt({_duckdb_dot('d.xh', 'd.xh')})"
         f" * sqrt({_duckdb_dot('q.qe', 'q.qe')}))"
     )
     sub = EMB_DIMS // N_PQ_M
@@ -3668,6 +3696,35 @@ WITH q AS (
   FROM embeddings e CROSS JOIN q
   ORDER BY score DESC, e.vec_id
   LIMIT 10
+), sq8p AS (
+  -- r15: exact per-dimension SQ8 params (min/max are order-independent,
+  -- hence bit-identical to the Spark side's distributed pass)
+  SELECT list(cast(mn AS DOUBLE) ORDER BY pos) AS mns,
+         list(CASE WHEN mx > mn THEN cast(mx AS DOUBLE) - cast(mn AS DOUBLE)
+                   ELSE 1.0 END ORDER BY pos) AS sps
+  FROM (
+    SELECT pos, min(x) AS mn, max(x) AS mx
+    FROM (SELECT generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding) AS x
+          FROM embeddings WHERE embedding IS NOT NULL)
+    GROUP BY pos)
+), sq8d AS (
+  -- encode clamp(floor((x-min)/span*255 + 0.5)) then decode
+  -- min + code/255*span, mirroring sq8_encode/sq8_decode_expr token
+  -- for token
+  SELECT e.vec_id,
+    list_transform(range(1, {EMB_DIMS} + 1), i ->
+      p.mns[i] + cast(least(255, greatest(0,
+          cast(floor((cast(e.embedding[i] AS DOUBLE) - p.mns[i])
+                     / p.sps[i] * 255.0 + 0.5) AS BIGINT))) AS DOUBLE)
+        / 255.0 * p.sps[i]) AS xh
+  FROM embeddings e CROSS JOIN sq8p p
+  WHERE e.embedding IS NOT NULL
+), sq8_part AS (
+  SELECT d.vec_id, round({cos_x}, 6) AS score
+  FROM sq8d d CROSS JOIN q
+  ORDER BY {cos_x} DESC, d.vec_id
+  LIMIT 10
 ), ivf_recall AS (
   SELECT 'ivf_recall' AS part, CAST(-1 AS BIGINT) AS vec_id,
          round(count(*) / 10.0, 6) AS score
@@ -3676,14 +3733,22 @@ WITH q AS (
   SELECT 'pq_recall' AS part, CAST(-1 AS BIGINT) AS vec_id,
          round(count(*) / 10.0, 6) AS score
   FROM pq_part JOIN exact10 USING (vec_id)
+), sq8_recall AS (
+  SELECT 'sq8_recall' AS part, CAST(-1 AS BIGINT) AS vec_id,
+         round(count(*) / 10.0, 6) AS score
+  FROM sq8_part JOIN exact10 USING (vec_id)
 )
 SELECT 'ivf' AS part, vec_id, score FROM ivf_part
 UNION ALL
 SELECT 'pq' AS part, vec_id, score FROM pq_part
 UNION ALL
+SELECT 'sq8' AS part, vec_id, score FROM sq8_part
+UNION ALL
 SELECT part, vec_id, score FROM ivf_recall
 UNION ALL
 SELECT part, vec_id, score FROM pq_recall
+UNION ALL
+SELECT part, vec_id, score FROM sq8_recall
 ORDER BY part, score DESC, vec_id
 """
 

@@ -889,6 +889,121 @@ def ivfpq_topk(
 
 
 # ---------------------------------------------------------------------------
+# SQ8 (scalar quantization): 1 byte per dimension (r15)
+#
+# The compression rung between raw floats and PQ: a 64-dim float32
+# embedding (256 B) becomes 64 codes (64 B as stored int8/tinyint) with
+# per-dimension affine params — 4x scan/cache shrink with near-lossless
+# recall (FAISS's SQ8). Unlike PQ there is no trained codebook: the
+# params are the exact per-dimension (min, span), which min/max being
+# ORDER-INDEPENDENT makes bit-stable across engines and partitionings —
+# so SQ8 is value-checkable against a SQL oracle (k-means codebooks are
+# not; see pq_train's note). Encode, decode, and scoring are pure
+# Catalyst (transform / sequential folds): the scan stays JVM-side and
+# map-only.
+# ---------------------------------------------------------------------------
+
+
+def sq8_train(df: DataFrame, vec_col: str) -> tuple[list[float], list[float]]:
+    """Exact per-dimension quantization params in ONE distributed pass:
+    posexplode → 64-key groupBy(min, max) with map-side partial
+    aggregation (the shuffle carries dims × partitions rows, not data) →
+    collect dims rows (driver-bounded by the vector width).
+
+    Returns ``(mins, spans)`` with ``span = max − min`` (constant
+    dimensions get span 1.0, so they encode to 0 and decode to the
+    constant). At 100 TB this is one cheap column-pruned pass — and the
+    encode that follows is a pass anyway."""
+    rows = (
+        df.select(F.posexplode(_vec(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sq8_train: no non-null vectors")
+    mins = [float(r.mn) for r in rows]
+    spans = [
+        float(r.mx) - float(r.mn) if r.mx > r.mn else 1.0 for r in rows
+    ]
+    return mins, spans
+
+
+def sq8_encode(
+    df: DataFrame,
+    vec_col: str,
+    mins: list[float],
+    spans: list[float],
+    out_col: str = "sq8_code",
+) -> DataFrame:
+    """Add ``out_col`` (array<int>, values 0-255): per-dimension affine
+    codes ``clamp(floor((x − min)/span·255 + 0.5))``. Pure Catalyst
+    (transform + element_at on literal param arrays), map-only; null
+    vectors encode to null. floor(+0.5) rather than round() so the
+    half-way rule is the same expression in every engine."""
+    mnl = F.array(*[F.lit(float(v)) for v in mins])
+    spl = F.array(*[F.lit(float(v)) for v in spans])
+    code = F.transform(
+        _vec(vec_col),
+        lambda x, i: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (x - F.element_at(mnl, i + F.lit(1)))
+                    / F.element_at(spl, i + F.lit(1))
+                    * 255.0
+                    + 0.5
+                ),
+            ),
+        ).cast("int"),
+    )
+    return df.withColumn(out_col, code)
+
+
+def sq8_decode_expr(
+    code_col: Column | str, mins: list[float], spans: list[float]
+) -> Column:
+    """Reconstruction ``x̂ = min + code/255·span`` as a Catalyst array
+    expression — composes into any scoring expression without leaving
+    the JVM."""
+    mnl = F.array(*[F.lit(float(v)) for v in mins])
+    spl = F.array(*[F.lit(float(v)) for v in spans])
+    c = F.col(code_col) if isinstance(code_col, str) else code_col
+    return F.transform(
+        c,
+        lambda x, i: F.element_at(mnl, i + F.lit(1))
+        + x.cast("double") / 255.0 * F.element_at(spl, i + F.lit(1)),
+    )
+
+
+def sq8_topk(
+    encoded: DataFrame,
+    mins: list[float],
+    spans: list[float],
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    code_col: str = "sq8_code",
+) -> DataFrame:
+    """Compressed-domain top-k: rank by cosine(decoded code, raw query)
+    entirely in Catalyst — the scan reads 1-byte/dim codes, never the
+    float vectors. Returns (id, score) like :func:`cosine_topk`; compose
+    with an exact rerank against the float table when the last ulp of
+    ranking matters."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    dec = sq8_decode_expr(code_col, mins, spans)
+    return (
+        encoded.select(
+            F.col(id_col), cosine(dec, q).alias("score")
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF list-partitioned storage: probes as partition pruning
 # ---------------------------------------------------------------------------
 
