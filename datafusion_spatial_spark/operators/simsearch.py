@@ -562,7 +562,17 @@ def ivf_index(
             # (the sample only trains centroids)
             fraction = min(1.0, 1.05 * train_sample_size / n)
             train = feat.sample(fraction=fraction, seed=seed).persist()
-            sampled = True
+            # Bernoulli draws have a tail: with train_sample_size near
+            # n_lists the sample can come up short of k points and the
+            # k-means fit would fail or return fewer centroids (r15
+            # review fix). The count materializes the cache the fit
+            # needs anyway; falling back to the full fit is always
+            # correct, just slower.
+            if train.count() < n_lists:
+                train.unpersist()
+                train = feat
+            else:
+                sampled = True
     model = KMeans(
         k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__features",
         predictionCol="list_id",
@@ -923,6 +933,13 @@ def sq8_train(df: DataFrame, vec_col: str) -> tuple[list[float], list[float]]:
     )
     if not rows:
         raise ValueError("sq8_train: no non-null vectors")
+    for r in rows:
+        if r.mn is None or r.mx is None:
+            # min/max skip SQL nulls, so an all-null dimension yields
+            # None — surface it instead of a TypeError below
+            raise ValueError(
+                f"sq8_train: dimension {r.pos} is NULL in every vector"
+            )
     mins = [float(r.mn) for r in rows]
     spans = [
         float(r.mx) - float(r.mn) if r.mx > r.mn else 1.0 for r in rows

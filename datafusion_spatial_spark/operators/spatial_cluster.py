@@ -71,6 +71,7 @@ def _neighbor_pairs_geography(
     meters: float,
     cell_size_deg: float | None,
     max_abs_lat: float,
+    wide_pad: str = "raise",
 ) -> DataFrame:
     """Unordered (ida < idb) dwithin-in-METERS self-join pairs on lon/lat
     data, excluding self — the geography analog of :func:`_neighbor_pairs`.
@@ -86,7 +87,7 @@ def _neighbor_pairs_geography(
     pairs = spatial_join_geography(
         left, right, "__ga", "__gb", meta, meta,
         "__ida", "__idb", meters, cell_size_deg=cell_size_deg,
-        max_abs_lat=max_abs_lat,
+        max_abs_lat=max_abs_lat, wide_pad=wide_pad,
     )
     return pairs.filter(F.col("__ida") < F.col("__idb"))
 
@@ -132,15 +133,19 @@ def cluster_within_geography(
     id_col: str | None = None,
     out_col: str = "cluster_id",
     max_abs_lat: float = 80.0,
+    wide_pad: str = "raise",
 ) -> DataFrame:
     """ST_ClusterWithin in METERS on lon/lat data (r15, VERDICT r14 #3):
     chains measured by exact spherical distance, correct across the
     antimeridian and into the polar caps (the pair graph comes from
     :func:`spatial_join_geography`, which adds seam and cap legs as the
-    data requires). Same output contract as :func:`cluster_within`."""
+    data requires). Same output contract as :func:`cluster_within`.
+    ``wide_pad="cross"`` opts into the exact cross-join fallback when the
+    threshold is too wide for the seam slices AND the data reaches the
+    seam (see :func:`spatial_join_geography`)."""
     work = _with_ids(df, id_col)
     pairs = _neighbor_pairs_geography(
-        work, geom_col, meta, meters, cell_size_deg, max_abs_lat
+        work, geom_col, meta, meters, cell_size_deg, max_abs_lat, wide_pad
     )
     return _label_components(work, pairs, out_col)
 
@@ -184,14 +189,16 @@ def cluster_dbscan_geography(
     id_col: str | None = None,
     out_col: str = "cluster_id",
     max_abs_lat: float = 80.0,
+    wide_pad: str = "raise",
 ) -> DataFrame:
     """ST_ClusterDBSCAN in METERS on lon/lat data (r15, VERDICT r14 #3):
     identical core/border/noise semantics to :func:`cluster_dbscan`, but
     ``eps_m`` is an exact spherical distance and the neighbor graph is
-    seam- and polar-correct (:func:`spatial_join_geography`)."""
+    seam- and polar-correct (:func:`spatial_join_geography`).
+    ``wide_pad`` as in :func:`cluster_within_geography`."""
     work = _with_ids(df, id_col)
     pairs = _neighbor_pairs_geography(
-        work, geom_col, meta, eps_m, cell_size_deg, max_abs_lat
+        work, geom_col, meta, eps_m, cell_size_deg, max_abs_lat, wide_pad
     ).localCheckpoint(eager=True)  # see cluster_dbscan
     return _dbscan_from_pairs(work, pairs, min_points, out_col)
 

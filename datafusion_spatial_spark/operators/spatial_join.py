@@ -674,23 +674,6 @@ def spatial_join_geography(
     # signs of the number line never collide), and for seam < 180° no
     # row is in both the east and west slice, so leg1 (left-east ×
     # right-west) and leg2 (left-west × right-east) are disjoint too.
-    if pad_deg > 89.9:
-        # The seam slice filters below cover only pad_deg of longitude on
-        # each side of ±180°; a pad this wide (≈>1500 km thresholds at
-        # high mid-band latitudes) would make them under-cover and
-        # silently drop qualifying cross-seam pairs — raise, matching the
-        # lon-span and arc-bulge guards' never-silently-wrong policy,
-        # unless the caller opted into the exact cross refine.
-        if wide_pad == "cross":
-            return _geography_cross_exact(
-                left, right, left_geom, right_geom, left_meta, right_meta,
-                left_id, right_id, meters, with_distance,
-            )
-        raise ValueError(
-            f"geography-join prefilter pad {pad_deg:.1f}° exceeds the "
-            "89.9° antimeridian seam-slice limit — reduce the distance "
-            "threshold or restrict the data's latitude range"
-        )
     seam = pad_deg
     legs = [main]
     # a_is_left routes output column order explicitly (not `a_df is
@@ -705,6 +688,30 @@ def spatial_join_geography(
     ):
         if a_east < 180.0 - seam or b_west > -180.0 + seam:
             continue  # no rows close enough to the seam on this side
+        if pad_deg > 89.9:
+            # This leg would run, but its slice filters cover only
+            # pad_deg of longitude on each side of ±180° up to 89.9° — a
+            # wider pad (≈>1500 km thresholds at high mid-band latitudes)
+            # would under-cover and silently drop qualifying cross-seam
+            # pairs. Raise (matching the lon-span and arc-bulge guards'
+            # never-silently-wrong policy) unless the caller opted into
+            # the exact cross refine. Data that never nears the seam
+            # skips the legs above instead: the main grid leg is complete
+            # for every non-wrapping pair at ANY pad, so wide thresholds
+            # on inland data keep working (r15 review fix — the first
+            # guard raised unconditionally).
+            if wide_pad == "cross":
+                return _geography_cross_exact(
+                    left, right, left_geom, right_geom, left_meta,
+                    right_meta, left_id, right_id, meters, with_distance,
+                )
+            raise ValueError(
+                f"geography-join prefilter pad {pad_deg:.1f}° exceeds "
+                "the 89.9° antimeridian seam-slice limit and the data "
+                "reaches the seam — reduce the distance threshold, "
+                "restrict the data's longitude range, or pass "
+                "wide_pad='cross' for the exact cross-join fallback"
+            )
         from datafusion_spatial_spark.functions.transforms import st_translate
 
         bba = st_bbox(a_col, a_meta)

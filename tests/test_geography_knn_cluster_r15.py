@@ -369,3 +369,23 @@ def test_cluster_within_geography_polygons_arc_kernel(spark):
     c0 = W.Geom("Point", (10.00, 40.0))
     c1 = W.Geom("Point", (10.25, 40.0))
     assert GO.distance_sphere_geom(c0, c1) > 15_000.0
+
+
+def test_cluster_geography_wide_pad_threading(spark):
+    """r15 review fix: the cluster wrappers thread wide_pad down to
+    spatial_join_geography, so wide-eps clustering on seam-reaching data
+    can opt into the exact cross fallback instead of dying on the
+    seam-slice guard."""
+    pts = [(0, 179.9, 70.0), (1, -179.9, 70.0), (2, 0.0, 0.0)]
+    df = _pdf(spark, pts, "pid")
+    meters = 4_000_000.0  # pad_lon ~ 129 deg at lat 70
+    with pytest.raises(ValueError, match="seam-slice limit"):
+        cluster_within_geography(
+            df, "geom", PM, meters, id_col="pid"
+        ).collect()
+    out = cluster_within_geography(
+        df, "geom", PM, meters, id_col="pid", wide_pad="cross"
+    )
+    got = {r.pid: r.cluster_id for r in out.collect()}
+    assert got == _cc_oracle(pts, meters)
+    assert got[0] == got[1] == 0 and got[2] == 2

@@ -131,16 +131,7 @@ def test_seam_self_join_same_object(spark):
     left = df.withColumnRenamed("pid", "aid")
     right = df.withColumnRenamed("pid", "bid")
     meters = 150_000.0
-    # true self-join: identical object on both sides (ids renamed via
-    # select so the underlying plan object is shared)
-    out = spatial_join_geography(
-        df.select(F.col("pid").alias("aid"),
-                  F.col("pid").alias("bid"), "geom"),
-        df.select(F.col("pid").alias("aid"),
-                  F.col("pid").alias("bid"), "geom"),
-        "geom", "geom", PM, PM, "aid", "bid", meters,
-    )
-    # the robust check: run with genuinely distinct objects and compare
+    # distinct-object reference result
     ref = spatial_join_geography(
         left, right, "geom", "geom", PM, PM, "aid", "bid", meters,
     )
@@ -154,6 +145,16 @@ def test_seam_self_join_same_object(spark):
     assert len(ref_rows) == len(set(ref_rows))
     assert set(ref_rows) == want
     assert (1, 2) in want and (2, 1) in want  # cross-seam both ways
+    # true self-join: identical plan object on both sides must produce
+    # the SAME pair set, each pair exactly once (the pre-fix identity
+    # routing duplicated one direction and dropped the other)
+    shared = df.select(F.col("pid").alias("k"), "geom")
+    out = spatial_join_geography(
+        shared, shared, "geom", "geom", PM, PM, "k", "k", meters,
+    )
+    out_rows = [tuple(r) for r in out.collect()]
+    assert len(out_rows) == len(set(out_rows))
+    assert set(out_rows) == want
 
 
 def test_seam_self_join_shared_plan_object(spark):
@@ -170,18 +171,39 @@ def test_seam_self_join_shared_plan_object(spark):
     assert set(rows) == {(1, 1), (2, 2), (1, 2), (2, 1)}
 
 
-def test_pad_wider_than_seam_slice_raises(spark):
-    """r15 ADVICE fix: a prefilter pad over 89.9 deg used to be silently
-    clamped, under-covering the seam slices; it must raise instead."""
+def test_pad_wider_than_seam_slice_raises_only_near_seam(spark):
+    """r15 ADVICE fix + review fix: a prefilter pad over 89.9 deg used
+    to be silently clamped (under-covering the seam slices), then
+    briefly raised unconditionally. The contract: raise ONLY when a
+    seam leg would actually run (data reaches the seam strips) — the
+    main grid leg is complete for every non-wrapping pair at any pad,
+    so wide thresholds on data away from ±180 keep working."""
     import pytest
 
-    a = _pdf(spark, [(1, 10.0, 79.5)], "aid")
-    b = _pdf(spark, [(1, 11.0, 79.5)], "bid")
-    # ~7000 km at |lat| 79.5 deg: pad_lon blows past 89.9 deg
+    # seam-reaching wide threshold: must raise
+    a = _pdf(spark, [(1, 179.9, 79.5)], "aid")
+    b = _pdf(spark, [(1, -179.9, 79.5)], "bid")
     with pytest.raises(ValueError, match="seam-slice limit"):
         spatial_join_geography(
             a, b, "geom", "geom", PM, PM, "aid", "bid", 7_000_000.0,
-        )
+        ).collect()
+
+    # inland wide threshold (pad_lon > 89.9 deg at lat 60, 5000 km):
+    # no seam strip is populated -> complete answer, no raise
+    a2 = _pdf(spark, [(1, 0.0, 60.0), (2, 40.0, 60.0)], "aid")
+    b2 = _pdf(spark, [(1, 40.0, 60.0), (2, 0.0, -60.0)], "bid")
+    meters = 5_000_000.0
+    out = spatial_join_geography(
+        a2, b2, "geom", "geom", PM, PM, "aid", "bid", meters,
+    )
+    got = {(r.aid, r.bid) for r in out.collect()}
+    want = {
+        (ai, bi)
+        for ai, ax, ay in [(1, 0.0, 60.0), (2, 40.0, 60.0)]
+        for bi, bx, by in [(1, 40.0, 60.0), (2, 0.0, -60.0)]
+        if _hav(ax, ay, bx, by) <= meters
+    }
+    assert got == want and (1, 1) in got and (1, 2) not in got
 
 
 # heavy battery file: certification tier only (r15 tiering, VERDICT r14 #9)

@@ -92,3 +92,10 @@ def test_sq8_train_empty_raises(spark):
     df = spark.createDataFrame([], "id long, v array<double>")
     with pytest.raises(ValueError, match="no non-null"):
         simsearch.sq8_train(df, "v")
+
+
+def test_sq8_train_all_null_dimension_raises(spark):
+    rows = [(1, [1.0, None, 3.0]), (2, [2.0, None, 4.0])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    with pytest.raises(ValueError, match="NULL in every vector"):
+        simsearch.sq8_train(df, "v")
