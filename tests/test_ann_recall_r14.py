@@ -45,7 +45,7 @@ SF01 = "/root/testdata/sf0.01"
 # sequential-fold cosine on both sides
 IVF_RECALL = {1: 0.9, 2: 1.0, 3: 1.0, 4: 1.0, 6: 1.0, 8: 1.0}
 LSH_RECALL = {0: 0.5, 1: 0.5, 2: 0.8, 3: 0.9}
-GATE_RECALL = {"lsh": 0.5, "ivf": 1.0, "pq": 0.7}
+GATE_RECALL = {"lsh": 0.5, "ivf": 1.0, "pq": 0.7, "sq8": 1.0}
 
 
 @pytest.fixture(scope="module")
@@ -212,6 +212,9 @@ def test_gate_recall_legs_pinned_at_sf001(spark):
     assert ivf == {
         "ivf_recall": GATE_RECALL["ivf"],
         "pq_recall": GATE_RECALL["pq"],
+        # r15: 8-bit scalar quantization is near-lossless -> the exact
+        # top-10 is recovered in full at gate SF
+        "sq8_recall": GATE_RECALL["sq8"],
     }
 
 
