@@ -7,9 +7,24 @@ sees clean Spark types:
   read natively; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
   a long that we floor-divide to microseconds — the same truncation DuckDB
   applies (µs-precision timestamps), keeping the oracle comparable.
+
+Relation cache (r15 optimization round): every ``spark.read.parquet`` call
+costs a fresh file listing, a parquet footer schema-inference pass (Spark
+schedules a small job for it) and several py4j round trips — measured
+~200 ms per call on local[32], paid on EVERY query build because each
+query function re-loads its tables. ``load_table`` now memoizes the
+*unexecuted DataFrame* (the analyzed logical plan — a table resolution,
+exactly what a SQL catalog does) per live SparkSession and real path.
+This caches NO data and NO results: every action on the returned frame
+still scans the parquet files. The keyed paths are immutable fixture
+directories at every call site (driver testdata + the write-once .scale
+copies); set ``SPARK_GRAFT_NO_RELATION_CACHE=1`` to disable.
 """
 
 from __future__ import annotations
+
+import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +42,22 @@ TABLES = (
     "embeddings",
 )
 
+# session -> {(realpath(sf_dir), table): DataFrame}; WeakKey so a stopped
+# session's plans are collectable. DataFrames are immutable plans — sharing
+# one across callers is safe.
+_RELATIONS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+# session -> {view_name: (realpath(sf_dir))} — skip re-running
+# createOrReplaceTempView when the view already points at this table.
+_VIEWS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _cache_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_NO_RELATION_CACHE", "") != "1"
+
 
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Defensive runtime confs: the caller's session (e.g. the driver's) may
@@ -37,7 +68,7 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -47,6 +78,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if not _cache_enabled():
+        return _load_uncached(spark, sf_dir, name)
+    key = (os.path.realpath(sf_dir), name)
+    per_session = _RELATIONS.setdefault(spark, {})
+    df = per_session.get(key)
+    if df is None:
+        df = _load_uncached(spark, sf_dir, name)
+        per_session[key] = df
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    real = os.path.realpath(sf_dir)
+    seen = _VIEWS.setdefault(spark, {}) if _cache_enabled() else {}
     for name in names or TABLES:
+        if seen.get(name) == real:
+            continue
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        seen[name] = real
