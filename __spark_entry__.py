@@ -38,6 +38,7 @@ from datafusion_spatial_spark.operators.hashing import (
     poly_hash_str_duckdb,
 )
 from datafusion_spatial_spark.operators.text import STOPWORDS
+from datafusion_spatial_spark.exprcache import cached_columns as _cached_cols
 from datafusion_spatial_spark.sources.tables import load_table, register_views
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -545,17 +546,23 @@ def _q_st_extent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_spatial_spark.meta import GeometryMeta
 
     cust = load_table(spark, sf_dir, "customer")
-    pts = cust.select(
-        st_point(F.col("c_acctbal"), F.col("c_custkey").cast("double")).alias("geom")
-    )
     meta = GeometryMeta(encoding="point", geometry_types=("Point",))
-    ext = pts.agg(st_extent("geom", meta).alias("e"))
-    return ext.select(
-        F.col("e.xmin").alias("xmin"),
-        F.col("e.ymin").alias("ymin"),
-        F.col("e.xmax").alias("xmax"),
-        F.col("e.ymax").alias("ymax"),
+    pt_col, ext_col, out_cols = _cached_cols(
+        ("q_st_extent_customers",),
+        lambda: (
+            st_point(
+                F.col("c_acctbal"), F.col("c_custkey").cast("double")
+            ).alias("geom"),
+            st_extent("geom", meta).alias("e"),
+            (
+                F.col("e.xmin").alias("xmin"),
+                F.col("e.ymin").alias("ymin"),
+                F.col("e.xmax").alias("xmax"),
+                F.col("e.ymax").alias("ymax"),
+            ),
+        ),
     )
+    return cust.select(pt_col).agg(ext_col).select(*out_cols)
 
 
 _Q_ST_EXTENT_ORACLE = """
@@ -617,23 +624,30 @@ def _q_st_envelope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     meta = GeometryMeta(encoding="point", geometry_types=("Point",))
-    ckey = F.col("c_custkey").cast("double")
-    inside = (
-        (F.col("c_acctbal") >= 0) & (F.col("c_acctbal") <= 5000)
-        & (ckey >= 0) & (ckey <= 7500)
-    )
-    pts = cust.select(
-        F.col("c_nationkey").alias("nationkey"),
-        st_point(F.col("c_acctbal"), ckey).alias("geom"),
-        F.when(inside, F.lit(1)).otherwise(F.lit(0)).alias("inside"),
-    )
-    ext = pts.groupBy("nationkey").agg(
-        st_extent("geom", meta).alias("e"),
-        F.sum("inside").cast("bigint").alias("n_inside"),
-    )
-    return ext.select(
-        "nationkey", st_astext_bbox(F.col("e")).alias("envelope_wkt"), "n_inside"
-    ).orderBy("nationkey")
+
+    def _build():
+        ckey = F.col("c_custkey").cast("double")
+        inside = (
+            (F.col("c_acctbal") >= 0) & (F.col("c_acctbal") <= 5000)
+            & (ckey >= 0) & (ckey <= 7500)
+        )
+        return (
+            (
+                F.col("c_nationkey").alias("nationkey"),
+                st_point(F.col("c_acctbal"), ckey).alias("geom"),
+                F.when(inside, F.lit(1)).otherwise(F.lit(0)).alias("inside"),
+            ),
+            (
+                st_extent("geom", meta).alias("e"),
+                F.sum("inside").cast("bigint").alias("n_inside"),
+            ),
+            st_astext_bbox(F.col("e")).alias("envelope_wkt"),
+        )
+
+    pt_cols, agg_cols, wkt_col = _cached_cols(("q_st_envelope_by_nation",), _build)
+    pts = cust.select(*pt_cols)
+    ext = pts.groupBy("nationkey").agg(*agg_cols)
+    return ext.select("nationkey", wkt_col, "n_inside").orderBy("nationkey")
 
 
 _Q_ST_ENVELOPE_ORACLE = f"""
@@ -1012,22 +1026,35 @@ def _dwithin_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_spatial_spark.operators.spatial_join import spatial_join
 
     point_meta = GeometryMeta(encoding="point", geometry_types=("Point",))
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey"),
-        st_point(F.col("c_acctbal"), F.col("c_custkey").cast("double")).alias("geom"),
+    cust_cols, sup_cols, out_cols = _cached_cols(
+        ("dwithin_pairs_cols",),
+        lambda: (
+            (
+                F.col("c_custkey"),
+                st_point(
+                    F.col("c_acctbal"), F.col("c_custkey").cast("double")
+                ).alias("geom"),
+            ),
+            (
+                F.col("s_suppkey"),
+                st_point(
+                    F.col("s_acctbal"), F.col("s_suppkey").cast("double")
+                ).alias("geom"),
+            ),
+            (
+                F.col("c_custkey").alias("custkey"),
+                F.col("s_suppkey").alias("suppkey"),
+            ),
+        ),
     )
-    sup = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey"),
-        st_point(F.col("s_acctbal"), F.col("s_suppkey").cast("double")).alias("geom"),
-    )
+    cust = load_table(spark, sf_dir, "customer").select(*cust_cols)
+    sup = load_table(spark, sf_dir, "supplier").select(*sup_cols)
     pairs = spatial_join(
         cust, sup, "geom", "geom", point_meta, point_meta,
         "c_custkey", "s_suppkey", cell_size=200.0, predicate="dwithin",
         distance=100.0,
     )
-    return pairs.select(
-        F.col("c_custkey").alias("custkey"), F.col("s_suppkey").alias("suppkey")
-    ).orderBy("custkey", "suppkey")
+    return pairs.select(*out_cols).orderBy("custkey", "suppkey")
 
 
 GEO_METERS = 150000.0  # geography-leg dwithin radius (150 km)
@@ -3199,11 +3226,16 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_spatial_spark.operators.simsearch import cosine, _vec
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    scored = emb.crossJoin(F.broadcast(q)).select(
-        "vec_id",
-        F.round(cosine(_vec("embedding"), _vec("qe")), 6).alias("score"),
+    qfilter, qe, score = _cached_cols(
+        ("q_cosine_topk",),
+        lambda: (
+            F.col("vec_id") == 0,
+            F.col("embedding").alias("qe"),
+            F.round(cosine(_vec("embedding"), _vec("qe")), 6).alias("score"),
+        ),
     )
+    q = emb.filter(qfilter).select(qe)
+    scored = emb.crossJoin(F.broadcast(q)).select("vec_id", score)
     return scored.orderBy(F.desc("score"), F.col("vec_id")).limit(10)
 
 

@@ -279,7 +279,18 @@ def st_bbox(col: Column | str, meta: GeometryMeta) -> Column:
     """Per-row ``struct{xmin,ymin,xmax,ymax}``; null for null/empty input.
     The per-row half of the reference's min_max_2d fold (src/compute.rs:11-76).
     """
-    col = _c(col)
+    if isinstance(col, str):
+        # (name, meta) fully determines the tree — memoize it (exprcache):
+        # this builder sits on every spatial-join/extent build path
+        from datafusion_spatial_spark.exprcache import cached_columns
+
+        return cached_columns(
+            ("st_bbox", col, meta), lambda: _st_bbox_build(F.col(col), meta)
+        )
+    return _st_bbox_build(col, meta)
+
+
+def _st_bbox_build(col: Column, meta: GeometryMeta) -> Column:
     if meta.is_wkb:
         # a pandas struct UDF can't emit a NULL struct (only null fields) —
         # normalize all-null rows to a NULL struct here

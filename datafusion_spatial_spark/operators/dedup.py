@@ -33,6 +33,7 @@ from datafusion_spatial_spark.operators.hashing import (
     poly_hash_list,
     poly_hash_str,
 )
+from datafusion_spatial_spark.exprcache import cached_columns
 from datafusion_spatial_spark.operators.skew import ensure_min_parallelism
 
 
@@ -126,21 +127,30 @@ def minhash_signature(
     CSE across lambda bodies. ``hs`` is de-duplicated (min is set-insensitive)
     and kept in the output for downstream exact-Jaccard verification.
     """
-    params = minhash_affine_params(num_hashes, seed)
     df = ensure_min_parallelism(df)  # shingling is the CPU-heavy map stage
-    sh = word_shingles(text_col, shingle_k)
-    hs = F.array_distinct(
-        F.transform(sh, lambda s: F.pmod(_hash_str(s, hash_fn), F.lit(P)))
-    )
-    base = df.select(F.col(id_col), hs.alias("hs"))
 
-    def affine(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(P)
+    def _build():
+        params = minhash_affine_params(num_hashes, seed)
+        sh = word_shingles(text_col, shingle_k)
+        hs = F.array_distinct(
+            F.transform(sh, lambda s: F.pmod(_hash_str(s, hash_fn), F.lit(P)))
+        ).alias("hs")
 
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("hs"), affine(a, b))) for a, b in params]
+        def affine(a: int, b: int):
+            return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(P)
+
+        sig = F.array(
+            *[F.array_min(F.transform(F.col("hs"), affine(a, b))) for a, b in params]
+        ).alias("sig")
+        return hs, sig
+
+    # ~0.6 s of py4j round trips per build (16 HOF lambdas) — memoized on
+    # the name/param key (exprcache)
+    hs, sig = cached_columns(
+        ("minhash_sig", text_col, num_hashes, shingle_k, hash_fn, seed), _build
     )
-    return base.select(F.col(id_col), F.col("hs"), sig.alias("sig"))
+    base = df.select(F.col(id_col), hs)
+    return base.select(F.col(id_col), F.col("hs"), sig)
 
 
 def lsh_candidate_pairs(
@@ -159,15 +169,20 @@ def lsh_candidate_pairs(
     bucket key for the self-join. AQE's skew-join splitting handles hot
     buckets; for adversarial data cap bucket size upstream.
     """
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    band_idx, band_hash = cached_columns(
+        ("lsh_band", bands, rows_per_band),
+        lambda: (
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+            poly_hash_list(
+                F.slice(
+                    F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band
+                )
+            ),
+        ),
+    )
     banded = (
         sig_df.select(F.col(id_col), F.col("sig"), band_idx)
-        .withColumn(
-            "band_hash",
-            poly_hash_list(
-                F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band)
-            ),
-        )
+        .withColumn("band_hash", band_hash)
         .select(id_col, "band", "band_hash")
     )
     if max_bucket is not None:
@@ -223,8 +238,11 @@ def minhash_lsh_dedup_pairs(
         .join(shing.withColumnRenamed(id_col, "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("hs_a", "hs_b"))
-            / F.size(F.array_union("hs_a", "hs_b")),
+            cached_columns(
+                ("minhash_jaccard",),
+                lambda: F.size(F.array_intersect("hs_a", "hs_b"))
+                / F.size(F.array_union("hs_a", "hs_b")),
+            ),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")

@@ -126,16 +126,27 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine similarity to ``query``. Deterministic
     tie-break on id. Plan: scan → map (cosine) → TakeOrderedAndProject."""
-    q = F.array(*[F.lit(float(x)) for x in query])
-    # precompute |q| driver-side: it is constant per query, and folding it
-    # into a literal removes one array fold per row
-    qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
-    v = _vec(vec_col)
-    raw = dot(v, q) / (norm(v) * F.lit(qn))
-    scored = df.select(
-        F.col(id_col), F.when(~F.isnan(raw), raw).alias("score")
+    from datafusion_spatial_spark.exprcache import cached_columns
+
+    def _build():
+        q = F.array(*[F.lit(float(x)) for x in query])
+        # precompute |q| driver-side: it is constant per query, and folding
+        # it into a literal removes one array fold per row
+        qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
+        v = _vec(vec_col)
+        raw = dot(v, q) / (norm(v) * F.lit(qn))
+        return (
+            F.col(id_col),
+            F.when(~F.isnan(raw), raw).alias("score"),
+            F.desc("score"),
+            F.col(id_col),
+        )
+
+    idc, score, by1, by2 = cached_columns(
+        ("cosine_topk", vec_col, id_col, tuple(float(x) for x in query)), _build
     )
-    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    scored = df.select(idc, score)
+    return scored.orderBy(by1, by2).limit(k)
 
 
 def knn_pairs_bruteforce(

@@ -9,8 +9,18 @@ standard two-phase salt/unsalt rewrites, pure Catalyst.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# df -> {target: result} — ``df.rdd`` re-plans the whole frame on every
+# call (tens of ms driver-side); the answer is a pure function of the
+# frame's plan, so memoize per DataFrame *object* (plans are immutable;
+# the relation cache hands back the same object across query builds).
+_MIN_PAR_MEMO: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def ensure_min_parallelism(
@@ -31,6 +41,12 @@ def ensure_min_parallelism(
     if df.isStreaming:  # .rdd is undefined on streaming frames
         return df
     try:
+        memo = _MIN_PAR_MEMO.setdefault(df, {})
+    except TypeError:  # unhashable/unweakrefable frame implementation
+        memo = {}
+    if min_partitions in memo:
+        return memo[min_partitions]
+    try:
         sc = df.sparkSession.sparkContext
         target = min_partitions or sc.defaultParallelism
         n = df.rdd.getNumPartitions()
@@ -38,9 +54,9 @@ def ensure_min_parallelism(
         # Spark Connect (no .rdd / sparkContext) — the guard is a local
         # fat-row-group mitigation; on a connect cluster just pass through
         return df
-    if n < target:
-        return df.repartition(target)
-    return df
+    out = df.repartition(target) if n < target else df
+    memo[min_partitions] = out
+    return out
 
 
 def salted_count_sum(

@@ -39,6 +39,7 @@ from datafusion_spatial_spark.functions.predicates import (
     st_intersects,
     st_within,
 )
+from datafusion_spatial_spark.exprcache import cached_columns
 from datafusion_spatial_spark.functions.scalar import st_bbox
 from datafusion_spatial_spark.meta import GeometryMeta
 
@@ -106,43 +107,67 @@ def spatial_join(
     carry_geom = not (
         both_points and predicate in ("dwithin", "dwithin_sphere")
     )
-    lcols = [F.col(left_id).alias("__lid"),
-             st_bbox(left_geom, left_meta).alias("__lbox")]
-    rcols = [F.col(right_id).alias("__rid"),
-             st_bbox(right_geom, right_meta).alias("__rbox")]
-    if carry_geom:
-        lcols.insert(1, F.col(left_geom).alias("__lgeom"))
-        rcols.insert(1, F.col(right_geom).alias("__rgeom"))
+    def _side_cols(gid: str, geom: str, meta, side: str):
+        cols = [F.col(gid).alias(f"__{side}id"),
+                st_bbox(geom, meta).alias(f"__{side}box")]
+        if carry_geom:
+            cols.insert(1, F.col(geom).alias(f"__{side}geom"))
+        return tuple(cols)
+
+    # expression groups below are fully determined by column NAMES +
+    # numeric params — memoized (exprcache; ~0.5 s of py4j per build)
+    lcols = cached_columns(
+        ("sj_side", left_id, left_geom, left_meta, carry_geom, "l"),
+        lambda: _side_cols(left_id, left_geom, left_meta, "l"),
+    )
+    rcols = cached_columns(
+        ("sj_side", right_id, right_geom, right_meta, carry_geom, "r"),
+        lambda: _side_cols(right_id, right_geom, right_meta, "r"),
+    )
     lb = left.select(*lcols).filter(F.col("__lbox").isNotNull())
     rb = right.select(*rcols).filter(F.col("__rbox").isNotNull())
 
-    lc = lb.withColumn("__cell", F.explode(_cells(F.col("__lbox"), cell_size, pad)))
-    rc = rb.withColumn("__cell", F.explode(_cells(F.col("__rbox"), cell_size)))
+    lcell, rcell = cached_columns(
+        ("sj_cells", float(cell_size), pad),
+        lambda: (
+            F.explode(_cells(F.col("__lbox"), cell_size, pad)).alias("__cell"),
+            F.explode(_cells(F.col("__rbox"), cell_size)).alias("__cell"),
+        ),
+    )
+    lc = lb.select("*", lcell)
+    rc = rb.select("*", rcell)
 
     # canonical reference cell: the cell of the min corner of the padded
     # bbox intersection.  floor is monotonic, so greatest(floor(a),floor(b))
     # == floor(greatest(a,b)); once the bbox prefilter holds, this cell is
     # inside BOTH sides' cell ranges, so each pair survives exactly once —
     # dedup as a map-side filter, not an exchange.
-    cs = F.lit(float(cell_size))
-    canon_x = F.greatest(
-        F.floor((F.col("__lbox.xmin") - pad) / cs),
-        F.floor(F.col("__rbox.xmin") / cs),
-    ).cast("long")
-    canon_y = F.greatest(
-        F.floor((F.col("__lbox.ymin") - pad) / cs),
-        F.floor(F.col("__rbox.ymin") / cs),
-    ).cast("long")
-    cand = (
-        lc.join(rc, "__cell")
-        # bbox prefilter kills most false candidates JVM-side
-        .filter(
+    def _cand_filters():
+        cs = F.lit(float(cell_size))
+        canon_x = F.greatest(
+            F.floor((F.col("__lbox.xmin") - pad) / cs),
+            F.floor(F.col("__rbox.xmin") / cs),
+        ).cast("long")
+        canon_y = F.greatest(
+            F.floor((F.col("__lbox.ymin") - pad) / cs),
+            F.floor(F.col("__rbox.ymin") / cs),
+        ).cast("long")
+        prefilter = (
             (F.col("__lbox.xmin") - pad <= F.col("__rbox.xmax"))
             & (F.col("__rbox.xmin") <= F.col("__lbox.xmax") + pad)
             & (F.col("__lbox.ymin") - pad <= F.col("__rbox.ymax"))
             & (F.col("__rbox.ymin") <= F.col("__lbox.ymax") + pad)
         )
-        .filter(F.col("__cell") == canon_x * F.lit(1 << 32) + canon_y)
+        return prefilter, F.col("__cell") == canon_x * F.lit(1 << 32) + canon_y
+
+    prefilter, canon_filter = cached_columns(
+        ("sj_cand", float(cell_size), pad), _cand_filters
+    )
+    cand = (
+        lc.join(rc, "__cell")
+        # bbox prefilter kills most false candidates JVM-side
+        .filter(prefilter)
+        .filter(canon_filter)
         .select(
             "__lid", "__rid",
             *(("__lgeom", "__rgeom") if carry_geom else ("__lbox", "__rbox")),
@@ -176,9 +201,12 @@ def _refine(
                 _haversine_expr,
             )
 
-            dcol = _haversine_expr(
-                F.col("__lbox.xmin"), F.col("__lbox.ymin"),
-                F.col("__rbox.xmin"), F.col("__rbox.ymin"),
+            dcol = cached_columns(
+                ("sj_hav",),
+                lambda: _haversine_expr(
+                    F.col("__lbox.xmin"), F.col("__lbox.ymin"),
+                    F.col("__rbox.xmin"), F.col("__rbox.ymin"),
+                ),
             )
         else:
             # arbitrary geometries: exact vertex-vs-arc spherical minimum
@@ -187,8 +215,11 @@ def _refine(
                 st_distancesphere_geoms,
             )
 
-            dcol = st_distancesphere_geoms(
-                "__lgeom", "__rgeom", left_meta, right_meta
+            dcol = cached_columns(
+                ("sj_sphere_dist", left_meta, right_meta),
+                lambda: st_distancesphere_geoms(
+                    "__lgeom", "__rgeom", left_meta, right_meta
+                ),
             )
         if with_distance:
             return (
@@ -210,11 +241,17 @@ def _refine(
             # pure-Catalyst refine: a point's bbox IS the point, so the
             # exact distance needs no geometry decode and no Python — the
             # whole join plan stays inside whole-stage codegen
-            dx = F.col("__lbox.xmin") - F.col("__rbox.xmin")
-            dy = F.col("__lbox.ymin") - F.col("__rbox.ymin")
-            dcol = F.sqrt(dx * dx + dy * dy)
+            def _pt_dist():
+                dx = F.col("__lbox.xmin") - F.col("__rbox.xmin")
+                dy = F.col("__lbox.ymin") - F.col("__rbox.ymin")
+                return F.sqrt(dx * dx + dy * dy)
+
+            dcol = cached_columns(("sj_pt_dist",), _pt_dist)
         else:
-            dcol = st_distance("__lgeom", "__rgeom", left_meta, right_meta)
+            dcol = cached_columns(
+                ("sj_geom_dist", left_meta, right_meta),
+                lambda: st_distance("__lgeom", "__rgeom", left_meta, right_meta),
+            )
         if with_distance:
             return (
                 cand.withColumn("__dist", dcol)
@@ -233,7 +270,10 @@ def _refine(
             raise ValueError(
                 f"unknown predicate {predicate!r}; one of {sorted(_PREDICATES)} or 'dwithin'"
             ) from None
-        keep = pred("__lgeom", "__rgeom", left_meta, right_meta)
+        keep = cached_columns(
+            ("sj_pred", predicate, left_meta, right_meta),
+            lambda: pred("__lgeom", "__rgeom", left_meta, right_meta),
+        )
 
     return cand.filter(keep).select(
         F.col("__lid").alias(left_id), F.col("__rid").alias(right_id)

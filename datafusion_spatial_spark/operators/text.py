@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datafusion_spatial_spark.exprcache import cached_columns
 from datafusion_spatial_spark.operators.hashing import poly_hash_str
 from datafusion_spatial_spark.operators.skew import ensure_min_parallelism
 
@@ -117,48 +118,58 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     the naive per-stat form re-split the text ~10× (measured 30% slower at
     bench scale)."""
     df = ensure_min_parallelism(df)  # tokenization is the heavy map stage
-    base = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("__t"),
-        F.transform(words(text_col), F.lower).alias("__wl"),
-    ).select(
-        F.col(id_col),
-        F.col("__t"),
-        F.col("__wl"),
-        F.size("__wl").alias("__n"),
-        F.length(
-            F.regexp_replace(F.col("__t"), PUNCT_CLASS, "")
-        ).alias("__npunct"),
-    )
-    hits = {lang: _hits_from(F.col("__wl"), lang) for lang in sorted(STOPWORDS)}
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in sorted(STOPWORDS, reverse=True):
-        h = hits[lang]
-        best_lang = F.when((h > 0) & (h >= best_hits), F.lit(lang)).otherwise(best_lang)
-        best_hits = F.greatest(h, best_hits)
-    punct = F.when(F.length("__t") == 0, F.lit(0.0)).otherwise(
-        F.col("__npunct") / F.length("__t")
-    )
-    distinct_ratio = F.size(F.array_distinct("__wl")) / F.col("__n")
-    quality = (
-        F.lit(0.4) * F.least(F.col("__n") / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.4) * distinct_ratio
-        + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(4.0) * punct, F.lit(1.0)))
-    )
-    return base.select(
-        F.col(id_col),
-        F.length("__t").alias("n_chars_computed"),
-        F.col("__n").alias("n_tokens"),
-        F.size(
-            F.regexp_extract_all(F.col("__t"), F.lit(BPE_ISH_TOKEN), F.lit(0))
-        ).alias("n_bpe_tokens"),
-        F.round(punct, 6).alias("punct_ratio"),
-        F.round(hits["en"] / F.col("__n"), 6).alias("stopword_ratio_en"),
-        best_lang.alias("lang_guess"),
-        F.round(quality, 6).alias("quality"),
-        poly_hash_str(F.array_join(F.col("__wl"), " ")).alias("fingerprint"),
-    )
+
+    def _build():
+        cols1 = (
+            F.col(id_col),
+            F.col(text_col).alias("__t"),
+            F.transform(words(text_col), F.lower).alias("__wl"),
+        )
+        cols2 = (
+            F.col(id_col),
+            F.col("__t"),
+            F.col("__wl"),
+            F.size("__wl").alias("__n"),
+            F.length(
+                F.regexp_replace(F.col("__t"), PUNCT_CLASS, "")
+            ).alias("__npunct"),
+        )
+        hits = {lang: _hits_from(F.col("__wl"), lang) for lang in sorted(STOPWORDS)}
+        best_lang = F.lit("und")
+        best_hits = F.lit(0)
+        for lang in sorted(STOPWORDS, reverse=True):
+            h = hits[lang]
+            best_lang = F.when(
+                (h > 0) & (h >= best_hits), F.lit(lang)
+            ).otherwise(best_lang)
+            best_hits = F.greatest(h, best_hits)
+        punct = F.when(F.length("__t") == 0, F.lit(0.0)).otherwise(
+            F.col("__npunct") / F.length("__t")
+        )
+        distinct_ratio = F.size(F.array_distinct("__wl")) / F.col("__n")
+        quality = (
+            F.lit(0.4) * F.least(F.col("__n") / F.lit(100.0), F.lit(1.0))
+            + F.lit(0.4) * distinct_ratio
+            + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(4.0) * punct, F.lit(1.0)))
+        )
+        cols3 = (
+            F.col(id_col),
+            F.length("__t").alias("n_chars_computed"),
+            F.col("__n").alias("n_tokens"),
+            F.size(
+                F.regexp_extract_all(F.col("__t"), F.lit(BPE_ISH_TOKEN), F.lit(0))
+            ).alias("n_bpe_tokens"),
+            F.round(punct, 6).alias("punct_ratio"),
+            F.round(hits["en"] / F.col("__n"), 6).alias("stopword_ratio_en"),
+            best_lang.alias("lang_guess"),
+            F.round(quality, 6).alias("quality"),
+            poly_hash_str(F.array_join(F.col("__wl"), " ")).alias("fingerprint"),
+        )
+        return cols1, cols2, cols3
+
+    # the whole stat tree is (text_col, id_col)-static — memoized (exprcache)
+    cols1, cols2, cols3 = cached_columns(("text_stats", text_col, id_col), _build)
+    return df.select(*cols1).select(*cols2).select(*cols3)
 
 
 # ---------------------------------------------------------------------------
