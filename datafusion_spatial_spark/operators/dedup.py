@@ -427,6 +427,7 @@ def connected_components(
     max_iter: int = 24,
     check_every: int = 3,
     forest_reduce_passes: int = 0,
+    small_graph_threshold: int | None = 50_000,
 ) -> DataFrame:
     """Connected components over a similarity-pair edge list. Returns
     (id, component) with component = the minimum node id of the component.
@@ -457,6 +458,17 @@ def connected_components(
     any propagation round runs. Connectivity (hence every component and
     its min id) is exactly preserved; only the constant in front of the
     iteration shrinks.
+
+    ``small_graph_threshold`` (r15 optimization): after the edge list is
+    materialized into its cache, a ``limit(threshold+1).collect()`` probe
+    checks whether the WHOLE graph fits under the bound; if so the
+    components are resolved with a driver-side union-find over exactly
+    those collected edges — identical min-id labels, zero iteration jobs.
+    The collect is bounded by the threshold (never by data size); above
+    the bound the probe costs one cache-backed job (~nothing next to the
+    iteration it precedes) and the distributed loop runs unchanged — the
+    same size-gated physical-plan choice a broadcast threshold makes.
+    ``None`` disables the probe.
     """
     base = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     if forest_reduce_passes:
@@ -468,6 +480,14 @@ def connected_components(
         .distinct()
         .cache()
     )
+    if small_graph_threshold is not None:
+        head = edges.limit(small_graph_threshold + 1).collect()
+        if len(head) <= small_graph_threshold:
+            out = _driver_union_find(
+                pairs.sparkSession, head, edges.schema["src"].dataType
+            )
+            edges.unpersist()
+            return out
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -528,6 +548,56 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def _driver_union_find(spark, edge_rows, id_type) -> DataFrame:
+    """Exact small-graph component labels: union-find with path compression
+    over a BOUNDED collected edge list (see connected_components). Returns
+    (id, component) with component = min node id — the same contract as
+    the distributed loop (Python str comparison orders by code point,
+    UTF-8 byte order preserves it, so string min matches Spark's)."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    has_null_node = False
+    for r in edge_rows:
+        a, b = r[0], r[1]
+        if a is None or b is None:
+            # null never equi-joins in the distributed loop: the non-null
+            # endpoint stays a singleton and the null node itself surfaces
+            # as an (id=null, component=null) label row
+            has_null_node = True
+            for v in (a, b):
+                if v is not None:
+                    parent.setdefault(v, v)
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for v in parent:
+        root = find(v)
+        cur = comp_min.get(root)
+        if cur is None or v < cur:
+            comp_min[root] = v
+    rows = [(v, comp_min[find(v)]) for v in parent]
+    if has_null_node:
+        rows.append((None, None))
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("component", id_type)]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def dedup_corpus(

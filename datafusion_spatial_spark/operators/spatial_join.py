@@ -589,49 +589,67 @@ def spatial_join_geography(
 
     R = 6371008.8  # must match _haversine_expr / dwithin_sphere refine
     stats, spans, tops, bots, easts, wests = [], [], [], [], [], []
-    for df, col, m_ in (
-        (left, left_geom, left_meta),
-        (right, right_geom, right_meta),
-    ):
+
+    def _stat_frame(df, col, m_, side: int):
         bb = st_bbox(col, m_)
-        row = df.select(
-            F.max(
-                F.greatest(F.abs(bb["ymin"]), F.abs(bb["ymax"]))
-            ).alias("mx"),
+        return df.select(
+            F.lit(side).alias("side"),
+            F.greatest(F.abs(bb["ymin"]), F.abs(bb["ymax"])).alias("mx"),
             # lon span only over rows that touch the mid band: the degree
             # grid (and its arc-bulge math) never sees cap-interior rows,
             # and a short antimeridian-crossing segment near the pole has
             # a meaningless 350°+ bbox span that must not poison the
             # mid-leg contract
-            F.max(
-                F.when(
-                    (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
-                    bb["xmax"] - bb["xmin"],
-                )
+            F.when(
+                (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
+                bb["xmax"] - bb["xmin"],
             ).alias("sp"),
-            F.max(bb["ymax"]).alias("top"),
-            F.min(bb["ymin"]).alias("bot"),
+            bb["ymax"].alias("top"),
+            bb["ymin"].alias("bot"),
             # mid-band lon extremes drive the antimeridian seam legs
             # (r14): only rows this close to ±180 can pair across it
-            F.max(
-                F.when(
-                    (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
-                    bb["xmax"],
-                )
+            F.when(
+                (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
+                bb["xmax"],
             ).alias("xe"),
-            F.min(
-                F.when(
-                    (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
-                    bb["xmin"],
-                )
+            F.when(
+                (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
+                bb["xmin"],
             ).alias("xw"),
-        ).collect()[0]
-        stats.append(float(row["mx"] or 0.0))
-        spans.append(float(row["sp"] or 0.0))
-        tops.append(-90.0 if row["top"] is None else float(row["top"]))
-        bots.append(90.0 if row["bot"] is None else float(row["bot"]))
-        easts.append(-180.0 if row["xe"] is None else float(row["xe"]))
-        wests.append(180.0 if row["xw"] is None else float(row["xw"]))
+        )
+
+    # ONE stats action for both sides (r15 optimization: the two per-side
+    # collects ran serially as separate jobs; a side-tagged union computes
+    # the same aggregates in a single job, both scans concurrent)
+    stat_rows = (
+        _stat_frame(left, left_geom, left_meta, 0)
+        .unionByName(_stat_frame(right, right_geom, right_meta, 1))
+        .groupBy("side")
+        .agg(
+            F.max("mx").alias("mx"),
+            F.max("sp").alias("sp"),
+            F.max("top").alias("top"),
+            F.min("bot").alias("bot"),
+            F.max("xe").alias("xe"),
+            F.min("xw").alias("xw"),
+        )
+        .collect()
+    )
+    by_side = {int(r["side"]): r for r in stat_rows}
+    for side in (0, 1):
+        row = by_side.get(side)
+        mx = None if row is None else row["mx"]
+        sp = None if row is None else row["sp"]
+        top = None if row is None else row["top"]
+        bot = None if row is None else row["bot"]
+        xe = None if row is None else row["xe"]
+        xw = None if row is None else row["xw"]
+        stats.append(float(mx or 0.0))
+        spans.append(float(sp or 0.0))
+        tops.append(-90.0 if top is None else float(top))
+        bots.append(90.0 if bot is None else float(bot))
+        easts.append(-180.0 if xe is None else float(xe))
+        wests.append(180.0 if xw is None else float(xw))
     lat = max(stats)
     lon_span = max(spans)
     if lat > max_abs_lat:
