@@ -1501,27 +1501,32 @@ def _q_st_intersection_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_geomfromtext("wkt_a").alias("a"),
         st_geomfromtext("wkt_b").alias("b"),
     )
-    # line and mixed-dimension pairs have meaningful lengths
-    has_len = F.col("pair_id") >= 100
+    def _build_cols():
+        # line and mixed-dimension pairs have meaningful lengths
+        has_len = F.col("pair_id") >= 100
 
-    def _len(col: F.Column) -> F.Column:
-        return F.when(has_len, F.round(st_length(col, w), 6)).cast("double")
+        def _len(col: F.Column) -> F.Column:
+            return F.when(has_len, F.round(st_length(col, w), 6)).cast("double")
 
-    inter = st_intersection("a", "b", w, w)
-    uni = st_union("a", "b", w, w)
-    diff = st_difference("a", "b", w, w)
-    sym = st_symdifference("a", "b", w, w)
-    return df.select(
-        "pair_id",
-        F.round(st_area(inter, w), 6).alias("inter_area"),
-        F.round(st_area(uni, w), 6).alias("union_area"),
-        F.round(st_area(diff, w), 6).alias("diff_area"),
-        F.round(st_area(sym, w), 6).alias("sym_area"),
-        _len(inter).alias("inter_len"),
-        _len(uni).alias("union_len"),
-        _len(diff).alias("diff_len"),
-        _len(sym).alias("sym_len"),
-    ).orderBy("pair_id")
+        inter = st_intersection("a", "b", w, w)
+        uni = st_union("a", "b", w, w)
+        diff = st_difference("a", "b", w, w)
+        sym = st_symdifference("a", "b", w, w)
+        return (
+            F.round(st_area(inter, w), 6).alias("inter_area"),
+            F.round(st_area(uni, w), 6).alias("union_area"),
+            F.round(st_area(diff, w), 6).alias("diff_area"),
+            F.round(st_area(sym, w), 6).alias("sym_area"),
+            _len(inter).alias("inter_len"),
+            _len(uni).alias("union_len"),
+            _len(diff).alias("diff_len"),
+            _len(sym).alias("sym_len"),
+        )
+
+    # memoized: fresh pandas-UDF objects per build force re-pickling and
+    # re-shipping the overlay kernels every run (exprcache)
+    cols = _cached_cols(("q_st_intersection_area",), _build_cols)
+    return df.select("pair_id", *cols).orderBy("pair_id")
 
 
 def _q_st_intersection_area_oracle() -> str:

@@ -27,6 +27,8 @@ predicate surface.
 
 from __future__ import annotations
 
+from collections import namedtuple
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -535,6 +537,89 @@ def spatial_join_bucketed(
     )
 
 
+# Per-side lat/lon aggregates driving the geography join's pad and
+# seam-leg decisions (``n`` rides along for loop callers that also need
+# the row count). Produced by geo_side_stats / _geo_stats_finalize;
+# accepted by spatial_join_geography via the private _lstats/_rstats
+# params so iterating callers (the kNN radius-doubling loop) can hoist
+# the loop-invariant side's stats scan.
+GeoSideStats = namedtuple("GeoSideStats", "mx sp top bot xe xw n")
+
+
+def _geo_stat_frame(df, geom_col, meta, max_abs_lat, side):
+    bb = st_bbox(geom_col, meta)
+    return df.select(
+        F.lit(side).alias("side"),
+        F.greatest(F.abs(bb["ymin"]), F.abs(bb["ymax"])).alias("mx"),
+        # lon span only over rows that touch the mid band: the degree
+        # grid (and its arc-bulge math) never sees cap-interior rows,
+        # and a short antimeridian-crossing segment near the pole has
+        # a meaningless 350°+ bbox span that must not poison the
+        # mid-leg contract
+        F.when(
+            (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
+            bb["xmax"] - bb["xmin"],
+        ).alias("sp"),
+        bb["ymax"].alias("top"),
+        bb["ymin"].alias("bot"),
+        # mid-band lon extremes drive the antimeridian seam legs
+        # (r14): only rows this close to ±180 can pair across it
+        F.when(
+            (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
+            bb["xmax"],
+        ).alias("xe"),
+        F.when(
+            (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
+            bb["xmin"],
+        ).alias("xw"),
+    )
+
+
+def _GEO_STAT_AGGS():
+    return (
+        F.max("mx").alias("mx"),
+        F.max("sp").alias("sp"),
+        F.max("top").alias("top"),
+        F.min("bot").alias("bot"),
+        F.max("xe").alias("xe"),
+        F.min("xw").alias("xw"),
+        F.count("*").alias("n"),
+    )
+
+
+def _geo_stats_finalize(row) -> GeoSideStats:
+    """Null/empty-side handling identical to the original per-side collect:
+    an empty side (no group row / all-null aggregates) yields the neutral
+    extremes that disable its seam/cap legs."""
+    get = (lambda k: None) if row is None else (lambda k: row[k])
+    top = get("top")
+    bot = get("bot")
+    xe = get("xe")
+    xw = get("xw")
+    return GeoSideStats(
+        mx=float(get("mx") or 0.0),
+        sp=float(get("sp") or 0.0),
+        top=-90.0 if top is None else float(top),
+        bot=90.0 if bot is None else float(bot),
+        xe=-180.0 if xe is None else float(xe),
+        xw=180.0 if xw is None else float(xw),
+        n=int(get("n") or 0),
+    )
+
+
+def geo_side_stats(df, geom_col, meta, max_abs_lat: float = 80.0) -> GeoSideStats:
+    """ONE-job stats scan for one side of a geography join (see
+    GeoSideStats). Loop callers compute the invariant side once and the
+    varying side per round, passing both to ``spatial_join_geography``."""
+    rows = (
+        _geo_stat_frame(df, geom_col, meta, max_abs_lat, 0)
+        .groupBy("side")
+        .agg(*_GEO_STAT_AGGS())
+        .collect()
+    )
+    return _geo_stats_finalize(rows[0] if rows else None)
+
+
 def spatial_join_geography(
     left: DataFrame,
     right: DataFrame,
@@ -550,6 +635,8 @@ def spatial_join_geography(
     max_abs_lat: float = 80.0,
     _allow_polar: bool = True,
     wide_pad: str = "raise",
+    _lstats: "GeoSideStats | None" = None,
+    _rstats: "GeoSideStats | None" = None,
 ) -> DataFrame:
     """dwithin-in-METERS join for EPSG:4326 geometry columns.
 
@@ -588,68 +675,34 @@ def spatial_join_geography(
     from datafusion_spatial_spark.functions.scalar import st_bbox
 
     R = 6371008.8  # must match _haversine_expr / dwithin_sphere refine
-    stats, spans, tops, bots, easts, wests = [], [], [], [], [], []
-
-    def _stat_frame(df, col, m_, side: int):
-        bb = st_bbox(col, m_)
-        return df.select(
-            F.lit(side).alias("side"),
-            F.greatest(F.abs(bb["ymin"]), F.abs(bb["ymax"])).alias("mx"),
-            # lon span only over rows that touch the mid band: the degree
-            # grid (and its arc-bulge math) never sees cap-interior rows,
-            # and a short antimeridian-crossing segment near the pole has
-            # a meaningless 350°+ bbox span that must not poison the
-            # mid-leg contract
-            F.when(
-                (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
-                bb["xmax"] - bb["xmin"],
-            ).alias("sp"),
-            bb["ymax"].alias("top"),
-            bb["ymin"].alias("bot"),
-            # mid-band lon extremes drive the antimeridian seam legs
-            # (r14): only rows this close to ±180 can pair across it
-            F.when(
-                (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
-                bb["xmax"],
-            ).alias("xe"),
-            F.when(
-                (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat),
-                bb["xmin"],
-            ).alias("xw"),
-        )
-
     # ONE stats action for both sides (r15 optimization: the two per-side
     # collects ran serially as separate jobs; a side-tagged union computes
-    # the same aggregates in a single job, both scans concurrent)
-    stat_rows = (
-        _stat_frame(left, left_geom, left_meta, 0)
-        .unionByName(_stat_frame(right, right_geom, right_meta, 1))
-        .groupBy("side")
-        .agg(
-            F.max("mx").alias("mx"),
-            F.max("sp").alias("sp"),
-            F.max("top").alias("top"),
-            F.min("bot").alias("bot"),
-            F.max("xe").alias("xe"),
-            F.min("xw").alias("xw"),
+    # the same aggregates in a single job, both scans concurrent). Callers
+    # that loop (the kNN radius-doubling rounds) pass precomputed
+    # ``_lstats``/``_rstats`` instead — hoisting the loop-invariant right
+    # side's stats scan out of the loop entirely.
+    if _lstats is not None and _rstats is not None:
+        side_stats = [_lstats, _rstats]
+    else:
+        stat_rows = (
+            _geo_stat_frame(left, left_geom, left_meta, max_abs_lat, 0)
+            .unionByName(
+                _geo_stat_frame(right, right_geom, right_meta, max_abs_lat, 1)
+            )
+            .groupBy("side")
+            .agg(*_GEO_STAT_AGGS())
+            .collect()
         )
-        .collect()
-    )
-    by_side = {int(r["side"]): r for r in stat_rows}
-    for side in (0, 1):
-        row = by_side.get(side)
-        mx = None if row is None else row["mx"]
-        sp = None if row is None else row["sp"]
-        top = None if row is None else row["top"]
-        bot = None if row is None else row["bot"]
-        xe = None if row is None else row["xe"]
-        xw = None if row is None else row["xw"]
-        stats.append(float(mx or 0.0))
-        spans.append(float(sp or 0.0))
-        tops.append(-90.0 if top is None else float(top))
-        bots.append(90.0 if bot is None else float(bot))
-        easts.append(-180.0 if xe is None else float(xe))
-        wests.append(180.0 if xw is None else float(xw))
+        by_side = {int(r["side"]): r for r in stat_rows}
+        side_stats = [
+            _geo_stats_finalize(by_side.get(0)), _geo_stats_finalize(by_side.get(1))
+        ]
+    stats = [s.mx for s in side_stats]
+    spans = [s.sp for s in side_stats]
+    tops = [s.top for s in side_stats]
+    bots = [s.bot for s in side_stats]
+    easts = [s.xe for s in side_stats]
+    wests = [s.xw for s in side_stats]
     lat = max(stats)
     lon_span = max(spans)
     if lat > max_abs_lat:

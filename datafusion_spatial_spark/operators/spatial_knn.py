@@ -156,6 +156,7 @@ def knn_join_geography(
     tracks local density exactly like the planar form. Returns
     (left_id, right_id, distance_m, rank, resolved)."""
     from datafusion_spatial_spark.operators.spatial_join import (
+        geo_side_stats,
         spatial_join_geography,
     )
 
@@ -177,11 +178,22 @@ def knn_join_geography(
         F.col(right_id).alias("__rid"), F.col(right_geom).alias("__rg")
     ).localCheckpoint(eager=False)
 
+    # r15 optimization: the geography join's per-side stats scans used to
+    # run INSIDE it every round — the loop-invariant right side (the full
+    # corpus at scale) was re-scanned per round. Hoist it to one job here;
+    # the pending side's per-round stats job also carries the row count,
+    # which replaces the separate isEmpty() action (2 jobs/round -> 1).
+    rstats = geo_side_stats(rp, "__rg", right_meta, max_abs_lat)
+
     pending = lp
     resolved_parts: list[DataFrame] = []
     r = float(radius_m)
     best = None
     for _ in range(max_rounds):
+        pstats = geo_side_stats(pending, "__lg", left_meta, max_abs_lat)
+        if pstats.n == 0:
+            best = None
+            break
         # wide_pad="cross": late doubling rings on sparse data can reach
         # planet-scale radii where the degree-grid pad exceeds its 89.9°
         # domain; the exact cross refine is the right plan there (the
@@ -191,6 +203,7 @@ def knn_join_geography(
             pending, rp, "__lg", "__rg", left_meta, right_meta,
             "__lid", "__rid", r, with_distance=True,
             max_abs_lat=max_abs_lat, wide_pad="cross",
+            _lstats=pstats, _rstats=rstats,
         )
         w = Window.partitionBy("__lid").orderBy(
             F.col("__dist").asc(), F.col("__rid").asc()
@@ -214,15 +227,23 @@ def knn_join_geography(
             eager=False
         )
         best = topk
-        if pending.isEmpty():
-            best = None
-            break
         r *= 2.0
     parts = resolved_parts
     if best is not None:
         parts.append(
             best.join(pending.select("__lid"), "__lid").withColumn(
                 "resolved", F.lit(False)
+            )
+        )
+    if not parts:
+        # zero rounds ran (every left geometry was null): empty result
+        # with the correct id/distance types
+        parts.append(
+            lp.limit(0).crossJoin(rp.limit(0)).select(
+                "__lid", "__rid",
+                F.lit(None).cast("double").alias("__dist"),
+                F.lit(None).cast("int").alias("__rank"),
+                F.lit(True).alias("resolved"),
             )
         )
     out = parts[0]
