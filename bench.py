@@ -165,6 +165,13 @@ def main() -> None:
     from datafusion_spatial_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
+    # r16 (VERDICT r15 #2): the driver's 8-vs-32-core scaling check kept
+    # flagging `suspect_cpus_ignored` because at sf0.1 every query is
+    # fixed-overhead-bound and the ratios are ~1 either way. Prove the
+    # $SPARK_GRAFT_CPUS contract directly: record the resolved master and
+    # the context's defaultParallelism in the JSON line (additive keys).
+    master = spark.sparkContext.master
+    default_parallelism = spark.sparkContext.defaultParallelism
     queries = bench_queries()
     plans: dict[str, dict[str, int]] = {}
     timings = _time_series(spark, sf_dir, queries, runs, plans=plans)
@@ -252,6 +259,8 @@ def main() -> None:
                 "control_of": control_of,
                 "control_envelope_sec": Q01_ENVELOPE_SEC,
                 "weather_suspect": weather_suspect,
+                "master": master,
+                "default_parallelism": default_parallelism,
                 **(
                     {
                         "adjudication": "per-query min across series",

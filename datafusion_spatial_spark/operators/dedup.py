@@ -480,7 +480,9 @@ def connected_components(
         .distinct()
         .cache()
     )
-    if small_graph_threshold is not None:
+    if small_graph_threshold is not None and _cc_id_order_safe(
+        edges.schema["src"].dataType
+    ):
         head = edges.limit(small_graph_threshold + 1).collect()
         if len(head) <= small_graph_threshold:
             out = _driver_union_find(
@@ -548,6 +550,26 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def _cc_id_order_safe(id_type) -> bool:
+    """True when Python ``<`` over collected values provably matches
+    Spark's min ordering for the id type — the precondition of the
+    small-graph fast path (ADVICE r15: float/double NaN ids compare as
+    False to everything in Python, so a NaN could stick as a component
+    min where Spark's F.min would not). Integral, string, binary,
+    boolean, date and timestamp orderings all agree; anything else
+    (float/double, decimal, nested) takes the distributed loop."""
+    from pyspark.sql import types as T
+
+    return isinstance(
+        id_type,
+        (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.StringType, T.BinaryType, T.BooleanType,
+            T.DateType, T.TimestampType, T.TimestampNTZType,
+        ),
+    )
 
 
 def _driver_union_find(spark, edge_rows, id_type) -> DataFrame:

@@ -45,7 +45,12 @@ def ensure_min_parallelism(
     except TypeError:  # unhashable/unweakrefable frame implementation
         memo = {}
     if min_partitions in memo:
-        return memo[min_partitions]
+        # None = "no repartition needed, return df unchanged". Storing df
+        # itself would make the WeakKey entry's value strongly reference
+        # its own key, pinning every pass-through frame forever (ADVICE
+        # r15): a self-referential WeakKeyDictionary entry never dies.
+        cached = memo[min_partitions]
+        return df if cached is None else cached
     try:
         sc = df.sparkSession.sparkContext
         target = min_partitions or sc.defaultParallelism
@@ -55,7 +60,7 @@ def ensure_min_parallelism(
         # fat-row-group mitigation; on a connect cluster just pass through
         return df
     out = df.repartition(target) if n < target else df
-    memo[min_partitions] = out
+    memo[min_partitions] = None if out is df else out
     return out
 
 

@@ -16,9 +16,23 @@ query function re-loads its tables. ``load_table`` now memoizes the
 *unexecuted DataFrame* (the analyzed logical plan — a table resolution,
 exactly what a SQL catalog does) per live SparkSession and real path.
 This caches NO data and NO results: every action on the returned frame
-still scans the parquet files. The keyed paths are immutable fixture
-directories at every call site (driver testdata + the write-once .scale
-copies); set ``SPARK_GRAFT_NO_RELATION_CACHE=1`` to disable.
+still scans the parquet files. Set ``SPARK_GRAFT_NO_RELATION_CACHE=1`` to
+disable.
+
+**Contract (r16, VERDICT r15 #8): the directories passed to ``load_table``
+are immutable for the lifetime of the session.** The memoized frame holds
+the file listing resolved at first load; files added to / removed from the
+directory afterwards are invisible to it (exactly like a catalog table
+whose manifest predates the mutation). Every current call site passes
+write-once fixture dirs (driver testdata + .scale copies). For a mutable
+directory — e.g. a streaming-ingest landing zone at production scale —
+either disable the cache or call :func:`invalidate_relations` after the
+mutation; pinned by tests/test_relation_cache_r16.py.
+
+View names in ``TABLES`` are reserved for :func:`register_views`: the skip
+logic re-validates against the live catalog, so an outside
+``dropTempView``/``createOrReplaceTempView`` on those names is repaired on
+the next call rather than silently trusted (ADVICE r15).
 """
 
 from __future__ import annotations
@@ -90,11 +104,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def invalidate_relations(spark: SparkSession) -> None:
+    """Drop the memoized relations/views for ``spark`` — required after
+    mutating a directory previously passed to :func:`load_table` (see the
+    module docstring's immutability contract)."""
+    _RELATIONS.pop(spark, None)
+    _VIEWS.pop(spark, None)
+
+
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     real = os.path.realpath(sf_dir)
-    seen = _VIEWS.setdefault(spark, {}) if _cache_enabled() else {}
+    # the dict is maintained even when the cache is disabled (ADVICE r15:
+    # a mid-session toggle must not leave _VIEWS stale), but the skip is
+    # only taken when enabled, and only after confirming the view still
+    # exists in the live catalog (an outside dropTempView is repaired).
+    seen = _VIEWS.setdefault(spark, {})
+    skip_ok = _cache_enabled()
     for name in names or TABLES:
-        if seen.get(name) == real:
+        if (
+            skip_ok
+            and seen.get(name) == real
+            and spark.catalog.tableExists(name)
+        ):
             continue
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
         seen[name] = real
