@@ -620,6 +620,46 @@ def geo_side_stats(df, geom_col, meta, max_abs_lat: float = 80.0) -> GeoSideStat
     return _geo_stats_finalize(rows[0] if rows else None)
 
 
+def geo_stat_observe_aggs(
+    geom_col, meta, max_abs_lat: float = 80.0, where=None, suffix: str = ""
+):
+    """The ``_geo_stat_frame`` + ``_GEO_STAT_AGGS`` aggregates fused into
+    one tuple of aggregate expressions over ``st_bbox(geom_col)``, for
+    ``DataFrame.observe`` (r16): a loop caller attaches them to a frame it
+    materializes anyway (an eager localCheckpoint), so the side's stats
+    ride along as observed metrics instead of costing a separate
+    aggregation job per round. Feed the resulting metrics dict to
+    :func:`_geo_stats_finalize` (it accepts any ``row[k]``-indexable).
+    Aggregate-by-aggregate identical to the frame path: the ``when``
+    without ``otherwise`` yields nulls that min/max skip, exactly like the
+    frame's null columns.
+
+    ``where`` restricts the aggregates to matching rows (non-matching
+    rows contribute null, which min/max skip and the conditional count
+    excludes) and ``suffix`` disambiguates the metric names — together
+    they let ONE observation carry the stats of both sides of a
+    side-tagged union."""
+    bb = st_bbox(geom_col, meta)
+    in_band = (bb["ymin"] <= max_abs_lat) & (bb["ymax"] >= -max_abs_lat)
+
+    def gate(expr):
+        return expr if where is None else F.when(where, expr)
+
+    return (
+        F.max(
+            gate(F.greatest(F.abs(bb["ymin"]), F.abs(bb["ymax"])))
+        ).alias("mx" + suffix),
+        F.max(gate(F.when(in_band, bb["xmax"] - bb["xmin"]))).alias(
+            "sp" + suffix
+        ),
+        F.max(gate(bb["ymax"])).alias("top" + suffix),
+        F.min(gate(bb["ymin"])).alias("bot" + suffix),
+        F.max(gate(F.when(in_band, bb["xmax"]))).alias("xe" + suffix),
+        F.min(gate(F.when(in_band, bb["xmin"]))).alias("xw" + suffix),
+        F.count(gate(F.lit(1))).alias("n" + suffix),
+    )
+
+
 def spatial_join_geography(
     left: DataFrame,
     right: DataFrame,

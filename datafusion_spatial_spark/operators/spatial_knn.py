@@ -24,7 +24,7 @@ detect them with a left_anti join on the result's ids if needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from datafusion_spatial_spark.meta import GeometryMeta
@@ -106,11 +106,19 @@ def knn_join(
         resolved_parts.append(
             topk.join(done_ids, "__lid").withColumn("resolved", F.lit(True))
         )
-        pending = pending.join(done_ids, "__lid", "left_anti").localCheckpoint(
-            eager=False
+        # r16 (VERDICT r15 #4): the loop-control row count rides along as
+        # an observed metric on the pending checkpoint — the eager
+        # materialization (one job, which also completes the round's topk
+        # checkpoint in-lineage) replaces the separate per-round
+        # ``isEmpty()`` action.
+        pobs = Observation()
+        pending = (
+            pending.join(done_ids, "__lid", "left_anti")
+            .observe(pobs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
         best = topk  # last round's partial results for the unresolved tail
-        if pending.isEmpty():
+        if int(pobs.get["n"]) == 0:
             best = None
             break
         r *= 2.0
@@ -156,7 +164,9 @@ def knn_join_geography(
     tracks local density exactly like the planar form. Returns
     (left_id, right_id, distance_m, rank, resolved)."""
     from datafusion_spatial_spark.operators.spatial_join import (
+        _geo_stats_finalize,
         geo_side_stats,
+        geo_stat_observe_aggs,
         spatial_join_geography,
     )
 
@@ -167,30 +177,91 @@ def knn_join_geography(
     if max_rounds < 1:
         raise ValueError("max_rounds must be >= 1")
 
-    lp = (
-        left.select(
-            F.col(left_id).alias("__lid"), F.col(left_geom).alias("__lg")
-        )
-        .filter(F.col("__lg").isNotNull())  # see knn_join
-        .localCheckpoint(eager=False)
+    # r16 (VERDICT r15 #1): the pending side's per-round stats job is
+    # fused into the round's ONE materialization. Each pending frame is
+    # eagerly checkpointed with the geo stats attached as observed
+    # metrics, so a single job per round materializes the round's topk
+    # (in-lineage), splits resolved/pending, and delivers the next
+    # round's pad/seam stats + loop-control count — no separate stats
+    # action anywhere in the loop.
+    #
+    # Setup is fused the same way when the two sides are union-compatible
+    # (same id/geom storage types and geometry encoding): ONE side-tagged
+    # union checkpoint carries both sides' stats in a single observation —
+    # both input scans run concurrently in one job instead of a serial
+    # lp-materialization + right-stats collect (the r15 stats-fusion
+    # argument, applied to the kNN prologue). Incompatible sides keep the
+    # two-action path.
+    STAT_KEYS = ("mx", "sp", "top", "bot", "xe", "xw", "n")
+    fuse = (
+        left.schema[left_id].dataType == right.schema[right_id].dataType
+        and left.schema[left_geom].dataType
+        == right.schema[right_geom].dataType
+        and left_meta.encoding == right_meta.encoding
     )
-    rp = right.select(
-        F.col(right_id).alias("__rid"), F.col(right_geom).alias("__rg")
-    ).localCheckpoint(eager=False)
+    if fuse:
+        lobs = Observation()
+        lsel = left.select(
+            F.col(left_id).alias("__kid"),
+            F.col(left_geom).alias("__kg"),
+            F.lit(0).alias("__kside"),
+        ).filter(F.col("__kg").isNotNull())  # see knn_join (left only)
+        rsel = right.select(
+            F.col(right_id).alias("__kid"),
+            F.col(right_geom).alias("__kg"),
+            F.lit(1).alias("__kside"),
+        )
+        side = F.col("__kside")
+        u = (
+            lsel.unionByName(rsel)
+            .observe(
+                lobs,
+                *geo_stat_observe_aggs(
+                    "__kg", left_meta, max_abs_lat, where=side == 0
+                ),
+                *geo_stat_observe_aggs(
+                    "__kg", right_meta, max_abs_lat,
+                    where=side == 1, suffix="_r",
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        lp = u.filter(side == 0).select(
+            F.col("__kid").alias("__lid"), F.col("__kg").alias("__lg")
+        )
+        rp = u.filter(side == 1).select(
+            F.col("__kid").alias("__rid"), F.col("__kg").alias("__rg")
+        )
+        m = lobs.get
+        pstats = _geo_stats_finalize({k: m[k] for k in STAT_KEYS})
+        rstats = _geo_stats_finalize({k: m[k + "_r"] for k in STAT_KEYS})
+    else:
+        lobs = Observation()
+        lp = (
+            left.select(
+                F.col(left_id).alias("__lid"), F.col(left_geom).alias("__lg")
+            )
+            .filter(F.col("__lg").isNotNull())  # see knn_join
+            .observe(
+                lobs, *geo_stat_observe_aggs("__lg", left_meta, max_abs_lat)
+            )
+            .localCheckpoint(eager=True)
+        )
+        rp = right.select(
+            F.col(right_id).alias("__rid"), F.col(right_geom).alias("__rg")
+        ).localCheckpoint(eager=False)
 
-    # r15 optimization: the geography join's per-side stats scans used to
-    # run INSIDE it every round — the loop-invariant right side (the full
-    # corpus at scale) was re-scanned per round. Hoist it to one job here;
-    # the pending side's per-round stats job also carries the row count,
-    # which replaces the separate isEmpty() action (2 jobs/round -> 1).
-    rstats = geo_side_stats(rp, "__rg", right_meta, max_abs_lat)
+        # r15 optimization: the geography join's per-side stats scans used
+        # to run INSIDE it every round — the loop-invariant right side
+        # (the full corpus at scale) was re-scanned per round. One job.
+        rstats = geo_side_stats(rp, "__rg", right_meta, max_abs_lat)
+        pstats = _geo_stats_finalize(lobs.get)
 
     pending = lp
     resolved_parts: list[DataFrame] = []
     r = float(radius_m)
     best = None
     for _ in range(max_rounds):
-        pstats = geo_side_stats(pending, "__lg", left_meta, max_abs_lat)
         if pstats.n == 0:
             best = None
             break
@@ -223,9 +294,15 @@ def knn_join_geography(
         resolved_parts.append(
             topk.join(done_ids, "__lid").withColumn("resolved", F.lit(True))
         )
-        pending = pending.join(done_ids, "__lid", "left_anti").localCheckpoint(
-            eager=False
+        pobs = Observation()
+        pending = (
+            pending.join(done_ids, "__lid", "left_anti")
+            .observe(
+                pobs, *geo_stat_observe_aggs("__lg", left_meta, max_abs_lat)
+            )
+            .localCheckpoint(eager=True)
         )
+        pstats = _geo_stats_finalize(pobs.get)
         best = topk
         r *= 2.0
     parts = resolved_parts
