@@ -2731,18 +2731,28 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_line/2gram/3gram fractions from repetition_stats."""
     from datafusion_spatial_spark.operators.text import (
         pii_counts,
-        repetition_stats,
+        repetition_cols,
         text_stats,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    out = text_stats(docs, "text", "doc_id")
-    pii = docs.select(
-        "doc_id",
-        pii_counts("text", ("email", "ipv4", "phone", "ssn")).alias("__pii"),
+
+    # r16 (VERDICT r15 #7): the PII and repetition legs are per-row
+    # projections of the SAME documents scan the stat set reads — the old
+    # three-frames-joined-on-doc_id shape re-scanned the corpus twice and
+    # paid two joins for rows that line up 1:1 by construction. They now
+    # ride the one text_stats projection: ONE scan, zero joins (matches
+    # the oracle, which computes every column from a single SELECT).
+    def _extras(t):
+        return (
+            pii_counts(t, ("email", "ipv4", "phone", "ssn")).alias("__pii"),
+            *repetition_cols(t, ngram_ks=(2, 3)),
+        )
+
+    out = text_stats(
+        docs, "text", "doc_id",
+        extra_cols=_extras, extra_key=("q_text_stats", "pii4", (2, 3)),
     )
-    rep = repetition_stats(docs, "text", "doc_id", ngram_ks=(2, 3))
-    out = out.join(pii, "doc_id").join(rep, "doc_id")
     return out.select(
         "doc_id",
         F.col("n_chars_computed").cast("long").alias("n_chars_computed"),
@@ -3504,19 +3514,37 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (k-means codebooks stay in tests: their centroid means
     are not bit-stable across engines)."""
     from datafusion_spatial_spark.operators.simsearch import (
-        _vec,
-        cosine,
+        cosine_lit,
         ivf_index_pivots,
         pq_encode,
         pq_topk,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding
-    ]
+
+    # r16 (VERDICT r15 #5): the build used to run THREE driver collects
+    # over small id-ordered prefixes of the same table — the query vector
+    # (vec_id 0), the IVF pivots (first N_IVF_LISTS non-null vectors),
+    # and the PQ codebook rows (first N_PQ_CODES) — plus sq8_train's
+    # aggregate. One shared prefix collect now feeds all three (the
+    # prefix is exactly the union of what each collect read); sq8_train
+    # stays the one remaining full-pass aggregate.
+    prefix = (
+        emb.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .limit(max(N_IVF_LISTS, N_PQ_CODES))
+        .collect()
+    )
+    if prefix and prefix[0].vec_id == 0:
+        qvec = [float(x) for x in prefix[0].embedding]
+    else:  # vec_id 0 absent/null: preserve the original lookup exactly
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+        ]
     assigned, pivots = ivf_index_pivots(
-        emb, "embedding", "vec_id", n_lists=N_IVF_LISTS
+        emb, "embedding", "vec_id", n_lists=N_IVF_LISTS,
+        pivots=[r.embedding for r in prefix[:N_IVF_LISTS]],
     )
 
     def cos(a, b):
@@ -3527,27 +3555,29 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranked = sorted(range(len(pivots)), key=lambda i: -cos(qvec, pivots[i]))
     probes = ranked[:N_IVF_PROBE]
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    # r16: each approximate top-10 (and the exact baseline below) is
+    # referenced twice — once in the output union, once by its recall
+    # leg. A lazy localCheckpoint pins the 10-row result the first time
+    # the collect computes it, so the second reference reads those 10
+    # rows instead of re-scanning the corpus (at 100 TB each recall leg
+    # was a full extra pass). Lazy = no extra build action; object-scoped
+    # = a fresh call still recomputes everything from parquet.
     ivf = (
         assigned.filter(F.col("list_id").isin(probes))
         .select(
             "vec_id",
-            F.round(cosine(_vec("embedding"), q), 6).alias("score"),
+            F.round(cosine_lit("embedding", qvec), 6).alias("score"),
         )
         .orderBy(F.desc("score"), F.col("vec_id"))
         .limit(10)
         .select(F.lit("ivf").alias("part"), "vec_id", "score")
+        .localCheckpoint(eager=False)
     )
 
     # pivot codebook: sequential-sum normalization (mirrors the oracle's
     # list_reduce fold bit-for-bit; numpy's pairwise sums would not)
     sub = EMB_DIMS // N_PQ_M
-    piv_rows = (
-        emb.filter(F.col("embedding").isNotNull())
-        .orderBy("vec_id")
-        .limit(N_PQ_CODES)
-        .collect()
-    )
+    piv_rows = prefix[:N_PQ_CODES]  # same rows the old collect returned
     normed = []
     for r in piv_rows:
         v = [float(x) for x in r.embedding]
@@ -3563,7 +3593,7 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=emb, vec_col="embedding", rerank_factor=N_PQ_RERANK,
     ).select(
         F.lit("pq").alias("part"), "vec_id", F.round("score", 6).alias("score")
-    )
+    ).localCheckpoint(eager=False)  # see ivf
 
     # parts 'ivf_recall'/'pq_recall' (r14, VERDICT r13 #1): recall@10 of
     # each approximate top-10 vs the exact brute-force cosine top-10 —
@@ -3571,11 +3601,12 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that silently drops true neighbors breaks the gate.
     exact10 = (
         emb.select(
-            "vec_id", F.round(cosine(_vec("embedding"), q), 6).alias("score")
+            "vec_id", F.round(cosine_lit("embedding", qvec), 6).alias("score")
         )
         .orderBy(F.desc("score"), F.col("vec_id"))
         .limit(10)
         .select("vec_id")
+        .localCheckpoint(eager=False)  # referenced by all 3 recall legs
     )
 
     def _recall(topk: DataFrame, label: str) -> DataFrame:
@@ -3609,7 +3640,7 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("sq8").alias("part"),
         "vec_id",
         F.round("score", 6).alias("score"),
-    )
+    ).localCheckpoint(eager=False)  # see ivf
 
     return (
         ivf.unionAll(pq)

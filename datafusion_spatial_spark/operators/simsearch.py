@@ -23,6 +23,28 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datafusion_spatial_spark.exprlit import (
+    cosine_sql,
+    finite_doubles,
+    lit_double_array,
+    lit_double_matrix,
+    quote_col,
+    render_double_array,
+    sqdist_sql,
+    vec_sql,
+)
+
+
+def cosine_lit(vec_col: str, query) -> Column:
+    """``cosine(_vec(vec_col), <literal query>)`` rendered as ONE
+    ``F.expr`` string (r16): the Column-API twin costs ~6 higher-order
+    -function constructions (~20 ms of py4j each) per call site. Exact
+    same expression tree; non-finite queries fall back."""
+    vals = finite_doubles(query)
+    if vals is None:
+        return cosine(_vec(vec_col), lit_double_array(query))
+    return F.expr(cosine_sql(vec_sql(vec_col), render_double_array(vals)))
+
 
 # Below this corpus size, cosine_near_dup_pairs/semantic_dedup drop their
 # banded LSH to a single band (VERDICT r11 #3): banding exists to hold
@@ -129,7 +151,7 @@ def cosine_topk(
     from datafusion_spatial_spark.exprcache import cached_columns
 
     def _build():
-        q = F.array(*[F.lit(float(x)) for x in query])
+        q = lit_double_array(query)
         # precompute |q| driver-side: it is constant per query, and folding
         # it into a literal removes one array fold per row
         qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
@@ -195,7 +217,7 @@ def lsh_bucket(
         raise ValueError("lsh_bucket supports at most 62 hyperplanes")
     bucket = None
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = lit_double_array(plane)
         bit = F.when(dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     # long, not int: with >= 32 planes bit 31 overflows a 32-bit cast to a
@@ -233,7 +255,7 @@ def lsh_topk(
                 probes.add(qbucket ^ (1 << i) ^ (1 << j))
     bucketed = lsh_bucket(df, vec_col, id_col, planes)
     cand = bucketed.filter(F.col("bucket").isin(sorted(probes)))
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = lit_double_array(query)
     return (
         cand.select(F.col(id_col), cosine(_vec(vec_col), q).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
@@ -610,6 +632,7 @@ def ivf_index_pivots(
     vec_col: str,
     id_col: str,
     n_lists: int = 8,
+    pivots: list | None = None,
 ):
     """Deterministic IVF coarse quantizer: the pivots ("centroids") are the
     embeddings of the ``n_lists`` smallest ids, and every row is assigned to
@@ -630,19 +653,41 @@ def ivf_index_pivots(
     ``list_id`` and ``pivots`` the list of pivot vectors (index = list id).
     Ties go to the smallest list id (``array_position`` finds the first
     minimum).
+
+    ``pivots`` (r16): a caller that already holds the first ``n_lists``
+    non-null vectors by ascending id (e.g. from a shared prefix collect)
+    passes them to skip this function's own collect — the values MUST be
+    exactly what the collect would return, or assignments shift.
     """
-    rows = (
-        df.select(F.col(id_col).alias("__i"), _vec(vec_col).alias("__v"))
-        .filter(F.col("__v").isNotNull())  # a null embedding can't pivot
-        .orderBy("__i")
-        .limit(n_lists)
-        .collect()
-    )
-    pivots = [[float(x) for x in r["__v"]] for r in rows]
-    v = _vec(vec_col)
-    scores = F.array(
-        *[sqdist(v, F.array(*[F.lit(x) for x in p])) for p in pivots]
-    )
+    if pivots is None:
+        rows = (
+            df.select(F.col(id_col).alias("__i"), _vec(vec_col).alias("__v"))
+            .filter(F.col("__v").isNotNull())  # a null embedding can't pivot
+            .orderBy("__i")
+            .limit(n_lists)
+            .collect()
+        )
+        pivots = [[float(x) for x in r["__v"]] for r in rows]
+    else:
+        pivots = [[float(x) for x in p] for p in pivots[:n_lists]]
+    finite = [finite_doubles(p) for p in pivots]
+    if pivots and all(f is not None for f in finite):
+        # r16: the argmin distance array as ONE F.expr string — the
+        # Column-API form built n_lists aggregate/zip_with lambda pairs
+        # (~1.5 s of py4j for 8×64-dim pivots); tree-identical rendering
+        vs = vec_sql(vec_col)
+        scores = F.expr(
+            "array("
+            + ",".join(
+                sqdist_sql(vs, render_double_array(f)) for f in finite
+            )
+            + ")"
+        )
+    else:
+        v = _vec(vec_col)
+        scores = F.array(
+            *[sqdist(v, lit_double_array(p)) for p in pivots]
+        )
     list_id = (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
     return df.withColumn("list_id", list_id), pivots
 
@@ -670,7 +715,7 @@ def ivf_topk(
 
     ranked = sorted(range(len(centroids)), key=lambda i: -cos(query, centroids[i]))
     probes = ranked[: max(1, nprobe)]
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = lit_double_array(query)
     cand = assigned.filter(F.col("list_id").isin(probes))
     return (
         cand.select(F.col(id_col), cosine(_vec(vec_col), q).alias("score"))
@@ -834,11 +879,29 @@ def pq_topk(
         return cand
     if vec_col is None:
         raise ValueError("vec_col required when rerank frame is given")
-    q = F.array(*[F.lit(float(x)) for x in query])
-    exact = (
-        cand.join(rerank.select(F.col(id_col), _vec(vec_col).alias("__v")), id_col)
-        .select(F.col(id_col), cosine(F.col("__v"), q).alias("score"))
-    )
+    vals = finite_doubles(query)
+    if vals is not None:
+        # r16: raw vector carried, cast-and-cosine rendered as one expr
+        # string (cosine(transform(__v, cast), q) — the same tree _vec +
+        # cosine built)
+        exact = cand.join(
+            rerank.select(F.col(id_col), F.col(vec_col).alias("__v")),
+            id_col,
+        ).select(
+            F.col(id_col),
+            F.expr(
+                cosine_sql(vec_sql("__v"), render_double_array(vals))
+            ).alias("score"),
+        )
+    else:
+        q = lit_double_array(query)
+        exact = (
+            cand.join(
+                rerank.select(F.col(id_col), _vec(vec_col).alias("__v")),
+                id_col,
+            )
+            .select(F.col(id_col), cosine(F.col("__v"), q).alias("score"))
+        )
     return exact.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
@@ -856,7 +919,20 @@ def _adc_score_expr(codebooks: list[list[list[float]]], query: list[float]) -> C
         [sum(qv[j * sub + t] * c[t] for t in range(sub)) for c in codebooks[j]]
         for j in range(m)
     ]
-    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    finite = [finite_doubles(row) for row in lut]
+    if lut and all(f is not None for f in finite):
+        # r16: LUT fold as one expr string (tree-identical)
+        lut_sql = (
+            "array("
+            + ",".join(render_double_array(f) for f in finite)
+            + ")"
+        )
+        return F.expr(
+            f"aggregate(zip_with({quote_col('pq_code')}, {lut_sql}, "
+            f"(__c, __r) -> element_at(__r, __c + 1)), "
+            f"0.0D, (__a, __x) -> __a + __x)"
+        )
+    lut_lit = lit_double_matrix(lut)
     partials = F.zip_with(
         F.col("pq_code"), lut_lit, lambda c, row: F.element_at(row, c + 1)
     )
@@ -902,7 +978,7 @@ def ivfpq_topk(
         return short
     if vec_col is None:
         raise ValueError("vec_col required when rerank frame is given")
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = lit_double_array(query)
     exact = short.join(
         rerank.select(F.col(id_col), _vec(vec_col).alias("__v")), id_col
     ).select(F.col(id_col), cosine(F.col("__v"), q).alias("score"))
@@ -970,8 +1046,20 @@ def sq8_encode(
     (transform + element_at on literal param arrays), map-only; null
     vectors encode to null. floor(+0.5) rather than round() so the
     half-way rule is the same expression in every engine."""
-    mnl = F.array(*[F.lit(float(v)) for v in mins])
-    spl = F.array(*[F.lit(float(v)) for v in spans])
+    vm, vs = finite_doubles(mins), finite_doubles(spans)
+    if vm is not None and vs is not None:
+        # r16: one expr string (tree-identical to the lambda form below)
+        rm, rs = render_double_array(vm), render_double_array(vs)
+        code = F.expr(
+            f"transform({vec_sql(vec_col)}, (__x, __i) -> "
+            f"cast(least(255, greatest(0, floor("
+            f"(__x - element_at({rm}, __i + 1)) "
+            f"/ element_at({rs}, __i + 1) * 255.0D + 0.5D"
+            f"))) as int))"
+        )
+        return df.withColumn(out_col, code)
+    mnl = lit_double_array(mins)
+    spl = lit_double_array(spans)
     code = F.transform(
         _vec(vec_col),
         lambda x, i: F.least(
@@ -996,8 +1084,8 @@ def sq8_decode_expr(
     """Reconstruction ``x̂ = min + code/255·span`` as a Catalyst array
     expression — composes into any scoring expression without leaving
     the JVM."""
-    mnl = F.array(*[F.lit(float(v)) for v in mins])
-    spl = F.array(*[F.lit(float(v)) for v in spans])
+    mnl = lit_double_array(mins)
+    spl = lit_double_array(spans)
     c = F.col(code_col) if isinstance(code_col, str) else code_col
     return F.transform(
         c,
@@ -1020,12 +1108,22 @@ def sq8_topk(
     float vectors. Returns (id, score) like :func:`cosine_topk`; compose
     with an exact rerank against the float table when the last ulp of
     ranking matters."""
-    q = F.array(*[F.lit(float(x)) for x in query])
-    dec = sq8_decode_expr(code_col, mins, spans)
-    return (
-        encoded.select(
-            F.col(id_col), cosine(dec, q).alias("score")
+    vq = finite_doubles(query)
+    vm, vs = finite_doubles(mins), finite_doubles(spans)
+    if vq is not None and vm is not None and vs is not None:
+        # r16: decode + cosine as one expr string (tree-identical)
+        dec_sql = (
+            f"transform({quote_col(code_col)}, (__x, __i) -> "
+            f"element_at({render_double_array(vm)}, __i + 1) "
+            f"+ cast(__x as double) / 255.0D "
+            f"* element_at({render_double_array(vs)}, __i + 1))"
         )
+        score = F.expr(cosine_sql(dec_sql, render_double_array(vq)))
+    else:
+        q = lit_double_array(query)
+        score = cosine(sq8_decode_expr(code_col, mins, spans), q)
+    return (
+        encoded.select(F.col(id_col), score.alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
@@ -1094,7 +1192,7 @@ def ivf_topk_from_storage(
 
     ranked = sorted(range(len(centroids)), key=lambda i: -cos(query, centroids[i]))
     probes = ranked[: max(1, nprobe)]
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = lit_double_array(query)
     cand = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
     return (
         cand.select(F.col(id_col), cosine(_vec(vec_col), q).alias("score"))

@@ -110,13 +110,27 @@ def _hits_from(words_lower: Column, lang: str) -> Column:
     return F.size(F.filter(words_lower, lambda x: F.array_contains(stops, x)))
 
 
-def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def text_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    extra_cols=None,
+    extra_key: tuple | None = None,
+) -> DataFrame:
     """One row per document with the full stat set.
 
     The tokenization is materialized ONCE (``__wl`` projection) and every
     stat derives from it — Catalyst does not CSE across lambda bodies, so
     the naive per-stat form re-split the text ~10× (measured 30% slower at
-    bench scale)."""
+    bench scale).
+
+    ``extra_cols`` (r16, VERDICT r15 #7): a callable ``text Column ->
+    iterable of aliased Columns`` appended to the output projection —
+    sibling per-row stats (PII counters, repetition fractions) computed
+    from the SAME scan instead of re-scanning the corpus and joining back
+    on the id. ``extra_key`` must be a hashable tag that fully determines
+    ``extra_cols``'s expressions (it extends the exprcache key); when
+    omitted the build is simply not memoized."""
     df = ensure_min_parallelism(df)  # tokenization is the heavy map stage
 
     def _build():
@@ -165,10 +179,19 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.round(quality, 6).alias("quality"),
             poly_hash_str(F.array_join(F.col("__wl"), " ")).alias("fingerprint"),
         )
+        if extra_cols is not None:
+            cols3 = cols3 + tuple(extra_cols(F.col("__t")))
         return cols1, cols2, cols3
 
-    # the whole stat tree is (text_col, id_col)-static — memoized (exprcache)
-    cols1, cols2, cols3 = cached_columns(("text_stats", text_col, id_col), _build)
+    # the whole stat tree is (text_col, id_col[, extra_key])-static —
+    # memoized (exprcache) unless extras are passed without a key
+    if extra_cols is not None and extra_key is None:
+        cols1, cols2, cols3 = _build()
+    else:
+        key = ("text_stats", text_col, id_col) + (
+            (extra_key,) if extra_cols is not None else ()
+        )
+        cols1, cols2, cols3 = cached_columns(key, _build)
     return df.select(*cols1).select(*cols2).select(*cols3)
 
 
@@ -265,6 +288,17 @@ def repetition_stats(
     repeats within the document). Map-only Catalyst — documents never
     shuffle; filter downstream with e.g. ``dup_3gram_frac < 0.3``.
     """
+    return df.select(
+        F.col(id_col), *repetition_cols(F.col(text_col), ngram_ks)
+    )
+
+
+def repetition_cols(
+    text: Column, ngram_ks: tuple[int, ...] = (2, 3, 4)
+) -> list[Column]:
+    """The aliased per-row repetition columns of :func:`repetition_stats`,
+    exposed so shared-scan composites can append them to another
+    projection of the same scan (r16)."""
     from datafusion_spatial_spark.operators.dedup import word_shingles
 
     def dup_frac(arr: Column) -> Column:
@@ -275,15 +309,10 @@ def repetition_stats(
 
     # \r?\n (r14, with line_dedup): CRLF text's final line lacks the \r
     # its siblings carry, skewing the distinct count; consume the \r
-    lines = F.split(F.col(text_col), r"\r?\n")
-    cols = [
-        F.col(id_col),
-        dup_frac(lines).alias("dup_line_frac"),
-    ]
+    lines = F.split(text, r"\r?\n")
+    cols = [dup_frac(lines).alias("dup_line_frac")]
     for k in ngram_ks:
         cols.append(
-            dup_frac(word_shingles(F.col(text_col), k)).alias(
-                f"dup_{k}gram_frac"
-            )
+            dup_frac(word_shingles(text, k)).alias(f"dup_{k}gram_frac")
         )
-    return df.select(*cols)
+    return cols
