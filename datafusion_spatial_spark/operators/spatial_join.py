@@ -620,6 +620,30 @@ def geo_side_stats(df, geom_col, meta, max_abs_lat: float = 80.0) -> GeoSideStat
     return _geo_stats_finalize(rows[0] if rows else None)
 
 
+def geo_pair_stats(
+    left, left_geom, left_meta, right, right_geom, right_meta,
+    max_abs_lat: float = 80.0,
+) -> "tuple[GeoSideStats, GeoSideStats]":
+    """Both sides' stats in ONE side-tagged union aggregation job (the
+    r15 fusion, exposed for loop callers): computing it also materializes
+    any lazy checkpoints backing ``left``/``right`` in-lineage, so a kNN
+    prologue gets both side frames AND both stats for a single action."""
+    stat_rows = (
+        _geo_stat_frame(left, left_geom, left_meta, max_abs_lat, 0)
+        .unionByName(
+            _geo_stat_frame(right, right_geom, right_meta, max_abs_lat, 1)
+        )
+        .groupBy("side")
+        .agg(*_GEO_STAT_AGGS())
+        .collect()
+    )
+    by_side = {int(r["side"]): r for r in stat_rows}
+    return (
+        _geo_stats_finalize(by_side.get(0)),
+        _geo_stats_finalize(by_side.get(1)),
+    )
+
+
 def geo_stat_observe_aggs(
     geom_col, meta, max_abs_lat: float = 80.0, where=None, suffix: str = ""
 ):
@@ -724,19 +748,12 @@ def spatial_join_geography(
     if _lstats is not None and _rstats is not None:
         side_stats = [_lstats, _rstats]
     else:
-        stat_rows = (
-            _geo_stat_frame(left, left_geom, left_meta, max_abs_lat, 0)
-            .unionByName(
-                _geo_stat_frame(right, right_geom, right_meta, max_abs_lat, 1)
+        side_stats = list(
+            geo_pair_stats(
+                left, left_geom, left_meta,
+                right, right_geom, right_meta, max_abs_lat,
             )
-            .groupBy("side")
-            .agg(*_GEO_STAT_AGGS())
-            .collect()
         )
-        by_side = {int(r["side"]): r for r in stat_rows}
-        side_stats = [
-            _geo_stats_finalize(by_side.get(0)), _geo_stats_finalize(by_side.get(1))
-        ]
     stats = [s.mx for s in side_stats]
     spans = [s.sp for s in side_stats]
     tops = [s.top for s in side_stats]

@@ -76,7 +76,7 @@ def knn_join(
     resolved_parts: list[DataFrame] = []
     r = float(radius)
     best = None
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # the dwithin join computes the exact distance in-plan
         # (with_distance) — no geometry re-join by id afterwards
         pairs = spatial_join(
@@ -110,14 +110,20 @@ def knn_join(
         # an observed metric on the pending checkpoint — the eager
         # materialization (one job, which also completes the round's topk
         # checkpoint in-lineage) replaces the separate per-round
-        # ``isEmpty()`` action.
-        pobs = Observation()
-        pending = (
-            pending.join(done_ids, "__lid", "left_anti")
-            .observe(pobs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=True)
-        )
+        # ``isEmpty()`` action. The LAST round skips both: its count is
+        # never consulted (the loop exits), its checkpoint stays lazy so
+        # the final action overlaps the materialization, and an
+        # all-resolved final round just makes the unresolved-tail join
+        # empty — same output, one fewer serial job.
+        pending = pending.join(done_ids, "__lid", "left_anti")
         best = topk  # last round's partial results for the unresolved tail
+        if rnd == max_rounds - 1:
+            pending = pending.localCheckpoint(eager=False)
+            break
+        pobs = Observation()
+        pending = pending.observe(
+            pobs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
         if int(pobs.get["n"]) == 0:
             best = None
             break
@@ -165,7 +171,7 @@ def knn_join_geography(
     (left_id, right_id, distance_m, rank, resolved)."""
     from datafusion_spatial_spark.operators.spatial_join import (
         _geo_stats_finalize,
-        geo_side_stats,
+        geo_pair_stats,
         geo_stat_observe_aggs,
         spatial_join_geography,
     )
@@ -185,83 +191,33 @@ def knn_join_geography(
     # round's pad/seam stats + loop-control count — no separate stats
     # action anywhere in the loop.
     #
-    # Setup is fused the same way when the two sides are union-compatible
-    # (same id/geom storage types and geometry encoding): ONE side-tagged
-    # union checkpoint carries both sides' stats in a single observation —
-    # both input scans run concurrently in one job instead of a serial
-    # lp-materialization + right-stats collect (the r15 stats-fusion
-    # argument, applied to the kNN prologue). Incompatible sides keep the
-    # two-action path.
-    STAT_KEYS = ("mx", "sp", "top", "bot", "xe", "xw", "n")
-    fuse = (
-        left.schema[left_id].dataType == right.schema[right_id].dataType
-        and left.schema[left_geom].dataType
-        == right.schema[right_geom].dataType
-        and left_meta.encoding == right_meta.encoding
+    # The prologue is ONE side-tagged union stats job (geo_pair_stats):
+    # it yields round 1's left stats AND the loop-invariant right stats
+    # (the r15 hoist) while materializing both lazy checkpoints
+    # in-lineage — each side scanned exactly once. (A variant that also
+    # CHECKPOINTED the union was tried and reverted: it forced every
+    # later use of the small side through a filter over the full-union
+    # checkpoint, measuring 1.5-2 s slower at t30 for the asymmetric
+    # 200-probe × 450k-corpus shape.)
+    lp = (
+        left.select(
+            F.col(left_id).alias("__lid"), F.col(left_geom).alias("__lg")
+        )
+        .filter(F.col("__lg").isNotNull())  # see knn_join
+        .localCheckpoint(eager=False)
     )
-    if fuse:
-        lobs = Observation()
-        lsel = left.select(
-            F.col(left_id).alias("__kid"),
-            F.col(left_geom).alias("__kg"),
-            F.lit(0).alias("__kside"),
-        ).filter(F.col("__kg").isNotNull())  # see knn_join (left only)
-        rsel = right.select(
-            F.col(right_id).alias("__kid"),
-            F.col(right_geom).alias("__kg"),
-            F.lit(1).alias("__kside"),
-        )
-        side = F.col("__kside")
-        u = (
-            lsel.unionByName(rsel)
-            .observe(
-                lobs,
-                *geo_stat_observe_aggs(
-                    "__kg", left_meta, max_abs_lat, where=side == 0
-                ),
-                *geo_stat_observe_aggs(
-                    "__kg", right_meta, max_abs_lat,
-                    where=side == 1, suffix="_r",
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        lp = u.filter(side == 0).select(
-            F.col("__kid").alias("__lid"), F.col("__kg").alias("__lg")
-        )
-        rp = u.filter(side == 1).select(
-            F.col("__kid").alias("__rid"), F.col("__kg").alias("__rg")
-        )
-        m = lobs.get
-        pstats = _geo_stats_finalize({k: m[k] for k in STAT_KEYS})
-        rstats = _geo_stats_finalize({k: m[k + "_r"] for k in STAT_KEYS})
-    else:
-        lobs = Observation()
-        lp = (
-            left.select(
-                F.col(left_id).alias("__lid"), F.col(left_geom).alias("__lg")
-            )
-            .filter(F.col("__lg").isNotNull())  # see knn_join
-            .observe(
-                lobs, *geo_stat_observe_aggs("__lg", left_meta, max_abs_lat)
-            )
-            .localCheckpoint(eager=True)
-        )
-        rp = right.select(
-            F.col(right_id).alias("__rid"), F.col(right_geom).alias("__rg")
-        ).localCheckpoint(eager=False)
-
-        # r15 optimization: the geography join's per-side stats scans used
-        # to run INSIDE it every round — the loop-invariant right side
-        # (the full corpus at scale) was re-scanned per round. One job.
-        rstats = geo_side_stats(rp, "__rg", right_meta, max_abs_lat)
-        pstats = _geo_stats_finalize(lobs.get)
+    rp = right.select(
+        F.col(right_id).alias("__rid"), F.col(right_geom).alias("__rg")
+    ).localCheckpoint(eager=False)
+    pstats, rstats = geo_pair_stats(
+        lp, "__lg", left_meta, rp, "__rg", right_meta, max_abs_lat
+    )
 
     pending = lp
     resolved_parts: list[DataFrame] = []
     r = float(radius_m)
     best = None
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         if pstats.n == 0:
             best = None
             break
@@ -294,16 +250,19 @@ def knn_join_geography(
         resolved_parts.append(
             topk.join(done_ids, "__lid").withColumn("resolved", F.lit(True))
         )
-        pobs = Observation()
-        pending = (
-            pending.join(done_ids, "__lid", "left_anti")
-            .observe(
-                pobs, *geo_stat_observe_aggs("__lg", left_meta, max_abs_lat)
-            )
-            .localCheckpoint(eager=True)
-        )
-        pstats = _geo_stats_finalize(pobs.get)
+        pending = pending.join(done_ids, "__lid", "left_anti")
         best = topk
+        if rnd == max_rounds - 1:
+            # last round: stats/count never consulted — keep the
+            # checkpoint lazy so the final action overlaps it (see the
+            # planar loop's comment)
+            pending = pending.localCheckpoint(eager=False)
+            break
+        pobs = Observation()
+        pending = pending.observe(
+            pobs, *geo_stat_observe_aggs("__lg", left_meta, max_abs_lat)
+        ).localCheckpoint(eager=True)
+        pstats = _geo_stats_finalize(pobs.get)
         r *= 2.0
     parts = resolved_parts
     if best is not None:
